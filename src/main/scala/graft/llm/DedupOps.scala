@@ -1,0 +1,212 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.GraftFunctions
+
+/** Deduplication operators over `documents` — SURVEY.md §2b Q23 plus the
+  * training-pipeline extensions (SimHash, embedding near-dup).
+  *
+  * Scale notes (100 TB posture):
+  *  - exact dedup = hash + groupBy (one shuffle on a 16-byte key);
+  *  - near-dup never materializes the O(n²) pair space: the exact-Jaccard
+  *    path joins on an inverted shingle index (pairs sharing ≥1 shingle),
+  *    the MinHash path joins on LSH band buckets (pairs sharing a band) and
+  *    then verifies candidates exactly — so the only quadratic term is
+  *    per-bucket, controlled by band width;
+  *  - embedding near-dup blocks on `label` (a cheap clustering surrogate)
+  *    instead of a full cross join.
+  */
+object DedupOps {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val K = 5            // shingle width (tokens)
+  private val NumHashes = 128  // MinHash signature length
+  private val Bands = 32       // 32 bands × 4 rows
+  private val RowsPerBand = NumHashes / Bands
+  private val Prime = (1L << 61) - 1
+  private val JaccardThreshold = 0.8
+
+  /** Deterministic affine hash family h_i(x) = (a_i·x + b_i) mod p over a
+    * 64-bit base hash (xxhash64 of the shingle). java.util.Random's LCG is
+    * spec-fixed, so coefficients are stable across JVMs/runs. */
+  private val coeffs: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    IndexedSeq.fill(NumHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.shingles(Text.tokens(col("text")), K)).as("sh"))
+
+  /** Oracle fragment shared by the exact and MinHash paths: all pairs with
+    * 5-gram-shingle Jaccard >= 0.8, via an inverted shingle index. */
+  private val jaccardOracle: String =
+    s"""WITH tok AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts FROM documents),
+       |sh AS (SELECT doc_id, unnest(${Text.shinglesSql("ts", K)}) AS sh FROM tok),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |  round(inter / (s1.n + s2.n - inter), 4) AS jaccard
+       |FROM pairs
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold
+       |ORDER BY d1, d2""".stripMargin
+
+  /** q23a — exact dedup: md5 content hash → keep-first per group, plus a
+    * corpus summary row (the corpus has no exact dups, so the per-group
+    * output alone would be empty; the summary keeps the check meaningful). */
+  def exactDedup(s: SparkSession, d: String): DataFrame = {
+    val groups = Tables.documents(s, d)
+      .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+    groups.agg(
+        count(lit(1)).as("n_unique"),
+        sum(col("n_copies")).as("n_docs"),
+        sum(when(col("n_copies") > 1, 1).otherwise(0)).as("n_dup_groups"),
+        sum(col("n_copies") - 1).as("n_removed"))
+      .select(col("n_docs"), col("n_unique"), col("n_dup_groups"), col("n_removed"))
+  }
+  val exactDedupSql: String =
+    """WITH g AS (SELECT md5(text) AS content_hash, count(*) AS n_copies
+      |  FROM documents GROUP BY 1)
+      |SELECT sum(n_copies) AS n_docs, count(*) AS n_unique,
+      |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+      |  sum(n_copies - 1) AS n_removed
+      |FROM g""".stripMargin
+
+  /** Exact Jaccard over the inverted shingle index (ground truth for the
+    * LSH path; itself a legitimate distributed near-dup operator). */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val s1 = sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
+    val s2 = sizes.select(col("doc_id").as("d2"), col("n").as("n2"))
+    pairs.join(broadcast(s1), "d1").join(broadcast(s2), "d2")
+      .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** q23b — MinHash + LSH banding: signature → band buckets → candidate
+    * pairs → exact-Jaccard verification. With 32×4 banding, P(miss) at
+    * j=0.8 is (1−0.8⁴)³² ≈ 5e-8, so the verified output equals the exact
+    * path (which is the oracle). */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d).withColumn("h", xxhash64(col("sh")))
+    val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(Prime))).as(s"sig_$i")
+    }
+    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandKeys = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}"))
+      xxhash64(lit(b) +: rows: _*)
+    }
+    val buckets = sigs
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val candidates = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    // exact verification restricted to candidates
+    val shA = docShingles(s, d).select(col("doc_id").as("d1"), col("sh"))
+    val shB = docShingles(s, d).select(col("doc_id").as("d2b"), col("sh").as("sh2"))
+    val inter = candidates
+      .join(shA, "d1")
+      .join(shB, col("d2") === col("d2b") && col("sh") === col("sh2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = docShingles(s, d).groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val s1 = sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
+    val s2 = sizes.select(col("doc_id").as("d2"), col("n").as("n2"))
+    inter.join(broadcast(s1), "d1").join(broadcast(s2), "d2")
+      .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** q23c — SimHash near-dup (no SQL oracle: the 64-bit token hash is not
+    * reproducible in DuckDB; rows-only check + ScalaTest asserts it finds
+    * every exact-duplicate pair). 64-bit fingerprint, banding on 4×16-bit
+    * chunks, hamming-distance ≤ 3 verification. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b_$j")
+    }
+    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { j =>
+      when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val fps = agg.select(col("doc_id"), fp.as("simhash"))
+    val chunks = fps.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "ckey")))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("d1", "d2")
+  }
+
+  /** q23d — embedding-cosine near-dup, blocked on `label`. Oracle uses the
+    * same sequential-double cosine formula as CosineSimilarity. */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val em = Tables.embeddings(s, d)
+    val a = em.select(col("label"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = em.select(col("label").as("label2"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
+      .withColumn("cos", expr("cosine_sim(e1, e2)"))
+      .filter(col("cos") >= CosineThreshold)
+      .select(col("v1"), col("v2"), round(col("cos"), 4).as("cos"))
+      .orderBy("v1", "v2")
+  }
+  /** Similarity threshold for "near-dup" embedding pairs. The synthetic
+    * corpus tops out at ~0.47 same-label cosine, so 0.4 both exercises the
+    * operator and sits >1e-4 from every pair (no float-boundary hazard). */
+  private val CosineThreshold = 0.4
+
+  val embeddingNearDupSql: String =
+    """WITH n AS (SELECT vec_id, label, embedding,
+      |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |    (acc, v) -> acc + v)) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(a.embedding)),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |      (acc, v) -> acc + v) / (a.nrm * b.nrm), 4) AS cos
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(generate_series(1, len(a.embedding)),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |    (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.4
+      |ORDER BY v1, v2""".stripMargin
+
+  val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q23_dedup_exact", exactDedup _, Some(exactDedupSql)),
+    ("q23_dedup_ngram_jaccard", ngramJaccard _, Some(jaccardOracle)),
+    ("q23_dedup_minhash_lsh", minhashLsh _, Some(jaccardOracle)),
+    ("q23_dedup_simhash", simhash _, None),
+    ("q23_dedup_embedding", embeddingNearDup _, Some(embeddingNearDupSql)))
+}

@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Multimodal-column plumbing — SURVEY.md §2b (training-pipeline ops).
+  *
+  * Media payloads are opaque `binary` columns with typed metadata structs.
+  * The decode itself is a clearly-marked deterministic STUB (no image/audio
+  * codecs in this container); everything around it — schema, typed Dataset
+  * plumbing, per-partition batch processing, frame sampling — is real and
+  * hash-checked. At cluster scale the decode stub is the only thing to
+  * swap (per-partition JNI/codec call inside mapPartitions).
+  */
+object MultimodalOps {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Decoded-media metadata produced by the stub decoder. */
+  case class MediaMeta(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      n_sampled: Int,
+      rms: Double)
+
+  /** STUB DECODER — deterministic fake. A real deployment replaces this
+    * body with an actual codec call; the signature (bytes in, typed
+    * metadata out) and the surrounding Spark plumbing stay unchanged. */
+  def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val len = payload.length.toLong
+    val width = (64 + len % 512).toInt
+    val height = (64 + (len * 7) % 512).toInt
+    val nFrames = (1 + len % 30).toInt
+    val nSampled = (nFrames - 1) / 5 + 1 // sample every 5th frame from 0
+    val rms = (len * 37 % 1000).toDouble / 1000.0
+    MediaMeta(docId, width, height, nFrames, nSampled, rms)
+  }
+
+  /** q26 — binary ingestion + per-partition decode + metadata projection.
+    * Payload = utf-8 bytes of `text` (stands in for image/audio bytes). */
+  def mediaMeta(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val withPayload = Tables.documents(s, d)
+      .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))
+      .as[(Long, Array[Byte])]
+    // mapPartitions: decode is batched per partition (the real-codec shape —
+    // amortizes codec init), not per-row UDF.
+    withPayload
+      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("n_sampled"), round(col("rms"), 4).as("rms"))
+      .orderBy("doc_id")
+  }
+  val mediaMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INT) AS width,
+      |  CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 512 AS INT) AS height,
+      |  CAST(1 + octet_length(CAST(text AS BLOB)) % 30 AS INT) AS n_frames,
+      |  CAST((octet_length(CAST(text AS BLOB)) % 30) // 5 + 1 AS INT) AS n_sampled,
+      |  round((octet_length(CAST(text AS BLOB)) * 37 % 1000) / 1000.0, 4) AS rms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q26b — frame sampling as a generator: one row per sampled frame. */
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        octet_length(to_binary(col("text"), lit("utf-8"))).as("blen"))
+      .withColumn("n_frames", (lit(1) + col("blen") % 30).cast("int"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+  val frameSampleSql: String =
+    """SELECT doc_id, unnest(generate_series(0,
+      |    CAST(octet_length(CAST(text AS BLOB)) % 30 AS INT), 5)) AS frame_idx
+      |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
+
+  val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q26_media_meta", mediaMeta _, Some(mediaMetaSql)),
+    ("q26_frame_sample", frameSample _, Some(frameSampleSql)))
+}

@@ -1,0 +1,41 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared deterministic text primitives for the LLM-pipeline operators.
+  *
+  * Tokenizer contract (mirrored exactly in every DuckDB oracle):
+  * lowercase → split on `[^a-z0-9]+` → drop empty tokens. Shingles are
+  * k-token windows joined with a single space, deduplicated per document.
+  */
+object Text {
+  /** lowercase + split on non-alphanumerics + drop empties. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+
+  /** DuckDB twin of [[tokens]] for embedding into oracle SQL. */
+  def tokensSql(c: String): String =
+    s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** Distinct k-token shingles; empty array when the doc has < k tokens. */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB twin of [[shingles]]. `toks` must reference a list column. */
+  def shinglesSql(toks: String, k: Int): String =
+    s"""CASE WHEN len($toks) >= $k
+       | THEN list_distinct(list_transform(generate_series(1, len($toks) - ${k - 1}),
+       |   i -> array_to_string($toks[i:i+${k - 1}], ' ')))
+       | ELSE [] END""".stripMargin
+
+  /** Fixed stopword list for term statistics / quality scoring. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordsSqlList: String =
+    stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+}

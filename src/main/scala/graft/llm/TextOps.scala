@@ -1,0 +1,182 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text-analysis operators over `documents` — SURVEY.md §2b Q25 plus the
+  * training-pipeline extensions (language ID, quality scoring, token
+  * counting, fingerprinting). All are narrow scans + one aggregation —
+  * they stream at any scale.
+  */
+object TextOps {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** q25a — language distribution + char stats. */
+  def langDist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 2).as("avg_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  val langDistSql: String =
+    """SELECT lang, count(*) AS n, round(avg(n_chars), 2) AS avg_chars,
+      |  sum(n_chars) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q25b — per-source stats. */
+  def sourceStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 2).as("avg_chars"),
+        sum(size(Text.tokens(col("text")))).as("sum_tokens"))
+      .orderBy("source")
+  val sourceStatsSql: String =
+    s"""SELECT source, count(*) AS n, round(avg(n_chars), 2) AS avg_chars,
+       |  sum(len(${Text.tokensSql("text")})) AS sum_tokens
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** q25c — top-20 terms after stopword filter (count desc, term asc). */
+  def topTerms(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("term"))
+      .filter(!col("term").isin(Text.stopwords: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(20)
+  val topTermsSql: String =
+    s"""WITH t AS (SELECT unnest(${Text.tokensSql("text")}) AS term FROM documents)
+       |SELECT term, count(*) AS n FROM t
+       |WHERE NOT list_contains(${Text.stopwordsSqlList}, term)
+       |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin
+
+  /** q25d — token counting: whitespace tokens + a BPE-ish regex token
+    * count (letters / digits / single punctuation marks). */
+  def tokenCounts(s: SparkSession, d: String): DataFrame = {
+    val wsToks = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+    val bpeToks = size(expr(
+      "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wsToks).as("sum_ws_tokens"),
+        sum(bpeToks).as("sum_bpe_tokens"))
+      .orderBy("lang")
+  }
+  val tokenCountsSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  sum(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS sum_ws_tokens,
+      |  sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS sum_bpe_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q25e — heuristic quality score per doc: length, stopword ratio,
+    * alphabetic ratio (identical double math on both engines). */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val nToks = size(toks)
+    val nStop = size(filter(toks, t => t.isin(Text.stopwords: _*)))
+    val alphaRatio = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      .cast("double") / length(col("text"))
+    val lenScore = least(col("n_chars").cast("double") / 500.0, lit(1.0))
+    val stopRatio = when(nToks > 0, nStop.cast("double") / nToks.cast("double"))
+      .otherwise(lit(0.0))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        round(lenScore * 0.3 + stopRatio * 0.4 + alphaRatio * 0.3, 4).as("quality"))
+      .orderBy("doc_id")
+  }
+  val qualityScoreSql: String = {
+    val toks = Text.tokensSql("text")
+    s"""SELECT doc_id,
+       |  round(least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.3
+       |    + (CASE WHEN len($toks) > 0
+       |        THEN CAST(len(list_filter($toks,
+       |          t -> list_contains(${Text.stopwordsSqlList}, t))) AS DOUBLE)
+       |          / CAST(len($toks) AS DOUBLE)
+       |        ELSE 0.0 END) * 0.4
+       |    + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       |      / length(text) * 0.3, 4) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q25f — n-gram-heuristic language ID: count distinct marker-word hits
+    * per language, argmax with fixed tie order, 'und' when nothing hits. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "en" -> Seq("the", "and", "of", "is", "was", "that"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"))
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val scores = markers.map { case (lg, ws) =>
+      lg -> size(array_intersect(toks, array(ws.map(lit): _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val pred = scores.foldRight(lit("und")) { case ((lg, sc), acc) =>
+      when(sc === best && best > 0, lg).otherwise(acc)
+    }
+    // foldRight gives de > en > es > fr priority on ties (alphabetical).
+    Tables.documents(s, d)
+      .select(pred.as("pred_lang"))
+      .groupBy("pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("pred_lang")
+  }
+  val langIdSql: String = {
+    val toks = Text.tokensSql("text")
+    val scoreSql = markers.map { case (lg, ws) =>
+      s"len(list_intersect($toks, ${ws.map(w => s"'$w'").mkString("[", ", ", "]")})) AS s_$lg"
+    }.mkString(", ")
+    val caseSql = markers.map { case (lg, _) =>
+      s"WHEN s_$lg = best AND best > 0 THEN '$lg'"
+    }.mkString(" ")
+    s"""WITH sc AS (SELECT doc_id, $scoreSql FROM documents),
+       |b AS (SELECT doc_id, s_de, s_en, s_es, s_fr,
+       |  greatest(s_de, s_en, s_es, s_fr) AS best FROM sc),
+       |p AS (SELECT CASE $caseSql ELSE 'und' END AS pred_lang FROM b)
+       |SELECT pred_lang, count(*) AS n FROM p
+       |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
+  }
+
+  /** q25g — normalized-content fingerprint (md5 of canonical token join):
+    * catches case/whitespace/punctuation-variant duplicates. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(to_binary(concat_ws(" ", Text.tokens(col("text"))), lit("utf-8"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"))
+      .agg(sum(col("n_copies")).as("n_docs"), count(lit(1)).as("n_unique_fp"),
+        sum(when(col("n_copies") > 1, 1).otherwise(0)).as("n_dup_groups"))
+  val fingerprintSql: String =
+    s"""WITH g AS (SELECT md5(array_to_string(${Text.tokensSql("text")}, ' ')) AS fp,
+       |  count(*) AS n_copies FROM documents GROUP BY 1)
+       |SELECT sum(n_copies) AS n_docs, count(*) AS n_unique_fp,
+       |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+       |FROM g""".stripMargin
+
+  /** q25h — rolling-hash (Rabin–Karp-style) document fingerprint via a
+    * left fold over token hashes. No SQL oracle (xxhash64 not available in
+    * DuckDB) → rows-only check; FingerprintSpec asserts it agrees with the
+    * md5 fingerprint on duplicate detection. */
+  def rollingFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        aggregate(transform(Text.tokens(col("text")), t => xxhash64(t)),
+          lit(0L), (acc, h) => acc * 31 + h).as("rfp"))
+      .groupBy(col("rfp"))
+      .agg(count(lit(1)).as("n_copies"))
+      .agg(sum(col("n_copies")).as("n_docs"), count(lit(1)).as("n_unique_fp"),
+        sum(when(col("n_copies") > 1, 1).otherwise(0)).as("n_dup_groups"))
+
+  val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q25_lang_dist", langDist _, Some(langDistSql)),
+    ("q25_source_stats", sourceStats _, Some(sourceStatsSql)),
+    ("q25_top_terms", topTerms _, Some(topTermsSql)),
+    ("q25_token_counts", tokenCounts _, Some(tokenCountsSql)),
+    ("q25_quality_score", qualityScore _, Some(qualityScoreSql)),
+    ("q25_lang_id", langId _, Some(langIdSql)),
+    ("q25_fingerprint", fingerprint _, Some(fingerprintSql)),
+    ("q25_rolling_fingerprint", rollingFingerprint _, None))
+}

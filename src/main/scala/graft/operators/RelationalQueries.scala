@@ -1,0 +1,464 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Batch relational operator library — SURVEY.md §2b Q01–Q18.
+  *
+  * Every query is expressed with the declarative DataFrame API so Catalyst
+  * gets full visibility (predicate pushdown, column pruning, join selection,
+  * AQE). Each query carries an equivalent DuckDB SQL oracle; both sides
+  * follow the determinism contract (FIXTURES.md §3): explicit total ORDER
+  * BY, doubles rounded in-query, timestamps emitted as DATE or epoch
+  * integers (never raw sub-second timestamps — parquet stores nanos, Spark
+  * truncates to micros).
+  *
+  * Scale posture (100 TB north star): dimension joins are broadcast; fact
+  * sides never shuffle more than once per agg; no collect() anywhere.
+  */
+object RelationalQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** q01 — scan + projection + column pruning. Reference analog: the raw
+    * record scan (SURVEY §2a R2); here over parquet with pruned ReadSchema. */
+  def q01Scan(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+  val q01Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q02 — filter with pushdown-eligible predicates (date, range, numeric). */
+  def q02Filter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("cnt"))
+  val q02Sql: String =
+    """SELECT count(*) AS cnt FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** q03 — TPC-H Q1 shape: partial+final hash aggregate. */
+  def q03Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  val q03Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q04 — distinct aggregates (expand + two-phase agg). */
+  def q04Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).agg(
+      countDistinct(col("o_custkey")).as("n_custkeys"),
+      countDistinct(col("o_orderpriority")).as("n_priorities"))
+  val q04Sql: String =
+    """SELECT count(DISTINCT o_custkey) AS n_custkeys,
+      |  count(DISTINCT o_orderpriority) AS n_priorities FROM orders""".stripMargin
+
+  /** q05 — equi join, dimension side broadcast. */
+  def q05Join(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  val q05Sql: String =
+    """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q06 — multi-way star join (TPC-H Q5 shape): dims broadcast, single
+    * shuffle on the fact side for the final agg. */
+  def q06MultiJoin(s: SparkSession, d: String): DataFrame = {
+    val dims = broadcast(
+      Tables.region(s, d).filter(col("r_name").isin("ASIA", "EUROPE"))
+        .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name")))
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+  val q06Sql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE r_name IN ('ASIA', 'EUROPE')
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** q07a — left outer join keeping zero-match rows (count of urgent orders
+    * per customer, zeros included). */
+  def q07LeftOuter(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_urgent"))
+      .orderBy("c_custkey")
+  }
+  val q07LeftOuterSql: String =
+    """SELECT c_custkey, count(o_orderkey) AS n_urgent
+      |FROM customer LEFT JOIN orders
+      |  ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** q07b — anti join (NOT EXISTS): customers with no urgent orders. */
+  def q07Anti(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy("c_custkey")
+  }
+  val q07AntiSql: String =
+    """SELECT c_custkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q08 — semi join (IN-subquery → left_semi). */
+  def q08Semi(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+      .select(col("l_partkey"))
+    Tables.part(s, d)
+      .join(li, col("p_partkey") === col("l_partkey"), "left_semi")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("p_brand")
+  }
+  val q08Sql: String =
+    """SELECT p_brand, count(*) AS n_parts FROM part
+      |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** q09 — range/theta join: equi key extracted to hash join, range
+    * residual as post-filter (events within 1 minute, same user). */
+  def q09RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val a = ev.select(col("user_id"), col("ts").as("a_ts"))
+    val b = ev.select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+    a.join(b, col("user_id") === col("b_user")
+        && col("a_ts") < col("b_ts")
+        && col("b_ts") <= col("a_ts") + expr("INTERVAL 1 MINUTE"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+  val q09Sql: String =
+    """SELECT count(*) AS n_pairs
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |  AND a.ts < b.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE""".stripMargin
+
+  /** q10 — ROLLUP grouping sets (Expand-based). Null group keys coalesced
+    * to 'ALL' so sort order is engine-independent. */
+  def q10Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("total"))
+      .orderBy("priority", "status")
+  val q10Sql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |  coalesce(o_orderstatus, 'ALL') AS status,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
+  /** q11 — ranking window: top-3 orders per customer. */
+  def q11RankWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_custkey", "rn")
+  }
+  val q11Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS price
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** q12a — analytic window with ROWS frame: running revenue per customer. */
+  def q12Running(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("running"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+  val q12RunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** q12b — lag/lead day-over-day on daily event revenue. */
+  def q12LagLead(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 2).as("daily_value"), count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day"))
+    daily
+      .withColumn("prev_value", lag(col("daily_value"), 1).over(w))
+      .withColumn("next_value", lead(col("daily_value"), 1).over(w))
+      .select(col("day"), col("n"), col("daily_value"),
+        round(col("daily_value") - col("prev_value"), 2).as("delta_prev"),
+        round(col("next_value") - col("daily_value"), 2).as("delta_next"))
+      .orderBy("day")
+  }
+  val q12LagLeadSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS daily_value,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1)
+      |SELECT day, n, daily_value,
+      |  round(daily_value - lag(daily_value, 1) OVER (ORDER BY day), 2) AS delta_prev,
+      |  round(lead(daily_value, 1) OVER (ORDER BY day) - daily_value, 2) AS delta_next
+      |FROM daily ORDER BY day""".stripMargin
+
+  /** q13 — top-k: global sort + limit → TakeOrderedAndProject. */
+  def q13TopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+  val q13Sql: String =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** q14 — set operations: INTERSECT / EXCEPT / UNION / UNION ALL, counted. */
+  def q14SetOps(s: SparkSession, d: String): DataFrame = {
+    val ok = Tables.orders(s, d).select(col("o_custkey").as("k"))
+    val ck = Tables.customer(s, d).select(col("c_custkey").as("k"))
+    def counted(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+    counted("except", ck.except(ok))
+      .unionAll(counted("intersect", ok.intersect(ck)))
+      .unionAll(counted("union", ok.union(ck).distinct))
+      .unionAll(counted("union_all", ok.unionAll(ck)))
+      .orderBy("op")
+  }
+  val q14Sql: String =
+    """SELECT op, n FROM (
+      |  SELECT 'except' AS op, count(*) AS n FROM
+      |    (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders) t1
+      |  UNION ALL SELECT 'intersect', count(*) FROM
+      |    (SELECT o_custkey AS k FROM orders INTERSECT SELECT c_custkey FROM customer) t2
+      |  UNION ALL SELECT 'union', count(*) FROM
+      |    (SELECT o_custkey AS k FROM orders UNION SELECT c_custkey FROM customer) t3
+      |  UNION ALL SELECT 'union_all', count(*) FROM
+      |    (SELECT o_custkey AS k FROM orders UNION ALL SELECT c_custkey FROM customer) t4
+      |) u ORDER BY op""".stripMargin
+
+  /** q15a — scalar string + math function battery over part. */
+  def q15StringMath(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("p_name"))).as("sum_name_len"),
+        sum(when(col("p_name").like("%widget%"), 1).otherwise(0)).as("n_widget"),
+        sum(length(upper(concat(col("p_brand"), lit("_"),
+          substring(col("p_type"), 1, 3))))).as("sum_expr_len"),
+        sum(regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast("int")).as("sum_brand_num"),
+        sum(abs(col("p_size") - 25)).as("sum_abs"),
+        sum(floor(col("p_retailprice")).cast("long")).as("sum_floor_price"),
+        round(sum(log(col("p_retailprice") + 1.0)), 4).as("sum_ln"),
+        round(sum(pow(col("p_size").cast("double"), 2.0)), 1).as("sum_pow"))
+      .orderBy("p_brand")
+  val q15StringMathSql: String =
+    """SELECT p_brand, count(*) AS n,
+      |  sum(length(p_name)) AS sum_name_len,
+      |  sum(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS n_widget,
+      |  sum(length(upper(p_brand || '_' || substring(p_type, 1, 3)))) AS sum_expr_len,
+      |  sum(CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INT)) AS sum_brand_num,
+      |  sum(abs(p_size - 25)) AS sum_abs,
+      |  sum(CAST(floor(p_retailprice) AS BIGINT)) AS sum_floor_price,
+      |  round(sum(ln(p_retailprice + 1.0)), 4) AS sum_ln,
+      |  round(sum(pow(CAST(p_size AS DOUBLE), 2.0)), 1) AS sum_pow
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** q15b — date function battery over orders. */
+  def q15Date(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(month(col("o_orderdate"))).as("n_months"),
+        countDistinct(date_trunc("month", col("o_orderdate"))).as("n_mon_trunc"),
+        sum(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))).as("sum_days"),
+        min(month(col("o_orderdate"))).as("min_month"),
+        max(dayofmonth(col("o_orderdate"))).as("max_dom"))
+      .orderBy("yr")
+  val q15DateSql: String =
+    """SELECT year(o_orderdate) AS yr, count(*) AS n,
+      |  count(DISTINCT month(o_orderdate)) AS n_months,
+      |  count(DISTINCT date_trunc('month', o_orderdate)) AS n_mon_trunc,
+      |  sum(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS sum_days,
+      |  min(month(o_orderdate)) AS min_month,
+      |  max(dayofmonth(o_orderdate)) AS max_dom
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
+  /** q16a — JSON extraction (from_json / get_json_object) + map functions. */
+  def q16Json(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.events(s, d)
+      .withColumn("k1", from_json(col("props"), schema).getField("k"))
+      .withColumn("k2", get_json_object(col("props"), "$.k").cast("int"))
+      // map_from_entries roundtrip: build a map and read the key back out.
+      .withColumn("k3", element_at(
+        map_from_entries(array(struct(lit("k").as("key"), col("k1").as("value")))), "k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k1")).as("sum_k"),
+        sum(col("k2")).as("sum_k2"), sum(col("k3")).as("sum_k3"),
+        max(col("k1")).as("max_k"))
+      .orderBy("event_type")
+  }
+  val q16JsonSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS sum_k,
+      |  sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS sum_k2,
+      |  sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS sum_k3,
+      |  max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q16b — array higher-order functions over embeddings: size, slice,
+    * transform, aggregate (all fold left-to-right in both engines; elements
+    * cast to double before arithmetic so both engines do identical IEEE ops). */
+  def q16Array(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        round(sqrt(expr(
+          "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, b) -> a + b)")), 4).as("l2"),
+        round(expr(
+          "aggregate(transform(slice(embedding, 1, 8), x -> CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, b) -> a + b)"), 4).as("head_sum"),
+        round(array_max(col("embedding")).cast("double"), 4).as("max_elem"))
+      .orderBy("vec_id")
+  val q16ArraySql: String =
+    """SELECT vec_id, label, len(embedding) AS dim,
+      |  round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |    (a, b) -> a + b)), 4) AS l2,
+      |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))),
+      |    (a, b) -> a + b), 4) AS head_sum,
+      |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_elem
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** q16c — generator: posexplode over a sliced array. */
+  def q16Explode(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 4)))
+      .select(col("vec_id"), col("pos"),
+        round(col("col").cast("double"), 4).as("val"))
+      .orderBy("vec_id", "pos")
+  val q16ExplodeSql: String =
+    """SELECT vec_id, i - 1 AS pos, round(CAST(embedding[i] AS DOUBLE), 4) AS val
+      |FROM embeddings, UNNEST(generate_series(1, 4)) AS g(i)
+      |ORDER BY vec_id, pos""".stripMargin
+
+  /** q17 — scalar subquery (broadcast single-row join) + CASE bucketing. */
+  def q17CaseSubquery(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val avgPrice = o.agg(avg(col("o_totalprice")).as("avg_price"))
+    val bucket = when(col("o_totalprice") > col("avg_price") * 1.5, "high")
+      .when(col("o_totalprice") > col("avg_price"), "mid")
+      .otherwise("low")
+    o.crossJoin(broadcast(avgPrice))
+      .groupBy(col("o_orderpriority"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority", "bucket")
+  }
+  val q17Sql: String =
+    """SELECT o_orderpriority,
+      |  CASE WHEN o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5 THEN 'high'
+      |       WHEN o_totalprice > (SELECT avg(o_totalprice) FROM orders) THEN 'mid'
+      |       ELSE 'low' END AS bucket,
+      |  count(*) AS n
+      |FROM orders GROUP BY 1, 2 ORDER BY o_orderpriority, bucket""".stripMargin
+
+  /** q18 — approx_count_distinct (HLL++) asserted within 5% of exact; the
+    * hashed output carries the exact count plus the bound check (the approx
+    * value itself is engine-specific so it cannot hash-match an oracle). */
+  def q18ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(countDistinct(col("l_partkey")).as("exact_cnt"),
+        approx_count_distinct(col("l_partkey")).as("approx"))
+      .select(col("exact_cnt"),
+        (abs(col("approx") - col("exact_cnt")).cast("double") / col("exact_cnt") <= 0.05)
+          .as("within5pct"))
+  val q18Sql: String =
+    """SELECT count(DISTINCT l_partkey) AS exact_cnt, TRUE AS within5pct
+      |FROM lineitem""".stripMargin
+
+  /** Registry: name → (query fn, oracle SQL). */
+  val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q01_scan", q01Scan _, Some(q01Sql)),
+    ("q02_filter", q02Filter _, Some(q02Sql)),
+    ("q03_agg", q03Agg _, Some(q03Sql)),
+    ("q04_distinct_agg", q04Distinct _, Some(q04Sql)),
+    ("q05_join_broadcast", q05Join _, Some(q05Sql)),
+    ("q06_join_multiway", q06MultiJoin _, Some(q06Sql)),
+    ("q07_left_outer", q07LeftOuter _, Some(q07LeftOuterSql)),
+    ("q07_anti_join", q07Anti _, Some(q07AntiSql)),
+    ("q08_semi_join", q08Semi _, Some(q08Sql)),
+    ("q09_range_join", q09RangeJoin _, Some(q09Sql)),
+    ("q10_rollup", q10Rollup _, Some(q10Sql)),
+    ("q11_rank_window", q11RankWindow _, Some(q11Sql)),
+    ("q12_running_window", q12Running _, Some(q12RunningSql)),
+    ("q12_lag_lead", q12LagLead _, Some(q12LagLeadSql)),
+    ("q13_topk", q13TopK _, Some(q13Sql)),
+    ("q14_setops", q14SetOps _, Some(q14Sql)),
+    ("q15_string_math", q15StringMath _, Some(q15StringMathSql)),
+    ("q15_date", q15Date _, Some(q15DateSql)),
+    ("q16_json_map", q16Json _, Some(q16JsonSql)),
+    ("q16_array_hof", q16Array _, Some(q16ArraySql)),
+    ("q16_explode", q16Explode _, Some(q16ExplodeSql)),
+    ("q17_case_subquery", q17CaseSubquery _, Some(q17Sql)),
+    ("q18_approx_distinct", q18ApproxDistinct _, Some(q18Sql)))
+}
