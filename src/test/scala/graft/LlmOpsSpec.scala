@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.llm.{DedupOps, SimilarityOps}
+
+/** LLM-pipeline operators that the DuckDB oracle cannot fully check:
+  * near-dup detection on injected duplicates, SimHash behavior, LSH
+  * recall vs the brute-force baseline, cosine expression correctness. */
+class LlmOpsSpec extends SparkSpec {
+
+  test("cosine_sim expression matches a reference implementation") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-1.0f, 0.5f, 2.0f)
+    val got = Seq((a, b)).toDF("x", "y")
+      .select(expr("cosine_sim(x, y)")).collect()(0).getDouble(0)
+    def dot(u: Array[Float], v: Array[Float]) =
+      u.zip(v).map { case (p, q) => p.toDouble * q.toDouble }.sum
+    val expected = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    assert(math.abs(got - expected) < 1e-12)
+    // self-similarity is exactly 1 up to float fold error
+    val self = Seq((a, a)).toDF("x", "y")
+      .select(expr("cosine_sim(x, y)")).collect()(0).getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+  }
+
+  /** documents-shaped frame with injected near-duplicates. */
+  private def docsWithDups = {
+    import spark.implicits._
+    // ~100 distinct tokens: one replaced token changes 5 of ~96 shingles,
+    // keeping Jaccard ≈ 0.90 (above the 0.8 near-dup threshold)
+    val base = (1 to 90).map(i => s"tok$i").mkString(" ") +
+      " the quick brown fox hunts tasty rabbits at night"
+    Seq(
+      (1L, base),
+      (2L, base),                                       // exact dup of 1
+      (3L, base.replace("tasty", "fresh")),             // near dup of 1
+      (4L, "completely different text about spark and distributed query engines " +
+        "processing petabytes of training data with catalyst and tungsten runtime"),
+      (5L, "short odd one out")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  private def withDocs[T](df: org.apache.spark.sql.DataFrame)(body: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    body(dir)
+  }
+
+  test("MinHash-LSH finds injected exact and near duplicates") {
+    withDocs(docsWithDups) { dir =>
+      val pairs = DedupOps.minhashLsh(spark, dir)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"exact dup pair missing from $pairs")
+      assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+        s"near dup pairs missing from $pairs")
+      assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    }
+  }
+
+  test("MinHash-LSH agrees with exact n-gram Jaccard on the corpus") {
+    val exact = DedupOps.ngramJaccard(spark, sf0001).collect().toSeq
+    val lsh = DedupOps.minhashLsh(spark, sf0001).collect().toSeq
+    assert(lsh == exact)
+  }
+
+  test("SimHash flags exact duplicates at hamming distance 0") {
+    withDocs(docsWithDups) { dir =>
+      val rows = DedupOps.simhash(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(rows.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 0),
+        s"exact dup must have hamming 0: $rows")
+    }
+  }
+
+  test("LSH KNN achieves recall >= 0.6 vs brute force") {
+    def neighbors(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))).toSet
+    val brute = neighbors(SimilarityOps.knnBrute(spark, sf0001))
+    val lsh = neighbors(SimilarityOps.knnLsh(spark, sf0001))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.6, s"LSH recall $recall too low (found ${lsh.size})")
+  }
+}

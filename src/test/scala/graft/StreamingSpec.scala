@@ -1,0 +1,168 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamQueries
+
+/** events-shaped row for MemoryStream tests (top-level: Spark encoders
+  * cannot capture inner classes). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Streaming semantics — SURVEY §5.2-3: batch/stream equivalence for the
+  * windowed aggregations, watermark-based dedup and late-data drop, and
+  * arbitrary per-key state. All inputs are MemoryStream batches driven
+  * per-trigger (deterministic replay). */
+class StreamingSpec extends SparkSpec {
+
+  private def tsOf(minutes: Int, seconds: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minutes / 60}%02d:${minutes % 60}%02d:$seconds%02d")
+
+  private def runToCompletion(stream: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"mem_${System.nanoTime()}"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling-window streaming agg equals the batch window() query") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = (0 until 120).map(i =>
+      Ev(i, tsOf(i / 2), i % 7, if (i % 3 == 0) "click" else "view", i * 1.5))
+    val input = MemoryStream[Ev]
+    // three triggers, time-ordered thirds (inside watermark)
+    val chunks = events.grouped(40).toSeq
+    val stream = StreamQueries.tumblingCounts(input.toDF())
+    val name = "tumbling_out"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    // advance watermark far enough to flush all windows, then finalize
+    input.addData(Ev(9999, tsOf(600), 0, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name)
+      .filter(col("wstart") < unix_micros(lit(tsOf(300))))
+      .orderBy("wstart", "event_type").collect().toSeq
+    val batch = events.toDF()
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("wstart", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("dropDuplicatesWithinWatermark drops in-watermark duplicates") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = StreamQueries.dedupEvents(input.toDF())
+    val name = "dedup_out"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    input.addData((0 until 20).map(i => Ev(i, tsOf(i), i, "view", 1.0)))
+    q.processAllAvailable()
+    // same event_ids again (duplicates), ts still within watermark
+    input.addData((0 until 20).map(i => Ev(i, tsOf(i), i, "view", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table(name).count() == 20)
+  }
+
+  test("late events beyond the watermark are dropped by windowed agg") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val stream = StreamQueries.tumblingCounts(input.toDF())
+    val name = "late_out"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    input.addData((0 until 10).map(i => Ev(i, tsOf(100 + i), i, "view", 1.0)))
+    q.processAllAvailable()
+    // watermark is now ~(109min − 10min); this event at minute 5 is late
+    input.addData(Ev(100, tsOf(5), 1, "view", 1.0))
+    q.processAllAvailable()
+    // flush every window
+    input.addData(Ev(101, tsOf(900), 1, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val total = spark.table(name).agg(sum("n")).collect()(0).getLong(0)
+    assert(total == 10, s"late event should be dropped, counted=$total")
+  }
+
+  test("mapGroupsWithState per-user totals converge to batch groupBy") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = (0 until 90).map(i => Ev(i, tsOf(i), i % 5, "view", i * 0.5))
+    val input = MemoryStream[Ev]
+    val out = StreamQueries.userTotals(input.toDF())
+    val name = "totals_out"
+    val q = out.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    events.grouped(30).foreach { c => input.addData(c); q.processAllAvailable() }
+    q.stop()
+    // last update per user wins
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val finalState = spark.table(name)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), round(col("total"), 2).as("total"))
+      .orderBy("user_id").collect().toSeq
+    val batch = events.toDF()
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+      .orderBy("user_id").collect().toSeq
+    assert(finalState == batch)
+  }
+
+  test("session windows close after the gap and match batch session_window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = Seq(
+      Ev(1, tsOf(0), 1, "view", 1.0), Ev(2, tsOf(10), 1, "view", 1.0),
+      Ev(3, tsOf(60), 1, "view", 1.0), // gap 50min → new session
+      Ev(4, tsOf(0), 2, "view", 1.0))
+    val input = MemoryStream[Ev]
+    val out = StreamQueries.sessionCounts(input.toDF())
+    val name = "session_out"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    input.addData(events)
+    q.processAllAvailable()
+    input.addData(Ev(99, tsOf(600), 9, "view", 0.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).filter(col("user_id") < 9)
+      .select("user_id", "session_start", "n").orderBy("user_id", "session_start")
+      .collect().toSeq
+    val batch = events.toDF()
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("session_start"), col("n"))
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(got == batch)
+  }
+}
