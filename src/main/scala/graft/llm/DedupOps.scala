@@ -22,23 +22,18 @@ object DedupOps {
   type QFn = (SparkSession, String) => DataFrame
 
   private val K = 5            // shingle width (tokens)
-  private val NumHashes = 128  // MinHash signature length
-  private val Bands = 32       // 32 bands × 4 rows
-  private val RowsPerBand = NumHashes / Bands
-  private val Prime = (1L << 61) - 1
   private val JaccardThreshold = 0.8
+  // MinHash family parameters (128 hashes, 32×4 banding) live with the
+  // codegen'd expression: graft.functions.MinHashBands
 
-  /** Deterministic affine hash family h_i(x) = (a_i·x + b_i) mod p over a
-    * 64-bit base hash (xxhash64 of the shingle). java.util.Random's LCG is
-    * spec-fixed, so coefficients are stable across JVMs/runs. */
-  private val coeffs: IndexedSeq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    IndexedSeq.fill(NumHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+  /** One row per doc: distinct 5-gram shingle hashes via the codegen'd
+    * ShingleHashes expression — a single tight pass over the text per plan
+    * branch, 8-byte downstream join keys instead of shingle strings. */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.documents(s, d).select(col("doc_id"),
+      expr(s"shingle_hashes(text, $K)").as("hs"))
   }
-
-  private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(Text.shingles(Text.tokens(col("text")), K)).as("sh"))
 
   /** Oracle fragment shared by the exact and MinHash paths: all pairs with
     * 5-gram-shingle Jaccard >= 0.8, via an inverted shingle index. */
@@ -83,10 +78,11 @@ object DedupOps {
   /** Exact Jaccard over the inverted shingle index (ground truth for the
     * LSH path; itself a legitimate distributed near-dup operator). */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val hs = shingleHashes(s, d)
+    val sh = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sizes = hs.select(col("doc_id"), size(col("hs")).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
     val s1 = sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
@@ -103,34 +99,28 @@ object DedupOps {
     * j=0.8 is (1−0.8⁴)³² ≈ 5e-8, so the verified output equals the exact
     * path (which is the oracle). */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d).withColumn("h", xxhash64(col("sh")))
-    val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(Prime))).as(s"sig_$i")
-    }
-    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bandKeys = (0 until Bands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}"))
-      xxhash64(lit(b) +: rows: _*)
-    }
-    val buckets = sigs
-      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    GraftFunctions.register(s)
+    // Per doc: 32 LSH band keys from the 128-component MinHash signature,
+    // computed row-local by the codegen'd MinHashBands expression — the only
+    // shuffles in the whole operator are the bucket self-join and the
+    // candidate→array verification join.
+    val buckets = shingleHashes(s, d).filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        posexplode(expr("minhash_bands(hs)")).as(Seq("band", "bkey")))
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    // exact verification restricted to candidates
-    val shA = docShingles(s, d).select(col("doc_id").as("d1"), col("sh"))
-    val shB = docShingles(s, d).select(col("doc_id").as("d2b"), col("sh").as("sh2"))
-    val inter = candidates
-      .join(shA, "d1")
-      .join(shB, col("d2") === col("d2b") && col("sh") === col("sh2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = docShingles(s, d).groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val s1 = sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
-    val s2 = sizes.select(col("doc_id").as("d2"), col("n").as("n2"))
-    inter.join(broadcast(s1), "d1").join(broadcast(s2), "d2")
+    // exact Jaccard verification on the per-doc hash sets (arrays are
+    // already distinct, so |intersect| / (n1 + n2 − |intersect|) is the
+    // set Jaccard the oracle computes over shingle strings)
+    val h1 = shingleHashes(s, d).select(col("doc_id").as("d1"), col("hs").as("hs1"))
+    val h2 = shingleHashes(s, d).select(col("doc_id").as("d2"), col("hs").as("hs2"))
+    candidates.join(h1, "d1").join(h2, "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("hs1"), col("hs2"))).as("inter"),
+        size(col("hs1")).as("n1"), size(col("hs2")).as("n2"))
       .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= JaccardThreshold)
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
