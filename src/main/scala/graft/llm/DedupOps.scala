@@ -132,17 +132,9 @@ object DedupOps {
     * every exact-duplicate pair). 64-bit fingerprint, banding on 4×16-bit
     * chunks, hamming-distance ≤ 3 verification. */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b_$j")
-    }
-    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { j =>
-      when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    val fps = agg.select(col("doc_id"), fp.as("simhash"))
+    GraftFunctions.register(s)
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
     val chunks = fps.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
