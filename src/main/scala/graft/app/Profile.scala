@@ -1,0 +1,37 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc profiling harness: runs selected queries N times each and prints
+  * per-iteration wall times, separating one-time cost (planning + codegen +
+  * JIT) from steady-state execution. Usage:
+  *   runMain graft.app.Profile <sfDir> <iters> [queryName ...]
+  * With no names, profiles every registered query.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val iters = args.lift(1).map(_.toInt).getOrElse(3)
+    val wanted = args.drop(2).toSet
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted.isEmpty || wanted(n) }
+    qs.foreach { case (name, fn) =>
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-28s ${times.map(t => f"$t%7.3f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}
