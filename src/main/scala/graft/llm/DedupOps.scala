@@ -70,9 +70,9 @@ object DedupOps {
   val exactDedupSql: String =
     """WITH g AS (SELECT md5(text) AS content_hash, count(*) AS n_copies
       |  FROM documents GROUP BY 1)
-      |SELECT sum(n_copies) AS n_docs, count(*) AS n_unique,
-      |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
-      |  sum(n_copies - 1) AS n_removed
+      |SELECT CAST(sum(n_copies) AS BIGINT) AS n_docs, count(*) AS n_unique,
+      |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+      |  CAST(sum(n_copies - 1) AS BIGINT) AS n_removed
       |FROM g""".stripMargin
 
   /** Exact Jaccard over the inverted shingle index (ground truth for the

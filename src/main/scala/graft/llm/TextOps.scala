@@ -21,7 +21,7 @@ object TextOps {
       .orderBy("lang")
   val langDistSql: String =
     """SELECT lang, count(*) AS n, round(avg(n_chars), 2) AS avg_chars,
-      |  sum(n_chars) AS sum_chars
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** q25b — per-source stats. */
@@ -33,7 +33,7 @@ object TextOps {
       .orderBy("source")
   val sourceStatsSql: String =
     s"""SELECT source, count(*) AS n, round(avg(n_chars), 2) AS avg_chars,
-       |  sum(len(${Text.tokensSql("text")})) AS sum_tokens
+       |  CAST(sum(len(${Text.tokensSql("text")})) AS BIGINT) AS sum_tokens
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   /** q25c — top-20 terms after stopword filter (count desc, term asc). */
@@ -66,8 +66,8 @@ object TextOps {
   }
   val tokenCountsSql: String =
     """SELECT lang, count(*) AS n_docs,
-      |  sum(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS sum_ws_tokens,
-      |  sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS sum_bpe_tokens
+      |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS BIGINT) AS sum_ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** q25e — heuristic quality score per doc: length, stopword ratio,
@@ -152,8 +152,8 @@ object TextOps {
   val fingerprintSql: String =
     s"""WITH g AS (SELECT md5(array_to_string(${Text.tokensSql("text")}, ' ')) AS fp,
        |  count(*) AS n_copies FROM documents GROUP BY 1)
-       |SELECT sum(n_copies) AS n_docs, count(*) AS n_unique_fp,
-       |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+       |SELECT CAST(sum(n_copies) AS BIGINT) AS n_docs, count(*) AS n_unique_fp,
+       |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
        |FROM g""".stripMargin
 
   /** q25h — rolling-hash (Rabin–Karp-style) document fingerprint via a

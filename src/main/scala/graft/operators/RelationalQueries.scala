@@ -311,12 +311,12 @@ object RelationalQueries {
       .orderBy("p_brand")
   val q15StringMathSql: String =
     """SELECT p_brand, count(*) AS n,
-      |  sum(length(p_name)) AS sum_name_len,
-      |  sum(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS n_widget,
-      |  sum(length(upper(p_brand || '_' || substring(p_type, 1, 3)))) AS sum_expr_len,
-      |  sum(CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INT)) AS sum_brand_num,
-      |  sum(abs(p_size - 25)) AS sum_abs,
-      |  sum(CAST(floor(p_retailprice) AS BIGINT)) AS sum_floor_price,
+      |  CAST(sum(length(p_name)) AS BIGINT) AS sum_name_len,
+      |  CAST(sum(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS BIGINT) AS n_widget,
+      |  CAST(sum(length(upper(p_brand || '_' || substring(p_type, 1, 3)))) AS BIGINT) AS sum_expr_len,
+      |  CAST(sum(CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INT)) AS BIGINT) AS sum_brand_num,
+      |  CAST(sum(abs(p_size - 25)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(CAST(floor(p_retailprice) AS BIGINT)) AS BIGINT) AS sum_floor_price,
       |  round(sum(ln(p_retailprice + 1.0)), 4) AS sum_ln,
       |  round(sum(pow(CAST(p_size AS DOUBLE), 2.0)), 1) AS sum_pow
       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
@@ -337,7 +337,7 @@ object RelationalQueries {
     """SELECT year(o_orderdate) AS yr, count(*) AS n,
       |  count(DISTINCT month(o_orderdate)) AS n_months,
       |  count(DISTINCT date_trunc('month', o_orderdate)) AS n_mon_trunc,
-      |  sum(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS sum_days,
+      |  CAST(sum(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS sum_days,
       |  min(month(o_orderdate)) AS min_month,
       |  max(dayofmonth(o_orderdate)) AS max_dom
       |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
@@ -360,9 +360,9 @@ object RelationalQueries {
   }
   val q16JsonSql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS sum_k,
-      |  sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS sum_k2,
-      |  sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS sum_k3,
+      |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
+      |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS BIGINT) AS sum_k2,
+      |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS BIGINT) AS sum_k3,
       |  max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
