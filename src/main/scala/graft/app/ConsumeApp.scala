@@ -80,15 +80,7 @@ object ConsumeApp {
 
   def main(args: Array[String]): Unit = {
     val Array(shardDir, outDir, checkpointDir) = args.take(3)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.Sessions.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val counter = new ProgressCounter
     spark.streams.addListener(counter)
     val q = run(spark, shardDir, outDir, checkpointDir)

@@ -8,13 +8,7 @@ import graft.sources.shardsim.ShardSimFixture
 object FixtureGen {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, nShards) = args.take(3)
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.Sessions.get("4")
     ShardSimFixture.generate(spark, sfDir, outDir, nShards.toInt)
     println(s"[fixturegen] wrote $nShards shards to $outDir")
     spark.stop()

@@ -13,24 +13,25 @@ object Profile {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val iters = args.lift(1).map(_.toInt).getOrElse(3)
     val wanted = args.drop(2).toSet
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.core.Sessions.get("32")
+    val unknown = wanted -- graft.SparkEntry.queries.keySet
+    if (unknown.nonEmpty)
+      System.err.println(s"[profile] unknown query names: ${unknown.toSeq.sorted.mkString(", ")}")
     val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
     qs.foreach { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          f"${(System.nanoTime() - t0) / 1e9}%7.3f"
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[profile] $name FAILED: ${e.getMessage}")
+            " FAILED"
+        }
       }
-      println(f"$name%-28s ${times.map(t => f"$t%7.3f").mkString(" ")}")
+      println(f"$name%-28s ${times.mkString(" ")}")
     }
     spark.stop()
   }

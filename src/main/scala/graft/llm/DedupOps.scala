@@ -76,9 +76,14 @@ object DedupOps {
       |FROM g""".stripMargin
 
   /** Exact Jaccard over the inverted shingle index (ground truth for the
-    * LSH path; itself a legitimate distributed near-dup operator). */
+    * LSH path; itself a legitimate distributed near-dup operator).
+    *
+    * The shingle table feeds three plan branches (inverted index ×2 sides,
+    * sizes), so it is persisted — the 100 TB analog is materializing the
+    * signature table once before the self-join rather than re-scanning the
+    * corpus per branch. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val hs = shingleHashes(s, d)
+    val hs = shingleHashes(s, d).persist()
     val sh = hs.select(col("doc_id"), explode(col("hs")).as("h"))
     val sizes = hs.select(col("doc_id"), size(col("hs")).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
@@ -100,11 +105,15 @@ object DedupOps {
     * path (which is the oracle). */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
+    // The shingle table feeds the banding branch plus both verification
+    // sides; persist it so the text is shingled once (at cluster scale this
+    // is the materialized signature table).
+    val hs0 = shingleHashes(s, d).persist()
     // Per doc: 32 LSH band keys from the 128-component MinHash signature,
     // computed row-local by the codegen'd MinHashBands expression — the only
     // shuffles in the whole operator are the bucket self-join and the
     // candidate→array verification join.
-    val buckets = shingleHashes(s, d).filter(size(col("hs")) > 0)
+    val buckets = hs0.filter(size(col("hs")) > 0)
       .select(col("doc_id"),
         posexplode(expr("minhash_bands(hs)")).as(Seq("band", "bkey")))
     val candidates = buckets.as("x").join(buckets.as("y"),
@@ -115,8 +124,8 @@ object DedupOps {
     // exact Jaccard verification on the per-doc hash sets (arrays are
     // already distinct, so |intersect| / (n1 + n2 − |intersect|) is the
     // set Jaccard the oracle computes over shingle strings)
-    val h1 = shingleHashes(s, d).select(col("doc_id").as("d1"), col("hs").as("hs1"))
-    val h2 = shingleHashes(s, d).select(col("doc_id").as("d2"), col("hs").as("hs2"))
+    val h1 = hs0.select(col("doc_id").as("d1"), col("hs").as("hs1"))
+    val h2 = hs0.select(col("doc_id").as("d2"), col("hs").as("hs2"))
     candidates.join(h1, "d1").join(h2, "d2")
       .select(col("d1"), col("d2"),
         size(array_intersect(col("hs1"), col("hs2"))).as("inter"),

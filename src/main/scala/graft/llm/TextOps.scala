@@ -157,18 +157,32 @@ object TextOps {
        |FROM g""".stripMargin
 
   /** q25h — rolling-hash (Rabin–Karp-style) document fingerprint via a
-    * left fold over token hashes. No SQL oracle (xxhash64 not available in
-    * DuckDB) → rows-only check; FingerprintSpec asserts it agrees with the
-    * md5 fingerprint on duplicate detection. */
-  def rollingFingerprint(s: SparkSession, d: String): DataFrame =
+    * left fold over token hashes. The per-token hash is the top 60 bits of
+    * md5 and the fold is `(acc*31 + h) mod (1e9+7)` — both chosen to be
+    * bit-identical in DuckDB (no engine-specific hash, no 64-bit overflow,
+    * intermediates stay under 2^61) so the operator is oracle-checkable. */
+  def rollingFingerprint(s: SparkSession, d: String): DataFrame = {
+    val P = 1000000007L
+    def tokHash(t: Column): Column =
+      conv(substring(md5(to_binary(t, lit("utf-8"))), 1, 15), 16, 10).cast("long")
     Tables.documents(s, d)
       .select(col("doc_id"),
-        aggregate(transform(Text.tokens(col("text")), t => xxhash64(t)),
-          lit(0L), (acc, h) => acc * 31 + h).as("rfp"))
+        aggregate(transform(Text.tokens(col("text")), tokHash(_)),
+          lit(0L), (acc, h) => (acc * 31 + h) % P).as("rfp"))
       .groupBy(col("rfp"))
       .agg(count(lit(1)).as("n_copies"))
       .agg(sum(col("n_copies")).as("n_docs"), count(lit(1)).as("n_unique_fp"),
         sum(when(col("n_copies") > 1, 1).otherwise(0)).as("n_dup_groups"))
+  }
+  val rollingFingerprintSql: String =
+    s"""WITH r AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(${Text.tokensSql("text")},
+       |      t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT))),
+       |    (acc, h) -> (acc * 31 + h) % 1000000007) AS rfp FROM documents),
+       |g AS (SELECT rfp, count(*) AS n_copies FROM r GROUP BY 1)
+       |SELECT CAST(sum(n_copies) AS BIGINT) AS n_docs, count(*) AS n_unique_fp,
+       |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+       |FROM g""".stripMargin
 
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q25_lang_dist", langDist _, Some(langDistSql)),
@@ -178,5 +192,5 @@ object TextOps {
     ("q25_quality_score", qualityScore _, Some(qualityScoreSql)),
     ("q25_lang_id", langId _, Some(langIdSql)),
     ("q25_fingerprint", fingerprint _, Some(fingerprintSql)),
-    ("q25_rolling_fingerprint", rollingFingerprint _, None))
+    ("q25_rolling_fingerprint", rollingFingerprint _, Some(rollingFingerprintSql)))
 }
