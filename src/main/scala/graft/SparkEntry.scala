@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{EventOps, RelationalQueries}
+import graft.operators.{AdvancedQueries, EventOps, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.operators.{EventOps, RelationalQueries}
   */
 object SparkEntry {
   private def registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    RelationalQueries.all ++ EventOps.all ++ graft.llm.LlmOps.all
+    RelationalQueries.all ++ AdvancedQueries.all ++ EventOps.all ++
+      graft.llm.LlmOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

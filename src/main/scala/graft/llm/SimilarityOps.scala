@@ -110,7 +110,91 @@ object SimilarityOps {
       .orderBy("qid", "rnk")
   }
 
+  /** q24c — IVF-style ANN: a fixed, deterministic set of centroid vectors
+    * (taken from the corpus by id — a seeded k-means would converge to
+    * data-dependent floats that no SQL oracle could reproduce), every corpus
+    * vector assigned to its nearest centroid (one narrow pass, broadcast
+    * centroids), queries probing their `NProbe` nearest centroid lists.
+    *
+    * 100 TB shape: the assignment is a cheap map over the corpus done once
+    * (and in a real deployment persisted + bucketed by cid); a query then
+    * touches NProbe/NCentroids of the data instead of all of it. Fully
+    * deterministic ⇒ exact DuckDB oracle, unlike the LSH variant.
+    */
+  val CentroidIds: Seq[Long] = Seq(3L, 33L, 66L, 99L, 132L, 165L, 198L, 231L)
+  private val NProbe = 3
+
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val em = Tables.embeddings(s, d)
+    val cents = em.filter(col("vec_id").isin(CentroidIds: _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    def nearest(src: DataFrame, idCol: String, eCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      src.crossJoin(broadcast(cents))
+        .withColumn("ccos", expr(s"cosine_sim(ce, $eCol)"))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+    }
+    val assigned = nearest(em, "vec_id", "embedding", 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val q = em.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probes = nearest(q, "qid", "qe", NProbe)
+      .select(col("qid"), col("qe"), col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** DuckDB cosine between two list columns (sequential double fold —
+    * the same evaluation order as the CosineSimilarity expression). */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(generate_series(1, len($a)),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |  (acc, v) -> acc + v)
+       | / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |     (acc, v) -> acc + v))
+       |  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |     (acc, v) -> acc + v))))""".stripMargin
+
+  val knnIvfSql: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+       |asg AS (SELECT vec_id, embedding, cid FROM (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.cid) AS crn
+       |  FROM embeddings e, c) t WHERE crn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id IN (${QueryIds.mkString(", ")})),
+       |probes AS (SELECT qid, qe, cid FROM (
+       |  SELECT q.qid, q.qe, c.cid,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("c.ce", "q.qe")} DESC, c.cid) AS crn
+       |  FROM q, c) t WHERE crn <= $NProbe),
+       |scored AS (
+       |  SELECT p.qid, a.vec_id, ${cosSql("p.qe", "a.embedding")} AS cos
+       |  FROM probes p JOIN asg a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.qid),
+       |r AS (SELECT qid, vec_id, cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT qid, rnk, vec_id AS neighbor, round(cos, 4) AS cos
+       |FROM r WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q24_knn_brute", knnBrute _, Some(knnBruteSql)),
-    ("q24_knn_lsh", knnLsh _, None))
+    ("q24_knn_lsh", knnLsh _, None),
+    ("q24_knn_ivf", knnIvf _, Some(knnIvfSql)))
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactMoments
+import graft.llm.SimilarityOps
+import graft.operators.AdvancedQueries
+
+/** Invariants of the round-2 operators that the DuckDB oracle alone does
+  * not pin down: as-of semantics on a hand-built frame, Aggregator merge
+  * laws, IVF recall vs brute force. */
+class AdvancedOpsSpec extends SparkSpec {
+
+  test("as-of join picks the latest purchase at-or-before each event") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("asof").toString
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // user 1: purchases at t=10 (5.0) and t=30 (7.0); events at 5, 10, 20, 30, 40
+    // user 2: no purchases
+    Seq(
+      (1L, ts(5), 1L, "view", 0.0, "{}"),
+      (2L, ts(10), 1L, "purchase", 5.0, "{}"),
+      (3L, ts(20), 1L, "click", 0.0, "{}"),
+      (4L, ts(30), 1L, "purchase", 7.0, "{}"),
+      (5L, ts(40), 1L, "view", 0.0, "{}"),
+      (6L, ts(15), 2L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AdvancedQueries.q27AsofJoin(spark, dir)
+      .select("event_id", "asof_pv").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got(1L).isEmpty)                 // before any purchase
+    assert(got(2L).contains(5.0))           // purchase sees itself (ts <= ts)
+    assert(got(3L).contains(5.0))
+    assert(got(4L).contains(7.0))
+    assert(got(5L).contains(7.0))
+    assert(got(6L).isEmpty)                 // user with no purchases
+  }
+
+  test("ExactMoments: merge is associative/commutative and matches closed form") {
+    val xs = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    val bufs = xs.map(x => ExactMoments.reduce(ExactMoments.zero, x))
+    val leftFold = bufs.reduceLeft(ExactMoments.merge)
+    val rightFold = bufs.reduceRight(ExactMoments.merge)
+    val shuffled = scala.util.Random.shuffle(bufs).reduceLeft(ExactMoments.merge)
+    assert(leftFold == rightFold && leftFold == shuffled)
+    val out = ExactMoments.finish(leftFold)
+    val n = xs.size
+    val mean = xs.sum / n
+    val varSamp = xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+    assert(out.n == n)
+    assert(math.abs(out.mean - mean) < 1e-12)
+    assert(math.abs(out.varSamp - varSamp) < 1e-9)
+  }
+
+  test("IVF KNN achieves recall >= 0.6 vs brute force") {
+    def neighbors(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))).toSet
+    val brute = neighbors(SimilarityOps.knnBrute(spark, sf0001))
+    val ivf = neighbors(SimilarityOps.knnIvf(spark, sf0001))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall too low (found ${ivf.size})")
+  }
+
+  test("pivot row counts equal group-by counts") {
+    val pivoted = AdvancedQueries.q27Pivot(spark, sf0001)
+      .withColumn("total", col("f_cnt") + col("o_cnt") + col("p_cnt"))
+      .select("o_orderpriority", "total").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = graft.core.Tables.orders(spark, sf0001)
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pivoted == direct)
+  }
+}
