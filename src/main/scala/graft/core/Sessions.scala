@@ -26,6 +26,7 @@ object Sessions {
     SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.locality.wait", "0s")

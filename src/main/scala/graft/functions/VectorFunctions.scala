@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -61,19 +62,15 @@ object CosineSimilarity {
   }
 }
 
-/** Session-local registration of graft's custom functions (idempotent).
-  * Exposed through the FunctionRegistry — the idiomatic extension seam —
-  * so both SQL text and `expr(...)` can call them. */
+/** Session-local registration of graft's custom functions (idempotent) for
+  * sessions not built via [[graft.core.Sessions]] — Sessions-built sessions
+  * get them from [[GraftExtensions]] through `spark.sql.extensions`. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_bands", exprs => MinHashBands(exprs(0)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => ShingleHashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs(0)), "scala_udf")
+    val registry = spark.sessionState.functionRegistry
+    GraftExtensions.functions.foreach { case (name, _, builder) =>
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }
