@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{AdvancedQueries, RelationalQueries}
+
+/** Physical-plan shape assertions: the properties that decide whether a
+  * query survives a 100× scale-up are visible in the plan — filters reaching
+  * the parquet scan, projections pruning the read schema, dimension joins
+  * broadcasting instead of shuffling the fact side, top-k never globally
+  * sorting. These pin them so a refactor can't silently regress the plan.
+  */
+class PlanSpec extends SparkSpec {
+
+  /** Execute first so AQE finalizes the plan (runtime join selection,
+    * codegen spans), then render it. */
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters are pushed down to the parquet scan") {
+    val p = plan(RelationalQueries.q02Filter(spark, sf0001))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), p) // toString may truncate
+  }
+
+  test("q01: read schema is pruned to the projected columns") {
+    val p = plan(RelationalQueries.q01Scan(spark, sf0001))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("q05: dimension join broadcasts, fact side does not shuffle for the join") {
+    val p = plan(RelationalQueries.q05Join(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q06: all dimension joins broadcast (star-join shape)") {
+    val p = plan(RelationalQueries.q06MultiJoin(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q08: IN-subquery executes as a semi join, aggregation is two-phase") {
+    val p = plan(RelationalQueries.q08Semi(spark, sf0001))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("partial_count"), p) // map-side partial aggregation
+  }
+
+  test("q13: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan(RelationalQueries.q13TopK(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q03: aggregation is partial+final hash aggregate inside codegen") {
+    val p = plan(RelationalQueries.q03Agg(spark, sf0001))
+    assert(p.contains("partial_sum"), p) // map-side combine before the shuffle
+    // `*(n)` prefixes mark whole-stage-codegen'd spans; the partial agg,
+    // filter, and scan must share one
+    assert(p.contains("*(1) HashAggregate"), p)
+  }
+
+  test("q27 as-of join plans a single shuffle of each input (no range join)") {
+    val p = plan(AdvancedQueries.q27AsofJoin(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // one running-window pass provides the as-of semantics
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+}
