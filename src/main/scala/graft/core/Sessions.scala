@@ -27,6 +27,8 @@ object Sessions {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.locality.wait", "0s")

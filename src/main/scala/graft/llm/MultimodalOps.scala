@@ -78,7 +78,40 @@ object MultimodalOps {
       |    CAST(octet_length(CAST(text AS BLOB)) % 30 AS INT), 5)) AS frame_idx
       |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** q26c — resize planning: fit each decoded frame into a 224×224 budget
+    * preserving aspect ratio (the preprocessing step in front of a vision
+    * encoder). The scale factor and output dims are pure double arithmetic
+    * over the decoded metadata — the actual pixel resample belongs in the
+    * same per-partition codec stub as the decode. */
+  def resizePlan(s: SparkSession, d: String): DataFrame = {
+    val decoded = mediaMeta(s, d)
+    val longest = greatest(col("width"), col("height"))
+    val scale = when(longest > 224, lit(224.0) / longest.cast("double"))
+      .otherwise(lit(1.0))
+    decoded
+      .select(col("doc_id"), col("width"), col("height"),
+        round(scale, 6).as("scale"),
+        floor(col("width").cast("double") * scale).cast("int").as("out_w"),
+        floor(col("height").cast("double") * scale).cast("int").as("out_h"))
+      .orderBy("doc_id")
+  }
+  val resizePlanSql: String =
+    """WITH m AS (SELECT doc_id,
+      |    CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INT) AS width,
+      |    CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 512 AS INT) AS height
+      |  FROM documents),
+      |s AS (SELECT doc_id, width, height,
+      |    CASE WHEN greatest(width, height) > 224
+      |         THEN 224.0 / CAST(greatest(width, height) AS DOUBLE)
+      |         ELSE 1.0 END AS sc
+      |  FROM m)
+      |SELECT doc_id, width, height, round(sc, 6) AS scale,
+      |  CAST(floor(CAST(width AS DOUBLE) * sc) AS INT) AS out_w,
+      |  CAST(floor(CAST(height AS DOUBLE) * sc) AS INT) AS out_h
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q26_media_meta", mediaMeta _, Some(mediaMetaSql)),
-    ("q26_frame_sample", frameSample _, Some(frameSampleSql)))
+    ("q26_frame_sample", frameSample _, Some(frameSampleSql)),
+    ("q26_resize", resizePlan _, Some(resizePlanSql)))
 }

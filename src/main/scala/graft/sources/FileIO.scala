@@ -36,4 +36,31 @@ object FileIO {
     * node) work for every downstream reader. Low-cardinality keys only. */
   def writeParquetPartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Bucketed catalog table: pre-shuffles once at write time on the join
+    * key so every later equi-join/aggregation on that key is co-located —
+    * at 100 TB this converts the recurring fact⋈fact shuffle (the single
+    * most expensive step of a big join) into a zero-exchange sort-merge
+    * join. Requires `saveAsTable` (bucket metadata lives in the catalog). */
+  def writeParquetBucketed(df: DataFrame, table: String, nBuckets: Int,
+      bucketCol: String, sortCols: Seq[String] = Nil): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    // with an in-memory catalog a previous JVM's table data may survive in
+    // the warehouse dir without catalog metadata; clear the location too
+    val loc = new java.io.File(
+      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+        .stripSuffix("/") + s"/$table")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }
