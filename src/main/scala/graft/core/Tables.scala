@@ -46,4 +46,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Fan a frame out to the cluster's core count ahead of CPU-heavy per-row
+    * work (shingling, regex tokenization, JSON parsing). Parquet can only
+    * split at row-group boundaries, so a table with few row groups scans at
+    * less parallelism than the cluster has cores — and any expensive
+    * map-side stage inherits that ceiling. The shuffle this inserts moves
+    * each row once, which is noise next to per-row compute that costs
+    * orders of magnitude more than a row copy; when scan parallelism
+    * already saturates the cluster it is a wash, when it doesn't (few/huge
+    * files — common for crawl dumps) it is the difference between 1 busy
+    * core and all of them. */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -31,7 +31,7 @@ object DedupOps {
     * branch, 8-byte downstream join keys instead of shingle strings. */
   private def shingleHashes(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    Tables.documents(s, d).select(col("doc_id"),
+    Tables.fanout(Tables.documents(s, d)).select(col("doc_id"),
       expr(s"shingle_hashes(text, $K)").as("hs"))
   }
 
@@ -142,7 +142,7 @@ object DedupOps {
     * chunks, hamming-distance ≤ 3 verification. */
   def simhash(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val fps = Tables.documents(s, d)
+    val fps = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
     val chunks = fps.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>

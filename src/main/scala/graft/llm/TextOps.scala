@@ -26,7 +26,7 @@ object TextOps {
 
   /** q25b — per-source stats. */
   def sourceStats(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.fanout(Tables.documents(s, d))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 2).as("avg_chars"),
         sum(size(Text.tokens(col("text")))).as("sum_tokens"))
@@ -38,7 +38,7 @@ object TextOps {
 
   /** q25c — top-20 terms after stopword filter (count desc, term asc). */
   def topTerms(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.fanout(Tables.documents(s, d))
       .select(explode(Text.tokens(col("text"))).as("term"))
       .filter(!col("term").isin(Text.stopwords: _*))
       .groupBy(col("term"))
@@ -57,7 +57,7 @@ object TextOps {
     val wsToks = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
     val bpeToks = size(expr(
       "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
-    Tables.documents(s, d)
+    Tables.fanout(Tables.documents(s, d))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(wsToks).as("sum_ws_tokens"),
@@ -81,7 +81,7 @@ object TextOps {
     val lenScore = least(col("n_chars").cast("double") / 500.0, lit(1.0))
     val stopRatio = when(nToks > 0, nStop.cast("double") / nToks.cast("double"))
       .otherwise(lit(0.0))
-    Tables.documents(s, d)
+    Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"),
         round(lenScore * 0.3 + stopRatio * 0.4 + alphaRatio * 0.3, 4).as("quality"))
       .orderBy("doc_id")
@@ -118,7 +118,7 @@ object TextOps {
       when(sc === best && best > 0, lg).otherwise(acc)
     }
     // foldRight gives de > en > es > fr priority on ties (alphabetical).
-    Tables.documents(s, d)
+    Tables.fanout(Tables.documents(s, d))
       .select(pred.as("pred_lang"))
       .groupBy("pred_lang").agg(count(lit(1)).as("n"))
       .orderBy("pred_lang")
@@ -142,7 +142,7 @@ object TextOps {
   /** q25g — normalized-content fingerprint (md5 of canonical token join):
     * catches case/whitespace/punctuation-variant duplicates. */
   def fingerprint(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"),
         md5(to_binary(concat_ws(" ", Text.tokens(col("text"))), lit("utf-8"))).as("fp"))
       .groupBy(col("fp"))
@@ -165,7 +165,7 @@ object TextOps {
     val P = 1000000007L
     def tokHash(t: Column): Column =
       conv(substring(md5(to_binary(t, lit("utf-8"))), 1, 15), 16, 10).cast("long")
-    Tables.documents(s, d)
+    Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"),
         aggregate(transform(Text.tokens(col("text")), tokHash(_)),
           lit(0L), (acc, h) => (acc * 31 + h) % P).as("rfp"))

@@ -346,7 +346,9 @@ object RelationalQueries {
   def q16Json(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("k", IntegerType)))
-    Tables.events(s, d)
+    // JSON parsing is the per-row cost here; fan out past the row-group
+    // scan-parallelism ceiling before it (see Tables.fanout)
+    Tables.fanout(Tables.events(s, d))
       .withColumn("k1", from_json(col("props"), schema).getField("k"))
       .withColumn("k2", get_json_object(col("props"), "$.k").cast("int"))
       // map_from_entries roundtrip: build a map and read the key back out.
