@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming operator library — SURVEY.md §2b Q19–Q22, the
   * streaming twins of graft.operators.EventOps.
@@ -80,6 +80,40 @@ object StreamQueries {
           state.update(st)
           st
       }
+  }
+
+  /** q22 streaming, `transformWithState` form — the Spark 4 successor to
+    * mapGroupsWithState: named state variables behind a typed handle,
+    * RocksDB-backed (`spark.sql.streaming.stateStore.providerClass` must be
+    * RocksDBStateStoreProvider), TTL-capable. Same per-user (count, sum)
+    * progress state as [[userTotals]]; at scale TTL + RocksDB turn
+    * unbounded keyspaces from an OOM into an eviction policy. */
+  class UserTotalsProcessor
+      extends StatefulProcessor[Long, UserEvent, UserProgress] {
+    @transient private var state: ValueState[UserProgress] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserProgress](
+        "totals", Encoders.product[UserProgress], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserProgress] = {
+      var st = if (state.exists()) state.get() else UserProgress(key, 0L, 0.0)
+      rows.foreach(e => st = UserProgress(key, st.n_events + 1, st.total + e.value))
+      state.update(st)
+      Iterator.single(st)
+    }
+  }
+
+  def userTotalsTws(events: DataFrame): Dataset[UserProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Output modes each query supports (documented for sinks/tests). */

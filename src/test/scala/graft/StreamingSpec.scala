@@ -136,6 +136,42 @@ class StreamingSpec extends SparkSpec {
     assert(finalState == batch)
   }
 
+  test("transformWithState per-user totals (RocksDB store) converge to batch groupBy") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = (0 until 90).map(i => Ev(i, tsOf(i), i % 5, "view", i * 0.5))
+      val input = MemoryStream[Ev]
+      val out = StreamQueries.userTotalsTws(input.toDF())
+      val name = "totals_tws_out"
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+        .start()
+      events.grouped(30).foreach { c => input.addData(c); q.processAllAvailable() }
+      q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      val finalState = spark.table(name)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("n_events"), round(col("total"), 2).as("total"))
+        .orderBy("user_id").collect().toSeq
+      val batch = events.toDF()
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+        .orderBy("user_id").collect().toSeq
+      assert(finalState == batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session windows close after the gap and match batch session_window") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
