@@ -165,16 +165,22 @@ object RelationalQueries {
       |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
-  /** q09 — range/theta join: equi key extracted to hash join, range
-    * residual as post-filter (events within 1 minute, same user). */
+  /** q09 — range/theta join (events within 1 minute, same user). The
+    * general theta form is the self-join `a.user = b.user AND a.ts < b.ts
+    * AND b.ts <= a.ts + 1min` (equi key extracted to a hash/SMJ join, range
+    * residual as post-filter) — but because this query only *counts* the
+    * pairs, it composes into a range-frame window: sort each user's events
+    * once and count, per row, the successors inside (ts, ts+1min]. One
+    * shuffle + sort, O(n log n), and the O(pairs) intermediate never
+    * materializes — the plan that survives a dense-burst user at 100 TB,
+    * where the join form's per-key pair blowup is quadratic. */
   def q09RangeJoin(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    val a = ev.select(col("user_id"), col("ts").as("a_ts"))
-    val b = ev.select(col("user_id").as("b_user"), col("ts").as("b_ts"))
-    a.join(b, col("user_id") === col("b_user")
-        && col("a_ts") < col("b_ts")
-        && col("b_ts") <= col("a_ts") + expr("INTERVAL 1 MINUTE"))
-      .agg(count(lit(1)).as("n_pairs"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(1L, 60L * 1000 * 1000) // (ts, ts + 1 min] in micros
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("n_succ", count(lit(1)).over(w))
+      .agg(sum(col("n_succ")).cast("long").as("n_pairs"))
   }
   val q09Sql: String =
     """SELECT count(*) AS n_pairs

@@ -78,6 +78,30 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("simhash64 expression equals the explode-based DataFrame formulation") {
+    GraftFunctions.register(spark)
+    // independent formulation from built-ins only: tokenize, xxhash64 each
+    // occurrence (same default seed 42 as the expression), ±1 majority vote
+    // per bit, recompose the fingerprint
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bits = toks.select(col("doc_id"), posexplode(
+      array((0 until 64).map(j =>
+        when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) =!= 0L, 1)
+          .otherwise(-1)): _*)).as(Seq("bit", "vote")))
+    val expected = bits.groupBy("doc_id", "bit").agg(sum("vote").as("v"))
+      .withColumn("contrib",
+        when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).cast("long").as("fp"))
+    val got = docs.select(col("doc_id"), expr("simhash64(text)").as("fp"))
+    val joined = got.as("g").join(expected.as("e"), "doc_id")
+      .filter(col("g.fp") =!= col("e.fp"))
+    assert(joined.count() == 0, "expression and explode formulation disagree")
+  }
+
   test("LSH KNN achieves recall >= 0.6 vs brute force") {
     def neighbors(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))).toSet

@@ -80,6 +80,39 @@ class ShardSimSourceSpec extends SparkSpec {
       "resume must not replay committed offsets (exactly-once)")
   }
 
+  test("shards appearing mid-stream are discovered and consumed (split/merge analog)") {
+    // the reference's explicitly-unfinished TODO (README.md:8): after a
+    // split, new child shards must be discovered and consumed from seq 0.
+    // The simulator handles it structurally: shard listing happens per
+    // latestOffset poll, and an unknown shard's start offset defaults to 0.
+    val dir = Files.createTempDirectory("shardsim_split").toString
+    ShardSimFixture.generate(spark, sf0001, dir, nShards = 2)
+    val out = Files.createTempDirectory("split_out").toString
+    val ckpt = Files.createTempDirectory("split_ckpt").toString
+    val q1 = ConsumeApp.run(spark, dir, out, ckpt)
+    q1.awaitTermination()
+    // "split": shard-1 closes, two new child shards appear with fresh records
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, "shard-1.tsv"),
+      java.nio.file.Paths.get(dir, "shard-1.closed.tsv"))
+    Seq(2, 3).foreach { child =>
+      val rows = (0 until 25).map(i =>
+        (s"u$i", 1710000000000000L + i,
+          s"""{"event_id":${200000 + child * 1000 + i},"user_id":$i,"event_type":"x","value":1.0,"ts_us":${1710000000000000L + i},"props":"{}"}"""))
+      val f = java.nio.file.Paths.get(dir, s"shard-$child.tsv")
+      val w = java.nio.file.Files.newBufferedWriter(f)
+      try rows.zipWithIndex.foreach { case ((pk, ar, data), i) =>
+        w.write(f"$i%012d\t$pk\t$ar\t$data\n")
+      } finally w.close()
+    }
+    val q2 = ConsumeApp.run(spark, dir, out, ckpt)
+    q2.awaitTermination()
+    val result = spark.read.parquet(s"$out/batch_id=*")
+    assert(result.count() == nEvents + 50)
+    assert(result.select("event_id").distinct().count() == nEvents + 50,
+      "child-shard records must arrive exactly once, parents not replayed")
+  }
+
   test("closed shards are read to their end and then excluded") {
     val dir = Files.createTempDirectory("shardsim_closed").toString
     ShardSimFixture.generate(spark, sf0001, dir, nShards = 4, closedShards = Set(0, 2))
