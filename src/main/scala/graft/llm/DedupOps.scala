@@ -136,6 +136,53 @@ object DedupOps {
       .orderBy("d1", "d2")
   }
 
+  /** q23e — edit-distance near-dup verification: shingle-overlap candidates
+    * (Jaccard ≥ 0.5 prefilter — cheap, on the already-materialized hash
+    * sets) verified by relative Levenshtein distance ≤ 20% of the longer
+    * text. The expensive O(len²) edit distance only ever runs on the
+    * candidate pairs, never the corpus cross product. */
+  def levenshteinDedup(s: SparkSession, d: String): DataFrame = {
+    val hs = shingleHashes(s, d).persist()
+    val sh = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sizes = hs.select(col("doc_id"), size(col("hs")).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val s1 = sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
+    val s2 = sizes.select(col("doc_id").as("d2"), col("n").as("n2"))
+    val cand = pairs.join(broadcast(s1), "d1").join(broadcast(s2), "d2")
+      .filter(col("inter") / (col("n1") + col("n2") - col("inter")) >= 0.5)
+      .select("d1", "d2")
+    val ta = Tables.documents(s, d).select(col("doc_id").as("d1"), col("text").as("ta"))
+    val tb = Tables.documents(s, d).select(col("doc_id").as("d2"), col("text").as("tb"))
+    cand.join(ta, "d1").join(tb, "d2")
+      .withColumn("ld", levenshtein(col("ta"), col("tb")))
+      .filter(col("ld") <= lit(0.2) * greatest(length(col("ta")), length(col("tb"))))
+      .select(col("d1"), col("d2"), col("ld"))
+      .orderBy("d1", "d2")
+  }
+  val levenshteinDedupSql: String =
+    s"""WITH tok AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts FROM documents),
+       |sh AS (SELECT doc_id, unnest(${Text.shinglesSql("ts", K)}) AS sh FROM tok),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT d1, d2 FROM pairs
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE inter / (s1.n + s2.n - inter) >= 0.5)
+       |SELECT d1, d2, levenshtein(a.text, b.text) AS ld
+       |FROM cand
+       |JOIN documents a ON a.doc_id = d1
+       |JOIN documents b ON b.doc_id = d2
+       |WHERE levenshtein(a.text, b.text)
+       |  <= 0.2 * greatest(length(a.text), length(b.text))
+       |ORDER BY d1, d2""".stripMargin
+
   /** q23c — SimHash near-dup (no SQL oracle: the 64-bit token hash is not
     * reproducible in DuckDB; rows-only check + ScalaTest asserts it finds
     * every exact-duplicate pair). 64-bit fingerprint, banding on 4×16-bit
@@ -199,5 +246,6 @@ object DedupOps {
     ("q23_dedup_ngram_jaccard", ngramJaccard _, Some(jaccardOracle)),
     ("q23_dedup_minhash_lsh", minhashLsh _, Some(jaccardOracle)),
     ("q23_dedup_simhash", simhash _, None),
+    ("q23_dedup_levenshtein", levenshteinDedup _, Some(levenshteinDedupSql)),
     ("q23_dedup_embedding", embeddingNearDup _, Some(embeddingNearDupSql)))
 }

@@ -126,9 +126,57 @@ object AdvancedQueries {
       |    / CAST(n * (n - 1) AS DOUBLE), 4) AS var_qty
       |FROM g ORDER BY l_returnflag""".stripMargin
 
+  /** q28a — unpivot/melt (the inverse of q27_pivot): wide per-row metric
+    * columns to long (metric, value) rows. Narrow generator, no shuffle
+    * until the aggregation. */
+  def q28Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+        col("p_retailprice").cast("double").as("retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+        "metric", "val")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), round(sum(col("val")), 2).as("total"))
+      .orderBy("metric")
+  val q28UnpivotSql: String =
+    """WITH u AS (
+      |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE) FROM part)
+      |SELECT metric, count(*) AS n, round(sum(val), 2) AS total
+      |FROM u GROUP BY metric ORDER BY metric""".stripMargin
+
+  /** q28b — distribution-rank window battery: ntile, percent_rank,
+    * cume_dist over order value per priority class (rounded; ties broken by
+    * orderkey so both engines rank identically). */
+  def q28Ntile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .filter(col("o_orderkey") % 1000 === 0) // thin the checked output
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+  val q28NtileSql: String =
+    """SELECT o_orderpriority, o_orderkey, quartile, pr, cd FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    ntile(4) OVER w AS quartile,
+      |    round(percent_rank() OVER w, 6) AS pr,
+      |    round(cume_dist() OVER w, 6) AS cd
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice DESC, o_orderkey)) t
+      |WHERE o_orderkey % 1000 = 0
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q27_asof_join", q27AsofJoin _, Some(q27AsofSql)),
     ("q27_pivot", q27Pivot _, Some(q27PivotSql)),
     ("q27_percentiles", q27Percentiles _, Some(q27PercentilesSql)),
-    ("q27_udaf_moments", q27Udaf _, Some(q27UdafSql)))
+    ("q27_udaf_moments", q27Udaf _, Some(q27UdafSql)),
+    ("q28_unpivot", q28Unpivot _, Some(q28UnpivotSql)),
+    ("q28_ntile_window", q28Ntile _, Some(q28NtileSql)))
 }
