@@ -12,11 +12,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * without the config (tests embedding ad-hoc sessions).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, clazz, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(clazz, name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
+  }
 }
 
 object GraftExtensions {

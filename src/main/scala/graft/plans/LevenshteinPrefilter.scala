@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: guard `levenshtein(a, b) <= t` with the free necessary
+  * condition `abs(length(a) - length(b)) <= t`.
+  *
+  * Edit distance is bounded below by the length difference, and `length` is
+  * O(1) on UTF8String while `levenshtein` is O(|a|·|b|) — so for near-dup
+  * verification at scale (millions of candidate pairs, kB–MB texts) the
+  * guard skips the quadratic compute for every pair whose lengths already
+  * rule it out, without changing any result. This is the kind of rewrite a
+  * user shouldn't have to hand-write into every query; registered through
+  * `SparkSessionExtensions.injectOptimizerRule` (see GraftExtensions).
+  *
+  * The rule is fixpoint-safe: it skips predicates whose guard is already
+  * present (`semanticEquals` over the conjuncts).
+  */
+object LevenshteinPrefilter extends Rule[LogicalPlan] {
+
+  /** |len(a) − len(b)| cast to the threshold's type (no analyzer runs
+    * after the optimizer, so the comparison must be built type-correct). */
+  private def lenDiff(a: Expression, b: Expression, t: Expression): Expression = {
+    val diff = Abs(Subtract(Length(a), Length(b)))
+    if (diff.dataType == t.dataType) diff else Cast(diff, t.dataType)
+  }
+
+  private def guardFor(cond: Expression): Option[Expression] = cond match {
+    case LessThanOrEqual(Levenshtein(a, b, None), t) if isCheap(t) =>
+      Some(LessThanOrEqual(lenDiff(a, b, t), t))
+    case LessThan(Levenshtein(a, b, None), t) if isCheap(t) =>
+      Some(LessThan(lenDiff(a, b, t), t))
+    case GreaterThanOrEqual(t, Levenshtein(a, b, None)) if isCheap(t) =>
+      Some(GreaterThanOrEqual(t, lenDiff(a, b, t)))
+    case GreaterThan(t, Levenshtein(a, b, None)) if isCheap(t) =>
+      Some(GreaterThan(t, lenDiff(a, b, t)))
+    case _ => None
+  }
+
+  /** Only guard when the threshold side is cheap to evaluate twice. */
+  private def isCheap(e: Expression): Boolean = e match {
+    case _: Literal => true
+    case _: Attribute => true
+    case _ => e.find(_.isInstanceOf[Levenshtein]).isEmpty && e.deterministic &&
+      e.children.forall(isCheap)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjuncts(cond)
+      val guards = conjuncts.flatMap(guardFor)
+        .filterNot(g => conjuncts.exists(_.semanticEquals(g)))
+      if (guards.isEmpty) f
+      else Filter(guards.foldLeft(cond)((acc, g) => And(g, acc)), child)
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}
