@@ -193,8 +193,37 @@ object SimilarityOps {
        |SELECT qid, rnk, vec_id AS neighbor, round(cos, 4) AS cos
        |FROM r WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin
 
+  /** q24d — per-label centroids: element-wise mean over the embedding
+    * column via posexplode → (label, pos) partial/final average → scalar
+    * summaries (dim, L2 norm, head components). The explode shuffles
+    * (label, pos, value) triples — at 100 TB this is the standard
+    * dimension-parallel reduction for centroid/IVF training, with map-side
+    * partial aggregation keeping the shuffle at |labels|·dim rows. */
+  def labelCentroids(s: SparkSession, d: String): DataFrame = {
+    val comp = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("m"))
+    comp.groupBy(col("label"))
+      .agg(count(lit(1)).as("dim"),
+        round(sqrt(sum(col("m") * col("m"))), 4).as("l2"),
+        round(sum(when(col("pos") < 8, col("m")).otherwise(0.0)), 4).as("head_sum"))
+      .orderBy("label")
+  }
+  val labelCentroidsSql: String =
+    """WITH c AS (
+      |  SELECT label, i - 1 AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+      |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+      |  GROUP BY label, i),
+      |s AS (SELECT label, count(*) AS dim,
+      |  round(sqrt(sum(m * m)), 4) AS l2,
+      |  round(sum(CASE WHEN pos < 8 THEN m ELSE 0.0 END), 4) AS head_sum
+      |  FROM c GROUP BY label)
+      |SELECT label, dim, l2, head_sum FROM s ORDER BY label""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q24_knn_brute", knnBrute _, Some(knnBruteSql)),
     ("q24_knn_lsh", knnLsh _, None),
-    ("q24_knn_ivf", knnIvf _, Some(knnIvfSql)))
+    ("q24_knn_ivf", knnIvf _, Some(knnIvfSql)),
+    ("q24_label_centroids", labelCentroids _, Some(labelCentroidsSql)))
 }

@@ -184,6 +184,41 @@ object TextOps {
        |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
        |FROM g""".stripMargin
 
+  /** q25i — repetition-based quality signal (the Gopher/C4-style rule:
+    * heavily repeated n-grams mark boilerplate/spam): per doc, the fraction
+    * of 3-gram occurrences that are duplicates of an earlier occurrence;
+    * aggregated per lang. Pure list arithmetic — `1 − distinct/total` —
+    * identical in both engines. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val total = when(size(toks) >= 3, size(toks) - 2).otherwise(0)
+    val distinctN = size(Text.shingles(toks, 3)) // shingles() dedups
+    val dupFrac = when(total > 0,
+      lit(1.0) - distinctN.cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+    Tables.fanout(Tables.documents(s, d))
+      .select(col("lang"), dupFrac.as("df"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("df")), 6).as("avg_dup_frac"),
+        round(max(col("df")), 6).as("max_dup_frac"))
+      .orderBy("lang")
+  }
+  val repetitionSql: String = {
+    val toks = Text.tokensSql("text")
+    s"""WITH t AS (SELECT lang, $toks AS ts FROM documents),
+       |f AS (SELECT lang,
+       |  CASE WHEN len(ts) >= 3 THEN
+       |    1.0 - CAST(len(${Text.shinglesSql("ts", 3)}) AS DOUBLE)
+       |      / CAST(len(ts) - 2 AS DOUBLE)
+       |  ELSE 0.0 END AS df
+       |  FROM t)
+       |SELECT lang, count(*) AS n_docs,
+       |  round(avg(df), 6) AS avg_dup_frac,
+       |  round(max(df), 6) AS max_dup_frac
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q25_lang_dist", langDist _, Some(langDistSql)),
     ("q25_source_stats", sourceStats _, Some(sourceStatsSql)),
@@ -192,5 +227,6 @@ object TextOps {
     ("q25_quality_score", qualityScore _, Some(qualityScoreSql)),
     ("q25_lang_id", langId _, Some(langIdSql)),
     ("q25_fingerprint", fingerprint _, Some(fingerprintSql)),
-    ("q25_rolling_fingerprint", rollingFingerprint _, Some(rollingFingerprintSql)))
+    ("q25_rolling_fingerprint", rollingFingerprint _, Some(rollingFingerprintSql)),
+    ("q25_repetition", repetition _, Some(repetitionSql)))
 }

@@ -116,6 +116,31 @@ object StreamQueries {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Stream–stream inner join with event-time bounds: each click joined to
+    * the same user's purchases within the following 30 minutes. Both sides
+    * carry watermarks and the join condition bounds purchase_ts relative to
+    * click_ts, so the state store can evict rows once the watermark passes
+    * the bound — the requirement for an unbounded-stream join to hold
+    * bounded state. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("amount"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      col("user_id") === col("p_user")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        round(col("amount"), 2).as("amount"))
+  }
+
   /** Output modes each query supports (documented for sinks/tests). */
   val outputModes: Map[String, OutputMode] = Map(
     "tumbling" -> OutputMode.Append(),

@@ -136,6 +136,34 @@ class StreamingSpec extends SparkSpec {
     assert(finalState == batch)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // clicks every minute per 3 users; purchases every 7 minutes
+    val events = (0 until 120).map { i =>
+      val kind = if (i % 7 == 0) "purchase" else "click"
+      Ev(i, tsOf(i), i % 3, kind, i * 2.0)
+    }
+    val input = MemoryStream[Ev]
+    val out = StreamQueries.clickPurchaseJoin(input.toDF())
+    val name = "ssj_out"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    events.grouped(40).foreach { c => input.addData(c); q.processAllAvailable() }
+    // push watermark far ahead so all joinable pairs flush
+    input.addData(Ev(9999, tsOf(999), 0, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name)
+      .orderBy("click_id", "purchase_id").collect().toSeq
+    val batch = StreamQueries.clickPurchaseJoin(events.toDF())
+      .orderBy("click_id", "purchase_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("transformWithState per-user totals (RocksDB store) converge to batch groupBy") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
