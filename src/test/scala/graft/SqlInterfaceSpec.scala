@@ -1,0 +1,60 @@
+package graft
+
+import graft.core.Tables
+import graft.functions.GraftFunctions
+
+/** The SQL-text surface: every table registers as a view, Spark SQL runs
+  * the same §2b queries the DataFrame API expresses, and the custom
+  * expressions are callable from SQL (they live in the FunctionRegistry). */
+class SqlInterfaceSpec extends SparkSpec {
+
+  private def registerViews(): Unit =
+    Tables.names.foreach { t =>
+      Tables.load(spark, sf0001, t).createOrReplaceTempView(t)
+    }
+
+  test("spark.sql runs the q03 aggregation and matches the DataFrame API") {
+    registerViews()
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin).collect().toSeq
+    val viaApi = graft.operators.RelationalQueries.q03Agg(spark, sf0001)
+      .collect().toSeq
+    assert(viaSql == viaApi)
+  }
+
+  test("custom expressions are callable from SQL text") {
+    GraftFunctions.register(spark)
+    registerViews()
+    val row = spark.sql(
+      """SELECT round(cosine_sim(embedding, embedding), 6) AS self_cos,
+        |  size(shingle_hashes('a b c d e f g', 5)) AS n_shingles,
+        |  simhash64('hello world') AS sh
+        |FROM embeddings LIMIT 1""".stripMargin).collect()(0)
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getInt(1) == 3)
+    assert(row.getLong(2) != 0L)
+  }
+
+  test("window + subquery SQL matches the q11 DataFrame top-3") {
+    registerViews()
+    val viaSql = spark.sql(
+      """SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin).collect().toSeq
+    val viaApi = graft.operators.RelationalQueries.q11RankWindow(spark, sf0001)
+      .collect().toSeq
+    assert(viaSql == viaApi)
+  }
+}
