@@ -110,8 +110,59 @@ object MultimodalOps {
       |  CAST(floor(CAST(height AS DOUBLE) * sc) AS INT) AS out_h
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Multipliers for the stub feature map (distinct odd primes → the 8
+    * components differ per payload length). */
+  private val FeaturePrimes = Array(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+
+  /** STUB FEATURE EXTRACTOR — a real deployment computes an actual content
+    * embedding here (pooled vision-encoder output); deterministic fake
+    * derived from payload length so the oracle can reproduce it. */
+  def featureStub(payload: Array[Byte]): Array[Float] = {
+    val len = payload.length.toLong
+    FeaturePrimes.map(p => ((len * p) % 1000L).toFloat / 1000.0f)
+  }
+
+  /** q26d — feature extraction: binary payload → fixed-width Array[Float]
+    * feature vector per doc (typed mapPartitions, same codec-batch shape as
+    * the decode), then scored against a fixed reference vector with the
+    * codegen'd cosine expression — the join point between the multimodal
+    * plumbing and the similarity stack. */
+  def features(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val refVec = Array.fill(8)(0.5f)
+    Tables.documents(s, d)
+      .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, featureStub(bytes)) })
+      .toDF("doc_id", "feat")
+      .select(col("doc_id"), size(col("feat")).as("dim"),
+        round(element_at(col("feat"), 1).cast("double"), 4).as("f0"),
+        round(expr("cosine_sim(feat, " +
+          s"array(${refVec.map(v => s"CAST($v AS FLOAT)").mkString(",")}))"), 4)
+          .as("ref_cos"))
+      .orderBy("doc_id")
+  }
+  val featuresSql: String = {
+    // Spark stores the components as float32; replicate by casting the
+    // double quotient to REAL, then widening back to DOUBLE for the
+    // arithmetic (verified: float32(k)/float32(1000) ==
+    // float32(float64(k)/1000) for every k in [0,1000))
+    val comps = FeaturePrimes.map(p =>
+      "CAST(CAST(CAST((octet_length(CAST(text AS BLOB)) * " + p +
+        ") % 1000 AS DOUBLE) / 1000.0 AS REAL) AS DOUBLE)")
+    val sumSq = comps.map(c => s"($c) * ($c)").mkString(" + ")
+    val dotRef = comps.map(c => s"($c) * 0.5").mkString(" + ")
+    s"""SELECT doc_id, 8 AS dim,
+       |  round(${comps.head}, 4) AS f0,
+       |  round(($dotRef) / (sqrt($sumSq) * sqrt(2.0)), 4) AS ref_cos
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q26_media_meta", mediaMeta _, Some(mediaMetaSql)),
     ("q26_frame_sample", frameSample _, Some(frameSampleSql)),
-    ("q26_resize", resizePlan _, Some(resizePlanSql)))
+    ("q26_resize", resizePlan _, Some(resizePlanSql)),
+    ("q26_features", features _, Some(featuresSql)))
 }
