@@ -46,6 +46,13 @@ object ConsumeApp {
         col("payload.event_id"), col("payload.user_id"),
         col("payload.event_type"), col("payload.value"),
         timestamp_micros(col("payload.ts_us")).as("ts"))
+      // data-quality counters, published per micro-batch through
+      // StreamingQueryProgress.observedMetrics (no extra pass: observe()
+      // piggybacks on the existing scan)
+      .observe("decode",
+        count(lit(1)).as("rows"),
+        count(when(col("event_id").isNull, 1)).as("decode_failures"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
   }
 
   /** Run the consumer: decode → append raw decoded records to parquet
@@ -70,9 +77,13 @@ object ConsumeApp {
     * (src/Kinesis/Coordination.hs:92-94,336). */
   class ProgressCounter extends StreamingQueryListener {
     @volatile var totalRows: Long = 0L
+    @volatile var decodeFailures: Long = 0L
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       totalRows += e.progress.numInputRows
+      Option(e.progress.observedMetrics.get("decode")).foreach { m =>
+        decodeFailures += m.getAs[Long]("decode_failures")
+      }
       println(s"[consume] batch=${e.progress.batchId} rows=${e.progress.numInputRows} total=$totalRows")
     }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()

@@ -8,6 +8,13 @@ import graft.functions.GraftFunctions
 /** Deduplication operators over `documents` — SURVEY.md §2b Q23 plus the
   * training-pipeline extensions (SimHash, embedding near-dup).
   *
+  * Algorithms (public literature): MinHash resemblance sketching — Broder,
+  * "On the resemblance and containment of documents" (SEQUENCES 1997);
+  * LSH banding — Indyk & Motwani (STOC 1998) / Gionis et al. (VLDB 1999);
+  * SimHash — Charikar, "Similarity estimation techniques from rounding
+  * algorithms" (STOC 2002), applied to web-scale dedup in Manku et al.
+  * (WWW 2007).
+  *
   * Scale notes (100 TB posture):
   *  - exact dedup = hash + groupBy (one shuffle on a 16-byte key);
   *  - near-dup never materializes the O(n²) pair space: the exact-Jaccard

@@ -9,6 +9,11 @@ import graft.functions.GraftFunctions
 /** Approximate-nearest-neighbor search over the `embeddings` table —
   * SURVEY.md §2b Q24.
   *
+  * Algorithms (public literature): random-hyperplane LSH — Charikar
+  * (STOC 2002); IVF (inverted-file / cell-probe) search — Jégou et al.,
+  * "Product quantization for nearest neighbor search" (TPAMI 2011), here
+  * without the PQ compression step.
+  *
   * Baseline: brute-force cosine top-k — the query side is tiny (fixed ids)
   * and broadcast, so the scan side streams once with no shuffle until the
   * per-query top-k (window over qid). At 100 TB this is the standard

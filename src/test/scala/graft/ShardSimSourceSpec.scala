@@ -44,6 +44,13 @@ class ShardSimSourceSpec extends SparkSpec {
     val result = spark.read.parquet(s"$out/batch_id=*")
     assert(result.count() == nEvents)
     assert(result.select("event_id").distinct().count() == nEvents)
+    // observe() metrics flow through the progress events: every payload
+    // decodes, and the observed row count covers the whole fixture
+    val observed = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("decode"))).toSeq
+    assert(observed.nonEmpty, "expected observed 'decode' metrics")
+    assert(observed.map(_.getAs[Long]("rows")).sum == nEvents)
+    assert(observed.map(_.getAs[Long]("decode_failures")).sum == 0)
   }
 
   test("maxRecordsPerBatch bounds each micro-batch (admission control)") {
