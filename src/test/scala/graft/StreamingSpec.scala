@@ -136,6 +136,50 @@ class StreamingSpec extends SparkSpec {
     assert(finalState == batch)
   }
 
+  test("windowed agg state survives a stop/restart from checkpoint") {
+    import spark.implicits._
+    // file source so the restart replays from the offset WAL (MemoryStream
+    // does not persist its contents across queries)
+    val inDir = Files.createTempDirectory("agg_in").toString
+    val ckpt = Files.createTempDirectory("agg_ckpt").toString
+    val outDir = Files.createTempDirectory("agg_out").toString
+    def writeChunk(evs: Seq[Ev], file: String): Unit =
+      evs.toDF().coalesce(1).write.mode("overwrite").parquet(s"$inDir/$file")
+    def startQuery() = {
+      val in = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+        .parquet(s"$inDir/*")
+      StreamQueries.tumblingCounts(in)
+        .writeStream.format("parquet") // file sink: supports WAL recovery
+        .option("path", outDir)
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val all = (0 until 60).map(i => Ev(i, tsOf(i), i % 3, "view", 1.0))
+    // phase 1: first half, including a window that stays OPEN at stop time
+    writeChunk(all.take(30), "part1")
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    // phase 2: restart; second half lands in open + new windows; flush
+    writeChunk(all.drop(30), "part2")
+    writeChunk(Seq(Ev(999, tsOf(500), 0, "view", 0.0)), "flush")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val streamed = spark.read.parquet(outDir)
+      .filter(col("wstart") < unix_micros(lit(tsOf(300))))
+      .orderBy("wstart", "event_type").collect().toSeq
+    val batch = all.toDF()
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("wstart", "event_type").collect().toSeq
+    assert(streamed == batch,
+      "restarted stream must produce exactly the batch result (no loss, no dupes)")
+  }
+
   test("stream-stream interval join equals the batch join") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
