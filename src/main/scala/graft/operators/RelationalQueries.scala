@@ -205,6 +205,25 @@ object RelationalQueries {
       |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin
 
+  /** q10b — CUBE over (year, status) with grouping_id to tell real nulls
+    * from subtotal rows (the standard-SQL bitmask, identical in DuckDB). */
+  def q10Cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .select(col("gid"), coalesce(col("yr"), lit(-1)).as("yr"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("total"))
+      .orderBy("gid", "yr", "status")
+  val q10CubeSql: String =
+    """SELECT CAST(grouping_id(year(o_orderdate), o_orderstatus) AS BIGINT) AS gid,
+      |  coalesce(year(o_orderdate), -1) AS yr,
+      |  coalesce(o_orderstatus, 'ALL') AS status,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+      |ORDER BY gid, yr, status""".stripMargin
+
   /** q11 — ranking window: top-3 orders per customer. */
   def q11RankWindow(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -457,6 +476,7 @@ object RelationalQueries {
     ("q08_semi_join", q08Semi _, Some(q08Sql)),
     ("q09_range_join", q09RangeJoin _, Some(q09Sql)),
     ("q10_rollup", q10Rollup _, Some(q10Sql)),
+    ("q10_cube", q10Cube _, Some(q10CubeSql)),
     ("q11_rank_window", q11RankWindow _, Some(q11Sql)),
     ("q12_running_window", q12Running _, Some(q12RunningSql)),
     ("q12_lag_lead", q12LagLead _, Some(q12LagLeadSql)),
