@@ -116,6 +116,31 @@ object StreamQueries {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** q22 streaming, flatMapGroupsWithState form — the 0-or-more-rows
+    * cousin of [[userTotals]]: emits a user's progress row only when this
+    * trigger actually changed it (an empty iterator otherwise), the shape
+    * for change-data feeds where most keys are idle per batch. */
+  def userTotalsDeltas(events: DataFrame): Dataset[UserProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserProgress, UserProgress](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserProgress]) =>
+          var st = state.getOption.getOrElse(UserProgress(uid, 0L, 0.0))
+          var changed = false
+          rows.foreach { e =>
+            st = UserProgress(uid, st.n_events + 1, st.total + e.value)
+            changed = true
+          }
+          if (changed) { state.update(st); Iterator.single(st) }
+          else Iterator.empty
+      }
+  }
+
   /** Stream–stream inner join with event-time bounds: each click joined to
     * the same user's purchases within the following 30 minutes. Both sides
     * carry watermarks and the join condition bounds purchase_ts relative to

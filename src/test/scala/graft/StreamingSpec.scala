@@ -244,6 +244,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("flatMapGroupsWithState emits only changed users, converging to batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // batch 1 touches users 0/1, batch 2 only user 2 — trigger-2 output
+    // must not re-emit idle users
+    val b1 = Seq(Ev(0, tsOf(0), 0, "view", 1.0), Ev(1, tsOf(1), 1, "view", 2.0),
+      Ev(2, tsOf(2), 0, "view", 3.0))
+    val b2 = Seq(Ev(3, tsOf(3), 2, "view", 5.0))
+    val input = MemoryStream[Ev]
+    val out = StreamQueries.userTotalsDeltas(input.toDF())
+    val name = "deltas_out"
+    val q = out.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    input.addData(b1); q.processAllAvailable()
+    val afterB1 = spark.table(name).count()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total"))).toSeq
+    assert(afterB1 == 2, s"trigger 1 must emit users 0 and 1, got $afterB1")
+    assert(rows.size == 3, s"trigger 2 must add only user 2: $rows")
+    assert(rows.toSet == Set((0L, 2L, 4.0), (1L, 1L, 2.0), (2L, 1L, 5.0)))
+  }
+
   test("session windows close after the gap and match batch session_window") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
