@@ -1,0 +1,50 @@
+package graft.app
+
+import org.apache.spark.sql.functions._
+
+/** Scale-stress smoke: replicates the sf0.1 corpus N× into /tmp (doc ids
+  * re-keyed so replicas are near-dup groups, embeddings jittered per
+  * replica) and times the heavy operators at that scale. The point is the
+  * growth curve, not the absolute numbers: LSH dedup and IVF search should
+  * grow near-linearly with corpus size because their pair/probe spaces are
+  * bucket-bounded, while a naive O(n²) formulation would blow up 400× at
+  * 20× data. Usage: runMain graft.app.Stress [sfDir] [factor]
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(20)
+    val spark = graft.core.Sessions.get("32")
+    val dir = java.nio.file.Files.createTempDirectory("stress").toString
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+    // replicate: each replica r re-keys doc_id; r>0 replicas are exact dups
+    // of r=0 (a worst-ish case for dedup: every doc is in a dup group)
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    docs.crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") * factor + col("rep"))
+      .drop("rep")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    em.crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") * factor + col("rep"))
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + col("rep").cast("float") * lit(1e-3f)))
+      .drop("rep")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    println(s"[stress] ${nDocs * factor} docs, ${em.count() * factor} vectors (${factor}x $sfDir)")
+    Seq(
+      "q23_dedup_exact", "q23_dedup_minhash_lsh", "q25_fingerprint",
+      "q25_quality_score", "q24_knn_brute", "q24_knn_ivf").foreach { name =>
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      println(f"[stress] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+    }
+    spark.stop()
+  }
+}

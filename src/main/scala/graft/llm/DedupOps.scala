@@ -248,11 +248,64 @@ object DedupOps {
       |    (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY v1, v2""".stripMargin
 
+  /** q23f — dedup resolution: the near-dup pair graph collapsed to one
+    * canonical keeper (min doc_id) per connected component, via iterative
+    * min-label propagation — each round is one join + one aggregation, and
+    * rounds needed = component diameter (≤3 for real dup clusters, capped
+    * at 15 with an early-convergence check). This is the operator you
+    * actually run at 100 TB: emitting all O(k²) pairs of a k-way dup group
+    * (what the pair queries do) is fine for auditing but quadratic in
+    * group size; the keeper assignment is linear. */
+  def dedupKeeper(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select(col("d1"), col("d2"))
+    val edges = pairs.unionByName(
+      pairs.select(col("d2").as("d1"), col("d1").as("d2"))).persist()
+    var labels = edges.select(col("d1").as("id")).distinct()
+      .withColumn("lab", col("id")).persist()
+    var iter = 0
+    var converged = false
+    while (iter < 15 && !converged) {
+      val nbrMin = edges.join(labels, edges("d2") === labels("id"))
+        .groupBy(col("d1").as("id")).agg(min(col("lab")).as("nbr_lab"))
+      val next = labels.join(nbrMin, "id")
+        .select(col("id"), least(col("lab"), col("nbr_lab")).as("lab"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("lab", "old_lab"), "id")
+        .filter(col("lab") =!= col("old_lab")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lab").as("keeper"))
+      .orderBy("doc_id")
+  }
+  val dedupKeeperSql: String =
+    s"""WITH RECURSIVE tok AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts FROM documents),
+       |sh AS (SELECT doc_id, unnest(${Text.shinglesSql("ts", K)}) AS sh FROM tok),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM p
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, least(src, min(dst)) AS keeper
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q23_dedup_exact", exactDedup _, Some(exactDedupSql)),
     ("q23_dedup_ngram_jaccard", ngramJaccard _, Some(jaccardOracle)),
     ("q23_dedup_minhash_lsh", minhashLsh _, Some(jaccardOracle)),
     ("q23_dedup_simhash", simhash _, None),
     ("q23_dedup_levenshtein", levenshteinDedup _, Some(levenshteinDedupSql)),
+    ("q23_dedup_keeper", dedupKeeper _, Some(dedupKeeperSql)),
     ("q23_dedup_embedding", embeddingNearDup _, Some(embeddingNearDupSql)))
 }

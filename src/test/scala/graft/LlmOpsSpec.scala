@@ -78,6 +78,15 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup keeper assigns one canonical min-id per near-dup component") {
+    withDocs(docsWithDups) { dir =>
+      val keepers = DedupOps.dedupKeeper(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // docs 1,2,3 form one near-dup component; 4 and 5 are not in any pair
+      assert(keepers == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), keepers.toString)
+    }
+  }
+
   test("simhash64 expression equals the explode-based DataFrame formulation") {
     GraftFunctions.register(spark)
     // independent formulation from built-ins only: tokenize, xxhash64 each
