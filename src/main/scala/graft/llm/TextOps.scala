@@ -219,6 +219,41 @@ object TextOps {
        |FROM f GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** q25j — corpus-level TF-IDF term ranking: total term frequency ×
+    * ln(N/df), stopwords excluded. The score is one multiply of an exact
+    * integer count by one ln of an exact integer ratio — no accumulated
+    * float summation, so both engines produce bit-identical doubles and
+    * the ranking is deterministic (ties broken by term). */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanout(Tables.documents(s, d))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_total"))
+    val terms = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .filter(!col("term").isin(Text.stopwords: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("df"))
+    terms.crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("c").cast("double")
+          * log(col("n_total").cast("double") / col("df").cast("double")))
+      .orderBy(col("score").desc, col("term").asc)
+      .limit(15)
+      .select(col("term"), col("c"), col("df"), round(col("score"), 4).as("tfidf"))
+  }
+  val tfidfSql: String = {
+    val toks = Text.tokensSql("text")
+    s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |g AS (SELECT term, count(*) AS c, count(DISTINCT doc_id) AS df
+       |  FROM t WHERE NOT list_contains(${Text.stopwordsSqlList}, term)
+       |  GROUP BY term),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_total FROM documents)
+       |SELECT term, c, df,
+       |  round(CAST(c AS DOUBLE) * ln(CAST(n_total AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS tfidf
+       |FROM g, n
+       |ORDER BY CAST(c AS DOUBLE) * ln(CAST(n_total AS DOUBLE) / CAST(df AS DOUBLE)) DESC, term
+       |LIMIT 15""".stripMargin
+  }
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q25_lang_dist", langDist _, Some(langDistSql)),
     ("q25_source_stats", sourceStats _, Some(sourceStatsSql)),
@@ -228,5 +263,6 @@ object TextOps {
     ("q25_lang_id", langId _, Some(langIdSql)),
     ("q25_fingerprint", fingerprint _, Some(fingerprintSql)),
     ("q25_rolling_fingerprint", rollingFingerprint _, Some(rollingFingerprintSql)),
-    ("q25_repetition", repetition _, Some(repetitionSql)))
+    ("q25_repetition", repetition _, Some(repetitionSql)),
+    ("q25_tfidf", tfidf _, Some(tfidfSql)))
 }
