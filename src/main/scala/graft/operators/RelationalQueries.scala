@@ -150,6 +150,33 @@ object RelationalQueries {
       |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
+  /** q07c — full outer join: order-calendar ⋈ event-calendar; days that
+    * exist on only one side survive with zeros (both sides pre-aggregated,
+    * so the join inputs are already small at any scale). */
+  def q07FullOuter(s: SparkSession, d: String): DataFrame = {
+    val orderDays = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val eventDays = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("e_day"))
+      .agg(count(lit(1)).as("n_events"))
+    orderDays.join(eventDays, col("day") === col("e_day"), "full_outer")
+      .select(coalesce(col("day"), col("e_day")).as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("day")
+  }
+  val q07FullOuterSql: String =
+    """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |e AS (SELECT CAST(ts AS DATE) AS e_day, count(*) AS n_events
+      |  FROM events GROUP BY 1)
+      |SELECT coalesce(day, e_day) AS day,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  coalesce(n_events, 0) AS n_events
+      |FROM o FULL OUTER JOIN e ON day = e_day
+      |ORDER BY day""".stripMargin
+
   /** q08 — semi join (IN-subquery → left_semi). */
   def q08Semi(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
@@ -473,6 +500,7 @@ object RelationalQueries {
     ("q06_join_multiway", q06MultiJoin _, Some(q06Sql)),
     ("q07_left_outer", q07LeftOuter _, Some(q07LeftOuterSql)),
     ("q07_anti_join", q07Anti _, Some(q07AntiSql)),
+    ("q07_full_outer", q07FullOuter _, Some(q07FullOuterSql)),
     ("q08_semi_join", q08Semi _, Some(q08Sql)),
     ("q09_range_join", q09RangeJoin _, Some(q09Sql)),
     ("q10_rollup", q10Rollup _, Some(q10Sql)),
