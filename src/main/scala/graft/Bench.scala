@@ -20,8 +20,47 @@ import org.apache.spark.sql.SparkSession
   * full plan execution (scan → shuffle → agg/join/window) without parquet
   * write cost. Failures are loud (stderr + a negative duration) rather than
   * silently folded into the total.
+  *
+  * Self-pairing: this container's effective CPU swings ~1.6× with neighbor
+  * load (BASELINE.md §c), so an absolute total is only meaningful against a
+  * denominator measured in the same window. When python3 + duckdb are
+  * available (they are on the driver image; NOT a dependency of the library
+  * itself), the same oracle SQL set is timed via tools/bench_duckdb.py right
+  * after the Spark runs and the output line carries `duckdb` (its totals)
+  * and `ratio` = spark_total_over_oracle_queries / duckdb_total. Disable
+  * with SPARK_GRAFT_PAIR=0; absent python/duckdb it degrades to the old
+  * Spark-only line.
   */
 object Bench {
+
+  /** Run the DuckDB twin over the same oracle set; None if unavailable. */
+  private def duckdbPair(sfDir: String, iters: Int): Option[String] = {
+    try {
+      val script = java.nio.file.Paths.get("tools/bench_duckdb.py")
+      if (!java.nio.file.Files.exists(script)) return None
+      val tmp = java.nio.file.Files.createTempDirectory("graftbench")
+      val oraclePath = tmp.resolve("oracle_sql.json")
+      java.nio.file.Files.writeString(oraclePath,
+        graft.core.Json.obj(SparkEntry.oracleSql))
+      val pb = new ProcessBuilder("python3", script.toString,
+        sfDir, oraclePath.toString, iters.toString)
+      val proc = pb.start()
+      val out = new Thread() {
+        var result: String = ""
+        override def run(): Unit =
+          result = new String(proc.getInputStream.readAllBytes(), "UTF-8").trim
+      }
+      out.start()
+      if (!proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
+        proc.destroyForcibly(); return None
+      }
+      out.join(10000)
+      val line = out.result
+      if (proc.exitValue() == 0 && line.startsWith("{") && line.endsWith("}"))
+        Some(line)
+      else None
+    } catch { case _: Throwable => None }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -54,7 +93,24 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"sf":"$sfDir","iterations":$iters}""")
+
+    // Same-window DuckDB denominator (BASELINE.md §c): ratio compares only
+    // the oracle-checked subset, measured back-to-back on the same machine.
+    val pair =
+      if (sys.env.getOrElse("SPARK_GRAFT_PAIR", "1") == "0") None
+      else duckdbPair(sfDir, iters)
+    val pairJson = pair.map { line =>
+      val oracleNames = SparkEntry.oracleSql.keySet
+      val sparkOracleTotal = results
+        .collect { case (k, v) if v >= 0 && oracleNames(k) => v }.sum
+      val duckTotal = """"total":\s*([0-9.]+)""".r
+        .findFirstMatchIn(line).map(_.group(1).toDouble)
+      val ratio = duckTotal.filter(_ > 0).map(sparkOracleTotal / _)
+      f""","spark_oracle_total":$sparkOracleTotal%.3f,"duckdb":$line""" +
+        ratio.map(r => f""","ratio":$r%.2f""").getOrElse("")
+    }.getOrElse("")
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"sf":"$sfDir","iterations":$iters$pairJson}""")
     spark.stop()
   }
 }

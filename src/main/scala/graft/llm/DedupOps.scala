@@ -1,12 +1,19 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 
-/** Deduplication operators over `documents` — SURVEY.md §2b Q23 plus the
-  * training-pipeline extensions (SimHash, embedding near-dup).
+/** Deduplication operators over document corpora — SURVEY.md §2b Q23 plus
+  * the training-pipeline extensions (SimHash, embedding near-dup).
+  *
+  * Library surface: every operator is `DataFrame => DataFrame` over a frame
+  * with `(doc_id: long, text: string)` columns (extra columns are ignored) —
+  * the pluggable-user contract of the reference's `Processor`
+  * (/root/reference/src/Kinesis/Coordination.hs:53) applied to the analytics
+  * layer. The `(SparkSession, dir)` registry entries at the bottom are thin
+  * adapters over the fixture tables.
   *
   * Algorithms (public literature): MinHash resemblance sketching — Broder,
   * "On the resemblance and containment of documents" (SEQUENCES 1997);
@@ -17,11 +24,18 @@ import graft.functions.GraftFunctions
   *
   * Scale notes (100 TB posture):
   *  - exact dedup = hash + groupBy (one shuffle on a 16-byte key);
-  *  - near-dup never materializes the O(n²) pair space: the exact-Jaccard
-  *    path joins on an inverted shingle index (pairs sharing ≥1 shingle),
-  *    the MinHash path joins on LSH band buckets (pairs sharing a band) and
-  *    then verifies candidates exactly — so the only quadratic term is
-  *    per-bucket, controlled by band width;
+  *  - near-dup never materializes the O(n²) pair space: all shingle-based
+  *    paths share ONE candidate-pair stage ([[jaccardPairs]]) built on an
+  *    inverted shingle index that (a) drops df=1 shingles — they cannot form
+  *    a pair, and on real corpora are ~95% of the index — and (b) caps
+  *    shingle document frequency at [[DefaultDfCap]], so one boilerplate
+  *    shingle shared by M documents cannot contribute M² candidate rows
+  *    (crawl-template skew guard). Per-doc set sizes ride along the exploded
+  *    rows into the pair aggregation — no per-document side table is ever
+  *    joined (let alone broadcast) after the pair shuffle;
+  *  - the MinHash path joins on LSH band buckets and verifies candidates
+  *    exactly, so the only quadratic term is per-bucket, controlled by band
+  *    width;
   *  - embedding near-dup blocks on `label` (a cheap clustering surrogate)
   *    instead of a full cross join.
   */
@@ -30,92 +44,85 @@ object DedupOps {
 
   private val K = 5            // shingle width (tokens)
   private val JaccardThreshold = 0.8
-  // MinHash family parameters (128 hashes, 32×4 banding) live with the
+
+  /** Max document frequency for a shingle to participate in candidate
+    * generation. Shingles above the cap are boilerplate (site chrome, legal
+    * footers, crawl templates): each contributes O(df²) candidate rows to
+    * the self-join while carrying no near-dup signal — at 100 TB a single
+    * hot shingle would otherwise manufacture billions of pairs on one
+    * reducer. True near-dup pairs (Jaccard ≥ 0.8) share mostly rare
+    * shingles, so the cap costs no recall in practice; every oracle SQL
+    * mirrors the cap so the contract stays engine-checkable. */
+  val DefaultDfCap = 256
+
+  // MinHash family parameters (128 hashes, 32×4 bands) live with the
   // codegen'd expression: graft.functions.MinHashBands
 
-  /** One row per doc: distinct 5-gram shingle hashes via the codegen'd
+  // ------------------------------------------------------------------
+  // Library surface (DataFrame => DataFrame)
+  // ------------------------------------------------------------------
+
+  /** One row per doc: distinct k-gram shingle hashes via the codegen'd
     * ShingleHashes expression — a single tight pass over the text per plan
     * branch, 8-byte downstream join keys instead of shingle strings. */
-  private def shingleHashes(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    Tables.fanout(Tables.documents(s, d)).select(col("doc_id"),
-      expr(s"shingle_hashes(text, $K)").as("hs"))
+  def shingleHashes(docs: DataFrame, k: Int = K): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    Tables.fanout(docs).select(col("doc_id"),
+      expr(s"shingle_hashes(text, $k)").as("hs"))
   }
 
-  /** Oracle fragment shared by the exact and MinHash paths: all pairs with
-    * 5-gram-shingle Jaccard >= 0.8, via an inverted shingle index. */
-  private val jaccardOracle: String =
-    s"""WITH tok AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts FROM documents),
-       |sh AS (SELECT doc_id, unnest(${Text.shinglesSql("ts", K)}) AS sh FROM tok),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |pairs AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT d1, d2,
-       |  round(inter / (s1.n + s2.n - inter), 4) AS jaccard
-       |FROM pairs
-       |JOIN sizes s1 ON s1.doc_id = d1
-       |JOIN sizes s2 ON s2.doc_id = d2
-       |WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold
-       |ORDER BY d1, d2""".stripMargin
-
-  /** q23a — exact dedup: md5 content hash → keep-first per group, plus a
-    * corpus summary row (the corpus has no exact dups, so the per-group
-    * output alone would be empty; the summary keeps the check meaningful). */
-  def exactDedup(s: SparkSession, d: String): DataFrame = {
-    val groups = Tables.documents(s, d)
-      .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("content_hash"))
-      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
-    groups.agg(
-        count(lit(1)).as("n_unique"),
-        sum(col("n_copies")).as("n_docs"),
-        sum(when(col("n_copies") > 1, 1).otherwise(0)).as("n_dup_groups"),
-        sum(col("n_copies") - 1).as("n_removed"))
-      .select(col("n_docs"), col("n_unique"), col("n_dup_groups"), col("n_removed"))
-  }
-  val exactDedupSql: String =
-    """WITH g AS (SELECT md5(text) AS content_hash, count(*) AS n_copies
-      |  FROM documents GROUP BY 1)
-      |SELECT CAST(sum(n_copies) AS BIGINT) AS n_docs, count(*) AS n_unique,
-      |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
-      |  CAST(sum(n_copies - 1) AS BIGINT) AS n_removed
-      |FROM g""".stripMargin
-
-  /** Exact Jaccard over the inverted shingle index (ground truth for the
-    * LSH path; itself a legitimate distributed near-dup operator).
+  /** The shared shingle→candidate-pair stage: all pairs of documents that
+    * share at least one shingle with document frequency in [2, dfCap], with
+    * their exact shingle-set Jaccard. Output: (d1, d2, n1, n2, inter, jac).
     *
-    * The shingle table feeds three plan branches (inverted index ×2 sides,
-    * sizes), so it is persisted — the 100 TB analog is materializing the
-    * signature table once before the self-join rather than re-scanning the
-    * corpus per branch. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val hs = shingleHashes(s, d).persist()
-    val sh = hs.select(col("doc_id"), explode(col("hs")).as("h"))
-    val sizes = hs.select(col("doc_id"), size(col("hs")).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    * Plan shape (the part that must survive 100×): shingle table persisted
+    * once; inverted index filtered by a df aggregation BEFORE the self-join
+    * (df=1 shingles — the overwhelming majority — cannot form a pair, and
+    * df>cap shingles would each contribute df² rows); per-doc set sizes are
+    * carried on the exploded rows so the pair aggregation emits
+    * (d1, d2, n1, n2, inter) directly — no size table joined or broadcast
+    * afterwards. One self-join + one aggregation, all keys 8-byte hashes.
+    *
+    * When the cap bites, `inter` counts only sub-cap shared shingles, i.e.
+    * Jaccard over non-boilerplate shingles — the quantity you actually want
+    * on crawl data, and what every oracle mirrors. */
+  def jaccardPairs(docs: DataFrame, k: Int = K,
+      dfCap: Int = DefaultDfCap): DataFrame = {
+    val hs = shingleHashes(docs, k).persist()
+    val sh = hs.select(col("doc_id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("h"))
+    val pairable = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select("h")
+    val shc = sh.join(pairable, "h")
+    shc.as("a").join(shc.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .groupBy(col("a.doc_id").as("d1"), col("a.n").as("n1"),
+        col("b.doc_id").as("d2"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("inter"))
-    val s1 = sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
-    val s2 = sizes.select(col("doc_id").as("d2"), col("n").as("n2"))
-    pairs.join(broadcast(s1), "d1").join(broadcast(s2), "d2")
       .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
-      .filter(col("jac") >= JaccardThreshold)
+  }
+
+  /** Near-dup pairs by exact n-gram-shingle Jaccard ≥ threshold (ground
+    * truth for the LSH path; itself a legitimate distributed near-dup
+    * operator). */
+  def ngramJaccard(docs: DataFrame, threshold: Double = JaccardThreshold,
+      k: Int = K, dfCap: Int = DefaultDfCap): DataFrame =
+    jaccardPairs(docs, k, dfCap)
+      .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
       .orderBy("d1", "d2")
-  }
 
-  /** q23b — MinHash + LSH banding: signature → band buckets → candidate
-    * pairs → exact-Jaccard verification. With 32×4 banding, P(miss) at
-    * j=0.8 is (1−0.8⁴)³² ≈ 5e-8, so the verified output equals the exact
-    * path (which is the oracle). */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
+  /** MinHash + LSH banding: signature → band buckets → candidate pairs →
+    * exact-Jaccard verification. With 32×4 banding, P(miss) at j=0.8 is
+    * (1−0.8⁴)³² ≈ 5e-8, so the verified output equals the exact path
+    * (which is the oracle). */
+  def minhashLsh(docs: DataFrame,
+      threshold: Double = JaccardThreshold, k: Int = K): DataFrame = {
     // The shingle table feeds the banding branch plus both verification
     // sides; persist it so the text is shingled once (at cluster scale this
     // is the materialized signature table).
-    val hs0 = shingleHashes(s, d).persist()
+    val hs0 = shingleHashes(docs, k).persist()
     // Per doc: 32 LSH band keys from the 128-component MinHash signature,
     // computed row-local by the codegen'd MinHashBands expression — the only
     // shuffles in the whole operator are the bucket self-join and the
@@ -138,65 +145,39 @@ object DedupOps {
         size(array_intersect(col("hs1"), col("hs2"))).as("inter"),
         size(col("hs1")).as("n1"), size(col("hs2")).as("n2"))
       .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
-      .filter(col("jac") >= JaccardThreshold)
+      .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
       .orderBy("d1", "d2")
   }
 
-  /** q23e — edit-distance near-dup verification: shingle-overlap candidates
-    * (Jaccard ≥ 0.5 prefilter — cheap, on the already-materialized hash
-    * sets) verified by relative Levenshtein distance ≤ 20% of the longer
+  /** Edit-distance near-dup verification: shingle-overlap candidates
+    * (Jaccard ≥ candThreshold prefilter, from the shared pair stage)
+    * verified by relative Levenshtein distance ≤ maxRelDist of the longer
     * text. The expensive O(len²) edit distance only ever runs on the
-    * candidate pairs, never the corpus cross product. */
-  def levenshteinDedup(s: SparkSession, d: String): DataFrame = {
-    val hs = shingleHashes(s, d).persist()
-    val sh = hs.select(col("doc_id"), explode(col("hs")).as("h"))
-    val sizes = hs.select(col("doc_id"), size(col("hs")).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    val s1 = sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
-    val s2 = sizes.select(col("doc_id").as("d2"), col("n").as("n2"))
-    val cand = pairs.join(broadcast(s1), "d1").join(broadcast(s2), "d2")
-      .filter(col("inter") / (col("n1") + col("n2") - col("inter")) >= 0.5)
+    * candidate pairs, never the corpus cross product (and the
+    * LevenshteinPrefilter rule injects a free length-difference guard). */
+  def levenshteinDedup(docs: DataFrame, maxRelDist: Double = 0.2,
+      candThreshold: Double = 0.5, k: Int = K,
+      dfCap: Int = DefaultDfCap): DataFrame = {
+    val cand = jaccardPairs(docs, k, dfCap)
+      .filter(col("jac") >= candThreshold)
       .select("d1", "d2")
-    val ta = Tables.documents(s, d).select(col("doc_id").as("d1"), col("text").as("ta"))
-    val tb = Tables.documents(s, d).select(col("doc_id").as("d2"), col("text").as("tb"))
+    val ta = docs.select(col("doc_id").as("d1"), col("text").as("ta"))
+    val tb = docs.select(col("doc_id").as("d2"), col("text").as("tb"))
     cand.join(ta, "d1").join(tb, "d2")
       .withColumn("ld", levenshtein(col("ta"), col("tb")))
-      .filter(col("ld") <= lit(0.2) * greatest(length(col("ta")), length(col("tb"))))
+      .filter(col("ld") <= lit(maxRelDist) * greatest(length(col("ta")), length(col("tb"))))
       .select(col("d1"), col("d2"), col("ld"))
       .orderBy("d1", "d2")
   }
-  val levenshteinDedupSql: String =
-    s"""WITH tok AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts FROM documents),
-       |sh AS (SELECT doc_id, unnest(${Text.shinglesSql("ts", K)}) AS sh FROM tok),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |pairs AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |cand AS (
-       |  SELECT d1, d2 FROM pairs
-       |  JOIN sizes s1 ON s1.doc_id = d1
-       |  JOIN sizes s2 ON s2.doc_id = d2
-       |  WHERE inter / (s1.n + s2.n - inter) >= 0.5)
-       |SELECT d1, d2, levenshtein(a.text, b.text) AS ld
-       |FROM cand
-       |JOIN documents a ON a.doc_id = d1
-       |JOIN documents b ON b.doc_id = d2
-       |WHERE levenshtein(a.text, b.text)
-       |  <= 0.2 * greatest(length(a.text), length(b.text))
-       |ORDER BY d1, d2""".stripMargin
 
-  /** q23c — SimHash near-dup (no SQL oracle: the 64-bit token hash is not
+  /** SimHash near-dup (no SQL oracle: the 64-bit token hash is not
     * reproducible in DuckDB; rows-only check + ScalaTest asserts it finds
     * every exact-duplicate pair). 64-bit fingerprint, banding on 4×16-bit
-    * chunks, hamming-distance ≤ 3 verification. */
-  def simhash(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    val fps = Tables.fanout(Tables.documents(s, d))
+    * chunks, hamming-distance ≤ maxHamming verification. */
+  def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val fps = Tables.fanout(docs)
       .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
     val chunks = fps.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
@@ -208,20 +189,21 @@ object DedupOps {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
       .orderBy("d1", "d2")
   }
 
-  /** q23d — embedding-cosine near-dup, blocked on `label`. Oracle uses the
-    * same sequential-double cosine formula as CosineSimilarity. */
-  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    val em = Tables.embeddings(s, d)
+  /** Embedding-cosine near-dup over `(vec_id, label, embedding)`, blocked
+    * on `label`. Oracle uses the same sequential-double cosine formula as
+    * CosineSimilarity. */
+  def embeddingNearDup(em: DataFrame,
+      threshold: Double = CosineThreshold): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
     val a = em.select(col("label"), col("vec_id").as("v1"), col("embedding").as("e1"))
     val b = em.select(col("label").as("label2"), col("vec_id").as("v2"), col("embedding").as("e2"))
     a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
       .withColumn("cos", expr("cosine_sim(e1, e2)"))
-      .filter(col("cos") >= CosineThreshold)
+      .filter(col("cos") >= threshold)
       .select(col("v1"), col("v2"), round(col("cos"), 4).as("cos"))
       .orderBy("v1", "v2")
   }
@@ -229,6 +211,167 @@ object DedupOps {
     * corpus tops out at ~0.47 same-label cosine, so 0.4 both exercises the
     * operator and sits >1e-4 from every pair (no float-boundary hazard). */
   private val CosineThreshold = 0.4
+
+  /** Connected components over an undirected pair graph `(d1, d2)` →
+    * one row per member node with its component's minimum id as `keeper`,
+    * via iterative min-label propagation. Rounds needed = component
+    * diameter (≤3 for real dup clusters; `maxIters` bounds pathological
+    * chains).
+    *
+    * Iteration hygiene (the part that must survive deep components): each
+    * round is ONE join + ONE aggregation, materialized through an eager
+    * `localCheckpoint()` — plan depth stays O(1) instead of growing by two
+    * joins per round, and superseded label levels are explicitly
+    * unpersisted, so memory is bounded by two label tables regardless of
+    * iteration count. Convergence is read off the checkpointed round
+    * itself (each row carries its previous label), a block-local count —
+    * no extra `isEmpty` recomputation. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // Track exactly the RDD blocks each localCheckpoint pins so superseded
+    // levels can be dropped deterministically (public-API alternative to
+    // reaching into LogicalRDD internals).
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint() // eager: materializes the round
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def drop(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+    val (edges, edgeIds) = checkpointed(
+      pairs.select(col("d1"), col("d2")).unionByName(
+        pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
+    var (labels, labelIds) = checkpointed(
+      edges.select(col("d1").as("id")).distinct().withColumn("lab", col("id")))
+    var iter = 0
+    var converged = labels.isEmpty // cheap: checkpointed local blocks
+    while (iter < maxIters && !converged) {
+      // min label among neighbors, folded with own label; previous label
+      // rides along so convergence is read from this round's blocks
+      val nbrMin = edges.join(labels, edges("d2") === labels("id"))
+        .groupBy(edges("d1").as("id")).agg(min(col("lab")).as("nbr_lab"))
+      val (next, ids) = checkpointed(labels.join(nbrMin, "id")
+        .select(col("id"), least(col("lab"), col("nbr_lab")).as("lab"),
+          col("lab").as("old_lab")))
+      converged = next.filter(col("lab") =!= col("old_lab")).count() == 0
+      drop(labelIds)
+      labels = next.select("id", "lab")
+      labelIds = ids
+      iter += 1
+    }
+    drop(edgeIds) // the final labels are self-contained checkpoint blocks
+    labels.select(col("id").as("doc_id"), col("lab").as("keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** Dedup resolution: the near-dup pair graph collapsed to one canonical
+    * keeper (min doc_id) per connected component. This is the operator you
+    * actually run at 100 TB: emitting all O(k²) pairs of a k-way dup group
+    * (what the pair queries do) is fine for auditing but quadratic in
+    * group size; the keeper assignment is linear. */
+  def dedupKeeper(docs: DataFrame, threshold: Double = JaccardThreshold,
+      k: Int = K, dfCap: Int = DefaultDfCap, maxIters: Int = 15): DataFrame =
+    connectedComponents(
+      jaccardPairs(docs, k, dfCap).filter(col("jac") >= threshold)
+        .select("d1", "d2"),
+      maxIters)
+
+  /** Exact dedup: md5 content hash → keep-first per group, plus a corpus
+    * summary row (the corpus has no exact dups, so the per-group output
+    * alone would be empty; the summary keeps the check meaningful). */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val groups = docs
+      .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+    groups.agg(
+        count(lit(1)).as("n_unique"),
+        sum(col("n_copies")).as("n_docs"),
+        sum(when(col("n_copies") > 1, 1).otherwise(0)).as("n_dup_groups"),
+        sum(col("n_copies") - 1).as("n_removed"))
+      .select(col("n_docs"), col("n_unique"), col("n_dup_groups"), col("n_removed"))
+  }
+
+  // ------------------------------------------------------------------
+  // Oracle SQL (DuckDB twins, mirroring the df-cap exactly)
+  // ------------------------------------------------------------------
+
+  /** Shared pair-stage CTEs. `capClause` mirrors the Spark df filter:
+    * df ≥ 2 always (a df=1 shingle cannot form a pair — pure optimization,
+    * zero semantic change), plus the boilerplate cap where the Spark path
+    * applies one. */
+  private def pairsCte(capped: Boolean): String = {
+    val capClause = if (capped) s"df BETWEEN 2 AND $DefaultDfCap" else "df >= 2"
+    s"""tok AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts FROM documents),
+       |sh AS (SELECT doc_id, unnest(${Text.shinglesSql("ts", K)}) AS sh FROM tok),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |freq AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) f
+       |  WHERE $capClause),
+       |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN freq f ON f.sh = s.sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, s1.n AS n1, b.doc_id AS d2, s2.n AS n2,
+       |    count(*) AS inter
+       |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN sizes s1 ON s1.doc_id = a.doc_id
+       |  JOIN sizes s2 ON s2.doc_id = b.doc_id
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+  }
+
+  /** Exact-Jaccard oracle for the df-capped shared pair stage. */
+  private val jaccardOracle: String =
+    s"""WITH ${pairsCte(capped = true)}
+       |SELECT d1, d2,
+       |  round(inter / (n1 + n2 - inter), 4) AS jaccard
+       |FROM pairs
+       |WHERE inter / (n1 + n2 - inter) >= $JaccardThreshold
+       |ORDER BY d1, d2""".stripMargin
+
+  /** The MinHash path generates candidates by banding (no df logic), so its
+    * oracle is the UNcapped exact Jaccard. At tested scale factors the cap
+    * never binds (max observed df is 4), so both oracles agree — asserted
+    * by the ngram-vs-minhash equivalence test in LlmOpsSpec. */
+  private val jaccardOracleUncapped: String =
+    s"""WITH ${pairsCte(capped = false)}
+       |SELECT d1, d2,
+       |  round(inter / (n1 + n2 - inter), 4) AS jaccard
+       |FROM pairs
+       |WHERE inter / (n1 + n2 - inter) >= $JaccardThreshold
+       |ORDER BY d1, d2""".stripMargin
+
+  val exactDedupSql: String =
+    """WITH g AS (SELECT md5(text) AS content_hash, count(*) AS n_copies
+      |  FROM documents GROUP BY 1)
+      |SELECT CAST(sum(n_copies) AS BIGINT) AS n_docs, count(*) AS n_unique,
+      |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+      |  CAST(sum(n_copies - 1) AS BIGINT) AS n_removed
+      |FROM g""".stripMargin
+
+  val levenshteinDedupSql: String =
+    s"""WITH ${pairsCte(capped = true)},
+       |cand AS (
+       |  SELECT d1, d2 FROM pairs
+       |  WHERE inter / (n1 + n2 - inter) >= 0.5)
+       |SELECT d1, d2, levenshtein(a.text, b.text) AS ld
+       |FROM cand
+       |JOIN documents a ON a.doc_id = d1
+       |JOIN documents b ON b.doc_id = d2
+       |WHERE levenshtein(a.text, b.text)
+       |  <= 0.2 * greatest(length(a.text), length(b.text))
+       |ORDER BY d1, d2""".stripMargin
+
+  val dedupKeeperSql: String =
+    s"""WITH RECURSIVE ${pairsCte(capped = true)},
+       |np AS (
+       |  SELECT d1, d2 FROM pairs
+       |  WHERE inter / (n1 + n2 - inter) >= $JaccardThreshold),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM np
+       |  UNION ALL SELECT d2, d1 FROM np),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, least(src, min(dst)) AS keeper
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   val embeddingNearDupSql: String =
     """WITH n AS (SELECT vec_id, label, embedding,
@@ -248,64 +391,30 @@ object DedupOps {
       |    (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY v1, v2""".stripMargin
 
-  /** q23f — dedup resolution: the near-dup pair graph collapsed to one
-    * canonical keeper (min doc_id) per connected component, via iterative
-    * min-label propagation — each round is one join + one aggregation, and
-    * rounds needed = component diameter (≤3 for real dup clusters, capped
-    * at 15 with an early-convergence check). This is the operator you
-    * actually run at 100 TB: emitting all O(k²) pairs of a k-way dup group
-    * (what the pair queries do) is fine for auditing but quadratic in
-    * group size; the keeper assignment is linear. */
-  def dedupKeeper(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccard(s, d).select(col("d1"), col("d2"))
-    val edges = pairs.unionByName(
-      pairs.select(col("d2").as("d1"), col("d1").as("d2"))).persist()
-    var labels = edges.select(col("d1").as("id")).distinct()
-      .withColumn("lab", col("id")).persist()
-    var iter = 0
-    var converged = false
-    while (iter < 15 && !converged) {
-      val nbrMin = edges.join(labels, edges("d2") === labels("id"))
-        .groupBy(col("d1").as("id")).agg(min(col("lab")).as("nbr_lab"))
-      val next = labels.join(nbrMin, "id")
-        .select(col("id"), least(col("lab"), col("nbr_lab")).as("lab"))
-        .persist()
-      converged = next.join(labels.withColumnRenamed("lab", "old_lab"), "id")
-        .filter(col("lab") =!= col("old_lab")).isEmpty
-      labels = next
-      iter += 1
-    }
-    labels.select(col("id").as("doc_id"), col("lab").as("keeper"))
-      .orderBy("doc_id")
-  }
-  val dedupKeeperSql: String =
-    s"""WITH RECURSIVE tok AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts FROM documents),
-       |sh AS (SELECT doc_id, unnest(${Text.shinglesSql("ts", K)}) AS sh FROM tok),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |p AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |pairs AS (
-       |  SELECT d1, d2 FROM p
-       |  JOIN sizes s1 ON s1.doc_id = d1
-       |  JOIN sizes s2 ON s2.doc_id = d2
-       |  WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold),
-       |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-       |  UNION ALL SELECT d2, d1 FROM pairs),
-       |reach(src, dst) AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-       |SELECT src AS doc_id, least(src, min(dst)) AS keeper
-       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+  // ------------------------------------------------------------------
+  // Registry adapters (fixture tables → library calls)
+  // ------------------------------------------------------------------
 
   val all: Seq[(String, QFn, Option[String])] = Seq(
-    ("q23_dedup_exact", exactDedup _, Some(exactDedupSql)),
-    ("q23_dedup_ngram_jaccard", ngramJaccard _, Some(jaccardOracle)),
-    ("q23_dedup_minhash_lsh", minhashLsh _, Some(jaccardOracle)),
-    ("q23_dedup_simhash", simhash _, None),
-    ("q23_dedup_levenshtein", levenshteinDedup _, Some(levenshteinDedupSql)),
-    ("q23_dedup_keeper", dedupKeeper _, Some(dedupKeeperSql)),
-    ("q23_dedup_embedding", embeddingNearDup _, Some(embeddingNearDupSql)))
+    ("q23_dedup_exact",
+      (s: SparkSession, d: String) => exactDedup(Tables.documents(s, d)),
+      Some(exactDedupSql)),
+    ("q23_dedup_ngram_jaccard",
+      (s: SparkSession, d: String) => ngramJaccard(Tables.documents(s, d)),
+      Some(jaccardOracle)),
+    ("q23_dedup_minhash_lsh",
+      (s: SparkSession, d: String) => minhashLsh(Tables.documents(s, d)),
+      Some(jaccardOracleUncapped)),
+    ("q23_dedup_simhash",
+      (s: SparkSession, d: String) => simhash(Tables.documents(s, d)),
+      None),
+    ("q23_dedup_levenshtein",
+      (s: SparkSession, d: String) => levenshteinDedup(Tables.documents(s, d)),
+      Some(levenshteinDedupSql)),
+    ("q23_dedup_keeper",
+      (s: SparkSession, d: String) => dedupKeeper(Tables.documents(s, d)),
+      Some(dedupKeeperSql)),
+    ("q23_dedup_embedding",
+      (s: SparkSession, d: String) => embeddingNearDup(Tables.embeddings(s, d)),
+      Some(embeddingNearDupSql)))
 }

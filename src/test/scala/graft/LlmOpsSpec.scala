@@ -27,7 +27,9 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(self - 1.0) < 1e-12)
   }
 
-  /** documents-shaped frame with injected near-duplicates. */
+  /** documents-shaped frame with injected near-duplicates — handed to the
+    * library ops directly (the `DataFrame => DataFrame` contract: no
+    * fixture tables involved). */
   private def docsWithDups = {
     import spark.implicits._
     // ~100 distinct tokens: one replaced token changes 5 of ~96 shingles,
@@ -46,45 +48,59 @@ class LlmOpsSpec extends SparkSpec {
       .withColumn("n_chars", length(col("text")))
   }
 
-  private def withDocs[T](df: org.apache.spark.sql.DataFrame)(body: String => T): T = {
-    val dir = java.nio.file.Files.createTempDirectory("docs").toString
-    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    body(dir)
+  test("ngram Jaccard on a hand-built DataFrame finds exact and near dups") {
+    val pairs = DedupOps.ngramJaccard(docsWithDups)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toString)
   }
 
   test("MinHash-LSH finds injected exact and near duplicates") {
-    withDocs(docsWithDups) { dir =>
-      val pairs = DedupOps.minhashLsh(spark, dir)
-        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(pairs.contains((1L, 2L)), s"exact dup pair missing from $pairs")
-      assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
-        s"near dup pairs missing from $pairs")
-      assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
-    }
+    val pairs = DedupOps.minhashLsh(docsWithDups)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing from $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"near dup pairs missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
   test("MinHash-LSH agrees with exact n-gram Jaccard on the corpus") {
-    val exact = DedupOps.ngramJaccard(spark, sf0001).collect().toSeq
-    val lsh = DedupOps.minhashLsh(spark, sf0001).collect().toSeq
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val exact = DedupOps.ngramJaccard(docs).collect().toSeq
+    val lsh = DedupOps.minhashLsh(docs).collect().toSeq
     assert(lsh == exact)
   }
 
   test("SimHash flags exact duplicates at hamming distance 0") {
-    withDocs(docsWithDups) { dir =>
-      val rows = DedupOps.simhash(spark, dir)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-      assert(rows.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 0),
-        s"exact dup must have hamming 0: $rows")
-    }
+    val rows = DedupOps.simhash(docsWithDups)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 0),
+      s"exact dup must have hamming 0: $rows")
   }
 
   test("dedup keeper assigns one canonical min-id per near-dup component") {
-    withDocs(docsWithDups) { dir =>
-      val keepers = DedupOps.dedupKeeper(spark, dir)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      // docs 1,2,3 form one near-dup component; 4 and 5 are not in any pair
-      assert(keepers == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), keepers.toString)
-    }
+    val keepers = DedupOps.dedupKeeper(docsWithDups)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1,2,3 form one near-dup component; 4 and 5 are not in any pair
+    assert(keepers == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), keepers.toString)
+  }
+
+  test("connected components: deep chain converges with O(1) plan depth") {
+    import spark.implicits._
+    // path graph 0-1-2-...-11: min-label propagation needs 11 rounds (one
+    // hop per round) — deep enough that un-checkpointed lineage would show
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    val cc = DedupOps.connectedComponents(pairs, maxIters = 15)
+    val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 11L).map(_ -> 0L).toMap, got.toString)
+    // iteration hygiene: the result plan is a sort over checkpointed blocks
+    // (constant depth), not 11 rounds of stacked joins
+    val planLines = cc.queryExecution.optimizedPlan.toString.linesIterator.size
+    assert(planLines <= 10, s"keeper plan grew with iterations ($planLines lines)")
+    // superseded label levels + edges were unpersisted: only the final
+    // labels level may newly remain pinned
+    val delta = spark.sparkContext.getPersistentRDDs.size - pinnedBefore
+    assert(delta <= 1, s"$delta new RDDs still pinned after CC — level leak")
   }
 
   test("simhash64 expression equals the explode-based DataFrame formulation") {
