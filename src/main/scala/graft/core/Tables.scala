@@ -15,16 +15,36 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Memoized per (session, path): re-running a query skips file listing and
-    * footer/schema resolution — the single-node analog of a catalog with
-    * cached table metadata. The cached value is only the analyzed logical
-    * plan; no data is pinned. */
+  /** Memoized per (session, path, file mtime): re-running a query skips
+    * file listing and footer/schema resolution — the single-node analog of
+    * a catalog with cached table metadata. The cached value is only the
+    * analyzed logical plan; no data is pinned.
+    *
+    * The mtime in the key invalidates naturally when a caller overwrites a
+    * parquet path within the same session (fixture regen, Stress-style
+    * rewrites) — the stale file index would otherwise yield wrong results
+    * or FileNotFoundException. Entries of stopped sessions and superseded
+    * mtimes are swept on each load so the map cannot pin dead sessions. */
+  private case class TableKey(session: SparkSession, path: String, mtime: Long)
   private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[TableKey, DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    planCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      { case (s, p) => s.read.parquet(p) })
+  private def mtimeOf(path: String): Long =
+    try java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path))
+      .toMillis
+    catch { case _: Exception => -1L }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val key = TableKey(spark, path, mtimeOf(path))
+    planCache.keySet.removeIf(k =>
+      k.session.sparkContext.isStopped ||
+        (k.path == path && (k.session eq spark) && k != key))
+    planCache.computeIfAbsent(key, k => k.session.read.parquet(k.path))
+  }
+
+  /** Drop all memoized plans (for writers that restructure fixture dirs). */
+  def clearPlanCache(): Unit = planCache.clear()
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -15,7 +15,9 @@ import org.apache.spark.sql.expressions.Aggregator
   * happens once, in double, at the end — deterministic for both engines.
   */
 case class MomentsBuf(n: Long, sum: BigDecimal, sumSq: BigDecimal)
-case class MomentsOut(n: Long, mean: Double, varSamp: Double)
+/** varSamp is None (SQL NULL) for n < 2 — matching `var_samp` semantics,
+  * so a 1-row group cannot diverge from an engine that returns NULL. */
+case class MomentsOut(n: Long, mean: Double, varSamp: Option[Double])
 
 object ExactMoments extends Aggregator[Double, MomentsBuf, MomentsOut] {
   type Buf = MomentsBuf
@@ -32,12 +34,13 @@ object ExactMoments extends Aggregator[Double, MomentsBuf, MomentsOut] {
     MomentsBuf(a.n + b.n, a.sum + b.sum, a.sumSq + b.sumSq)
 
   def finish(b: Buf): Out =
-    if (b.n < 2) MomentsOut(b.n, if (b.n == 0) 0.0 else (b.sum / b.n).toDouble, 0.0)
+    if (b.n < 2) MomentsOut(b.n, if (b.n == 0) 0.0 else (b.sum / b.n).toDouble, None)
     else {
       // var_samp = (n·Σx² − (Σx)²) / (n·(n−1)), numerator kept exact.
       val num = b.sumSq * b.n - b.sum * b.sum
       val den = BigDecimal(b.n) * (b.n - 1)
-      MomentsOut(b.n, b.sum.toDouble / b.n.toDouble, num.toDouble / den.toDouble)
+      MomentsOut(b.n, b.sum.toDouble / b.n.toDouble,
+        Some(num.toDouble / den.toDouble))
     }
 
   def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]

@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.IntegerType
 
 /** `spark.sql.extensions` entry point: registers graft's custom Catalyst
   * expressions in every session built with this extension — the idiomatic
@@ -29,7 +30,16 @@ object GraftExtensions {
     ("minhash_bands", classOf[MinHashBands].getName,
       exprs => MinHashBands(exprs(0))),
     ("shingle_hashes", classOf[ShingleHashes].getName,
-      exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int])),
+      // k must be resolvable at analysis time; a clean AnalysisException
+      // beats the ClassCastException a blind eval() would throw from deep
+      // inside resolution for SQL users passing a column here
+      exprs => exprs(1) match {
+        case e if e.foldable && e.dataType == IntegerType && e.eval() != null =>
+          ShingleHashes(exprs(0), e.eval().asInstanceOf[Int])
+        case _ => throw new AnalysisException("NON_FOLDABLE_ARGUMENT",
+          Map("funcName" -> "`shingle_hashes`", "paramName" -> "`k`",
+            "paramType" -> "\"INT\""))
+      }),
     ("simhash64", classOf[SimHash64].getName,
       exprs => SimHash64(exprs(0))))
 }

@@ -32,9 +32,17 @@ object Salting {
 
   /** Salted equi-join: spread `fact`'s hot join keys over `nSalts` copies
     * of the matching `small` rows. Join condition becomes
-    * (key, salt) = (key, salt). */
+    * (key, salt) = (key, salt).
+    *
+    * Only fact-side-preserving join types are legal: the small side is
+    * exploded `nSalts`×, so right/full-outer (and right-semi/anti) would
+    * emit every unmatched small row `nSalts` times. */
   def saltedJoin(fact: DataFrame, small: DataFrame, factKey: String,
       smallKey: String, nSalts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got '$joinType': " +
+        "the exploded small side would duplicate unmatched right-side rows")
     val salted = fact.withColumn("_salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(nSalts)))
     val exploded = small

@@ -28,16 +28,23 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] {
   }
 
   private def guardFor(cond: Expression): Option[Expression] = cond match {
-    case LessThanOrEqual(Levenshtein(a, b, None), t) if isCheap(t) =>
+    case LessThanOrEqual(Levenshtein(a, b, None), t) if guardable(a, b, t) =>
       Some(LessThanOrEqual(lenDiff(a, b, t), t))
-    case LessThan(Levenshtein(a, b, None), t) if isCheap(t) =>
+    case LessThan(Levenshtein(a, b, None), t) if guardable(a, b, t) =>
       Some(LessThan(lenDiff(a, b, t), t))
-    case GreaterThanOrEqual(t, Levenshtein(a, b, None)) if isCheap(t) =>
+    case GreaterThanOrEqual(t, Levenshtein(a, b, None)) if guardable(a, b, t) =>
       Some(GreaterThanOrEqual(t, lenDiff(a, b, t)))
-    case GreaterThan(t, Levenshtein(a, b, None)) if isCheap(t) =>
+    case GreaterThan(t, Levenshtein(a, b, None)) if guardable(a, b, t) =>
       Some(GreaterThan(t, lenDiff(a, b, t)))
     case _ => None
   }
+
+  /** The guard re-evaluates a and b (via length): a nondeterministic
+    * operand would see different values in the guard and the predicate —
+    * a semantic change, not just wasted work — so both must be
+    * deterministic, and the threshold cheap to evaluate twice. */
+  private def guardable(a: Expression, b: Expression, t: Expression): Boolean =
+    a.deterministic && b.deterministic && isCheap(t)
 
   /** Only guard when the threshold side is cheap to evaluate twice. */
   private def isCheap(e: Expression): Boolean = e match {
