@@ -17,7 +17,8 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.q03Agg(spark, "/root/testdata/sf0.001")
+    RelationalQueries.q03Agg(
+      graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

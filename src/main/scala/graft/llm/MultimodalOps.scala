@@ -12,6 +12,10 @@ import graft.core.Tables
   * plumbing, per-partition batch processing, frame sampling — is real and
   * hash-checked. At cluster scale the decode stub is the only thing to
   * swap (per-partition JNI/codec call inside mapPartitions).
+  *
+  * Library surface: `DataFrame => DataFrame` over any frame with
+  * `(doc_id: long, text: string)` — the payload column is derived from
+  * `text` bytes here; a real corpus supplies its own binary column.
   */
 object MultimodalOps {
   type QFn = (SparkSession, String) => DataFrame
@@ -40,10 +44,10 @@ object MultimodalOps {
 
   /** q26 — binary ingestion + per-partition decode + metadata projection.
     * Payload = utf-8 bytes of `text` (stands in for image/audio bytes). */
-  def mediaMeta(s: SparkSession, d: String): DataFrame = {
-    val spark = s
+  def mediaMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val withPayload = Tables.documents(s, d)
+    val withPayload = docs
       .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))
       .as[(Long, Array[Byte])]
     // mapPartitions: decode is batched per partition (the real-codec shape —
@@ -65,8 +69,8 @@ object MultimodalOps {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q26b — frame sampling as a generator: one row per sampled frame. */
-  def frameSample(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  def frameSample(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         octet_length(to_binary(col("text"), lit("utf-8"))).as("blen"))
       .withColumn("n_frames", (lit(1) + col("blen") % 30).cast("int"))
@@ -83,8 +87,8 @@ object MultimodalOps {
     * encoder). The scale factor and output dims are pure double arithmetic
     * over the decoded metadata — the actual pixel resample belongs in the
     * same per-partition codec stub as the decode. */
-  def resizePlan(s: SparkSession, d: String): DataFrame = {
-    val decoded = mediaMeta(s, d)
+  def resizePlan(docs: DataFrame): DataFrame = {
+    val decoded = mediaMeta(docs)
     val longest = greatest(col("width"), col("height"))
     val scale = when(longest > 224, lit(224.0) / longest.cast("double"))
       .otherwise(lit(1.0))
@@ -127,12 +131,12 @@ object MultimodalOps {
     * the decode), then scored against a fixed reference vector with the
     * codegen'd cosine expression — the join point between the multimodal
     * plumbing and the similarity stack. */
-  def features(s: SparkSession, d: String): DataFrame = {
-    val spark = s
+  def features(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    graft.functions.GraftFunctions.register(s)
+    graft.functions.GraftFunctions.register(spark)
     val refVec = Array.fill(8)(0.5f)
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => (id, featureStub(bytes)) })
@@ -160,9 +164,12 @@ object MultimodalOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  private def onDocs(f: DataFrame => DataFrame): QFn =
+    (s, d) => f(Tables.documents(s, d))
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
-    ("q26_media_meta", mediaMeta _, Some(mediaMetaSql)),
-    ("q26_frame_sample", frameSample _, Some(frameSampleSql)),
-    ("q26_resize", resizePlan _, Some(resizePlanSql)),
-    ("q26_features", features _, Some(featuresSql)))
+    ("q26_media_meta", onDocs(mediaMeta), Some(mediaMetaSql)),
+    ("q26_frame_sample", onDocs(frameSample), Some(frameSampleSql)),
+    ("q26_resize", onDocs(resizePlan), Some(resizePlanSql)),
+    ("q26_features", onDocs(features), Some(featuresSql)))
 }

@@ -4,17 +4,21 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
-/** Text-analysis operators over `documents` — SURVEY.md §2b Q25 plus the
-  * training-pipeline extensions (language ID, quality scoring, token
+/** Text-analysis operators over document corpora — SURVEY.md §2b Q25 plus
+  * the training-pipeline extensions (language ID, quality scoring, token
   * counting, fingerprinting). All are narrow scans + one aggregation —
   * they stream at any scale.
+  *
+  * Library surface: `DataFrame => DataFrame` over a frame with the
+  * `documents` shape (`doc_id, text, lang, source, n_chars` as each op
+  * requires); the registry entries adapt the fixture tables.
   */
 object TextOps {
   type QFn = (SparkSession, String) => DataFrame
 
   /** q25a — language distribution + char stats. */
-  def langDist(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  def langDist(docs: DataFrame): DataFrame =
+    docs
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 2).as("avg_chars"),
         sum(col("n_chars")).as("sum_chars"))
@@ -25,8 +29,8 @@ object TextOps {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** q25b — per-source stats. */
-  def sourceStats(s: SparkSession, d: String): DataFrame =
-    Tables.fanout(Tables.documents(s, d))
+  def sourceStats(docs: DataFrame): DataFrame =
+    Tables.fanout(docs)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 2).as("avg_chars"),
         sum(size(Text.tokens(col("text")))).as("sum_tokens"))
@@ -37,8 +41,8 @@ object TextOps {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   /** q25c — top-20 terms after stopword filter (count desc, term asc). */
-  def topTerms(s: SparkSession, d: String): DataFrame =
-    Tables.fanout(Tables.documents(s, d))
+  def topTerms(docs: DataFrame): DataFrame =
+    Tables.fanout(docs)
       .select(explode(Text.tokens(col("text"))).as("term"))
       .filter(!col("term").isin(Text.stopwords: _*))
       .groupBy(col("term"))
@@ -53,11 +57,11 @@ object TextOps {
 
   /** q25d — token counting: whitespace tokens + a BPE-ish regex token
     * count (letters / digits / single punctuation marks). */
-  def tokenCounts(s: SparkSession, d: String): DataFrame = {
+  def tokenCounts(docs: DataFrame): DataFrame = {
     val wsToks = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
     val bpeToks = size(expr(
       "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
-    Tables.fanout(Tables.documents(s, d))
+    Tables.fanout(docs)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(wsToks).as("sum_ws_tokens"),
@@ -72,7 +76,7 @@ object TextOps {
 
   /** q25e — heuristic quality score per doc: length, stopword ratio,
     * alphabetic ratio (identical double math on both engines). */
-  def qualityScore(s: SparkSession, d: String): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame = {
     val toks = Text.tokens(col("text"))
     val nToks = size(toks)
     val nStop = size(filter(toks, t => t.isin(Text.stopwords: _*)))
@@ -81,7 +85,7 @@ object TextOps {
     val lenScore = least(col("n_chars").cast("double") / 500.0, lit(1.0))
     val stopRatio = when(nToks > 0, nStop.cast("double") / nToks.cast("double"))
       .otherwise(lit(0.0))
-    Tables.fanout(Tables.documents(s, d))
+    Tables.fanout(docs)
       .select(col("doc_id"),
         round(lenScore * 0.3 + stopRatio * 0.4 + alphaRatio * 0.3, 4).as("quality"))
       .orderBy("doc_id")
@@ -108,7 +112,7 @@ object TextOps {
     "es" -> Seq("el", "la", "de", "que", "los", "una"),
     "fr" -> Seq("le", "la", "et", "les", "des", "est"))
 
-  def langId(s: SparkSession, d: String): DataFrame = {
+  def langId(docs: DataFrame): DataFrame = {
     val toks = Text.tokens(col("text"))
     val scores = markers.map { case (lg, ws) =>
       lg -> size(array_intersect(toks, array(ws.map(lit): _*)))
@@ -118,7 +122,7 @@ object TextOps {
       when(sc === best && best > 0, lg).otherwise(acc)
     }
     // foldRight gives de > en > es > fr priority on ties (alphabetical).
-    Tables.fanout(Tables.documents(s, d))
+    Tables.fanout(docs)
       .select(pred.as("pred_lang"))
       .groupBy("pred_lang").agg(count(lit(1)).as("n"))
       .orderBy("pred_lang")
@@ -141,8 +145,8 @@ object TextOps {
 
   /** q25g — normalized-content fingerprint (md5 of canonical token join):
     * catches case/whitespace/punctuation-variant duplicates. */
-  def fingerprint(s: SparkSession, d: String): DataFrame =
-    Tables.fanout(Tables.documents(s, d))
+  def fingerprint(docs: DataFrame): DataFrame =
+    Tables.fanout(docs)
       .select(col("doc_id"),
         md5(to_binary(concat_ws(" ", Text.tokens(col("text"))), lit("utf-8"))).as("fp"))
       .groupBy(col("fp"))
@@ -161,11 +165,11 @@ object TextOps {
     * md5 and the fold is `(acc*31 + h) mod (1e9+7)` — both chosen to be
     * bit-identical in DuckDB (no engine-specific hash, no 64-bit overflow,
     * intermediates stay under 2^61) so the operator is oracle-checkable. */
-  def rollingFingerprint(s: SparkSession, d: String): DataFrame = {
+  def rollingFingerprint(docs: DataFrame): DataFrame = {
     val P = 1000000007L
     def tokHash(t: Column): Column =
       conv(substring(md5(to_binary(t, lit("utf-8"))), 1, 15), 16, 10).cast("long")
-    Tables.fanout(Tables.documents(s, d))
+    Tables.fanout(docs)
       .select(col("doc_id"),
         aggregate(transform(Text.tokens(col("text")), tokHash(_)),
           lit(0L), (acc, h) => (acc * 31 + h) % P).as("rfp"))
@@ -189,14 +193,14 @@ object TextOps {
     * of 3-gram occurrences that are duplicates of an earlier occurrence;
     * aggregated per lang. Pure list arithmetic — `1 − distinct/total` —
     * identical in both engines. */
-  def repetition(s: SparkSession, d: String): DataFrame = {
+  def repetition(docs: DataFrame): DataFrame = {
     val toks = Text.tokens(col("text"))
     val total = when(size(toks) >= 3, size(toks) - 2).otherwise(0)
     val distinctN = size(Text.shingles(toks, 3)) // shingles() dedups
     val dupFrac = when(total > 0,
       lit(1.0) - distinctN.cast("double") / total.cast("double"))
       .otherwise(lit(0.0))
-    Tables.fanout(Tables.documents(s, d))
+    Tables.fanout(docs)
       .select(col("lang"), dupFrac.as("df"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -224,8 +228,8 @@ object TextOps {
     * integer count by one ln of an exact integer ratio — no accumulated
     * float summation, so both engines produce bit-identical doubles and
     * the ranking is deterministic (ties broken by term). */
-  def tfidf(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.fanout(Tables.documents(s, d))
+  def tfidf(docs0: DataFrame): DataFrame = {
+    val docs = Tables.fanout(docs0)
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_total"))
     val terms = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
@@ -254,15 +258,18 @@ object TextOps {
        |LIMIT 15""".stripMargin
   }
 
+  private def onDocs(f: DataFrame => DataFrame): QFn =
+    (s, d) => f(Tables.documents(s, d))
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
-    ("q25_lang_dist", langDist _, Some(langDistSql)),
-    ("q25_source_stats", sourceStats _, Some(sourceStatsSql)),
-    ("q25_top_terms", topTerms _, Some(topTermsSql)),
-    ("q25_token_counts", tokenCounts _, Some(tokenCountsSql)),
-    ("q25_quality_score", qualityScore _, Some(qualityScoreSql)),
-    ("q25_lang_id", langId _, Some(langIdSql)),
-    ("q25_fingerprint", fingerprint _, Some(fingerprintSql)),
-    ("q25_rolling_fingerprint", rollingFingerprint _, Some(rollingFingerprintSql)),
-    ("q25_repetition", repetition _, Some(repetitionSql)),
-    ("q25_tfidf", tfidf _, Some(tfidfSql)))
+    ("q25_lang_dist", onDocs(langDist), Some(langDistSql)),
+    ("q25_source_stats", onDocs(sourceStats), Some(sourceStatsSql)),
+    ("q25_top_terms", onDocs(topTerms), Some(topTermsSql)),
+    ("q25_token_counts", onDocs(tokenCounts), Some(tokenCountsSql)),
+    ("q25_quality_score", onDocs(qualityScore), Some(qualityScoreSql)),
+    ("q25_lang_id", onDocs(langId), Some(langIdSql)),
+    ("q25_fingerprint", onDocs(fingerprint), Some(fingerprintSql)),
+    ("q25_rolling_fingerprint", onDocs(rollingFingerprint), Some(rollingFingerprintSql)),
+    ("q25_repetition", onDocs(repetition), Some(repetitionSql)),
+    ("q25_tfidf", onDocs(tfidf), Some(tfidfSql)))
 }

@@ -8,39 +8,57 @@ import graft.functions.ExactMoments
 
 /** Operators beyond the SURVEY §2b core set: as-of join, pivot, exact
   * percentiles, and a typed-Aggregator UDAF. Each has a DuckDB oracle.
+  *
+  * Library surface: `DataFrame => DataFrame` (the as-of join is fully
+  * generic over any probe/quote pair); the registry entries at the bottom
+  * adapt the fixture tables.
   */
 object AdvancedQueries {
   type QFn = (SparkSession, String) => DataFrame
 
-  /** q27a — as-of join: attach to every event the value of the same user's
-    * most recent purchase at-or-before the event's timestamp.
+  /** Generic as-of join: attach to every `probe` row the `valueCol` of the
+    * same key's most recent `quotes` row at-or-before the probe's
+    * timestamp, as `outCol`. All probe columns are preserved.
     *
-    * Implemented the scale-correct way: no range join, no per-row subquery.
-    * Tag the (pre-aggregated) purchase stream side=0 and the probe stream
-    * side=1, union, and take `last(pv, ignoreNulls)` over a
-    * (user_id) × (ts, side) running window — one shuffle on user_id, one
-    * sort, linear in input. Purchases are pre-aggregated per (user, ts)
-    * (max value) so the as-of match is unique and tie-free in both engines.
-    * DuckDB expresses the same operator natively as ASOF LEFT JOIN.
-    */
-  def q27AsofJoin(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    val purchases = ev.filter(col("event_type") === "purchase")
+    * Implemented the scale-correct way: no range join, no per-row
+    * subquery. Tag quotes side=0 and probes side=1, union, and take
+    * `last(value, ignoreNulls)` over a (key) × (ts, side) running window —
+    * one shuffle on the key, one sort, linear in input. Ties at equal ts
+    * resolve quote-before-probe, i.e. the inclusive `quote.ts <= probe.ts`
+    * contract. `quotes` must be unique per (key, ts) for a deterministic
+    * match — pre-aggregate if not. */
+  def asofJoin(probe: DataFrame, quotes: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, outCol: String = "asof_value"): DataFrame = {
+    require(!probe.columns.contains(valueCol),
+      s"probe already has a column named '$valueCol'; rename the quote value")
+    val valueType = quotes.schema(valueCol).dataType
+    val quoteSide = probe.columns.foldLeft(
+      quotes.select(col(keyCol), col(tsCol), lit(0).as("_side"),
+        col(valueCol).as("_qv"))) {
+      case (df, c) if c == keyCol || c == tsCol => df
+      case (df, c) => df.withColumn(c, lit(null).cast(probe.schema(c).dataType))
+    }
+    val probeSide = probe.withColumn("_side", lit(1))
+      .withColumn("_qv", lit(null).cast(valueType))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    quoteSide.unionByName(probeSide)
+      .withColumn(outCol, last(col("_qv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side", "_qv")
+  }
+
+  /** q27a — as-of join over the fixture events: each event gets the same
+    * user's most recent purchase value. Purchases are pre-aggregated per
+    * (user, ts) (max value) so the as-of match is unique and tie-free in
+    * both engines. DuckDB expresses the same operator natively as
+    * ASOF LEFT JOIN. */
+  def eventPurchaseAsof(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("value")).as("pv"))
-      .select(col("user_id"), col("ts"), lit(0).as("side"),
-        lit(null).cast("long").as("event_id"),
-        lit(null).cast("string").as("event_type"),
-        lit(null).cast("double").as("value"), col("pv"))
-    val probes = ev.select(col("user_id"), col("ts"), lit(1).as("side"),
-      col("event_id"), col("event_type"), col("value"),
-      lit(null).cast("double").as("pv"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    purchases.unionByName(probes)
-      .withColumn("asof_pv", last(col("pv"), ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
+    asofJoin(events, purchases, "user_id", "ts", "pv", "asof_pv")
       .select(col("event_id"), col("event_type"),
         round(col("value"), 2).as("value"),
         round(col("asof_pv"), 2).as("asof_pv"))
@@ -57,8 +75,8 @@ object AdvancedQueries {
 
   /** q27b — pivot with explicit values (no distinct-collect planning job;
     * at scale the pivot column set must be declared, not discovered). */
-  def q27Pivot(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
+  def statusPivot(orders: DataFrame): DataFrame =
+    orders
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(count(lit(1)))
@@ -79,8 +97,8 @@ object AdvancedQueries {
     * approx_percentile bound check: at 100 TB the exact sort-based form is
     * what you replace with the sketch, so the query carries both and asserts
     * the sketch lands within 1.0 of the exact median. */
-  def q27Percentiles(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  def quantityPercentiles(lineitem: DataFrame): DataFrame =
+    lineitem
       .groupBy(col("l_returnflag"))
       .agg(
         percentile(col("l_quantity"), lit(0.25)).as("p25"),
@@ -105,9 +123,9 @@ object AdvancedQueries {
   /** q27d — custom typed UDAF ([[ExactMoments]]): order-independent exact
     * moments → mean / sample variance. The oracle recomputes the same
     * closed form from exact integer sums (l_quantity is integral). */
-  def q27Udaf(s: SparkSession, d: String): DataFrame = {
+  def quantityMoments(lineitem: DataFrame): DataFrame = {
     val moments = udaf(ExactMoments)
-    Tables.lineitem(s, d)
+    lineitem
       .groupBy(col("l_returnflag"))
       .agg(moments(col("l_quantity")).as("m"))
       .select(col("l_returnflag"), col("m.n").as("n"),
@@ -122,15 +140,15 @@ object AdvancedQueries {
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
       |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_qty,
-      |  round(CAST(sq * n - s * s AS DOUBLE)
-      |    / CAST(n * (n - 1) AS DOUBLE), 4) AS var_qty
+      |  round(CASE WHEN n > 1 THEN CAST(sq * n - s * s AS DOUBLE)
+      |    / CAST(n * (n - 1) AS DOUBLE) ELSE NULL END, 4) AS var_qty
       |FROM g ORDER BY l_returnflag""".stripMargin
 
   /** q28a — unpivot/melt (the inverse of q27_pivot): wide per-row metric
     * columns to long (metric, value) rows. Narrow generator, no shuffle
     * until the aggregation. */
-  def q28Unpivot(s: SparkSession, d: String): DataFrame =
-    Tables.part(s, d)
+  def partMetricsUnpivot(part: DataFrame): DataFrame =
+    part
       .select(col("p_partkey"), col("p_size").cast("double").as("size"),
         col("p_retailprice").cast("double").as("retailprice"))
       .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
@@ -149,10 +167,10 @@ object AdvancedQueries {
   /** q28b — distribution-rank window battery: ntile, percent_rank,
     * cume_dist over order value per priority class (rounded; ties broken by
     * orderkey so both engines rank identically). */
-  def q28Ntile(s: SparkSession, d: String): DataFrame = {
+  def orderNtile(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    Tables.orders(s, d)
+    orders
       .select(col("o_orderpriority"), col("o_orderkey"),
         ntile(4).over(w).as("quartile"),
         round(percent_rank().over(w), 6).as("pr"),
@@ -173,10 +191,22 @@ object AdvancedQueries {
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
   val all: Seq[(String, QFn, Option[String])] = Seq(
-    ("q27_asof_join", q27AsofJoin _, Some(q27AsofSql)),
-    ("q27_pivot", q27Pivot _, Some(q27PivotSql)),
-    ("q27_percentiles", q27Percentiles _, Some(q27PercentilesSql)),
-    ("q27_udaf_moments", q27Udaf _, Some(q27UdafSql)),
-    ("q28_unpivot", q28Unpivot _, Some(q28UnpivotSql)),
-    ("q28_ntile_window", q28Ntile _, Some(q28NtileSql)))
+    ("q27_asof_join",
+      (s: SparkSession, d: String) => eventPurchaseAsof(Tables.events(s, d)),
+      Some(q27AsofSql)),
+    ("q27_pivot",
+      (s: SparkSession, d: String) => statusPivot(Tables.orders(s, d)),
+      Some(q27PivotSql)),
+    ("q27_percentiles",
+      (s: SparkSession, d: String) => quantityPercentiles(Tables.lineitem(s, d)),
+      Some(q27PercentilesSql)),
+    ("q27_udaf_moments",
+      (s: SparkSession, d: String) => quantityMoments(Tables.lineitem(s, d)),
+      Some(q27UdafSql)),
+    ("q28_unpivot",
+      (s: SparkSession, d: String) => partMetricsUnpivot(Tables.part(s, d)),
+      Some(q28UnpivotSql)),
+    ("q28_ntile_window",
+      (s: SparkSession, d: String) => orderNtile(Tables.orders(s, d)),
+      Some(q28NtileSql)))
 }

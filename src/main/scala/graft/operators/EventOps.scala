@@ -18,14 +18,18 @@ import graft.core.Tables
   * integer compare, no float/rounding hazard. Both engines align tumbling
   * buckets on unix-epoch multiples (5 min divides the DuckDB time_bucket
   * origin 2000-01-01 offset too).
+  *
+  * Library surface: `DataFrame => DataFrame` over any frame with the
+  * `events` shape (`ts, event_type, user_id, event_id, value` as each op
+  * requires); the registry entries adapt the fixture table.
   */
 object EventOps {
   type QFn = (SparkSession, String) => DataFrame
 
   /** q19 — tumbling window aggregate (streaming analog: groupBy(window(...))
     * with a 10-minute watermark; see graft.streaming.StreamQueries). */
-  def q19Tumbling(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+  def tumbling(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(unix_micros(col("window.start")).as("wstart"),
@@ -38,8 +42,8 @@ object EventOps {
 
   /** q20a — sliding window (10 min length, 5 min slide): each event lands
     * in two windows. Oracle replicates the expansion with a UNION ALL. */
-  def q20Sliding(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+  def sliding(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("window.start")).as("wstart"), col("event_type"), col("n"))
@@ -55,8 +59,8 @@ object EventOps {
   /** q20b — session window (30-minute gap) per user. A new session starts
     * when the gap since the previous event is >= 30 min (Spark session
     * windows are half-open [ts, ts+gap)). Oracle: gaps-and-islands. */
-  def q20Session(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+  def session(events: DataFrame): DataFrame =
+    events
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("user_id"),
@@ -81,8 +85,8 @@ object EventOps {
 
   /** q21 — deterministic dedup: keep the earliest event per (user, minute)
     * key (streaming analog: dropDuplicatesWithinWatermark; see tests). */
-  def q21Dedup(s: SparkSession, d: String): DataFrame = {
-    val keyed = Tables.events(s, d)
+  def dedupKeyed(events: DataFrame): DataFrame = {
+    val keyed = events
       .withColumn("mn", window(col("ts"), "1 minute").getField("start"))
     val w = Window.partitionBy(col("user_id"), col("mn"))
       .orderBy(col("ts"), col("event_id"))
@@ -102,10 +106,10 @@ object EventOps {
   /** q22 — per-user running totals via the *typed* API
     * (groupByKey.mapGroups), the batch twin of the streaming
     * mapGroupsWithState consumer-progress analog (SURVEY R4/R6). */
-  def q22StatefulTotals(s: SparkSession, d: String): DataFrame = {
-    val spark = s
+  def statefulTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
-    Tables.events(s, d)
+    events
       .select(col("user_id"), col("value"))
       .as[(Long, Double)]
       .groupByKey(_._1)
@@ -123,10 +127,13 @@ object EventOps {
     """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  private def onEvents(f: DataFrame => DataFrame): QFn =
+    (s, d) => f(Tables.events(s, d))
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
-    ("q19_tumbling_window", q19Tumbling _, Some(q19Sql)),
-    ("q20_sliding_window", q20Sliding _, Some(q20SlidingSql)),
-    ("q20_session_window", q20Session _, Some(q20SessionSql)),
-    ("q21_dedup_keyed", q21Dedup _, Some(q21Sql)),
-    ("q22_stateful_totals", q22StatefulTotals _, Some(q22Sql)))
+    ("q19_tumbling_window", onEvents(tumbling), Some(q19Sql)),
+    ("q20_sliding_window", onEvents(sliding), Some(q20SlidingSql)),
+    ("q20_session_window", onEvents(session), Some(q20SessionSql)),
+    ("q21_dedup_keyed", onEvents(dedupKeyed), Some(q21Sql)),
+    ("q22_stateful_totals", onEvents(statefulTotals), Some(q22Sql)))
 }

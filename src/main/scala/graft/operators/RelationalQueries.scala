@@ -17,14 +17,18 @@ import graft.core.Tables
   *
   * Scale posture (100 TB north star): dimension joins are broadcast; fact
   * sides never shuffle more than once per agg; no collect() anywhere.
+  *
+  * Library surface: every query is `DataFrame => DataFrame` over its input
+  * table(s) — callable on any frames with the expected columns; the
+  * registry entries at the bottom adapt the fixture tables.
   */
 object RelationalQueries {
   type QFn = (SparkSession, String) => DataFrame
 
   /** q01 — scan + projection + column pruning. Reference analog: the raw
     * record scan (SURVEY §2a R2); here over parquet with pruned ReadSchema. */
-  def q01Scan(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  def q01Scan(lineitem: DataFrame): DataFrame =
+    lineitem
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy("l_orderkey", "l_linenumber")
   val q01Sql: String =
@@ -32,8 +36,8 @@ object RelationalQueries {
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** q02 — filter with pushdown-eligible predicates (date, range, numeric). */
-  def q02Filter(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  def q02Filter(lineitem: DataFrame): DataFrame =
+    lineitem
       .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
         && col("l_discount").between(0.05, 0.07)
         && col("l_quantity") < 24)
@@ -44,8 +48,8 @@ object RelationalQueries {
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
 
   /** q03 — TPC-H Q1 shape: partial+final hash aggregate. */
-  def q03Agg(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  def q03Agg(lineitem: DataFrame): DataFrame =
+    lineitem
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -69,8 +73,8 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** q04 — distinct aggregates (expand + two-phase agg). */
-  def q04Distinct(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).agg(
+  def q04Distinct(orders: DataFrame): DataFrame =
+    orders.agg(
       countDistinct(col("o_custkey")).as("n_custkeys"),
       countDistinct(col("o_orderpriority")).as("n_priorities"))
   val q04Sql: String =
@@ -78,9 +82,9 @@ object RelationalQueries {
       |  count(DISTINCT o_orderpriority) AS n_priorities FROM orders""".stripMargin
 
   /** q05 — equi join, dimension side broadcast. */
-  def q05Join(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+  def q05Join(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy("c_mktsegment")
@@ -92,16 +96,16 @@ object RelationalQueries {
 
   /** q06 — multi-way star join (TPC-H Q5 shape): dims broadcast, single
     * shuffle on the fact side for the final agg. */
-  def q06MultiJoin(s: SparkSession, d: String): DataFrame = {
+  def q06MultiJoin(region: DataFrame, nation: DataFrame, customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val dims = broadcast(
-      Tables.region(s, d).filter(col("r_name").isin("ASIA", "EUROPE"))
-        .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
-        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+      region.filter(col("r_name").isin("ASIA", "EUROPE"))
+        .join(nation, col("n_regionkey") === col("r_regionkey"))
+        .join(customer, col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("n_name")))
-    Tables.orders(s, d)
+    orders
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
       .join(dims, col("o_custkey") === col("c_custkey"))
-      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))
@@ -122,9 +126,9 @@ object RelationalQueries {
 
   /** q07a — left outer join keeping zero-match rows (count of urgent orders
     * per customer, zeros included). */
-  def q07LeftOuter(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
-    Tables.customer(s, d)
+  def q07LeftOuter(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val o = orders.filter(col("o_orderpriority") === "1-URGENT")
+    customer
       .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_urgent"))
@@ -137,9 +141,9 @@ object RelationalQueries {
       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
 
   /** q07b — anti join (NOT EXISTS): customers with no urgent orders. */
-  def q07Anti(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
-    Tables.customer(s, d)
+  def q07Anti(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val o = orders.filter(col("o_orderpriority") === "1-URGENT")
+    customer
       .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"))
       .orderBy("c_custkey")
@@ -153,11 +157,11 @@ object RelationalQueries {
   /** q07c — full outer join: order-calendar ⋈ event-calendar; days that
     * exist on only one side survive with zeros (both sides pre-aggregated,
     * so the join inputs are already small at any scale). */
-  def q07FullOuter(s: SparkSession, d: String): DataFrame = {
-    val orderDays = Tables.orders(s, d)
+  def q07FullOuter(orders: DataFrame, events: DataFrame): DataFrame = {
+    val orderDays = orders
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(count(lit(1)).as("n_orders"))
-    val eventDays = Tables.events(s, d)
+    val eventDays = events
       .groupBy(to_date(col("ts")).as("e_day"))
       .agg(count(lit(1)).as("n_events"))
     orderDays.join(eventDays, col("day") === col("e_day"), "full_outer")
@@ -178,10 +182,10 @@ object RelationalQueries {
       |ORDER BY day""".stripMargin
 
   /** q08 — semi join (IN-subquery → left_semi). */
-  def q08Semi(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+  def q08Semi(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val li = lineitem.filter(col("l_quantity") > 45)
       .select(col("l_partkey"))
-    Tables.part(s, d)
+    part
       .join(li, col("p_partkey") === col("l_partkey"), "left_semi")
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_parts"))
@@ -201,10 +205,10 @@ object RelationalQueries {
     * shuffle + sort, O(n log n), and the O(pairs) intermediate never
     * materializes — the plan that survives a dense-burst user at 100 TB,
     * where the join form's per-key pair blowup is quadratic. */
-  def q09RangeJoin(s: SparkSession, d: String): DataFrame = {
+  def q09RangeJoin(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
       .rangeBetween(1L, 60L * 1000 * 1000) // (ts, ts + 1 min] in micros
-    Tables.events(s, d)
+    events
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .withColumn("n_succ", count(lit(1)).over(w))
       .agg(sum(col("n_succ")).cast("long").as("n_pairs"))
@@ -216,8 +220,8 @@ object RelationalQueries {
 
   /** q10 — ROLLUP grouping sets (Expand-based). Null group keys coalesced
     * to 'ALL' so sort order is engine-independent. */
-  def q10Rollup(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
+  def q10Rollup(orders: DataFrame): DataFrame =
+    orders
       .rollup(col("o_orderpriority"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
       .select(
@@ -234,8 +238,8 @@ object RelationalQueries {
 
   /** q10b — CUBE over (year, status) with grouping_id to tell real nulls
     * from subtotal rows (the standard-SQL bitmask, identical in DuckDB). */
-  def q10Cube(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
+  def q10Cube(orders: DataFrame): DataFrame =
+    orders
       .cube(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
       .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
         round(sum(col("o_totalprice")), 2).as("total"))
@@ -252,10 +256,10 @@ object RelationalQueries {
       |ORDER BY gid, yr, status""".stripMargin
 
   /** q11 — ranking window: top-3 orders per customer. */
-  def q11RankWindow(s: SparkSession, d: String): DataFrame = {
+  def q11RankWindow(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    Tables.orders(s, d)
+    orders
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"),
@@ -271,11 +275,11 @@ object RelationalQueries {
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
   /** q12a — analytic window with ROWS frame: running revenue per customer. */
-  def q12Running(s: SparkSession, d: String): DataFrame = {
+  def q12Running(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.orders(s, d)
+    orders
       .withColumn("running", round(sum(col("o_totalprice")).over(w), 2))
       .select(col("o_custkey"), col("o_orderkey"), col("running"))
       .orderBy("o_custkey", "o_orderkey")
@@ -288,8 +292,8 @@ object RelationalQueries {
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** q12b — lag/lead day-over-day on daily event revenue. */
-  def q12LagLead(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.events(s, d)
+  def q12LagLead(events: DataFrame): DataFrame = {
+    val daily = events
       .groupBy(to_date(col("ts")).as("day"))
       .agg(round(sum(col("value")), 2).as("daily_value"), count(lit(1)).as("n"))
     val w = Window.orderBy(col("day"))
@@ -312,8 +316,8 @@ object RelationalQueries {
       |FROM daily ORDER BY day""".stripMargin
 
   /** q13 — top-k: global sort + limit → TakeOrderedAndProject. */
-  def q13TopK(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
+  def q13TopK(orders: DataFrame): DataFrame =
+    orders
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
       .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
@@ -322,9 +326,9 @@ object RelationalQueries {
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
 
   /** q14 — set operations: INTERSECT / EXCEPT / UNION / UNION ALL, counted. */
-  def q14SetOps(s: SparkSession, d: String): DataFrame = {
-    val ok = Tables.orders(s, d).select(col("o_custkey").as("k"))
-    val ck = Tables.customer(s, d).select(col("c_custkey").as("k"))
+  def q14SetOps(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val ok = orders.select(col("o_custkey").as("k"))
+    val ck = customer.select(col("c_custkey").as("k"))
     def counted(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
     counted("except", ck.except(ok))
@@ -346,8 +350,8 @@ object RelationalQueries {
       |) u ORDER BY op""".stripMargin
 
   /** q15a — scalar string + math function battery over part. */
-  def q15StringMath(s: SparkSession, d: String): DataFrame =
-    Tables.part(s, d)
+  def q15StringMath(part: DataFrame): DataFrame =
+    part
       .groupBy(col("p_brand"))
       .agg(
         count(lit(1)).as("n"),
@@ -374,8 +378,8 @@ object RelationalQueries {
       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
   /** q15b — date function battery over orders. */
-  def q15Date(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
+  def q15Date(orders: DataFrame): DataFrame =
+    orders
       .groupBy(year(col("o_orderdate")).as("yr"))
       .agg(
         count(lit(1)).as("n"),
@@ -395,12 +399,12 @@ object RelationalQueries {
       |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
 
   /** q16a — JSON extraction (from_json / get_json_object) + map functions. */
-  def q16Json(s: SparkSession, d: String): DataFrame = {
+  def q16Json(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("k", IntegerType)))
     // JSON parsing is the per-row cost here; fan out past the row-group
     // scan-parallelism ceiling before it (see Tables.fanout)
-    Tables.fanout(Tables.events(s, d))
+    Tables.fanout(events)
       .withColumn("k1", from_json(col("props"), schema).getField("k"))
       .withColumn("k2", get_json_object(col("props"), "$.k").cast("int"))
       // map_from_entries roundtrip: build a map and read the key back out.
@@ -423,8 +427,8 @@ object RelationalQueries {
   /** q16b — array higher-order functions over embeddings: size, slice,
     * transform, aggregate (all fold left-to-right in both engines; elements
     * cast to double before arithmetic so both engines do identical IEEE ops). */
-  def q16Array(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+  def q16Array(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(col("vec_id"), col("label"),
         size(col("embedding")).as("dim"),
         round(sqrt(expr(
@@ -445,8 +449,8 @@ object RelationalQueries {
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   /** q16c — generator: posexplode over a sliced array. */
-  def q16Explode(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+  def q16Explode(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 4)))
       .select(col("vec_id"), col("pos"),
         round(col("col").cast("double"), 4).as("val"))
@@ -457,8 +461,8 @@ object RelationalQueries {
       |ORDER BY vec_id, pos""".stripMargin
 
   /** q17 — scalar subquery (broadcast single-row join) + CASE bucketing. */
-  def q17CaseSubquery(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d)
+  def q17CaseSubquery(orders: DataFrame): DataFrame = {
+    val o = orders
     val avgPrice = o.agg(avg(col("o_totalprice")).as("avg_price"))
     val bucket = when(col("o_totalprice") > col("avg_price") * 1.5, "high")
       .when(col("o_totalprice") > col("avg_price"), "mid")
@@ -479,8 +483,8 @@ object RelationalQueries {
   /** q18 — approx_count_distinct (HLL++) asserted within 5% of exact; the
     * hashed output carries the exact count plus the bound check (the approx
     * value itself is engine-specific so it cannot hash-match an oracle). */
-  def q18ApproxDistinct(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  def q18ApproxDistinct(lineitem: DataFrame): DataFrame =
+    lineitem
       .agg(countDistinct(col("l_partkey")).as("exact_cnt"),
         approx_count_distinct(col("l_partkey")).as("approx"))
       .select(col("exact_cnt"),
@@ -490,31 +494,123 @@ object RelationalQueries {
     """SELECT count(DISTINCT l_partkey) AS exact_cnt, TRUE AS within5pct
       |FROM lineitem""".stripMargin
 
-  /** Registry: name → (query fn, oracle SQL). */
+  /** q29 — supplier revenue share per nation (TPC-H Q11 shape over the
+    * available tables): lineitem pre-aggregated per supplier BEFORE the
+    * dimension joins (one fact shuffle on l_suppkey, map-side partials),
+    * supplier and nation broadcast, then a HAVING-style share filter
+    * against the broadcast single-row total — no second fact scan. */
+  def q29SupplierShare(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val perSupp = lineitem
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val byNation = perSupp
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("rev")).as("rev"))
+    val total = byNation.agg(sum(col("rev")).as("tot"))
+    byNation.crossJoin(broadcast(total))
+      .filter(col("rev") > col("tot") * 0.02)
+      .select(col("n_name"), col("n_suppliers"),
+        round(col("rev"), 2).as("revenue"),
+        round(col("rev") / col("tot") * 100, 4).as("share_pct"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+  val q29Sql: String =
+    """WITH perSupp AS (
+      |  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |byNation AS (
+      |  SELECT n_name, count(*) AS n_suppliers, sum(rev) AS rev
+      |  FROM perSupp
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  GROUP BY 1)
+      |SELECT n_name, n_suppliers, round(rev, 2) AS revenue,
+      |  round(rev / (SELECT sum(rev) FROM byNation) * 100, 4) AS share_pct
+      |FROM byNation
+      |WHERE rev > (SELECT sum(rev) FROM byNation) * 0.02
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
-    ("q01_scan", q01Scan _, Some(q01Sql)),
-    ("q02_filter", q02Filter _, Some(q02Sql)),
-    ("q03_agg", q03Agg _, Some(q03Sql)),
-    ("q04_distinct_agg", q04Distinct _, Some(q04Sql)),
-    ("q05_join_broadcast", q05Join _, Some(q05Sql)),
-    ("q06_join_multiway", q06MultiJoin _, Some(q06Sql)),
-    ("q07_left_outer", q07LeftOuter _, Some(q07LeftOuterSql)),
-    ("q07_anti_join", q07Anti _, Some(q07AntiSql)),
-    ("q07_full_outer", q07FullOuter _, Some(q07FullOuterSql)),
-    ("q08_semi_join", q08Semi _, Some(q08Sql)),
-    ("q09_range_join", q09RangeJoin _, Some(q09Sql)),
-    ("q10_rollup", q10Rollup _, Some(q10Sql)),
-    ("q10_cube", q10Cube _, Some(q10CubeSql)),
-    ("q11_rank_window", q11RankWindow _, Some(q11Sql)),
-    ("q12_running_window", q12Running _, Some(q12RunningSql)),
-    ("q12_lag_lead", q12LagLead _, Some(q12LagLeadSql)),
-    ("q13_topk", q13TopK _, Some(q13Sql)),
-    ("q14_setops", q14SetOps _, Some(q14Sql)),
-    ("q15_string_math", q15StringMath _, Some(q15StringMathSql)),
-    ("q15_date", q15Date _, Some(q15DateSql)),
-    ("q16_json_map", q16Json _, Some(q16JsonSql)),
-    ("q16_array_hof", q16Array _, Some(q16ArraySql)),
-    ("q16_explode", q16Explode _, Some(q16ExplodeSql)),
-    ("q17_case_subquery", q17CaseSubquery _, Some(q17Sql)),
-    ("q18_approx_distinct", q18ApproxDistinct _, Some(q18Sql)))
+    ("q01_scan",
+      (s: SparkSession, d: String) => q01Scan(Tables.lineitem(s, d)),
+      Some(q01Sql)),
+    ("q02_filter",
+      (s: SparkSession, d: String) => q02Filter(Tables.lineitem(s, d)),
+      Some(q02Sql)),
+    ("q03_agg",
+      (s: SparkSession, d: String) => q03Agg(Tables.lineitem(s, d)),
+      Some(q03Sql)),
+    ("q04_distinct_agg",
+      (s: SparkSession, d: String) => q04Distinct(Tables.orders(s, d)),
+      Some(q04Sql)),
+    ("q05_join_broadcast",
+      (s: SparkSession, d: String) => q05Join(Tables.orders(s, d), Tables.customer(s, d)),
+      Some(q05Sql)),
+    ("q06_join_multiway",
+      (s: SparkSession, d: String) => q06MultiJoin(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some(q06Sql)),
+    ("q07_left_outer",
+      (s: SparkSession, d: String) => q07LeftOuter(Tables.customer(s, d), Tables.orders(s, d)),
+      Some(q07LeftOuterSql)),
+    ("q07_anti_join",
+      (s: SparkSession, d: String) => q07Anti(Tables.customer(s, d), Tables.orders(s, d)),
+      Some(q07AntiSql)),
+    ("q07_full_outer",
+      (s: SparkSession, d: String) => q07FullOuter(Tables.orders(s, d), Tables.events(s, d)),
+      Some(q07FullOuterSql)),
+    ("q08_semi_join",
+      (s: SparkSession, d: String) => q08Semi(Tables.part(s, d), Tables.lineitem(s, d)),
+      Some(q08Sql)),
+    ("q09_range_join",
+      (s: SparkSession, d: String) => q09RangeJoin(Tables.events(s, d)),
+      Some(q09Sql)),
+    ("q10_rollup",
+      (s: SparkSession, d: String) => q10Rollup(Tables.orders(s, d)),
+      Some(q10Sql)),
+    ("q10_cube",
+      (s: SparkSession, d: String) => q10Cube(Tables.orders(s, d)),
+      Some(q10CubeSql)),
+    ("q11_rank_window",
+      (s: SparkSession, d: String) => q11RankWindow(Tables.orders(s, d)),
+      Some(q11Sql)),
+    ("q12_running_window",
+      (s: SparkSession, d: String) => q12Running(Tables.orders(s, d)),
+      Some(q12RunningSql)),
+    ("q12_lag_lead",
+      (s: SparkSession, d: String) => q12LagLead(Tables.events(s, d)),
+      Some(q12LagLeadSql)),
+    ("q13_topk",
+      (s: SparkSession, d: String) => q13TopK(Tables.orders(s, d)),
+      Some(q13Sql)),
+    ("q14_setops",
+      (s: SparkSession, d: String) => q14SetOps(Tables.orders(s, d), Tables.customer(s, d)),
+      Some(q14Sql)),
+    ("q15_string_math",
+      (s: SparkSession, d: String) => q15StringMath(Tables.part(s, d)),
+      Some(q15StringMathSql)),
+    ("q15_date",
+      (s: SparkSession, d: String) => q15Date(Tables.orders(s, d)),
+      Some(q15DateSql)),
+    ("q16_json_map",
+      (s: SparkSession, d: String) => q16Json(Tables.events(s, d)),
+      Some(q16JsonSql)),
+    ("q16_array_hof",
+      (s: SparkSession, d: String) => q16Array(Tables.embeddings(s, d)),
+      Some(q16ArraySql)),
+    ("q16_explode",
+      (s: SparkSession, d: String) => q16Explode(Tables.embeddings(s, d)),
+      Some(q16ExplodeSql)),
+    ("q17_case_subquery",
+      (s: SparkSession, d: String) => q17CaseSubquery(Tables.orders(s, d)),
+      Some(q17Sql)),
+    ("q18_approx_distinct",
+      (s: SparkSession, d: String) => q18ApproxDistinct(Tables.lineitem(s, d)),
+      Some(q18Sql)),
+    ("q29_supplier_share",
+      (s: SparkSession, d: String) => q29SupplierShare(Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d)),
+      Some(q29Sql)))
 }

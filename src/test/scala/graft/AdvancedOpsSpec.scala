@@ -13,11 +13,10 @@ class AdvancedOpsSpec extends SparkSpec {
 
   test("as-of join picks the latest purchase at-or-before each event") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("asof").toString
     def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
     // user 1: purchases at t=10 (5.0) and t=30 (7.0); events at 5, 10, 20, 30, 40
-    // user 2: no purchases
-    Seq(
+    // user 2: no purchases — library call on a hand-built frame
+    val events = Seq(
       (1L, ts(5), 1L, "view", 0.0, "{}"),
       (2L, ts(10), 1L, "purchase", 5.0, "{}"),
       (3L, ts(20), 1L, "click", 0.0, "{}"),
@@ -25,8 +24,7 @@ class AdvancedOpsSpec extends SparkSpec {
       (5L, ts(40), 1L, "view", 0.0, "{}"),
       (6L, ts(15), 2L, "view", 0.0, "{}")
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val got = AdvancedQueries.q27AsofJoin(spark, dir)
+    val got = AdvancedQueries.eventPurchaseAsof(events)
       .select("event_id", "asof_pv").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
       .toMap
@@ -51,20 +49,25 @@ class AdvancedOpsSpec extends SparkSpec {
     val varSamp = xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)
     assert(out.n == n)
     assert(math.abs(out.mean - mean) < 1e-12)
-    assert(math.abs(out.varSamp - varSamp) < 1e-9)
+    assert(math.abs(out.varSamp.get - varSamp) < 1e-9)
+    // n < 2 has no sample variance: None (SQL NULL), not a fake 0.0
+    assert(ExactMoments.finish(ExactMoments.reduce(ExactMoments.zero, 7.0))
+      .varSamp.isEmpty)
+    assert(ExactMoments.finish(ExactMoments.zero).varSamp.isEmpty)
   }
 
   test("IVF KNN achieves recall >= 0.6 vs brute force") {
     def neighbors(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))).toSet
-    val brute = neighbors(SimilarityOps.knnBrute(spark, sf0001))
-    val ivf = neighbors(SimilarityOps.knnIvf(spark, sf0001))
+    val em = graft.core.Tables.embeddings(spark, sf0001)
+    val brute = neighbors(SimilarityOps.knnBrute(em))
+    val ivf = neighbors(SimilarityOps.knnIvf(em))
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.6, s"IVF recall $recall too low (found ${ivf.size})")
   }
 
   test("pivot row counts equal group-by counts") {
-    val pivoted = AdvancedQueries.q27Pivot(spark, sf0001)
+    val pivoted = AdvancedQueries.statusPivot(graft.core.Tables.orders(spark, sf0001))
       .withColumn("total", col("f_cnt") + col("o_cnt") + col("p_cnt"))
       .select("o_orderpriority", "total").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

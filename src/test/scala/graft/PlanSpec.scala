@@ -1,5 +1,6 @@
 package graft
 
+import graft.core.{Tables => T}
 import graft.operators.{AdvancedQueries, RelationalQueries}
 
 /** Physical-plan shape assertions: the properties that decide whether a
@@ -18,41 +19,41 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q02: filters are pushed down to the parquet scan") {
-    val p = plan(RelationalQueries.q02Filter(spark, sf0001))
+    val p = plan(RelationalQueries.q02Filter(T.lineitem(spark, sf0001)))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
     assert(p.contains("GreaterThanOrEqual(l_shipda"), p) // toString may truncate
   }
 
   test("q01: read schema is pruned to the projected columns") {
-    val p = plan(RelationalQueries.q01Scan(spark, sf0001))
+    val p = plan(RelationalQueries.q01Scan(T.lineitem(spark, sf0001)))
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
   }
 
   test("q05: dimension join broadcasts, fact side does not shuffle for the join") {
-    val p = plan(RelationalQueries.q05Join(spark, sf0001))
+    val p = plan(RelationalQueries.q05Join(T.orders(spark, sf0001), T.customer(spark, sf0001)))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q06: all dimension joins broadcast (star-join shape)") {
-    val p = plan(RelationalQueries.q06MultiJoin(spark, sf0001))
+    val p = plan(RelationalQueries.q06MultiJoin(T.region(spark, sf0001), T.nation(spark, sf0001), T.customer(spark, sf0001), T.orders(spark, sf0001), T.lineitem(spark, sf0001)))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q08: IN-subquery executes as a semi join, aggregation is two-phase") {
-    val p = plan(RelationalQueries.q08Semi(spark, sf0001))
+    val p = plan(RelationalQueries.q08Semi(T.part(spark, sf0001), T.lineitem(spark, sf0001)))
     assert(p.contains("LeftSemi"), p)
     assert(p.contains("partial_count"), p) // map-side partial aggregation
   }
 
   test("q13: top-k is TakeOrderedAndProject, not a global sort") {
-    val p = plan(RelationalQueries.q13TopK(spark, sf0001))
+    val p = plan(RelationalQueries.q13TopK(T.orders(spark, sf0001)))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("q03: aggregation is partial+final hash aggregate inside codegen") {
-    val p = plan(RelationalQueries.q03Agg(spark, sf0001))
+    val p = plan(RelationalQueries.q03Agg(T.lineitem(spark, sf0001)))
     assert(p.contains("partial_sum"), p) // map-side combine before the shuffle
     // `*(n)` prefixes mark whole-stage-codegen'd spans; the partial agg,
     // filter, and scan must share one
@@ -60,7 +61,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q27 as-of join plans a single shuffle of each input (no range join)") {
-    val p = plan(AdvancedQueries.q27AsofJoin(spark, sf0001))
+    val p = plan(AdvancedQueries.eventPurchaseAsof(graft.core.Tables.events(spark, sf0001)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     // one running-window pass provides the as-of semantics
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)

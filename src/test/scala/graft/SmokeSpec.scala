@@ -30,7 +30,7 @@ class SmokeSpec extends SparkSpec {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
     val expectTotal = li.count()
-    val got = graft.operators.RelationalQueries.q03Agg(spark, sf0001)
+    val got = graft.operators.RelationalQueries.q03Agg(graft.core.Tables.lineitem(spark, sf0001))
       .agg(sum("count_order")).collect()(0).getLong(0)
     assert(got == expectTotal)
   }

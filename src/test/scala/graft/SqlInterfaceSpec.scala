@@ -26,7 +26,7 @@ class SqlInterfaceSpec extends SparkSpec {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin).collect().toSeq
-    val viaApi = graft.operators.RelationalQueries.q03Agg(spark, sf0001)
+    val viaApi = graft.operators.RelationalQueries.q03Agg(graft.core.Tables.lineitem(spark, sf0001))
       .collect().toSeq
     assert(viaSql == viaApi)
   }
@@ -44,6 +44,17 @@ class SqlInterfaceSpec extends SparkSpec {
     assert(row.getLong(2) != 0L)
   }
 
+  test("shingle_hashes with a non-literal k fails with a clear analysis error") {
+    GraftFunctions.register(spark)
+    registerViews()
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT shingle_hashes(text, CAST(n_chars AS INT)) FROM documents")
+        .collect()
+    }
+    assert(e.getMessage.contains("shingle_hashes"), e.getMessage)
+  }
+
   test("window + subquery SQL matches the q11 DataFrame top-3") {
     registerViews()
     val viaSql = spark.sql(
@@ -53,7 +64,7 @@ class SqlInterfaceSpec extends SparkSpec {
         |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |      FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin).collect().toSeq
-    val viaApi = graft.operators.RelationalQueries.q11RankWindow(spark, sf0001)
+    val viaApi = graft.operators.RelationalQueries.q11RankWindow(graft.core.Tables.orders(spark, sf0001))
       .collect().toSeq
     assert(viaSql == viaApi)
   }
