@@ -54,16 +54,26 @@ object ShardSim {
     StructField("data", StringType, nullable = true),
     StructField("shardId", StringType, nullable = false)))
 
-  case class ShardInfo(shardId: String, file: String, closed: Boolean, numRecords: Long)
+  case class ShardInfo(shardId: String, file: String, closed: Boolean,
+      numRecords: Long, parent: Option[String] = None)
 
+  /** Shard files: `shard-<id>[.parent-<pid>][.closed].tsv`. The optional
+    * `.parent-<pid>` marker declares the shard a split/merge child of
+    * `shard-<pid>` — the relation Kinesis exposes as `ParentShardId`, which
+    * the reference left unfinished (/root/reference/README.md:8). */
   def listShards(dir: String): Seq[ShardInfo] = {
     val d = new File(dir)
     val files = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("shard-") && f.getName.endsWith(".tsv"))
     files.sortBy(_.getName).map { f =>
       val closed = f.getName.endsWith(".closed.tsv")
-      val id = f.getName.stripSuffix(".closed.tsv").stripSuffix(".tsv")
-      ShardInfo(id, f.getAbsolutePath, closed, countLines(f))
+      val base = f.getName.stripSuffix(".tsv").stripSuffix(".closed")
+      val (id, parent) = base.indexOf(".parent-") match {
+        case -1 => (base, None)
+        case i => (base.substring(0, i),
+          Some("shard-" + base.substring(i + ".parent-".length)))
+      }
+      ShardInfo(id, f.getAbsolutePath, closed, countLines(f), parent)
     }.toSeq
   }
 
@@ -168,12 +178,31 @@ class ShardSimMicroBatchStream(path: String, options: Map[String, String])
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startSeqs = start.asInstanceOf[ShardOffsets].seqs
     val shards = listShards(path)
-    // under Trigger.AvailableNow, never read past the start-time snapshot
-    val ends: Map[String, Long] = availableNowTarget match {
-      case Some(target) => shards.map(s =>
-        s.shardId -> math.min(s.numRecords, target.getOrElse(s.shardId, 0L))).toMap
-      case None => shards.map(s => s.shardId -> s.numRecords).toMap
+    val byId = shards.map(s => s.shardId -> s).toMap
+    // Parent→child ordering (the reference's completion rule,
+    // src/Kinesis/Coordination.hs:352-353, applied to its unfinished
+    // split/merge TODO, README.md:8): a split child's records are admitted
+    // only once every ancestor is closed AND fully consumed as of `start`
+    // — otherwise a key's post-split records could be read before its
+    // pre-split ones. A missing parent file (trimmed by retention) counts
+    // as drained; a cycle (corrupt fixture) gates its members forever
+    // rather than looping.
+    def released(sh: ShardInfo, seen: Set[String]): Boolean = sh.parent match {
+      case None => true
+      case Some(pid) if seen(pid) => false
+      case Some(pid) => byId.get(pid).forall(p =>
+        p.closed && startSeqs.getOrElse(p.shardId, 0L) >= p.numRecords &&
+          released(p, seen + sh.shardId))
     }
+    // under Trigger.AvailableNow, never read past the start-time snapshot
+    val ends: Map[String, Long] = shards.map { s =>
+      val avail = availableNowTarget match {
+        case Some(target) => math.min(s.numRecords, target.getOrElse(s.shardId, 0L))
+        case None => s.numRecords
+      }
+      val from = startSeqs.getOrElse(s.shardId, 0L)
+      s.shardId -> (if (released(s, Set(s.shardId))) math.max(avail, from) else from)
+    }.toMap
     val capTotal = limit match {
       case r: ReadMaxRows => Some(r.maxRows())
       case _ => None

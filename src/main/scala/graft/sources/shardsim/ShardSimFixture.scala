@@ -53,6 +53,46 @@ object ShardSimFixture {
     } finally writers.values.foreach(_.close())
   }
 
+  /** Write a standalone shard file with explicit rows
+    * (partitionKey, arrivalMicros, dataJson). */
+  def writeShard(outDir: String, shard: Int,
+      rows: Seq[(String, Long, String)], closed: Boolean = false): Unit = {
+    Files.createDirectories(Paths.get(outDir))
+    val name = s"shard-$shard" + (if (closed) ".closed.tsv" else ".tsv")
+    val w = Files.newBufferedWriter(Paths.get(outDir, name),
+      StandardCharsets.UTF_8, StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try rows.zipWithIndex.foreach { case ((pk, arrival, data), i) =>
+      w.write(f"$i%012d\t$pk\t$arrival\t$data\n")
+    } finally w.close()
+  }
+
+  /** Write a split/merge child shard file (`shard-<child>.parent-<parent>.tsv`):
+    * the source will admit its records only after `shard-<parent>` is closed
+    * and drained. Rows: (partitionKey, arrivalMicros, dataJson). */
+  def writeChild(outDir: String, child: Int, parent: Int,
+      rows: Seq[(String, Long, String)], closed: Boolean = false): Unit = {
+    val name = s"shard-$child.parent-$parent" + (if (closed) ".closed.tsv" else ".tsv")
+    val w = Files.newBufferedWriter(Paths.get(outDir, name),
+      StandardCharsets.UTF_8, StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try rows.zipWithIndex.foreach { case ((pk, arrival, data), i) =>
+      w.write(f"$i%012d\t$pk\t$arrival\t$data\n")
+    } finally w.close()
+  }
+
+  /** Seal a shard file (append `.closed` before `.tsv`), preserving any
+    * parent marker — the shard-end event of a split. */
+  def closeShard(outDir: String, shard: Int): Unit = {
+    val dir = Paths.get(outDir)
+    Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => (f.getName == s"shard-$shard.tsv"
+        || (f.getName.startsWith(s"shard-$shard.parent-") && !f.getName.contains(".closed")))
+        && f.getName.endsWith(".tsv"))
+      .foreach { f =>
+        val newName = f.getName.stripSuffix(".tsv") + ".closed.tsv"
+        Files.move(f.toPath, dir.resolve(newName))
+      }
+  }
+
   /** Append more rows to an existing fixture (for incremental-batch tests).
     * Rows: (partitionKey, arrivalMicros, dataJson) appended to `shard`. */
   def append(outDir: String, shard: Int, rows: Seq[(String, Long, String)]): Unit = {
