@@ -73,6 +73,41 @@ object ConsumeApp {
       .start()
   }
 
+  /** The reference's per-record Processor contract
+    * (src/Kinesis/Coordination.hs:53,58-75) mapped onto Spark's other sink
+    * shape, ForeachWriter: `open(partition, epoch)` ≈ worker start,
+    * `process(record)` ≈ the Processor callback, `close` ≈ the `Nothing`
+    * end-of-stream flush token. Output files are keyed (epoch, partition)
+    * and truncated on open, so an epoch replay after a crash overwrites
+    * instead of duplicating — the per-record-ack idempotence analog. */
+  class TsvRecordWriter(dir: String)
+      extends org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+    @transient private var w: java.io.BufferedWriter = _
+    override def open(partitionId: Long, epochId: Long): Boolean = {
+      val p = java.nio.file.Paths.get(dir, f"epoch=$epochId%05d-part=$partitionId%05d.tsv")
+      java.nio.file.Files.createDirectories(p.getParent)
+      w = java.nio.file.Files.newBufferedWriter(p,
+        java.nio.charset.StandardCharsets.UTF_8,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      true
+    }
+    override def process(r: org.apache.spark.sql.Row): Unit =
+      w.write(s"${r.getAs[String]("shardId")}\t${r.getAs[String]("sequenceNumber")}\t${r.getAs[Long]("event_id")}\n")
+    override def close(errorOrNull: Throwable): Unit = if (w != null) w.close()
+  }
+
+  /** Run the consumer through the ForeachWriter sink (per-record contract)
+    * instead of foreachBatch (per-batch contract). */
+  def runForeach(spark: SparkSession, shardDir: String, outDir: String,
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
+      maxRecordsPerBatch: Option[Long] = None): StreamingQuery =
+    decodedStream(spark, shardDir, maxRecordsPerBatch).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreach(new TsvRecordWriter(outDir))
+      .start()
+
   /** Progress reporter — the analog of the reference's live-stats counter
     * (src/Kinesis/Coordination.hs:92-94,336). */
   class ProgressCounter extends StreamingQueryListener {

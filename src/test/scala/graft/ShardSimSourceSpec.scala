@@ -176,6 +176,24 @@ class ShardSimSourceSpec extends SparkSpec {
     assert(df.select("shardId").distinct().count() == 4)
   }
 
+  test("ForeachWriter sink delivers every record exactly once (per-record Processor contract)") {
+    val out = Files.createTempDirectory("foreach_out").toString
+    val ckpt = Files.createTempDirectory("foreach_ckpt").toString
+    val q = ConsumeApp.runForeach(spark, fixtureDir, out, ckpt,
+      maxRecordsPerBatch = Some(300L))
+    q.awaitTermination()
+    val lines = java.nio.file.Files.list(java.nio.file.Paths.get(out)).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val all = scala.jdk.CollectionConverters.IteratorHasAsScala(lines).asScala
+      .filter(_.toString.endsWith(".tsv"))
+      .flatMap(p => scala.jdk.CollectionConverters
+        .ListHasAsScala(java.nio.file.Files.readAllLines(p)).asScala)
+      .toSeq
+    assert(all.size == nEvents, s"expected $nEvents records, got ${all.size}")
+    assert(all.map(_.split("\t")(2)).distinct.size == nEvents,
+      "each event_id delivered exactly once through the ForeachWriter")
+  }
+
   test("a mid-write sink crash replays the batch: no loss, no dupes") {
     // the reference's at-least-once contract under worker death
     // (src/Kinesis/Coordination.hs:265-290) — here upgraded to exactly-once
