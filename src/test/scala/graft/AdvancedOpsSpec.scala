@@ -36,6 +36,33 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(got(6L).isEmpty)                 // user with no purchases
   }
 
+  test("generic asofJoin matches the subquery formulation on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // random quotes (unique per key+ts by construction) and probes,
+    // including keys with no quotes and ties at equal timestamps
+    val quotes = (1 to 120).map { i =>
+      (i % 7L, (rnd.nextInt(50) * 2).toLong, rnd.nextDouble())
+    }.distinctBy(q => (q._1, q._2)).toDF("k", "t", "v")
+    val probes = (1 to 200).map { i =>
+      (i % 9L, rnd.nextInt(100).toLong, i.toLong)
+    }.toDF("k", "t", "probe_id")
+    val got = AdvancedQueries.asofJoin(probes, quotes, "k", "t", "v", "av")
+      .select("probe_id", "av").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // oracle: per probe, the quote with max t among t <= probe.t, same key
+    val qByKey = quotes.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val expected = probes.collect().map { r =>
+      val (k, t, id) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val best = qByKey.getOrElse(k, Array.empty).filter(_._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      id -> best
+    }.toMap
+    assert(got == expected)
+  }
+
   test("ExactMoments: merge is associative/commutative and matches closed form") {
     val xs = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
     val bufs = xs.map(x => ExactMoments.reduce(ExactMoments.zero, x))

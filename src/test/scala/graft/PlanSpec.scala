@@ -66,4 +66,33 @@ class PlanSpec extends SparkSpec {
     // one running-window pass provides the as-of semantics
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
+
+  test("dedup pair stage: sizes ride the rows — no per-document side joins after the pair shuffle") {
+    // the round-3 scale fix: the candidate self-join aggregates straight to
+    // (d1, n1, d2, n2, inter); regressing to size-table joins (let alone
+    // forced broadcasts of per-doc tables) would resurface the 100 TB OOM
+    val pairs = graft.llm.DedupOps.jaccardPairs(
+      graft.core.Tables.documents(spark, sf0001))
+    val optimized = pairs.queryExecution.optimizedPlan.toString
+    // the pair aggregation is the plan's LAST shuffle-bearing operator: every
+    // join sits below it (tree toString prints parents first, so the first
+    // Aggregate line must precede the first Join line). The round-2 shape
+    // joined per-doc size tables ABOVE the aggregation.
+    val lines = optimized.linesIterator.toSeq
+    val firstAgg = lines.indexWhere(_.contains("Aggregate "))
+    val firstJoin = lines.indexWhere(_.contains("Join "))
+    assert(firstAgg >= 0 && firstJoin > firstAgg,
+      s"a join above the pair aggregation (agg@$firstAgg, join@$firstJoin):\n$optimized")
+    // no user-forced broadcast hints survive anywhere in the pair pipeline
+    assert(!optimized.contains("ResolvedHint"), optimized)
+  }
+
+  test("q29: fact pre-aggregates before broadcast dimension joins") {
+    val p = plan(RelationalQueries.q29SupplierShare(
+      T.lineitem(spark, sf0001), T.supplier(spark, sf0001), T.nation(spark, sf0001)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // per-supplier partial agg happens below the joins (map-side combine)
+    assert(p.contains("partial_sum"), p)
+  }
 }
