@@ -277,6 +277,37 @@ object DedupOps {
         .select("d1", "d2"),
       maxIters)
 
+  /** The user-facing end of the dedup pipeline: the corpus with every
+    * non-keeper member of a near-dup component removed (keep-min-id), i.e.
+    * scan → shared pair stage → connected components → anti join. The anti
+    * join is on the (tiny) non-keeper id set — the corpus itself streams
+    * through unshuffled. */
+  def dedupCorpus(docs: DataFrame, threshold: Double = JaccardThreshold,
+      k: Int = K, dfCap: Int = DefaultDfCap): DataFrame = {
+    val dropIds = dedupKeeper(docs, threshold, k, dfCap)
+      .filter(col("doc_id") =!= col("keeper"))
+      .select("doc_id")
+    docs.join(dropIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+  val dedupCorpusSql: String =
+    s"""WITH RECURSIVE ${pairsCte(capped = true)},
+       |np AS (
+       |  SELECT d1, d2 FROM pairs
+       |  WHERE inter / (n1 + n2 - inter) >= $JaccardThreshold),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM np
+       |  UNION ALL SELECT d2, d1 FROM np),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS keeper
+       |  FROM reach GROUP BY src)
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> keeper)
+       |ORDER BY doc_id""".stripMargin
+
   /** Exact dedup: md5 content hash → keep-first per group, plus a corpus
     * summary row (the corpus has no exact dups, so the per-group output
     * alone would be empty; the summary keeps the check meaningful). */
@@ -414,6 +445,9 @@ object DedupOps {
     ("q23_dedup_keeper",
       (s: SparkSession, d: String) => dedupKeeper(Tables.documents(s, d)),
       Some(dedupKeeperSql)),
+    ("q23_dedup_corpus",
+      (s: SparkSession, d: String) => dedupCorpus(Tables.documents(s, d)),
+      Some(dedupCorpusSql)),
     ("q23_dedup_embedding",
       (s: SparkSession, d: String) => embeddingNearDup(Tables.embeddings(s, d)),
       Some(embeddingNearDupSql)))

@@ -231,11 +231,17 @@ object TextOps {
   def tfidf(docs0: DataFrame): DataFrame = {
     val docs = Tables.fanout(docs0)
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_total"))
+    // two-level agg instead of countDistinct over the token stream: the
+    // (term, doc) rollup collapses each doc's repeats with map-side combine
+    // and the Expand(×2) a count+countDistinct pair would plan never
+    // happens — at 100 TB that Expand doubles the exploded-token shuffle
     val terms = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
       .filter(!col("term").isin(Text.stopwords: _*))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
       .groupBy(col("term"))
-      .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("df"))
+      .agg(sum(col("tf")).as("c"), count(lit(1)).as("df"))
     terms.crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("c").cast("double")
@@ -258,6 +264,36 @@ object TextOps {
        |LIMIT 15""".stripMargin
   }
 
+  /** Deterministic train/val/test assignment: bucket = md5(doc_id) mod 100
+    * → <80 train, <90 val, else test. Hash-based (not `sample()`) so the
+    * split is reproducible across engines, runs, partitionings, and data
+    * re-orderings — the property a training pipeline needs so a document
+    * never migrates between splits when the corpus is re-processed. The
+    * md5-top-60-bit + modular form is the same oracle-reproducible hashing
+    * the fingerprint ops use. Pure narrow map + one tiny aggregation. */
+  def trainSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = conv(substring(md5(to_binary(col("doc_id").cast("string"),
+      lit("utf-8"))), 1, 15), 16, 10).cast("long") % 100
+    val split = when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+    docs.select(col("lang"), split.as("split"), col("n_chars"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "split")
+  }
+  val trainSplitSql: String =
+    """WITH b AS (SELECT lang, n_chars,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |s AS (SELECT lang, n_chars,
+      |    CASE WHEN bucket < 80 THEN 'train'
+      |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM b)
+      |SELECT lang, split, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
   private def onDocs(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.documents(s, d))
 
@@ -271,5 +307,6 @@ object TextOps {
     ("q25_fingerprint", onDocs(fingerprint), Some(fingerprintSql)),
     ("q25_rolling_fingerprint", onDocs(rollingFingerprint), Some(rollingFingerprintSql)),
     ("q25_repetition", onDocs(repetition), Some(repetitionSql)),
-    ("q25_tfidf", onDocs(tfidf), Some(tfidfSql)))
+    ("q25_tfidf", onDocs(tfidf), Some(tfidfSql)),
+    ("q25_train_split", onDocs(trainSplit(_)), Some(trainSplitSql)))
 }
