@@ -42,9 +42,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * stronger than the reference's max-acked-seq checkpoint (exactly-once
   * with replayable input + idempotent sink vs at-least-once).
   *
-  * File I/O notes: line counts are re-read per `latestOffset` poll; fine
-  * for a simulator (a real connector caches/sends deltas). Record files
-  * are TSV: `seq \t partitionKey \t arrivalMicros \t data`.
+  * File I/O notes: line counts are memoized by (path, mtime, size), so a
+  * quiet-stream `latestOffset` poll costs one stat per shard and only an
+  * actual append triggers a recount. Record files are TSV:
+  * `seq \t partitionKey \t arrivalMicros \t data`.
   */
 object ShardSim {
   val schema: StructType = StructType(Seq(
@@ -77,10 +78,23 @@ object ShardSim {
     }.toSeq
   }
 
+  /** Line counts memoized by (path, mtime, size): a `latestOffset` poll on
+    * a quiet stream is O(#shards) stat calls instead of a full re-read of
+    * every shard file (which made the poll loop O(n²) over stream life);
+    * an append changes mtime/size and triggers one O(n) recount. */
+  private val lineCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
+
   private def countLines(f: File): Long = {
-    val in = Files.newBufferedReader(f.toPath, StandardCharsets.UTF_8)
-    try Iterator.continually(in.readLine()).takeWhile(_ != null).size.toLong
-    finally in.close()
+    val key = (f.getAbsolutePath, f.lastModified(), f.length())
+    lineCountCache.computeIfAbsent(key, { _ =>
+      // drop superseded entries for this path (file grew or was renamed)
+      lineCountCache.keySet.removeIf(k => k._1 == key._1 && k != key)
+      val in = Files.newBufferedReader(f.toPath, StandardCharsets.UTF_8)
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .foldLeft(0L)((n, _) => n + 1)
+      finally in.close()
+    })
   }
 
   /** Offsets = per-shard consumed-record counts, JSON `{"shard-0":12,...}`
@@ -277,8 +291,13 @@ class ShardSimPartitionReader(partition: ShardSim.ShardSimInputPartition)
     val r = ranges.next()
     currentShard = UTF8String.fromString(r.shardId)
     reader = Files.newBufferedReader(Paths.get(r.file), StandardCharsets.UTF_8)
+    // Long-safe range selection (a .toInt slice would silently truncate
+    // past 2^31 records); the skip loop reads and discards [0, start)
+    var skipped = 0L
+    while (skipped < r.start && reader.readLine() != null) skipped += 1
+    var remaining = r.end - r.start
     lines = Iterator.continually(reader.readLine()).takeWhile(_ != null)
-      .slice(r.start.toInt, r.end.toInt)
+      .takeWhile { _ => remaining -= 1; remaining >= 0 }
     true
   }
 
