@@ -212,6 +212,33 @@ object DedupOps {
     * operator and sits >1e-4 from every pair (no float-boundary hazard). */
   private val CosineThreshold = 0.4
 
+  /** Label-free embedding near-dup: blocks on an axis-aligned sign bucket
+    * (the sign bits of the first [[SignPlanes]] components — hyperplane LSH
+    * with the coordinate axes as planes), then exact-cosine-verifies
+    * within-bucket pairs. This is the variant a real corpus without a
+    * cluster surrogate column runs at 100 TB: the bucket is a narrow map,
+    * the self-join is per-bucket, and only candidates are scored.
+    * Approximate BY DESIGN (cross-bucket pairs are unseen) — but the
+    * blocking rule is deterministic and engine-reproducible, so the oracle
+    * mirrors it exactly and the output is hash-checkable, unlike a
+    * seeded-random-plane variant. */
+  def embeddingNearDupLsh(em: DataFrame,
+      threshold: Double = CosineThreshold): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val bucket = (0 until SignPlanes).map(j =>
+      when(element_at(col("embedding"), j + 1) >= 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val b = em.withColumn("bucket", bucket)
+    val x = b.select(col("bucket").as("ba"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val y = b.select(col("bucket").as("bb"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    x.join(y, col("ba") === col("bb") && col("v1") < col("v2"))
+      .withColumn("cos", expr("cosine_sim(e1, e2)"))
+      .filter(col("cos") >= threshold)
+      .select(col("v1"), col("v2"), round(col("cos"), 4).as("cos"))
+      .orderBy("v1", "v2")
+  }
+  private val SignPlanes = 6
+
   /** Connected components over an undirected pair graph `(d1, d2)` →
     * one row per member node with its component's minimum id as `keeper`,
     * via iterative min-label propagation. Rounds needed = component
@@ -404,6 +431,29 @@ object DedupOps {
        |SELECT src AS doc_id, least(src, min(dst)) AS keeper
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  val embeddingNearDupLshSql: String = {
+    val bucketSql = (0 until SignPlanes).map(j =>
+      s"(CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |    (acc, v) -> acc + v)) AS nrm,
+       |  $bucketSql AS bucket
+       |  FROM embeddings)
+       |SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(a.embedding)),
+       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+       |      (acc, v) -> acc + v) / (a.nrm * b.nrm), 4) AS cos
+       |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(generate_series(1, len(a.embedding)),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+       |    (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.4
+       |ORDER BY v1, v2""".stripMargin
+  }
+
   val embeddingNearDupSql: String =
     """WITH n AS (SELECT vec_id, label, embedding,
       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -450,5 +500,8 @@ object DedupOps {
       Some(dedupCorpusSql)),
     ("q23_dedup_embedding",
       (s: SparkSession, d: String) => embeddingNearDup(Tables.embeddings(s, d)),
-      Some(embeddingNearDupSql)))
+      Some(embeddingNearDupSql)),
+    ("q23_dedup_embedding_lsh",
+      (s: SparkSession, d: String) => embeddingNearDupLsh(Tables.embeddings(s, d)),
+      Some(embeddingNearDupLshSql)))
 }
