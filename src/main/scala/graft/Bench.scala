@@ -44,6 +44,9 @@ object Bench {
         graft.core.Json.obj(SparkEntry.oracleSql))
       val pb = new ProcessBuilder("python3", script.toString,
         sfDir, oraclePath.toString, iters.toString)
+      // stderr passes through to ours: an undrained pipe would block the
+      // child once full (many failing oracles → a 15-min hang, lost pair)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
       val out = new Thread() {
         var result: String = ""
@@ -100,12 +103,21 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_PAIR", "1") == "0") None
       else duckdbPair(sfDir, iters)
     val pairJson = pair.map { line =>
-      val oracleNames = SparkEntry.oracleSql.keySet
+      // the ratio must compare identical query sets: drop queries that
+      // failed on either engine from BOTH totals
+      val duckFailed = """"failed":\s*\[([^\]]*)\]""".r
+        .findFirstMatchIn(line).map(_.group(1)).getOrElse("")
+        .split(',').map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSet
+      val sparkFailed = results.collect { case (k, v) if v < 0 => k }.toSet
+      val oracleNames = SparkEntry.oracleSql.keySet -- duckFailed -- sparkFailed
       val sparkOracleTotal = results
         .collect { case (k, v) if v >= 0 && oracleNames(k) => v }.sum
-      val duckTotal = """"total":\s*([0-9.]+)""".r
-        .findFirstMatchIn(line).map(_.group(1).toDouble)
-      val ratio = duckTotal.filter(_ > 0).map(sparkOracleTotal / _)
+      val duckQueryTimes = ("\"([^\"]+)\":\\s*(-?[0-9.]+)".r
+        .findAllMatchIn(line).map(m => m.group(1) -> m.group(2).toDouble)).toMap
+      val duckTotal = Some(oracleNames.toSeq
+        .flatMap(duckQueryTimes.get).filter(_ >= 0).sum).filter(_ > 0)
+      val ratio = duckTotal.map(sparkOracleTotal / _)
       f""","spark_oracle_total":$sparkOracleTotal%.3f,"duckdb":$line""" +
         ratio.map(r => f""","ratio":$r%.2f""").getOrElse("")
     }.getOrElse("")

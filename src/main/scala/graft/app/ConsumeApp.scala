@@ -79,7 +79,16 @@ object ConsumeApp {
     * `process(record)` ≈ the Processor callback, `close` ≈ the `Nothing`
     * end-of-stream flush token. Output files are keyed (epoch, partition)
     * and truncated on open, so an epoch replay after a crash overwrites
-    * instead of duplicating — the per-record-ack idempotence analog. */
+    * instead of duplicating — the per-record-ack idempotence analog.
+    *
+    * Exactly-once caveat: truncate-on-open only covers partitions the
+    * replay re-plans. If a replayed epoch plans FEWER partitions than the
+    * crashed attempt (possible when the shard set shrank between attempts),
+    * a stale high-numbered part file from the dead attempt could survive.
+    * The shardsim planner is deterministic for a given shard set, so this
+    * holds here; a production ForeachWriter sink should stage per-epoch
+    * output and commit it atomically (or use foreachBatch, whose batch-dir
+    * overwrite has no such edge). */
   class TsvRecordWriter(dir: String)
       extends org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
     @transient private var w: java.io.BufferedWriter = _

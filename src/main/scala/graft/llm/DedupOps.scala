@@ -83,18 +83,31 @@ object DedupOps {
     * (d1, d2, n1, n2, inter) directly — no size table joined or broadcast
     * afterwards. One self-join + one aggregation, all keys 8-byte hashes.
     *
-    * When the cap bites, `inter` counts only sub-cap shared shingles, i.e.
-    * Jaccard over non-boilerplate shingles — the quantity you actually want
-    * on crawl data, and what every oracle mirrors. */
+    * When the cap bites, boilerplate (df > cap) shingles are excluded from
+    * BOTH the intersection and the set sizes — Jaccard over non-boilerplate
+    * shingles, the quantity you actually want on crawl data. Excluding them
+    * from only the numerator would make even byte-identical documents score
+    * below 1 and silently escape dedup; with both sides capped, identical
+    * docs still score exactly 1. df=1 shingles cannot form a pair (so they
+    * are dropped from the inverted index) but DO count in the sizes — they
+    * are informative content, not boilerplate. Every oracle mirrors this. */
   def jaccardPairs(docs: DataFrame, k: Int = K,
       dfCap: Int = DefaultDfCap): DataFrame = {
-    val hs = shingleHashes(docs, k).persist()
-    val sh = hs.select(col("doc_id"), size(col("hs")).as("n"),
-      explode(col("hs")).as("h"))
-    val pairable = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= dfCap)
-      .select("h")
-    val shc = sh.join(pairable, "h")
+    val hs = graft.core.CacheOnce.swap("dedup-shingles", shingleHashes(docs, k))
+    val sh = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    // per-doc count of boilerplate shingles (empty unless the cap binds);
+    // joined to the compact per-doc table BEFORE the explode, so adjusted
+    // sizes still ride the exploded rows into the pair aggregation — no
+    // per-document table is joined after the pair shuffle
+    val hotPerDoc = sh.join(freq.filter(col("df") > dfCap).select("h"), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("hot_n"))
+    val sh2 = hs.join(hotPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (size(col("hs")) - coalesce(col("hot_n"), lit(0L))).as("n"),
+        explode(col("hs")).as("h"))
+    val pairable = freq.filter(col("df") >= 2 && col("df") <= dfCap).select("h")
+    val shc = sh2.join(pairable, "h")
     shc.as("a").join(shc.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("a.n").as("n1"),
@@ -121,8 +134,9 @@ object DedupOps {
       threshold: Double = JaccardThreshold, k: Int = K): DataFrame = {
     // The shingle table feeds the banding branch plus both verification
     // sides; persist it so the text is shingled once (at cluster scale this
-    // is the materialized signature table).
-    val hs0 = shingleHashes(docs, k).persist()
+    // is the materialized signature table). CacheOnce bounds the pinning to
+    // one copy per session across repeated calls.
+    val hs0 = graft.core.CacheOnce.swap("dedup-shingles", shingleHashes(docs, k))
     // Per doc: 32 LSH band keys from the 128-component MinHash signature,
     // computed row-local by the codegen'd MinHashBands expression — the only
     // shuffles in the whole operator are the bucket self-join and the
@@ -257,11 +271,16 @@ object DedupOps {
     val sc = pairs.sparkSession.sparkContext
     // Track exactly the RDD blocks each localCheckpoint pins so superseded
     // levels can be dropped deterministically (public-API alternative to
-    // reaching into LogicalRDD internals).
+    // reaching into LogicalRDD internals). The diff is restricted to
+    // locally-checkpointed RDDs so a concurrent job's plain persist() can
+    // never be swept; two connectedComponents runs racing in one session
+    // could still cross-sweep each other — run them sequentially.
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
+      def ckptIds = sc.getPersistentRDDs
+        .collect { case (id, r) if r.isCheckpointed => id }.toSet
+      val before = ckptIds
       val out = df.localCheckpoint() // eager: materializes the round
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+      (out, ckptIds -- before)
     }
     def drop(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
@@ -314,8 +333,8 @@ object DedupOps {
     val dropIds = dedupKeeper(docs, threshold, k, dfCap)
       .filter(col("doc_id") =!= col("keeper"))
       .select("doc_id")
+    // all input columns pass through untouched — the library contract
     docs.join(dropIds, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
   }
   val dedupCorpusSql: String =
@@ -331,7 +350,7 @@ object DedupOps {
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
        |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS keeper
        |  FROM reach GROUP BY src)
-       |SELECT doc_id, lang, n_chars FROM documents
+       |SELECT * FROM documents
        |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> keeper)
        |ORDER BY doc_id""".stripMargin
 
@@ -359,13 +378,20 @@ object DedupOps {
     * zero semantic change), plus the boilerplate cap where the Spark path
     * applies one. */
   private def pairsCte(capped: Boolean): String = {
-    val capClause = if (capped) s"df BETWEEN 2 AND $DefaultDfCap" else "df >= 2"
+    val capClause = if (capped) s"f.df BETWEEN 2 AND $DefaultDfCap" else "f.df >= 2"
+    // capped sizes exclude boilerplate (df > cap) shingles, mirroring the
+    // Spark path's both-sides-capped Jaccard; df=1 shingles stay in sizes
+    val sizesClause =
+      if (capped) s"""sizes AS (SELECT s.doc_id, count(*) AS n FROM sh s
+         |  JOIN freq f ON f.sh = s.sh WHERE f.df <= $DefaultDfCap
+         |  GROUP BY s.doc_id),""".stripMargin
+      else "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
     s"""tok AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts FROM documents),
        |sh AS (SELECT doc_id, unnest(${Text.shinglesSql("ts", K)}) AS sh FROM tok),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |freq AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) f
+       |freq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       |$sizesClause
+       |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN freq f ON f.sh = s.sh
        |  WHERE $capClause),
-       |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN freq f ON f.sh = s.sh),
        |pairs AS (
        |  SELECT a.doc_id AS d1, s1.n AS n1, b.doc_id AS d2, s2.n AS n2,
        |    count(*) AS inter

@@ -102,8 +102,9 @@ object SimilarityOps {
       maxHamming: Int = DefaultMaxHamming): DataFrame = {
     GraftFunctions.register(em.sparkSession)
     // persisted: the bucketed corpus feeds both the query-side lookup and
-    // the corpus side of the probe join — one bucketing pass, not two
-    val indexed = lshBuckets(em).persist()
+    // the corpus side of the probe join — one bucketing pass, not two.
+    // CacheOnce bounds pinning to one copy per session across calls.
+    val indexed = graft.core.CacheOnce.swap("ann-lsh-buckets", lshBuckets(em))
     val probeMasks = (1 until (1 << NumPlanes))
       .filter(m => java.lang.Integer.bitCount(m) <= maxHamming)
       .map(_.toLong)

@@ -31,6 +31,10 @@ object AdvancedQueries {
       tsCol: String, valueCol: String, outCol: String = "asof_value"): DataFrame = {
     require(!probe.columns.contains(valueCol),
       s"probe already has a column named '$valueCol'; rename the quote value")
+    Seq("_side", "_qv").foreach { reserved =>
+      require(!probe.columns.contains(reserved) && !quotes.columns.contains(reserved),
+        s"column name '$reserved' is reserved by asofJoin; rename it in the input")
+    }
     val valueType = quotes.schema(valueCol).dataType
     val quoteSide = probe.columns.foldLeft(
       quotes.select(col(keyCol), col(tsCol), lit(0).as("_side"),

@@ -87,9 +87,11 @@ object ShardSim {
 
   private def countLines(f: File): Long = {
     val key = (f.getAbsolutePath, f.lastModified(), f.length())
+    // sweep superseded entries for this path BEFORE computeIfAbsent — the
+    // ConcurrentHashMap contract forbids mutating the map from inside the
+    // mapping function (risk of bin-lock deadlock between concurrent polls)
+    lineCountCache.keySet.removeIf(k => k._1 == key._1 && k != key)
     lineCountCache.computeIfAbsent(key, { _ =>
-      // drop superseded entries for this path (file grew or was renamed)
-      lineCountCache.keySet.removeIf(k => k._1 == key._1 && k != key)
       val in = Files.newBufferedReader(f.toPath, StandardCharsets.UTF_8)
       try Iterator.continually(in.readLine()).takeWhile(_ != null)
         .foldLeft(0L)((n, _) => n + 1)

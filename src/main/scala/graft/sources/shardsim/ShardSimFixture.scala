@@ -53,12 +53,9 @@ object ShardSimFixture {
     } finally writers.values.foreach(_.close())
   }
 
-  /** Write a standalone shard file with explicit rows
-    * (partitionKey, arrivalMicros, dataJson). */
-  def writeShard(outDir: String, shard: Int,
-      rows: Seq[(String, Long, String)], closed: Boolean = false): Unit = {
+  private def writeShardFile(outDir: String, name: String,
+      rows: Seq[(String, Long, String)]): Unit = {
     Files.createDirectories(Paths.get(outDir))
-    val name = s"shard-$shard" + (if (closed) ".closed.tsv" else ".tsv")
     val w = Files.newBufferedWriter(Paths.get(outDir, name),
       StandardCharsets.UTF_8, StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     try rows.zipWithIndex.foreach { case ((pk, arrival, data), i) =>
@@ -66,18 +63,20 @@ object ShardSimFixture {
     } finally w.close()
   }
 
+  /** Write a standalone shard file with explicit rows
+    * (partitionKey, arrivalMicros, dataJson). */
+  def writeShard(outDir: String, shard: Int,
+      rows: Seq[(String, Long, String)], closed: Boolean = false): Unit =
+    writeShardFile(outDir,
+      s"shard-$shard" + (if (closed) ".closed.tsv" else ".tsv"), rows)
+
   /** Write a split/merge child shard file (`shard-<child>.parent-<parent>.tsv`):
     * the source will admit its records only after `shard-<parent>` is closed
     * and drained. Rows: (partitionKey, arrivalMicros, dataJson). */
   def writeChild(outDir: String, child: Int, parent: Int,
-      rows: Seq[(String, Long, String)], closed: Boolean = false): Unit = {
-    val name = s"shard-$child.parent-$parent" + (if (closed) ".closed.tsv" else ".tsv")
-    val w = Files.newBufferedWriter(Paths.get(outDir, name),
-      StandardCharsets.UTF_8, StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    try rows.zipWithIndex.foreach { case ((pk, arrival, data), i) =>
-      w.write(f"$i%012d\t$pk\t$arrival\t$data\n")
-    } finally w.close()
-  }
+      rows: Seq[(String, Long, String)], closed: Boolean = false): Unit =
+    writeShardFile(outDir,
+      s"shard-$child.parent-$parent" + (if (closed) ".closed.tsv" else ".tsv"), rows)
 
   /** Seal a shard file (append `.closed` before `.tsv`), preserving any
     * parent marker — the shard-end event of a split. */

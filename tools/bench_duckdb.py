@@ -41,6 +41,7 @@ def main():
             pass
 
     times = {}
+    failed = []
     for name in sorted(oracles):
         best = None
         for _ in range(iters):
@@ -50,12 +51,16 @@ def main():
             except Exception as e:
                 print(f"[bench_duckdb] {name} FAILED: {e}", file=sys.stderr)
                 best = -1.0
+                failed.append(name)
                 break
             dt = time.monotonic() - t0
             best = dt if best is None or dt < best else best
         times[name] = round(best, 3)
     total = round(sum(v for v in times.values() if v >= 0), 3)
-    print(json.dumps({"total": total, "queries": times, "n": len(times)}))
+    # `failed` lets the Scala side drop the same queries from its numerator
+    # so the ratio always compares identical query sets
+    print(json.dumps({"total": total, "queries": times, "n": len(times),
+                      "failed": failed}))
 
 
 if __name__ == "__main__":
