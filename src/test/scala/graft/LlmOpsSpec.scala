@@ -84,6 +84,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(keepers == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), keepers.toString)
   }
 
+  test("df-cap excludes boilerplate from both sides: identical docs still score jac = 1") {
+    import spark.implicits._
+    // every doc shares the same boilerplate preamble (its shingles exceed
+    // the cap); docs 1 and 2 are byte-identical, doc 3 is unrelated content
+    val boiler = (1 to 30).map(i => s"boiler$i").mkString(" ")
+    val contentA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val docs = (Seq(
+      (1L, s"$boiler $contentA"),
+      (2L, s"$boiler $contentA")) ++
+      (3L to 12L).map(i => i -> s"$boiler ${(1 to 40).map(j => s"t${i}x$j").mkString(" ")}"))
+      .toDF("doc_id", "text")
+    // cap = 5 < 12 docs sharing the boilerplate shingles → the cap binds
+    val pairs = DedupOps.jaccardPairs(docs, dfCap = 5)
+      .collect().map(r => ((r.getAs[Long]("d1"), r.getAs[Long]("d2")),
+        r.getAs[Double]("jac"))).toMap
+    // identical docs: all non-boilerplate shingles shared → exactly 1.0
+    assert(pairs.get((1L, 2L)).contains(1.0), pairs.toString)
+    // boilerplate-only overlap generates no candidate pair at all
+    assert(pairs.keySet == Set((1L, 2L)), pairs.toString)
+  }
+
   test("connected components: deep chain converges with O(1) plan depth") {
     import spark.implicits._
     // path graph 0-1-2-...-11: min-label propagation needs 11 rounds (one
