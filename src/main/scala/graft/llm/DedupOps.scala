@@ -116,6 +116,55 @@ object DedupOps {
       .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
   }
 
+  /** Incremental near-dup: pairs between a NEW document batch and the
+    * full corpus (corpus ∪ batch) — the production shape for a pipeline
+    * ingesting crawl batches against an existing index. The self-join is
+    * one-sided (full inverted index ⋈ new-batch index), so the work is
+    * O(|new| × overlap) rather than O(|corpus|²) — re-pairing the whole
+    * corpus for every arriving batch is exactly what this avoids. Same
+    * df-cap/both-sides-capped Jaccard semantics as [[jaccardPairs]];
+    * output pairs are id-normalized (d1 < d2) and always touch ≥1 new doc. */
+  def incrementalNearDup(corpus: DataFrame, newDocs: DataFrame,
+      threshold: Double = JaccardThreshold, k: Int = K,
+      dfCap: Int = DefaultDfCap): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val all = corpus.select(col("doc_id"), col("text"))
+      .withColumn("is_new", lit(false))
+      .unionByName(newDocs.select(col("doc_id"), col("text"))
+        .withColumn("is_new", lit(true)))
+    val tagged = graft.core.CacheOnce.swap("dedup-incr-shingles",
+      Tables.fanout(all).select(col("doc_id"), col("is_new"),
+        expr(s"shingle_hashes(text, $k)").as("hs")))
+    val sh = tagged.select(col("doc_id"), explode(col("hs")).as("h"))
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val hotPerDoc = sh.join(freq.filter(col("df") > dfCap).select("h"), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("hot_n"))
+    val sized = tagged.join(hotPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_new"),
+        (size(col("hs")) - coalesce(col("hot_n"), lit(0L))).as("n"),
+        explode(col("hs")).as("h"))
+    val pairable = freq.filter(col("df") >= 2 && col("df") <= dfCap).select("h")
+    val shc = sized.join(pairable, "h")
+    val newSide = shc.filter(col("is_new"))
+    // old↔new pairs appear once (a must be old or the smaller new id);
+    // new↔new pairs are ordered to avoid double counting
+    shc.as("a").join(newSide.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id")
+          && (!col("a.is_new") || col("a.doc_id") < col("b.doc_id")))
+      .groupBy(
+        least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
+        when(col("a.doc_id") < col("b.doc_id"), col("a.n"))
+          .otherwise(col("b.n")).as("n1"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b.n"))
+          .otherwise(col("a.n")).as("n2"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
   /** Near-dup pairs by exact n-gram-shingle Jaccard ≥ threshold (ground
     * truth for the LSH path; itself a legitimate distributed near-dup
     * operator). */
@@ -377,7 +426,9 @@ object DedupOps {
     * df ≥ 2 always (a df=1 shingle cannot form a pair — pure optimization,
     * zero semantic change), plus the boilerplate cap where the Spark path
     * applies one. */
-  private def pairsCte(capped: Boolean): String = {
+  /** The shared index CTEs (tok, sh, freq, sizes, shc) — everything up to
+    * candidate-pair generation. */
+  private def indexCte(capped: Boolean): String = {
     val capClause = if (capped) s"f.df BETWEEN 2 AND $DefaultDfCap" else "f.df >= 2"
     // capped sizes exclude boilerplate (df > cap) shingles, mirroring the
     // Spark path's both-sides-capped Jaccard; df=1 shingles stay in sizes
@@ -391,7 +442,11 @@ object DedupOps {
        |freq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
        |$sizesClause
        |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN freq f ON f.sh = s.sh
-       |  WHERE $capClause),
+       |  WHERE $capClause)""".stripMargin
+  }
+
+  private def pairsCte(capped: Boolean): String =
+    s"""${indexCte(capped)},
        |pairs AS (
        |  SELECT a.doc_id AS d1, s1.n AS n1, b.doc_id AS d2, s2.n AS n2,
        |    count(*) AS inter
@@ -399,7 +454,6 @@ object DedupOps {
        |  JOIN sizes s1 ON s1.doc_id = a.doc_id
        |  JOIN sizes s2 ON s2.doc_id = b.doc_id
        |  GROUP BY 1, 2, 3, 4)""".stripMargin
-  }
 
   /** Exact-Jaccard oracle for the df-capped shared pair stage. */
   private val jaccardOracle: String =
@@ -408,6 +462,27 @@ object DedupOps {
        |  round(inter / (n1 + n2 - inter), 4) AS jaccard
        |FROM pairs
        |WHERE inter / (n1 + n2 - inter) >= $JaccardThreshold
+       |ORDER BY d1, d2""".stripMargin
+
+  /** Registry split for the incremental variant: docs below this id are the
+    * "existing corpus", the rest are the "newly arrived batch". */
+  private val IncrementalSplitId = 400L
+
+  val incrementalNearDupSql: String =
+    s"""WITH ${indexCte(capped = true)},
+       |shn AS (SELECT doc_id, sh FROM shc WHERE doc_id >= $IncrementalSplitId),
+       |cand AS (
+       |  SELECT least(a.doc_id, b.doc_id) AS d1,
+       |    greatest(a.doc_id, b.doc_id) AS d2, count(*) AS inter
+       |  FROM shc a JOIN shn b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |    AND (a.doc_id < $IncrementalSplitId OR a.doc_id < b.doc_id)
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |  round(inter / (s1.n + s2.n - inter), 4) AS jaccard
+       |FROM cand
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold
        |ORDER BY d1, d2""".stripMargin
 
   /** The MinHash path generates candidates by banding (no df logic), so its
@@ -509,6 +584,11 @@ object DedupOps {
     ("q23_dedup_ngram_jaccard",
       (s: SparkSession, d: String) => ngramJaccard(Tables.documents(s, d)),
       Some(jaccardOracle)),
+    ("q23_dedup_incremental",
+      (s: SparkSession, d: String) => incrementalNearDup(
+        Tables.documents(s, d).filter(col("doc_id") < IncrementalSplitId),
+        Tables.documents(s, d).filter(col("doc_id") >= IncrementalSplitId)),
+      Some(incrementalNearDupSql)),
     ("q23_dedup_minhash_lsh",
       (s: SparkSession, d: String) => minhashLsh(Tables.documents(s, d)),
       Some(jaccardOracleUncapped)),

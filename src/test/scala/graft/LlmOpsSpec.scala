@@ -84,6 +84,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(keepers == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), keepers.toString)
   }
 
+  test("incremental near-dup pairs a new batch against the corpus, never corpus-with-itself") {
+    import spark.implicits._
+    val base = (1 to 90).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),                              // will be duplicated by new doc 10
+      (2L, base),                              // corpus-internal dup of 1 — NOT re-paired
+      (3L, (1 to 90).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, base),                             // dup of corpus docs 1 and 2
+      (11L, base.replace("tok5 ", "tok5x ")),  // near dup of 1, 2, 10 (one token)
+      (12L, "entirely novel content " + (1 to 60).map(i => s"nv$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.incrementalNearDup(corpus, fresh)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair touches the new batch; the corpus-internal (1,2) pair is absent
+    assert(!pairs.contains((1L, 2L)), pairs.toString)
+    assert(pairs == Set((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L), (10L, 11L)),
+      pairs.toString)
+  }
+
   test("df-cap excludes boilerplate from both sides: identical docs still score jac = 1") {
     import spark.implicits._
     // every doc shares the same boilerplate preamble (its shingles exceed
