@@ -165,6 +165,28 @@ object DedupOps {
       .orderBy("d1", "d2")
   }
 
+  /** Decontamination: per training document, the fraction of its shingles
+    * that appear anywhere in the eval/benchmark set — the standard check
+    * that a training corpus does not contain (near-)copies of evaluation
+    * data. The eval side collapses to a distinct shingle-hash set (tiny
+    * next to the corpus: broadcast-able at cluster scale), so the corpus
+    * streams through one hash join and one aggregation; no pair space. */
+  def contamination(docs: DataFrame, evalDocs: DataFrame, k: Int = K,
+      minFrac: Double = 0.1): DataFrame = {
+    val evalH = shingleHashes(evalDocs, k)
+      .select(explode(col("hs")).as("h")).distinct()
+    val sh = shingleHashes(docs, k)
+      .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
+    sh.join(evalH, "h")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("hits"))
+      .withColumn("frac", col("hits") / col("n"))
+      .filter(col("frac") >= minFrac)
+      .select(col("doc_id"), col("n").as("n_shingles"), col("hits"),
+        round(col("frac"), 4).as("frac"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup pairs by exact n-gram-shingle Jaccard ≥ threshold (ground
     * truth for the LSH path; itself a legitimate distributed near-dup
     * operator). */
@@ -485,6 +507,24 @@ object DedupOps {
        |WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold
        |ORDER BY d1, d2""".stripMargin
 
+  /** Registry split for contamination: docs at/above this id stand in for
+    * the eval/benchmark set. */
+  private val EvalSplitId = 450L
+
+  val contaminationSql: String =
+    s"""WITH tok AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts FROM documents),
+       |shg AS (SELECT doc_id, unnest(${Text.shinglesSql("ts", K)}) AS sh FROM tok),
+       |ev AS (SELECT DISTINCT sh FROM shg WHERE doc_id >= $EvalSplitId),
+       |tr AS (SELECT doc_id, sh FROM shg WHERE doc_id < $EvalSplitId),
+       |n AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY doc_id),
+       |hits AS (SELECT t.doc_id, count(*) AS hits
+       |  FROM tr t JOIN ev e ON e.sh = t.sh GROUP BY t.doc_id)
+       |SELECT h.doc_id, n.n AS n_shingles, h.hits,
+       |  round(h.hits / n.n, 4) AS frac
+       |FROM hits h JOIN n ON n.doc_id = h.doc_id
+       |WHERE h.hits / n.n >= 0.1
+       |ORDER BY h.doc_id""".stripMargin
+
   /** The MinHash path generates candidates by banding (no df logic), so its
     * oracle is the UNcapped exact Jaccard. At tested scale factors the cap
     * never binds (max observed df is 4), so both oracles agree — asserted
@@ -584,6 +624,11 @@ object DedupOps {
     ("q23_dedup_ngram_jaccard",
       (s: SparkSession, d: String) => ngramJaccard(Tables.documents(s, d)),
       Some(jaccardOracle)),
+    ("q23_contamination",
+      (s: SparkSession, d: String) => contamination(
+        Tables.documents(s, d).filter(col("doc_id") < EvalSplitId),
+        Tables.documents(s, d).filter(col("doc_id") >= EvalSplitId)),
+      Some(contaminationSql)),
     ("q23_dedup_incremental",
       (s: SparkSession, d: String) => incrementalNearDup(
         Tables.documents(s, d).filter(col("doc_id") < IncrementalSplitId),

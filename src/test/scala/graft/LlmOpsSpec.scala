@@ -105,6 +105,23 @@ class LlmOpsSpec extends SparkSpec {
       pairs.toString)
   }
 
+  test("contamination flags training docs overlapping the eval set") {
+    import spark.implicits._
+    val evalText = (1 to 60).map(i => s"ev$i").mkString(" ")
+    val train = Seq(
+      (1L, evalText),                                          // full copy of eval
+      (2L, (1 to 30).map(i => s"ev$i").mkString(" ") + " " +   // half eval, half own
+        (1 to 30).map(i => s"own$i").mkString(" ")),
+      (3L, (1 to 60).map(i => s"clean$i").mkString(" "))       // no overlap
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, evalText)).toDF("doc_id", "text")
+    val got = DedupOps.contamination(train, evalSet)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) == 1.0, got.toString)                       // fully contaminated
+    assert(got(2L) > 0.3 && got(2L) < 0.6, got.toString)       // partially
+    assert(!got.contains(3L), got.toString)                    // clean doc absent
+  }
+
   test("df-cap excludes boilerplate from both sides: identical docs still score jac = 1") {
     import spark.implicits._
     // every doc shares the same boilerplate preamble (its shingles exceed
