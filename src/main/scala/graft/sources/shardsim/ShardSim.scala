@@ -56,12 +56,14 @@ object ShardSim {
     StructField("shardId", StringType, nullable = false)))
 
   case class ShardInfo(shardId: String, file: String, closed: Boolean,
-      numRecords: Long, parent: Option[String] = None)
+      numRecords: Long, parents: Seq[String] = Nil)
 
-  /** Shard files: `shard-<id>[.parent-<pid>][.closed].tsv`. The optional
-    * `.parent-<pid>` marker declares the shard a split/merge child of
-    * `shard-<pid>` — the relation Kinesis exposes as `ParentShardId`, which
-    * the reference left unfinished (/root/reference/README.md:8). */
+  /** Shard files: `shard-<id>[.parent-<pid>]*[.closed].tsv`. Each
+    * `.parent-<pid>` marker declares an ancestor that must be closed and
+    * drained before this shard's records are admitted — one marker for a
+    * split child (Kinesis `ParentShardId`), two for a merge child
+    * (`ParentShardId` + `AdjacentParentShardId`). The relation the
+    * reference left unfinished (/root/reference/README.md:8). */
   def listShards(dir: String): Seq[ShardInfo] = {
     val d = new File(dir)
     val files = Option(d.listFiles()).getOrElse(Array.empty)
@@ -69,12 +71,9 @@ object ShardSim {
     files.sortBy(_.getName).map { f =>
       val closed = f.getName.endsWith(".closed.tsv")
       val base = f.getName.stripSuffix(".tsv").stripSuffix(".closed")
-      val (id, parent) = base.indexOf(".parent-") match {
-        case -1 => (base, None)
-        case i => (base.substring(0, i),
-          Some("shard-" + base.substring(i + ".parent-".length)))
-      }
-      ShardInfo(id, f.getAbsolutePath, closed, countLines(f), parent)
+      val segs = base.split("\\.parent-", -1)
+      val (id, parents) = (segs.head, segs.tail.toSeq.map("shard-" + _))
+      ShardInfo(id, f.getAbsolutePath, closed, countLines(f), parents)
     }.toSeq
   }
 
@@ -197,19 +196,20 @@ class ShardSimMicroBatchStream(path: String, options: Map[String, String])
     val byId = shards.map(s => s.shardId -> s).toMap
     // Parent→child ordering (the reference's completion rule,
     // src/Kinesis/Coordination.hs:352-353, applied to its unfinished
-    // split/merge TODO, README.md:8): a split child's records are admitted
-    // only once every ancestor is closed AND fully consumed as of `start`
-    // — otherwise a key's post-split records could be read before its
-    // pre-split ones. A missing parent file (trimmed by retention) counts
+    // split/merge TODO, README.md:8): a child's records are admitted only
+    // once EVERY declared ancestor is closed AND fully consumed as of
+    // `start` — one parent for a split child, two for a merge child —
+    // otherwise a key's post-reshard records could be read before its
+    // pre-reshard ones. A missing parent file (trimmed by retention) counts
     // as drained; a cycle (corrupt fixture) gates its members forever
     // rather than looping.
-    def released(sh: ShardInfo, seen: Set[String]): Boolean = sh.parent match {
-      case None => true
-      case Some(pid) if seen(pid) => false
-      case Some(pid) => byId.get(pid).forall(p =>
-        p.closed && startSeqs.getOrElse(p.shardId, 0L) >= p.numRecords &&
-          released(p, seen + sh.shardId))
-    }
+    def released(sh: ShardInfo, seen: Set[String]): Boolean =
+      sh.parents.forall {
+        case pid if seen(pid) => false
+        case pid => byId.get(pid).forall(p =>
+          p.closed && startSeqs.getOrElse(p.shardId, 0L) >= p.numRecords &&
+            released(p, seen + sh.shardId))
+      }
     // under Trigger.AvailableNow, never read past the start-time snapshot
     val ends: Map[String, Long] = shards.map { s =>
       val avail = availableNowTarget match {

@@ -78,6 +78,15 @@ object ShardSimFixture {
     writeShardFile(outDir,
       s"shard-$child.parent-$parent" + (if (closed) ".closed.tsv" else ".tsv"), rows)
 
+  /** Write a merge child declaring multiple parents
+    * (`shard-<child>.parent-<p1>.parent-<p2>.tsv`): admitted only after
+    * every parent is closed and drained. */
+  def writeMergeChild(outDir: String, child: Int, parents: Seq[Int],
+      rows: Seq[(String, Long, String)], closed: Boolean = false): Unit =
+    writeShardFile(outDir,
+      s"shard-$child" + parents.map(p => s".parent-$p").mkString +
+        (if (closed) ".closed.tsv" else ".tsv"), rows)
+
   /** Seal a shard file (append `.closed` before `.tsv`), preserving any
     * parent marker — the shard-end event of a split. */
   def closeShard(outDir: String, shard: Int): Unit = {

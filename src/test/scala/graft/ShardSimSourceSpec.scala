@@ -143,6 +143,26 @@ class ShardSimSourceSpec extends SparkSpec {
     assert(e3("shard-1") == 5L, e3.toString)
   }
 
+  test("merge children wait for BOTH parents to drain") {
+    import graft.sources.shardsim.{ShardSim, ShardSimMicroBatchStream}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("shardsim_merge").toString
+    def row(i: Int) = (s"u$i", 1700000000000000L + i, s"""{"k":$i}""")
+    ShardSimFixture.writeShard(dir, 0, (0 until 10).map(row), closed = true)
+    ShardSimFixture.writeShard(dir, 1, (0 until 8).map(row), closed = true)
+    ShardSimFixture.writeMergeChild(dir, 2, Seq(0, 1), (0 until 5).map(row))
+    val stream = new ShardSimMicroBatchStream(dir, Map.empty)
+    def ends(start: Map[String, Long]): Map[String, Long] =
+      stream.latestOffset(ShardSim.ShardOffsets(start), ReadLimit.allAvailable())
+        .asInstanceOf[ShardSim.ShardOffsets].seqs
+    // only one parent drained: merge child still gated
+    val e1 = ends(Map("shard-0" -> 10L, "shard-1" -> 3L, "shard-2" -> 0L))
+    assert(e1("shard-2") == 0L, e1.toString)
+    // both parents drained: released
+    val e2 = ends(Map("shard-0" -> 10L, "shard-1" -> 8L, "shard-2" -> 0L))
+    assert(e2("shard-2") == 5L, e2.toString)
+  }
+
   test("no child record is read before its parent drains (per-key order across split)") {
     // per-key order across a split: all parent batches must commit strictly
     // before the first child batch, so a user's pre-split records land first
