@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -294,6 +295,56 @@ object TextOps {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
+  /** Text normalization audit: whitespace collapse + trim + lowercase as
+    * the canonical cleaning pass; reports, per lang, how many documents
+    * change and the total character delta. (The transform itself is the
+    * per-row map a cleaning pipeline applies; the aggregation makes it
+    * oracle-checkable without hashing megabytes of text.) */
+  def normalizeStats(docs: DataFrame): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    Tables.fanout(docs)
+      .select(col("lang"), col("text"), norm.as("norm"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("norm") =!= col("text"), 1).otherwise(0)).as("n_changed"),
+        sum(length(col("text")) - length(col("norm"))).as("chars_removed"))
+      .orderBy("lang")
+  }
+  val normalizeStatsSql: String =
+    """WITH x AS (SELECT lang, text,
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(sum(length(text) - length(norm)) AS BIGINT) AS chars_removed
+      |FROM x GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Per-source document cap (data mixing): deterministically keep at most
+    * `cap` documents per source, selected by md5(doc_id) order — the
+    * standard downsampling of over-represented sources when composing a
+    * training mix, reproducible across engines and re-processings (no
+    * sample()). Reports kept/dropped per source. */
+  def sourceCap(docs: DataFrame, cap: Int = 40): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= cap, 1).otherwise(0)).as("n_kept"),
+        sum(when(col("rk") > cap, 1).otherwise(0)).as("n_dropped"))
+      .orderBy("source")
+  }
+  def sourceCapSql(cap: Int = 40): String =
+    s"""WITH r AS (SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN rk <= $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN rk > $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   private def onDocs(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.documents(s, d))
 
@@ -308,5 +359,7 @@ object TextOps {
     ("q25_rolling_fingerprint", onDocs(rollingFingerprint), Some(rollingFingerprintSql)),
     ("q25_repetition", onDocs(repetition), Some(repetitionSql)),
     ("q25_tfidf", onDocs(tfidf), Some(tfidfSql)),
-    ("q25_train_split", onDocs(trainSplit(_)), Some(trainSplitSql)))
+    ("q25_train_split", onDocs(trainSplit(_)), Some(trainSplitSql)),
+    ("q25_normalize", onDocs(normalizeStats), Some(normalizeStatsSql)),
+    ("q25_source_cap", onDocs(sourceCap(_)), Some(sourceCapSql())))
 }
