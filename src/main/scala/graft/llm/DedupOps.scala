@@ -71,17 +71,37 @@ object DedupOps {
       expr(s"shingle_hashes(text, $k)").as("hs"))
   }
 
+  /** The exploded, df-capped inverted index with both-sides-capped sizes —
+    * the stage shared by [[jaccardPairs]] and [[incrementalNearDup]] (the
+    * Spark twin of the SQL `indexCte`). Input: per-doc shingle table
+    * `(doc_id, hs, extra...)`; output: `(extra..., doc_id, n, h)` with only
+    * pairable (2 ≤ df ≤ cap) shingles, n = the doc's sub-cap shingle count.
+    *
+    * The per-doc hot-shingle count (empty unless the cap binds) joins the
+    * compact per-doc table BEFORE the explode, so adjusted sizes ride the
+    * exploded rows into the pair aggregation — no per-document table is
+    * joined after the pair shuffle. */
+  private def cappedIndex(hsTable: DataFrame, dfCap: Int): DataFrame = {
+    val sh = hsTable.select(col("doc_id"), explode(col("hs")).as("h"))
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val hotPerDoc = sh.join(freq.filter(col("df") > dfCap).select("h"), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("hot_n"))
+    val pairable = freq.filter(col("df") >= 2 && col("df") <= dfCap).select("h")
+    val carried = hsTable.columns.filterNot(Set("hs", "hot_n")).map(col)
+    hsTable.join(hotPerDoc, Seq("doc_id"), "left")
+      .select(carried :+
+        (size(col("hs")) - coalesce(col("hot_n"), lit(0L))).as("n") :+
+        explode(col("hs")).as("h"): _*)
+      .join(pairable, "h")
+  }
+
   /** The shared shingle→candidate-pair stage: all pairs of documents that
     * share at least one shingle with document frequency in [2, dfCap], with
     * their exact shingle-set Jaccard. Output: (d1, d2, n1, n2, inter, jac).
     *
     * Plan shape (the part that must survive 100×): shingle table persisted
-    * once; inverted index filtered by a df aggregation BEFORE the self-join
-    * (df=1 shingles — the overwhelming majority — cannot form a pair, and
-    * df>cap shingles would each contribute df² rows); per-doc set sizes are
-    * carried on the exploded rows so the pair aggregation emits
-    * (d1, d2, n1, n2, inter) directly — no size table joined or broadcast
-    * afterwards. One self-join + one aggregation, all keys 8-byte hashes.
+    * once; one self-join over [[cappedIndex]] + one aggregation, all keys
+    * 8-byte hashes, no per-document side table after the pair shuffle.
     *
     * When the cap bites, boilerplate (df > cap) shingles are excluded from
     * BOTH the intersection and the set sizes — Jaccard over non-boilerplate
@@ -94,20 +114,7 @@ object DedupOps {
   def jaccardPairs(docs: DataFrame, k: Int = K,
       dfCap: Int = DefaultDfCap): DataFrame = {
     val hs = graft.core.CacheOnce.swap("dedup-shingles", shingleHashes(docs, k))
-    val sh = hs.select(col("doc_id"), explode(col("hs")).as("h"))
-    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    // per-doc count of boilerplate shingles (empty unless the cap binds);
-    // joined to the compact per-doc table BEFORE the explode, so adjusted
-    // sizes still ride the exploded rows into the pair aggregation — no
-    // per-document table is joined after the pair shuffle
-    val hotPerDoc = sh.join(freq.filter(col("df") > dfCap).select("h"), "h")
-      .groupBy("doc_id").agg(count(lit(1)).as("hot_n"))
-    val sh2 = hs.join(hotPerDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        (size(col("hs")) - coalesce(col("hot_n"), lit(0L))).as("n"),
-        explode(col("hs")).as("h"))
-    val pairable = freq.filter(col("df") >= 2 && col("df") <= dfCap).select("h")
-    val shc = sh2.join(pairable, "h")
+    val shc = cappedIndex(hs, dfCap)
     shc.as("a").join(shc.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("a.n").as("n1"),
@@ -122,29 +129,25 @@ object DedupOps {
     * one-sided (full inverted index ⋈ new-batch index), so the work is
     * O(|new| × overlap) rather than O(|corpus|²) — re-pairing the whole
     * corpus for every arriving batch is exactly what this avoids. Same
-    * df-cap/both-sides-capped Jaccard semantics as [[jaccardPairs]];
-    * output pairs are id-normalized (d1 < d2) and always touch ≥1 new doc. */
+    * df-cap/both-sides-capped Jaccard semantics as [[jaccardPairs]] (both
+    * build on the same [[cappedIndex]] stage); output pairs are
+    * id-normalized (d1 < d2) and always touch ≥1 new doc. A doc_id present
+    * in both inputs counts as already-known: it is dropped from the batch
+    * side (re-delivered documents are not "new"), which also keeps the
+    * union free of the double-counted shingles a duplicate id would cause. */
   def incrementalNearDup(corpus: DataFrame, newDocs: DataFrame,
       threshold: Double = JaccardThreshold, k: Int = K,
       dfCap: Int = DefaultDfCap): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
+    val freshOnly = newDocs.join(corpus, Seq("doc_id"), "left_anti")
     val all = corpus.select(col("doc_id"), col("text"))
       .withColumn("is_new", lit(false))
-      .unionByName(newDocs.select(col("doc_id"), col("text"))
+      .unionByName(freshOnly.select(col("doc_id"), col("text"))
         .withColumn("is_new", lit(true)))
     val tagged = graft.core.CacheOnce.swap("dedup-incr-shingles",
       Tables.fanout(all).select(col("doc_id"), col("is_new"),
         expr(s"shingle_hashes(text, $k)").as("hs")))
-    val sh = tagged.select(col("doc_id"), explode(col("hs")).as("h"))
-    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val hotPerDoc = sh.join(freq.filter(col("df") > dfCap).select("h"), "h")
-      .groupBy("doc_id").agg(count(lit(1)).as("hot_n"))
-    val sized = tagged.join(hotPerDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("is_new"),
-        (size(col("hs")) - coalesce(col("hot_n"), lit(0L))).as("n"),
-        explode(col("hs")).as("h"))
-    val pairable = freq.filter(col("df") >= 2 && col("df") <= dfCap).select("h")
-    val shc = sized.join(pairable, "h")
+    val shc = cappedIndex(tagged, dfCap)
     val newSide = shc.filter(col("is_new"))
     // old↔new pairs appear once (a must be old or the smaller new id);
     // new↔new pairs are ordered to avoid double counting
@@ -486,18 +489,22 @@ object DedupOps {
        |WHERE inter / (n1 + n2 - inter) >= $JaccardThreshold
        |ORDER BY d1, d2""".stripMargin
 
-  /** Registry split for the incremental variant: docs below this id are the
-    * "existing corpus", the rest are the "newly arrived batch". */
-  private val IncrementalSplitId = 400L
+  /** Registry split for the incremental variant: the top 20% of doc ids
+    * (by max id) are the "newly arrived batch" — scale-proportional, so at
+    * every scale factor the batch stays a minority against the corpus (a
+    * fixed absolute id would invert the shapes at larger SFs). */
+  private val IncrSplitSql = "(SELECT (max(doc_id) * 8) // 10 FROM documents)"
+  private def incrSplit(docs: DataFrame): Long =
+    docs.agg(max(col("doc_id"))).first.getLong(0) * 8 / 10
 
   val incrementalNearDupSql: String =
     s"""WITH ${indexCte(capped = true)},
-       |shn AS (SELECT doc_id, sh FROM shc WHERE doc_id >= $IncrementalSplitId),
+       |shn AS (SELECT doc_id, sh FROM shc WHERE doc_id >= $IncrSplitSql),
        |cand AS (
        |  SELECT least(a.doc_id, b.doc_id) AS d1,
        |    greatest(a.doc_id, b.doc_id) AS d2, count(*) AS inter
        |  FROM shc a JOIN shn b ON a.sh = b.sh AND a.doc_id <> b.doc_id
-       |    AND (a.doc_id < $IncrementalSplitId OR a.doc_id < b.doc_id)
+       |    AND (a.doc_id < $IncrSplitSql OR a.doc_id < b.doc_id)
        |  GROUP BY 1, 2)
        |SELECT d1, d2,
        |  round(inter / (s1.n + s2.n - inter), 4) AS jaccard
@@ -507,15 +514,17 @@ object DedupOps {
        |WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold
        |ORDER BY d1, d2""".stripMargin
 
-  /** Registry split for contamination: docs at/above this id stand in for
-    * the eval/benchmark set. */
-  private val EvalSplitId = 450L
+  /** Registry split for contamination: the top 10% of doc ids stand in
+    * for the eval/benchmark set (scale-proportional, as above). */
+  private val EvalSplitSql = "(SELECT (max(doc_id) * 9) // 10 FROM documents)"
+  private def evalSplit(docs: DataFrame): Long =
+    docs.agg(max(col("doc_id"))).first.getLong(0) * 9 / 10
 
   val contaminationSql: String =
     s"""WITH tok AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts FROM documents),
        |shg AS (SELECT doc_id, unnest(${Text.shinglesSql("ts", K)}) AS sh FROM tok),
-       |ev AS (SELECT DISTINCT sh FROM shg WHERE doc_id >= $EvalSplitId),
-       |tr AS (SELECT doc_id, sh FROM shg WHERE doc_id < $EvalSplitId),
+       |ev AS (SELECT DISTINCT sh FROM shg WHERE doc_id >= $EvalSplitSql),
+       |tr AS (SELECT doc_id, sh FROM shg WHERE doc_id < $EvalSplitSql),
        |n AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY doc_id),
        |hits AS (SELECT t.doc_id, count(*) AS hits
        |  FROM tr t JOIN ev e ON e.sh = t.sh GROUP BY t.doc_id)
@@ -625,14 +634,20 @@ object DedupOps {
       (s: SparkSession, d: String) => ngramJaccard(Tables.documents(s, d)),
       Some(jaccardOracle)),
     ("q23_contamination",
-      (s: SparkSession, d: String) => contamination(
-        Tables.documents(s, d).filter(col("doc_id") < EvalSplitId),
-        Tables.documents(s, d).filter(col("doc_id") >= EvalSplitId)),
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val cut = evalSplit(docs)
+        contamination(docs.filter(col("doc_id") < cut),
+          docs.filter(col("doc_id") >= cut))
+      },
       Some(contaminationSql)),
     ("q23_dedup_incremental",
-      (s: SparkSession, d: String) => incrementalNearDup(
-        Tables.documents(s, d).filter(col("doc_id") < IncrementalSplitId),
-        Tables.documents(s, d).filter(col("doc_id") >= IncrementalSplitId)),
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val cut = incrSplit(docs)
+        incrementalNearDup(docs.filter(col("doc_id") < cut),
+          docs.filter(col("doc_id") >= cut))
+      },
       Some(incrementalNearDupSql)),
     ("q23_dedup_minhash_lsh",
       (s: SparkSession, d: String) => minhashLsh(Tables.documents(s, d)),

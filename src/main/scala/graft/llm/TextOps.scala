@@ -301,7 +301,9 @@ object TextOps {
     * per-row map a cleaning pipeline applies; the aggregation makes it
     * oracle-checkable without hashing megabytes of text.) */
   def normalizeStats(docs: DataFrame): DataFrame = {
-    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    // explicit whitespace class: Java's \s includes \x0B but RE2's does
+    // not — the pinned class keeps both engines byte-identical on any input
+    val norm = lower(trim(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+", " ")))
     Tables.fanout(docs)
       .select(col("lang"), col("text"), norm.as("norm"))
       .groupBy(col("lang"))
@@ -312,7 +314,7 @@ object TextOps {
   }
   val normalizeStatsSql: String =
     """WITH x AS (SELECT lang, text,
-      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      |    lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS norm
       |  FROM documents)
       |SELECT lang, count(*) AS n_docs,
       |  CAST(sum(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
@@ -332,7 +334,10 @@ object TextOps {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("rk") <= cap, 1).otherwise(0)).as("n_kept"),
-        sum(when(col("rk") > cap, 1).otherwise(0)).as("n_dropped"))
+        sum(when(col("rk") > cap, 1).otherwise(0)).as("n_dropped"),
+        // order-DEPENDENT evidence: which ids the md5 ordering kept — makes
+        // the selection itself oracle-checkable, not just the counts
+        sum(when(col("rk") <= cap, col("doc_id")).otherwise(0L)).as("kept_id_sum"))
       .orderBy("source")
   }
   def sourceCapSql(cap: Int = 40): String =
@@ -342,7 +347,8 @@ object TextOps {
        |  FROM documents)
        |SELECT source, count(*) AS n_docs,
        |  CAST(sum(CASE WHEN rk <= $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       |  CAST(sum(CASE WHEN rk > $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |  CAST(sum(CASE WHEN rk > $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(sum(CASE WHEN rk <= $cap THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
        |FROM r GROUP BY source ORDER BY source""".stripMargin
 
   private def onDocs(f: DataFrame => DataFrame): QFn =
