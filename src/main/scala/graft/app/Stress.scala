@@ -40,7 +40,8 @@ object Stress {
     println(s"[stress] ${nDocs * factor} docs, ${em.count() * factor} vectors (${factor}x $sfDir)")
     Seq(
       "q23_dedup_exact", "q23_dedup_minhash_lsh", "q23_dedup_ngram_jaccard",
-      "q23_dedup_keeper", "q25_fingerprint",
+      "q23_dedup_keeper", "q23_dedup_incremental", "q23_contamination",
+      "q25_fingerprint",
       "q25_quality_score", "q24_knn_brute", "q24_knn_ivf").foreach { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, dir).count()
