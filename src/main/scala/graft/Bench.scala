@@ -118,7 +118,16 @@ object Bench {
       val duckTotal = Some(oracleNames.toSeq
         .flatMap(duckQueryTimes.get).filter(_ >= 0).sum).filter(_ > 0)
       val ratio = duckTotal.map(sparkOracleTotal / _)
-      f""","spark_oracle_total":$sparkOracleTotal%.3f,"duckdb":$line""" +
+      // The full per-query DuckDB detail goes to a side file — the printed
+      // line must stay small enough to survive the driver's tail-buffer
+      // capture intact (BENCH_r03's was truncated past parsing). The line
+      // keeps only the paired totals + ratio.
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_PAIR_DETAIL.json"),
+        f"""{"spark_queries":$qsJson,"spark_oracle_total":$sparkOracleTotal%.3f,"duckdb":$line${ratio.map(r => f""","ratio":$r%.2f""").getOrElse("")}}""" + "\n")
+      catch { case _: Exception => () }
+      f""","spark_oracle_total":$sparkOracleTotal%.3f""" +
+        duckTotal.map(d => f""","duckdb_total":$d%.3f,"duckdb_n":${oracleNames.size}""").getOrElse("") +
         ratio.map(r => f""","ratio":$r%.2f""").getOrElse("")
     }.getOrElse("")
 

@@ -1,0 +1,155 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Corpus-maintenance operators: CDC-style upsert of a document batch
+  * into a corpus, and PII redaction — the mutation/compliance side of a
+  * training-data pipeline (the read side lives in DedupOps/TextOps).
+  *
+  * Library surface: `DataFrame => DataFrame`; registry entries adapt the
+  * fixture `documents` table (synthesizing a deterministic update batch /
+  * PII spans, since the fixtures are read-only and PII-free).
+  */
+object CorpusOps {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Merge an `updates` batch into `corpus` by `key`: updated rows
+    * replace, new keys append — the dataframe form of MERGE INTO (upsert).
+    *
+    * Scale shape: one shuffle of both sides on the key for the anti-join;
+    * when the batch is small (the CDC norm) AQE broadcasts the key set and
+    * the corpus side never moves. Columns are taken from `updates`'
+    * schema via `unionByName`, so both frames must share it. At 100 TB the
+    * anti-join rewrite is exactly what table formats execute for
+    * MERGE INTO — with the refinement of pruning untouched files by the
+    * batch's key range; partition the corpus by the upsert key's prefix to
+    * get the same pruning here. */
+  def upsert(corpus: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.unionByName(
+      corpus.join(updates.select(key).distinct(), Seq(key), "left_anti"))
+
+  /** q32 — upsert audit over a deterministic synthetic batch: every 50th
+    * doc re-ingested with new text, every 100th arriving as a brand-new
+    * doc (key offset +1000000). Output: per-source row counts by row fate
+    * (kept / updated / new) + total chars, proving replaced rows are gone,
+    * new rows landed, and nothing else moved. */
+  def upsertAudit(docs: DataFrame): DataFrame = {
+    val corpus = docs.select(col("doc_id"), col("text"), col("source"))
+    val updates = corpus.filter(col("doc_id") % 50 === 0)
+      .withColumn("text", concat(lit("updated: "), col("text")))
+      .unionByName(
+        corpus.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+            col("source")))
+    upsert(corpus, updates, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("text").startsWith("updated: "), 1)).as("n_updated"),
+        count(when(col("doc_id") >= 1000000L, 1)).as("n_new"),
+        sum(length(col("text"))).as("sum_chars"))
+      .orderBy("source")
+  }
+  val q32UpsertSql: String =
+    """WITH corpus AS (SELECT doc_id, text, source FROM documents),
+      |upd AS (
+      |  SELECT doc_id, 'updated: ' || text AS text, source FROM corpus
+      |  WHERE doc_id % 50 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR), source
+      |  FROM corpus WHERE doc_id % 100 = 0),
+      |mrg AS (
+      |  SELECT * FROM upd
+      |  UNION ALL
+      |  SELECT c.* FROM corpus c ANTI JOIN upd u ON c.doc_id = u.doc_id)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN text LIKE 'updated: %' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_updated,
+      |  CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+      |FROM mrg GROUP BY source ORDER BY source""".stripMargin
+
+  /** PII patterns: (marker, regex). The regexes stay inside RE2/Java's
+    * common subset (no backrefs/lookaround) so the same pattern runs in
+    * both engines — and, at scale, inside codegen'd `regexp_replace`, not
+    * a UDF. Order matters: emails first (their local part may contain
+    * digit runs), then IPs (dotted digits), then bare phone runs. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[EMAIL]" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "[IP]" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "[PHONE]" -> "\\b\\d{3}-\\d{4}\\b")
+
+  /** Replace every PII span in `c` with its class marker. */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (marker, re)) =>
+      regexp_replace(acc, re, marker)
+    }
+
+  /** Count non-overlapping occurrences of literal `marker` in `c` —
+    * split on the (regex-escaped) literal and count the gaps. */
+  private def markerCount(c: Column, marker: String): Column =
+    size(split(c, java.util.regex.Pattern.quote(marker), -1)) - 1
+
+  /** q33 — PII redaction audit. The fixtures are PII-free, so each doc
+    * first gets a deterministic synthetic contact line (email + phone +
+    * IP derived from doc_id); redaction then strips it. Output: per-source
+    * marker counts, redacted char totals, and a residual-PII count the
+    * oracle pins at zero — the compliance check a real pipeline would
+    * alert on. */
+  def piiRedactAudit(docs: DataFrame): DataFrame = {
+    val withPii = Tables.fanout(docs.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        lit(" contact u"), col("doc_id"), lit("@example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 254) + 1, lit(".0.1"))
+        .as("text")))
+    val redacted = withPii.withColumn("text", redactPii(col("text")))
+    redacted
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(markerCount(col("text"), "[EMAIL]")).as("n_emails"),
+        sum(markerCount(col("text"), "[PHONE]")).as("n_phones"),
+        sum(markerCount(col("text"), "[IP]")).as("n_ips"),
+        sum(length(col("text"))).as("sum_chars"),
+        count(when(col("text").rlike(piiPatterns.head._2), 1))
+          .as("n_residual"))
+      .orderBy("source")
+  }
+  val q33PiiSql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\b\\d{3}-\\d{4}\\b"
+    s"""WITH raw AS (
+       |  SELECT doc_id, source,
+       |    text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+       |    '@example.com or 555-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+       |    ' from 10.' || CAST(doc_id % 254 + 1 AS VARCHAR) || '.0.1' AS text
+       |  FROM documents),
+       |red AS (
+       |  SELECT doc_id, source,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$email', '[EMAIL]', 'g'),
+       |      '$ip', '[IP]', 'g'),
+       |      '$phone', '[PHONE]', 'g') AS text
+       |  FROM raw)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(len(string_split(text, '[EMAIL]')) - 1) AS BIGINT) AS n_emails,
+       |  CAST(sum(len(string_split(text, '[PHONE]')) - 1) AS BIGINT) AS n_phones,
+       |  CAST(sum(len(string_split(text, '[IP]')) - 1) AS BIGINT) AS n_ips,
+       |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       |  CAST(sum(CASE WHEN regexp_matches(text, '$email') THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_residual
+       |FROM red GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  private def onDocs(f: DataFrame => DataFrame): QFn =
+    (s, d) => f(Tables.documents(s, d))
+
+  val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q32_upsert_merge", onDocs(upsertAudit), Some(q32UpsertSql)),
+    ("q33_pii_redact", onDocs(piiRedactAudit), Some(q33PiiSql)))
+}

@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoders
+import graft.core.Tables
+import graft.functions.MisraGries
+
+/** Sketch-based aggregations for corpus statistics at scale — the
+  * frequent-items member of the approximate family (q18 HyperLogLog
+  * distinct counts, q27 percentile_approx quantiles).
+  *
+  * Library surface: `DataFrame => DataFrame`; registry adapts the fixture
+  * `documents` table.
+  */
+object SketchOps {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** q31 — top-k terms per language via the [[MisraGries]] sketch.
+    *
+    * Plan shape at scale: tokenize+explode is map-side, the sketch
+    * partially aggregates per partition (ObjectHashAggregate) holding at
+    * most `capacity` counters per (partition × lang), and only those
+    * fixed-size maps shuffle — the full distinct-term universe never
+    * does. Contrast `q25_top_terms`, which shuffles every distinct term;
+    * at a billion-term vocabulary that exchange is the bottleneck and
+    * this one is unchanged.
+    *
+    * With capacity 64 ≥ the fixture's 31-term vocabulary the sketch is
+    * exact, so the DuckDB oracle is the exact per-language top-15
+    * (ties broken by term, mirrored in [[MisraGries.finish]]). The
+    * under-pressure error bound is asserted separately in SketchSpec. */
+  def heavyHittersPerLang(docs: DataFrame, capacity: Int = 64,
+      k: Int = 15): DataFrame = {
+    val mg = udaf(new MisraGries(capacity, k), Encoders.STRING)
+    Tables.fanout(docs)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("lang"))
+      .agg(mg(col("term")).as("hh"))
+      .select(col("lang"), explode(col("hh")).as("tc"))
+      .select(col("lang"), col("tc.term").as("term"), col("tc.n").as("n"))
+      .orderBy(col("lang"), col("n").desc, col("term"))
+  }
+  val q31HeavyHittersSql: String =
+    s"""WITH t AS (SELECT lang, unnest(${Text.tokensSql("text")}) AS term
+       |  FROM documents),
+       |c AS (SELECT lang, term, count(*) AS n FROM t GROUP BY lang, term),
+       |r AS (SELECT lang, term, n,
+       |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rn
+       |  FROM c)
+       |SELECT lang, term, n FROM r WHERE rn <= 15
+       |ORDER BY lang, n DESC, term""".stripMargin
+
+  val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q31_heavy_hitters",
+      (s: SparkSession, d: String) => heavyHittersPerLang(Tables.documents(s, d)),
+      Some(q31HeavyHittersSql)))
+}
