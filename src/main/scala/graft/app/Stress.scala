@@ -37,12 +37,28 @@ object Stress {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
-    println(s"[stress] ${nDocs * factor} docs, ${em.count() * factor} vectors (${factor}x $sfDir)")
+    // events: replicas re-key BOTH event_id and user_id, so the user
+    // population grows with the factor while per-user event density stays
+    // fixed — the realistic scaling model for journey/windowed operators
+    // (more users, not denser users; per-key state and per-user window
+    // work stay constant, task count grows).
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    ev.crossJoin(reps)
+      .withColumn("event_id", col("event_id") * factor + col("rep"))
+      .withColumn("user_id", col("user_id") * factor + col("rep"))
+      .drop("rep")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    println(s"[stress] ${nDocs * factor} docs, ${em.count() * factor} vectors, " +
+      s"${ev.count() * factor} events (${factor}x $sfDir)")
     Seq(
       "q23_dedup_exact", "q23_dedup_minhash_lsh", "q23_dedup_ngram_jaccard",
       "q23_dedup_keeper", "q23_dedup_incremental", "q23_contamination",
       "q25_fingerprint",
-      "q25_quality_score", "q24_knn_brute", "q24_knn_ivf").foreach { name =>
+      "q25_quality_score", "q24_knn_brute", "q24_knn_ivf",
+      "q30_funnel", "q30_interval_join", "q31_heavy_hitters",
+      "q32_upsert_merge", "q33_pii_redact").foreach { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, dir).count()
       println(f"[stress] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")

@@ -231,7 +231,11 @@ object TextOps {
     * the ranking is deterministic (ties broken by term). */
   def tfidf(docs0: DataFrame): DataFrame = {
     val docs = Tables.fanout(docs0)
-    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_total"))
+    // count the raw frame (doc_id is the table key): a narrow single-column
+    // scan + plain count, not a countDistinct over the fanned-out frame —
+    // countDistinct would plan a two-stage distinct agg, and counting after
+    // the fanout would shuffle the full text payload just to count rows
+    val nDocs = docs0.select(count(col("doc_id")).as("n_total"))
     // two-level agg instead of countDistinct over the token stream: the
     // (term, doc) rollup collapses each doc's repeats with map-side combine
     // and the Expand(×2) a count+countDistinct pair would plan never

@@ -40,11 +40,15 @@ object JourneyOps {
     * Output is one row of exact integers (stage user-counts + summed
     * view→purchase latency in microseconds) — no float division, so the
     * DuckDB oracle hash-matches bit-for-bit. */
-  def funnel(events: DataFrame): DataFrame = {
+  /** Per-user funnel stage timestamps (tv, tc, tp — null until the user
+    * reaches the stage). Exposed separately from [[funnel]] because it is
+    * also the batch oracle for the streaming funnel processor
+    * ([[graft.streaming.StreamQueries.funnelStages]]). */
+  def funnelStages(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val staged = events
+    events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("t_view",
         min(when(col("event_type") === "view", col("ts"))).over(w))
@@ -54,10 +58,13 @@ object JourneyOps {
       .withColumn("t_purchase",
         min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
           col("ts"))).over(w))
-    staged
       .groupBy(col("user_id"))
       .agg(min(col("t_view")).as("tv"), min(col("t_click")).as("tc"),
         min(col("t_purchase")).as("tp"))
+  }
+
+  def funnel(events: DataFrame): DataFrame =
+    funnelStages(events)
       .agg(
         count(col("tv")).as("users_viewed"),
         count(col("tc")).as("users_clicked"),
@@ -65,7 +72,7 @@ object JourneyOps {
         sum(when(col("tp").isNotNull,
           unix_micros(col("tp")) - unix_micros(col("tv"))))
           .as("sum_convert_us"))
-  }
+
   val q30FunnelSql: String =
     """WITH s1 AS (
       |  SELECT user_id, ts, event_id, event_type,

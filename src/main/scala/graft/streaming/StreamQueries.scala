@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming operator library — SURVEY.md §2b Q19–Q22, the
   * streaming twins of graft.operators.EventOps.
@@ -139,6 +139,106 @@ object StreamQueries {
           if (changed) { state.update(st); Iterator.single(st) }
           else Iterator.empty
       }
+  }
+
+  /** One buffered journey event (timestamps as epoch micros — the state
+    * encoder stays a flat product, no timestamp codec in the hot path). */
+  case class JEvent(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String)
+  /** Per-user funnel stage timestamps; None until the stage is reached. */
+  case class FunnelRow(user_id: Long, tv: Option[Long], tc: Option[Long],
+      tp: Option[Long])
+
+  /** Streaming funnel (view → click → purchase) — the CEP-shaped twin of
+    * [[graft.operators.JourneyOps.funnelStages]], which Spark has no
+    * built-in for (no MATCH_RECOGNIZE): stage transitions depend on
+    * event-TIME order, but a stream delivers in ARRIVAL order, so events
+    * are buffered in a per-user `ListState` until the watermark proves no
+    * earlier event can still arrive, then folded through the stage machine
+    * in event-time order. Event-time timers finalize users that stop
+    * receiving events — the watermark alone only drains keys that appear
+    * in a batch.
+    *
+    * State is bounded: the buffer holds only events newer than the
+    * watermark (≤ watermark delay × per-user rate), the stage state is
+    * three longs, and Spark drops rows older than the watermark before
+    * they reach the processor. Emission is Update-mode: a user's row is
+    * re-emitted whenever finalized events changed (or first materialized)
+    * its stages; the latest row per user is the funnel state.
+    */
+  class FunnelProcessor
+      extends StatefulProcessor[Long, JEvent, FunnelRow] {
+    @transient private var buffer: ListState[JEvent] = _
+    @transient private var stages: ValueState[FunnelRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buffer = getHandle.getListState[JEvent](
+        "buffer", Encoders.product[JEvent], TTLConfig.NONE)
+      stages = getHandle.getValueState[FunnelRow](
+        "stages", Encoders.product[FunnelRow], TTLConfig.NONE)
+    }
+
+    /** Fold `ripe` (event-time-ordered, all ≤ watermark) through the stage
+      * machine: first view, first click strictly after it, first purchase
+      * strictly after that. Running minima are exact because the watermark
+      * guarantees no earlier event arrives later. */
+    private def advance(key: Long, ripe: Seq[JEvent]): Option[FunnelRow] = {
+      var st = if (stages.exists()) stages.get() else FunnelRow(key, None, None, None)
+      val before = st
+      ripe.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        e.event_type match {
+          case "view" if st.tv.isEmpty => st = st.copy(tv = Some(e.ts_us))
+          case "click" if st.tc.isEmpty && st.tv.exists(e.ts_us > _) =>
+            st = st.copy(tc = Some(e.ts_us))
+          case "purchase" if st.tp.isEmpty && st.tc.exists(e.ts_us > _) =>
+            st = st.copy(tp = Some(e.ts_us))
+          case _ => ()
+        }
+      }
+      if (st != before || (!stages.exists() && ripe.nonEmpty)) {
+        stages.update(st); Some(st)
+      } else None
+    }
+
+    /** Split the buffer at the watermark: finalize the ripe prefix, keep
+      * the rest, and arm a timer so the remainder drains even if this
+      * user never appears in another batch. */
+    private def drain(key: Long, fresh: Seq[JEvent],
+        timerValues: TimerValues): Iterator[FunnelRow] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val all = buffer.get().toSeq ++ fresh
+      val (ripe, pending) = all.partition(_.ts_us <= wmUs)
+      buffer.clear()
+      if (pending.nonEmpty) {
+        buffer.appendList(pending.toArray)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(pending.map(_.ts_us).max / 1000L + 1L)
+      }
+      advance(key, ripe).iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[JEvent],
+        timerValues: TimerValues): Iterator[FunnelRow] =
+      drain(key, rows.toSeq, timerValues)
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelRow] =
+      drain(key, Seq.empty, timerValues)
+  }
+
+  /** Streaming per-user funnel stages; 10-minute watermark bounds both
+    * lateness and buffer size. */
+  def funnelStages(events: DataFrame): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[JEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        TimeMode.EventTime(), OutputMode.Update())
   }
 
   /** Stream–stream inner join with event-time bounds: each click joined to

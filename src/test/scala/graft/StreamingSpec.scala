@@ -300,4 +300,58 @@ class StreamingSpec extends SparkSpec {
       .orderBy("user_id", "session_start").collect().toSeq
     assert(got == batch)
   }
+
+  test("streaming funnel (event-time timers, RocksDB) converges to batch funnelStages") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(31)
+      val types = Seq("view", "click", "purchase", "error", "signup")
+      val events = (0 until 240).map { i =>
+        Ev(i, tsOf(i / 2, rnd.nextInt(60)), rnd.nextInt(12),
+          types(rnd.nextInt(types.size)), 1.0)
+      }
+      // arrival order: time-ordered chunks, each shuffled internally —
+      // out-of-order WITHIN the watermark, which the buffer must absorb.
+      // Users in late chunks never appear again: only their event-time
+      // timers can finalize them once the sentinel advances the watermark.
+      val chunks = events.grouped(80).map(c => rnd.shuffle(c)).toSeq
+      val input = MemoryStream[Ev]
+      val out = StreamQueries.funnelStages(input.toDF())
+      val name = "funnel_out"
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+        .start()
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      input.addData(Ev(9999, tsOf(2000), 999L, "error", 0.0)) // watermark push
+      q.processAllAvailable()
+      q.stop()
+      // latest row per user = the one with the most stages reached (stage
+      // state only ever grows); ties broken by emission being cumulative
+      val stageCount = coalesce(
+        when(col("tp").isNotNull, 3), when(col("tc").isNotNull, 2),
+        when(col("tv").isNotNull, 1), lit(0))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(stageCount.desc)
+      val got = spark.table(name).filter(col("user_id") =!= 999L)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "tv", "tc", "tp")
+        .orderBy("user_id").collect().toSeq
+      val batch = graft.operators.JourneyOps.funnelStages(events.toDF())
+        .select(col("user_id"), unix_micros(col("tv")).as("tv"),
+          unix_micros(col("tc")).as("tc"), unix_micros(col("tp")).as("tp"))
+        .orderBy("user_id").collect().toSeq
+      assert(got == batch)
+      assert(got.exists(r => !r.isNullAt(3)), "no user converted — fixture too thin")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
