@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -40,28 +40,57 @@ object JourneyOps {
     * Output is one row of exact integers (stage user-counts + summed
     * view→purchase latency in microseconds) — no float division, so the
     * DuckDB oracle hash-matches bit-for-bit. */
-  /** Per-user funnel stage timestamps (tv, tc, tp — null until the user
-    * reaches the stage). Exposed separately from [[funnel]] because it is
-    * also the batch oracle for the streaming funnel processor
-    * ([[graft.streaming.StreamQueries.funnelStages]]). */
-  def funnelStages(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+  /** Generic N-step sequence match (the funnel generalized — what
+    * ClickHouse exposes as `sequenceMatch` and SQL:2016 as
+    * MATCH_RECOGNIZE's simplest pattern): per key, the timestamp at which
+    * each step first completes, where step i counts only strictly after
+    * step i−1's completion. `steps` maps output column name → row
+    * predicate.
+    *
+    * One shuffle on the key: every step is a running `min` over the same
+    * (key) × (ts, tiebreak) window, so Catalyst plans a single
+    * Exchange+Sort reused by all N Window projections, and the final
+    * per-key reduction reuses the same hash partitioning. Adding steps
+    * adds Window operators (a linear scan each), never another shuffle
+    * or self-join — at 100 TB an N-way self-join formulation would pay N
+    * shuffles of the fact table. */
+  def sequenceStages(events: DataFrame, keyCol: String, tsCol: String,
+      tiebreakCol: String, steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.nonEmpty, "sequenceStages needs at least one step")
+    steps.foreach { case (name, _) =>
+      require(!Seq(keyCol, tsCol, tiebreakCol).contains(name),
+        s"step column '$name' collides with an input column") }
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("t_view",
-        min(when(col("event_type") === "view", col("ts"))).over(w))
-      .withColumn("t_click",
-        min(when(col("event_type") === "click" && col("ts") > col("t_view"),
-          col("ts"))).over(w))
-      .withColumn("t_purchase",
-        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
-          col("ts"))).over(w))
-      .groupBy(col("user_id"))
-      .agg(min(col("t_view")).as("tv"), min(col("t_click")).as("tc"),
-        min(col("t_purchase")).as("tp"))
+    val staged = steps.zipWithIndex.foldLeft(events) {
+      case (df, ((name, pred), 0)) =>
+        df.withColumn(name, min(when(pred, col(tsCol))).over(w))
+      case (df, ((name, pred), i)) =>
+        val prev = col(steps(i - 1)._1)
+        df.withColumn(name,
+          min(when(pred && col(tsCol) > prev, col(tsCol))).over(w))
+    }
+    staged
+      .groupBy(col(keyCol))
+      .agg(min(col(steps.head._1)).as(steps.head._1),
+        steps.tail.map { case (n, _) => min(col(n)).as(n) }: _*)
   }
+
+  /** Per-user funnel stage timestamps (tv, tc, tp — null until the user
+    * reaches the stage): [[sequenceStages]] over view → click → purchase.
+    * Exposed separately from [[funnel]] because it is also the batch
+    * oracle for the streaming funnel processor
+    * ([[graft.streaming.StreamQueries.funnelStages]]). */
+  def funnelStages(events: DataFrame): DataFrame =
+    sequenceStages(
+      events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")),
+      "user_id", "ts", "event_id",
+      Seq(
+        "tv" -> (col("event_type") === "view"),
+        "tc" -> (col("event_type") === "click"),
+        "tp" -> (col("event_type") === "purchase")))
 
   def funnel(events: DataFrame): DataFrame =
     funnelStages(events)

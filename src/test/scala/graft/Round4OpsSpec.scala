@@ -105,6 +105,24 @@ class Round4OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("users_converted") == 0)
   }
 
+  test("sequenceStages generalizes to 4 steps with arbitrary predicates") {
+    import spark.implicits._
+    // key 1 completes a>b>c>d in order; key 2 stalls after two steps
+    // (its 'c' fires before its 'b', so c-after-b never completes)
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"),
+      (2L, 1L, "a"), (2L, 2L, "c"), (2L, 3L, "b")
+    ).toDF("k", "t", "kind")
+    val got = JourneyOps.sequenceStages(rows, "k", "t", "kind",
+      Seq("sa" -> (col("kind") === "a"), "sb" -> (col("kind") === "b"),
+        "sc" -> (col("kind") === "c"), "sd" -> (col("kind") === "d")))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), (1 to 4).map(i =>
+        if (r.isNullAt(i)) None else Some(r.getLong(i)))))
+    assert(got(0) == (1L, Seq(Some(1L), Some(2L), Some(3L), Some(4L))))
+    assert(got(1) == (2L, Seq(Some(1L), Some(3L), None, None)))
+  }
+
   // ---- upsert ------------------------------------------------------------
 
   test("upsert replaces matched keys, appends new, keeps the rest") {
