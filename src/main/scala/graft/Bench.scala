@@ -125,7 +125,12 @@ object Bench {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_PAIR_DETAIL.json"),
         f"""{"spark_queries":$qsJson,"spark_oracle_total":$sparkOracleTotal%.3f,"duckdb":$line${ratio.map(r => f""","ratio":$r%.2f""").getOrElse("")}}""" + "\n")
-      catch { case _: Exception => () }
+      catch { case e: Exception =>
+        // the detail file is the only place per-query pair data survives
+        // (the stdout line is deliberately compact) — losing it silently
+        // would repeat the BENCH_r03 truncation failure this fixes
+        System.err.println(s"[bench] could not write BENCH_PAIR_DETAIL.json: $e")
+      }
       f""","spark_oracle_total":$sparkOracleTotal%.3f""" +
         duckTotal.map(d => f""","duckdb_total":$d%.3f,"duckdb_n":${oracleNames.size}""").getOrElse("") +
         ratio.map(r => f""","ratio":$r%.2f""").getOrElse("")

@@ -114,8 +114,8 @@ object CorpusOps {
         sum(markerCount(col("text"), "[PHONE]")).as("n_phones"),
         sum(markerCount(col("text"), "[IP]")).as("n_ips"),
         sum(length(col("text"))).as("sum_chars"),
-        count(when(col("text").rlike(piiPatterns.head._2), 1))
-          .as("n_residual"))
+        count(when(piiPatterns.map(p => col("text").rlike(p._2))
+          .reduce(_ || _), 1)).as("n_residual"))
       .orderBy("source")
   }
   val q33PiiSql: String = {
@@ -141,7 +141,9 @@ object CorpusOps {
        |  CAST(sum(len(string_split(text, '[PHONE]')) - 1) AS BIGINT) AS n_phones,
        |  CAST(sum(len(string_split(text, '[IP]')) - 1) AS BIGINT) AS n_ips,
        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
-       |  CAST(sum(CASE WHEN regexp_matches(text, '$email') THEN 1 ELSE 0 END)
+       |  CAST(sum(CASE WHEN regexp_matches(text, '$email')
+       |    OR regexp_matches(text, '$ip')
+       |    OR regexp_matches(text, '$phone') THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_residual
        |FROM red GROUP BY source ORDER BY source""".stripMargin
   }

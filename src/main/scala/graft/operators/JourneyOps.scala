@@ -57,8 +57,12 @@ object JourneyOps {
   def sequenceStages(events: DataFrame, keyCol: String, tsCol: String,
       tiebreakCol: String, steps: Seq[(String, Column)]): DataFrame = {
     require(steps.nonEmpty, "sequenceStages needs at least one step")
+    val dupes = steps.map(_._1).diff(steps.map(_._1).distinct)
+    require(dupes.isEmpty, s"duplicate step names: ${dupes.distinct.mkString(", ")}")
     steps.foreach { case (name, _) =>
-      require(!Seq(keyCol, tsCol, tiebreakCol).contains(name),
+      // a step name matching ANY input column would be silently clobbered
+      // by withColumn — and read back by the next step's `prev` reference
+      require(!events.columns.contains(name),
         s"step column '$name' collides with an input column") }
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(tiebreakCol))
@@ -137,23 +141,35 @@ object JourneyOps {
     * ([[graft.streaming.StreamQueries.clickPurchaseJoin]]); here as a
     * batch equi-join on `user_id` whose range condition rides along as a
     * join residual — per-user work, never a cross product. */
-  def clickPurchaseAttribution(events: DataFrame): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
+  /** Shared halves of the click→purchase attribution — ONE definition of
+    * the projections, the interval condition, and the output shape, used
+    * by both this batch form and the watermarked stream–stream join
+    * ([[graft.streaming.StreamQueries.clickPurchaseJoin]]), so the two
+    * twins cannot drift apart; their equivalence is asserted in
+    * StreamingSpec. */
+  private[graft] def attributionClicks(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
-    val purchases = events.filter(col("event_type") === "purchase")
+  private[graft] def attributionPurchases(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"), col("value").as("amount"))
-    clicks.join(purchases,
-      col("user_id") === col("p_user")
-        && col("purchase_ts") >= col("click_ts")
-        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
-      .select(col("user_id"), col("click_id"), col("purchase_id"),
-        unix_micros(col("click_ts")).as("click_us"),
-        unix_micros(col("purchase_ts")).as("purchase_us"),
-        round(col("amount"), 2).as("amount"))
+  private[graft] val attributionCond: Column =
+    col("user_id") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES")
+  private[graft] def attributionOutput(joined: DataFrame): DataFrame =
+    joined.select(col("user_id"), col("click_id"), col("purchase_id"),
+      unix_micros(col("click_ts")).as("click_us"),
+      unix_micros(col("purchase_ts")).as("purchase_us"),
+      round(col("amount"), 2).as("amount"))
+
+  def clickPurchaseAttribution(events: DataFrame): DataFrame =
+    attributionOutput(
+      attributionClicks(events).join(attributionPurchases(events),
+        attributionCond))
       .orderBy("click_id", "purchase_id")
-  }
   val q30IntervalJoinSql: String =
     """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
       |  epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us,

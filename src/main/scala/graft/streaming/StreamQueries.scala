@@ -141,10 +141,17 @@ object StreamQueries {
       }
   }
 
-  /** One buffered journey event (timestamps as epoch micros — the state
-    * encoder stays a flat product, no timestamp codec in the hot path). */
-  case class JEvent(user_id: Long, ts_us: Long, event_id: Long,
-      event_type: String)
+  /** One buffered journey event. `ts` stays a Timestamp up to the typed
+    * boundary — the watermark's event-time metadata lives on the `ts`
+    * attribute, and projecting it away (e.g. to `unix_micros(ts)`) before
+    * the stateful operator would disable Spark's late-row filter, letting
+    * already-finalized event times be re-opened. `ts_us` is derived once
+    * per row here, not in the plan. */
+  case class JEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      event_type: String) {
+    def tsUs: Long =
+      ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+  }
   /** Per-user funnel stage timestamps; None until the stage is reached. */
   case class FunnelRow(user_id: Long, tv: Option[Long], tc: Option[Long],
       tp: Option[Long])
@@ -185,13 +192,13 @@ object StreamQueries {
     private def advance(key: Long, ripe: Seq[JEvent]): Option[FunnelRow] = {
       var st = if (stages.exists()) stages.get() else FunnelRow(key, None, None, None)
       val before = st
-      ripe.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      ripe.sortBy(e => (e.tsUs, e.event_id)).foreach { e =>
         e.event_type match {
-          case "view" if st.tv.isEmpty => st = st.copy(tv = Some(e.ts_us))
-          case "click" if st.tc.isEmpty && st.tv.exists(e.ts_us > _) =>
-            st = st.copy(tc = Some(e.ts_us))
-          case "purchase" if st.tp.isEmpty && st.tc.exists(e.ts_us > _) =>
-            st = st.copy(tp = Some(e.ts_us))
+          case "view" if st.tv.isEmpty => st = st.copy(tv = Some(e.tsUs))
+          case "click" if st.tc.isEmpty && st.tv.exists(e.tsUs > _) =>
+            st = st.copy(tc = Some(e.tsUs))
+          case "purchase" if st.tp.isEmpty && st.tc.exists(e.tsUs > _) =>
+            st = st.copy(tp = Some(e.tsUs))
           case _ => ()
         }
       }
@@ -207,12 +214,12 @@ object StreamQueries {
         timerValues: TimerValues): Iterator[FunnelRow] = {
       val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
       val all = buffer.get().toSeq ++ fresh
-      val (ripe, pending) = all.partition(_.ts_us <= wmUs)
+      val (ripe, pending) = all.partition(_.tsUs <= wmUs)
       buffer.clear()
       if (pending.nonEmpty) {
         buffer.appendList(pending.toArray)
         getHandle.listTimers().foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(pending.map(_.ts_us).max / 1000L + 1L)
+        getHandle.registerTimer(pending.map(_.tsUs).max / 1000L + 1L)
       }
       advance(key, ripe).iterator
     }
@@ -233,8 +240,7 @@ object StreamQueries {
     import spark.implicits._
     events
       .withWatermark("ts", "10 minutes")
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-        col("event_id"), col("event_type"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .as[JEvent]
       .groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor,
@@ -248,22 +254,17 @@ object StreamQueries {
     * the bound — the requirement for an unbounded-stream join to hold
     * bounded state. */
   def clickPurchaseJoin(events: DataFrame): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
-      .withWatermark("click_ts", "10 minutes")
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"), col("value").as("amount"))
-      .withWatermark("purchase_ts", "10 minutes")
-    clicks.join(purchases,
-      col("user_id") === col("p_user")
-        && col("purchase_ts") >= col("click_ts")
-        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
-      .select(col("user_id"), col("click_id"), col("purchase_id"),
-        unix_micros(col("click_ts")).as("click_us"),
-        unix_micros(col("purchase_ts")).as("purchase_us"),
-        round(col("amount"), 2).as("amount"))
+    import graft.operators.JourneyOps
+    // projections, interval condition, and output shape are shared with
+    // the batch twin (JourneyOps.clickPurchaseAttribution) — only the
+    // watermarks are streaming-specific
+    JourneyOps.attributionOutput(
+      JourneyOps.attributionClicks(events)
+        .withWatermark("click_ts", "10 minutes")
+        .join(
+          JourneyOps.attributionPurchases(events)
+            .withWatermark("purchase_ts", "10 minutes"),
+          JourneyOps.attributionCond))
   }
 
   /** Output modes each query supports (documented for sinks/tests). */

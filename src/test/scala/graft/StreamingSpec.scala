@@ -202,8 +202,11 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     val streamed = spark.table(name)
       .orderBy("click_id", "purchase_id").collect().toSeq
-    val batch = StreamQueries.clickPurchaseJoin(events.toDF())
-      .orderBy("click_id", "purchase_id").collect().toSeq
+    // the batch side is the REGISTRY twin (q30_interval_join), not a batch
+    // run of the streaming code — this is the assertion that pins the two
+    // implementations (shared projections/condition in JourneyOps) together
+    val batch = graft.operators.JourneyOps.clickPurchaseAttribution(events.toDF())
+      .collect().toSeq
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
