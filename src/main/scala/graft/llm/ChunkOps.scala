@@ -1,0 +1,177 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Training-example assembly: document chunking, sequence packing, and
+  * token-budget mixture selection — the steps between a cleaned corpus and
+  * a tokenized training set. The reference stops at delivering records
+  * (/root/reference/src/Kinesis/Coordination.hs:53); these are the consumer
+  * payloads a pretraining pipeline plugs in.
+  *
+  * All three are narrow per-row expressions plus at most one window over a
+  * bounded partition key (`source` / `lang`), so each is a single shuffle on
+  * a low-cardinality key with map-side partial work — they stream at any
+  * scale. Library surface: `DataFrame => DataFrame` over the `documents`
+  * shape; registry entries adapt the fixtures.
+  */
+object ChunkOps {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** q34a — fixed-width sliding-window chunking: windows of `width` chars
+    * every `stride` chars (overlap = width − stride), the standard long-doc
+    * split in front of a bounded-context encoder. Chunk k covers chars
+    * [k·stride, k·stride + width); the last window may run short. Emits one
+    * row per chunk with its md5 so the oracle pins exact chunk content, not
+    * just counts. Pure per-row generate — no shuffle at all; at 100 TB this
+    * is a map stage whose output is `width/stride`× the input, which is why
+    * the overlap ratio is the knob that matters there. */
+  def chunk(docs: DataFrame, width: Int = 200, stride: Int = 150): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          greatest(floor((length(col("text")) - 1) / stride), lit(0))
+            .cast("long"))).as("chunk_ix"))
+      .select(col("doc_id"), col("chunk_ix"),
+        col("text").substr(
+          (col("chunk_ix") * stride + 1).cast("int"), lit(width))
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_ix"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_ix")
+
+  def chunkSql(width: Int = 200, stride: Int = 150): String =
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0,
+       |      greatest((length(text)-1)//$stride, 0))) AS chunk_ix,
+       |    text
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, chunk_ix,
+       |    substring(text, CAST(chunk_ix*$stride+1 AS INT), $width) AS chunk
+       |  FROM c)
+       |SELECT doc_id, chunk_ix, length(chunk) AS chunk_len,
+       |  md5(chunk) AS chunk_md5
+       |FROM s ORDER BY doc_id, chunk_ix""".stripMargin
+
+  /** q34b — sequence-packing audit (concatenate-and-cut, the GPT-style
+    * packing strategy): per source, documents are concatenated in doc_id
+    * order into one token stream that is cut into fixed `capacity`-token
+    * training sequences. A running-sum window gives each doc its token span
+    * [start, end); a doc crosses a cut iff its span straddles a multiple of
+    * `capacity`. Output per source: sequence count, boundary-crossing docs
+    * (they lose attention context — the quantity packing tries to
+    * minimize), and tail padding. One shuffle on `source`; the window state
+    * is a single running sum, so a skewed source degrades to one long but
+    * still O(n) partition — at real scale pack within finer deterministic
+    * groups (e.g. source × hash-bucket) to bound partition length. */
+  def packingStats(docs: DataFrame, capacity: Int = 256): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val perDoc = docs
+      .select(col("source"), col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_end", sum(col("n_tok")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("n_tok"))
+    perDoc
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        ((sum(col("n_tok")) + capacity - 1) / capacity).cast("long")
+          .as("n_seqs"),
+        count(when(col("n_tok") > 0 &&
+          floor(col("cum_start") / capacity) =!=
+            floor((col("cum_end") - 1) / capacity), 1)).as("n_boundary_docs"))
+      .withColumn("tail_pad",
+        col("n_seqs") * capacity - col("total_tokens"))
+      .orderBy("source")
+  }
+
+  def packingStatsSql(capacity: Int = 256): String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |spans AS (
+       |  SELECT source, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum_end
+       |  FROM d),
+       |agg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |    CAST((sum(n_tok) + $capacity - 1) // $capacity AS BIGINT) AS n_seqs,
+       |    CAST(sum(CASE WHEN n_tok > 0 AND
+       |        (cum_end - n_tok) // $capacity <> (cum_end - 1) // $capacity
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+       |  FROM spans GROUP BY source)
+       |SELECT source, n_docs, total_tokens, n_seqs, n_boundary_docs,
+       |  n_seqs * $capacity - total_tokens AS tail_pad
+       |FROM agg ORDER BY source""".stripMargin
+
+  /** Mixture weights: target share of the token budget per language —
+    * the dataset-composition knob of a pretraining run. */
+  val mixtureWeights: Seq[(String, Double)] =
+    Seq("en" -> 0.4, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1, "fr" -> 0.1)
+
+  /** q34c — token-budget mixture selection: give each language
+    * `weight × totalBudget` tokens; within a language take docs in
+    * deterministic md5(doc_id) order (an unbiased, reproducible shuffle —
+    * the same trick as q25_train_split) until the budget is crossed. A doc
+    * is kept iff its span *starts* inside the budget, so the realized count
+    * overshoots by at most one doc — the deterministic convention both
+    * engines share. Output per language: docs kept, tokens kept, budget.
+    * One shuffle on `lang`; the per-language running sum is the same
+    * bounded-state window as packing. */
+  def mixtureSelect(docs: DataFrame, totalBudget: Long = 8000L): DataFrame = {
+    val budget: Column = mixtureWeights
+      .foldLeft(lit(0L)) { case (acc, (lg, wt)) =>
+        when(col("lang") === lg, lit((totalBudget * wt).round)).otherwise(acc)
+      }
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .select(col("lang"), col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"),
+        budget.as("budget"))
+      .withColumn("cum_start",
+        sum(col("n_tok")).over(w) - col("n_tok"))
+      .filter(col("cum_start") < col("budget"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tokens_kept"),
+        first(col("budget")).as("budget"))
+      .orderBy("lang")
+  }
+
+  def mixtureSelectSql(totalBudget: Long = 8000L): String = {
+    val cases = mixtureWeights
+      .map { case (lg, wt) => s"WHEN '$lg' THEN ${(totalBudget * wt).round}" }
+      .mkString(" ")
+    s"""WITH d AS (
+       |  SELECT lang, doc_id,
+       |    CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok,
+       |    CAST(CASE lang $cases ELSE 0 END AS BIGINT) AS budget
+       |  FROM documents),
+       |spans AS (
+       |  SELECT lang, n_tok, budget,
+       |    sum(n_tok) OVER (PARTITION BY lang
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_tok AS cum_start
+       |  FROM d)
+       |SELECT lang, count(*) AS n_kept,
+       |  CAST(sum(n_tok) AS BIGINT) AS tokens_kept, any_value(budget) AS budget
+       |FROM spans WHERE cum_start < budget
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  private def onDocs(f: DataFrame => DataFrame): QFn =
+    (s, d) => f(Tables.documents(s, d))
+
+  val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q34_chunk", onDocs(chunk(_)), Some(chunkSql())),
+    ("q34_pack", onDocs(packingStats(_)), Some(packingStatsSql())),
+    ("q34_mixture", onDocs(mixtureSelect(_)), Some(mixtureSelectSql())))
+}
