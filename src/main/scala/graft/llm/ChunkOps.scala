@@ -126,7 +126,12 @@ object ChunkOps {
     * engines share. Output per language: docs kept, tokens kept, budget.
     * One shuffle on `lang`; the per-language running sum is the same
     * bounded-state window as packing. */
-  def mixtureSelect(docs: DataFrame, totalBudget: Long = 8000L): DataFrame = {
+  /** Doc-level view of the mixture selection: the kept documents with
+    * their token counts and per-language budget (the set [[mixtureSelect]]
+    * aggregates). Exposed so callers can materialize the selected corpus,
+    * not just audit its composition. */
+  def mixtureSelectDocs(docs: DataFrame,
+      totalBudget: Long = 8000L): DataFrame = {
     val budget: Column = mixtureWeights
       .foldLeft(lit(0L)) { case (acc, (lg, wt)) =>
         when(col("lang") === lg, lit((totalBudget * wt).round)).otherwise(acc)
@@ -140,11 +145,14 @@ object ChunkOps {
       .withColumn("cum_start",
         sum(col("n_tok")).over(w) - col("n_tok"))
       .filter(col("cum_start") < col("budget"))
+  }
+
+  def mixtureSelect(docs: DataFrame, totalBudget: Long = 8000L): DataFrame =
+    mixtureSelectDocs(docs, totalBudget)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tokens_kept"),
         first(col("budget")).as("budget"))
       .orderBy("lang")
-  }
 
   def mixtureSelectSql(totalBudget: Long = 8000L): String = {
     val cases = mixtureWeights
