@@ -1,5 +1,10 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+  SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — driver contract: runs the full query surface on
@@ -13,128 +18,231 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_ITERS` timed iterations (default 2) and reports the minimum,
   * with the DataFrame cache cleared before every timed run so persisted
   * intermediates (e.g. the dedup shingle table) are recomputed inside the
-  * measured window. The DuckDB baseline in BASELINE.md is measured the same
-  * way (min of 3 warm in-process runs).
+  * measured window.
   *
   * Each query is forced through a `noop` sink write so the measurement is
   * full plan execution (scan → shuffle → agg/join/window) without parquet
   * write cost. Failures are loud (stderr + a negative duration) rather than
   * silently folded into the total.
   *
-  * Self-pairing: this container's effective CPU swings ~1.6× with neighbor
-  * load (BASELINE.md §c), so an absolute total is only meaningful against a
-  * denominator measured in the same window. When python3 + duckdb are
-  * available (they are on the driver image; NOT a dependency of the library
-  * itself), the same oracle SQL set is timed via tools/bench_duckdb.py right
-  * after the Spark runs and the output line carries `duckdb` (its totals)
-  * and `ratio` = spark_total_over_oracle_queries / duckdb_total. Disable
-  * with SPARK_GRAFT_PAIR=0; absent python/duckdb it degrades to the old
-  * Spark-only line.
+  * Pairing: this container's effective CPU swings ~1.6× with neighbor load
+  * (BASELINE.md §c), so an absolute total is only meaningful against a
+  * denominator measured in the same window. The DuckDB twin runs as a
+  * long-lived `tools/bench_duckdb.py serve` child and the engines are
+  * INTERLEAVED PER QUERY (S,D,S,D, …): each Spark iteration is immediately
+  * followed by the DuckDB run of the same query, so a load swing hits both
+  * sides of every pair symmetrically instead of landing on whichever phase
+  * ran second — the un-interleaved design measured byte-identical code at
+  * 2.12× (r4) and 1.10× (r5). `ratio` stays sum-of-min / sum-of-min over
+  * the common success set; `ratio_med` (median over queries of the median
+  * per-iteration pair ratio) is the load-robust check number — a large gap
+  * between the two flags a noisy capture from the artifact alone.
+  *
+  * Per-query Spark-side `{jobs, stages, task_sec}` (from a SparkListener)
+  * land in BENCH_PAIR_DETAIL.json next to the per-iteration times of both
+  * engines, so a >2× outlier is diagnosable from the artifact: constant
+  * job/stage counts with wall ≫ task_sec means scheduler floor / machine
+  * noise, not a plan defect. DuckDB is driver-image tooling, NOT a library
+  * dependency; disable pairing with SPARK_GRAFT_PAIR=0 (absent python or
+  * duckdb it degrades to the Spark-only line automatically).
   */
 object Bench {
 
-  /** Run the DuckDB twin over the same oracle set; None if unavailable. */
-  private def duckdbPair(sfDir: String, iters: Int): Option[String] = {
-    try {
+  /** Monotonic job/stage/task-time counters; the listener bus is async, so
+    * [[drained]] polls until the counters stop moving before a snapshot is
+    * attributed to the just-finished query. */
+  private final class MetricsListener extends SparkListener {
+    private val jobs = new AtomicLong
+    private val stages = new AtomicLong
+    private val taskTimeMs = new AtomicLong
+    override def onJobStart(e: SparkListenerJobStart): Unit =
+      jobs.incrementAndGet()
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+      stages.incrementAndGet()
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) taskTimeMs.addAndGet(m.executorRunTime)
+    }
+    def snap: Array[Long] = Array(jobs.get, stages.get, taskTimeMs.get)
+    def drained: Array[Long] = {
+      var prev = snap
+      val deadline = System.nanoTime() + 500L * 1000 * 1000
+      var stable = false
+      while (!stable && System.nanoTime() < deadline) {
+        Thread.sleep(10)
+        val cur = snap
+        stable = cur.sameElements(prev)
+        prev = cur
+      }
+      prev
+    }
+  }
+
+  /** Handle on the long-lived DuckDB twin (`bench_duckdb.py serve`). */
+  private final class DuckServer(proc: Process) {
+    private val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+    private val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
+    private val ex = Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "duck-reader"); t.setDaemon(true); t
+    }
+    // the read must carry a timeout: a wedged duckdb query would otherwise
+    // hang the whole bench past the driver's window
+    private def readLine(timeoutSec: Long): Option[String] = {
+      val f = ex.submit[String](() => in.readLine())
+      try Option(f.get(timeoutSec, TimeUnit.SECONDS))
+      catch {
+        case _: TimeoutException => f.cancel(true); None
+        case _: Exception => None
+      }
+    }
+    /** Blocks until the serve process finishes its warm-up pass. */
+    def awaitReady(timeoutSec: Long): Boolean =
+      readLine(timeoutSec).contains("READY")
+    /** One timed run of `name`'s oracle; -1 on failure/timeout. */
+    def time(name: String): Double = {
+      try {
+        out.write(name); out.newLine(); out.flush()
+        readLine(600) match {
+          case Some(l) if l.startsWith(name + ",") =>
+            l.substring(name.length + 1).toDouble
+          case _ => -1.0
+        }
+      } catch { case _: Throwable => -1.0 }
+    }
+    def close(): Unit = {
+      try { out.write("EXIT"); out.newLine(); out.flush() }
+      catch { case _: Throwable => () }
+      if (!proc.waitFor(5, TimeUnit.SECONDS)) proc.destroyForcibly()
+      ex.shutdownNow()
+    }
+  }
+
+  private object DuckServer {
+    def start(sfDir: String): Option[DuckServer] = try {
       val script = java.nio.file.Paths.get("tools/bench_duckdb.py")
       if (!java.nio.file.Files.exists(script)) return None
       val tmp = java.nio.file.Files.createTempDirectory("graftbench")
       val oraclePath = tmp.resolve("oracle_sql.json")
       java.nio.file.Files.writeString(oraclePath,
         graft.core.Json.obj(SparkEntry.oracleSql))
-      val pb = new ProcessBuilder("python3", script.toString,
-        sfDir, oraclePath.toString, iters.toString)
+      val pb = new ProcessBuilder("python3", script.toString, "serve",
+        sfDir, oraclePath.toString)
       // stderr passes through to ours: an undrained pipe would block the
-      // child once full (many failing oracles → a 15-min hang, lost pair)
+      // child once full (many failing oracles → a wedged serve loop)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      val proc = pb.start()
-      val out = new Thread() {
-        var result: String = ""
-        override def run(): Unit =
-          result = new String(proc.getInputStream.readAllBytes(), "UTF-8").trim
-      }
-      out.start()
-      if (!proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
-        proc.destroyForcibly(); return None
-      }
-      out.join(10000)
-      val line = out.result
-      if (proc.exitValue() == 0 && line.startsWith("{") && line.endsWith("}"))
-        Some(line)
-      else None
+      Some(new DuckServer(pb.start()))
     } catch { case _: Throwable => None }
   }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  private case class QueryRec(name: String, sparkIters: Seq[Double],
+      duckIters: Seq[Double], jobs: Long, stages: Long, taskSec: Double) {
+    def sparkMin: Double = if (sparkIters.isEmpty) -1.0 else sparkIters.min
+    // any failed duck run disqualifies the pair (deterministic SQL errors
+    // fail every iteration anyway)
+    def duckMin: Double =
+      if (duckIters.nonEmpty && duckIters.forall(_ >= 0)) duckIters.min
+      else -1.0
+    def pairRatios: Seq[Double] = sparkIters.zip(duckIters)
+      .collect { case (s, d) if d > 0 => s / d }
+    def paired: Boolean = sparkMin >= 0 && duckMin > 0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
     val spark = graft.core.Sessions.get(cpus)
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val oracle = SparkEntry.oracleSql
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // Untimed warm-up pass: compile + JIT every plan shape once.
+    // Start the twin first so its warm-up overlaps Spark's untimed pass.
+    val duck =
+      if (sys.env.getOrElse("SPARK_GRAFT_PAIR", "1") == "0") None
+      else DuckServer.start(sfDir)
     qs.foreach { case (_, fn) => try run(fn) catch { case _: Throwable => () } }
+    val paired = duck.filter(_.awaitReady(900))
+    duck.filterNot(_ => paired.isDefined).foreach(_.close())
 
-    val results = qs.map { case (name, fn) =>
-      val dts = (1 to iters).flatMap { _ =>
+    val recs = qs.map { case (name, fn) =>
+      val sIters = Seq.newBuilder[Double]
+      val dIters = Seq.newBuilder[Double]
+      var jobs = 0L; var stages = 0L; var taskSec = 0.0
+      (1 to iters).foreach { _ =>
         spark.catalog.clearCache()
+        val m0 = metrics.snap
         val t0 = System.nanoTime()
-        try {
-          run(fn)
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
+        val ok =
+          try { run(fn); true }
+          catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            None
+            false
+          }
+        if (ok) {
+          sIters += (System.nanoTime() - t0) / 1e9
+          val m1 = metrics.drained
+          jobs = m1(0) - m0(0); stages = m1(1) - m0(1)
+          taskSec = (m1(2) - m0(2)) / 1e3
+          // interleave: the twin runs the SAME query immediately after the
+          // Spark iteration, inside the same load window
+          if (oracle.contains(name)) paired.foreach(d => dIters += d.time(name))
         }
       }
-      name -> (if (dts.isEmpty) -1.0 else dts.min)
+      QueryRec(name, sIters.result(), dIters.result(), jobs, stages, taskSec)
     }
-    val qsJson = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    paired.foreach(_.close())
 
-    // Same-window DuckDB denominator (BASELINE.md §c): ratio compares only
-    // the oracle-checked subset, measured back-to-back on the same machine.
-    val pair =
-      if (sys.env.getOrElse("SPARK_GRAFT_PAIR", "1") == "0") None
-      else duckdbPair(sfDir, iters)
-    val pairJson = pair.map { line =>
-      // the ratio must compare identical query sets: drop queries that
-      // failed on either engine from BOTH totals
-      val duckFailed = """"failed":\s*\[([^\]]*)\]""".r
-        .findFirstMatchIn(line).map(_.group(1)).getOrElse("")
-        .split(',').map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty).toSet
-      val sparkFailed = results.collect { case (k, v) if v < 0 => k }.toSet
-      val oracleNames = SparkEntry.oracleSql.keySet -- duckFailed -- sparkFailed
-      val sparkOracleTotal = results
-        .collect { case (k, v) if v >= 0 && oracleNames(k) => v }.sum
-      val duckQueryTimes = ("\"([^\"]+)\":\\s*(-?[0-9.]+)".r
-        .findAllMatchIn(line).map(m => m.group(1) -> m.group(2).toDouble)).toMap
-      val duckTotal = Some(oracleNames.toSeq
-        .flatMap(duckQueryTimes.get).filter(_ >= 0).sum).filter(_ > 0)
-      val ratio = duckTotal.map(sparkOracleTotal / _)
-      // The full per-query DuckDB detail goes to a side file — the printed
-      // line must stay small enough to survive the driver's tail-buffer
-      // capture intact (BENCH_r03's was truncated past parsing). The line
-      // keeps only the paired totals + ratio.
+    val qsJson = recs
+      .map(r => "\"" + r.name + "\":" + f"${r.sparkMin}%.3f")
+      .mkString("{", ",", "}")
+    val total = recs.collect { case r if r.sparkMin >= 0 => r.sparkMin }.sum
+
+    // the ratio compares identical query sets: only pairs where both
+    // engines succeeded enter either total
+    val common = recs.filter(_.paired)
+    val pairJson = if (common.isEmpty) "" else {
+      val sparkOracleTotal = common.map(_.sparkMin).sum
+      val duckTotal = common.map(_.duckMin).sum
+      val ratio = sparkOracleTotal / duckTotal
+      val ratioMed = median(common.map(r => median(r.pairRatios)))
+      // Full per-query detail goes to a side file — the printed line must
+      // stay small enough to survive the driver's tail-buffer capture
+      // intact (BENCH_r03's was truncated past parsing).
+      val detail = recs.map { r =>
+        def arr(xs: Seq[Double]) =
+          xs.map(v => f"$v%.4f").mkString("[", ",", "]")
+        val pm = median(r.pairRatios)
+        s""""${r.name}":{"spark":${arr(r.sparkIters)},"duck":${arr(r.duckIters)}""" +
+          f""","spark_min":${r.sparkMin}%.4f,"duck_min":${r.duckMin}%.4f""" +
+          (if (pm >= 0) f""","ratio_med":$pm%.3f""" else "") +
+          s""","jobs":${r.jobs},"stages":${r.stages}""" +
+          f""","task_sec":${r.taskSec}%.3f,"wall":${r.sparkMin}%.4f}"""
+      }.mkString("{", ",", "}")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_PAIR_DETAIL.json"),
-        f"""{"spark_queries":$qsJson,"spark_oracle_total":$sparkOracleTotal%.3f,"duckdb":$line${ratio.map(r => f""","ratio":$r%.2f""").getOrElse("")}}""" + "\n")
+        f"""{"queries":$detail,"spark_oracle_total":$sparkOracleTotal%.3f,"duckdb_total":$duckTotal%.3f,"duckdb_n":${common.size},"ratio":$ratio%.2f,"ratio_med":$ratioMed%.2f}""" + "\n")
       catch { case e: Exception =>
         // the detail file is the only place per-query pair data survives
-        // (the stdout line is deliberately compact) — losing it silently
-        // would repeat the BENCH_r03 truncation failure this fixes
+        // (the stdout line is deliberately compact)
         System.err.println(s"[bench] could not write BENCH_PAIR_DETAIL.json: $e")
       }
       f""","spark_oracle_total":$sparkOracleTotal%.3f""" +
-        duckTotal.map(d => f""","duckdb_total":$d%.3f,"duckdb_n":${oracleNames.size}""").getOrElse("") +
-        ratio.map(r => f""","ratio":$r%.2f""").getOrElse("")
-    }.getOrElse("")
+        f""","duckdb_total":$duckTotal%.3f,"duckdb_n":${common.size}""" +
+        f""","ratio":$ratio%.2f,"ratio_med":$ratioMed%.2f"""
+    }
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"sf":"$sfDir","iterations":$iters$pairJson}""")
     spark.stop()

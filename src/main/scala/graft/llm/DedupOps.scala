@@ -494,8 +494,20 @@ object DedupOps {
     * every scale factor the batch stays a minority against the corpus (a
     * fixed absolute id would invert the shapes at larger SFs). */
   private val IncrSplitSql = "(SELECT (max(doc_id) * 8) // 10 FROM documents)"
-  private def incrSplit(docs: DataFrame): Long =
-    docs.agg(max(col("doc_id"))).first.getLong(0) * 8 / 10
+
+  /** Split `docs` at `max(doc_id) * numer / 10` into (below, at-or-above)
+    * WITHOUT a driver action: the cut rides in-plan as a broadcast scalar
+    * (the q17 crossJoin(broadcast(agg)) pattern), so constructing a
+    * registry query fires no Spark job — plans stay lazily composable and
+    * no extra job-per-invocation lands on the scheduler. */
+  private def splitAtMaxIdFraction(docs: DataFrame,
+      numer: Int): (DataFrame, DataFrame) = {
+    val cut = docs.agg(
+      floor(max(col("doc_id")) * numer / 10).cast("long").as("split_cut"))
+    val tagged = docs.crossJoin(broadcast(cut))
+    (tagged.filter(col("doc_id") < col("split_cut")).drop("split_cut"),
+      tagged.filter(col("doc_id") >= col("split_cut")).drop("split_cut"))
+  }
 
   val incrementalNearDupSql: String =
     s"""WITH ${indexCte(capped = true)},
@@ -517,8 +529,6 @@ object DedupOps {
   /** Registry split for contamination: the top 10% of doc ids stand in
     * for the eval/benchmark set (scale-proportional, as above). */
   private val EvalSplitSql = "(SELECT (max(doc_id) * 9) // 10 FROM documents)"
-  private def evalSplit(docs: DataFrame): Long =
-    docs.agg(max(col("doc_id"))).first.getLong(0) * 9 / 10
 
   val contaminationSql: String =
     s"""WITH tok AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts FROM documents),
@@ -635,18 +645,14 @@ object DedupOps {
       Some(jaccardOracle)),
     ("q23_contamination",
       (s: SparkSession, d: String) => {
-        val docs = Tables.documents(s, d)
-        val cut = evalSplit(docs)
-        contamination(docs.filter(col("doc_id") < cut),
-          docs.filter(col("doc_id") >= cut))
+        val (train, eval) = splitAtMaxIdFraction(Tables.documents(s, d), 9)
+        contamination(train, eval)
       },
       Some(contaminationSql)),
     ("q23_dedup_incremental",
       (s: SparkSession, d: String) => {
-        val docs = Tables.documents(s, d)
-        val cut = incrSplit(docs)
-        incrementalNearDup(docs.filter(col("doc_id") < cut),
-          docs.filter(col("doc_id") >= cut))
+        val (corpus, batch) = splitAtMaxIdFraction(Tables.documents(s, d), 8)
+        incrementalNearDup(corpus, batch)
       },
       Some(incrementalNearDupSql)),
     ("q23_dedup_minhash_lsh",

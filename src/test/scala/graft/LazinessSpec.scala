@@ -1,0 +1,52 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+/** Constructing a registry query must not run Spark jobs: a driver action
+  * at construction time (the old `.agg(max).first` split in DedupOps) costs
+  * an extra scheduler round-trip per invocation and breaks lazy plan
+  * composition — callers embedding a registry query into a larger plan
+  * would trigger hidden work. Splits must ride in-plan as broadcast
+  * scalars (the q17 pattern).
+  *
+  * Two kinds of construction-time jobs are legitimate and exempted:
+  *  - first-touch parquet footer/schema reads (one per table per session;
+  *    memoized by Tables.load) — pre-warmed here before counting;
+  *  - the iterative connected-components queries (q23_dedup_keeper /
+  *    q23_dedup_corpus), whose label-propagation loop materializes each
+  *    round through an eager localCheckpoint by design (bounded plan
+  *    depth beats laziness for an iterative fixpoint). */
+class LazinessSpec extends SparkSpec {
+
+  private val iterativeByDesign = Set("q23_dedup_keeper", "q23_dedup_corpus")
+
+  test("constructing registry queries fires no Spark job") {
+    // pre-warm per-table schema resolution so first-touch footer reads
+    // don't count against the queries that happen to read a table first
+    graft.core.Tables.names.foreach(t =>
+      graft.core.Tables.load(spark, sf0001, t))
+
+    val jobs = new AtomicLong
+    val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // drain any in-flight events from earlier suites before counting
+    Thread.sleep(200)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val before = jobs.get()
+      val dfs = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) => iterativeByDesign(n) }
+        .map { case (name, fn) => name -> fn(spark, sf0001) }
+      Thread.sleep(500) // listener bus is async: give stray events time
+      assert(jobs.get() == before,
+        s"query construction fired ${jobs.get() - before} Spark job(s)")
+      // the lazily-built plans still execute
+      val (name, df) = dfs.head
+      assert(df.count() >= 0, s"$name failed to execute")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
