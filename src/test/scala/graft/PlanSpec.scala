@@ -18,6 +18,11 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Adaptive plans print "== Final Plan ==" then "== Initial Plan ==";
+    * operator-count assertions must only see the final one. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+    plan(df).split("== Initial Plan ==")(0)
+
   test("q02: filters are pushed down to the parquet scan") {
     val p = plan(RelationalQueries.q02Filter(T.lineitem(spark, sf0001)))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
@@ -85,6 +90,53 @@ class PlanSpec extends SparkSpec {
       s"a join above the pair aggregation (agg@$firstAgg, join@$firstJoin):\n$optimized")
     // no user-forced broadcast hints survive anywhere in the pair pipeline
     assert(!optimized.contains("ResolvedHint"), optimized)
+  }
+
+  test("q30 funnel: one fact shuffle — all windows and the per-key agg reuse it") {
+    val p = finalPlan(SparkEntry.queries("q30_funnel")(spark, sf0001))
+    // the N step-windows and the per-user reduction share a single
+    // hash-partitioning Exchange of the events table; the only other
+    // exchange is the 1-row-per-partition SinglePartition for the final
+    // global agg. A second hashpartitioning would mean a step regressed
+    // to a self-join.
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1, s"expected 1 fact shuffle, got $hashShuffles:\n$p")
+    assert(!p.contains("Join"), p) // sequence match must never self-join
+  }
+
+  test("q30 interval join: equi-join on user with the range as residual — no nested loop") {
+    val p = plan(SparkEntry.queries("q30_interval_join")(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degraded to a non-equi plan:\n$p")
+    // the user_id equi-key must drive a hash-based join
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q31 heavy hitters: ObjectHashAggregate with map-side partial sketch merge") {
+    val p = plan(SparkEntry.queries("q31_heavy_hitters")(spark, sf0001))
+    // the Misra–Gries UDAF must partially aggregate per partition (only
+    // fixed-size counter maps cross the shuffle, never the token universe)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_"), s"no map-side partial sketch merge:\n$p")
+  }
+
+  test("q32 upsert: anti-join of the corpus against the update keys broadcasts") {
+    val p = plan(SparkEntry.queries("q32_upsert_merge")(spark, sf0001))
+    // the CDC batch is small: its key set must broadcast so the corpus
+    // streams through unshuffled (a SortMergeJoin here would shuffle the
+    // full corpus at every merge)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q33 pii redact: single pass, no shuffle before the per-source rollup") {
+    val p = finalPlan(SparkEntry.queries("q33_pii_redact")(spark, sf0001))
+    // redaction is per-row regexp work: exactly one shuffle (the
+    // per-source aggregation), with map-side partial aggregation below it
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles <= 1, s"redaction pipeline grew extra shuffles:\n$p")
+    assert(p.contains("partial_"), p)
   }
 
   test("q29: fact pre-aggregates before broadcast dimension joins") {
