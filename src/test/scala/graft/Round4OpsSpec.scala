@@ -14,7 +14,8 @@ class Round4OpsSpec extends SparkSpec {
 
   // ---- Misra–Gries -------------------------------------------------------
 
-  private def mgCount(xs: Seq[String], capacity: Int): Map[String, Long] = {
+  private def mgCount(xs: Seq[String],
+      capacity: Int): scala.collection.mutable.HashMap[String, Long] = {
     val mg = new MisraGries(capacity, capacity)
     xs.foldLeft(mg.zero)(mg.reduce)
   }
