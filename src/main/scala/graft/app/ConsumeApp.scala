@@ -35,9 +35,11 @@ object ConsumeApp {
   /** Decoded stream: shardsim records with the payload parsed into columns
     * (the step the reference never does — recordData stays opaque there). */
   def decodedStream(spark: SparkSession, shardDir: String,
-      maxRecordsPerBatch: Option[Long] = None, numPartitions: Int = 4): DataFrame = {
+      maxRecordsPerBatch: Option[Long] = None, numPartitions: Int = 4,
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
     val reader = spark.readStream.format("graft.sources.shardsim.ShardSimProvider")
       .option("numPartitions", numPartitions)
+      .options(extraOptions)
     maxRecordsPerBatch.foreach(n => reader.option("maxRecordsPerBatch", n))
     reader.load(shardDir)
       .withColumn("payload", from_json(col("data"), payloadSchema))

@@ -264,23 +264,40 @@ class ShardSimMicroBatchStream(path: String, options: Map[String, String])
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new ShardSimReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardSimReaderFactory(options)
   override def deserializeOffset(json: String): Offset = ShardOffsets.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-class ShardSimReaderFactory extends PartitionReaderFactory {
+class ShardSimReaderFactory(options: Map[String, String] = Map.empty)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ShardSimPartitionReader(partition.asInstanceOf[ShardSim.ShardSimInputPartition])
+    new ShardSimPartitionReader(
+      partition.asInstanceOf[ShardSim.ShardSimInputPartition], options)
 }
 
 /** Streams the assigned ranges line by line; one reader handles several
   * shards (a "worker" for each assigned shard, reference
   * src/Kinesis/Coordination.hs:300-337, minus the hand-rolled heartbeats —
-  * Spark's executor liveness covers that). */
-class ShardSimPartitionReader(partition: ShardSim.ShardSimInputPartition)
+  * Spark's executor liveness covers that).
+  *
+  * Fault injection (test chaos hook — the analog of the reference's
+  * transient-read-error classification + retry, src/Kinesis/Kinesis.hs:
+  * 119-176, which Spark subsumes with task retry + micro-batch replay
+  * from the offset WAL): with `faultInjectMarker=<path>` and
+  * `faultInjectAfter=<n>`, the FIRST reader to emit n records atomically
+  * creates the marker file and dies with an IOException — exactly one
+  * transient failure per marker path, mid-batch, after rows have already
+  * been produced. Subsequent attempts (the retry) find the marker and
+  * read clean. */
+class ShardSimPartitionReader(partition: ShardSim.ShardSimInputPartition,
+    options: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
+  private val faultAfter = options.get("faultinjectafter").map(_.toLong)
+  private val faultMarker = options.get("faultinjectmarker")
+  private var emitted = 0L
   private val ranges = partition.ranges.iterator
   private var lines: Iterator[String] = Iterator.empty
   private var currentShard: UTF8String = _
@@ -304,6 +321,11 @@ class ShardSimPartitionReader(partition: ShardSim.ShardSimInputPartition)
   }
 
   override def next(): Boolean = {
+    if (faultAfter.contains(emitted) &&
+        faultMarker.exists(m => new File(m).createNewFile()))
+      throw new java.io.IOException(
+        s"shardsim injected transient read failure after $emitted records")
+    emitted += 1
     while (!lines.hasNext) if (!advanceRange()) return false
     val parts = lines.next().split("\t", 4)
     row = new GenericInternalRow(Array[Any](

@@ -214,6 +214,49 @@ class ShardSimSourceSpec extends SparkSpec {
       "each event_id delivered exactly once through the ForeachWriter")
   }
 
+  test("a transient mid-batch reader failure: restart resumes with no loss, no dupes") {
+    // the read-side counterpart of the sink-crash test below — the
+    // reference classifies transient GetRecords errors and retries
+    // (src/Kinesis/Kinesis.hs:119-176); here the reader dies AFTER having
+    // already produced rows into the running batch, the worst case: the
+    // partial batch must vanish (it never committed) and the restart must
+    // replay it from the offset WAL exactly once
+    val dir = Files.createTempDirectory("shardsim_readerfault").toString
+    ShardSimFixture.generate(spark, sf0001, dir, nShards = 4)
+    val out = Files.createTempDirectory("readerfault_out").toString
+    val ckpt = Files.createTempDirectory("readerfault_ckpt").toString
+    val marker = Files.createTempDirectory("readerfault_marker")
+      .resolve("fired").toString
+    def start() = ConsumeApp.decodedStream(spark, dir, Some(200L),
+        extraOptions = Map(
+          "faultInjectMarker" -> marker, "faultInjectAfter" -> "43"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+      }
+      .start()
+    val q1 = start()
+    val crash = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(crash).exists(_.contains("injected transient read failure")),
+      messages(crash).mkString(" | "))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(marker)),
+      "the fault must have fired exactly once via the marker file")
+    // restart: the marker exists, so the retry reads clean; the WAL replays
+    // the uncommitted batch from the same offsets
+    val q2 = start()
+    q2.awaitTermination()
+    val result = spark.read.parquet(s"$out/batch_id=*")
+    assert(result.count() == nEvents, s"lost/duplicated rows: ${result.count()}")
+    assert(result.select("event_id").distinct().count() == nEvents,
+      "reader-failure replay must not duplicate records")
+  }
+
   test("a mid-write sink crash replays the batch: no loss, no dupes") {
     // the reference's at-least-once contract under worker death
     // (src/Kinesis/Coordination.hs:265-290) — here upgraded to exactly-once
