@@ -247,6 +247,55 @@ object StreamQueries {
         TimeMode.EventTime(), OutputMode.Update())
   }
 
+  /** One (lang, term) observation for the streaming sketch. */
+  case class LangTerm(lang: String, term: String)
+  /** A sketch snapshot wrapped for the state encoder. */
+  case class MgState(counters: Map[String, Long])
+  /** One reported heavy hitter for `lang` as of the emitting trigger. */
+  case class LangTermCount(lang: String, term: String, n: Long)
+
+  /** q31 streaming — per-language heavy hitters with the [[MisraGries]]
+    * sketch held as named `transformWithState` state, one counter map per
+    * language key. Every trigger folds the batch's terms through the SAME
+    * reduce step the batch UDAF uses (graft.functions.MisraGries — one
+    * code path, so the twins cannot drift) and re-emits the current
+    * top-k; the latest emission per language is the sketch state, and
+    * when `capacity` ≥ the live vocabulary it equals the batch q31
+    * exactly (asserted in StreamingSpec).
+    *
+    * State is `capacity` counters per language — fixed size however long
+    * the stream runs, the whole point of the sketch: a naive streaming
+    * top-k would hold the unbounded distinct-term universe per key. */
+  class HeavyHittersProcessor(capacity: Int, k: Int)
+      extends StatefulProcessor[String, LangTerm, LangTermCount] {
+    private val mg = new graft.functions.MisraGries(capacity, k)
+    @transient private var state: ValueState[MgState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[MgState](
+        "sketch", Encoders.product[MgState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[LangTerm],
+        timerValues: TimerValues): Iterator[LangTermCount] = {
+      val buf = scala.collection.mutable.HashMap.empty[String, Long]
+      if (state.exists()) buf ++= state.get().counters
+      rows.foreach(r => mg.reduce(buf, r.term))
+      state.update(MgState(buf.toMap))
+      mg.finish(buf).iterator.map(tc => LangTermCount(key, tc.term, tc.n))
+    }
+  }
+
+  /** Streaming twin of `q31_heavy_hitters` over a (lang, term) stream. */
+  def heavyHittersStream(terms: Dataset[LangTerm], capacity: Int = 64,
+      k: Int = 15): Dataset[LangTermCount] = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    terms
+      .groupByKey(_.lang)
+      .transformWithState(new HeavyHittersProcessor(capacity, k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stream–stream inner join with event-time bounds: each click joined to
     * the same user's purchases within the following 30 minutes. Both sides
     * carry watermarks and the join condition bounds purchase_ts relative to

@@ -304,6 +304,50 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming heavy hitters (transformWithState sketch) equal batch q31") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the real corpus, streamed as (lang, term) observations in chunks —
+      // the same input the batch q31 explodes from documents
+      val docs = graft.core.Tables.documents(spark, sf0001)
+      val terms = docs
+        .select(col("lang"), explode(graft.llm.Text.tokens(col("text"))).as("term"))
+        .as[StreamQueries.LangTerm].collect().toSeq
+      val input = MemoryStream[StreamQueries.LangTerm]
+      val out = StreamQueries.heavyHittersStream(input.toDS())
+      val name = "hh_stream_out"
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+        .start()
+      terms.grouped(20000).foreach { c => input.addData(c); q.processAllAvailable() }
+      q.stop()
+      // counts grow monotonically (capacity >= vocabulary: no decrements),
+      // so the final sketch per (lang, term) is the max emitted count; the
+      // last trigger's top-k per lang is then the max-count top-k
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc, col("term"))
+      val streamed = spark.table(name)
+        .groupBy("lang", "term").agg(max("n").as("n"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 15)
+        .select("lang", "term", "n")
+        .orderBy(col("lang"), col("n").desc, col("term")).collect().toSeq
+      val batch = graft.llm.SketchOps.heavyHittersPerLang(docs)
+        .collect().toSeq
+      assert(streamed == batch,
+        s"stream/batch heavy hitters diverged:\n$streamed\nvs\n$batch")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming funnel (event-time timers, RocksDB) converges to batch funnelStages") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
