@@ -56,9 +56,10 @@ object Stress {
       "q23_dedup_exact", "q23_dedup_minhash_lsh", "q23_dedup_ngram_jaccard",
       "q23_dedup_keeper", "q23_dedup_incremental", "q23_contamination",
       "q25_fingerprint",
-      "q25_quality_score", "q24_knn_brute", "q24_knn_ivf",
+      "q25_quality_score", "q24_knn_brute", "q24_knn_ivf", "q24_knn_lsh",
       "q30_funnel", "q30_interval_join", "q31_heavy_hitters",
-      "q32_upsert_merge", "q33_pii_redact").foreach { name =>
+      "q32_upsert_merge", "q33_pii_redact",
+      "q34_chunk", "q34_pack", "q34_mixture").foreach { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, dir).count()
       println(f"[stress] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
