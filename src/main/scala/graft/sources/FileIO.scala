@@ -25,6 +25,15 @@ object FileIO {
       .option("mode", "FAILFAST")
       .json(path)
 
+  /** ORC: the other columnar interchange format (Hive-ecosystem hand-off).
+    * Same pushdown/pruning machinery as parquet in Spark's reader — a
+    * pipeline ingesting a warehouse's ORC extracts loses nothing. */
+  def readOrc(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 

@@ -38,6 +38,25 @@ class FileIOSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ORC roundtrip preserves rows and pushes filters to the scan") {
+    val docs = Tables.documents(spark, sf0001)
+    val dir = tmp("orc")
+    FileIO.writeOrc(docs, dir)
+    val back = FileIO.readOrc(spark, dir, docs.schema)
+    assert(back.count() == docs.count())
+    val a = docs.select(md5(concat_ws("|", col("doc_id"), col("text"))).as("h"))
+      .agg(count_distinct(col("h"))).collect()(0).getLong(0)
+    val b = back.select(md5(concat_ws("|", col("doc_id"), col("text"))).as("h"))
+      .agg(count_distinct(col("h"))).collect()(0).getLong(0)
+    assert(a == b)
+    // the ORC reader participates in the same pushdown machinery as parquet
+    val filtered = back.filter(col("n_chars") > 500).select("doc_id")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,n_chars:int>") ||
+      plan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), plan)
+  }
+
   test("partitioned parquet write prunes partitions at the scan") {
     val docs = Tables.documents(spark, sf0001)
     val dir = tmp("part")
