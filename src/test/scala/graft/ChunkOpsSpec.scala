@@ -98,6 +98,36 @@ class ChunkOpsSpec extends SparkSpec {
     assert(keptIds == order.take(3).toSet)
   }
 
+  test("chunk: agrees with an independent reference on random docs, any width/stride") {
+    val md = MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // driver-side reference of the convention: chunk k covers
+    // [k*stride, k*stride+width), k while k*stride < len (min one chunk)
+    def ref(text: String, width: Int, stride: Int): Seq[(Long, Long, String)] = {
+      val maxIx = math.max((text.length - 1) / stride, 0)
+      (0 to maxIx).map { k =>
+        val c = text.slice(k * stride, math.min(k * stride + width, text.length))
+        (k.toLong, c.length.toLong, hex(c))
+      }
+    }
+    val rnd = new scala.util.Random(42)
+    def randText(): String = {
+      val n = rnd.nextInt(600) // includes 0: the empty-doc edge
+      (1 to n).map(_ => "abcdefghij xyz"(rnd.nextInt(14))).mkString
+    }
+    // stride > width (gapped sampling) is deliberately included
+    for ((width, stride) <- Seq((5, 3), (8, 8), (10, 4), (7, 10), (200, 150))) {
+      val docs = (1L to 40L).map(i => (i, randText(), "en", "s"))
+      val got = ChunkOps.chunk(docsDF(docs), width, stride)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_._1)).toMap
+      val want = docs.map { case (id, text, _, _) => id -> ref(text, width, stride) }.toMap
+      assert(got == want, s"chunk($width,$stride) diverged from the reference")
+    }
+  }
+
   test("mixture: languages draw from independent budgets") {
     // en budget round(40*0.4)=16, zh budget round(40*0.2)=8; docs of 5 tokens
     // en: starts 0,5,10,15 < 16 → 4 kept; zh: starts 0,5 < 8 → 2 kept
