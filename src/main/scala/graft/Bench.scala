@@ -205,8 +205,12 @@ object Bench {
     }
     paired.foreach(_.close())
 
+    // %.2f and no iterations field: the driver captures a BOUNDED TAIL of
+    // stdout (~2000 chars) and the full-precision line was 2001 — every
+    // round's head got truncated past json parsing. Full precision lives
+    // in BENCH_PAIR_DETAIL.json.
     val qsJson = recs
-      .map(r => "\"" + r.name + "\":" + f"${r.sparkMin}%.3f")
+      .map(r => "\"" + r.name + "\":" + f"${r.sparkMin}%.2f")
       .mkString("{", ",", "}")
     val total = recs.collect { case r if r.sparkMin >= 0 => r.sparkMin }.sum
 
@@ -244,7 +248,7 @@ object Bench {
         f""","ratio":$ratio%.2f,"ratio_med":$ratioMed%.2f"""
     }
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"sf":"$sfDir","iterations":$iters$pairJson}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"sf":"$sfDir"$pairJson}""")
     spark.stop()
   }
 }
