@@ -55,6 +55,26 @@ class SqlInterfaceSpec extends SparkSpec {
     assert(e.getMessage.contains("shingle_hashes"), e.getMessage)
   }
 
+  test("generator SQL (explode+sequence) matches the q34 chunking DataFrame") {
+    registerViews()
+    val viaSql = spark.sql(
+      """SELECT doc_id, chunk_ix,
+        |  CAST(length(chunk) AS BIGINT) AS chunk_len, md5(chunk) AS chunk_md5
+        |FROM (
+        |  SELECT doc_id, chunk_ix,
+        |    substr(text, CAST(chunk_ix * 150 + 1 AS INT), 200) AS chunk
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      explode(sequence(0L,
+        |        greatest(CAST(floor((length(text) - 1) / 150) AS BIGINT), 0L)))
+        |        AS chunk_ix
+        |    FROM documents) g) s
+        |ORDER BY doc_id, chunk_ix""".stripMargin).collect().toSeq
+    val viaApi = graft.llm.ChunkOps.chunk(
+      graft.core.Tables.documents(spark, sf0001)).collect().toSeq
+    assert(viaSql == viaApi)
+  }
+
   test("window + subquery SQL matches the q11 DataFrame top-3") {
     registerViews()
     val viaSql = spark.sql(
