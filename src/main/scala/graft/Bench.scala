@@ -78,18 +78,21 @@ object Bench {
     }
   }
 
-  /** Handle on the long-lived DuckDB twin (`bench_duckdb.py serve`). */
-  private final class DuckServer(proc: Process) {
+  /** One serve-child connection: process + pipes + the single reader
+    * thread. Bundled so a restart swaps ALL of it atomically — reusing the
+    * executor across processes would let a still-blocked read on the dead
+    * pipe race the first read on the new one. */
+  private final class DuckConn(val proc: Process) {
     private val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
-    private val out = new java.io.BufferedWriter(
+    val out = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
     private val ex = Executors.newSingleThreadExecutor { r =>
       val t = new Thread(r, "duck-reader"); t.setDaemon(true); t
     }
     // the read must carry a timeout: a wedged duckdb query would otherwise
     // hang the whole bench past the driver's window
-    private def readLine(timeoutSec: Long): Option[String] = {
+    def readLine(timeoutSec: Long): Option[String] = {
       val f = ex.submit[String](() => in.readLine())
       try Option(f.get(timeoutSec, TimeUnit.SECONDS))
       catch {
@@ -97,21 +100,7 @@ object Bench {
         case _: Exception => None
       }
     }
-    /** Blocks until the serve process finishes its warm-up pass. */
-    def awaitReady(timeoutSec: Long): Boolean =
-      readLine(timeoutSec).contains("READY")
-    /** One timed run of `name`'s oracle; -1 on failure/timeout. */
-    def time(name: String): Double = {
-      try {
-        out.write(name); out.newLine(); out.flush()
-        readLine(600) match {
-          case Some(l) if l.startsWith(name + ",") =>
-            l.substring(name.length + 1).toDouble
-          case _ => -1.0
-        }
-      } catch { case _: Throwable => -1.0 }
-    }
-    def close(): Unit = {
+    def kill(): Unit = {
       try { out.write("EXIT"); out.newLine(); out.flush() }
       catch { case _: Throwable => () }
       if (!proc.waitFor(5, TimeUnit.SECONDS)) proc.destroyForcibly()
@@ -119,8 +108,54 @@ object Bench {
     }
   }
 
+  /** Handle on the long-lived DuckDB twin (`bench_duckdb.py serve`).
+    * Self-healing (ADVICE r7): the request/response pipe is strictly
+    * ordered, so one query that never answers would desync every later
+    * pair — a late line answering query A would be read as the reply to
+    * query B. On timeout the child is killed and restarted (re-warmed),
+    * and stale lines (tagged with the query name) are drained rather than
+    * mis-paired, so a single wedged oracle costs one pair, not the rest
+    * of the run. */
+  private final class DuckServer(pb: ProcessBuilder, warmupSec: Long) {
+    private var conn: DuckConn = new DuckConn(pb.start())
+    private var live = false
+    /** Blocks until the serve process finishes its warm-up pass. */
+    def awaitReady(): Boolean = {
+      live = conn.readLine(warmupSec).contains("READY")
+      live
+    }
+    private def restart(): Unit = {
+      live = false
+      conn.kill()
+      try { conn = new DuckConn(pb.start()); awaitReady() }
+      catch { case _: Throwable => () }
+    }
+    /** One timed run of `name`'s oracle; -1 on failure/timeout. */
+    def time(name: String): Double = {
+      if (!live) return -1.0
+      try {
+        conn.out.write(name); conn.out.newLine(); conn.out.flush()
+        val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
+        var res = -1.0
+        var waiting = true
+        while (waiting) {
+          val leftSec = (deadline - System.nanoTime()) / 1e9
+          if (leftSec <= 0) { restart(); waiting = false }
+          else conn.readLine(math.ceil(leftSec).toLong) match {
+            case Some(l) if l.startsWith(name + ",") =>
+              res = l.substring(name.length + 1).toDouble; waiting = false
+            case Some(_) => () // stale reply from an earlier timed-out query
+            case None => restart(); waiting = false
+          }
+        }
+        res
+      } catch { case _: Throwable => -1.0 }
+    }
+    def close(): Unit = conn.kill()
+  }
+
   private object DuckServer {
-    def start(sfDir: String): Option[DuckServer] = try {
+    def start(sfDir: String, warmupSec: Long): Option[DuckServer] = try {
       val script = java.nio.file.Paths.get("tools/bench_duckdb.py")
       if (!java.nio.file.Files.exists(script)) return None
       val tmp = java.nio.file.Files.createTempDirectory("graftbench")
@@ -132,7 +167,7 @@ object Bench {
       // stderr passes through to ours: an undrained pipe would block the
       // child once full (many failing oracles → a wedged serve loop)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      Some(new DuckServer(pb.start()))
+      Some(new DuckServer(pb, warmupSec))
     } catch { case _: Throwable => None }
   }
 
@@ -172,9 +207,9 @@ object Bench {
     // Start the twin first so its warm-up overlaps Spark's untimed pass.
     val duck =
       if (sys.env.getOrElse("SPARK_GRAFT_PAIR", "1") == "0") None
-      else DuckServer.start(sfDir)
+      else DuckServer.start(sfDir, warmupSec = 900)
     qs.foreach { case (_, fn) => try run(fn) catch { case _: Throwable => () } }
-    val paired = duck.filter(_.awaitReady(900))
+    val paired = duck.filter(_.awaitReady())
     duck.filterNot(_ => paired.isDefined).foreach(_.close())
 
     val recs = qs.map { case (name, fn) =>

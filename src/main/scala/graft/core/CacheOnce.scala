@@ -15,8 +15,12 @@ object CacheOnce {
 
   def swap(tag: String, df: DataFrame): DataFrame = {
     val p = df.persist()
+    // Compare plans, not object identity: a repeat call builds a fresh
+    // Dataset over the SAME logical plan, whose persist() is a no-op
+    // against the existing cache entry — unpersisting the old handle
+    // would evict that shared entry and leave the "cached" frame cold.
     Option(last.put((df.sparkSession, tag), p))
-      .filter(_ ne p)
+      .filter(old => !old.sameSemantics(p))
       .foreach(_.unpersist(blocking = false))
     p
   }

@@ -117,15 +117,6 @@ object ChunkOps {
   val mixtureWeights: Seq[(String, Double)] =
     Seq("en" -> 0.4, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1, "fr" -> 0.1)
 
-  /** q34c — token-budget mixture selection: give each language
-    * `weight × totalBudget` tokens; within a language take docs in
-    * deterministic md5(doc_id) order (an unbiased, reproducible shuffle —
-    * the same trick as q25_train_split) until the budget is crossed. A doc
-    * is kept iff its span *starts* inside the budget, so the realized count
-    * overshoots by at most one doc — the deterministic convention both
-    * engines share. Output per language: docs kept, tokens kept, budget.
-    * One shuffle on `lang`; the per-language running sum is the same
-    * bounded-state window as packing. */
   /** Doc-level view of the mixture selection: the kept documents with
     * their token counts and per-language budget (the set [[mixtureSelect]]
     * aggregates). Exposed so callers can materialize the selected corpus,
@@ -147,6 +138,15 @@ object ChunkOps {
       .filter(col("cum_start") < col("budget"))
   }
 
+  /** q34c — token-budget mixture selection: give each language
+    * `weight × totalBudget` tokens; within a language take docs in
+    * deterministic md5(doc_id) order (an unbiased, reproducible shuffle —
+    * the same trick as q25_train_split) until the budget is crossed. A doc
+    * is kept iff its span *starts* inside the budget, so the realized count
+    * overshoots by at most one doc — the deterministic convention both
+    * engines share. Output per language: docs kept, tokens kept, budget.
+    * One shuffle on `lang`; the per-language running sum is the same
+    * bounded-state window as packing. */
   def mixtureSelect(docs: DataFrame, totalBudget: Long = 8000L): DataFrame =
     mixtureSelectDocs(docs, totalBudget)
       .groupBy(col("lang"))

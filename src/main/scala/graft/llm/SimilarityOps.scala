@@ -118,13 +118,13 @@ object SimilarityOps {
     * same convention as the mixture budget). Bucket sizes come from a
     * 2^planes-row histogram and the corpus total rides in-plan as a
     * broadcast scalar, so constructing this fires no driver action.
+    * Takes the ALREADY-bucketed (and cached) corpus — callers swap it into
+    * CacheOnce exactly once; a second swap under the same tag would
+    * unpersist the shared handle and forfeit the reuse across the
+    * histogram, query lookup, and corpus join.
     * Columns: qid, qe, probe, ham, bsz, corpus_n. */
-  private def lshProbes(em: DataFrame, queryIds: Seq[Long],
+  private def lshProbes(indexed: DataFrame, queryIds: Seq[Long],
       maxHamming: Int, candidateFraction: Double): DataFrame = {
-    // persisted: the bucketed corpus feeds the size histogram, the
-    // query-side lookup, and the corpus side of the probe join — one
-    // bucketing pass. CacheOnce bounds pinning to one copy per session.
-    val indexed = graft.core.CacheOnce.swap("ann-lsh-buckets", lshBuckets(em))
     val sizes = indexed.groupBy(col("bucket")).agg(count(lit(1)).as("bsz"))
     val total = sizes.agg(sum(col("bsz")).as("corpus_n"))
     val masks = (0 until (1 << NumPlanes))
@@ -157,7 +157,8 @@ object SimilarityOps {
       maxHamming: Int = DefaultMaxHamming,
       candidateFraction: Double = DefaultCandidateFraction): DataFrame = {
     GraftFunctions.register(em.sparkSession)
-    lshProbes(em, queryIds, maxHamming, candidateFraction)
+    val indexed = graft.core.CacheOnce.swap("ann-lsh-buckets", lshBuckets(em))
+    lshProbes(indexed, queryIds, maxHamming, candidateFraction)
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("buckets_probed"),
         sum(col("bsz")).as("candidates"),
@@ -175,8 +176,11 @@ object SimilarityOps {
       maxHamming: Int = DefaultMaxHamming,
       candidateFraction: Double = DefaultCandidateFraction): DataFrame = {
     GraftFunctions.register(em.sparkSession)
+    // One swap per call: the cached handle feeds the histogram, the
+    // query-side lookup, and the corpus join below (ADVICE r7: a second
+    // swap under the same tag unpersisted the shared plan).
     val indexed = graft.core.CacheOnce.swap("ann-lsh-buckets", lshBuckets(em))
-    val kept = lshProbes(em, queryIds, maxHamming, candidateFraction)
+    val kept = lshProbes(indexed, queryIds, maxHamming, candidateFraction)
       .select(col("qid"), col("qe"), col("probe"))
     val scored = indexed.join(broadcast(kept), col("bucket") === col("probe"))
       .filter(col("vec_id") =!= col("qid"))

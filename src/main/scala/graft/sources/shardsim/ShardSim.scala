@@ -325,7 +325,6 @@ class ShardSimPartitionReader(partition: ShardSim.ShardSimInputPartition,
         faultMarker.exists(m => new File(m).createNewFile()))
       throw new java.io.IOException(
         s"shardsim injected transient read failure after $emitted records")
-    emitted += 1
     while (!lines.hasNext) if (!advanceRange()) return false
     val parts = lines.next().split("\t", 4)
     row = new GenericInternalRow(Array[Any](
@@ -334,6 +333,10 @@ class ShardSimPartitionReader(partition: ShardSim.ShardSimInputPartition,
       parts(2).toLong,
       UTF8String.fromString(parts(3)),
       currentShard))
+    // counted only when a row is actually produced, so the fault really
+    // fires "after n records emitted" — not after n next() calls (the
+    // terminal false call would otherwise count too)
+    emitted += 1
     true
   }
 
