@@ -58,6 +58,45 @@ object ChunkOps {
        |  md5(chunk) AS chunk_md5
        |FROM s ORDER BY doc_id, chunk_ix""".stripMargin
 
+  /** q34a2 — token-window chunking: the token-level twin of [[chunk]].
+    * Chars are a stand-in; tokens are what a bounded-context encoder
+    * actually consumes. Chunk k covers tokens [k·stride, k·stride + width)
+    * of `Text.tokens(text)` (the shared tokenizer contract); content is
+    * pinned by md5 over the space-joined token window, so the oracle checks
+    * exact token content, not just counts. Same shape as [[chunk]]: a pure
+    * per-row generate, no shuffle, output `width/stride`× the input. */
+  def chunkTokens(docs: DataFrame, width: Int = 40, stride: Int = 30): DataFrame =
+    docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          greatest(floor((size(col("toks")) - 1) / stride), lit(0))
+            .cast("long"))).as("chunk_ix"))
+      .select(col("doc_id"), col("chunk_ix"),
+        slice(col("toks"), (col("chunk_ix") * stride + 1).cast("int"),
+          lit(width)).as("chunk"))
+      .select(col("doc_id"), col("chunk_ix"),
+        size(col("chunk")).cast("long").as("chunk_tok"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_ix")
+
+  def chunkTokensSql(width: Int = 40, stride: Int = 30): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(0,
+       |      greatest((len(toks)-1)//$stride, 0))) AS chunk_ix
+       |  FROM t),
+       |s AS (
+       |  SELECT doc_id, chunk_ix,
+       |    toks[CAST(chunk_ix*$stride+1 AS BIGINT)
+       |         :CAST(chunk_ix*$stride+$width AS BIGINT)] AS chunk
+       |  FROM c)
+       |SELECT doc_id, chunk_ix, CAST(len(chunk) AS BIGINT) AS chunk_tok,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+       |FROM s ORDER BY doc_id, chunk_ix""".stripMargin
+
   /** q34b — sequence-packing audit (concatenate-and-cut, the GPT-style
     * packing strategy): per source, documents are concatenated in doc_id
     * order into one token stream that is cut into fixed `capacity`-token
@@ -111,6 +150,52 @@ object ChunkOps {
        |SELECT source, n_docs, total_tokens, n_seqs, n_boundary_docs,
        |  n_seqs * $capacity - total_tokens AS tail_pad
        |FROM agg ORDER BY source""".stripMargin
+
+  /** q34b2 — materialized packing assignment: the doc-level twin of
+    * [[packingStats]] the way [[mixtureSelectDocs]] twins the mixture
+    * audit. Each document gets its landing coordinates in the packed
+    * training set: `seq_ix` (the capacity-token sequence where the doc
+    * starts), `seq_offset` (its start position inside that sequence), and
+    * `n_seqs_spanned` (how many sequences its tokens touch — >1 means the
+    * doc is split across a cut). This is the actual doc → training-example
+    * assignment a writer consumes to emit packed sequences; the stats
+    * query only audits its aggregate shape. Same single shuffle on
+    * `source` + running-sum window; at real scale pack within
+    * source × hash-bucket groups to bound partition length. */
+  def packSequences(docs: DataFrame, capacity: Int = 256): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_end", sum(col("n_tok")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("n_tok"))
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        floor(col("cum_start") / capacity).cast("long").as("seq_ix"),
+        (col("cum_start") % capacity).cast("long").as("seq_offset"),
+        when(col("n_tok") === 0, lit(0L))
+          .otherwise(floor((col("cum_end") - 1) / capacity).cast("long")
+            - floor(col("cum_start") / capacity).cast("long") + 1)
+          .as("n_seqs_spanned"))
+      .orderBy("source", "doc_id")
+  }
+
+  def packSequencesSql(capacity: Int = 256): String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |spans AS (
+       |  SELECT source, doc_id, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum_end
+       |  FROM d)
+       |SELECT source, doc_id, n_tok,
+       |  CAST((cum_end - n_tok) // $capacity AS BIGINT) AS seq_ix,
+       |  CAST((cum_end - n_tok) % $capacity AS BIGINT) AS seq_offset,
+       |  CAST(CASE WHEN n_tok = 0 THEN 0
+       |    ELSE (cum_end - 1) // $capacity - (cum_end - n_tok) // $capacity + 1
+       |  END AS BIGINT) AS n_seqs_spanned
+       |FROM spans ORDER BY source, doc_id""".stripMargin
 
   /** Mixture weights: target share of the token budget per language —
     * the dataset-composition knob of a pretraining run. */
@@ -180,6 +265,8 @@ object ChunkOps {
 
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q34_chunk", onDocs(chunk(_)), Some(chunkSql())),
+    ("q34_chunk_tokens", onDocs(chunkTokens(_)), Some(chunkTokensSql())),
     ("q34_pack", onDocs(packingStats(_)), Some(packingStatsSql())),
+    ("q34_pack_docs", onDocs(packSequences(_)), Some(packSequencesSql())),
     ("q34_mixture", onDocs(mixtureSelect(_)), Some(mixtureSelectSql())))
 }

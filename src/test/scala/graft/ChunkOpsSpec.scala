@@ -77,6 +77,78 @@ class ChunkOpsSpec extends SparkSpec {
     assert(out == Set(("s1", 1L, 4L), ("s2", 2L, 9L)))
   }
 
+  test("chunkTokens: token windows mirror the char convention, md5-pinned") {
+    val md = MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // 10 tokens, width=5, stride=3 → starts 0,3,6,9 → sizes 5,5,4,1
+    val out = ChunkOps.chunkTokens(
+        docsDF(Seq((1L, "a b c d e f g h i j", "en", "s"))),
+        width = 5, stride = 3)
+      .select("chunk_ix", "chunk_tok", "chunk_md5").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val want = Seq("a b c d e", "d e f g h", "g h i j", "j").zipWithIndex
+      .map { case (s, i) => (i.toLong, s.split(" ").length.toLong, hex(s)) }
+    assert(out == want)
+    // tokenizer contract rides through: punctuation/case fold away
+    val norm = ChunkOps.chunkTokens(
+        docsDF(Seq((1L, "A, b! C d E", "en", "s"))), width = 3, stride = 2)
+      .select("chunk_md5").collect().map(_.getString(0)).toSeq
+    // starts 0,2,4 (4 < 5 tokens) → the short tail window "e" is a chunk
+    assert(norm == Seq(hex("a b c"), hex("c d e"), hex("e")))
+    // empty doc → one empty chunk (same convention as char chunking)
+    val empty = ChunkOps.chunkTokens(docsDF(Seq((1L, "", "en", "s"))))
+      .select("chunk_tok", "chunk_md5").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(empty == Seq((0L, hex(""))))
+  }
+
+  test("packSequences: doc landing coordinates under the capacity cut") {
+    // token counts 4,5,3,7 → spans [0,4) [4,9) [9,12) [12,19); capacity 10
+    val docs = docsDF(Seq(
+      (1L, "a b c d", "en", "s"),
+      (2L, "a b c d e", "en", "s"),
+      (3L, "a b c", "en", "s"),
+      (4L, "a b c d e f g", "en", "s"),
+      (5L, "", "en", "s"))) // zero tokens: spans no sequence
+    val out = ChunkOps.packSequences(docs, capacity = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seq_ix"),
+        r.getAs[Long]("seq_offset"), r.getAs[Long]("n_seqs_spanned"))).toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 1L),
+      (2L, 0L, 4L, 1L),
+      (3L, 0L, 9L, 2L), // straddles the cut at 10
+      (4L, 1L, 2L, 1L),
+      (5L, 1L, 9L, 0L)))
+  }
+
+  test("packSequences: agrees with packingStats aggregates per source") {
+    val rnd = new scala.util.Random(7)
+    val docs = docsDF((1L to 60L).map { i =>
+      val n = rnd.nextInt(30) // includes 0-token docs
+      (i, (1 to n).map(_ => "tok").mkString(" "),
+        "en", s"s${i % 3}")
+    })
+    val cap = 16
+    val perDoc = ChunkOps.packSequences(docs, capacity = cap).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("seq_ix"), r.getAs[Long]("n_seqs_spanned")))
+      .groupBy(_._1)
+    val stats = ChunkOps.packingStats(docs, capacity = cap).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_seqs"), r.getAs[Long]("n_boundary_docs"))).toMap
+    for ((src, rows) <- perDoc) {
+      val (nSeqs, nBoundary) = stats(src)
+      // a doc crosses a cut iff it spans >1 sequences
+      assert(rows.count(_._4 > 1) == nBoundary, s"$src boundary docs")
+      // the highest sequence touched is the last one the stats count
+      val lastTouched = rows.collect {
+        case (_, n, six, span) if n > 0 => six + span - 1
+      }.max
+      assert(lastTouched + 1 == nSeqs, s"$src sequence count")
+    }
+  }
+
   test("mixture: budget rounding and overshoot-by-one convention") {
     val md = MessageDigest.getInstance("MD5")
     def hex(s: String) =
