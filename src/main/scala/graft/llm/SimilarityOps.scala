@@ -105,10 +105,19 @@ object SimilarityOps {
 
   /** The bucketed corpus: one narrow pass adding the LSH `bucket` column.
     * At 100 TB this is computed once and persisted (or written out
-    * partitioned by bucket) so every query batch reuses it — the query
-    * path never re-derives corpus buckets. */
+    * bucketed by `bucket` — [[writeLshIndex]]) so every query batch reuses
+    * it — the query path never re-derives corpus buckets. */
   def lshBuckets(em: DataFrame): DataFrame =
     em.withColumn("bucket", bucketExpr(col("embedding")))
+
+  /** Persist the LSH index as a bucketed catalog table: the plane
+    * projections run exactly once at write time, and the bucketed layout
+    * means any later bucket-keyed join/agg over the index is co-located.
+    * Query it with [[knnLshIndexed]]`(spark.table(table), …)` — the plan
+    * contains no plane arithmetic and no corpus-side exchange. */
+  def writeLshIndex(em: DataFrame, table: String, nBuckets: Int = 8): Unit =
+    graft.sources.FileIO.writeParquetBucketed(
+      lshBuckets(em), table, nBuckets, "bucket", Seq("bucket"))
 
   /** The budgeted probe set: per query, every bucket within `maxHamming`
     * bit flips of its own, annotated with the bucket's corpus count
@@ -175,11 +184,22 @@ object SimilarityOps {
   def knnLsh(em: DataFrame, queryIds: Seq[Long] = QueryIds, k: Int = TopK,
       maxHamming: Int = DefaultMaxHamming,
       candidateFraction: Double = DefaultCandidateFraction): DataFrame = {
-    GraftFunctions.register(em.sparkSession)
     // One swap per call: the cached handle feeds the histogram, the
     // query-side lookup, and the corpus join below (ADVICE r7: a second
     // swap under the same tag unpersisted the shared plan).
     val indexed = graft.core.CacheOnce.swap("ann-lsh-buckets", lshBuckets(em))
+    knnLshIndexed(indexed, queryIds, k, maxHamming, candidateFraction)
+  }
+
+  /** [[knnLsh]] against an ALREADY-bucketed index frame — typically
+    * `spark.table(t)` after [[writeLshIndex]], or the cached in-session
+    * index. The plan touches only the stored `bucket` column (no plane
+    * arithmetic) and the corpus side joins the broadcast probe set with no
+    * exchange — AnnIndexSpec pins both properties. */
+  def knnLshIndexed(indexed: DataFrame, queryIds: Seq[Long] = QueryIds,
+      k: Int = TopK, maxHamming: Int = DefaultMaxHamming,
+      candidateFraction: Double = DefaultCandidateFraction): DataFrame = {
+    GraftFunctions.register(indexed.sparkSession)
     val kept = lshProbes(indexed, queryIds, maxHamming, candidateFraction)
       .select(col("qid"), col("qe"), col("probe"))
     val scored = indexed.join(broadcast(kept), col("bucket") === col("probe"))
@@ -221,17 +241,38 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding"), col("cid"))
   }
 
+  /** Persist the IVF index as a catalog table bucketed by `cid`: the
+    * corpus-wide nearest-centroid assignment (the expensive
+    * crossJoin + per-vector window) runs exactly once at write time.
+    * Query with [[knnIvfIndexed]]`(spark.table(table), …)`. */
+  def writeIvfIndex(em: DataFrame, table: String, nBuckets: Int = 8,
+      centroidIds: Seq[Long] = CentroidIds): Unit =
+    graft.sources.FileIO.writeParquetBucketed(
+      ivfAssign(em, centroidIds), table, nBuckets, "cid", Seq("cid"))
+
   def knnIvf(em: DataFrame, queryIds: Seq[Long] = QueryIds, k: Int = TopK,
-      nProbe: Int = NProbe, centroidIds: Seq[Long] = CentroidIds): DataFrame = {
-    GraftFunctions.register(em.sparkSession)
-    val cents = em.filter(col("vec_id").isin(centroidIds: _*))
+      nProbe: Int = NProbe, centroidIds: Seq[Long] = CentroidIds): DataFrame =
+    knnIvfIndexed(ivfAssign(em, centroidIds), queryIds, k, nProbe, centroidIds)
+
+  /** [[knnIvf]] against an ALREADY-assigned index frame — typically
+    * `spark.table(t)` after [[writeIvfIndex]]. Centroid vectors and query
+    * vectors are both tiny id-filtered lookups against the index itself
+    * (every vector, centroids included, is an index row), so the only
+    * remaining per-query work is the nProbe-centroid ranking and the
+    * probe-list scoring join; the corpus-wide assignment window (an
+    * exchange on vec_id) never reappears — AnnIndexSpec pins that. */
+  def knnIvfIndexed(assigned: DataFrame, queryIds: Seq[Long] = QueryIds,
+      k: Int = TopK, nProbe: Int = NProbe,
+      centroidIds: Seq[Long] = CentroidIds): DataFrame = {
+    GraftFunctions.register(assigned.sparkSession)
+    val cents = assigned.filter(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val assigned = ivfAssign(em, centroidIds)
-    val q = em.filter(col("vec_id").isin(queryIds: _*))
+    val q = assigned.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val probes = nearestCentroid(q, cents, "qid", "qe", nProbe)
       .select(col("qid"), col("qe"), col("cid"))
-    val scored = assigned.join(broadcast(probes), "cid")
+    val scored = assigned.select("vec_id", "embedding", "cid")
+      .join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", expr("cosine_sim(qe, embedding)"))
     topk(scored, k)
