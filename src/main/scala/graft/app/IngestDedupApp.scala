@@ -1,0 +1,94 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming ingest dedup — the exactly-once consumer (ConsumeApp) fused
+  * with the incremental near-dup index (DedupOps.incrementalNearDup): each
+  * shardsim micro-batch of documents is admitted against the corpus
+  * accepted so far, and only non-duplicate docs are appended.
+  *
+  * Exactly-once composition: accepted docs land in a per-batch directory
+  * (`batch_id=N`, overwrite mode), and the corpus visible to batch N is the
+  * union of directories with id < N only. A replayed batch therefore
+  * (a) overwrites its own partial output instead of duplicating it, and
+  * (b) never sees its own crashed attempt's writes as "existing corpus" —
+  * without the strictly-earlier cut, a batch that committed its sink write
+  * but crashed before the offset commit would, on replay, treat every one
+  * of its own docs as already-known and admit nothing (losing the batch).
+  *
+  * At 100 TB the per-batch corpus read stays cheap because
+  * incrementalNearDup only joins the batch-side inverted index against the
+  * corpus index — O(|batch| × overlap), never O(|corpus|²) — and a real
+  * deployment maintains the corpus shingle index as its own bucketed table
+  * rather than re-deriving it per batch (the same computed-once posture as
+  * SimilarityOps.writeLshIndex).
+  */
+object IngestDedupApp {
+
+  /** Payload schema of a document record's `data` JSON. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** Decoded doc stream off the shardsim source. */
+  def docStream(spark: SparkSession, shardDir: String,
+      maxRecordsPerBatch: Option[Long] = None,
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    val reader = spark.readStream
+      .format("graft.sources.shardsim.ShardSimProvider")
+      .option("numPartitions", 4)
+      .options(extraOptions)
+    maxRecordsPerBatch.foreach(n => reader.option("maxRecordsPerBatch", n))
+    reader.load(shardDir)
+      .withColumn("payload", from_json(col("data"), docSchema))
+      .select(col("payload.doc_id").as("doc_id"),
+        col("payload.text").as("text"))
+  }
+
+  /** The maintained corpus: union of per-batch accepted-doc directories
+    * with batch id strictly below `beforeBatch` (all of them when absent).
+    * The strict cut is the replay-safety half of the exactly-once story —
+    * see the class doc. */
+  def corpus(spark: SparkSession, corpusDir: String,
+      beforeBatch: Option[Long] = None): DataFrame = {
+    val dirs = Option(new java.io.File(corpusDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .filter(f => beforeBatch.forall(b =>
+        f.getName.stripPrefix("batch_id=").toLong < b))
+      .map(_.getPath).sorted
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+    else spark.read.schema(docSchema).parquet(dirs.toIndexedSeq: _*)
+  }
+
+  /** Run the deduping consumer over everything currently in the shard
+    * fixture. Returns the started query; callers await/stop it. */
+  def run(spark: SparkSession, shardDir: String, corpusDir: String,
+      checkpointDir: String, threshold: Double = 0.8,
+      maxRecordsPerBatch: Option[Long] = None,
+      extraOptions: Map[String, String] = Map.empty): StreamingQuery =
+    docStream(spark, shardDir, maxRecordsPerBatch, extraOptions).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val accepted = graft.llm.DedupOps.admitBatch(
+          corpus(spark, corpusDir, beforeBatch = Some(batchId)),
+          batch, threshold)
+        accepted.select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+      }
+      .start()
+
+  def main(args: Array[String]): Unit = {
+    val Array(shardDir, corpusDir, checkpointDir) = args.take(3)
+    val spark = graft.core.Sessions.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val q = run(spark, shardDir, corpusDir, checkpointDir)
+    q.awaitTermination()
+    println(s"[ingest-dedup] corpus docs=${corpus(spark, corpusDir).count()}")
+    spark.stop()
+  }
+}

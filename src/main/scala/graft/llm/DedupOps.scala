@@ -168,6 +168,37 @@ object DedupOps {
       .orderBy("d1", "d2")
   }
 
+  /** Streaming-ingest admission policy over [[incrementalNearDup]]: which
+    * documents of an arriving batch enter the corpus. A fresh doc is
+    * rejected iff it near-dups (jaccard ≥ threshold) an already-accepted
+    * corpus doc — the corpus always wins, accepted docs are immutable — or
+    * a smaller-id doc of the same batch (deterministic single-pass
+    * min-id-wins; no transitive chasing, so a doc can be rejected for
+    * pairing with a doc that was itself rejected — the conservative
+    * direction: near-dups of near-dups). Re-delivered doc_ids are not
+    * fresh and never re-admitted. Exactly-once across replays is the
+    * CALLER's half: key corpus appends by batch id and read only
+    * strictly-earlier batches as the corpus (IngestDedupApp). */
+  def admitBatch(corpus: DataFrame, batch: DataFrame,
+      threshold: Double = JaccardThreshold, k: Int = K,
+      dfCap: Int = DefaultDfCap): DataFrame = {
+    val fresh = batch.dropDuplicates("doc_id")
+      .join(corpus, Seq("doc_id"), "left_anti")
+    val pairs = incrementalNearDup(corpus, fresh, threshold, k, dfCap)
+    val freshIds = fresh.select(col("doc_id"))
+    // symmetrize so every fresh doc appears as the rejection candidate
+    // against each of its partners, then keep the losing side
+    val sym = pairs.select(col("d1").as("cand"), col("d2").as("other"))
+      .unionByName(pairs.select(col("d2").as("cand"), col("d1").as("other")))
+    val rejected = sym
+      .join(freshIds.withColumnRenamed("doc_id", "cand"), Seq("cand"))
+      .join(freshIds.withColumnRenamed("doc_id", "other")
+        .withColumn("other_fresh", lit(true)), Seq("other"), "left")
+      .filter(col("other_fresh").isNull || col("other") < col("cand"))
+      .select(col("cand").as("doc_id")).distinct()
+    fresh.join(rejected, Seq("doc_id"), "left_anti")
+  }
+
   /** Decontamination: per training document, the fraction of its shingles
     * that appear anywhere in the eval/benchmark set — the standard check
     * that a training corpus does not contain (near-)copies of evaluation

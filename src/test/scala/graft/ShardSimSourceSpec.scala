@@ -294,4 +294,62 @@ class ShardSimSourceSpec extends SparkSpec {
     assert(result.select("event_id").distinct().count() == nEvents,
       "batch replay after crash must not duplicate records")
   }
+
+  test("streaming ingest dedup: crash replay yields the same corpus as the clean run") {
+    // the exactly-once consumer fused with incremental near-dup: docs
+    // stream in micro-batches, each batch is admitted against the corpus
+    // accepted by strictly-earlier batches, and a mid-batch reader crash +
+    // WAL replay must land on the byte-identical corpus the clean run got
+    import graft.app.IngestDedupApp
+    // base docs use disjoint token namespaces (no accidental shingle
+    // overlap); 101..110 duplicate docs 1..10 exactly (jaccard 1.0) and
+    // arrive after them; 41/42 are identical fresh docs in one batch
+    def text(ns: Long): String = (0 until 12).map(t => s"w${ns}t$t").mkString(" ")
+    val docs =
+      (1L to 30L).map(i => i -> text(i)) ++
+        Seq(41L -> text(900L), 42L -> text(900L)) ++
+        (101L to 110L).map(i => i -> text(i - 100L))
+    val rows = docs.zipWithIndex.map { case ((id, txt), i) =>
+      (s"d$id", 1700000000000000L + i, s"""{"doc_id":$id,"text":"$txt"}""")
+    }
+    def freshFixture(): String = {
+      val dir = Files.createTempDirectory("ingdedup_fixture").toString
+      ShardSimFixture.writeShard(dir, 0, rows)
+      dir
+    }
+    def corpusSet(dir: String): Set[(Long, String)] =
+      IngestDedupApp.corpus(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // clean control run
+    val dirA = freshFixture()
+    val corpusA = Files.createTempDirectory("ingdedup_corpusA").toString
+    val qa = IngestDedupApp.run(spark, dirA, corpusA,
+      Files.createTempDirectory("ingdedup_ckptA").toString,
+      maxRecordsPerBatch = Some(10L))
+    qa.awaitTermination()
+    val a = corpusSet(corpusA)
+    // dedup did real work: 42 (loses to 41 in-batch) and all of 101..110
+    // (corpus near-dups) are rejected
+    assert(a.map(_._1) == ((1L to 30L).toSet + 41L), a.map(_._1).toSeq.sorted.toString)
+
+    // faulted run: the reader dies mid-batch after 7 rows, then restarts
+    val dirB = freshFixture()
+    val corpusB = Files.createTempDirectory("ingdedup_corpusB").toString
+    val ckptB = Files.createTempDirectory("ingdedup_ckptB").toString
+    val marker = Files.createTempDirectory("ingdedup_marker").resolve("fired").toString
+    def startB() = IngestDedupApp.run(spark, dirB, corpusB, ckptB,
+      maxRecordsPerBatch = Some(10L),
+      extraOptions = Map("faultInjectMarker" -> marker, "faultInjectAfter" -> "7"))
+    val crash = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      startB().awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(crash).exists(_.contains("injected transient read failure")),
+      messages(crash).mkString(" | "))
+    startB().awaitTermination()
+    assert(corpusSet(corpusB) == a,
+      "replayed ingest must converge to the clean run's corpus")
+  }
 }
