@@ -8,12 +8,16 @@ import org.apache.spark.sql.functions._
   * growth curve, not the absolute numbers: LSH dedup and IVF search should
   * grow near-linearly with corpus size because their pair/probe spaces are
   * bucket-bounded, while a naive O(n²) formulation would blow up 400× at
-  * 20× data. Usage: runMain graft.app.Stress [sfDir] [factor]
+  * 20× data. Usage: runMain graft.app.Stress [sfDir] [factor] [q1,q2,…]
+  * (the optional comma-separated list narrows the run — e.g. the 100×
+  * capture times only the heavy dedup/sketch/chunk operators rather than
+  * paying the full suite at that scale).
   */
 object Stress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(20)
+    val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
     val spark = graft.core.Sessions.get("32")
     val dir = java.nio.file.Files.createTempDirectory("stress").toString
 
@@ -59,11 +63,13 @@ object Stress {
       "q25_quality_score", "q24_knn_brute", "q24_knn_ivf", "q24_knn_lsh",
       "q30_funnel", "q30_interval_join", "q31_heavy_hitters",
       "q32_upsert_merge", "q33_pii_redact",
-      "q34_chunk", "q34_pack", "q34_mixture").foreach { name =>
-      val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, dir).count()
-      println(f"[stress] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
-    }
+      "q34_chunk", "q34_pack", "q34_mixture")
+      .filter(n => only.forall(_.contains(n)))
+      .foreach { name =>
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(name)(spark, dir).count()
+        println(f"[stress] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+      }
     spark.stop()
   }
 }

@@ -265,7 +265,20 @@ object StreamQueries {
     *
     * State is `capacity` counters per language — fixed size however long
     * the stream runs, the whole point of the sketch: a naive streaming
-    * top-k would hold the unbounded distinct-term universe per key. */
+    * top-k would hold the unbounded distinct-term universe per key.
+    *
+    * On the two map copies per trigger (state.get → mutable buf →
+    * state.update): they are the floor, not a missed optimization. The
+    * batch UDAF's in-place discipline matters on the PER-ROW path, and
+    * that path here is already in-place (`mg.reduce(buf, term)` mutates
+    * one HashMap across the whole batch); the copies happen once per
+    * trigger per key and are O(capacity)=64 entries, paid right next to
+    * the ValueState encoder's own serialize/deserialize of the same
+    * entries — which a product encoder requires to be an immutable
+    * materialization. A MapState per term would not help: Misra–Gries
+    * touches every counter on each decrement sweep, so per-entry store
+    * point-writes replace one O(capacity) value write with up to
+    * `capacity` of them. */
   class HeavyHittersProcessor(capacity: Int, k: Int)
       extends StatefulProcessor[String, LangTerm, LangTermCount] {
     private val mg = new graft.functions.MisraGries(capacity, k)

@@ -147,4 +147,35 @@ class PlanSpec extends SparkSpec {
     // per-supplier partial agg happens below the joins (map-side combine)
     assert(p.contains("partial_sum"), p)
   }
+
+  private def hashExchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  test("q34 chunking (chars and tokens) is a pure generate: no hash shuffle") {
+    // the output is width/stride × the input — adding a shuffle here would
+    // move that multiplied volume over the network for nothing (the final
+    // presentation orderBy ranges, it does not hash)
+    val docs = T.documents(spark, sf0001)
+    for (df <- Seq(graft.llm.ChunkOps.chunk(docs),
+        graft.llm.ChunkOps.chunkTokens(docs))) {
+      val p = finalPlan(df)
+      assert(hashExchanges(p) == 0, p)
+    }
+  }
+
+  test("q34 pack/mixture: exactly one hash shuffle, on the bounded partition key") {
+    // the running-sum window and any downstream per-key aggregate must
+    // share ONE clustering on the low-cardinality key; a second hash
+    // exchange would re-move the whole corpus at 100 TB
+    val docs = T.documents(spark, sf0001)
+    for ((df, key) <- Seq(
+        graft.llm.ChunkOps.packingStats(docs) -> "source",
+        graft.llm.ChunkOps.packSequences(docs) -> "source",
+        graft.llm.ChunkOps.mixtureSelect(docs) -> "lang",
+        graft.llm.ChunkOps.mixtureSelectDocs(docs) -> "lang")) {
+      val p = finalPlan(df)
+      assert(hashExchanges(p) == 1, p)
+      assert(p.contains(s"Exchange hashpartitioning($key"), p)
+    }
+  }
 }
