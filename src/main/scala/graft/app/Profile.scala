@@ -14,6 +14,19 @@ object Profile {
     val iters = args.lift(1).map(_.toInt).getOrElse(3)
     val wanted = args.drop(2).toSet
     val spark = graft.core.Sessions.get("32")
+    // SPARK_GRAFT_TRACE_JOBS=1: print every job's description + stage count
+    // as it starts — attributes the per-query job-count floor to its source
+    if (sys.env.get("SPARK_GRAFT_TRACE_JOBS").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            println(s"[job] id=${e.jobId} stages=${e.stageInfos.size} " +
+              s"desc=${Option(e.properties)
+                .flatMap(p => Option(p.getProperty("spark.job.description")))
+                .getOrElse("")} callsite=${e.stageInfos.headOption
+                .map(_.details.linesIterator.take(1).mkString).getOrElse("")}")
+        })
     val unknown = wanted -- graft.SparkEntry.queries.keySet
     if (unknown.nonEmpty)
       System.err.println(s"[profile] unknown query names: ${unknown.toSeq.sorted.mkString(", ")}")

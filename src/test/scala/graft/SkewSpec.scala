@@ -20,6 +20,10 @@ class SkewSpec extends SparkSpec {
     import spark.implicits._
     val dims = (0L until 997L).map(k => (k, s"dim_$k")).toDF("dk", "name")
     val confs = Seq(
+      // the session default is AQE-off for small-SF latency (Sessions
+      // scaladoc); the skew-split mechanism under test is an AQE feature,
+      // so this spec turns it on the way a cluster deployment would
+      "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
