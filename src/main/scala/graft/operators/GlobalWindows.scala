@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+
+/** Distributed global order-statistics windows — SURVEY.md §2b Q35.
+  *
+  * Spark executes `Window.orderBy(...)` with no `partitionBy` by moving the
+  * ENTIRE input into one partition ("Exchange SinglePartition" feeding a
+  * single-threaded Window) — fine at test scale, broken at 100 TB: one
+  * reducer sorts the world. This operator computes the same global
+  * row_number / rank / dense_rank with the classic distributed-sort-rank
+  * shape (the same structure as RDD.zipWithIndex/sortBy, re-expressed
+  * in-plan with no driver-side job between construction and execution):
+  *
+  *  1. range-partition + locally sort on the key (`repartitionByRange` —
+  *     ONE shuffle of the data; equal keys land in one partition, which is
+  *     what makes local rank/dense_rank globally patchable);
+  *  2. one linear per-partition pass appends partition id + LOCAL
+  *     row_number/rank/dense_rank (mapPartitions — the window-over-
+  *     spark_partition_id alternative would re-shuffle the full data a
+  *     second time for a clustering it already has);
+  *  3. per-partition row/distinct-key counts aggregate off the SAME
+  *     shuffle (ReusedExchange: shuffle files are read twice, the data
+  *     moves over the network once), a |partitions|-row cumulative-offset
+  *     window (metadata-scale, like the LSH probe histogram), and a
+  *     broadcast join patch local → global:
+  *     global = partition offset + local.
+  *
+  * row_number (and anything built on it, e.g. ntile) is only
+  * deterministic when `keys` is a total order — same contract as Spark's
+  * own window. rank / dense_rank / percent_rank are tie-invariant.
+  */
+object GlobalWindows {
+
+  /** Appends `gw_row_number`, `gw_rank`, `gw_dense_rank`, `gw_percent_rank`
+    * and `gw_count` (the global row count, for ntile-style post-compute)
+    * to `df`, ordering globally by `keys` (column name → ascending?). */
+  def withGlobalOrderStats(df: DataFrame,
+      keys: Seq[(String, Boolean)]): DataFrame = {
+    require(keys.nonEmpty, "global window needs at least one key column")
+    val spark = df.sparkSession
+    val sortCols = keys.map { case (n, asc) =>
+      if (asc) col(n).asc else col(n).desc }
+    val keyIdx = keys.map { case (n, _) => df.schema.fieldIndex(n) }
+
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+
+    val outSchema = StructType(df.schema.fields)
+      .add("_gw_pid", IntegerType).add("_gw_lrn", LongType)
+      .add("_gw_lrk", LongType).add("_gw_ldr", LongType)
+    // one streaming pass per partition: O(1) state (previous key + three
+    // counters), no materialization — partitions of any length stream
+    val local = ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var rn = 0L; var rk = 0L; var dr = 0L
+      var prev: Seq[Any] = null
+      it.map { r =>
+        val k = keyIdx.map(r.get)
+        rn += 1
+        val newKey = prev == null ||
+          !k.iterator.zip(prev.iterator).forall { case (a, b) =>
+            java.util.Objects.equals(a, b) }
+        if (newKey) { rk = rn; dr += 1; prev = k }
+        Row.fromSeq(r.toSeq ++ Seq[Any](pid, rn, rk, dr))
+      }
+    }(Encoders.row(outSchema))
+
+    // per-partition totals ride the SAME range shuffle (ReusedExchange);
+    // the offset window runs over |partitions| rows — metadata, not data
+    val counts = local.groupBy(col("_gw_pid"))
+      .agg(max(col("_gw_lrn")).as("_gw_n"), max(col("_gw_ldr")).as("_gw_nd"))
+    val w = Window.orderBy(col("_gw_pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = counts
+      .withColumn("_gw_row_off", sum(col("_gw_n")).over(w) - col("_gw_n"))
+      .withColumn("_gw_dr_off", sum(col("_gw_nd")).over(w) - col("_gw_nd"))
+      .select(col("_gw_pid"), col("_gw_row_off"), col("_gw_dr_off"))
+    val total = counts.agg(sum(col("_gw_n")).as("gw_count"))
+
+    local.join(broadcast(offsets), "_gw_pid")
+      .crossJoin(broadcast(total))
+      .withColumn("gw_row_number", col("_gw_row_off") + col("_gw_lrn"))
+      .withColumn("gw_rank", col("_gw_row_off") + col("_gw_lrk"))
+      .withColumn("gw_dense_rank", col("_gw_dr_off") + col("_gw_ldr"))
+      .withColumn("gw_percent_rank",
+        when(col("gw_count") > 1,
+          (col("gw_rank") - 1).cast("double") / (col("gw_count") - 1))
+          .otherwise(lit(0.0)))
+      .drop("_gw_pid", "_gw_lrn", "_gw_lrk", "_gw_ldr",
+        "_gw_row_off", "_gw_dr_off")
+  }
+
+  /** Global NTILE(n) by `keys` (requires a total order for determinism,
+    * like the built-in): standard SQL bucketing — the first `count % n`
+    * buckets get `count/n + 1` rows, the rest `count/n`. */
+  def withGlobalNtile(df: DataFrame, keys: Seq[(String, Boolean)],
+      n: Int, outCol: String = "gw_ntile"): DataFrame = {
+    val base = withGlobalOrderStats(df, keys)
+    // `div`, not `/`: with ANSI off, `/` on longs is double division
+    val size = expr(s"gw_count div $n")
+    val rem = col("gw_count") % n
+    val big = rem * (size + lit(1L))
+    // size = 0 (fewer rows than buckets) keeps every row in the first
+    // branch (big = gw_count), so the else-side `div size` cannot hit 0
+    base.withColumn(outCol,
+      when(col("gw_row_number") <= big,
+        floor((col("gw_row_number") - 1) / (size + lit(1L))).cast("long") + 1)
+        .otherwise(rem +
+          floor((col("gw_row_number") - big - 1) / size).cast("long") + 1))
+  }
+
+  /** q35 registry entry: global (unpartitioned) rank battery over orders
+    * by order date — heavy ties, so rank/dense_rank/percent_rank exercise
+    * the cross-partition tie patching; output thinned to checked size.
+    * Tie-invariant stats only (row_number under ties is as undefined here
+    * as in any SQL engine; the spec checks it under a total order). */
+  def orderDateGlobalRank(orders: DataFrame): DataFrame =
+    withGlobalOrderStats(orders, Seq("o_orderdate" -> true))
+      .filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("gw_rank"), col("gw_dense_rank"),
+        round(col("gw_percent_rank"), 6).as("gw_pr"))
+      .orderBy("o_orderkey")
+
+  val q35GlobalRankSql: String =
+    """SELECT o_orderkey, o_orderdate, gw_rank, gw_dense_rank, gw_pr FROM (
+      |  SELECT o_orderkey, o_orderdate,
+      |    rank() OVER w AS gw_rank,
+      |    dense_rank() OVER w AS gw_dense_rank,
+      |    round(percent_rank() OVER w, 6) AS gw_pr
+      |  FROM orders
+      |  WINDOW w AS (ORDER BY o_orderdate)) t
+      |WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey""".stripMargin
+
+  type QFn = (org.apache.spark.sql.SparkSession, String) => DataFrame
+  val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q35_global_rank",
+      (s: org.apache.spark.sql.SparkSession, d: String) =>
+        orderDateGlobalRank(graft.core.Tables.orders(s, d)),
+      Some(q35GlobalRankSql)))
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.GlobalWindows
+
+/** Distributed global order-statistics windows vs Spark's single-partition
+  * built-in: identical numbers, but the data path range-partitions instead
+  * of collapsing to one reducer, and the range shuffle is computed once
+  * (ReusedExchange) for both the ranking pass and the offset counts. */
+class GlobalWindowSpec extends SparkSpec {
+
+  private lazy val orders = Tables.orders(spark, sf0001)
+
+  test("rank battery equals the built-in global window, ties included") {
+    // o_orderdate has heavy ties → cross-partition tie patching is live
+    val got = GlobalWindows
+      .withGlobalOrderStats(orders, Seq("o_orderdate" -> true))
+      .select(col("o_orderkey"), col("gw_rank"), col("gw_dense_rank"),
+        round(col("gw_percent_rank"), 6).as("pr"))
+      .orderBy("o_orderkey").collect().toSeq
+    val w = Window.orderBy(col("o_orderdate"))
+    val want = orders.select(col("o_orderkey"), rank().over(w).as("gw_rank"),
+        dense_rank().over(w).as("gw_dense_rank"),
+        round(percent_rank().over(w), 6).as("pr"))
+      .withColumn("gw_rank", col("gw_rank").cast("long"))
+      .withColumn("gw_dense_rank", col("gw_dense_rank").cast("long"))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(got == want)
+  }
+
+  test("row_number and ntile equal the built-in under a total order") {
+    val keys = Seq("o_totalprice" -> false, "o_orderkey" -> true)
+    val got = GlobalWindows.withGlobalNtile(orders, keys, n = 7)
+      .select(col("o_orderkey"), col("gw_row_number"), col("gw_ntile"))
+      .orderBy("o_orderkey").collect().toSeq
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val want = orders.select(col("o_orderkey"),
+        row_number().over(w).cast("long").as("gw_row_number"),
+        ntile(7).over(w).cast("long").as("gw_ntile"))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(got == want)
+  }
+
+  test("descending keys and nulls: region has few rows, still exact") {
+    // tiny frame → several range partitions are empty; offsets must hold
+    val got = GlobalWindows
+      .withGlobalOrderStats(Tables.nation(spark, sf0001),
+        Seq("n_regionkey" -> false, "n_nationkey" -> true))
+      .select(col("n_nationkey"), col("gw_row_number"), col("gw_rank"))
+      .orderBy("n_nationkey").collect().toSeq
+    val w = Window.orderBy(col("n_regionkey").desc, col("n_nationkey").asc)
+    val want = Tables.nation(spark, sf0001)
+      .select(col("n_nationkey"), row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rk"))
+      .orderBy("n_nationkey").collect().toSeq
+    assert(got == want)
+  }
+
+  test("plan: range-partitioned data path, one shuffle reused, no full-data single-partition exchange") {
+    val df = GlobalWindows
+      .withGlobalOrderStats(orders, Seq("o_orderdate" -> true))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"data must be range-partitioned:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"offset counts must ride the same shuffle, not re-shuffle:\n$plan")
+    // the only SinglePartition exchanges feed the |partitions|-row offset
+    // window and the scalar gw_count aggregate (both metadata-scale, both
+    // downstream of the per-pid counts); the naive plan's signature — the
+    // full input collapsing into one partition — is a SinglePartition
+    // exchange ABOVE the range shuffle's data path, which would also make
+    // the rangepartitioning exchange count diverge from exactly 1
+    assert("Exchange SinglePartition".r.findAllIn(plan).length <= 2, plan)
+    // count operator NODES ("+- Exchange ...") — ReusedExchange lines
+    // repeat the referenced exchange's description inline
+    assert("\\+- Exchange rangepartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+}
