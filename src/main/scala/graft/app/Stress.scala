@@ -54,8 +54,20 @@ object Stress {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
+    // orders: same scaling model as events — replicas re-key both the
+    // order and the customer, growing the population at fixed density
+    // (feeds the global-window and relational stress entries)
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    ord.crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") * factor + col("rep"))
+      .withColumn("o_custkey", col("o_custkey") * factor + col("rep"))
+      .drop("rep")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
     println(s"[stress] ${nDocs * factor} docs, ${em.count() * factor} vectors, " +
-      s"${ev.count() * factor} events (${factor}x $sfDir)")
+      s"${ev.count() * factor} events, ${ord.count() * factor} orders " +
+      s"(${factor}x $sfDir)")
     Seq(
       "q23_dedup_exact", "q23_dedup_minhash_lsh", "q23_dedup_ngram_jaccard",
       "q23_dedup_keeper", "q23_dedup_incremental", "q23_contamination",
@@ -63,7 +75,7 @@ object Stress {
       "q25_quality_score", "q24_knn_brute", "q24_knn_ivf", "q24_knn_lsh",
       "q30_funnel", "q30_interval_join", "q31_heavy_hitters",
       "q32_upsert_merge", "q33_pii_redact",
-      "q34_chunk", "q34_pack", "q34_mixture")
+      "q34_chunk", "q34_pack", "q34_mixture", "q35_global_rank")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()
