@@ -133,8 +133,11 @@ object Bench {
     /** One timed run of `name`'s oracle; -1 on failure/timeout. */
     def time(name: String): Double = {
       if (!live) return -1.0
+      // a dead child surfaces on the WRITE too (EPIPE) — that path must
+      // also restart, or every remaining pair silently fails
+      try { conn.out.write(name); conn.out.newLine(); conn.out.flush() }
+      catch { case _: Throwable => restart(); return -1.0 }
       try {
-        conn.out.write(name); conn.out.newLine(); conn.out.flush()
         val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
         var res = -1.0
         var waiting = true
@@ -149,7 +152,7 @@ object Bench {
           }
         }
         res
-      } catch { case _: Throwable => -1.0 }
+      } catch { case _: Throwable => restart(); -1.0 }
     }
     def close(): Unit = conn.kill()
   }

@@ -84,6 +84,11 @@ object IngestDedupApp {
       .start()
 
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: IngestDedupApp <shardDir> <corpusDir> <checkpointDir>")
+      sys.exit(2)
+    }
     val Array(shardDir, corpusDir, checkpointDir) = args.take(3)
     val spark = graft.core.Sessions.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val q = run(spark, shardDir, corpusDir, checkpointDir)

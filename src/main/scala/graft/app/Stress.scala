@@ -21,53 +21,37 @@ object Stress {
     val spark = graft.core.Sessions.get("32")
     val dir = java.nio.file.Files.createTempDirectory("stress").toString
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val nDocs = docs.count()
-    // replicate: each replica r re-keys doc_id; r>0 replicas are exact dups
-    // of r=0 (a worst-ish case for dedup: every doc is in a dup group)
+    // replicate: each replica r re-keys the id columns (`id*factor + r`),
+    // so replicas of a keyed entity are distinct entities — the population
+    // grows with the factor while per-key density stays fixed, the
+    // realistic scaling model for journey/windowed/relational operators
+    // (per-key state and window work stay constant, task count grows).
+    // For documents the r>0 replicas are exact dups of r=0 (a worst-ish
+    // case for dedup: every doc sits in a factor-way dup group).
     val reps = spark.range(factor).select(col("id").as("rep"))
-    docs.crossJoin(reps)
-      .withColumn("doc_id", col("doc_id") * factor + col("rep"))
-      .drop("rep")
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def replicate(table: String, keyCols: Seq[String],
+        extra: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
+          = identity): Long = {
+      val src = spark.read.parquet(s"$sfDir/$table.parquet")
+      extra(keyCols.foldLeft(src.crossJoin(reps)) { (df, k) =>
+          df.withColumn(k, col(k) * factor + col("rep"))
+        })
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+      src.count() * factor
+    }
+    val nDocs = replicate("documents", Seq("doc_id"))
+    // embeddings are jittered per replica so near-dup/ANN structure is
+    // "clusters of factor near-identical vectors", not exact copies
+    val nVecs = replicate("embeddings", Seq("vec_id"),
+      _.withColumn("embedding",
+        transform(col("embedding"), x => x + col("rep").cast("float") * lit(1e-3f))))
+    val nEvents = replicate("events", Seq("event_id", "user_id"))
+    val nOrders = replicate("orders", Seq("o_orderkey", "o_custkey"))
 
-    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    em.crossJoin(reps)
-      .withColumn("vec_id", col("vec_id") * factor + col("rep"))
-      .withColumn("embedding",
-        transform(col("embedding"), x => x + col("rep").cast("float") * lit(1e-3f)))
-      .drop("rep")
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-
-    // events: replicas re-key BOTH event_id and user_id, so the user
-    // population grows with the factor while per-user event density stays
-    // fixed — the realistic scaling model for journey/windowed operators
-    // (more users, not denser users; per-key state and per-user window
-    // work stay constant, task count grows).
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-    ev.crossJoin(reps)
-      .withColumn("event_id", col("event_id") * factor + col("rep"))
-      .withColumn("user_id", col("user_id") * factor + col("rep"))
-      .drop("rep")
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
-
-    // orders: same scaling model as events — replicas re-key both the
-    // order and the customer, growing the population at fixed density
-    // (feeds the global-window and relational stress entries)
-    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
-    ord.crossJoin(reps)
-      .withColumn("o_orderkey", col("o_orderkey") * factor + col("rep"))
-      .withColumn("o_custkey", col("o_custkey") * factor + col("rep"))
-      .drop("rep")
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-
-    println(s"[stress] ${nDocs * factor} docs, ${em.count() * factor} vectors, " +
-      s"${ev.count() * factor} events, ${ord.count() * factor} orders " +
-      s"(${factor}x $sfDir)")
+    println(s"[stress] $nDocs docs, $nVecs vectors, " +
+      s"$nEvents events, $nOrders orders (${factor}x $sfDir)")
     Seq(
       "q23_dedup_exact", "q23_dedup_minhash_lsh", "q23_dedup_ngram_jaccard",
       "q23_dedup_keeper", "q23_dedup_incremental", "q23_contamination",

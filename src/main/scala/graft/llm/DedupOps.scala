@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
@@ -138,8 +139,17 @@ object DedupOps {
   def incrementalNearDup(corpus: DataFrame, newDocs: DataFrame,
       threshold: Double = JaccardThreshold, k: Int = K,
       dfCap: Int = DefaultDfCap): DataFrame = {
-    GraftFunctions.register(corpus.sparkSession)
     val freshOnly = newDocs.join(corpus, Seq("doc_id"), "left_anti")
+    incrementalNearDupFresh(corpus, freshOnly, threshold, k, dfCap)
+  }
+
+  /** [[incrementalNearDup]] for a batch ALREADY disjoint from the corpus
+    * by doc_id — callers that have anti-joined themselves (admitBatch)
+    * skip paying the corpus-wide anti-join twice. */
+  private[graft] def incrementalNearDupFresh(corpus: DataFrame,
+      freshOnly: DataFrame, threshold: Double = JaccardThreshold, k: Int = K,
+      dfCap: Int = DefaultDfCap): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val all = corpus.select(col("doc_id"), col("text"))
       .withColumn("is_new", lit(false))
       .unionByName(freshOnly.select(col("doc_id"), col("text"))
@@ -182,9 +192,15 @@ object DedupOps {
   def admitBatch(corpus: DataFrame, batch: DataFrame,
       threshold: Double = JaccardThreshold, k: Int = K,
       dfCap: Int = DefaultDfCap): DataFrame = {
-    val fresh = batch.dropDuplicates("doc_id")
+    // deterministic in-batch pick for a re-delivered id with MUTATED text
+    // (dropDuplicates keeps an arbitrary row — a crashed attempt and its
+    // replay could then persist different bytes): min md5(text) wins
+    val pick = Window.partitionBy(col("doc_id")).orderBy(md5(col("text")))
+    val fresh = batch
+      .withColumn("_ab_rn", row_number().over(pick))
+      .filter(col("_ab_rn") === 1).drop("_ab_rn")
       .join(corpus, Seq("doc_id"), "left_anti")
-    val pairs = incrementalNearDup(corpus, fresh, threshold, k, dfCap)
+    val pairs = incrementalNearDupFresh(corpus, fresh, threshold, k, dfCap)
     val freshIds = fresh.select(col("doc_id"))
     // symmetrize so every fresh doc appears as the rejection candidate
     // against each of its partners, then keep the losing side

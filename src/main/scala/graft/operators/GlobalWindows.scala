@@ -62,9 +62,11 @@ object GlobalWindows {
       it.map { r =>
         val k = keyIdx.map(r.get)
         rn += 1
+        // deepEquals, not equals: BinaryType keys surface as Array[Byte],
+        // where plain equals is reference identity and ties would never form
         val newKey = prev == null ||
           !k.iterator.zip(prev.iterator).forall { case (a, b) =>
-            java.util.Objects.equals(a, b) }
+            java.util.Objects.deepEquals(a, b) }
         if (newKey) { rk = rn; dr += 1; prev = k }
         Row.fromSeq(r.toSeq ++ Seq[Any](pid, rn, rk, dr))
       }
