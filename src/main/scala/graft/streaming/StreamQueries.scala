@@ -309,6 +309,51 @@ object StreamQueries {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class CdcChange(user_id: Long, ts_us: Long, event_id: Long,
+      op: String, event_type: String, value: Double)
+  case class CdcState(user_id: Long, ts_us: Long, last_event_id: Long,
+      op: String, event_type: String, value: Double, live: Boolean)
+
+  /** q36 streaming — changelog materialization as `transformWithState`
+    * named state: one latest-change record per key, replaced whenever a
+    * newer (ts, event_id) change arrives (out-of-order late changes lose,
+    * the same latest-wins rule as the batch window). Every trigger emits
+    * the key's current state with a `live` flag — `live=false` is the
+    * tombstone a downstream upsert sink turns into a DELETE, so the
+    * emission stream IS an idempotent changelog of the materialized view.
+    * State per key is one fixed-size record; the batch twin
+    * (CdcOps.cdcLatest) replays the same rule over the full log. */
+  class CdcProcessor extends StatefulProcessor[Long, CdcChange, CdcState] {
+    @transient private var state: ValueState[CdcState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CdcState](
+        "latest", Encoders.product[CdcState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[CdcChange],
+        timerValues: TimerValues): Iterator[CdcState] = {
+      var st = if (state.exists()) state.get() else null
+      rows.foreach { c =>
+        val newer = st == null || c.ts_us > st.ts_us ||
+          (c.ts_us == st.ts_us && c.event_id > st.last_event_id)
+        if (newer)
+          st = CdcState(key, c.ts_us, c.event_id, c.op, c.event_type,
+            c.value, live = c.op != "delete")
+      }
+      state.update(st)
+      Iterator.single(st)
+    }
+  }
+
+  /** Streaming twin of `q36_cdc_apply` over a keyed change stream. */
+  def cdcStream(changes: Dataset[CdcChange]): Dataset[CdcState] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes
+      .groupByKey(_.user_id)
+      .transformWithState(new CdcProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stream–stream inner join with event-time bounds: each click joined to
     * the same user's purchases within the following 30 minutes. Both sides
     * carry watermarks and the join condition bounds purchase_ts relative to

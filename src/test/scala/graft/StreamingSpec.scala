@@ -401,4 +401,56 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming CDC materialization (transformWithState, RocksDB) equals batch q36") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the real events feed as a change stream, delivered OUT OF ORDER
+      // (shuffled deterministically) across several triggers — latest
+      // (ts, event_id) must win regardless of arrival order
+      val events = graft.core.Tables.events(spark, sf0001)
+      val changes = events
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          when(col("event_type") === "error", "delete")
+            .otherwise("upsert").as("op"),
+          col("event_type"), col("value"))
+        .as[StreamQueries.CdcChange].collect().toSeq
+      val shuffled = new scala.util.Random(7).shuffle(changes)
+      val input = MemoryStream[StreamQueries.CdcChange]
+      val out = StreamQueries.cdcStream(input.toDS())
+      val name = "cdc_stream_out"
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+        .start()
+      shuffled.grouped(300).foreach { c => input.addData(c); q.processAllAvailable() }
+      q.stop()
+      // the LAST emission per key is the materialized state; live=false
+      // keys were tombstoned away
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us").desc, col("last_event_id").desc)
+      val streamed = spark.table(name)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(col("live"))
+        .select(col("user_id"), col("last_event_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .orderBy("user_id").collect().toSeq
+      val batch = graft.operators.CdcOps.userStateCdc(events).collect().toSeq
+      assert(streamed == batch,
+        s"stream/batch CDC state diverged (${streamed.size} vs ${batch.size})")
+      // tombstones actually fired: some users' latest change is a delete
+      assert(streamed.size < events.select("user_id").distinct().count(),
+        "no tombstoned user — fixture too thin for the delete path")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
