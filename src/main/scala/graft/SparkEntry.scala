@@ -14,7 +14,8 @@ object SparkEntry {
   private def registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     RelationalQueries.all ++ AdvancedQueries.all ++ EventOps.all ++
       graft.operators.JourneyOps.all ++ graft.operators.GlobalWindows.all ++
-      graft.operators.CdcOps.all ++ graft.llm.LlmOps.all
+      graft.operators.CdcOps.all ++ graft.operators.ProfileOps.all ++
+      graft.llm.LlmOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -103,4 +103,23 @@ class AdvancedOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(pivoted == direct)
   }
+
+  test("numericProfile: null/ndv/min/max/mean by hand, one scan in the plan") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, null), (2.0, 30.0), (null, 10.0), (4.0, null))
+      .toDF("a", "b")
+    val prof = graft.operators.ProfileOps.numericProfile(df, Seq("a", "b"))
+    val got = prof.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(got("a") == ((5L, 1L, 3L, 1.0, 4.0, 2.25)))
+    assert(got("b") == ((5L, 2L, 2L, 10.0, 30.0, 16.6667)))
+    // one wide aggregation over ONE scan of the input — the profile must
+    // not rescan the table per column (the UNION-per-column anti-pattern)
+    val plan = graft.operators.ProfileOps
+      .lineitemProfile(graft.core.Tables.lineitem(spark, sf0001))
+      .queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
+  }
 }
