@@ -54,6 +54,61 @@ object CdcOps {
         col("event_type"), round(col("value"), 4).as("value"))
       .orderBy("user_id")
 
+  /** Generic SCD Type-2 history build (Kimball's slowly-changing-dimension
+    * type 2, public warehouse canon): every change row becomes a version
+    * with a validity interval `[valid_from, valid_to)` — `valid_from` its
+    * own timestamp, `valid_to` the NEXT change's timestamp for the same key
+    * (any op, so a tombstone closes the last version), NULL while current.
+    * Delete rows close intervals but emit no version themselves.
+    *
+    * Plan shape: the same ONE shuffle on the key as [[cdcLatest]], with a
+    * `lead` frame instead of top-1 — per-key windows scale with the key
+    * cardinality, never a global sort. This is the replay form: state
+    * history from the log alone, no snapshot join. */
+  def scd2History(changes: DataFrame, keyCols: Seq[String],
+      tsCol: String, tieCol: String, opCol: String,
+      deleteOp: String = "delete"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .filter(col(opCol) =!= deleteOp)
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+  }
+
+  /** q38 registry entry: the events feed as an SCD2 user-state history
+    * (`error` = tombstone, as in q36). Intervals emitted as epoch micros
+    * (exact integer compare, the EventOps idiom); thinned to every 5th
+    * user for the checked dump. */
+  def userStateScd2(events: DataFrame): DataFrame =
+    scd2History(
+      events.withColumn("op",
+        when(col("event_type") === "error", "delete").otherwise("upsert")),
+      keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+      opCol = "op")
+      .filter(col("user_id") % 5 === 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"),
+        unix_micros(col("valid_from")).as("valid_from"),
+        unix_micros(col("valid_to")).as("valid_to"),
+        col("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+
+  val q38Scd2Sql: String =
+    """SELECT user_id, event_id, event_type, round(value, 4) AS value,
+      |  epoch_us(ts) AS valid_from, epoch_us(valid_to) AS valid_to,
+      |  CAST(valid_to IS NULL AS INTEGER) AS is_current
+      |FROM (
+      |  SELECT user_id, event_id, event_type, value, ts,
+      |    lead(ts) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS valid_to,
+      |    CASE WHEN event_type = 'error' THEN 'delete'
+      |         ELSE 'upsert' END AS op
+      |  FROM events) t
+      |WHERE op <> 'delete' AND user_id % 5 = 0
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   val q36CdcSql: String =
     """SELECT user_id, last_event_id, event_type, value FROM (
       |  SELECT user_id, event_id AS last_event_id, event_type,
@@ -69,5 +124,8 @@ object CdcOps {
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q36_cdc_apply",
       (s: SparkSession, d: String) => userStateCdc(Tables.events(s, d)),
-      Some(q36CdcSql)))
+      Some(q36CdcSql)),
+    ("q38_scd2_history",
+      (s: SparkSession, d: String) => userStateScd2(Tables.events(s, d)),
+      Some(q38Scd2Sql)))
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Declarative data-quality constraints — SURVEY.md §2b Q40: the
+  * assert-before-ingest gate every pipeline runs between landing a batch
+  * and letting it into the corpus (the deequ/Great-Expectations shape,
+  * public canon: Schelter et al., "Automating Large-Scale Data Quality
+  * Verification", VLDB 2018).
+  *
+  * Every constraint is normalized to ONE uniform metric — the count of
+  * violating rows — so a suite of N constraints over a table compiles to
+  * a SINGLE wide aggregation row (one scan, same shape as q37 profiling)
+  * unpivoted by `stack` into (constraint, violations, passed). Uniqueness
+  * uses distinct aggregates (Expand, the exact tradeoff documented on
+  * ProfileOps); everything else is a plain conditional count, fully
+  * codegen'd. Cross-table containment (foreign-key) checks are an
+  * anti-join count — broadcastable when the parent's key set is small,
+  * shuffle-join otherwise, never a crossed pair space.
+  */
+object QualityOps {
+
+  /** A named constraint: `violations` must be an aggregate expression
+    * counting offending rows (0 = pass). */
+  final case class Check(name: String, violations: Column)
+
+  /** Rows where `c` is NULL. */
+  def complete(c: String): Check =
+    Check(s"complete_$c", count(lit(1)) - count(col(c)))
+
+  /** Duplicate rows under key `c` (count − distinct count). */
+  def unique(c: String): Check =
+    Check(s"unique_$c", count(col(c)) - countDistinct(col(c)))
+
+  /** Non-null rows of `c` outside [lo, hi]. */
+  def inRange(c: String, lo: Double, hi: Double): Check =
+    Check(s"range_$c",
+      count(when(col(c) < lo || col(c) > hi, lit(1))))
+
+  /** Non-null rows of `c` outside the accepted domain. */
+  def acceptedValues(c: String, values: Seq[String]): Check =
+    Check(s"domain_$c", count(when(!col(c).isin(values: _*), lit(1))))
+
+  /** Rows violating an arbitrary row-level predicate (NULL = violation,
+    * so a predicate over a NULL column counts it — assert completeness
+    * separately if NULLs are legal). */
+  def satisfies(name: String, predicate: Column): Check =
+    Check(s"satisfies_$name", count(when(!coalesce(predicate, lit(false)), lit(1))))
+
+  /** Evaluate a suite in one scan: (constraint, violations, passed). */
+  def check(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "constraint suite is empty")
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      c.violations.cast("long").as(s"_v$i") }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = checks.zipWithIndex
+      .map { case (c, i) => s"'${c.name}', _v$i" }.mkString(", ")
+    wide.select(expr(s"stack(${checks.size}, $stackArgs)")
+        .as(Seq("constraint", "violations")))
+      .withColumn("passed", (col("violations") === 0).cast("int"))
+      .orderBy("constraint")
+  }
+
+  /** Foreign-key containment: child keys with no parent (anti-join count),
+    * as a one-row suite result unionable with [[check]] output. */
+  def containment(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.filter(col(childKey).isNotNull)
+      .join(parent, col(childKey) === parent(parentKey), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(s"fk_$name").as("constraint"), col("violations"),
+        (col("violations") === 0).cast("int").as("passed"))
+
+  /** q40 registry entry: the orders ingest gate — key uniqueness and
+    * completeness, domain and range sanity, a row-level business rule,
+    * and the customer foreign key. */
+  def ordersGate(orders: DataFrame, customer: DataFrame): DataFrame =
+    check(orders, Seq(
+      unique("o_orderkey"),
+      complete("o_custkey"),
+      complete("o_totalprice"),
+      acceptedValues("o_orderstatus", Seq("F", "O", "P")),
+      inRange("o_totalprice", 0.0, 1e7),
+      satisfies("priority_form",
+        col("o_orderpriority").rlike("^[1-5]-"))))
+      .unionAll(containment("orders_customer",
+        orders, "o_custkey", customer, "c_custkey"))
+      .orderBy("constraint")
+
+  val q40ConstraintsSql: String =
+    """WITH t AS (
+      |  SELECT 'unique_o_orderkey' AS "constraint",
+      |    count(o_orderkey) - count(DISTINCT o_orderkey) AS violations
+      |  FROM orders
+      |  UNION ALL SELECT 'complete_o_custkey',
+      |    count(*) - count(o_custkey) FROM orders
+      |  UNION ALL SELECT 'complete_o_totalprice',
+      |    count(*) - count(o_totalprice) FROM orders
+      |  UNION ALL SELECT 'domain_o_orderstatus',
+      |    count(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+      |      THEN 1 END) FROM orders
+      |  UNION ALL SELECT 'range_o_totalprice',
+      |    count(CASE WHEN o_totalprice < 0 OR o_totalprice > 1e7
+      |      THEN 1 END) FROM orders
+      |  UNION ALL SELECT 'satisfies_priority_form',
+      |    count(CASE WHEN NOT coalesce(
+      |      regexp_matches(o_orderpriority, '^[1-5]-'), false)
+      |      THEN 1 END) FROM orders
+      |  UNION ALL SELECT 'fk_orders_customer', count(*)
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+      |SELECT "constraint", violations,
+      |  CAST(violations = 0 AS INTEGER) AS passed
+      |FROM t ORDER BY "constraint"""".stripMargin
+
+  type QFn = (SparkSession, String) => DataFrame
+  val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q40_constraints",
+      (s: SparkSession, d: String) =>
+        ordersGate(Tables.orders(s, d), Tables.customer(s, d)),
+      Some(q40ConstraintsSql)))
+}

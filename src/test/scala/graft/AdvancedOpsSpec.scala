@@ -122,4 +122,97 @@ class AdvancedOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
   }
+
+  test("scd2History: versions tile the key's timeline; tombstones close but don't appear") {
+    import spark.implicits._
+    val changes = Seq(
+      // key 1: two upserts then a delete — both versions closed, none current
+      (1L, 10L, "upsert", "a"), (1L, 20L, "upsert", "b"), (1L, 30L, "delete", ""),
+      // key 2: one upsert — open-ended current version
+      (2L, 15L, "upsert", "x"),
+      // key 3: delete then re-insert — the re-insert is current
+      (3L, 5L, "delete", ""), (3L, 25L, "upsert", "y"))
+      .toDF("k", "ts", "op", "payload")
+    val hist = graft.operators.CdcOps.scd2History(
+        changes, Seq("k"), "ts", "payload", "op")
+      .select("k", "ts", "valid_to", "is_current", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getInt(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(hist.toSeq == Seq(
+      (1L, 10L, Some(20L), 0, "a"), (1L, 20L, Some(30L), 0, "b"),
+      (2L, 15L, None, 1, "x"), (3L, 25L, None, 1, "y")))
+    // interval endpoints chain: every closed version's valid_to is the
+    // next version's valid_from OR a tombstone's ts — already implied by
+    // the exact rows above; the invariant that matters for consumers is
+    // at most one current version per key
+    assert(hist.groupBy(_._1).forall { case (_, vs) => vs.count(_._4 == 1) <= 1 })
+  }
+
+  test("stratifiedFixedN: exactly min(n, |stratum|) per stratum, deterministic") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, if (i % 3 == 0) "de" else "en")) ++
+      Seq((1000L, "fr")) // a stratum smaller than n
+    val df = docs.toDF("doc_id", "lang")
+    val s1 = graft.operators.SampleOps
+      .stratifiedFixedN(df, col("lang"), col("doc_id"), 25)
+    val counts = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 25L, "de" -> 25L, "fr" -> 1L))
+    // determinism: an independent construction selects the same ids
+    val s2 = graft.operators.SampleOps
+      .stratifiedFixedN(df, col("lang"), col("doc_id"), 25)
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      s2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("stratifiedFraction: membership is per-row (stable under corpus growth), ~p%") {
+    import spark.implicits._
+    val base = (1L to 2000L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val grown = (1L to 4000L).map(i => (i, "en")).toDF("doc_id", "lang")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.SampleOps.stratifiedFraction(df, col("doc_id"), 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (b, g) = (ids(base), ids(grown))
+    // growing the corpus never changes an existing doc's membership
+    assert(g.filter(_ <= 2000L) == b)
+    // ~10% with md5-uniform slack
+    assert(b.size > 120 && b.size < 280, s"got ${b.size} of 2000")
+  }
+
+  test("quality check: violation counts by hand on a corrupted frame") {
+    import spark.implicits._
+    import graft.operators.QualityOps._
+    val rows = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "F", 10.0), (2L, "O", -5.0), (2L, "Z", 20.0),
+      (null, "F", null), (4L, "P", 1e9))
+      .toDF("k", "status", "price")
+    val got = check(rows, Seq(
+        unique("k"), complete("k"), complete("price"),
+        acceptedValues("status", Seq("F", "O", "P")),
+        inRange("price", 0.0, 1e7),
+        satisfies("k_positive", col("k") > 0)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got("unique_k") == ((1L, 0)))          // 2 appears twice
+    assert(got("complete_k") == ((1L, 0)))        // one null key
+    assert(got("complete_price") == ((1L, 0)))
+    assert(got("domain_status") == ((1L, 0)))     // Z
+    assert(got("range_price") == ((2L, 0)))       // -5 and 1e9
+    assert(got("satisfies_k_positive") == ((1L, 0))) // null k counts
+    // a clean frame passes everything
+    val clean = check(Seq((1L, "F", 1.0), (2L, "O", 2.0)).toDF("k", "status", "price"),
+      Seq(unique("k"), complete("k"), inRange("price", 0.0, 10.0)))
+      .collect()
+    assert(clean.forall(r => r.getLong(1) == 0L && r.getInt(2) == 1), clean.mkString)
+  }
+
+  test("quality containment: FK violations counted, clean parent passes") {
+    import spark.implicits._
+    val child = Seq[(java.lang.Long, java.lang.Long)]((1L, 10L), (2L, 11L),
+      (3L, 99L), (4L, null)).toDF("id", "fk")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val r = graft.operators.QualityOps
+      .containment("t", child, "fk", parent, "pk").collect()(0)
+    assert(r.getString(0) == "fk_t" && r.getLong(1) == 1L && r.getInt(2) == 0)
+  }
 }

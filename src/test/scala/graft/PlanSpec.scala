@@ -178,4 +178,29 @@ class PlanSpec extends SparkSpec {
       assert(p.contains(s"Exchange hashpartitioning($key"), p)
     }
   }
+
+  test("q38 scd2: one hash shuffle on the key serves the lead window") {
+    val p = finalPlan(graft.operators.CdcOps.userStateScd2(T.events(spark, sf0001)))
+    assert(hashExchanges(p) == 1, p)
+    assert(p.contains("Exchange hashpartitioning(user_id"), p)
+  }
+
+  test("q39 stratified sample: rank limit is pushed below the shuffle (WindowGroupLimit)") {
+    // the property that makes few-large-strata sampling survive 100 TB:
+    // each map task keeps its local top-k per stratum BEFORE the exchange,
+    // so the per-stratum reducer sees k·maps rows, never the whole stratum
+    val p = finalPlan(graft.operators.SampleOps.docsPerLang(T.documents(spark, sf0001)))
+    assert("WindowGroupLimit".r.findAllIn(p).length == 2, p) // partial + final
+    assert(p.contains("Exchange hashpartitioning(lang"), p)
+  }
+
+  test("q40 constraints: one scan per table; FK check broadcasts the parent keys") {
+    val p = finalPlan(graft.operators.QualityOps.ordersGate(
+      T.orders(spark, sf0001), T.customer(spark, sf0001)))
+    // six single-table constraints compile to ONE orders scan (+ one for
+    // the FK branch); customer is scanned once and broadcast
+    assert("FileScan parquet".r.findAllIn(p).length <= 3, p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
