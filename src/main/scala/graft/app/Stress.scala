@@ -49,9 +49,13 @@ object Stress {
         transform(col("embedding"), x => x + col("rep").cast("float") * lit(1e-3f))))
     val nEvents = replicate("events", Seq("event_id", "user_id"))
     val nOrders = replicate("orders", Seq("o_orderkey", "o_custkey"))
+    // same re-key on both sides of the FK → replica r of an order points
+    // at replica r of its customer, so q40's containment check stays clean
+    val nCust = replicate("customer", Seq("c_custkey"))
 
     println(s"[stress] $nDocs docs, $nVecs vectors, " +
-      s"$nEvents events, $nOrders orders (${factor}x $sfDir)")
+      s"$nEvents events, $nOrders orders, $nCust customers " +
+      s"(${factor}x $sfDir)")
     Seq(
       "q23_dedup_exact", "q23_dedup_minhash_lsh", "q23_dedup_ngram_jaccard",
       "q23_dedup_keeper", "q23_dedup_incremental", "q23_contamination",
@@ -59,7 +63,9 @@ object Stress {
       "q25_quality_score", "q24_knn_brute", "q24_knn_ivf", "q24_knn_lsh",
       "q30_funnel", "q30_interval_join", "q31_heavy_hitters",
       "q32_upsert_merge", "q33_pii_redact",
-      "q34_chunk", "q34_pack", "q34_mixture", "q35_global_rank")
+      "q34_chunk", "q34_pack", "q34_mixture", "q35_global_rank",
+      "q36_cdc_apply", "q38_scd2_history", "q39_stratified_sample",
+      "q40_constraints")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()
