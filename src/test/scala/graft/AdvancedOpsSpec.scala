@@ -206,6 +206,26 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(clean.forall(r => r.getLong(1) == 0L && r.getInt(2) == 1), clean.mkString)
   }
 
+  test("manifest fingerprint: order/partition invariant; any row change flips it") {
+    import spark.implicits._
+    val rows = Seq((1L, "alpha", "s1"), (2L, "beta", "s1"), (3L, "gamma", "s2"))
+    def fp(data: Seq[(Long, String, String)], parts: Int) =
+      graft.operators.ManifestOps.manifest(
+          data.toDF("id", "text", "src").repartition(parts),
+          Seq("src"), Seq("id", "text"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = fp(rows, 1)
+    // row order and partitioning don't matter
+    assert(fp(rows.reverse, 3) == base)
+    // a one-character change flips exactly that group's fingerprint
+    val changed = fp(rows.updated(0, (1L, "alphb", "s1")), 2)
+    assert(changed("s1") != base("s1") && changed("s2") == base("s2"))
+    // insert + delete of the same row cancels back to the original
+    val roundTrip = fp(rows ++ Seq((9L, "x", "s1"), (9L, "x", "s1")), 2)
+    assert(roundTrip("s1")._2 == base("s1")._2) // xor: the pair cancels
+    assert(roundTrip("s1")._1 == base("s1")._1 + 2) // but the count sees them
+  }
+
   test("quality containment: FK violations counted, clean parent passes") {
     import spark.implicits._
     val child = Seq[(java.lang.Long, java.lang.Long)]((1L, 10L), (2L, 11L),
