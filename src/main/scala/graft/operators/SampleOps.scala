@@ -58,6 +58,73 @@ object SampleOps {
       denom: Int = 100): DataFrame =
     df.filter(hashBucket(id, denom) < num)
 
+  /** Temperature resampling (the data-mixing step of large-corpus
+    * training runs, public canon: multinomial sampling with exponent
+    * τ < 1 upweights small sources — Raffel et al. JMLR '20 §3.4.2,
+    * Conneau & Lample '19): target share of stratum s ∝ n_s^τ, overall
+    * volume ≈ `targetFrac` of the corpus, membership by the same
+    * deterministic id-hash threshold as [[stratifiedFraction]].
+    *
+    * Entirely in-plan: one tiny count aggregate per stratum, the
+    * normalizer via a metadata-scale window over the #strata rows, a
+    * broadcast join of per-stratum thresholds back onto the corpus, and
+    * a zero-shuffle filter. Fractions cap at 1 (a stratum can't be
+    * upsampled past itself — this is selection, not duplication).
+    * Thresholds quantize to 1/10000 so the cross-engine float boundary
+    * is exact. */
+  def temperatureSample(df: DataFrame, stratum: String, id: Column,
+      tau: Double, targetFrac: Double): DataFrame = {
+    val fr = temperatureFractions(df, stratum, tau, targetFrac)
+    df.join(broadcast(fr.select(col(stratum), col("_thresh"))), stratum)
+      .filter(hashBucket(id, 10000) < col("_thresh"))
+      .drop("_thresh")
+  }
+
+  private def temperatureFractions(df: DataFrame, stratum: String,
+      tau: Double, targetFrac: Double): DataFrame = {
+    val w = Window.orderBy(col(stratum))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.groupBy(col(stratum)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("_z", sum(pow(col("n_docs"), tau)).over(w))
+      .withColumn("_total", sum(col("n_docs")).over(w))
+      .withColumn("frac",
+        least(lit(1.0), lit(targetFrac) * col("_total")
+          * pow(col("n_docs"), tau) / col("_z") / col("n_docs")))
+      .withColumn("_thresh", round(col("frac") * 10000).cast("long"))
+  }
+
+  /** q42 registry entry: per-source audit of a τ=0.7, 50%-volume
+    * temperature resample of documents — how many docs each source
+    * holds, how many survive, at what fraction. */
+  def temperatureAudit(docs: DataFrame, tau: Double = 0.7,
+      targetFrac: Double = 0.5): DataFrame = {
+    val fr = temperatureFractions(docs, "source", tau, targetFrac)
+    docs.join(broadcast(fr), "source")
+      .withColumn("keep",
+        (hashBucket(col("doc_id"), 10000) < col("_thresh")).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_selected"),
+        round(max(col("frac")), 4).as("frac"))
+      .orderBy("source")
+  }
+
+  val q42TemperatureSql: String =
+    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+      |  GROUP BY source),
+      |f AS (SELECT source, n_docs,
+      |    least(1.0, 0.5 * (SELECT sum(n_docs) FROM c)
+      |      * pow(n_docs, 0.7) / (SELECT sum(pow(n_docs, 0.7)) FROM c)
+      |      / n_docs) AS frac
+      |  FROM c),
+      |s AS (SELECT d.source,
+      |    CASE WHEN CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),
+      |        1, 15)) AS BIGINT) % 10000 < round(f.frac * 10000)
+      |      THEN 1 ELSE 0 END AS keep, f.frac
+      |  FROM documents d JOIN f ON d.source = f.source)
+      |SELECT source, count(*) AS n_docs, sum(keep) AS n_selected,
+      |  round(max(frac), 4) AS frac
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+
   /** q39 registry entry: 40 docs per language by the deterministic hash
     * order, with per-doc rank — the balanced-eval-set build. */
   def docsPerLang(docs: DataFrame, n: Int = 40): DataFrame =
@@ -79,5 +146,8 @@ object SampleOps {
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q39_stratified_sample",
       (s: SparkSession, d: String) => docsPerLang(Tables.documents(s, d)),
-      Some(q39StratifiedSql)))
+      Some(q39StratifiedSql)),
+    ("q42_temperature_sample",
+      (s: SparkSession, d: String) => temperatureAudit(Tables.documents(s, d)),
+      Some(q42TemperatureSql)))
 }

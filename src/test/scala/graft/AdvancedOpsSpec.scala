@@ -180,6 +180,31 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(b.size > 120 && b.size < 280, s"got ${b.size} of 2000")
   }
 
+  test("temperature resample: tau<1 upweights small strata; tau=1 is proportional") {
+    import spark.implicits._
+    val docs = ((1L to 9000L).map(i => (i, "big")) ++
+      (9001L to 9500L).map(i => (i, "small"))).toDF("doc_id", "source")
+    def fracs(tau: Double) = graft.operators.SampleOps
+      .temperatureAudit(docs, tau, targetFrac = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2).toDouble / r.getLong(1), r.getDouble(3))).toMap
+    val t07 = fracs(0.7)
+    // the small source keeps a larger share of itself than the big one
+    assert(t07("small")._1 > t07("big")._1,
+      s"small=${t07("small")} big=${t07("big")}")
+    // realized share tracks the computed fraction (hash-uniform slack)
+    for ((_, (real, target)) <- t07)
+      assert(math.abs(real - target) < 0.05, s"real=$real target=$target")
+    // tau=1 degenerates to plain proportional sampling: same fraction
+    val t1 = fracs(1.0)
+    assert(math.abs(t1("small")._2 - t1("big")._2) < 1e-9)
+    assert(math.abs(t1("big")._2 - 0.5) < 1e-9)
+    // the selection itself is the filtered corpus, reproducibly
+    val sel = graft.operators.SampleOps
+      .temperatureSample(docs, "source", col("doc_id"), 0.7, 0.5)
+    assert(sel.count() == t07("big")._1 * 9000 + t07("small")._1 * 500)
+  }
+
   test("quality check: violation counts by hand on a corrupted frame") {
     import spark.implicits._
     import graft.operators.QualityOps._
@@ -224,6 +249,23 @@ class AdvancedOpsSpec extends SparkSpec {
     val roundTrip = fp(rows ++ Seq((9L, "x", "s1"), (9L, "x", "s1")), 2)
     assert(roundTrip("s1")._2 == base("s1")._2) // xor: the pair cancels
     assert(roundTrip("s1")._1 == base("s1")._1 + 2) // but the count sees them
+  }
+
+  test("manifest is incrementally maintainable: fp(corpus ++ batch) = fp(corpus) xor fp(batch)") {
+    // the property that lets a streaming ingest maintain the corpus
+    // fingerprint from deltas alone — never rescanning the corpus
+    import spark.implicits._
+    val corpus = (1L to 50L).map(i => (i, s"doc$i", if (i % 2 == 0) "a" else "b"))
+    val batch = (51L to 70L).map(i => (i, s"doc$i", if (i % 3 == 0) "a" else "b"))
+    def fp(data: Seq[(Long, String, String)]) =
+      graft.operators.ManifestOps.manifest(
+          data.toDF("id", "text", "src"), Seq("src"), Seq("id", "text"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (c, b, u) = (fp(corpus), fp(batch), fp(corpus ++ batch))
+    for (g <- Seq("a", "b")) {
+      assert(u(g)._1 == c(g)._1 + b(g)._1)
+      assert(u(g)._2 == (c(g)._2 ^ b(g)._2))
+    }
   }
 
   test("quality containment: FK violations counted, clean parent passes") {
