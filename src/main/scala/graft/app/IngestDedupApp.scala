@@ -65,21 +65,51 @@ object IngestDedupApp {
     else spark.read.schema(docSchema).parquet(dirs.toIndexedSeq: _*)
   }
 
+  /** Batches that fail the gate land here (per batch id, overwrite —
+    * replay-idempotent by the same argument as the corpus dirs). */
+  def quarantine(spark: SparkSession, corpusDir: String): DataFrame = {
+    val dir = new java.io.File(s"$corpusDir/quarantine")
+    if (!dir.isDirectory)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+    else spark.read.schema(docSchema).parquet(s"$corpusDir/quarantine/batch_id=*")
+  }
+
   /** Run the deduping consumer over everything currently in the shard
-    * fixture. Returns the started query; callers await/stop it. */
+    * fixture. Returns the started query; callers await/stop it.
+    *
+    * `gate` is the Q40 constraint suite applied to each micro-batch BEFORE
+    * admission (the deequ assert-before-ingest posture fused into the
+    * exactly-once loop): a batch with any failing constraint is routed
+    * whole to `quarantine/batch_id=N` instead of the corpus. The gate is a
+    * pure function of the batch content, so a WAL replay reaches the same
+    * verdict and overwrites the same directory — quarantining commutes
+    * with exactly-once. The verdict collect is driver-side by design:
+    * foreachBatch IS the sink's orchestration point, and the verdict is
+    * |constraints| rows. */
   def run(spark: SparkSession, shardDir: String, corpusDir: String,
       checkpointDir: String, threshold: Double = 0.8,
       maxRecordsPerBatch: Option[Long] = None,
-      extraOptions: Map[String, String] = Map.empty): StreamingQuery =
+      extraOptions: Map[String, String] = Map.empty,
+      gate: Seq[graft.operators.QualityOps.Check] = Nil): StreamingQuery =
     docStream(spark, shardDir, maxRecordsPerBatch, extraOptions).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val accepted = graft.llm.DedupOps.admitBatch(
-          corpus(spark, corpusDir, beforeBatch = Some(batchId)),
-          batch, threshold)
-        accepted.select(col("doc_id"), col("text"))
-          .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+        val rejected = gate.nonEmpty &&
+          graft.operators.QualityOps.check(batch, gate)
+            .collect().exists(_.getInt(2) == 0)
+        if (rejected)
+          batch.select(col("doc_id"), col("text"))
+            .write.mode("overwrite")
+            .parquet(s"$corpusDir/quarantine/batch_id=$batchId")
+        else {
+          val accepted = graft.llm.DedupOps.admitBatch(
+            corpus(spark, corpusDir, beforeBatch = Some(batchId)),
+            batch, threshold)
+          accepted.select(col("doc_id"), col("text"))
+            .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+        }
       }
       .start()
 
@@ -91,9 +121,12 @@ object IngestDedupApp {
     }
     val Array(shardDir, corpusDir, checkpointDir) = args.take(3)
     val spark = graft.core.Sessions.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-    val q = run(spark, shardDir, corpusDir, checkpointDir)
+    val q = run(spark, shardDir, corpusDir, checkpointDir,
+      gate = Seq(graft.operators.QualityOps.complete("doc_id"),
+        graft.operators.QualityOps.complete("text")))
     q.awaitTermination()
-    println(s"[ingest-dedup] corpus docs=${corpus(spark, corpusDir).count()}")
+    println(s"[ingest-dedup] corpus docs=${corpus(spark, corpusDir).count()} " +
+      s"quarantined=${quarantine(spark, corpusDir).count()}")
     spark.stop()
   }
 }

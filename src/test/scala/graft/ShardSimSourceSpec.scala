@@ -352,4 +352,55 @@ class ShardSimSourceSpec extends SparkSpec {
     assert(corpusSet(corpusB) == a,
       "replayed ingest must converge to the clean run's corpus")
   }
+
+  test("constraint-gated ingest: a poisoned batch quarantines whole; replay converges") {
+    // Q40 fused into the exactly-once loop: the gate runs per micro-batch
+    // before dedup admission; a failing batch is routed to quarantine and
+    // never contaminates the corpus — and because the verdict is a pure
+    // function of batch content, a crash replay reaches the same routing
+    import graft.app.IngestDedupApp
+    import graft.operators.QualityOps
+    def text(ns: Long): String = (0 until 12).map(t => s"w${ns}t$t").mkString(" ")
+    // batches of 10 by arrival order: rows 10..19 form batch 1, where doc
+    // 20's record carries no text field -> complete(text) fails the batch
+    val rows = ((1L to 19L).map(i => i -> s"""{"doc_id":$i,"text":"${text(i)}"}""") ++
+      Seq(20L -> """{"doc_id":20}""") ++
+      (21L to 30L).map(i => i -> s"""{"doc_id":$i,"text":"${text(i)}"}"""))
+      .zipWithIndex.map { case ((id, json), i) =>
+        (s"d$id", 1700000000000000L + i, json)
+      }
+    val gate = Seq(QualityOps.complete("doc_id"), QualityOps.complete("text"))
+    def freshFixture(): String = {
+      val dir = Files.createTempDirectory("inggate_fixture").toString
+      ShardSimFixture.writeShard(dir, 0, rows)
+      dir
+    }
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+
+    val corpusA = Files.createTempDirectory("inggate_corpusA").toString
+    IngestDedupApp.run(spark, freshFixture(), corpusA,
+        Files.createTempDirectory("inggate_ckptA").toString,
+        maxRecordsPerBatch = Some(10L), gate = gate)
+      .awaitTermination()
+    val cleanCorpus = ids(IngestDedupApp.corpus(spark, corpusA))
+    assert(cleanCorpus == ((1L to 10L) ++ (21L to 30L)).toSet, cleanCorpus.toSeq.sorted)
+    assert(ids(IngestDedupApp.quarantine(spark, corpusA)) == (11L to 20L).toSet,
+      "the poisoned batch (including its clean rows) quarantines whole")
+
+    // crash mid-run, replay: same corpus, same quarantine
+    val dirB = freshFixture()
+    val corpusB = Files.createTempDirectory("inggate_corpusB").toString
+    val ckptB = Files.createTempDirectory("inggate_ckptB").toString
+    val marker = Files.createTempDirectory("inggate_marker").resolve("fired").toString
+    def startB() = IngestDedupApp.run(spark, dirB, corpusB, ckptB,
+      maxRecordsPerBatch = Some(10L), gate = gate,
+      extraOptions = Map("faultInjectMarker" -> marker, "faultInjectAfter" -> "5"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      startB().awaitTermination()
+    }
+    startB().awaitTermination()
+    assert(ids(IngestDedupApp.corpus(spark, corpusB)) == cleanCorpus)
+    assert(ids(IngestDedupApp.quarantine(spark, corpusB)) == (11L to 20L).toSet)
+  }
 }
