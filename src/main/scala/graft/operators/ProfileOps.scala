@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -42,6 +43,42 @@ object ProfileOps {
       .orderBy("column")
   }
 
+  /** Distribution drift between two snapshots of the same column —
+    * Population Stability Index over fixed-width buckets (the standard
+    * pre-train drift gate; PSI > 0.2 is the conventional "investigate"
+    * line, credit-scoring canon). Fixed edges, not quantiles, keep the
+    * bucketing deterministic and engine-independent; counts are
+    * Laplace-smoothed so empty buckets contribute finitely.
+    *
+    * Plan shape: `ref` and `cur` are usually two filters of one scan
+    * (conditional counts below keep it ONE pass); k buckets aggregate to
+    * a k-row frame, shares and contributions are metadata-scale windows
+    * over those k rows. */
+  def psiDrift(df: DataFrame, valueCol: String, refPred: Column,
+      curPred: Column, lo: Double, hi: Double, k: Int): DataFrame = {
+    require(k > 0 && hi > lo, "psiDrift needs a positive bucket count and range")
+    val width = (hi - lo) / k
+    val bucket = least(greatest(
+      floor((col(valueCol) - lo) / width), lit(0)), lit(k - 1)).cast("int")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(when(refPred, 1)).as("n_ref"),
+        count(when(curPred, 1)).as("n_cur"))
+    val w = Window.orderBy(col("bucket")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("_tr", sum(col("n_ref")).over(w))
+      .withColumn("_tc", sum(col("n_cur")).over(w))
+      .withColumn("p_ref",
+        (col("n_ref") + lit(0.5)) / (col("_tr") + lit(0.5 * k)))
+      .withColumn("p_cur",
+        (col("n_cur") + lit(0.5)) / (col("_tc") + lit(0.5 * k)))
+      .withColumn("psi_term", round(
+        (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 8))
+      .select(col("bucket"), col("n_ref"), col("n_cur"), col("psi_term"))
+      .orderBy("bucket")
+  }
+
   private val LineitemCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -57,9 +94,36 @@ object ProfileOps {
        |FROM lineitem""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
 
+  /** q43 registry entry: PSI drift of order value between the even- and
+    * odd-keyed halves of orders (two interleaved snapshots of one
+    * process — drift should be ≈ 0, which is itself the assertion a
+    * pipeline regression gate makes). */
+  def ordersDrift(orders: DataFrame): DataFrame =
+    psiDrift(orders, "o_totalprice",
+      refPred = col("o_orderkey") % 2 === 0,
+      curPred = col("o_orderkey") % 2 === 1,
+      lo = 0.0, hi = 600000.0, k = 10)
+
+  val q43DriftSql: String =
+    """WITH b AS (
+      |  SELECT least(greatest(CAST(floor(o_totalprice / 60000.0) AS INT),
+      |      0), 9) AS bucket,
+      |    count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS n_ref,
+      |    count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_cur
+      |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+      |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM b)
+      |SELECT bucket, n_ref, n_cur,
+      |  round(((n_cur + 0.5) / (tc + 5.0) - (n_ref + 0.5) / (tr + 5.0))
+      |    * ln(((n_cur + 0.5) / (tc + 5.0))
+      |        / ((n_ref + 0.5) / (tr + 5.0))), 8) AS psi_term
+      |FROM b, t ORDER BY bucket""".stripMargin
+
   type QFn = (SparkSession, String) => DataFrame
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q37_profile",
       (s: SparkSession, d: String) => lineitemProfile(Tables.lineitem(s, d)),
-      Some(q37ProfileSql)))
+      Some(q37ProfileSql)),
+    ("q43_drift",
+      (s: SparkSession, d: String) => ordersDrift(Tables.orders(s, d)),
+      Some(q43DriftSql)))
 }

@@ -180,6 +180,34 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(b.size > 120 && b.size < 280, s"got ${b.size} of 2000")
   }
 
+  test("psi drift: zero for identical snapshots, positive and localized for a shift") {
+    import spark.implicits._
+    // ref: uniform over [0,100); cur: same but mass moved from low to high
+    val rows = (0 until 1000).map { i =>
+      (i % 100 * 1.0, "ref")
+    } ++ (0 until 1000).map { i =>
+      val v = i % 100; ((if (v < 10) v + 80 else v) * 1.0, "cur")
+    }
+    val df = rows.toDF("v", "snap")
+    val drift = graft.operators.ProfileOps.psiDrift(df, "v",
+        col("snap") === "ref", col("snap") === "cur", 0.0, 100.0, 10)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(drift.size == 10)
+    // bucket 0 lost all its cur mass, bucket 8 doubled; both terms positive
+    assert(drift(0)._2 == 0 && drift(0)._3 > 0.1, drift(0).toString)
+    assert(drift(8)._2 == 2 * drift(8)._1 && drift(8)._3 > 0.05, drift(8).toString)
+    // untouched buckets contribute ~nothing
+    assert(math.abs(drift(3)._3) < 1e-6)
+    val total = drift.values.map(_._3).sum
+    assert(total > 0.2, s"a 10%-mass shift must cross the PSI alert line, got $total")
+    // identical snapshots: every term ~0
+    val same = graft.operators.ProfileOps.psiDrift(df.filter(col("snap") === "ref")
+        .unionAll(df.filter(col("snap") === "ref").withColumn("snap", lit("cur"))),
+        "v", col("snap") === "ref", col("snap") === "cur", 0.0, 100.0, 10)
+      .collect().map(_.getDouble(3))
+    assert(same.forall(math.abs(_) < 1e-9))
+  }
+
   test("temperature resample: tau<1 upweights small strata; tau=1 is proportional") {
     import spark.implicits._
     val docs = ((1L to 9000L).map(i => (i, "big")) ++
