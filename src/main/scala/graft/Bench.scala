@@ -199,6 +199,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
     val spark = graft.core.Sessions.get(cpus)
+    graft.core.Sessions.sizeShufflePartitionsFor(spark, sfDir)
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
 

