@@ -90,6 +90,48 @@ object QualityOps {
         orders, "o_custkey", customer, "c_custkey"))
       .orderBy("constraint")
 
+  /** Winsorization — clip a numeric column to its [pLo, pHi] exact
+    * percentiles (the standard tabular outlier treatment; clipping, not
+    * dropping, preserves row counts for downstream joins). The percentile
+    * pair is a one-row aggregate broadcast back over the data (the
+    * in-plan scalar pattern — no driver action), then a codegen'd
+    * greatest/least clamp. Exact `percentile` keeps the oracle contract;
+    * at 100 TB swap `percentile_approx` (the q18 pattern) — exact
+    * percentiles buffer per-distinct-value counts. */
+  def winsorize(df: DataFrame, c: String, pLo: Double,
+      pHi: Double): DataFrame = {
+    val bounds = df.agg(
+      expr(s"percentile($c, $pLo)").as("_plo"),
+      expr(s"percentile($c, $pHi)").as("_phi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(c + "_w",
+        least(greatest(col(c), col("_plo")), col("_phi")))
+  }
+
+  /** q44 registry entry: the clipping audit for orders value at P1/P99 —
+    * row count, rows clipped each side, mean before/after, the bounds. */
+  def winsorizeAudit(orders: DataFrame): DataFrame =
+    winsorize(orders, "o_totalprice", 0.01, 0.99)
+      .agg(count(lit(1)).as("n"),
+        count(when(col("o_totalprice") < col("_plo"), 1)).as("n_low"),
+        count(when(col("o_totalprice") > col("_phi"), 1)).as("n_high"),
+        round(avg(col("o_totalprice")), 4).as("mean_before"),
+        round(avg(col("o_totalprice_w")), 4).as("mean_after"),
+        round(max(col("_plo")), 4).as("p_lo"),
+        round(max(col("_phi")), 4).as("p_hi"))
+
+  val q44WinsorizeSql: String =
+    """WITH p AS (SELECT quantile_cont(o_totalprice, 0.01) AS plo,
+      |    quantile_cont(o_totalprice, 0.99) AS phi FROM orders)
+      |SELECT count(*) AS n,
+      |  count(CASE WHEN o_totalprice < plo THEN 1 END) AS n_low,
+      |  count(CASE WHEN o_totalprice > phi THEN 1 END) AS n_high,
+      |  round(avg(o_totalprice), 4) AS mean_before,
+      |  round(avg(least(greatest(o_totalprice, plo), phi)), 4)
+      |    AS mean_after,
+      |  round(max(plo), 4) AS p_lo, round(max(phi), 4) AS p_hi
+      |FROM orders, p""".stripMargin
+
   val q40ConstraintsSql: String =
     """WITH t AS (
       |  SELECT 'unique_o_orderkey' AS "constraint",
@@ -121,5 +163,8 @@ object QualityOps {
     ("q40_constraints",
       (s: SparkSession, d: String) =>
         ordersGate(Tables.orders(s, d), Tables.customer(s, d)),
-      Some(q40ConstraintsSql)))
+      Some(q40ConstraintsSql)),
+    ("q44_winsorize",
+      (s: SparkSession, d: String) => winsorizeAudit(Tables.orders(s, d)),
+      Some(q44WinsorizeSql)))
 }

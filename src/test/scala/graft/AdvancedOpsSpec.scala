@@ -296,6 +296,19 @@ class AdvancedOpsSpec extends SparkSpec {
     }
   }
 
+  test("winsorize clips to exact percentiles; interior rows untouched") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val w = graft.operators.QualityOps.winsorize(df, "v", 0.10, 0.90)
+      .select("v", "v_w").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // exact percentiles of 1..100 at 0.1/0.9 are 10.9 and 90.1 (up to
+    // float interpolation ulps — the registry entry rounds to 4 dp)
+    assert(math.abs(w(5.0) - 10.9) < 1e-9 && math.abs(w(100.0) - 90.1) < 1e-9)
+    assert(w(50.0) == 50.0 && w(11.0) == 11.0 && w(90.0) == 90.0)
+    assert(w.size == 100, "clipping must preserve row count")
+  }
+
   test("quality containment: FK violations counted, clean parent passes") {
     import spark.implicits._
     val child = Seq[(java.lang.Long, java.lang.Long)]((1L, 10L), (2L, 11L),
