@@ -132,6 +132,48 @@ object QualityOps {
       |  round(max(plo), 4) AS p_lo, round(max(phi), 4) AS p_hi
       |FROM orders, p""".stripMargin
 
+  /** Robust outlier detection via modified z-score (Iglewicz & Hoaglin
+    * 1993, public canon): Mz = 0.6745·(x − median) / MAD, flag |Mz| > 3.5.
+    * Median/MAD resist the very outliers they hunt (mean/stddev get
+    * dragged). Two full passes by construction — MAD needs the median
+    * first — each a scalar aggregate broadcast back in-plan; exact
+    * `percentile` for the oracle, `percentile_approx`/`approx median` at
+    * 100 TB (the q18/q44 pattern). */
+  def madOutliers(df: DataFrame, c: String,
+      cutoff: Double = 3.5): DataFrame = {
+    val med = df.agg(expr(s"percentile($c, 0.5)").as("_med"))
+    val withMed = df.crossJoin(broadcast(med))
+    val mad = withMed
+      .agg(expr(s"percentile(abs($c - _med), 0.5)").as("_mad"))
+    withMed.crossJoin(broadcast(mad))
+      .withColumn("_mz",
+        lit(0.6745) * (col(c) - col("_med")) / col("_mad"))
+      .withColumn("is_outlier", (abs(col("_mz")) > cutoff).cast("int"))
+  }
+
+  /** q45 registry entry: the outlier audit for orders value. */
+  def madOutlierAudit(orders: DataFrame): DataFrame =
+    madOutliers(orders, "o_totalprice")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("is_outlier") === 1, 1)).as("n_outliers"),
+        round(max(col("_med")), 4).as("med"),
+        round(max(col("_mad")), 4).as("mad"),
+        round(max(abs(col("_mz"))), 4).as("max_abs_mz"))
+
+  val q45MadSql: String =
+    """WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS med
+      |    FROM orders),
+      |d AS (SELECT quantile_cont(abs(o_totalprice - med), 0.5) AS mad
+      |    FROM orders, m),
+      |z AS (SELECT 0.6745 * (o_totalprice - med) / mad AS mz
+      |    FROM orders, m, d)
+      |SELECT count(*) AS n,
+      |  count(CASE WHEN abs(mz) > 3.5 THEN 1 END) AS n_outliers,
+      |  round(max((SELECT med FROM m)), 4) AS med,
+      |  round(max((SELECT mad FROM d)), 4) AS mad,
+      |  round(max(abs(mz)), 4) AS max_abs_mz
+      |FROM z""".stripMargin
+
   val q40ConstraintsSql: String =
     """WITH t AS (
       |  SELECT 'unique_o_orderkey' AS "constraint",
@@ -166,5 +208,8 @@ object QualityOps {
       Some(q40ConstraintsSql)),
     ("q44_winsorize",
       (s: SparkSession, d: String) => winsorizeAudit(Tables.orders(s, d)),
-      Some(q44WinsorizeSql)))
+      Some(q44WinsorizeSql)),
+    ("q45_mad_outliers",
+      (s: SparkSession, d: String) => madOutlierAudit(Tables.orders(s, d)),
+      Some(q45MadSql)))
 }

@@ -309,6 +309,32 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(w.size == 100, "clipping must preserve row count")
   }
 
+  test("mad outliers: robust to the outlier itself; clean data unflagged") {
+    import spark.implicits._
+    // 1..99 plus one wild point: median/MAD ignore it, mean/stddev wouldn't
+    val df = ((1 to 99).map(_.toDouble) :+ 1e6).toDF("v")
+    val flagged = graft.operators.QualityOps.madOutliers(df, "v")
+      .filter(col("is_outlier") === 1).select("v")
+      .collect().map(_.getDouble(0)).toSet
+    assert(flagged == Set(1e6), flagged)
+    // uniform data: nothing flagged (max |Mz| for 1..99 is ~1.32)
+    val clean = graft.operators.QualityOps
+      .madOutliers((1 to 99).map(_.toDouble).toDF("v"), "v")
+      .agg(org.apache.spark.sql.functions.sum("is_outlier")).collect()(0).getLong(0)
+    assert(clean == 0L)
+  }
+
+  test("sizeShufflePartitionsFor: floor 8 on tiny inputs, cap at cores, restores runtime conf") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val n = graft.core.Sessions.sizeShufflePartitionsFor(spark, sf0001)
+      assert(n == 8, s"sf0.001 (~1 MB) must hit the floor, got $n")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "8")
+      assert(n <= spark.sparkContext.defaultParallelism ||
+        spark.sparkContext.defaultParallelism < 8)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("quality containment: FK violations counted, clean parent passes") {
     import spark.implicits._
     val child = Seq[(java.lang.Long, java.lang.Long)]((1L, 10L), (2L, 11L),
