@@ -86,9 +86,15 @@ object TextOps {
     val lenScore = least(col("n_chars").cast("double") / 500.0, lit(1.0))
     val stopRatio = when(nToks > 0, nStop.cast("double") / nToks.cast("double"))
       .otherwise(lit(0.0))
+    // + 1e-9 before rounding: the 3-term weighted sum can differ by an
+    // ulp across engines (association/FMA), flipping round() when the
+    // true value sits on a .00005 boundary (surfaced at sf0.1: 4 of 10k
+    // docs). The epsilon (>> ulp, << the 1e-4 grid) moves the boundary
+    // off exactly-representable halves so both engines land together.
     Tables.fanout(docs)
       .select(col("doc_id"),
-        round(lenScore * 0.3 + stopRatio * 0.4 + alphaRatio * 0.3, 4).as("quality"))
+        round(lenScore * 0.3 + stopRatio * 0.4 + alphaRatio * 0.3 + 1e-9, 4)
+          .as("quality"))
       .orderBy("doc_id")
   }
   val qualityScoreSql: String = {
@@ -101,7 +107,7 @@ object TextOps {
        |          / CAST(len($toks) AS DOUBLE)
        |        ELSE 0.0 END) * 0.4
        |    + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-       |      / length(text) * 0.3, 4) AS quality
+       |      / length(text) * 0.3 + 1e-9, 4) AS quality
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 

@@ -453,10 +453,14 @@ object RelationalQueries {
     embeddings
       .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 4)))
       .select(col("vec_id"), col("pos"),
-        round(col("col").cast("double"), 4).as("val"))
+        // + 0.0 normalizes IEEE negative zero: rounding a tiny negative
+        // yields -0.0 in DuckDB but +0.0 here, and the hash compare sees
+        // the sign (surfaced at sf0.1 where such a value first occurs)
+        (round(col("col").cast("double"), 4) + lit(0.0)).as("val"))
       .orderBy("vec_id", "pos")
   val q16ExplodeSql: String =
-    """SELECT vec_id, i - 1 AS pos, round(CAST(embedding[i] AS DOUBLE), 4) AS val
+    """SELECT vec_id, i - 1 AS pos,
+      |  round(CAST(embedding[i] AS DOUBLE), 4) + 0.0 AS val
       |FROM embeddings, UNNEST(generate_series(1, 4)) AS g(i)
       |ORDER BY vec_id, pos""".stripMargin
 
