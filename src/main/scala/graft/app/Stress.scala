@@ -65,7 +65,8 @@ object Stress {
       "q32_upsert_merge", "q33_pii_redact",
       "q34_chunk", "q34_pack", "q34_mixture", "q35_global_rank",
       "q36_cdc_apply", "q38_scd2_history", "q39_stratified_sample",
-      "q40_constraints")
+      "q40_constraints", "q41_manifest", "q42_temperature_sample",
+      "q43_drift", "q44_winsorize", "q45_mad_outliers")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()
