@@ -88,4 +88,22 @@ class SqlInterfaceSpec extends SparkSpec {
       .collect().toSeq
     assert(viaSql == viaApi)
   }
+
+  test("stratified-sample SQL matches the q39 DataFrame (and keeps WindowGroupLimit)") {
+    registerViews()
+    val sql = spark.sql(
+      """SELECT lang, sample_rank, doc_id, source, n_chars FROM (
+        |  SELECT lang, doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      CAST(conv(substring(md5(to_binary(CAST(doc_id AS STRING),
+        |        'utf-8')), 1, 15), 16, 10) AS BIGINT) % 1000000,
+        |      doc_id) AS sample_rank
+        |  FROM documents) t
+        |WHERE sample_rank <= 40 ORDER BY lang, sample_rank""".stripMargin)
+    val api = graft.operators.SampleOps
+      .docsPerLang(graft.core.Tables.documents(spark, sf0001))
+    assert(sql.collect().toSeq == api.collect().toSeq)
+    // the SQL-text route gets the same map-side rank-limit pruning
+    assert(sql.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
 }
