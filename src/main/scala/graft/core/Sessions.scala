@@ -62,15 +62,17 @@ object Sessions {
     * under `dataDir`: one reduce partition per ~32 MB of input, floored at
     * 8 (don't serialize tiny suites onto one task) and capped at the
     * session's core count (local mode: beyond-core partitions only buy
-    * memory headroom, and the inputs here fit). The 100 TB posture is the
-    * same rule at cluster constants — size reducers to data, not to the
-    * machine — where AQE coalescing applies it automatically. */
+    * memory headroom, and the inputs here fit). The cap wins over the
+    * floor: on a machine with fewer than 8 cores the result is the core
+    * count. The 100 TB posture is the same rule at cluster constants —
+    * size reducers to data, not to the machine — where AQE coalescing
+    * applies it automatically. */
   def sizeShufflePartitionsFor(spark: SparkSession, dataDir: String): Int = {
     def bytes(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(bytes).sum
       else f.length()
     val cores = spark.sparkContext.defaultParallelism
-    val n = math.max(8L, math.min(cores.toLong,
+    val n = math.min(cores.toLong, math.max(8L,
       bytes(new java.io.File(dataDir)) / (32L << 20) + 1)).toInt
     spark.conf.set("spark.sql.shuffle.partitions", n)
     n

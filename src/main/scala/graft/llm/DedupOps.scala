@@ -387,7 +387,16 @@ object DedupOps {
     * unpersisted, so memory is bounded by two label tables regardless of
     * iteration count. Convergence is read off the checkpointed round
     * itself (each row carries its previous label), a block-local count —
-    * no extra `isEmpty` recomputation. */
+    * no extra `isEmpty` recomputation.
+    *
+    * If the graph has NOT converged after `maxIters` rounds the call
+    * FAILS (IllegalStateException) rather than returning truncated
+    * labels: a label table that silently stopped propagating would flow
+    * into [[dedupKeeper]]/[[dedupCorpus]] and drop the wrong documents
+    * with no signal — at 100 TB a boilerplate clique bridged by
+    * near-threshold pairs can exceed any fixed diameter bound. Callers
+    * that expect deep chains should raise `maxIters` (cost is linear in
+    * rounds, plan depth stays O(1)); the failure message says how. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     // Track exactly the RDD blocks each localCheckpoint pins so superseded
@@ -427,6 +436,14 @@ object DedupOps {
       labelIds = ids
       iter += 1
     }
+    if (!converged) {
+      drop(edgeIds); drop(labelIds)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIters rounds — " +
+          "a component's diameter exceeds maxIters; rerun with a larger " +
+          "maxIters (cost is linear in rounds) rather than consuming " +
+          "truncated labels")
+    }
     drop(edgeIds) // the final labels are self-contained checkpoint blocks
     labels.select(col("id").as("doc_id"), col("lab").as("keeper"))
       .orderBy("doc_id")
@@ -450,8 +467,8 @@ object DedupOps {
     * join is on the (tiny) non-keeper id set — the corpus itself streams
     * through unshuffled. */
   def dedupCorpus(docs: DataFrame, threshold: Double = JaccardThreshold,
-      k: Int = K, dfCap: Int = DefaultDfCap): DataFrame = {
-    val dropIds = dedupKeeper(docs, threshold, k, dfCap)
+      k: Int = K, dfCap: Int = DefaultDfCap, maxIters: Int = 15): DataFrame = {
+    val dropIds = dedupKeeper(docs, threshold, k, dfCap, maxIters)
       .filter(col("doc_id") =!= col("keeper"))
       .select("doc_id")
     // all input columns pass through untouched — the library contract

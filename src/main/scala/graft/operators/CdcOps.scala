@@ -27,7 +27,9 @@ object CdcOps {
   /** Generic changelog apply: for each key keep the first change row under
     * `orderCols` (pass descending timestamp + a unique tiebreak for
     * latest-wins determinism), then drop keys whose winning change is a
-    * `deleteOp` tombstone. All payload columns ride through. */
+    * `deleteOp` tombstone. All payload columns ride through. A winning
+    * row with a NULL op is kept (it is an unknown op, not a tombstone —
+    * a bare `=!=` would silently drop it via three-valued logic). */
   def cdcLatest(changes: DataFrame, keyCols: Seq[String],
       orderCols: Seq[Column], opCol: String,
       deleteOp: String = "delete"): DataFrame = {
@@ -36,7 +38,7 @@ object CdcOps {
       .withColumn("_cdc_rn", row_number().over(w))
       .filter(col("_cdc_rn") === 1)
       .drop("_cdc_rn")
-      .filter(col(opCol) =!= deleteOp)
+      .filter(!(col(opCol) <=> deleteOp))
   }
 
   /** q36 registry entry: the events feed read as a user-state changelog —

@@ -29,13 +29,21 @@ import graft.core.Tables
   */
 object ManifestOps {
 
-  /** 60-bit row hash of `cols` rendered as text and joined with a 
-    * separator (skip-null semantics match DuckDB's concat_ws). Exact
-    * types only (ints/strings/dates): float formatting differs across
-    * engines. */
+  /** 60-bit row hash of `cols` rendered as text and joined with a
+    * U+0001 separator. NULLs encode positionally as a U+0002 sentinel —
+    * concat_ws's skip-null would make (a, NULL, b) and (a, b, NULL)
+    * collide, breaking the "any single-row change flips it" contract.
+    * Exact types only (ints/strings/dates): float formatting differs
+    * across engines. Residual documented collision: a VALUE that itself
+    * contains the U+0001 separator at a field boundary, or that equals
+    * the U+0002 sentinel, can alias a neighboring row shape; corpora
+    * that may carry control chars should pre-strip them (the
+    * TextOps normalize step does). */
   def rowHash(cols: Seq[Column]): Column =
     conv(substring(md5(to_binary(
-      concat_ws("\u0001", cols.map(_.cast("string")): _*), lit("utf-8"))),
+      concat_ws("\u0001",
+        cols.map(c => coalesce(c.cast("string"), lit("\u0002"))): _*),
+      lit("utf-8"))),
       1, 15), 16, 10).cast("long")
 
   /** Per-group manifest of `df`: row count and order-invariant content
@@ -48,7 +56,8 @@ object ManifestOps {
 
   private def manifestHashSql(cols: Seq[String]): String = {
     // the SQL-text twin of rowHash, so `manifest` stays expression-only
-    val concat = cols.map(c => s"cast($c as string)")
+    val concat = cols
+      .map(c => s"coalesce(cast($c as string), '\\u0002')")
       .mkString("concat_ws('\\u0001', ", ", ", ")")
     s"cast(conv(substring(md5(to_binary($concat, 'utf-8')), 1, 15), 16, 10) as bigint)"
   }
@@ -63,8 +72,11 @@ object ManifestOps {
   val q41ManifestSql: String =
     """SELECT source, count(*) AS n,
       |  bit_xor(CAST(('0x' || substring(md5(
-      |    concat_ws(chr(1), CAST(doc_id AS VARCHAR), text, lang,
-      |              CAST(n_chars AS VARCHAR))), 1, 15)) AS BIGINT))
+      |    concat_ws(chr(1),
+      |      coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+      |      coalesce(text, chr(2)), coalesce(lang, chr(2)),
+      |      coalesce(CAST(n_chars AS VARCHAR), chr(2)))),
+      |    1, 15)) AS BIGINT))
       |    AS fingerprint
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 

@@ -64,9 +64,15 @@ object ProfileOps {
       .groupBy(bucket.as("bucket"))
       .agg(count(when(refPred, 1)).as("n_ref"),
         count(when(curPred, 1)).as("n_cur"))
+    // right-join against the full 0..k-1 bucket frame: a bucket empty in
+    // BOTH snapshots still owes its (smoothed, nonzero when totals
+    // differ) PSI term, and the output is always exactly k rows
+    val frame = df.sparkSession.range(k.toLong)
+      .select(col("id").cast("int").as("bucket"))
     val w = Window.orderBy(col("bucket")).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    counts
+    frame.join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
       .withColumn("_tr", sum(col("n_ref")).over(w))
       .withColumn("_tc", sum(col("n_cur")).over(w))
       .withColumn("p_ref",
@@ -111,12 +117,17 @@ object ProfileOps {
       |    count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS n_ref,
       |    count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_cur
       |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
-      |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM b)
+      |fb AS (
+      |  SELECT f.bucket, coalesce(b.n_ref, 0) AS n_ref,
+      |    coalesce(b.n_cur, 0) AS n_cur
+      |  FROM (SELECT unnest(generate_series(0, 9)) AS bucket) f
+      |  LEFT JOIN b ON f.bucket = b.bucket),
+      |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM fb)
       |SELECT bucket, n_ref, n_cur,
       |  round(((n_cur + 0.5) / (tc + 5.0) - (n_ref + 0.5) / (tr + 5.0))
       |    * ln(((n_cur + 0.5) / (tc + 5.0))
       |        / ((n_ref + 0.5) / (tr + 5.0))), 8) AS psi_term
-      |FROM b, t ORDER BY bucket""".stripMargin
+      |FROM fb, t ORDER BY bucket""".stripMargin
 
   type QFn = (SparkSession, String) => DataFrame
   val all: Seq[(String, QFn, Option[String])] = Seq(

@@ -56,8 +56,13 @@ object QualityOps {
     val aggs = checks.zipWithIndex.map { case (c, i) =>
       c.violations.cast("long").as(s"_v$i") }
     val wide = df.agg(aggs.head, aggs.tail: _*)
+    // names are caller-supplied (satisfies(name, ...)) and get spliced
+    // into expression text — escape so a quote can't break parsing or
+    // inject expression fragments into expr()
+    def lit(s: String) =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     val stackArgs = checks.zipWithIndex
-      .map { case (c, i) => s"'${c.name}', _v$i" }.mkString(", ")
+      .map { case (c, i) => s"${lit(c.name)}, _v$i" }.mkString(", ")
     wide.select(expr(s"stack(${checks.size}, $stackArgs)")
         .as(Seq("constraint", "violations")))
       .withColumn("passed", (col("violations") === 0).cast("int"))
@@ -90,28 +95,41 @@ object QualityOps {
         orders, "o_custkey", customer, "c_custkey"))
       .orderBy("constraint")
 
-  /** Winsorization — clip a numeric column to its [pLo, pHi] exact
-    * percentiles (the standard tabular outlier treatment; clipping, not
-    * dropping, preserves row counts for downstream joins). The percentile
-    * pair is a one-row aggregate broadcast back over the data (the
-    * in-plan scalar pattern — no driver action), then a codegen'd
-    * greatest/least clamp. Exact `percentile` keeps the oracle contract;
-    * at 100 TB swap `percentile_approx` (the q18 pattern) — exact
-    * percentiles buffer per-distinct-value counts. */
-  def winsorize(df: DataFrame, c: String, pLo: Double,
-      pHi: Double): DataFrame = {
+  /** The percentile aggregate both treatments share. Default is
+    * `approx_percentile` (GK sketch, bounded state — the plan you run at
+    * 100 TB); `exact = true` switches to exact `percentile`, whose final
+    * buffer holds one entry per distinct value — unbounded on a high-NDV
+    * double column, so it exists for oracle contracts and small data, not
+    * production. `accuracy` is the sketch knob (1/accuracy relative rank
+    * error). */
+  private def pct(c: Column, p: Double, exact: Boolean,
+      accuracy: Int): Column =
+    if (exact) percentile(c, lit(p))
+    else percentile_approx(c, lit(p), lit(accuracy))
+
+  /** Winsorization — clip a numeric column to its [pLo, pHi] percentiles
+    * (the standard tabular outlier treatment; clipping, not dropping,
+    * preserves row counts for downstream joins). The percentile pair is a
+    * one-row aggregate broadcast back over the data (the in-plan scalar
+    * pattern — no driver action), then a codegen'd greatest/least clamp.
+    * Approximate percentiles by default (bounded sketch state — the
+    * 100 TB plan); `exact = true` pins the oracle contract. */
+  def winsorize(df: DataFrame, c: String, pLo: Double, pHi: Double,
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
     val bounds = df.agg(
-      expr(s"percentile($c, $pLo)").as("_plo"),
-      expr(s"percentile($c, $pHi)").as("_phi"))
+      pct(col(c), pLo, exact, accuracy).as("_plo"),
+      pct(col(c), pHi, exact, accuracy).as("_phi"))
     df.crossJoin(broadcast(bounds))
       .withColumn(c + "_w",
         least(greatest(col(c), col("_plo")), col("_phi")))
   }
 
   /** q44 registry entry: the clipping audit for orders value at P1/P99 —
-    * row count, rows clipped each side, mean before/after, the bounds. */
+    * row count, rows clipped each side, mean before/after, the bounds.
+    * `exact = true` because the DuckDB oracle computes exact quantiles;
+    * library callers get the approx default. */
   def winsorizeAudit(orders: DataFrame): DataFrame =
-    winsorize(orders, "o_totalprice", 0.01, 0.99)
+    winsorize(orders, "o_totalprice", 0.01, 0.99, exact = true)
       .agg(count(lit(1)).as("n"),
         count(when(col("o_totalprice") < col("_plo"), 1)).as("n_low"),
         count(when(col("o_totalprice") > col("_phi"), 1)).as("n_high"),
@@ -136,24 +154,25 @@ object QualityOps {
     * 1993, public canon): Mz = 0.6745·(x − median) / MAD, flag |Mz| > 3.5.
     * Median/MAD resist the very outliers they hunt (mean/stddev get
     * dragged). Two full passes by construction — MAD needs the median
-    * first — each a scalar aggregate broadcast back in-plan; exact
-    * `percentile` for the oracle, `percentile_approx`/`approx median` at
-    * 100 TB (the q18/q44 pattern). */
-  def madOutliers(df: DataFrame, c: String,
-      cutoff: Double = 3.5): DataFrame = {
-    val med = df.agg(expr(s"percentile($c, 0.5)").as("_med"))
+    * first — each a scalar aggregate broadcast back in-plan; approximate
+    * medians by default (the q44 pattern, bounded sketch state),
+    * `exact = true` pins the oracle contract. */
+  def madOutliers(df: DataFrame, c: String, cutoff: Double = 3.5,
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    val med = df.agg(pct(col(c), 0.5, exact, accuracy).as("_med"))
     val withMed = df.crossJoin(broadcast(med))
     val mad = withMed
-      .agg(expr(s"percentile(abs($c - _med), 0.5)").as("_mad"))
+      .agg(pct(abs(col(c) - col("_med")), 0.5, exact, accuracy).as("_mad"))
     withMed.crossJoin(broadcast(mad))
       .withColumn("_mz",
         lit(0.6745) * (col(c) - col("_med")) / col("_mad"))
       .withColumn("is_outlier", (abs(col("_mz")) > cutoff).cast("int"))
   }
 
-  /** q45 registry entry: the outlier audit for orders value. */
+  /** q45 registry entry: the outlier audit for orders value. Exact
+    * medians to match the DuckDB oracle; library callers get approx. */
   def madOutlierAudit(orders: DataFrame): DataFrame =
-    madOutliers(orders, "o_totalprice")
+    madOutliers(orders, "o_totalprice", exact = true)
       .agg(count(lit(1)).as("n"),
         count(when(col("is_outlier") === 1, 1)).as("n_outliers"),
         round(max(col("_med")), 4).as("med"),

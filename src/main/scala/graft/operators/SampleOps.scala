@@ -121,7 +121,8 @@ object SampleOps {
       |        1, 15)) AS BIGINT) % 10000 < round(f.frac * 10000)
       |      THEN 1 ELSE 0 END AS keep, f.frac
       |  FROM documents d JOIN f ON d.source = f.source)
-      |SELECT source, count(*) AS n_docs, sum(keep) AS n_selected,
+      |SELECT source, count(*) AS n_docs,
+      |  count(CASE WHEN keep = 1 THEN 1 END) AS n_selected,
       |  round(max(frac), 4) AS frac
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 

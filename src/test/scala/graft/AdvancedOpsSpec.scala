@@ -299,7 +299,8 @@ class AdvancedOpsSpec extends SparkSpec {
   test("winsorize clips to exact percentiles; interior rows untouched") {
     import spark.implicits._
     val df = (1 to 100).map(_.toDouble).toDF("v")
-    val w = graft.operators.QualityOps.winsorize(df, "v", 0.10, 0.90)
+    val w = graft.operators.QualityOps
+      .winsorize(df, "v", 0.10, 0.90, exact = true)
       .select("v", "v_w").collect()
       .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     // exact percentiles of 1..100 at 0.1/0.9 are 10.9 and 90.1 (up to
@@ -307,6 +308,32 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(math.abs(w(5.0) - 10.9) < 1e-9 && math.abs(w(100.0) - 90.1) < 1e-9)
     assert(w(50.0) == 50.0 && w(11.0) == 11.0 && w(90.0) == 90.0)
     assert(w.size == 100, "clipping must preserve row count")
+  }
+
+  test("winsorize/madOutliers default to approx percentiles (bounded sketch state)") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    // approx GK sketch at accuracy 10000 on 100 rows is exact to a rank:
+    // bounds land on real data values adjacent to the exact interpolated
+    // percentile, and clipping still preserves row count
+    val w = graft.operators.QualityOps.winsorize(df, "v", 0.10, 0.90)
+      .select("v", "v_w").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(w.size == 100)
+    assert(w(5.0) >= 10.0 && w(5.0) <= 11.0, w(5.0))
+    assert(w(100.0) >= 90.0 && w(100.0) <= 91.0, w(100.0))
+    assert(w(50.0) == 50.0)
+    // the default plan must carry the approx aggregate, not exact
+    val plan = graft.operators.QualityOps.winsorize(df, "v", 0.10, 0.90)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("percentile_approx"), plan.take(400))
+    assert(!plan.contains("percentile(v"), plan.take(400))
+    // approx madOutliers still isolates the wild point
+    val flagged = graft.operators.QualityOps
+      .madOutliers(((1 to 99).map(_.toDouble) :+ 1e6).toDF("v"), "v")
+      .filter(col("is_outlier") === 1).select("v")
+      .collect().map(_.getDouble(0)).toSet
+    assert(flagged == Set(1e6), flagged)
   }
 
   test("mad outliers: robust to the outlier itself; clean data unflagged") {
@@ -324,14 +351,17 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(clean == 0L)
   }
 
-  test("sizeShufflePartitionsFor: floor 8 on tiny inputs, cap at cores, restores runtime conf") {
+  test("sizeShufflePartitionsFor: floor 8 on tiny inputs, core cap wins, restores runtime conf") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
+      val cores = spark.sparkContext.defaultParallelism
       val n = graft.core.Sessions.sizeShufflePartitionsFor(spark, sf0001)
-      assert(n == 8, s"sf0.001 (~1 MB) must hit the floor, got $n")
-      assert(spark.conf.get("spark.sql.shuffle.partitions") == "8")
-      assert(n <= spark.sparkContext.defaultParallelism ||
-        spark.sparkContext.defaultParallelism < 8)
+      // sf0.001 (~1 MB) hits the floor of 8, but the core cap dominates
+      // (scaladoc contract: never exceed the session's core count)
+      val expected = math.min(cores, 8)
+      assert(n == expected, s"expected min(cores=$cores, floor 8) = $expected, got $n")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == expected.toString)
+      assert(n <= cores)
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
@@ -343,5 +373,64 @@ class AdvancedOpsSpec extends SparkSpec {
     val r = graft.operators.QualityOps
       .containment("t", child, "fk", parent, "pk").collect()(0)
     assert(r.getString(0) == "fk_t" && r.getLong(1) == 1L && r.getInt(2) == 0)
+  }
+
+  test("quality check: quotes in a constraint name neither break nor inject") {
+    import spark.implicits._
+    import graft.operators.QualityOps._
+    val rows = Seq(1L, 2L, -3L).toDF("k")
+    val got = check(rows, Seq(
+        satisfies("k's sign, isn't 'negative'", col("k") > 0)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("satisfies_k's sign, isn't 'negative'" -> 1L), got)
+  }
+
+  test("psiDrift emits all k buckets, including ones empty in both snapshots") {
+    import spark.implicits._
+    // all mass in bucket 0; cur half the size of ref → empty buckets owe
+    // a nonzero smoothed term (totals differ), and the frame is k rows
+    val df = ((1 to 100).map(_ => (1.0, "ref")) ++
+      (1 to 50).map(_ => (1.0, "cur"))).toDF("v", "snap")
+    val drift = graft.operators.ProfileOps.psiDrift(df, "v",
+        col("snap") === "ref", col("snap") === "cur", 0.0, 100.0, 10)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(drift.size == 10, s"must emit exactly k rows, got ${drift.size}")
+    assert((1 to 9).forall(b => drift(b)._1 == 0 && drift(b)._2 == 0))
+    // smoothed shares: 0.5/105 vs 0.5/55 — empty buckets contribute > 0
+    assert(drift(1)._3 > 0, drift(1).toString)
+    // equal totals: empty-bucket smoothed shares cancel exactly
+    val same = graft.operators.ProfileOps.psiDrift(
+        ((1 to 100).map(_ => (1.0, "ref")) ++ (1 to 100).map(_ => (1.0, "cur")))
+          .toDF("v", "snap"),
+        "v", col("snap") === "ref", col("snap") === "cur", 0.0, 100.0, 10)
+      .collect()
+    assert(same.length == 10)
+    assert(same.forall(r => math.abs(r.getDouble(3)) < 1e-12))
+  }
+
+  test("cdcLatest: a winning NULL op is kept (unknown op, not a tombstone)") {
+    import spark.implicits._
+    val changes = Seq[(Long, Int, String)](
+      (1L, 1, "upsert"), (1L, 2, null),      // key 1 wins with NULL op
+      (2L, 1, "upsert"), (2L, 2, "delete"),  // key 2 tombstoned
+      (3L, 1, "upsert"))                     // key 3 plain upsert
+      .toDF("k", "seq", "op")
+    val got = graft.operators.CdcOps.cdcLatest(changes, Seq("k"),
+        Seq(col("seq").desc), "op")
+      .select("k", "seq").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 2, 3L -> 1), got)
+  }
+
+  test("manifest: NULL position changes the fingerprint (no concat_ws skip-null alias)") {
+    import spark.implicits._
+    def fp(rows: Seq[(String, String, String)]) =
+      graft.operators.ManifestOps.manifest(
+          rows.toDF("a", "b", "g"), Seq("g"), Seq("a", "b"))
+        .collect()(0).getLong(2)
+    val nullMid = fp(Seq(("x", null, "g1")))
+    val nullEnd = fp(Seq((null, "x", "g1")))
+    assert(nullMid != nullEnd,
+      "(x, NULL) and (NULL, x) must not collide")
+    assert(fp(Seq(("x", null, "g1"))) == nullMid, "deterministic")
   }
 }

@@ -162,6 +162,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(delta <= 1, s"$delta new RDDs still pinned after CC — level leak")
   }
 
+  test("connected components: non-convergence fails loudly instead of truncating labels") {
+    import spark.implicits._
+    // path 0-1-...-6 needs ~6 rounds; maxIters=2 must throw, not return
+    // a partially-propagated label table
+    val pairs = (0L until 6L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(pairs, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+    // and the failed run must not leak pinned checkpoint blocks
+    val after = spark.sparkContext.getPersistentRDDs.size
+    DedupOps.connectedComponents(pairs, maxIters = 15).collect() // sanity: converges
+    assert(spark.sparkContext.getPersistentRDDs.size - after <= 1)
+  }
+
   test("simhash64 expression equals the explode-based DataFrame formulation") {
     GraftFunctions.register(spark)
     // independent formulation from built-ins only: tokenize, xxhash64 each

@@ -8,7 +8,14 @@ Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
   - compares (columns sorted by name, values stringified) both as-ordered
     and as sorted multisets.
 
-Usage: python3 tools/check.py <sfDir> <outDir>
+Both sides are fetched through the DuckDB -> pandas dataframe path (the
+same rendering pipeline the driver's canonicalizer uses) rather than raw
+fetchall()+str(). This is load-bearing: DuckDB types like HUGEINT (the
+result of sum(INTEGER)) convert to float64 in a dataframe and render
+"14.0", while a Spark BIGINT renders "14" — a real driver hash mismatch
+that Python str() over fetchall() values cannot see (the exact r08
+q42 failure class). str() canonicalization is strictly weaker than the
+gate this mirrors; don't reintroduce it.
 """
 import json
 import math
@@ -16,6 +23,8 @@ import os
 import sys
 
 import duckdb
+import numpy as np
+
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -24,23 +33,35 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(v):
     if v is None:
         return "\\N"
-    if isinstance(v, float):
+    if isinstance(v, np.ndarray):
+        return "[" + ", ".join(canon(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(canon(x) for x in v) + "]"
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, float):  # covers np.float64 (subclass of float)
         if math.isnan(v):
             return "NaN"
-        # render like a fixed decimal; values are pre-rounded in-query
+        # render like a fixed decimal; values are pre-rounded in-query.
+        # repr() keeps the int/float distinction: float64 14.0 -> "14.0"
+        # vs int64 14 -> "14" — the dtype divergence the driver hashes.
         return repr(v)
-    if isinstance(v, bool):
-        return "true" if v else "false"
+    try:
+        if v != v:  # pandas NaT and friends
+            return "NaN"
+    except Exception:
+        pass
     return str(v)
 
 
 def frame(con, sql):
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return [cols[i] for i in order], [
-        tuple(canon(r[i]) for i in order) for r in rows]
+    """Fetch through the dataframe path (driver-equivalent rendering)."""
+    df = con.execute(sql).fetchdf()
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = [tuple(canon(v) for v in r)
+            for r in df.itertuples(index=False, name=None)]
+    return list(cols), rows
 
 
 def main():
