@@ -283,44 +283,72 @@ class ShardSimReaderFactory(options: Map[String, String] = Map.empty)
   * src/Kinesis/Coordination.hs:300-337, minus the hand-rolled heartbeats —
   * Spark's executor liveness covers that).
   *
-  * Fault injection (test chaos hook — the analog of the reference's
-  * transient-read-error classification + retry, src/Kinesis/Kinesis.hs:
-  * 119-176, which Spark subsumes with task retry + micro-batch replay
-  * from the offset WAL): with `faultInjectMarker=<path>` and
+  * Source-level retry/backoff (the reference's per-call transient-error
+  * classification + retry, src/Kinesis/Kinesis.hs:119-176, where expired
+  * iterators and throttling retry with a delay while everything else is
+  * fatal): with `retryMaxAttempts=<n>` (default 0 = rely on Spark task
+  * retry + WAL replay alone), an `IOException` raised while pulling
+  * records is classified TRANSIENT and retried in place — exponential
+  * backoff `retryBaseDelayMs · 2^(attempt−1)` (default 100) capped at
+  * `retryMaxDelayMs` (default 10000), reopening the current shard file
+  * and seeking back to the exact record position, so already-emitted rows
+  * are never re-emitted. Any other exception is FATAL and propagates to
+  * Spark's task/query retry (the strictly-stronger outer loop). At 100 TB
+  * against a real flaky store this absorbs per-call blips without paying
+  * a task re-run; the outer WAL replay still covers everything the inner
+  * loop gives up on.
+  *
+  * Fault injection (test chaos hook): with `faultInjectMarker=<path>` and
   * `faultInjectAfter=<n>`, the FIRST reader to emit n records atomically
   * creates the marker file and dies with an IOException — exactly one
   * transient failure per marker path, mid-batch, after rows have already
-  * been produced. Subsequent attempts (the retry) find the marker and
-  * read clean. */
+  * been produced. Subsequent attempts (in-reader retry or task/query
+  * restart) find the marker and read clean. */
 class ShardSimPartitionReader(partition: ShardSim.ShardSimInputPartition,
     options: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
   private val faultAfter = options.get("faultinjectafter").map(_.toLong)
   private val faultMarker = options.get("faultinjectmarker")
+  private val retryMaxAttempts = options.get("retrymaxattempts").map(_.toInt).getOrElse(0)
+  private val retryBaseDelayMs = options.get("retrybasedelayms").map(_.toLong).getOrElse(100L)
+  private val retryMaxDelayMs = options.get("retrymaxdelayms").map(_.toLong).getOrElse(10000L)
   private var emitted = 0L
   private val ranges = partition.ranges.iterator
   private var lines: Iterator[String] = Iterator.empty
   private var currentShard: UTF8String = _
+  private var current: ShardSim.ShardRange = _
+  private var posInRange = 0L
   private var reader: java.io.BufferedReader = _
   private var row: InternalRow = _
+
+  /** (Re)open the current range's file and seek to `start + posInRange` —
+    * the resume point after a transient failure mid-range. */
+  private def openCurrent(): Unit = {
+    if (reader != null) { reader.close(); reader = null }
+    currentShard = UTF8String.fromString(current.shardId)
+    reader = Files.newBufferedReader(Paths.get(current.file), StandardCharsets.UTF_8)
+    // Long-safe range selection (a .toInt slice would silently truncate
+    // past 2^31 records); the skip loop reads and discards lines before
+    // the resume point
+    val skip = current.start + posInRange
+    var skipped = 0L
+    while (skipped < skip && reader.readLine() != null) skipped += 1
+    var remaining = current.end - current.start - posInRange
+    lines = Iterator.continually(reader.readLine()).takeWhile(_ != null)
+      .takeWhile { _ => remaining -= 1; remaining >= 0 }
+  }
 
   private def advanceRange(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
     if (!ranges.hasNext) return false
-    val r = ranges.next()
-    currentShard = UTF8String.fromString(r.shardId)
-    reader = Files.newBufferedReader(Paths.get(r.file), StandardCharsets.UTF_8)
-    // Long-safe range selection (a .toInt slice would silently truncate
-    // past 2^31 records); the skip loop reads and discards [0, start)
-    var skipped = 0L
-    while (skipped < r.start && reader.readLine() != null) skipped += 1
-    var remaining = r.end - r.start
-    lines = Iterator.continually(reader.readLine()).takeWhile(_ != null)
-      .takeWhile { _ => remaining -= 1; remaining >= 0 }
+    current = ranges.next()
+    posInRange = 0L
+    openCurrent()
     true
   }
 
-  override def next(): Boolean = {
+  /** One record pull; throws on (injected) read errors. */
+  private def pullNext(): Boolean = {
     if (faultAfter.contains(emitted) &&
         faultMarker.exists(m => new File(m).createNewFile()))
       throw new java.io.IOException(
@@ -335,9 +363,33 @@ class ShardSimPartitionReader(partition: ShardSim.ShardSimInputPartition,
       currentShard))
     // counted only when a row is actually produced, so the fault really
     // fires "after n records emitted" — not after n next() calls (the
-    // terminal false call would otherwise count too)
+    // terminal false call would otherwise count too); posInRange is the
+    // per-range resume point for the in-reader retry
     emitted += 1
+    posInRange += 1
     true
+  }
+
+  override def next(): Boolean = {
+    var attempt = 0
+    var out = Option.empty[Boolean]
+    while (out.isEmpty) {
+      try out = Some(pullNext())
+      catch {
+        // the reference's classification: IOException ~ transient
+        // (ExpiredIterator/Throttling); anything else fatal
+        case e: java.io.IOException if attempt < retryMaxAttempts =>
+          attempt += 1
+          val delay = math.min(retryMaxDelayMs,
+            retryBaseDelayMs << math.min(attempt - 1, 30))
+          System.err.println(s"[shardsim] transient read error " +
+            s"(attempt $attempt/$retryMaxAttempts, backoff ${delay}ms): " +
+            e.getMessage)
+          Thread.sleep(delay)
+          if (current != null) openCurrent() // reposition, never re-emit
+      }
+    }
+    out.get
   }
 
   override def get(): InternalRow = row

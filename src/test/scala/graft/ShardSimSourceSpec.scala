@@ -257,6 +257,39 @@ class ShardSimSourceSpec extends SparkSpec {
       "reader-failure replay must not duplicate records")
   }
 
+  test("reader-level retry/backoff absorbs a transient fault with NO task or query retry") {
+    // the reference's per-call classification + retry
+    // (src/Kinesis/Kinesis.hs:119-176) as a source option: local mode has
+    // task.maxFailures=1 and we never restart the query, so the ONLY way
+    // this run can succeed is the in-reader backoff loop repositioning
+    // and continuing — task retry and WAL replay are both unavailable
+    val dir = Files.createTempDirectory("shardsim_readerretry").toString
+    ShardSimFixture.generate(spark, sf0001, dir, nShards = 4)
+    val out = Files.createTempDirectory("readerretry_out").toString
+    val ckpt = Files.createTempDirectory("readerretry_ckpt").toString
+    val marker = Files.createTempDirectory("readerretry_marker")
+      .resolve("fired").toString
+    val q = ConsumeApp.decodedStream(spark, dir, Some(200L),
+        extraOptions = Map(
+          "faultInjectMarker" -> marker, "faultInjectAfter" -> "43",
+          "retryMaxAttempts" -> "3", "retryBaseDelayMs" -> "1"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+      }
+      .start()
+    q.awaitTermination() // throws if the fault escaped the retry loop
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(marker)),
+      "the fault must actually have fired (marker file)")
+    val result = spark.read.parquet(s"$out/batch_id=*")
+    assert(result.count() == nEvents,
+      s"retry resume lost/duplicated rows: ${result.count()}")
+    assert(result.select("event_id").distinct().count() == nEvents,
+      "in-reader resume must not re-emit already-produced records")
+  }
+
   test("a mid-write sink crash replays the batch: no loss, no dupes") {
     // the reference's at-least-once contract under worker death
     // (src/Kinesis/Coordination.hs:265-290) — here upgraded to exactly-once
