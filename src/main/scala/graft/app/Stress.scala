@@ -52,6 +52,9 @@ object Stress {
     // same re-key on both sides of the FK → replica r of an order points
     // at replica r of its customer, so q40's containment check stays clean
     val nCust = replicate("customer", Seq("c_custkey"))
+    // lineitem rides the same orderkey re-key (q48's correlation profile
+    // is scan-bound — the interesting scale axis is just row count)
+    val nItems = replicate("lineitem", Seq("l_orderkey"))
 
     println(s"[stress] $nDocs docs, $nVecs vectors, " +
       s"$nEvents events, $nOrders orders, $nCust customers " +
@@ -66,7 +69,9 @@ object Stress {
       "q34_chunk", "q34_pack", "q34_mixture", "q35_global_rank",
       "q36_cdc_apply", "q38_scd2_history", "q39_stratified_sample",
       "q40_constraints", "q41_manifest", "q42_temperature_sample",
-      "q43_drift", "q44_winsorize", "q45_mad_outliers")
+      "q43_drift", "q44_winsorize", "q45_mad_outliers",
+      "q46_bloom_prune", "q47_ks_drift", "q48_corr_matrix",
+      "q49_weighted_sample", "q50_zorder_layout")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.IntegerType
 
 /** `spark.sql.extensions` entry point: registers graft's custom Catalyst
@@ -41,5 +42,19 @@ object GraftExtensions {
             "paramType" -> "\"INT\""))
       }),
     ("simhash64", classOf[SimHash64].getName,
-      exprs => SimHash64(exprs(0))))
+      exprs => SimHash64(exprs(0))),
+    // Spark's own runtime-filter machinery (InjectRuntimeFilter's
+    // BloomFilterAggregate / BloomFilterMightContain), surfaced as named
+    // functions so a pipeline can build and apply a bloom semi-join
+    // prune DECLARATIVELY (PruneOps) instead of hoping the optimizer's
+    // thresholds fire. Not reimplemented: the engine's battle-tested
+    // sketch, merged map-side like any partial aggregate.
+    ("bloom_agg", classOf[BloomFilterAggregate].getName,
+      exprs => exprs.length match {
+        case 1 => new BloomFilterAggregate(exprs(0))
+        case 2 => new BloomFilterAggregate(exprs(0), exprs(1))
+        case _ => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+      }),
+    ("bloom_might_contain", classOf[BloomFilterMightContain].getName,
+      exprs => BloomFilterMightContain(exprs(0), exprs(1))))
 }

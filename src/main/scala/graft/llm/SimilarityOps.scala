@@ -119,6 +119,19 @@ object SimilarityOps {
     graft.sources.FileIO.writeParquetBucketed(
       lshBuckets(em), table, nBuckets, "bucket", Seq("bucket"))
 
+  /** Incrementally extend a persisted LSH index ([[writeLshIndex]]) with a
+    * new batch: the SAME seeded planes bucket the new vectors (plane seeds
+    * are library constants, so yesterday's files and today's agree on
+    * bucket ids), and the batch appends into the table's existing bucket
+    * layout — index maintenance cost is O(|batch|), never a corpus
+    * rebuild. AnnIndexSpec asserts knnLshIndexed over (index ∪ batch)
+    * answers identically to an index rebuilt from scratch. Mirrors the
+    * q23_dedup_incremental posture on the ANN side. */
+  def appendToLshIndex(newBatch: DataFrame, table: String,
+      nBuckets: Int = 8): Unit =
+    graft.sources.FileIO.appendParquetBucketed(
+      lshBuckets(newBatch), table, nBuckets, "bucket", Seq("bucket"))
+
   /** The budgeted probe set: per query, every bucket within `maxHamming`
     * bit flips of its own, annotated with the bucket's corpus count
     * (`bsz`) and kept in ascending-hamming order only while the cumulative
@@ -249,6 +262,29 @@ object SimilarityOps {
       centroidIds: Seq[Long] = CentroidIds): Unit =
     graft.sources.FileIO.writeParquetBucketed(
       ivfAssign(em, centroidIds), table, nBuckets, "cid", Seq("cid"))
+
+  /** Incrementally extend a persisted IVF index ([[writeIvfIndex]]): new
+    * vectors assign against the INDEX'S OWN centroid rows (by id — the
+    * centroid set is immutable once written, exactly like the LSH planes),
+    * then append into the cid-bucketed layout. O(|batch| × |centroids|)
+    * work; the corpus-wide assignment never reruns. Centroid drift /
+    * re-clustering is a rebuild, by design — the same contract as
+    * Faiss-style IVF (Jégou et al. 2011). */
+  def appendToIvfIndex(newBatch: DataFrame, table: String,
+      nBuckets: Int = 8, centroidIds: Seq[Long] = CentroidIds): Unit = {
+    val spark = newBatch.sparkSession
+    GraftFunctions.register(spark)
+    val cents = spark.table(table)
+      .filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      // a tiny (|centroids|-row) frame read from the very table the append
+      // writes into — pin it before the insert opens the table for write
+      .localCheckpoint()
+    val assigned = nearestCentroid(newBatch, cents, "vec_id", "embedding", 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    graft.sources.FileIO.appendParquetBucketed(
+      assigned, table, nBuckets, "cid", Seq("cid"))
+  }
 
   def knnIvf(em: DataFrame, queryIds: Seq[Long] = QueryIds, k: Int = TopK,
       nProbe: Int = NProbe, centroidIds: Seq[Long] = CentroidIds): DataFrame =

@@ -4,7 +4,7 @@ import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType, StructType}
 
 /** Distributed global order-statistics windows — SURVEY.md §2b Q35.
   *
@@ -95,6 +95,77 @@ object GlobalWindows {
           .otherwise(lit(0.0)))
       .drop("_gw_pid", "_gw_lrn", "_gw_lrk", "_gw_ldr",
         "_gw_row_off", "_gw_dr_off")
+  }
+
+  /** Distributed global running sum — `sum(x) OVER (ORDER BY keys)` with
+    * the same three-step shape as [[withGlobalOrderStats]] (range
+    * partition → one linear local pass → broadcast offset patch), never
+    * an Exchange SinglePartition. For each `(in, out)` in `sums`, appends
+    * `out` = the cumulative sum of `in` in global `keys` order (NULLs
+    * contribute nothing, like SQL SUM). Integral inputs accumulate as
+    * LONG (exact), fractional as DOUBLE. Within equal keys the running
+    * sum is row-order dependent (same contract as a ROWS window);
+    * aggregate `df` per key first if ties must collapse. */
+  def withGlobalRunningSum(df: DataFrame, keys: Seq[(String, Boolean)],
+      sums: Seq[(String, String)]): DataFrame = {
+    require(keys.nonEmpty, "global running sum needs at least one key")
+    require(sums.nonEmpty, "global running sum needs at least one column")
+    val sortCols = keys.map { case (n, asc) =>
+      if (asc) col(n).asc else col(n).desc }
+    val sumIdx = sums.map { case (in, _) => df.schema.fieldIndex(in) }
+    val isLong = sumIdx.map(i => df.schema(i).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    })
+
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+
+    var outSchema = StructType(df.schema.fields).add("_gw_pid", IntegerType)
+    sums.zip(isLong).foreach { case ((_, out), l) =>
+      outSchema = outSchema.add(out, if (l) LongType else DoubleType) }
+    val nSums = sums.size
+    val local = ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val accL = new Array[Long](nSums)
+      val accD = new Array[Double](nSums)
+      it.map { r =>
+        val vals = new Array[Any](nSums)
+        var j = 0
+        while (j < nSums) {
+          val v = r.get(sumIdx(j))
+          if (isLong(j)) {
+            if (v != null) accL(j) += v.asInstanceOf[Number].longValue()
+            vals(j) = accL(j)
+          } else {
+            if (v != null) accD(j) += v.asInstanceOf[Number].doubleValue()
+            vals(j) = accD(j)
+          }
+          j += 1
+        }
+        Row.fromSeq(r.toSeq ++ Seq[Any](pid) ++ vals)
+      }
+    }(Encoders.row(outSchema))
+
+    // per-partition totals ride the SAME range shuffle (ReusedExchange);
+    // the exclusive-prefix offsets are a |partitions|-row window
+    val aggs = sums.zipWithIndex.map { case ((in, _), j) =>
+      // all-NULL partitions total 0, not NULL — a NULL here would poison
+      // the offset arithmetic for that partition
+      coalesce(sum(col(in)), lit(0)).as(s"_gw_t$j") }
+    val counts = local.groupBy(col("_gw_pid")).agg(aggs.head, aggs.tail: _*)
+    val w = Window.orderBy(col("_gw_pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = sums.indices.foldLeft(counts) { (d, j) =>
+      d.withColumn(s"_gw_off$j",
+        sum(col(s"_gw_t$j")).over(w) - col(s"_gw_t$j"))
+    }.select(col("_gw_pid") +: sums.indices.map(j => col(s"_gw_off$j")): _*)
+
+    val patched = sums.zipWithIndex.foldLeft(
+        local.join(broadcast(offsets), "_gw_pid")) { case (d, ((_, out), j)) =>
+      d.withColumn(out, col(out) + col(s"_gw_off$j"))
+    }
+    patched.drop("_gw_pid" +: sums.indices.map(j => s"_gw_off$j"): _*)
   }
 
   /** Global NTILE(n) by `keys` (requires a total order for determinism,

@@ -85,6 +85,63 @@ object ProfileOps {
       .orderBy("bucket")
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov drift — the nonparametric
+    * complement to [[psiDrift]] (no bucket choice; sensitive anywhere the
+    * CDFs separate): D = max over pooled values x of
+    * |F_ref(x) − F_cur(x)|, with the asymptotic α=0.05 decision
+    * D > 1.358·√((n_ref+n_cur)/(n_ref·n_cur)) (Smirnov, public canon).
+    *
+    * Scale shape: ONE groupBy collapses the data to per-distinct-value
+    * conditional counts, the cumulative counts ride
+    * [[GlobalWindows.withGlobalRunningSum]] (range partition + local
+    * pass + broadcast offset patch — the q35 machinery, so a high-NDV
+    * column never funnels through Exchange SinglePartition), and the
+    * max-|diff| is a plain aggregate. One row out: n_ref, n_cur, ks_d,
+    * drifted. */
+  def ksDrift(df: DataFrame, valueCol: String, refPred: Column,
+      curPred: Column): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("_v"))
+      .agg(count(when(refPred, 1)).as("_nr"),
+        count(when(curPred, 1)).as("_nc"))
+    val cum = GlobalWindows.withGlobalRunningSum(counts,
+      Seq("_v" -> true), Seq("_nr" -> "_cr", "_nc" -> "_cc"))
+    val tot = counts.agg(sum(col("_nr")).as("_tr"), sum(col("_nc")).as("_tc"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("_diff", abs(
+        col("_cr").cast("double") / col("_tr")
+          - col("_cc").cast("double") / col("_tc")))
+      .agg(max(col("_tr")).as("n_ref"), max(col("_tc")).as("n_cur"),
+        round(max(col("_diff")) + lit(1e-9), 6).as("ks_d"),
+        max((col("_diff") > lit(1.358) * sqrt(
+          (col("_tr") + col("_tc")).cast("double")
+            / (col("_tr") * col("_tc")))).cast("int")).as("drifted"))
+  }
+
+  /** One-scan pairwise Pearson correlation profile of `cols` — the
+    * feature-redundancy / leakage sweep before training on tabular
+    * columns. All C(n,2) `corr` aggregates evaluate in a SINGLE wide
+    * aggregation row over one scan (the q37/q40 shape), then unpivot to
+    * (col_x, col_y, corr). The +1e-9-before-round guard is the
+    * FIXTURES.md §3 idiom: corr is a multi-term co-moment sum, so the
+    * last ulp is engine/order dependent. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlation matrix needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      corr(col(a), col(b)).as(s"_c_${a}_$b") }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs
+      .map { case (a, b) => s"'$a', '$b', `_c_${a}_$b`" }.mkString(", ")
+    wide.select(expr(
+        s"stack(${pairs.size}, $stackArgs) AS (col_x, col_y, _corr)"))
+      .select(col("col_x"), col("col_y"),
+        round(col("_corr") + lit(1e-9), 4).as("corr"))
+      .orderBy("col_x", "col_y")
+  }
+
   private val LineitemCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -129,6 +186,46 @@ object ProfileOps {
       |        / ((n_ref + 0.5) / (tr + 5.0))), 8) AS psi_term
       |FROM fb, t ORDER BY bucket""".stripMargin
 
+  /** q47 registry entry: KS drift between the even- and odd-keyed halves
+    * of orders on value — the same split as q43, so the two drift gates
+    * cross-check each other (both should sit at "no drift"). */
+  def ordersKsDrift(orders: DataFrame): DataFrame =
+    ksDrift(orders, "o_totalprice",
+      refPred = col("o_orderkey") % 2 === 0,
+      curPred = col("o_orderkey") % 2 === 1)
+
+  val q47KsSql: String =
+    """WITH c AS (SELECT o_totalprice AS v,
+      |    count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS nr,
+      |    count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS nc
+      |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+      |t AS (SELECT CAST(sum(nr) AS BIGINT) AS tr,
+      |    CAST(sum(nc) AS BIGINT) AS tc FROM c),
+      |s AS (SELECT
+      |    CAST(sum(nr) OVER (ORDER BY v) AS BIGINT) AS cr,
+      |    CAST(sum(nc) OVER (ORDER BY v) AS BIGINT) AS cc FROM c),
+      |d AS (SELECT abs(CAST(cr AS DOUBLE) / tr
+      |    - CAST(cc AS DOUBLE) / tc) AS diff FROM s, t)
+      |SELECT max(tr) AS n_ref, max(tc) AS n_cur,
+      |  round(max(diff) + 1e-9, 6) AS ks_d,
+      |  max(CAST(diff > 1.358 * sqrt(CAST(tr + tc AS DOUBLE)
+      |    / (tr * tc)) AS INT)) AS drifted
+      |FROM d, t""".stripMargin
+
+  /** q48 registry entry: the lineitem numeric-column correlation sweep. */
+  def lineitemCorrMatrix(lineitem: DataFrame): DataFrame =
+    corrMatrix(lineitem, LineitemCols)
+
+  val q48CorrSql: String = {
+    val pairs = for {
+      i <- LineitemCols.indices; j <- (i + 1) until LineitemCols.size
+    } yield (LineitemCols(i), LineitemCols(j))
+    pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y,
+         |  round(corr($a, $b) + 1e-9, 4) AS corr FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
+  }
+
   type QFn = (SparkSession, String) => DataFrame
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q37_profile",
@@ -136,5 +233,11 @@ object ProfileOps {
       Some(q37ProfileSql)),
     ("q43_drift",
       (s: SparkSession, d: String) => ordersDrift(Tables.orders(s, d)),
-      Some(q43DriftSql)))
+      Some(q43DriftSql)),
+    ("q47_ks_drift",
+      (s: SparkSession, d: String) => ordersKsDrift(Tables.orders(s, d)),
+      Some(q47KsSql)),
+    ("q48_corr_matrix",
+      (s: SparkSession, d: String) => lineitemCorrMatrix(Tables.lineitem(s, d)),
+      Some(q48CorrSql)))
 }

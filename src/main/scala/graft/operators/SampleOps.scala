@@ -134,6 +134,41 @@ object SampleOps {
         col("source"), col("n_chars"))
       .orderBy("lang", "sample_rank")
 
+  /** Deterministic weighted sampling WITHOUT replacement, k per stratum —
+    * Efraimidis–Spirakis A-ES (IPL 2006, public canon): each row draws a
+    * uniform u and keeps key u^(1/w); the top-k keys are exactly a
+    * weighted sample without replacement. Here u is the hash-uniform
+    * (bucket + 0.5)/10^6 of the id — so the draw is a pure function of
+    * the row (reproducible across engines/cluster sizes, the
+    * [[stratifiedFixedN]] contract) — and the top-k-per-stratum filter
+    * plans as WindowGroupLimit: map-side partial top-k, never a full
+    * stratum through one reducer. Weights must be > 0. */
+  def weightedSample(df: DataFrame, stratum: Column, id: Column,
+      weight: Column, k: Int): DataFrame = {
+    val u = (hashBucket(id, 1000000).cast("double") + 0.5) / 1000000.0
+    val key = pow(u, lit(1.0) / weight.cast("double"))
+    val w = Window.partitionBy(stratum).orderBy(key.desc, id.asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** q49 registry entry: 15 docs per language, weighted by length — long
+    * docs favored proportionally to n_chars, reproducibly. */
+  def weightedDocsPerLang(docs: DataFrame, k: Int = 15): DataFrame =
+    weightedSample(docs, col("lang"), col("doc_id"), col("n_chars"), k)
+      .select(col("lang"), col("sample_rank"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "sample_rank")
+
+  val q49WeightedSql: String =
+    """SELECT lang, sample_rank, doc_id, n_chars FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY
+      |      pow((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |             AS BIGINT) % 1000000 + 0.5) / 1000000.0,
+      |          1.0 / n_chars) DESC, doc_id) AS sample_rank
+      |  FROM documents) t
+      |WHERE sample_rank <= 15 ORDER BY lang, sample_rank""".stripMargin
+
   val q39StratifiedSql: String =
     """SELECT lang, sample_rank, doc_id, source, n_chars FROM (
       |  SELECT lang, doc_id, source, n_chars,
@@ -150,5 +185,8 @@ object SampleOps {
       Some(q39StratifiedSql)),
     ("q42_temperature_sample",
       (s: SparkSession, d: String) => temperatureAudit(Tables.documents(s, d)),
-      Some(q42TemperatureSql)))
+      Some(q42TemperatureSql)),
+    ("q49_weighted_sample",
+      (s: SparkSession, d: String) => weightedDocsPerLang(Tables.documents(s, d)),
+      Some(q49WeightedSql)))
 }

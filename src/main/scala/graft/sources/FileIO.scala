@@ -72,4 +72,18 @@ object FileIO {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
+
+  /** Append a batch to an existing bucketed table. The bucket spec must
+    * match the table's (Spark verifies against the catalog) — each append
+    * adds one file per (bucket, write job), which bucketed scans merge;
+    * compaction cadence is the deployment's call. This is the incremental
+    * half of the bucketed-index posture: the expensive write-time
+    * derivation runs only over the NEW rows. */
+  def appendParquetBucketed(df: DataFrame, table: String, nBuckets: Int,
+      bucketCol: String, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("append").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

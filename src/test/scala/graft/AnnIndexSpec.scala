@@ -30,6 +30,37 @@ class AnnIndexSpec extends SparkSpec {
       s"indexed LSH plan shuffles the corpus on bucket:\n$plan")
   }
 
+  test("incremental LSH append: (index ∪ batch) answers identically to a rebuild") {
+    val em = Tables.embeddings(spark, sf0001)
+    import org.apache.spark.sql.functions.col
+    // a 4/5 : 1/5 split by id — the batch includes query id 0 and 250, so
+    // the appended rows must be visible both as corpus AND as queries
+    val base = em.filter(col("vec_id") % 5 =!= 0)
+    val batch = em.filter(col("vec_id") % 5 === 0)
+    SimilarityOps.writeLshIndex(base, "ann_lsh_inc", nBuckets = 8)
+    SimilarityOps.appendToLshIndex(batch, "ann_lsh_inc", nBuckets = 8)
+    val incr = SimilarityOps.knnLshIndexed(spark.table("ann_lsh_inc"))
+    SimilarityOps.writeLshIndex(em, "ann_lsh_full", nBuckets = 8)
+    val full = SimilarityOps.knnLshIndexed(spark.table("ann_lsh_full"))
+    assert(incr.collect().toSeq == full.collect().toSeq)
+  }
+
+  test("incremental IVF append: assigns against stored centroids, matches rebuild") {
+    val em = Tables.embeddings(spark, sf0001)
+    import org.apache.spark.sql.functions.col
+    // the batch split must leave every centroid id in the base index —
+    // residue 4 mod 10 is centroid-free (ids 3,33,66,99,132,165,198,231)
+    val base = em.filter(col("vec_id") % 10 =!= 4)
+    val batch = em.filter(col("vec_id") % 10 === 4)
+    assert(SimilarityOps.CentroidIds.forall(_ % 10 != 4))
+    SimilarityOps.writeIvfIndex(base, "ann_ivf_inc", nBuckets = 8)
+    SimilarityOps.appendToIvfIndex(batch, "ann_ivf_inc", nBuckets = 8)
+    val incr = SimilarityOps.knnIvfIndexed(spark.table("ann_ivf_inc"))
+    SimilarityOps.writeIvfIndex(em, "ann_ivf_full", nBuckets = 8)
+    val full = SimilarityOps.knnIvfIndexed(spark.table("ann_ivf_full"))
+    assert(incr.collect().toSeq == full.collect().toSeq)
+  }
+
   test("persisted IVF index: identical top-k, assignment window never reruns") {
     val em = Tables.embeddings(spark, sf0001)
     SimilarityOps.writeIvfIndex(em, "ann_ivf_idx", nBuckets = 8)
