@@ -71,7 +71,10 @@ object Stress {
       "q40_constraints", "q41_manifest", "q42_temperature_sample",
       "q43_drift", "q44_winsorize", "q45_mad_outliers",
       "q46_bloom_prune", "q47_ks_drift", "q48_corr_matrix",
-      "q49_weighted_sample", "q50_zorder_layout")
+      "q49_weighted_sample", "q50_zorder_layout",
+      "q51_dedup_containment", "q52_js_drift", "q53_welch_ttest",
+      "q54_bigram_lm", "q55_dedup_cluster_stats", "q56_kmeans",
+      "q57_cohort_retention", "q58_char_entropy")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

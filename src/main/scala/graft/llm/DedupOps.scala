@@ -45,6 +45,9 @@ object DedupOps {
 
   private val K = 5            // shingle width (tokens)
   private val JaccardThreshold = 0.8
+  // Containment flags sub/superset dup pairs the Jaccard threshold misses;
+  // higher bar because min-normalization makes high scores easier to hit.
+  private val ContainmentThreshold = 0.9
 
   /** Max document frequency for a shingle to participate in candidate
     * generation. Shingles above the cap are boilerplate (site chrome, legal
@@ -245,6 +248,24 @@ object DedupOps {
     jaccardPairs(docs, k, dfCap)
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("d1", "d2")
+
+  /** Sub-/superset duplication by shingle CONTAINMENT — the second measure
+    * of Broder '97: c(A,B) = |A∩B| / min(|A|,|B|). A short document
+    * embedded whole inside a longer one (aggregator pages, quote farms,
+    * boilerplate-wrapped reposts) scores ≈1 here while its Jaccard —
+    * diluted by the longer document's extra shingles — stays far below any
+    * dedup threshold, so resemblance-only dedup ships the duplicate.
+    * Rides the SAME shared candidate-pair stage as [[ngramJaccard]] (one
+    * df-capped inverted-index self-join; n1/n2/inter are already on the
+    * pair rows), so the asymmetric measure costs no extra shuffle. */
+  def containmentPairs(docs: DataFrame,
+      threshold: Double = ContainmentThreshold, k: Int = K,
+      dfCap: Int = DefaultDfCap): DataFrame =
+    jaccardPairs(docs, k, dfCap)
+      .withColumn("cont", col("inter") / least(col("n1"), col("n2")))
+      .filter(col("cont") >= threshold)
+      .select(col("d1"), col("d2"), round(col("cont"), 4).as("containment"))
       .orderBy("d1", "d2")
 
   /** MinHash + LSH banding: signature → band buckets → candidate pairs →
@@ -492,6 +513,56 @@ object DedupOps {
        |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> keeper)
        |ORDER BY doc_id""".stripMargin
 
+  /** Dedup-run audit — the numbers a pipeline operator reads after a
+    * near-dup pass before trusting its output: corpus size, how many docs
+    * landed in a duplicate component, how many components (= kept docs
+    * among them), how many docs dedup removes, the largest component
+    * (template-cluster detector: a max_cluster in the thousands means a
+    * boilerplate family, not real duplication), and the bytes removed.
+    * ONE row out; reuses [[dedupKeeper]]'s components, so the pair stage
+    * and CC run once and the audit itself is three scalar aggregates
+    * combined in-plan (broadcast one-row frames, q17 pattern — no driver
+    * action). */
+  def dedupClusterStats(docs: DataFrame, threshold: Double = JaccardThreshold,
+      k: Int = K, dfCap: Int = DefaultDfCap, maxIters: Int = 15): DataFrame = {
+    val cc = dedupKeeper(docs, threshold, k, dfCap, maxIters)
+    val cl = cc.groupBy(col("keeper")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_clusters"),
+        coalesce(sum(col("sz")), lit(0L)).as("n_clustered"),
+        coalesce(max(col("sz")), lit(0L)).as("max_cluster"))
+    val dropped = cc.filter(col("doc_id") =!= col("keeper"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .agg(count(lit(1)).as("n_removed"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("chars_removed"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(cl)).crossJoin(broadcast(dropped))
+      .select(col("n_docs"), col("n_clustered"), col("n_clusters"),
+        col("n_removed"), col("max_cluster"), col("chars_removed"))
+  }
+  val dedupClusterStatsSql: String =
+    s"""WITH RECURSIVE ${pairsCte(capped = true)},
+       |np AS (
+       |  SELECT d1, d2 FROM pairs
+       |  WHERE inter / (n1 + n2 - inter) >= $JaccardThreshold),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM np
+       |  UNION ALL SELECT d2, d1 FROM np),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS keeper
+       |  FROM reach GROUP BY src),
+       |cl AS (SELECT keeper, count(*) AS sz FROM cc GROUP BY keeper),
+       |dr AS (SELECT c.doc_id, d.n_chars FROM cc c
+       |  JOIN documents d ON d.doc_id = c.doc_id WHERE c.doc_id <> c.keeper)
+       |SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |  (SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) FROM cl) AS n_clustered,
+       |  (SELECT count(*) FROM cl) AS n_clusters,
+       |  (SELECT count(*) FROM dr) AS n_removed,
+       |  (SELECT CAST(coalesce(max(sz), 0) AS BIGINT) FROM cl) AS max_cluster,
+       |  (SELECT CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM dr)
+       |    AS chars_removed""".stripMargin
+
   /** Exact dedup: md5 content hash → keep-first per group, plus a corpus
     * summary row (the corpus has no exact dups, so the per-group output
     * alone would be empty; the summary keeps the check meaningful). */
@@ -543,6 +614,15 @@ object DedupOps {
        |  JOIN sizes s1 ON s1.doc_id = a.doc_id
        |  JOIN sizes s2 ON s2.doc_id = b.doc_id
        |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** Containment oracle — same pair CTEs, min-normalized measure. */
+  private val containmentOracle: String =
+    s"""WITH ${pairsCte(capped = true)}
+       |SELECT d1, d2,
+       |  round(inter / least(n1, n2), 4) AS containment
+       |FROM pairs
+       |WHERE inter / least(n1, n2) >= $ContainmentThreshold
+       |ORDER BY d1, d2""".stripMargin
 
   /** Exact-Jaccard oracle for the df-capped shared pair stage. */
   private val jaccardOracle: String =
@@ -719,6 +799,9 @@ object DedupOps {
         incrementalNearDup(corpus, batch)
       },
       Some(incrementalNearDupSql)),
+    ("q51_dedup_containment",
+      (s: SparkSession, d: String) => containmentPairs(Tables.documents(s, d)),
+      Some(containmentOracle)),
     ("q23_dedup_minhash_lsh",
       (s: SparkSession, d: String) => minhashLsh(Tables.documents(s, d)),
       Some(jaccardOracleUncapped)),
@@ -734,6 +817,9 @@ object DedupOps {
     ("q23_dedup_corpus",
       (s: SparkSession, d: String) => dedupCorpus(Tables.documents(s, d)),
       Some(dedupCorpusSql)),
+    ("q55_dedup_cluster_stats",
+      (s: SparkSession, d: String) => dedupClusterStats(Tables.documents(s, d)),
+      Some(dedupClusterStatsSql)),
     ("q23_dedup_embedding",
       (s: SparkSession, d: String) => embeddingNearDup(Tables.embeddings(s, d)),
       Some(embeddingNearDupSql)),

@@ -314,6 +314,70 @@ object SimilarityOps {
     topk(scored, k)
   }
 
+  /** Spherical k-means — Lloyd iterations with cosine assignment and
+    * mean-vector update (Dhillon & Modha, Machine Learning 42, 2001): the
+    * clustering step that trains IVF centroids from data (vs
+    * [[ivfAssign]]'s fixed seed rows) and balances topic composition of a
+    * training mix. Deterministic by construction: seeds are fixed corpus
+    * rows, assignment ties break by cid, and every updated centroid
+    * component is rounded to 6 dp and narrowed to float, so the model
+    * STATE — not just the output — is bit-identical across engines (the
+    * FIXTURES.md §3 rounding posture applied to model parameters; the
+    * oracle replays the same rounded floats).
+    *
+    * Scale shape per iteration: assignment broadcasts k·d floats against
+    * one corpus scan (the corpus itself never shuffles for assignment);
+    * the update posexplodes to (cid, pos, v) triples whose map-side
+    * partial average collapses the shuffle to k·d rows per partition.
+    * `iters` is a fixed small constant — production k-means caps
+    * iterations, and a convergence test would cost a driver action per
+    * iteration for nothing at these counts. */
+  /** Assignment as a PURE MAP: the k (cid, centroid) pairs collapse to a
+    * one-row struct array broadcast in-plan, and each vector picks its
+    * argmax-cosine centroid with an array HOF — no join, no window, and
+    * crucially no per-vector shuffle (a row_number-over-vec_id
+    * formulation ships one pruned row per vector through an exchange
+    * EVERY iteration; this ships k·d floats once). Ties break to the
+    * smallest cid via the struct ordering (cos, −cid). */
+  private def argmaxCentroid(em: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents.agg(collect_list(struct(col("cid"), col("ce"))).as("cts"))
+    em.crossJoin(broadcast(packed))
+      .withColumn("_best", array_max(expr(
+        "transform(cts, c -> struct(cosine_sim(c.ce, embedding) AS cos," +
+          " -c.cid AS negcid))")))
+      .select(col("vec_id"), col("embedding"),
+        (-col("_best.negcid")).as("cid"), col("_best.cos").as("ccos"))
+  }
+
+  def kmeansCentroids(em: DataFrame, centroidIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    var cents = em.filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    for (_ <- 1 to iters) {
+      cents = argmaxCentroid(em, cents)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("ce"))
+    }
+    cents
+  }
+
+  /** q56 registry entry: the corpus clustered under [[kmeansCentroids]] —
+    * per-vector final assignment (vec_id, cid, cos). */
+  def kmeansAssign(em: DataFrame, centroidIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters): DataFrame = {
+    val cents = kmeansCentroids(em, centroidIds, iters)
+    argmaxCentroid(em, cents)
+      .select(col("vec_id"), col("cid"), round(col("ccos"), 4).as("cos"))
+      .orderBy("vec_id")
+  }
+
+  private val KmeansIters = 2
+
   /** Per-label centroids: element-wise mean over the embedding column via
     * posexplode → (label, pos) partial/final average → scalar summaries
     * (dim, L2 norm, head components). The explode shuffles (label, pos,
@@ -396,6 +460,42 @@ object SimilarityOps {
        |SELECT qid, rnk, vec_id AS neighbor, round(cos, 4) AS cos
        |FROM r WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin
 
+  /** One Lloyd assignment CTE: nearest centroid of `cents` per vector. */
+  private def kmeansAssignCte(cents: String, out: String): String =
+    s"""$out AS (SELECT vec_id, embedding, cid FROM (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.cid) AS crn
+       |  FROM embeddings e, $cents c) t WHERE crn = 1)""".stripMargin
+
+  /** One centroid-update CTE: element-wise mean, rounded to 6 dp and
+    * narrowed to float — the same model-state canonicalization the Spark
+    * path applies. */
+  private def kmeansUpdateCte(asg: String, out: String): String =
+    s"""$out AS (SELECT cid,
+       |  list_transform(list(m ORDER BY i), x -> CAST(x AS FLOAT)) AS ce
+       |  FROM (SELECT a.cid, g.i,
+       |      round(avg(CAST(a.embedding[g.i] AS DOUBLE)), 6) AS m
+       |    FROM $asg a, UNNEST(generate_series(1, len(a.embedding))) AS g(i)
+       |    GROUP BY a.cid, g.i) t GROUP BY cid)""".stripMargin
+
+  val kmeansSql: String = {
+    val iterCtes = (1 to KmeansIters).map { it =>
+      s"""${kmeansAssignCte(s"c${it - 1}", s"a$it")},
+         |${kmeansUpdateCte(s"a$it", s"c$it")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+       |$iterCtes,
+       |f AS (
+       |  SELECT e.vec_id, c.cid, ${cosSql("c.ce", "e.embedding")} AS cos,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.cid) AS crn
+       |  FROM embeddings e, c$KmeansIters c)
+       |SELECT vec_id, cid, round(cos, 4) AS cos
+       |FROM f WHERE crn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   val labelCentroidsSql: String =
     """WITH c AS (
       |  SELECT label, i - 1 AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
@@ -423,5 +523,8 @@ object SimilarityOps {
       Some(knnIvfSql)),
     ("q24_label_centroids",
       (s: SparkSession, d: String) => labelCentroids(Tables.embeddings(s, d)),
-      Some(labelCentroidsSql)))
+      Some(labelCentroidsSql)),
+    ("q56_kmeans",
+      (s: SparkSession, d: String) => kmeansAssign(Tables.embeddings(s, d)),
+      Some(kmeansSql)))
 }

@@ -32,6 +32,22 @@ object Text {
        |   i -> array_to_string($toks[i:i+${k - 1}], ' ')))
        | ELSE [] END""".stripMargin
 
+  /** k-token n-gram OCCURRENCES — [[shingles]] without the dedup: every
+    * window kept with multiplicity, as language-model counting requires
+    * (shingle sets are for resemblance; LM statistics are multisets). */
+  def ngramOccurrences(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB twin of [[ngramOccurrences]]. */
+  def ngramOccurrencesSql(toks: String, k: Int): String =
+    s"""CASE WHEN len($toks) >= $k
+       | THEN list_transform(generate_series(1, len($toks) - ${k - 1}),
+       |   i -> array_to_string($toks[i:i+${k - 1}], ' '))
+       | ELSE [] END""".stripMargin
+
   /** Fixed stopword list for term statistics / quality scoring. */
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")

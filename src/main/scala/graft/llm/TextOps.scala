@@ -361,6 +361,104 @@ object TextOps {
        |  CAST(sum(CASE WHEN rk <= $cap THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
        |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  /** Bigram language-model quality scoring — the in-corpus form of the
+    * CCNet perplexity filter (Wenzek et al., LREC 2020, which scores crawl
+    * text with a KenLM n-gram model): train add-k-smoothed bigram
+    * conditionals on the corpus itself, score each document by the mean
+    * negative log-likelihood of its bigram occurrences, report the
+    * macro-average per source. A source whose mean NLL sits far above the
+    * rest is garble/boilerplate-heavy; a shift between crawls is a
+    * quality regression. Model: P(w₂|w₁) = (c(w₁w₂)+a) / (c(w₁·)+a·V),
+    * a = 0.5, V = corpus unigram vocabulary; docs with < 2 tokens carry
+    * no bigrams and are excluded from scoring (n_docs counts scored docs).
+    *
+    * Scale shape: bigram occurrences are a pure per-row generate (no
+    * window); the model is the DISTINCT-bigram count table (Zipf-bounded,
+    * tiny next to occurrences); scoring is one shuffle join on the bigram
+    * key; V rides in-plan as a broadcast scalar (the q17 pattern). At
+    * 100 TB the count table is exactly the artifact you'd persist and
+    * broadcast per batch. */
+  def bigramLmScore(docs: DataFrame, addK: Double = 0.5): DataFrame = {
+    val base = Tables.fanout(docs).select(col("doc_id"), col("source"),
+      Text.tokens(col("text")).as("ts"))
+    val occ = base.select(col("doc_id"), col("source"),
+      explode(Text.ngramOccurrences(col("ts"), 2)).as("bg"))
+    val cnt = occ.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val stats = cnt.withColumn("w1", substring_index(col("bg"), " ", 1))
+    val pre = stats.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val voc = base.select(explode(col("ts")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    occ.join(stats.join(pre, "w1").select("bg", "c12", "c1"), "bg")
+      .crossJoin(broadcast(voc))
+      .withColumn("lp", log(
+        (col("c12") + lit(addK)) / (col("c1") + lit(addK) * col("v"))))
+      .groupBy(col("doc_id"), col("source"))
+      .agg((-avg(col("lp"))).as("nll"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("nll")) + lit(1e-9), 4).as("avg_nll"))
+      .orderBy("source")
+  }
+  val bigramLmSql: String =
+    s"""WITH tok AS (SELECT doc_id, source, ${Text.tokensSql("text")} AS ts
+       |  FROM documents),
+       |occ AS (SELECT doc_id, source,
+       |    unnest(${Text.ngramOccurrencesSql("ts", 2)}) AS bg FROM tok),
+       |cnt AS (SELECT bg, count(*) AS c12 FROM occ GROUP BY bg),
+       |st AS (SELECT bg, c12, split_part(bg, ' ', 1) AS w1 FROM cnt),
+       |pre AS (SELECT w1, sum(c12) AS c1 FROM st GROUP BY w1),
+       |v AS (SELECT count(DISTINCT t) AS v
+       |  FROM (SELECT unnest(ts) AS t FROM tok)),
+       |sc AS (SELECT o.doc_id, o.source,
+       |    ln((s.c12 + 0.5) / (p.c1 + 0.5 * v.v)) AS lp
+       |  FROM occ o JOIN st s USING (bg) JOIN pre p USING (w1), v),
+       |d AS (SELECT doc_id, source, -avg(lp) AS nll FROM sc GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_docs,
+       |  round(avg(nll) + 1e-9, 4) AS avg_nll
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  /** Character-entropy quality signal — Shannon entropy (nats) of each
+    * document's character distribution, macro-averaged per source:
+    * repeated-character garbage, template spam, and base64/hex blobs sit
+    * far from natural text on this axis (natural English ≈ 2.9 nats;
+    * a one-character doc scores 0), and it needs no language resources at
+    * all — the zeroth quality filter before anything tokenized. Computed
+    * as H = ln n − (Σ c·ln c)/n per doc (one division, no per-term
+    * shares). Documents with empty text have no characters and are
+    * excluded (n_docs counts scored docs).
+    *
+    * Scale shape: the char explode is corpus-chars rows — linear and
+    * embarrassingly parallel, but the heaviest text pass here; at 100 TB
+    * the drop-in replacement is a fixed 256-bin byte-histogram expression
+    * feeding the same two-level aggregation (the explode exists to keep
+    * the operator engine-checkable character-for-character). */
+  def charEntropy(docs: DataFrame): DataFrame =
+    Tables.fanout(docs)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("source"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * log(col("c"))).as("_clogc"))
+      .withColumn("entropy", log(col("n")) - col("_clogc") / col("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("entropy")) + lit(1e-9), 4).as("avg_entropy"))
+      .orderBy("source")
+  val charEntropySql: String =
+    """WITH ch AS (SELECT doc_id, source,
+      |    unnest(string_split_regex(text, '')) AS ch FROM documents),
+      |cc AS (SELECT doc_id, source, ch, count(*) AS c FROM ch
+      |  WHERE ch <> '' GROUP BY 1, 2, 3),
+      |d AS (SELECT doc_id, source,
+      |    ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy
+      |  FROM cc GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_docs,
+      |  round(avg(entropy) + 1e-9, 4) AS avg_entropy
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   private def onDocs(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.documents(s, d))
 
@@ -377,5 +475,7 @@ object TextOps {
     ("q25_tfidf", onDocs(tfidf), Some(tfidfSql)),
     ("q25_train_split", onDocs(trainSplit(_)), Some(trainSplitSql)),
     ("q25_normalize", onDocs(normalizeStats), Some(normalizeStatsSql)),
-    ("q25_source_cap", onDocs(sourceCap(_)), Some(sourceCapSql())))
+    ("q25_source_cap", onDocs(sourceCap(_)), Some(sourceCapSql())),
+    ("q54_bigram_lm", onDocs(bigramLmScore(_)), Some(bigramLmSql)),
+    ("q58_char_entropy", onDocs(charEntropy), Some(charEntropySql)))
 }

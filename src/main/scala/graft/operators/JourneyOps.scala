@@ -180,11 +180,65 @@ object JourneyOps {
       |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** q57 — weekly cohort retention, the canonical growth-analytics matrix:
+    * users are cohorted by the week of their first event; cell
+    * (cohort_week, week_offset) counts the cohort's distinct users active
+    * that week, with the retention fraction against the cohort's size
+    * (= its week-0 activity, since every user is active in their own
+    * first week).
+    *
+    * Scale shape: raw events collapse map-side (partial agg) into the
+    * DISTINCT (user, week) activity set — the first exchange carries
+    * activity pairs, not events; cohort assignment is a min WINDOW over
+    * the user partition of that set (second exchange — a window, not a
+    * groupBy + self-join, which would pay a third); the cell aggregation
+    * then reduces |users × active weeks| pairs to |cells|. The
+    * cohort-size window runs over the cells frame — metadata scale. No
+    * self-join of raw events anywhere. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val weeks = events.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("week")).distinct()
+    val withCohort = weeks.withColumn("cohort_week",
+      min(col("week")).over(Window.partitionBy(col("user_id"))))
+    val cells = withCohort
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val w = Window.partitionBy(col("cohort_week"))
+    cells
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(w))
+      .withColumn("retention",
+        round(col("n_active") / col("cohort_size"), 4))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"), col("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+  val q57CohortSql: String =
+    """WITH wk AS (SELECT DISTINCT user_id,
+      |    date_trunc('week', ts) AS week FROM events),
+      |co AS (SELECT user_id, min(week) AS cohort_week FROM wk
+      |  GROUP BY user_id),
+      |cells AS (SELECT cohort_week,
+      |    CAST(date_diff('day', cohort_week, week) // 7 AS INT)
+      |      AS week_offset,
+      |    count(DISTINCT w.user_id) AS n_active
+      |  FROM wk w JOIN co USING (user_id) GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset, n_active,
+      |  max(CASE WHEN week_offset = 0 THEN n_active END)
+      |    OVER (PARTITION BY cohort_week) AS cohort_size,
+      |  round(CAST(n_active AS DOUBLE)
+      |    / max(CASE WHEN week_offset = 0 THEN n_active END)
+      |      OVER (PARTITION BY cohort_week), 4) AS retention
+      |FROM cells ORDER BY cohort_week, week_offset""".stripMargin
+
   private def onEvents(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.events(s, d))
 
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q30_funnel", onEvents(funnel), Some(q30FunnelSql)),
     ("q30_interval_join", onEvents(clickPurchaseAttribution),
-      Some(q30IntervalJoinSql)))
+      Some(q30IntervalJoinSql)),
+    ("q57_cohort_retention", onEvents(cohortRetention), Some(q57CohortSql)))
 }

@@ -85,6 +85,78 @@ object ProfileOps {
       .orderBy("bucket")
   }
 
+  /** Jensen–Shannon divergence drift over the same fixed-bucket frame as
+    * [[psiDrift]] — the bounded complement: JSD = ½KL(P‖M) + ½KL(Q‖M)
+    * with M = (P+Q)/2 lands in [0, ln 2] regardless of how disjoint the
+    * snapshots are, where PSI diverges to ∞ as any bucket empties (Lin
+    * '91, "Divergence measures based on the Shannon entropy"). A drift
+    * gate wants both: PSI for the credit-scoring-canon thresholds, JSD
+    * for a comparable-across-columns normalized score. Identical plan
+    * shape: ONE conditional-count scan → k-row frame → metadata-scale
+    * windows; per-bucket terms sum to the divergence. */
+  def jsDrift(df: DataFrame, valueCol: String, refPred: Column,
+      curPred: Column, lo: Double, hi: Double, k: Int): DataFrame = {
+    require(k > 0 && hi > lo, "jsDrift needs a positive bucket count and range")
+    val width = (hi - lo) / k
+    val bucket = least(greatest(
+      floor((col(valueCol) - lo) / width), lit(0)), lit(k - 1)).cast("int")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(when(refPred, 1)).as("n_ref"),
+        count(when(curPred, 1)).as("n_cur"))
+    val frame = df.sparkSession.range(k.toLong)
+      .select(col("id").cast("int").as("bucket"))
+    val w = Window.orderBy(col("bucket")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    frame.join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .withColumn("_tr", sum(col("n_ref")).over(w))
+      .withColumn("_tc", sum(col("n_cur")).over(w))
+      .withColumn("p_ref",
+        (col("n_ref") + lit(0.5)) / (col("_tr") + lit(0.5 * k)))
+      .withColumn("p_cur",
+        (col("n_cur") + lit(0.5)) / (col("_tc") + lit(0.5 * k)))
+      .withColumn("_m", (col("p_ref") + col("p_cur")) / 2)
+      .withColumn("js_term", round(
+        lit(0.5) * col("p_ref") * log(col("p_ref") / col("_m"))
+          + lit(0.5) * col("p_cur") * log(col("p_cur") / col("_m")), 8))
+      .select(col("bucket"), col("n_ref"), col("n_cur"), col("js_term"))
+      .orderBy("bucket")
+  }
+
+  /** Welch's unequal-variance t-test between two row populations of one
+    * column — the A/B mean-shift decision (did the new crawl source /
+    * filter change mean document quality?): t = (x̄₁−x̄₂)/√(s₁²/n₁+s₂²/n₂)
+    * with Welch–Satterthwaite degrees of freedom (Welch '47). Decision at
+    * the z critical value 1.96 (α=0.05 two-sided) — exact for the df ≫ 30
+    * populations a data pipeline compares; documented approximation, not
+    * a t-table lookup. ONE conditional wide aggregation over ONE scan
+    * (the q37/q40 shape); one row out. */
+  def welchTTest(df: DataFrame, valueCol: String, predA: Column,
+      predB: Column): DataFrame = {
+    val v = col(valueCol)
+    val a = when(predA, v)
+    val b = when(predB, v)
+    df.agg(
+        count(a).as("n_a"), count(b).as("n_b"),
+        avg(a).as("_ma"), avg(b).as("_mb"),
+        var_samp(a).as("_va"), var_samp(b).as("_vb"))
+      .withColumn("_sea", col("_va") / col("n_a"))
+      .withColumn("_seb", col("_vb") / col("n_b"))
+      .withColumn("_t",
+        (col("_ma") - col("_mb")) / sqrt(col("_sea") + col("_seb")))
+      .withColumn("_df",
+        pow(col("_sea") + col("_seb"), 2)
+          / (pow(col("_sea"), 2) / (col("n_a") - 1)
+            + pow(col("_seb"), 2) / (col("n_b") - 1)))
+      .select(col("n_a"), col("n_b"),
+        round(col("_ma") + lit(1e-9), 4).as("mean_a"),
+        round(col("_mb") + lit(1e-9), 4).as("mean_b"),
+        round(col("_t") + lit(1e-9), 4).as("t_stat"),
+        round(col("_df") + lit(1e-9), 2).as("df_w"),
+        (abs(col("_t")) > lit(1.96)).cast("int").as("significant"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov drift — the nonparametric
     * complement to [[psiDrift]] (no bucket choice; sensitive anywhere the
     * CDFs separate): D = max over pooled values x of
@@ -212,6 +284,63 @@ object ProfileOps {
       |    / (tr * tc)) AS INT)) AS drifted
       |FROM d, t""".stripMargin
 
+  /** q52 registry entry: JS drift on the q43 split — the two bucketed
+    * drift gates run the same frame, so their "no drift" verdicts
+    * cross-check. */
+  def ordersJsDrift(orders: DataFrame): DataFrame =
+    jsDrift(orders, "o_totalprice",
+      refPred = col("o_orderkey") % 2 === 0,
+      curPred = col("o_orderkey") % 2 === 1,
+      lo = 0.0, hi = 600000.0, k = 10)
+
+  val q52JsSql: String =
+    """WITH b AS (
+      |  SELECT least(greatest(CAST(floor(o_totalprice / 60000.0) AS INT),
+      |      0), 9) AS bucket,
+      |    count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS n_ref,
+      |    count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_cur
+      |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+      |fb AS (
+      |  SELECT f.bucket, coalesce(b.n_ref, 0) AS n_ref,
+      |    coalesce(b.n_cur, 0) AS n_cur
+      |  FROM (SELECT unnest(generate_series(0, 9)) AS bucket) f
+      |  LEFT JOIN b ON f.bucket = b.bucket),
+      |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM fb),
+      |p AS (SELECT bucket, n_ref, n_cur,
+      |    (n_ref + 0.5) / (tr + 5.0) AS pr,
+      |    (n_cur + 0.5) / (tc + 5.0) AS pc
+      |  FROM fb, t)
+      |SELECT bucket, n_ref, n_cur,
+      |  round(0.5 * pr * ln(pr / ((pr + pc) / 2))
+      |    + 0.5 * pc * ln(pc / ((pr + pc) / 2)), 8) AS js_term
+      |FROM p ORDER BY bucket""".stripMargin
+
+  /** q53 registry entry: Welch t-test on event value, click vs view —
+    * the canonical "did engagement value shift between the two arms"
+    * question asked of the events stream. */
+  def eventsWelch(events: DataFrame): DataFrame =
+    welchTTest(events, "value",
+      predA = col("event_type") === "click",
+      predB = col("event_type") === "view")
+
+  val q53WelchSql: String =
+    """WITH s AS (SELECT
+      |    count(CASE WHEN event_type = 'click' THEN value END) AS n_a,
+      |    count(CASE WHEN event_type = 'view' THEN value END) AS n_b,
+      |    avg(CASE WHEN event_type = 'click' THEN value END) AS ma,
+      |    avg(CASE WHEN event_type = 'view' THEN value END) AS mb,
+      |    var_samp(CASE WHEN event_type = 'click' THEN value END) AS va,
+      |    var_samp(CASE WHEN event_type = 'view' THEN value END) AS vb
+      |  FROM events),
+      |d AS (SELECT *, va / n_a AS sea, vb / n_b AS seb FROM s)
+      |SELECT n_a, n_b,
+      |  round(ma + 1e-9, 4) AS mean_a, round(mb + 1e-9, 4) AS mean_b,
+      |  round((ma - mb) / sqrt(sea + seb) + 1e-9, 4) AS t_stat,
+      |  round(pow(sea + seb, 2) / (pow(sea, 2) / (n_a - 1)
+      |    + pow(seb, 2) / (n_b - 1)) + 1e-9, 2) AS df_w,
+      |  CAST(abs((ma - mb) / sqrt(sea + seb)) > 1.96 AS INT) AS significant
+      |FROM d""".stripMargin
+
   /** q48 registry entry: the lineitem numeric-column correlation sweep. */
   def lineitemCorrMatrix(lineitem: DataFrame): DataFrame =
     corrMatrix(lineitem, LineitemCols)
@@ -239,5 +368,11 @@ object ProfileOps {
       Some(q47KsSql)),
     ("q48_corr_matrix",
       (s: SparkSession, d: String) => lineitemCorrMatrix(Tables.lineitem(s, d)),
-      Some(q48CorrSql)))
+      Some(q48CorrSql)),
+    ("q52_js_drift",
+      (s: SparkSession, d: String) => ordersJsDrift(Tables.orders(s, d)),
+      Some(q52JsSql)),
+    ("q53_welch_ttest",
+      (s: SparkSession, d: String) => eventsWelch(Tables.events(s, d)),
+      Some(q53WelchSql)))
 }

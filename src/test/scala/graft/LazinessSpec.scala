@@ -20,7 +20,8 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
   *    depth beats laziness for an iterative fixpoint). */
 class LazinessSpec extends SparkSpec {
 
-  private val iterativeByDesign = Set("q23_dedup_keeper", "q23_dedup_corpus")
+  private val iterativeByDesign =
+    Set("q23_dedup_keeper", "q23_dedup_corpus", "q55_dedup_cluster_stats")
 
   test("constructing registry queries fires no Spark job") {
     // pre-warm per-table schema resolution so first-touch footer reads
