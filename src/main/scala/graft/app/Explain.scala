@@ -44,7 +44,13 @@ object Explain {
     "q53_welch_ttest"       -> "Welch A/B decision: one conditional wide agg over one scan, one row out",
     "q54_bigram_lm"         -> "bigram LM: pure generate + Zipf-bounded count table, scoring is one join on the bigram key",
     "q56_kmeans"            -> "spherical k-means: per-iter broadcast assignment, k*d-row update shuffle (corpus never shuffles)",
-    "q57_cohort_retention"  -> "cohort matrix: map-side distinct (user,week) collapse, one user-key exchange reused by the cohort join")
+    "q57_cohort_retention"  -> "cohort matrix: map-side distinct (user,week) collapse, one user-key exchange reused by the cohort join",
+    "q59_benford"           -> "Benford: one conditional scan to a 9-digit frame; string-head digit, no log10 ulp hazard",
+    "q60_gini"              -> "Gini: per-key totals then the q35 distributed rank — never Exchange SinglePartition on keys",
+    "q61_markov_transitions" -> "Markov: one user-key shuffle serves the lead window; |types|^2 normalizing frame",
+    "q63_zipf_fit"          -> "Zipf: term counts -> TakeOrderedAndProject top-k -> regression over a k-row frame",
+    "q64_quantize_audit"    -> "int8 quantize: expression-only HOFs over one scan; only the |labels|-row rollup shuffles",
+    "q65_hll_vocab"         -> "HLL: fixed-size DataSketches rows shuffle, union rollup never rescans terms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -74,7 +74,10 @@ object Stress {
       "q49_weighted_sample", "q50_zorder_layout",
       "q51_dedup_containment", "q52_js_drift", "q53_welch_ttest",
       "q54_bigram_lm", "q55_dedup_cluster_stats", "q56_kmeans",
-      "q57_cohort_retention", "q58_char_entropy")
+      "q57_cohort_retention", "q58_char_entropy",
+      "q59_benford", "q60_gini", "q61_markov_transitions",
+      "q62_volume_anomaly", "q63_zipf_fit", "q64_quantize_audit",
+      "q65_hll_vocab")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

@@ -496,6 +496,59 @@ object SimilarityOps {
        |FROM f WHERE crn = 1 ORDER BY vec_id""".stripMargin
   }
 
+  /** q64 — int8 symmetric scalar quantization audit: quantize each
+    * embedding to 8-bit integers with a per-vector scale (q = ⌊x/amax·127
+    * + ½⌋, the absmax scheme every vector store and LLM.int8-style kernel
+    * uses), dequantize, and report per-label reconstruction error (RMSE,
+    * worst component, mean scale). The decision table for "can this
+    * corpus serve ANN from int8" — 4× memory/IO off the 100 TB embedding
+    * column — read BEFORE flipping the index build.
+    *
+    * Entirely expression-level array HOFs (transform/zip_with/aggregate)
+    * over one scan; the only exchange is the |labels|-row final rollup.
+    * Determinism: math in double, rounding via ⌊v+½⌋ (identical in both
+    * engines — no banker's-rounding divergence), fold order left-to-right
+    * on both sides, and amax = |x| max is exact. Zero vectors carry no
+    * scale and are excluded. */
+  def quantizeAudit(em: DataFrame): DataFrame = {
+    val x = transform(col("embedding"), e => e.cast("double"))
+    em.select(col("label"), x.as("_x"))
+      .withColumn("_amax", array_max(expr("transform(_x, e -> abs(e))")))
+      .filter(col("_amax") > 0)
+      .withColumn("_dq", expr(
+        "transform(_x, e -> floor(e / _amax * 127.0 + 0.5) * _amax / 127.0)"))
+      .withColumn("_rmse", sqrt(
+        expr("aggregate(zip_with(_x, _dq, (a, b) -> a - b)," +
+          " CAST(0.0 AS DOUBLE), (acc, e) -> acc + e * e)") / size(col("_x"))))
+      .withColumn("_maxe", array_max(expr(
+        "transform(zip_with(_x, _dq, (a, b) -> a - b), e -> abs(e))")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("_rmse")) + lit(1e-9), 6).as("avg_rmse"),
+        round(max(col("_maxe")) + lit(1e-9), 6).as("max_abs_err"),
+        round(avg(col("_amax")) + lit(1e-9), 4).as("avg_amax"))
+      .orderBy("label")
+  }
+  val quantizeAuditSql: String =
+    """WITH x AS (SELECT label,
+      |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xs
+      |  FROM embeddings),
+      |m AS (SELECT label, xs,
+      |    list_max(list_transform(xs, e -> abs(e))) AS amax FROM x),
+      |d AS (SELECT label, amax,
+      |    list_transform(xs,
+      |      e -> e - floor(e / amax * 127.0 + 0.5) * amax / 127.0) AS errs
+      |  FROM m WHERE amax > 0),
+      |e AS (SELECT label, amax,
+      |    sqrt(list_sum(list_transform(errs, e -> e * e)) / len(errs))
+      |      AS rmse,
+      |    list_max(list_transform(errs, e -> abs(e))) AS maxe FROM d)
+      |SELECT label, count(*) AS n_vecs,
+      |  round(avg(rmse) + 1e-9, 6) AS avg_rmse,
+      |  round(max(maxe) + 1e-9, 6) AS max_abs_err,
+      |  round(avg(amax) + 1e-9, 4) AS avg_amax
+      |FROM e GROUP BY label ORDER BY label""".stripMargin
+
   val labelCentroidsSql: String =
     """WITH c AS (
       |  SELECT label, i - 1 AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
@@ -526,5 +579,8 @@ object SimilarityOps {
       Some(labelCentroidsSql)),
     ("q56_kmeans",
       (s: SparkSession, d: String) => kmeansAssign(Tables.embeddings(s, d)),
-      Some(kmeansSql)))
+      Some(kmeansSql)),
+    ("q64_quantize_audit",
+      (s: SparkSession, d: String) => quantizeAudit(Tables.embeddings(s, d)),
+      Some(quantizeAuditSql)))
 }

@@ -51,8 +51,40 @@ object SketchOps {
        |SELECT lang, term, n FROM r WHERE rn <= 15
        |ORDER BY lang, n DESC, term""".stripMargin
 
+  /** q65 — mergeable distinct-count sketches (Apache DataSketches HLL,
+    * via Spark's built-in `hll_sketch_agg`/`hll_union_agg`): per
+    * (lang, source) vocabulary sketches rolled up to per-lang estimates
+    * WITHOUT rescanning — the composable form of q18's one-shot
+    * approx_count_distinct. This is the 100 TB cardinality idiom: each
+    * ingest batch/partition persists a kilobyte sketch, and any slice's
+    * distinct count (per lang, per day, whole corpus) is a union of
+    * sketches, never a rescan; the union is also how a 1000-executor
+    * cluster combines partial counts with fixed-size shuffle rows.
+    *
+    * Registry entry is rows-only by design (the estimate is
+    * engine-specific — DuckDB has no DataSketches HLL); SketchSpec
+    * asserts the union estimate lands within the configured-precision
+    * error bound of the exact distinct, and that union-of-parts equals
+    * sketching the whole. */
+  def hllVocabBySource(docs: DataFrame, lgK: Int = 12): DataFrame = {
+    val terms = Tables.fanout(docs)
+      .select(col("lang"), col("source"),
+        explode(Text.tokens(col("text"))).as("term"))
+    val perSource = terms
+      .groupBy(col("lang"), col("source"))
+      .agg(hll_sketch_agg(col("term"), lit(lgK)).as("sk"))
+    perSource
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_vocab"))
+      .orderBy("lang")
+  }
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q31_heavy_hitters",
       (s: SparkSession, d: String) => heavyHittersPerLang(Tables.documents(s, d)),
-      Some(q31HeavyHittersSql)))
+      Some(q31HeavyHittersSql)),
+    ("q65_hll_vocab",
+      (s: SparkSession, d: String) => hllVocabBySource(Tables.documents(s, d)),
+      None))
 }

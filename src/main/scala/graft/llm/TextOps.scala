@@ -459,6 +459,48 @@ object TextOps {
       |  round(avg(entropy) + 1e-9, 4) AS avg_entropy
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** q63 — Zipf rank–frequency fit of the corpus vocabulary: OLS slope,
+    * intercept and R² of ln(freq) on ln(rank) over the top-k terms.
+    * Natural language sits near slope −1 (Zipf 1949); template/boilerplate
+    * corpora flatten the head (slope → 0) and machine-generated token
+    * salad breaks the fit (low R²) — a whole-corpus quality signature
+    * complementing the per-doc scores (q25 quality, q54 LM, q58 entropy).
+    *
+    * Scale shape: term counting is the q25_top_terms exchange (distinct
+    * terms, not occurrences); the top-k head plans as
+    * TakeOrderedAndProject (map-side pruned, never a global sort of the
+    * vocabulary); ranking + regression then run on a k-row frame —
+    * metadata scale. Ties on frequency break by term, so ranks are
+    * deterministic across engines. */
+  def zipfFit(docs: DataFrame, topK: Int = 100): DataFrame = {
+    val tf = Tables.fanout(docs)
+      .select(explode(Text.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t").asc)
+      .limit(topK)
+    val w = Window.orderBy(col("n").desc, col("t").asc)
+    tf.withColumn("rank", row_number().over(w))
+      .agg(count(lit(1)).as("n_terms"),
+        round(regr_slope(log(col("n")), log(col("rank"))) + lit(1e-9), 4)
+          .as("slope"),
+        round(regr_intercept(log(col("n")), log(col("rank"))) + lit(1e-9), 4)
+          .as("intercept"),
+        round(regr_r2(log(col("n")), log(col("rank"))) + lit(1e-9), 4)
+          .as("r2"))
+  }
+  val zipfFitSql: String =
+    s"""WITH tf AS (
+       |  SELECT t, count(*) AS n
+       |  FROM (SELECT unnest(${Text.tokensSql("text")}) AS t FROM documents)
+       |  GROUP BY t ORDER BY n DESC, t LIMIT 100),
+       |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, t) AS rank
+       |  FROM tf)
+       |SELECT count(*) AS n_terms,
+       |  round(regr_slope(ln(n), ln(rank)) + 1e-9, 4) AS slope,
+       |  round(regr_intercept(ln(n), ln(rank)) + 1e-9, 4) AS intercept,
+       |  round(regr_r2(ln(n), ln(rank)) + 1e-9, 4) AS r2
+       |FROM r""".stripMargin
+
   private def onDocs(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.documents(s, d))
 
@@ -477,5 +519,6 @@ object TextOps {
     ("q25_normalize", onDocs(normalizeStats), Some(normalizeStatsSql)),
     ("q25_source_cap", onDocs(sourceCap(_)), Some(sourceCapSql())),
     ("q54_bigram_lm", onDocs(bigramLmScore(_)), Some(bigramLmSql)),
-    ("q58_char_entropy", onDocs(charEntropy), Some(charEntropySql)))
+    ("q58_char_entropy", onDocs(charEntropy), Some(charEntropySql)),
+    ("q63_zipf_fit", onDocs(zipfFit(_)), Some(zipfFitSql)))
 }

@@ -233,6 +233,46 @@ object JourneyOps {
       |      OVER (PARTITION BY cohort_week), 4) AS retention
       |FROM cells ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** q61 — first-order Markov transition matrix over per-user event
+    * sequences: P(next event type | current event type), the model behind
+    * next-action prediction, broken-flow detection (a transition whose
+    * probability collapses between releases), and journey simulation.
+    * Each user's events are ordered by (ts, event_id) — the id tiebreak
+    * makes simultaneous events, and therefore the matrix, deterministic.
+    * Terminal events (a user's last) have no successor and contribute no
+    * transition, the standard open-sequence convention.
+    *
+    * Scale shape: ONE fact shuffle on user_id serves the lead window
+    * (the q30/q38 posture); the transition counts then collapse to a
+    * |types|² frame — metadata scale — where the per-source normalizing
+    * window runs. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val srcW = Window.partitionBy(col("src"))
+    trans
+      .withColumn("p", round(
+        col("n") / sum(col("n")).over(srcW) + lit(1e-9), 4))
+      .select(col("src"), col("dst"), col("n"), col("p"))
+      .orderBy("src", "dst")
+  }
+  val q61MarkovSql: String =
+    """WITH s AS (SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |t AS (SELECT event_type AS src, next_type AS dst, count(*) AS n
+      |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, n,
+      |  round(n / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE)
+      |    + 1e-9, 4) AS p
+      |FROM t ORDER BY src, dst""".stripMargin
+
   private def onEvents(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.events(s, d))
 
@@ -240,5 +280,7 @@ object JourneyOps {
     ("q30_funnel", onEvents(funnel), Some(q30FunnelSql)),
     ("q30_interval_join", onEvents(clickPurchaseAttribution),
       Some(q30IntervalJoinSql)),
-    ("q57_cohort_retention", onEvents(cohortRetention), Some(q57CohortSql)))
+    ("q57_cohort_retention", onEvents(cohortRetention), Some(q57CohortSql)),
+    ("q61_markov_transitions", onEvents(markovTransitions),
+      Some(q61MarkovSql)))
 }

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Statistical integrity audits over large tables — the distributional
+  * checks a pipeline runs beside the structural gates (q40 constraints,
+  * q37 profile): digit-law conformance, concentration/skew, and
+  * time-series anomaly flags. Reference scope: the reference exposes raw
+  * per-record callbacks (`/root/reference/src/Kinesis/Kinesis.hs:42-176`)
+  * and leaves statistics to the consumer; these are the consumer-side
+  * audits re-expressed as engine operators.
+  *
+  * All three are ONE-scan shapes: a conditional/grouped aggregation whose
+  * post-processing runs on metadata-scale frames (9 digits, |users| totals,
+  * |types × days| cells) — nothing here re-shuffles the fact table twice.
+  */
+object StatsOps {
+
+  /** q59 — Benford first-digit conformance (Newcomb 1881, Benford 1938):
+    * the observed first-significant-digit distribution of a positive
+    * numeric column against log10(1 + 1/d), with per-digit chi-square
+    * terms. The canonical cheap fraud/synthetic-data detector: organic
+    * multiplicative quantities (prices, populations) follow the law;
+    * fabricated or truncated ones pile up on low or repeated digits. Σ of
+    * `chi2_term` against the chi-square(8) critical value is the gate.
+    *
+    * First digit via explicit floor + string head — NOT
+    * floor(x/10^floor(log10 x)), whose log10 sits a ulp below an integer
+    * at exact powers of ten and flips the digit per engine; and NOT a
+    * bare CAST to integer, which truncates in Spark but ROUNDS in DuckDB
+    * (8999.7 → 8999 vs 9000 — a digit flip at every .5 boundary). Values
+    * < 1 are excluded (their leading digit needs the log path;
+    * prices/counts don't need it).
+    *
+    * Plan: one conditional scan → 9-row frame; the digit frame is joined
+    * so digits with zero observations still emit their expected share
+    * (the q43/q52 fixed-frame posture). */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val obs = df.filter(col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val frame = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+    val w = Window.orderBy(col("digit")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    frame.join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("_tot", sum(col("n")).over(w))
+      .withColumn("_pexp", log(10.0, lit(1.0) + lit(1.0) / col("digit")))
+      .withColumn("_e", col("_tot") * col("_pexp"))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("_tot") + lit(1e-9), 4).as("p_obs"),
+        round(col("_pexp") + lit(1e-9), 4).as("p_benford"),
+        round(pow(col("n") - col("_e"), 2) / col("_e") + lit(1e-9), 4)
+          .as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  /** q59 registry entry: order totals — an organically multiplicative
+    * price column, the textbook Benford subject. */
+  def ordersBenford(orders: DataFrame): DataFrame =
+    benfordDigits(orders, "o_totalprice")
+
+  val q59BenfordSql: String =
+    """WITH o AS (
+      |  SELECT CAST(substring(
+      |      CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+      |      1, 1) AS INT) AS digit, count(*) AS n
+      |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+      |f AS (SELECT f.digit, coalesce(o.n, 0) AS n
+      |  FROM (SELECT unnest(generate_series(1, 9)) AS digit) f
+      |  LEFT JOIN o ON f.digit = o.digit),
+      |t AS (SELECT sum(n) AS tot FROM f)
+      |SELECT digit, CAST(n AS BIGINT) AS n,
+      |  round(n / tot + 1e-9, 4) AS p_obs,
+      |  round(log10(1.0 + 1.0 / digit) + 1e-9, 4) AS p_benford,
+      |  round(pow(n - tot * log10(1.0 + 1.0 / digit), 2)
+      |    / (tot * log10(1.0 + 1.0 / digit)) + 1e-9, 4) AS chi2_term
+      |FROM f, t ORDER BY digit""".stripMargin
+
+  /** q60 — Gini concentration of activity over a key: cohorts the fact
+    * table into per-key totals and computes the Gini coefficient by the
+    * rank formula G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending totals
+    * (Lerman & Yitzhaki 1984's covariance form, specialized to ranks).
+    * The source-domination audit of a training mix: G→0 means uniform
+    * contribution, G→1 means a handful of users/domains own the corpus —
+    * the number a mixture rebalance (q34) is trying to push down.
+    *
+    * Scale shape: one fact shuffle to per-key totals; the rank over
+    * |keys| rows uses the q35 distributed order-stats machinery (range
+    * partition + linear local pass + broadcast offset patch), NEVER an
+    * Exchange SinglePartition — at 10⁹ keys the rank stays parallel. The
+    * rank×total products then collapse to one row. Ties on the total
+    * break by key id, so ranks — and therefore G to the last ulp — are
+    * deterministic across engines. */
+  def giniByKey(df: DataFrame, keyCol: String): DataFrame = {
+    val totals = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    GlobalWindows.withGlobalOrderStats(totals,
+        Seq(("n_rows", true), (keyCol, true)))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("n_rows")).as("total_rows"),
+        sum(col("gw_row_number") * col("n_rows")).as("_s"))
+      .select(col("n_keys"), col("total_rows"),
+        round(lit(2.0) * col("_s")
+            / (col("n_keys").cast("double") * col("total_rows"))
+          - (col("n_keys") + lit(1.0)) / col("n_keys") + lit(1e-9), 4)
+          .as("gini"))
+  }
+
+  /** q60 registry entry: per-user event concentration. */
+  def eventsGini(events: DataFrame): DataFrame = giniByKey(events, "user_id")
+
+  val q60GiniSql: String =
+    """WITH a AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+      |r AS (SELECT n_rows,
+      |    row_number() OVER (ORDER BY n_rows, user_id) AS rn FROM a)
+      |SELECT count(*) AS n_keys,
+      |  CAST(sum(n_rows) AS BIGINT) AS total_rows,
+      |  round(2.0 * sum(rn * n_rows)
+      |      / (count(*) * CAST(sum(n_rows) AS DOUBLE))
+      |    - (count(*) + 1.0) / count(*) + 1e-9, 4) AS gini
+      |FROM r""".stripMargin
+
+  /** q62 — trailing-window volume anomalies: per (event_type, day) counts
+    * z-scored against the mean/stddev of the strictly-preceding 7
+    * observations (ROWS frame — yesterday leaks nothing of today). The
+    * ops-side drift gate: a traffic cliff or a duplicate-ingest spike
+    * shows up as |z| ≥ 3 the day it happens, per stream, without
+    * thresholds tuned per type. Rows without a full 7-day history (or
+    * with a degenerate zero-variance history) are not scored.
+    *
+    * Scale shape: the fact table collapses map-side into |types × days|
+    * cells — the only exchange the raw events pay; the trailing window
+    * partitions by type over that metadata-scale frame. At 100 TB the
+    * cells frame for a year of 1000 event types is 365 k rows. */
+  def volumeAnomalies(events: DataFrame, lookback: Int = 7,
+      zThreshold: Double = 3.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-lookback, -1)
+    daily
+      .withColumn("_nh", count(col("n")).over(w))
+      .withColumn("_m", avg(col("n")).over(w))
+      .withColumn("_sd", stddev_samp(col("n")).over(w))
+      .filter(col("_nh") === lookback && col("_sd") > 0)
+      .withColumn("_z", (col("n") - col("_m")) / col("_sd"))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("_m") + lit(1e-9), 4).as("mean7"),
+        round(col("_z") + lit(1e-9), 4).as("z"),
+        (abs(col("_z")) >= zThreshold).cast("int").as("anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  val q62AnomalySql: String =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, day, n,
+      |    count(n) OVER tw AS nh, avg(n) OVER tw AS m,
+      |    stddev_samp(n) OVER tw AS sd
+      |  FROM d WINDOW tw AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+      |  round(m + 1e-9, 4) AS mean7,
+      |  round((n - m) / sd + 1e-9, 4) AS z,
+      |  CAST(abs((n - m) / sd) >= 3.0 AS INT) AS anomaly
+      |FROM w WHERE nh = 7 AND sd > 0
+      |ORDER BY event_type, day""".stripMargin
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q59_benford",
+      (s: SparkSession, d: String) => ordersBenford(Tables.orders(s, d)),
+      Some(q59BenfordSql)),
+    ("q60_gini",
+      (s: SparkSession, d: String) => eventsGini(Tables.events(s, d)),
+      Some(q60GiniSql)),
+    ("q62_volume_anomaly",
+      (s: SparkSession, d: String) => volumeAnomalies(Tables.events(s, d)),
+      Some(q62AnomalySql)))
+}
