@@ -50,7 +50,9 @@ object Explain {
     "q61_markov_transitions" -> "Markov: one user-key shuffle serves the lead window; |types|^2 normalizing frame",
     "q63_zipf_fit"          -> "Zipf: term counts -> TakeOrderedAndProject top-k -> regression over a k-row frame",
     "q64_quantize_audit"    -> "int8 quantize: expression-only HOFs over one scan; only the |labels|-row rollup shuffles",
-    "q65_hll_vocab"         -> "HLL: fixed-size DataSketches rows shuffle, union rollup never rescans terms")
+    "q65_hll_vocab"         -> "HLL: fixed-size DataSketches rows shuffle, union rollup never rescans terms",
+    "q67_source_overlap"    -> "cross-source dup matrix: thresholded pairs join the slim (doc,source) projection twice; |sources|^2 rollup",
+    "q68_rfm_segments"      -> "RFM: one fact shuffle to user metrics, three distributed-ntile passes, 125-cell rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -563,6 +563,70 @@ object DedupOps {
        |  (SELECT CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM dr)
        |    AS chars_removed""".stripMargin
 
+  /** q66 — near-dup graph degree distribution: how many documents have 1,
+    * 2, … near-duplicate neighbors under the thresholded pair graph. The
+    * shape diagnostic a dedup audit reads beside [[dedupClusterStats]]:
+    * organic duplication is a long-tailed degree-1/2 histogram; a fat
+    * high-degree head means template families (and predicts CC component
+    * growth — q55's max_cluster — before running CC at all). Rides the
+    * shared pair stage; the histogram itself is two metadata-scale
+    * aggregations over the pair list. */
+  def dupGraphDegrees(docs: DataFrame, threshold: Double = JaccardThreshold,
+      k: Int = K, dfCap: Int = DefaultDfCap): DataFrame = {
+    val np = ngramJaccard(docs, threshold, k, dfCap)
+    np.select(col("d1").as("doc_id"))
+      .union(np.select(col("d2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+  val dupGraphDegreesSql: String =
+    s"""WITH ${pairsCte(capped = true)},
+       |np AS (SELECT d1, d2 FROM pairs
+       |  WHERE inter / (n1 + n2 - inter) >= $JaccardThreshold),
+       |deg AS (SELECT doc_id, count(*) AS degree FROM (
+       |    SELECT d1 AS doc_id FROM np
+       |    UNION ALL SELECT d2 FROM np) GROUP BY doc_id)
+       |SELECT degree, count(*) AS n_docs FROM deg
+       |GROUP BY degree ORDER BY degree""".stripMargin
+
+  /** q67 — cross-source duplication matrix: near-dup pair counts and mean
+    * Jaccard per unordered source pair. The crawl-curation question
+    * behind it: which sources are mirroring each other (off-diagonal
+    * mass — keep one), and which self-duplicate (diagonal mass — cap or
+    * re-chunk)? Decides source-level dedup ORDER before doc-level dedup
+    * runs at full cost.
+    *
+    * Scale shape: the thresholded pair list joins the slim
+    * (doc_id, source) projection twice — two hash joins keyed on 8-byte
+    * ids, each carrying the post-threshold pair volume (≪ corpus); the
+    * matrix rollup is |sources|² — metadata. */
+  def sourceOverlap(docs: DataFrame, threshold: Double = JaccardThreshold,
+      k: Int = K, dfCap: Int = DefaultDfCap): DataFrame = {
+    val np = ngramJaccard(docs, threshold, k, dfCap)
+    val src = docs.select(col("doc_id"), col("source"))
+    np.join(src.select(col("doc_id").as("d1"), col("source").as("_s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("_s2")), "d2")
+      .select(least(col("_s1"), col("_s2")).as("source_a"),
+        greatest(col("_s1"), col("_s2")).as("source_b"), col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")) + lit(1e-9), 4).as("avg_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+  val sourceOverlapSql: String =
+    s"""WITH ${pairsCte(capped = true)},
+       |np AS (SELECT d1, d2,
+       |    round(inter / (n1 + n2 - inter), 4) AS jaccard
+       |  FROM pairs WHERE inter / (n1 + n2 - inter) >= $JaccardThreshold),
+       |j AS (SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b, jaccard
+       |  FROM np JOIN documents da ON da.doc_id = np.d1
+       |  JOIN documents db ON db.doc_id = np.d2)
+       |SELECT source_a, source_b, count(*) AS n_pairs,
+       |  round(avg(jaccard) + 1e-9, 4) AS avg_jaccard
+       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Exact dedup: md5 content hash → keep-first per group, plus a corpus
     * summary row (the corpus has no exact dups, so the per-group output
     * alone would be empty; the summary keeps the check meaningful). */
@@ -820,6 +884,12 @@ object DedupOps {
     ("q55_dedup_cluster_stats",
       (s: SparkSession, d: String) => dedupClusterStats(Tables.documents(s, d)),
       Some(dedupClusterStatsSql)),
+    ("q66_dup_degrees",
+      (s: SparkSession, d: String) => dupGraphDegrees(Tables.documents(s, d)),
+      Some(dupGraphDegreesSql)),
+    ("q67_source_overlap",
+      (s: SparkSession, d: String) => sourceOverlap(Tables.documents(s, d)),
+      Some(sourceOverlapSql)),
     ("q23_dedup_embedding",
       (s: SparkSession, d: String) => embeddingNearDup(Tables.embeddings(s, d)),
       Some(embeddingNearDupSql)),

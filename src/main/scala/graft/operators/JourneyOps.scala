@@ -273,6 +273,65 @@ object JourneyOps {
       |    + 1e-9, 4) AS p
       |FROM t ORDER BY src, dst""".stripMargin
 
+  /** q68 — RFM segmentation (Hughes '94, the retention-marketing
+    * canon): per-user Recency (days since last event, vs the corpus max
+    * date riding in-plan as a broadcast scalar — no driver action),
+    * Frequency (event count) and Monetary (summed value), each cut into
+    * quintiles, rolled up to per-segment population and means. Quintile 1
+    * is best on every axis (most recent / most frequent / highest value),
+    * so segment (1,1,1) is the champion cell and (5,5,5) the churned one.
+    *
+    * Scale shape: one fact shuffle to per-user metrics; each quintile is
+    * a [[GlobalWindows.withGlobalNtile]] pass — range partition + linear
+    * local pass + broadcast offset patch over |users| rows, never an
+    * Exchange SinglePartition. Monetary is rounded to 4 dp BEFORE ranking
+    * so the quintile cut is invariant to summation-order ulps; all ties
+    * break by user_id. The rollup output is ≤ 125 cells — metadata. */
+  def rfmSegments(events: DataFrame, buckets: Int = 5): DataFrame = {
+    val byUser = events.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("_last_day"),
+        count(lit(1)).as("freq"),
+        round(sum(col("value")) + lit(1e-9), 4).as("monetary"))
+    val ref = events.agg(max(to_date(col("ts"))).as("_ref_day"))
+    val m = byUser.crossJoin(broadcast(ref))
+      .withColumn("recency_days",
+        datediff(col("_ref_day"), col("_last_day")).cast("int"))
+      .drop("_last_day", "_ref_day")
+    val gw = Seq("gw_row_number", "gw_rank", "gw_dense_rank",
+      "gw_percent_rank", "gw_count")
+    val q = Seq(
+      (Seq("recency_days" -> true, "user_id" -> true), "r_q"),
+      (Seq("freq" -> false, "user_id" -> true), "f_q"),
+      (Seq("monetary" -> false, "user_id" -> true), "m_q"))
+      .foldLeft(m) { case (df, (keys, out)) =>
+        GlobalWindows.withGlobalNtile(df, keys, buckets, out).drop(gw: _*)
+      }
+    q.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(col("recency_days")) + lit(1e-9), 4).as("avg_recency"),
+        round(avg(col("freq")) + lit(1e-9), 4).as("avg_freq"),
+        round(avg(col("monetary")) + lit(1e-9), 4).as("avg_monetary"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+  val q68RfmSql: String =
+    """WITH u AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+      |    count(*) AS freq, round(sum(value) + 1e-9, 4) AS monetary
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT user_id, freq, monetary,
+      |    CAST(date_diff('day', last_day,
+      |      (SELECT max(CAST(ts AS DATE)) FROM events)) AS INT)
+      |      AS recency_days FROM u),
+      |q AS (SELECT recency_days, freq, monetary,
+      |    ntile(5) OVER (ORDER BY recency_days, user_id) AS r_q,
+      |    ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_q,
+      |    ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_q
+      |  FROM r)
+      |SELECT r_q, f_q, m_q, count(*) AS n_users,
+      |  round(avg(recency_days) + 1e-9, 4) AS avg_recency,
+      |  round(avg(freq) + 1e-9, 4) AS avg_freq,
+      |  round(avg(monetary) + 1e-9, 4) AS avg_monetary
+      |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   private def onEvents(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.events(s, d))
 
@@ -282,5 +341,6 @@ object JourneyOps {
       Some(q30IntervalJoinSql)),
     ("q57_cohort_retention", onEvents(cohortRetention), Some(q57CohortSql)),
     ("q61_markov_transitions", onEvents(markovTransitions),
-      Some(q61MarkovSql)))
+      Some(q61MarkovSql)),
+    ("q68_rfm_segments", onEvents(rfmSegments(_)), Some(q68RfmSql)))
 }

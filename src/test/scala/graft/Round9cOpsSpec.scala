@@ -123,6 +123,50 @@ class Round9cOpsSpec extends SparkSpec {
     }
   }
 
+  test("dup degrees: handshake lemma and doc-count identity vs the pair list") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val pairs = graft.llm.DedupOps.ngramJaccard(docs)
+    val nPairs = pairs.count()
+    val degs = graft.llm.DedupOps.dupGraphDegrees(docs).collect()
+    assert(degs.nonEmpty)
+    // Σ degree·count = 2·|edges|; Σ count = |docs touching any pair|
+    assert(degs.map(r => r.getLong(0) * r.getLong(1)).sum == 2 * nPairs)
+    val touched = pairs.select(col("d1").as("d")).union(pairs.select(col("d2").as("d")))
+      .distinct().count()
+    assert(degs.map(_.getLong(1)).sum == touched)
+  }
+
+  test("source overlap: normalized pairs partition the thresholded pair list") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val nPairs = graft.llm.DedupOps.ngramJaccard(docs).count()
+    val m = graft.llm.DedupOps.sourceOverlap(docs).collect()
+    assert(m.map(_.getLong(2)).sum == nPairs, "matrix cells partition pairs")
+    m.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), s"unnormalized cell $r")
+      assert(r.getDouble(3) >= 0.8 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("rfm: quintiles balanced, cells partition users, recency monotone") {
+    val events = graft.core.Tables.events(spark, sf0001)
+    val nUsers = events.select(col("user_id")).distinct().count()
+    val cells = JourneyOps.rfmSegments(events).collect()
+    assert(cells.map(_.getLong(3)).sum == nUsers, "cells partition users")
+
+    // each recency quintile holds ⌊n/5⌋..⌈n/5⌉ users, and mean recency
+    // is non-decreasing in the quintile number (1 = most recent)
+    val byR = cells.groupBy(_.getLong(0)).view
+      .mapValues(rs => (rs.map(_.getLong(3)).sum,
+        rs.map(r => r.getDouble(4) * r.getLong(3)).sum
+          / rs.map(_.getLong(3)).sum))
+      .toMap
+    assert(byR.keySet == (1L to 5L).toSet)
+    byR.values.foreach { case (n, _) =>
+      assert(n >= nUsers / 5 && n <= nUsers / 5 + 1, s"quintile size $n") }
+    val means = (1L to 5L).map(byR(_)._2)
+    assert(means == means.sorted, s"recency means not monotone: $means")
+  }
+
   test("hll: union of per-source sketches is lossless, estimate within 5%") {
     val docs = graft.core.Tables.documents(spark, sf0001)
     val got = SketchOps.hllVocabBySource(docs).collect()
