@@ -378,6 +378,70 @@ object SimilarityOps {
 
   private val KmeansIters = 2
 
+  /** The trained-IVF assignment frame: the corpus labeled by its nearest
+    * TRAINED k-means centroid (vs [[ivfAssign]]'s raw seed rows) —
+    * train → index → serve, composed from [[kmeansCentroids]]. */
+  def trainedIvfAssign(em: DataFrame, centroidIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters): DataFrame =
+    argmaxCentroid(em, kmeansCentroids(em, centroidIds, iters))
+      .select(col("vec_id"), col("embedding"), col("cid"))
+
+  /** Persist a TRAINED IVF index: the k-means model (a |k|-row
+    * (cid, ce) table — the part [[writeIvfIndex]] doesn't need because
+    * its centroids are corpus rows) lands as `<table>_model`, and the
+    * corpus assignment under that model lands cid-bucketed as `<table>`.
+    * Training and the corpus-wide assignment run exactly once, at write
+    * time; [[knnIvfTrained]] and [[appendToTrainedIvfIndex]] read the
+    * stored model — AnnIndexSpec pins that no posexplode (the training
+    * update shuffle) and no corpus exchange appear on either path. At
+    * 100 TB this is the Faiss-style contract (Jégou et al. 2011): the
+    * model is small immutable state, re-clustering is a rebuild. */
+  def writeTrainedIvfIndex(em: DataFrame, table: String, nBuckets: Int = 8,
+      centroidIds: Seq[Long] = CentroidIds, iters: Int = KmeansIters): Unit = {
+    GraftFunctions.register(em.sparkSession)
+    val model = kmeansCentroids(em, centroidIds, iters).localCheckpoint()
+    em.sparkSession.sql(s"DROP TABLE IF EXISTS ${table}_model")
+    model.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_model")
+    graft.sources.FileIO.writeParquetBucketed(
+      argmaxCentroid(em, model)
+        .select(col("vec_id"), col("embedding"), col("cid")),
+      table, nBuckets, "cid", Seq("cid"))
+  }
+
+  /** Extend a trained IVF index: assign the new batch against the STORED
+    * model and append into the cid-bucketed layout — O(|batch| · k), the
+    * corpus never reassigns, the model never retrains. */
+  def appendToTrainedIvfIndex(newBatch: DataFrame, table: String,
+      nBuckets: Int = 8): Unit = {
+    val spark = newBatch.sparkSession
+    GraftFunctions.register(spark)
+    val model = spark.table(s"${table}_model").localCheckpoint()
+    graft.sources.FileIO.appendParquetBucketed(
+      argmaxCentroid(newBatch, model)
+        .select(col("vec_id"), col("embedding"), col("cid")),
+      table, nBuckets, "cid", Seq("cid"))
+  }
+
+  /** [[knnIvfIndexed]] for a trained index: identical probe shape, but
+    * centroids come from the model table rather than id-filtered corpus
+    * rows. Probes broadcast; the corpus side streams unshuffled. */
+  def knnIvfTrained(assigned: DataFrame, model: DataFrame,
+      queryIds: Seq[Long] = QueryIds, k: Int = TopK,
+      nProbe: Int = NProbe): DataFrame = {
+    GraftFunctions.register(assigned.sparkSession)
+    val q = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probes = nearestCentroid(q, model.select(col("cid"), col("ce")),
+        "qid", "qe", nProbe)
+      .select(col("qid"), col("qe"), col("cid"))
+    val scored = assigned.select("vec_id", "embedding", "cid")
+      .join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+    topk(scored, k)
+  }
+
   /** Per-label centroids: element-wise mean over the embedding column via
     * posexplode → (label, pos) partial/final average → scalar summaries
     * (dim, L2 norm, head components). The explode shuffles (label, pos,
