@@ -406,9 +406,14 @@ object DedupOps {
     * `localCheckpoint()` — plan depth stays O(1) instead of growing by two
     * joins per round, and superseded label levels are explicitly
     * unpersisted, so memory is bounded by two label tables regardless of
-    * iteration count. Convergence is read off the checkpointed round
-    * itself (each row carries its previous label), a block-local count —
-    * no extra `isEmpty` recomputation.
+    * iteration count. Convergence is read with ZERO extra jobs: a
+    * `LongAccumulator` counts changed labels inside an identity
+    * `mapPartitions` wrapper executed BY the eager `localCheckpoint`'s own
+    * materializing pass, so each round is exactly one job. Task retries
+    * can only over-count the accumulator, never under-count a genuinely
+    * changed label to zero — so a spurious retry delays convergence
+    * detection by one (free) round at worst and can never declare a
+    * still-moving graph converged.
     *
     * If the graph has NOT converged after `maxIters` rounds the call
     * FAILS (IllegalStateException) rather than returning truncated
@@ -444,16 +449,30 @@ object DedupOps {
     var iter = 0
     var converged = labels.isEmpty // cheap: checkpointed local blocks
     while (iter < maxIters && !converged) {
-      // min label among neighbors, folded with own label; previous label
-      // rides along so convergence is read from this round's blocks
+      // min label among neighbors, folded with own label; the changed-label
+      // count rides the checkpoint's materializing job via an accumulator
+      // bumped in an identity mapPartitions — no second action per round
       val nbrMin = edges.join(labels, edges("d2") === labels("id"))
         .groupBy(edges("d1").as("id")).agg(min(col("lab")).as("nbr_lab"))
-      val (next, ids) = checkpointed(labels.join(nbrMin, "id")
+      val folded = labels.join(nbrMin, "id")
         .select(col("id"), least(col("lab"), col("nbr_lab")).as("lab"),
-          col("lab").as("old_lab")))
-      converged = next.filter(col("lab") =!= col("old_lab")).count() == 0
+          col("lab").as("old_lab"))
+      val changed = sc.longAccumulator(s"ccChangedLabels_$iter")
+      val countedChanges = {
+        implicit val enc: org.apache.spark.sql.Encoder[
+          org.apache.spark.sql.Row] =
+          org.apache.spark.sql.Encoders.row(folded.schema)
+        folded.mapPartitions { it =>
+          it.map { r =>
+            if (r.get(1) != r.get(2)) changed.add(1L)
+            r
+          }
+        }
+      }
+      val (next, ids) = checkpointed(countedChanges.drop("old_lab"))
+      converged = changed.value == 0L
       drop(labelIds)
-      labels = next.select("id", "lab")
+      labels = next
       labelIds = ids
       iter += 1
     }

@@ -358,7 +358,11 @@ object SimilarityOps {
       cents = argmaxCentroid(em, cents)
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
-        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        // +1e-9 before round: the FIXTURES.md §3 boundary nudge — without
+        // it a summation-order ulp can land a mean on the other side of a
+        // .5-at-the-7th-decimal boundary and flip one centroid component,
+        // which then cascades through every subsequent assignment
+        .agg(round(avg(col("v").cast("double")) + lit(1e-9), 6).as("m"))
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("ce"))
@@ -386,14 +390,24 @@ object SimilarityOps {
     argmaxCentroid(em, kmeansCentroids(em, centroidIds, iters))
       .select(col("vec_id"), col("embedding"), col("cid"))
 
+  /** Serving-side assignment under a STORED model (no training): label
+    * `em` with its nearest centroid from the model table — the function
+    * both the appender and any "assign a fresh batch" caller share. */
+  def assignUnderModel(em: DataFrame, model: DataFrame): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    argmaxCentroid(em, model.select(col("cid"), col("ce")))
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
   /** Persist a TRAINED IVF index: the k-means model (a |k|-row
     * (cid, ce) table — the part [[writeIvfIndex]] doesn't need because
     * its centroids are corpus rows) lands as `<table>_model`, and the
     * corpus assignment under that model lands cid-bucketed as `<table>`.
     * Training and the corpus-wide assignment run exactly once, at write
     * time; [[knnIvfTrained]] and [[appendToTrainedIvfIndex]] read the
-    * stored model — AnnIndexSpec pins that no posexplode (the training
-    * update shuffle) and no corpus exchange appear on either path. At
+    * stored model — AnnIndexSpec pins the append/probe round-trip against
+    * a same-model direct assignment and that the probe plan contains no
+    * posexplode (the training update shuffle) and no corpus exchange. At
     * 100 TB this is the Faiss-style contract (Jégou et al. 2011): the
     * model is small immutable state, re-clustering is a rebuild. */
   def writeTrainedIvfIndex(em: DataFrame, table: String, nBuckets: Int = 8,
@@ -539,7 +553,7 @@ object SimilarityOps {
     s"""$out AS (SELECT cid,
        |  list_transform(list(m ORDER BY i), x -> CAST(x AS FLOAT)) AS ce
        |  FROM (SELECT a.cid, g.i,
-       |      round(avg(CAST(a.embedding[g.i] AS DOUBLE)), 6) AS m
+       |      round(avg(CAST(a.embedding[g.i] AS DOUBLE)) + 1e-9, 6) AS m
        |    FROM $asg a, UNNEST(generate_series(1, len(a.embedding))) AS g(i)
        |    GROUP BY a.cid, g.i) t GROUP BY cid)""".stripMargin
 

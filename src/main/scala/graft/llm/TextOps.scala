@@ -373,25 +373,41 @@ object TextOps {
     * no bigrams and are excluded from scoring (n_docs counts scored docs).
     *
     * Scale shape: bigram occurrences are a pure per-row generate (no
-    * window); the model is the DISTINCT-bigram count table (Zipf-bounded,
-    * tiny next to occurrences); scoring is one shuffle join on the bigram
-    * key; V rides in-plan as a broadcast scalar (the q17 pattern). At
-    * 100 TB the count table is exactly the artifact you'd persist and
+    * window); every shuffle and join keys on `xxhash64` LONGS, never the
+    * bigram strings — 8-byte shuffle keys vs ~20-byte text, and the count
+    * table never carries strings at all. Hapax bigrams (c(w₁w₂)=1, the
+    * Zipf majority of DISTINCT bigrams) are PRUNED from the count table
+    * before the scoring join and reconstructed exactly on the scoring
+    * side: an occurrence with no match in the pruned table is known to
+    * have count exactly 1 (`coalesce(c12, 1)`), so the NLL is unchanged
+    * while the join's build side shrinks by the hapax share. Prefix
+    * counts c(w₁·) are aggregated BEFORE pruning, so they stay exact.
+    * A 64-bit hash collision would merge two bigram (or prefix) counts —
+    * at the ~2³²-distinct-bigram scale where that becomes plausible,
+    * widen to the 128-bit hash; the oracle stays on strings either way.
+    * V rides in-plan as a broadcast scalar (the q17 pattern). At 100 TB
+    * the pruned count table is exactly the artifact you'd persist and
     * broadcast per batch. */
   def bigramLmScore(docs: DataFrame, addK: Double = 0.5): DataFrame = {
     val base = Tables.fanout(docs).select(col("doc_id"), col("source"),
       Text.tokens(col("text")).as("ts"))
     val occ = base.select(col("doc_id"), col("source"),
       explode(Text.ngramOccurrences(col("ts"), 2)).as("bg"))
-    val cnt = occ.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
-    val stats = cnt.withColumn("w1", substring_index(col("bg"), " ", 1))
-    val pre = stats.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      .select(col("doc_id"), col("source"),
+        xxhash64(col("bg")).as("bgh"),
+        xxhash64(substring_index(col("bg"), " ", 1)).as("w1h"))
+    val cnt = occ.groupBy(col("bgh"), col("w1h"))
+      .agg(count(lit(1)).as("c12"))
+    val pre = cnt.groupBy(col("w1h")).agg(sum(col("c12")).as("c1"))
     val voc = base.select(explode(col("ts")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    occ.join(stats.join(pre, "w1").select("bg", "c12", "c1"), "bg")
+    occ.join(cnt.filter(col("c12") > 1).select("bgh", "c12"),
+        Seq("bgh"), "left")
+      .join(pre, "w1h")
       .crossJoin(broadcast(voc))
       .withColumn("lp", log(
-        (col("c12") + lit(addK)) / (col("c1") + lit(addK) * col("v"))))
+        (coalesce(col("c12"), lit(1L)) + lit(addK))
+          / (col("c1") + lit(addK) * col("v"))))
       .groupBy(col("doc_id"), col("source"))
       .agg((-avg(col("lp"))).as("nll"))
       .groupBy(col("source"))

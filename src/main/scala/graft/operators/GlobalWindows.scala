@@ -36,13 +36,33 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   */
 object GlobalWindows {
 
-  /** Appends `gw_row_number`, `gw_rank`, `gw_dense_rank`, `gw_percent_rank`
-    * and `gw_count` (the global row count, for ntile-style post-compute)
-    * to `df`, ordering globally by `keys` (column name → ascending?). */
+  /** The full order-statistics menu; pass a subset as `stats` to skip
+    * the compute (and the local-pass tie detection) for the ones a
+    * caller drops — q68 materialized 15 window columns to keep 3 before
+    * this knob existed. */
+  val AllStats: Set[String] =
+    Set("row_number", "rank", "dense_rank", "percent_rank", "count")
+
+  /** Appends the requested subset of `gw_row_number`, `gw_rank`,
+    * `gw_dense_rank`, `gw_percent_rank` and `gw_count` (the global row
+    * count, for ntile-style post-compute) to `df`, ordering globally by
+    * `keys` (column name → ascending?). Only the requested statistics are
+    * computed: when neither rank flavour is asked for, the linear local
+    * pass skips key extraction and tie comparison entirely (a pure
+    * counter), and the dense-rank offset column never exists.
+    * `percent_rank` implies the rank and count intermediates; they are
+    * dropped from the output unless requested themselves. */
   def withGlobalOrderStats(df: DataFrame,
-      keys: Seq[(String, Boolean)]): DataFrame = {
+      keys: Seq[(String, Boolean)],
+      stats: Set[String] = AllStats): DataFrame = {
     require(keys.nonEmpty, "global window needs at least one key column")
-    val spark = df.sparkSession
+    require(stats.nonEmpty, "request at least one statistic")
+    val unknown = stats -- AllStats
+    require(unknown.isEmpty, s"unknown order statistics: $unknown")
+    val needRank = stats("rank") || stats("percent_rank")
+    val needDense = stats("dense_rank")
+    val needCount = stats("count") || stats("percent_rank")
+    val needKeyCmp = needRank || needDense
     val sortCols = keys.map { case (n, asc) =>
       if (asc) col(n).asc else col(n).desc }
     val keyIdx = keys.map { case (n, _) => df.schema.fieldIndex(n) }
@@ -50,9 +70,10 @@ object GlobalWindows {
     val ranged = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
 
-    val outSchema = StructType(df.schema.fields)
+    var outSchema = StructType(df.schema.fields)
       .add("_gw_pid", IntegerType).add("_gw_lrn", LongType)
-      .add("_gw_lrk", LongType).add("_gw_ldr", LongType)
+    if (needRank) outSchema = outSchema.add("_gw_lrk", LongType)
+    if (needDense) outSchema = outSchema.add("_gw_ldr", LongType)
     // one streaming pass per partition: O(1) state (previous key + three
     // counters), no materialization — partitions of any length stream
     val local = ranged.mapPartitions { it =>
@@ -60,41 +81,61 @@ object GlobalWindows {
       var rn = 0L; var rk = 0L; var dr = 0L
       var prev: Seq[Any] = null
       it.map { r =>
-        val k = keyIdx.map(r.get)
         rn += 1
-        // deepEquals, not equals: BinaryType keys surface as Array[Byte],
-        // where plain equals is reference identity and ties would never form
-        val newKey = prev == null ||
-          !k.iterator.zip(prev.iterator).forall { case (a, b) =>
-            java.util.Objects.deepEquals(a, b) }
-        if (newKey) { rk = rn; dr += 1; prev = k }
-        Row.fromSeq(r.toSeq ++ Seq[Any](pid, rn, rk, dr))
+        var extra: List[Any] = Nil
+        if (needKeyCmp) {
+          val k = keyIdx.map(r.get)
+          // deepEquals, not equals: BinaryType keys surface as Array[Byte],
+          // where plain equals is reference identity and ties never form
+          val newKey = prev == null ||
+            !k.iterator.zip(prev.iterator).forall { case (a, b) =>
+              java.util.Objects.deepEquals(a, b) }
+          if (newKey) { rk = rn; dr += 1; prev = k }
+          if (needDense) extra = dr :: extra
+          if (needRank) extra = rk :: extra
+        }
+        Row.fromSeq(r.toSeq ++ (pid :: rn :: extra))
       }
     }(Encoders.row(outSchema))
 
     // per-partition totals ride the SAME range shuffle (ReusedExchange);
     // the offset window runs over |partitions| rows — metadata, not data
+    val countAggs = max(col("_gw_lrn")).as("_gw_n") +:
+      (if (needDense) Seq(max(col("_gw_ldr")).as("_gw_nd")) else Nil)
     val counts = local.groupBy(col("_gw_pid"))
-      .agg(max(col("_gw_lrn")).as("_gw_n"), max(col("_gw_ldr")).as("_gw_nd"))
+      .agg(countAggs.head, countAggs.tail: _*)
     val w = Window.orderBy(col("_gw_pid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = counts
-      .withColumn("_gw_row_off", sum(col("_gw_n")).over(w) - col("_gw_n"))
-      .withColumn("_gw_dr_off", sum(col("_gw_nd")).over(w) - col("_gw_nd"))
-      .select(col("_gw_pid"), col("_gw_row_off"), col("_gw_dr_off"))
-    val total = counts.agg(sum(col("_gw_n")).as("gw_count"))
+    val offsets = {
+      val base = counts
+        .withColumn("_gw_row_off", sum(col("_gw_n")).over(w) - col("_gw_n"))
+      val withDr = if (needDense)
+        base.withColumn("_gw_dr_off",
+          sum(col("_gw_nd")).over(w) - col("_gw_nd"))
+      else base
+      withDr.select(col("_gw_pid") +: col("_gw_row_off") +:
+        (if (needDense) Seq(col("_gw_dr_off")) else Nil): _*)
+    }
 
-    local.join(broadcast(offsets), "_gw_pid")
-      .crossJoin(broadcast(total))
-      .withColumn("gw_row_number", col("_gw_row_off") + col("_gw_lrn"))
-      .withColumn("gw_rank", col("_gw_row_off") + col("_gw_lrk"))
-      .withColumn("gw_dense_rank", col("_gw_dr_off") + col("_gw_ldr"))
-      .withColumn("gw_percent_rank",
+    var out = local.join(broadcast(offsets), "_gw_pid")
+    if (needCount)
+      out = out.crossJoin(
+        broadcast(counts.agg(sum(col("_gw_n")).as("gw_count"))))
+    if (stats("row_number"))
+      out = out.withColumn("gw_row_number", col("_gw_row_off") + col("_gw_lrn"))
+    if (needRank)
+      out = out.withColumn("gw_rank", col("_gw_row_off") + col("_gw_lrk"))
+    if (needDense)
+      out = out.withColumn("gw_dense_rank", col("_gw_dr_off") + col("_gw_ldr"))
+    if (stats("percent_rank"))
+      out = out.withColumn("gw_percent_rank",
         when(col("gw_count") > 1,
           (col("gw_rank") - 1).cast("double") / (col("gw_count") - 1))
           .otherwise(lit(0.0)))
-      .drop("_gw_pid", "_gw_lrn", "_gw_lrk", "_gw_ldr",
-        "_gw_row_off", "_gw_dr_off")
+    if (needRank && !stats("rank")) out = out.drop("gw_rank")
+    if (needCount && !stats("count")) out = out.drop("gw_count")
+    out.drop("_gw_pid", "_gw_lrn", "_gw_lrk", "_gw_ldr",
+      "_gw_row_off", "_gw_dr_off")
   }
 
   /** Distributed global running sum — `sum(x) OVER (ORDER BY keys)` with
@@ -173,7 +214,8 @@ object GlobalWindows {
     * buckets get `count/n + 1` rows, the rest `count/n`. */
   def withGlobalNtile(df: DataFrame, keys: Seq[(String, Boolean)],
       n: Int, outCol: String = "gw_ntile"): DataFrame = {
-    val base = withGlobalOrderStats(df, keys)
+    // only the two stats ntile consumes — no rank/tie machinery at all
+    val base = withGlobalOrderStats(df, keys, Set("row_number", "count"))
     // `div`, not `/`: with ANSI off, `/` on longs is double division
     val size = expr(s"gw_count div $n")
     val rem = col("gw_count") % n

@@ -297,8 +297,8 @@ object JourneyOps {
       .withColumn("recency_days",
         datediff(col("_ref_day"), col("_last_day")).cast("int"))
       .drop("_last_day", "_ref_day")
-    val gw = Seq("gw_row_number", "gw_rank", "gw_dense_rank",
-      "gw_percent_rank", "gw_count")
+    // withGlobalNtile now computes only the stats ntile consumes
+    val gw = Seq("gw_row_number", "gw_count")
     val q = Seq(
       (Seq("recency_days" -> true, "user_id" -> true), "r_q"),
       (Seq("freq" -> false, "user_id" -> true), "f_q"),

@@ -100,11 +100,16 @@ object StatsOps {
     * deterministic across engines. */
   def giniByKey(df: DataFrame, keyCol: String): DataFrame = {
     val totals = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    // rank×count products are summed as DOUBLE, not LONG: at the 10⁹-key
+    // scale the Long sum can silently wrap (ANSI off) while DuckDB's
+    // HUGEINT does not — a cross-engine divergence exactly where this op
+    // claims correctness. Double is exact to 2⁵³ and beyond that the
+    // relative error (~1e-16) vanishes under the 4-dp round.
     GlobalWindows.withGlobalOrderStats(totals,
-        Seq(("n_rows", true), (keyCol, true)))
+        Seq(("n_rows", true), (keyCol, true)), stats = Set("row_number"))
       .agg(count(lit(1)).as("n_keys"),
         sum(col("n_rows")).as("total_rows"),
-        sum(col("gw_row_number") * col("n_rows")).as("_s"))
+        sum(col("gw_row_number").cast("double") * col("n_rows")).as("_s"))
       .select(col("n_keys"), col("total_rows"),
         round(lit(2.0) * col("_s")
             / (col("n_keys").cast("double") * col("total_rows"))

@@ -61,6 +61,36 @@ class AnnIndexSpec extends SparkSpec {
     assert(incr.collect().toSeq == full.collect().toSeq)
   }
 
+  test("trained IVF index: append assigns under the STORED model, probe plan retrains nothing") {
+    val em = Tables.embeddings(spark, sf0001)
+    import org.apache.spark.sql.functions.col
+    // the batch split must leave every k-means seed id in the base index
+    val base = em.filter(col("vec_id") % 10 =!= 4)
+    val batch = em.filter(col("vec_id") % 10 === 4)
+    assert(SimilarityOps.CentroidIds.forall(_ % 10 != 4))
+    SimilarityOps.writeTrainedIvfIndex(base, "ann_tivf_inc", nBuckets = 8)
+    SimilarityOps.appendToTrainedIvfIndex(batch, "ann_tivf_inc", nBuckets = 8)
+    val model = spark.table("ann_tivf_inc_model")
+    val incr = SimilarityOps.knnIvfTrained(spark.table("ann_tivf_inc"), model)
+    // the trained-IVF equivalence is MODEL-pinned: (base ∪ batch) under the
+    // stored model ≡ the full corpus assigned fresh under that SAME model
+    // (a full-rebuild comparison would retrain on different data — k-means
+    // centroids are corpus-dependent, unlike raw IVF's seed rows)
+    val direct = SimilarityOps.knnIvfTrained(
+      SimilarityOps.assignUnderModel(em, model), model)
+    assert(incr.collect().toSeq == direct.collect().toSeq)
+
+    val plan = incr.queryExecution.executedPlan.toString
+    // training's update shuffle is a posexplode over the corpus — it must
+    // never appear on the serve path (the model is read, not re-derived)
+    assert(!plan.contains("posexplode"),
+      s"trained-IVF probe plan retrains the model:\n$plan")
+    // the probe set broadcasts; the bucketed corpus streams unshuffled
+    assert(!plan.contains("Exchange hashpartitioning(cid") &&
+      !plan.contains("Exchange hashpartitioning(vec_id"),
+      s"trained-IVF probe plan shuffles the corpus:\n$plan")
+  }
+
   test("persisted IVF index: identical top-k, assignment window never reruns") {
     val em = Tables.embeddings(spark, sf0001)
     SimilarityOps.writeIvfIndex(em, "ann_ivf_idx", nBuckets = 8)

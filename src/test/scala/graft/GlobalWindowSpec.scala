@@ -59,6 +59,33 @@ class GlobalWindowSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stats subset computes only what was asked and matches the full battery") {
+    val keys = Seq("o_totalprice" -> false, "o_orderkey" -> true)
+    val sub = GlobalWindows
+      .withGlobalOrderStats(orders, keys, stats = Set("row_number", "count"))
+    assert(sub.columns.toSet.intersect(
+      Set("gw_rank", "gw_dense_rank", "gw_percent_rank")).isEmpty,
+      sub.columns.mkString(","))
+    val got = sub.select(col("o_orderkey"), col("gw_row_number"),
+        col("gw_count")).orderBy("o_orderkey").collect().toSeq
+    val full = GlobalWindows.withGlobalOrderStats(orders, keys)
+      .select(col("o_orderkey"), col("gw_row_number"), col("gw_count"))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(got == full)
+    // percent_rank alone pulls in its rank/count intermediates but the
+    // output surfaces only what was requested
+    val pr = GlobalWindows
+      .withGlobalOrderStats(orders, keys, stats = Set("percent_rank"))
+    assert(pr.columns.count(_.startsWith("gw_")) == 1, pr.columns.mkString(","))
+    val gotPr = pr.select(col("o_orderkey"),
+        round(col("gw_percent_rank"), 6).as("pr"))
+      .orderBy("o_orderkey").collect().toSeq
+    val wantPr = GlobalWindows.withGlobalOrderStats(orders, keys)
+      .select(col("o_orderkey"), round(col("gw_percent_rank"), 6).as("pr"))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(gotPr == wantPr)
+  }
+
   test("plan: range-partitioned data path, one shuffle reused, no full-data single-partition exchange") {
     val df = GlobalWindows
       .withGlobalOrderStats(orders, Seq("o_orderdate" -> true))
