@@ -75,30 +75,53 @@ object IngestDedupApp {
     else spark.read.schema(docSchema).parquet(s"$corpusDir/quarantine/batch_id=*")
   }
 
+  /** A per-batch PSI drift gate: the batch's `value` distribution is
+    * scored against the k-row `ref` profile
+    * ([[graft.operators.ProfileOps.refBucketCounts]] of the blessed
+    * snapshot) and the batch is quarantined when total PSI exceeds
+    * `maxPsi` (0.2 = the credit-scoring-canon "investigate" line). Like
+    * the Q40 constraint gate, the verdict is a pure function of batch
+    * content and fixed reference state, so a WAL replay reaches the same
+    * verdict — drift gating commutes with exactly-once. */
+  case class DriftGate(ref: DataFrame, value: org.apache.spark.sql.Column,
+      lo: Double, hi: Double, k: Int, maxPsi: Double = 0.2)
+
   /** Run the deduping consumer over everything currently in the shard
     * fixture. Returns the started query; callers await/stop it.
     *
     * `gate` is the Q40 constraint suite applied to each micro-batch BEFORE
     * admission (the deequ assert-before-ingest posture fused into the
     * exactly-once loop): a batch with any failing constraint is routed
-    * whole to `quarantine/batch_id=N` instead of the corpus. The gate is a
-    * pure function of the batch content, so a WAL replay reaches the same
-    * verdict and overwrites the same directory — quarantining commutes
-    * with exactly-once. The verdict collect is driver-side by design:
-    * foreachBatch IS the sink's orchestration point, and the verdict is
-    * |constraints| rows. */
+    * whole to `quarantine/batch_id=N` instead of the corpus. `driftGate`
+    * sits beside it: the same quarantine routing when the batch's value
+    * distribution drifts past the PSI line — constraints catch broken
+    * batches, drift catches subtly WRONG ones (a crawl that silently
+    * switched domains passes every null/length check). Both verdicts are
+    * pure functions of the batch content, so a WAL replay reaches the
+    * same verdict and overwrites the same directory — gating commutes
+    * with exactly-once. The verdict collects are driver-side by design:
+    * foreachBatch IS the sink's orchestration point, and the verdicts are
+    * |constraints| and 1 rows. */
   def run(spark: SparkSession, shardDir: String, corpusDir: String,
       checkpointDir: String, threshold: Double = 0.8,
       maxRecordsPerBatch: Option[Long] = None,
       extraOptions: Map[String, String] = Map.empty,
-      gate: Seq[graft.operators.QualityOps.Check] = Nil): StreamingQuery =
+      gate: Seq[graft.operators.QualityOps.Check] = Nil,
+      driftGate: Option[DriftGate] = None): StreamingQuery =
     docStream(spark, shardDir, maxRecordsPerBatch, extraOptions).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val rejected = gate.nonEmpty &&
+        val rejected = (gate.nonEmpty &&
           graft.operators.QualityOps.check(batch, gate)
-            .collect().exists(_.getInt(2) == 0)
+            .collect().exists(_.getInt(2) == 0)) ||
+          driftGate.exists { g =>
+            graft.operators.ProfileOps
+              .psiAgainstRef(batch.select(g.value.as("_v")), "_v",
+                g.ref, g.lo, g.hi, g.k)
+              .agg(sum(col("psi_term")).as("psi")).collect()
+              .headOption.exists(_.getDouble(0) > g.maxPsi)
+          }
         if (rejected)
           batch.select(col("doc_id"), col("text"))
             .write.mode("overwrite")

@@ -61,11 +61,11 @@ object SketchOps {
     * sketches, never a rescan; the union is also how a 1000-executor
     * cluster combines partial counts with fixed-size shuffle rows.
     *
-    * Registry entry is rows-only by design (the estimate is
-    * engine-specific — DuckDB has no DataSketches HLL); SketchSpec
-    * asserts the union estimate lands within the configured-precision
-    * error bound of the exact distinct, and that union-of-parts equals
-    * sketching the whole. */
+    * The raw estimate is engine-specific (DuckDB has no DataSketches
+    * HLL), so the registry entry is the BOUNDED form [[hllVocabAudit]];
+    * SketchSpec additionally asserts the union estimate lands within the
+    * configured-precision error bound of the exact distinct, and that
+    * union-of-parts equals sketching the whole. */
   def hllVocabBySource(docs: DataFrame, lgK: Int = 12): DataFrame = {
     val terms = Tables.fanout(docs)
       .select(col("lang"), col("source"),
@@ -80,11 +80,39 @@ object SketchOps {
       .orderBy("lang")
   }
 
+  /** The oracle-checkable form of q65: the sketch estimate judged against
+    * the exact per-lang distinct count, emitting only engine-agnostic
+    * columns — the exact vocabulary (both engines compute it) and an
+    * `est_ok` flag that is 1 iff the HLL estimate landed within `tol`
+    * relative error. The DuckDB twin emits the exact count and a literal
+    * 1, so the driver's rows+schema+hash compare passes EXACTLY WHEN the
+    * bound holds: an explicit bounded oracle instead of a rows-only row.
+    * (lgK=12 ⇒ ~1.6% standard error; tol=5% is >3σ.) */
+  def hllVocabAudit(docs: DataFrame, lgK: Int = 12,
+      tol: Double = 0.05): DataFrame = {
+    val est = hllVocabBySource(docs, lgK)
+    val exact = Tables.fanout(docs)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("term")).as("exact_vocab"))
+    est.join(exact, "lang")
+      .select(col("lang"), col("n_sources"), col("exact_vocab"),
+        (abs(col("est_vocab") - col("exact_vocab"))
+          <= lit(tol) * col("exact_vocab")).cast("int").as("est_ok"))
+      .orderBy("lang")
+  }
+  val q65HllAuditSql: String =
+    s"""WITH t AS (SELECT lang, source, unnest(${Text.tokensSql("text")}) AS term
+       |  FROM documents)
+       |SELECT lang, count(DISTINCT source) AS n_sources,
+       |  count(DISTINCT term) AS exact_vocab, 1 AS est_ok
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q31_heavy_hitters",
       (s: SparkSession, d: String) => heavyHittersPerLang(Tables.documents(s, d)),
       Some(q31HeavyHittersSql)),
     ("q65_hll_vocab",
-      (s: SparkSession, d: String) => hllVocabBySource(Tables.documents(s, d)),
-      None))
+      (s: SparkSession, d: String) => hllVocabAudit(Tables.documents(s, d)),
+      Some(q65HllAuditSql)))
 }

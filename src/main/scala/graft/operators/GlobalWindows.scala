@@ -44,17 +44,30 @@ object GlobalWindows {
     Set("row_number", "rank", "dense_rank", "percent_rank", "count")
 
   /** Appends the requested subset of `gw_row_number`, `gw_rank`,
-    * `gw_dense_rank`, `gw_percent_rank` and `gw_count` (the global row
+    * `gw_dense_rank`, `gw_percent_rank` and `gw_count` (the group row
     * count, for ntile-style post-compute) to `df`, ordering globally by
     * `keys` (column name → ascending?). Only the requested statistics are
     * computed: when neither rank flavour is asked for, the linear local
     * pass skips key extraction and tie comparison entirely (a pure
     * counter), and the dense-rank offset column never exists.
     * `percent_rank` implies the rank and count intermediates; they are
-    * dropped from the output unless requested themselves. */
+    * dropped from the output unless requested themselves.
+    *
+    * `groups` is the GROUPED form — `... OVER (PARTITION BY groups ORDER
+    * BY keys)` for groups too large (or too few) for Spark's hash-
+    * partitioned window: group columns lead the range partitioning, the
+    * linear pass resets its counters on every group change, per-partition
+    * counts key on (partition, group), and the offset patch becomes a
+    * per-group cumulative over partition ids — still metadata-scale. One
+    * range shuffle serves ALL groups; with 3 groups of 10⁹ rows each a
+    * `Window.partitionBy` would sort three 10⁹-row reducers, while this
+    * keeps every core busy regardless of group count. An N-group ntile
+    * (q68's three RFM quintiles, feature binning across N columns via
+    * unpivot) is therefore ONE pass instead of N. */
   def withGlobalOrderStats(df: DataFrame,
       keys: Seq[(String, Boolean)],
-      stats: Set[String] = AllStats): DataFrame = {
+      stats: Set[String] = AllStats,
+      groups: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty, "global window needs at least one key column")
     require(stats.nonEmpty, "request at least one statistic")
     val unknown = stats -- AllStats
@@ -63,9 +76,10 @@ object GlobalWindows {
     val needDense = stats("dense_rank")
     val needCount = stats("count") || stats("percent_rank")
     val needKeyCmp = needRank || needDense
-    val sortCols = keys.map { case (n, asc) =>
+    val sortCols = groups.map(col(_).asc) ++ keys.map { case (n, asc) =>
       if (asc) col(n).asc else col(n).desc }
     val keyIdx = keys.map { case (n, _) => df.schema.fieldIndex(n) }
+    val groupIdx = groups.map(df.schema.fieldIndex)
 
     val ranged = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -74,22 +88,30 @@ object GlobalWindows {
       .add("_gw_pid", IntegerType).add("_gw_lrn", LongType)
     if (needRank) outSchema = outSchema.add("_gw_lrk", LongType)
     if (needDense) outSchema = outSchema.add("_gw_ldr", LongType)
+    def sameKey(a: Seq[Any], b: Seq[Any]): Boolean =
+      // deepEquals, not equals: BinaryType keys surface as Array[Byte],
+      // where plain equals is reference identity and ties never form
+      a.iterator.zip(b.iterator).forall { case (x, y) =>
+        java.util.Objects.deepEquals(x, y) }
     // one streaming pass per partition: O(1) state (previous key + three
     // counters), no materialization — partitions of any length stream
     val local = ranged.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       var rn = 0L; var rk = 0L; var dr = 0L
       var prev: Seq[Any] = null
+      var prevGroup: Seq[Any] = null
       it.map { r =>
+        if (groupIdx.nonEmpty) {
+          val g = groupIdx.map(r.get)
+          if (prevGroup == null || !sameKey(g, prevGroup)) {
+            rn = 0L; rk = 0L; dr = 0L; prev = null; prevGroup = g
+          }
+        }
         rn += 1
         var extra: List[Any] = Nil
         if (needKeyCmp) {
           val k = keyIdx.map(r.get)
-          // deepEquals, not equals: BinaryType keys surface as Array[Byte],
-          // where plain equals is reference identity and ties never form
-          val newKey = prev == null ||
-            !k.iterator.zip(prev.iterator).forall { case (a, b) =>
-              java.util.Objects.deepEquals(a, b) }
+          val newKey = prev == null || !sameKey(k, prev)
           if (newKey) { rk = rn; dr += 1; prev = k }
           if (needDense) extra = dr :: extra
           if (needRank) extra = rk :: extra
@@ -98,13 +120,16 @@ object GlobalWindows {
       }
     }(Encoders.row(outSchema))
 
-    // per-partition totals ride the SAME range shuffle (ReusedExchange);
-    // the offset window runs over |partitions| rows — metadata, not data
+    // per-(partition, group) totals ride the SAME range shuffle
+    // (ReusedExchange); the offset window runs over |partitions × groups
+    // spanned| rows — metadata, not data. A group split across partition
+    // boundaries patches exactly like the ungrouped global window did.
+    val gcols = groups.map(col)
     val countAggs = max(col("_gw_lrn")).as("_gw_n") +:
       (if (needDense) Seq(max(col("_gw_ldr")).as("_gw_nd")) else Nil)
-    val counts = local.groupBy(col("_gw_pid"))
+    val counts = local.groupBy(col("_gw_pid") +: gcols: _*)
       .agg(countAggs.head, countAggs.tail: _*)
-    val w = Window.orderBy(col("_gw_pid"))
+    val w = Window.partitionBy(gcols: _*).orderBy(col("_gw_pid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = {
       val base = counts
@@ -113,14 +138,20 @@ object GlobalWindows {
         base.withColumn("_gw_dr_off",
           sum(col("_gw_nd")).over(w) - col("_gw_nd"))
       else base
-      withDr.select(col("_gw_pid") +: col("_gw_row_off") +:
+      withDr.select(col("_gw_pid") +: gcols ++: col("_gw_row_off") +:
         (if (needDense) Seq(col("_gw_dr_off")) else Nil): _*)
     }
 
-    var out = local.join(broadcast(offsets), "_gw_pid")
-    if (needCount)
-      out = out.crossJoin(
-        broadcast(counts.agg(sum(col("_gw_n")).as("gw_count"))))
+    var out = local.join(broadcast(offsets), "_gw_pid" +: groups)
+    if (needCount) {
+      if (groups.isEmpty)
+        out = out.crossJoin(
+          broadcast(counts.agg(sum(col("_gw_n")).as("gw_count"))))
+      else
+        out = out.join(
+          broadcast(counts.groupBy(gcols: _*)
+            .agg(sum(col("_gw_n")).as("gw_count"))), groups)
+    }
     if (stats("row_number"))
       out = out.withColumn("gw_row_number", col("_gw_row_off") + col("_gw_lrn"))
     if (needRank)
@@ -211,11 +242,15 @@ object GlobalWindows {
 
   /** Global NTILE(n) by `keys` (requires a total order for determinism,
     * like the built-in): standard SQL bucketing — the first `count % n`
-    * buckets get `count/n + 1` rows, the rest `count/n`. */
+    * buckets get `count/n + 1` rows, the rest `count/n`. With `groups`,
+    * NTILE(n) OVER (PARTITION BY groups ORDER BY keys) in one shared
+    * range pass — N quantile cuts for the price of one shuffle. */
   def withGlobalNtile(df: DataFrame, keys: Seq[(String, Boolean)],
-      n: Int, outCol: String = "gw_ntile"): DataFrame = {
+      n: Int, outCol: String = "gw_ntile",
+      groups: Seq[String] = Nil): DataFrame = {
     // only the two stats ntile consumes — no rank/tie machinery at all
-    val base = withGlobalOrderStats(df, keys, Set("row_number", "count"))
+    val base = withGlobalOrderStats(df, keys, Set("row_number", "count"),
+      groups)
     // `div`, not `/`: with ANSI off, `/` on longs is double division
     val size = expr(s"gw_count div $n")
     val rem = col("gw_count") % n

@@ -281,12 +281,18 @@ object JourneyOps {
     * is best on every axis (most recent / most frequent / highest value),
     * so segment (1,1,1) is the champion cell and (5,5,5) the churned one.
     *
-    * Scale shape: one fact shuffle to per-user metrics; each quintile is
-    * a [[GlobalWindows.withGlobalNtile]] pass — range partition + linear
-    * local pass + broadcast offset patch over |users| rows, never an
-    * Exchange SinglePartition. Monetary is rounded to 4 dp BEFORE ranking
-    * so the quintile cut is invariant to summation-order ulps; all ties
-    * break by user_id. The rollup output is ≤ 125 cells — metadata. */
+    * Scale shape: one fact shuffle to per-user metrics; then ALL THREE
+    * quintiles in ONE grouped [[GlobalWindows.withGlobalNtile]] pass —
+    * the metrics unpivot to (user, metric, sortval) and the grouped
+    * global window range-partitions on (metric, sortval, user), so a
+    * single shuffle of 3·|users| narrow rows replaces three full passes
+    * (and never an Exchange SinglePartition — with 10⁹ users a
+    * PARTITION BY metric window would sort three 10⁹-row reducers).
+    * Descending axes negate into the ascending sort. Monetary is rounded
+    * to 4 dp BEFORE ranking so the quintile cut is invariant to
+    * summation-order ulps; all ties break by user_id. The labels pivot
+    * back on the user_id partitioning the metrics table already has. The
+    * rollup output is ≤ 125 cells — metadata. */
   def rfmSegments(events: DataFrame, buckets: Int = 5): DataFrame = {
     val byUser = events.groupBy(col("user_id"))
       .agg(max(to_date(col("ts"))).as("_last_day"),
@@ -297,16 +303,20 @@ object JourneyOps {
       .withColumn("recency_days",
         datediff(col("_ref_day"), col("_last_day")).cast("int"))
       .drop("_last_day", "_ref_day")
-    // withGlobalNtile now computes only the stats ntile consumes
-    val gw = Seq("gw_row_number", "gw_count")
-    val q = Seq(
-      (Seq("recency_days" -> true, "user_id" -> true), "r_q"),
-      (Seq("freq" -> false, "user_id" -> true), "f_q"),
-      (Seq("monetary" -> false, "user_id" -> true), "m_q"))
-      .foldLeft(m) { case (df, (keys, out)) =>
-        GlobalWindows.withGlobalNtile(df, keys, buckets, out).drop(gw: _*)
-      }
-    q.groupBy(col("r_q"), col("f_q"), col("m_q"))
+    // recency ranks ascending; freq/monetary descending → negate so one
+    // ascending grouped pass cuts all three
+    val un = m.select(col("user_id"), expr(
+      "stack(3, 'r', CAST(recency_days AS DOUBLE)," +
+        " 'f', CAST(-freq AS DOUBLE), 'm', -monetary) AS (metric, sortval)"))
+    val cut = GlobalWindows.withGlobalNtile(un,
+      Seq("sortval" -> true, "user_id" -> true), buckets, "q",
+      groups = Seq("metric"))
+    val labels = cut.groupBy(col("user_id"))
+      .agg(max(when(col("metric") === "r", col("q"))).as("r_q"),
+        max(when(col("metric") === "f", col("q"))).as("f_q"),
+        max(when(col("metric") === "m", col("q"))).as("m_q"))
+    m.join(labels, "user_id")
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_users"),
         round(avg(col("recency_days")) + lit(1e-9), 4).as("avg_recency"),
         round(avg(col("freq")) + lit(1e-9), 4).as("avg_freq"),

@@ -57,17 +57,34 @@ object ProfileOps {
   def psiDrift(df: DataFrame, valueCol: String, refPred: Column,
       curPred: Column, lo: Double, hi: Double, k: Int): DataFrame = {
     require(k > 0 && hi > lo, "psiDrift needs a positive bucket count and range")
-    val width = (hi - lo) / k
-    val bucket = least(greatest(
-      floor((col(valueCol) - lo) / width), lit(0)), lit(k - 1)).cast("int")
     val counts = df.filter(col(valueCol).isNotNull)
-      .groupBy(bucket.as("bucket"))
+      .groupBy(psiBucket(col(valueCol), lo, hi, k).as("bucket"))
       .agg(count(when(refPred, 1)).as("n_ref"),
         count(when(curPred, 1)).as("n_cur"))
+    psiFromCounts(counts, k)
+  }
+
+  /** The fixed-width PSI bucket id for a value — shared by the batch
+    * drift queries, the persisted reference profile, and the streaming
+    * running-count twin, so all three bucket IDENTICALLY by construction.
+    * Values outside [lo, hi) clamp into the edge buckets. */
+  def psiBucket(value: Column, lo: Double, hi: Double, k: Int): Column = {
+    val width = (hi - lo) / k
+    least(greatest(floor((value - lo) / width), lit(0)), lit(k - 1))
+      .cast("int")
+  }
+
+  /** The k-row PSI assembly over a (bucket, n_ref, n_cur) count frame —
+    * the metadata-scale half every PSI form shares. Public because it is
+    * the join point for the STREAMING monitor: feed it the latest
+    * [[graft.streaming.StreamQueries.psiCountsStream]] emission per
+    * bucket joined to a stored reference profile and it yields the same
+    * k rows the batch queries produce (StreamingSpec asserts equality). */
+  def psiFromCounts(counts: DataFrame, k: Int): DataFrame = {
     // right-join against the full 0..k-1 bucket frame: a bucket empty in
     // BOTH snapshots still owes its (smoothed, nonzero when totals
     // differ) PSI term, and the output is always exactly k rows
-    val frame = df.sparkSession.range(k.toLong)
+    val frame = counts.sparkSession.range(k.toLong)
       .select(col("id").cast("int").as("bucket"))
     val w = Window.orderBy(col("bucket")).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
@@ -83,6 +100,34 @@ object ProfileOps {
         (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 8))
       .select(col("bucket"), col("n_ref"), col("n_cur"), col("psi_term"))
       .orderBy("bucket")
+  }
+
+  /** The persistable reference half of a drift gate: per-bucket counts of
+    * `valueCol` under the PSI bucketing — compute once on the blessed
+    * snapshot, store k rows, hand to [[psiAgainstRef]] forever after. */
+  def refBucketCounts(df: DataFrame, valueCol: String,
+      lo: Double, hi: Double, k: Int): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(psiBucket(col(valueCol), lo, hi, k).as("bucket"))
+      .agg(count(lit(1)).as("n_ref"))
+
+  /** PSI of `cur` against a STORED reference profile (the
+    * [[refBucketCounts]] k-row table) — the form a per-batch ingest gate
+    * or a streaming monitor uses: the reference never rescans, the
+    * current side is one conditional-count pass over the batch, and the
+    * assembly is k rows. Same output shape and smoothing as [[psiDrift]]
+    * (identical by construction: both route through the shared
+    * assembly), so thresholds transfer unchanged. */
+  def psiAgainstRef(cur: DataFrame, valueCol: String, ref: DataFrame,
+      lo: Double, hi: Double, k: Int): DataFrame = {
+    require(k > 0 && hi > lo,
+      "psiAgainstRef needs a positive bucket count and range")
+    val curCounts = cur.filter(col(valueCol).isNotNull)
+      .groupBy(psiBucket(col(valueCol), lo, hi, k).as("bucket"))
+      .agg(count(lit(1)).as("n_cur"))
+    psiFromCounts(
+      ref.select(col("bucket"), col("n_ref"))
+        .join(curCounts, Seq("bucket"), "full"), k)
   }
 
   /** Jensen–Shannon divergence drift over the same fixed-bucket frame as
@@ -217,6 +262,16 @@ object ProfileOps {
   private val LineitemCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  /** Deliberately NOT routed through `Tables.fanout`: measured at sf0.1,
+    * fanning the rows out before the profile costs MORE than the
+    * one-row-group scan-parallelism it buys back (1.14 s vs 0.89 s),
+    * because the fanout exchange ships every raw row where the scan-stage
+    * partial aggregation (incl. the distinct-pair dedup) would have
+    * collapsed them map-side first. Fanout pays when per-row compute
+    * dominates a row copy (tokenization, shingling — the TextOps uses);
+    * plain min/max/count does not. The bench-vs-DuckDB gap on the sf0.1
+    * fixture is therefore the documented single-row-group artifact, not a
+    * plan defect — real multi-row-group data scans parallel. */
   def lineitemProfile(lineitem: DataFrame): DataFrame =
     numericProfile(lineitem, LineitemCols)
 

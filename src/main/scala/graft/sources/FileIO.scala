@@ -51,12 +51,13 @@ object FileIO {
     * at 100 TB this converts the recurring fact⋈fact shuffle (the single
     * most expensive step of a big join) into a zero-exchange sort-merge
     * join. Requires `saveAsTable` (bucket metadata lives in the catalog). */
-  def writeParquetBucketed(df: DataFrame, table: String, nBuckets: Int,
-      bucketCol: String, sortCols: Seq[String] = Nil): Unit = {
-    val s = df.sparkSession
+  /** Drop `table` from the catalog AND clear its warehouse location: with
+    * an in-memory catalog a previous JVM's table data may survive in the
+    * warehouse dir without catalog metadata, and a later `saveAsTable`
+    * fails with LOCATION_ALREADY_EXISTS. */
+  def dropTableAndLocation(s: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")
-    // with an in-memory catalog a previous JVM's table data may survive in
-    // the warehouse dir without catalog metadata; clear the location too
     val loc = new java.io.File(
       new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
         .stripSuffix("/") + s"/$table")
@@ -67,6 +68,12 @@ object FileIO {
       }
       rm(loc)
     }
+  }
+
+  def writeParquetBucketed(df: DataFrame, table: String, nBuckets: Int,
+      bucketCol: String, sortCols: Seq[String] = Nil): Unit = {
+    val s = df.sparkSession
+    dropTableAndLocation(s, table)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

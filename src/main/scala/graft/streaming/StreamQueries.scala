@@ -374,6 +374,54 @@ object StreamQueries {
           JourneyOps.attributionCond))
   }
 
+  /** One bucketed observation for the streaming drift monitor. */
+  case class BucketObs(bucket: Int)
+  /** Running per-bucket count as of the emitting trigger. */
+  case class BucketCount(bucket: Int, n_cur: Long)
+
+  /** q43 streaming — the running-count half of a PSI drift monitor as
+    * `transformWithState` named state: one Long per fixed-width bucket
+    * (state is k counters TOTAL however long the stream runs — the fixed
+    * buckets are what make drift monitoring streamable at all). Each
+    * trigger re-emits the touched buckets' running counts; the monitor
+    * joins the latest emission per bucket against a persisted
+    * [[graft.operators.ProfileOps.refBucketCounts]] profile and runs the
+    * k-row PSI assembly ([[graft.operators.ProfileOps.psiAgainstRef]]) —
+    * metadata-scale work per trigger, no rescan of anything. Bucketing is
+    * the SAME [[graft.operators.ProfileOps.psiBucket]] expression the
+    * batch drift queries use, so batch≡stream holds by construction
+    * (asserted in StreamingSpec). */
+  class PsiCountProcessor
+      extends StatefulProcessor[Int, BucketObs, BucketCount] {
+    @transient private var state: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Long](
+        "n", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[BucketObs],
+        timerValues: TimerValues): Iterator[BucketCount] = {
+      val n = (if (state.exists()) state.get() else 0L) + rows.size
+      state.update(n)
+      Iterator.single(BucketCount(key, n))
+    }
+  }
+
+  /** Streaming running bucket counts of `valueCol` under the q43 PSI
+    * bucketing — the current-side input to a streaming drift gate. */
+  def psiCountsStream(values: DataFrame, valueCol: String,
+      lo: Double, hi: Double, k: Int): Dataset[BucketCount] = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    values.filter(col(valueCol).isNotNull)
+      .select(graft.operators.ProfileOps
+        .psiBucket(col(valueCol), lo, hi, k).as("bucket"))
+      .as[BucketObs]
+      .groupByKey(_.bucket)
+      .transformWithState(new PsiCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Output modes each query supports (documented for sinks/tests). */
   val outputModes: Map[String, OutputMode] = Map(
     "tumbling" -> OutputMode.Append(),

@@ -86,6 +86,44 @@ class GlobalWindowSpec extends SparkSpec {
     assert(gotPr == wantPr)
   }
 
+  test("grouped form equals the built-in PARTITION BY window, one range shuffle for all groups") {
+    // group = o_orderpriority (5 groups, plenty of rows each, date ties
+    // inside every group exercise the per-group cross-partition patching)
+    val keys = Seq("o_orderdate" -> true, "o_orderkey" -> true)
+    val got = GlobalWindows
+      .withGlobalOrderStats(orders, keys, groups = Seq("o_orderpriority"))
+      .select(col("o_orderkey"), col("gw_row_number"), col("gw_rank"),
+        col("gw_dense_rank"), round(col("gw_percent_rank"), 6).as("pr"),
+        col("gw_count"))
+      .orderBy("o_orderkey").collect().toSeq
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val cw = Window.partitionBy(col("o_orderpriority"))
+    val want = orders.select(col("o_orderkey"),
+        row_number().over(w).cast("long").as("gw_row_number"),
+        rank().over(w).cast("long").as("gw_rank"),
+        dense_rank().over(w).cast("long").as("gw_dense_rank"),
+        round(percent_rank().over(w), 6).as("pr"),
+        count(lit(1)).over(cw).as("gw_count"))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(got == want)
+    // grouped ntile too (the q68 shape): one pass, per-group buckets
+    val nt = GlobalWindows.withGlobalNtile(orders, keys, n = 4,
+        groups = Seq("o_orderpriority"))
+      .select(col("o_orderkey"), col("gw_ntile"))
+      .orderBy("o_orderkey").collect().toSeq
+    val wantNt = orders.select(col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("gw_ntile"))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(nt == wantNt)
+    // and the plan still range-partitions the data exactly once
+    val plan = GlobalWindows
+      .withGlobalOrderStats(orders, keys, groups = Seq("o_orderpriority"))
+    plan.collect()
+    val p = plan.queryExecution.executedPlan.toString
+    assert("\\+- Exchange rangepartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("plan: range-partitioned data path, one shuffle reused, no full-data single-partition exchange") {
     val df = GlobalWindows
       .withGlobalOrderStats(orders, Seq("o_orderdate" -> true))

@@ -386,6 +386,67 @@ class ShardSimSourceSpec extends SparkSpec {
       "replayed ingest must converge to the clean run's corpus")
   }
 
+  test("drift-gated ingest: a distribution-shifted batch quarantines whole; replay converges") {
+    // the PSI gate beside the Q40 gate: rows 10..19 arrive with ~6× the
+    // text length (they'd PASS every completeness check) — the batch's
+    // length distribution against the blessed reference profile exceeds
+    // the 0.2 line and the whole batch quarantines; replay converges
+    // because the verdict is a pure function of batch content + fixed ref
+    import graft.app.IngestDedupApp
+    import graft.operators.ProfileOps
+    import spark.implicits._
+    def text(ns: Long): String = (0 until 12).map(t => s"w${ns}t$t").mkString(" ")
+    def longText(ns: Long): String =
+      (0 until 12).map(t => s"w${ns}t$t" + "x" * 40).mkString(" ")
+    val rows = ((1L to 10L).map(i => i -> text(i)) ++
+      (11L to 20L).map(i => i -> longText(i)) ++
+      (21L to 30L).map(i => i -> text(i)))
+      .zipWithIndex.map { case ((id, txt), i) =>
+        (s"d$id", 1700000000000000L + i, s"""{"doc_id":$id,"text":"$txt"}""")
+      }
+    // blessed profile: normal-length docs only (what the corpus SHOULD be)
+    val ref = ProfileOps.refBucketCounts(
+      (1L to 10L).map(i => text(i).length.toDouble).toDF("len"),
+      "len", 0.0, 400.0, 2)
+    val gate = IngestDedupApp.DriftGate(ref,
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).cast("double"),
+      0.0, 400.0, 2)
+    def freshFixture(): String = {
+      val dir = Files.createTempDirectory("ingdrift_fixture").toString
+      ShardSimFixture.writeShard(dir, 0, rows)
+      dir
+    }
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+
+    val corpusA = Files.createTempDirectory("ingdrift_corpusA").toString
+    IngestDedupApp.run(spark, freshFixture(), corpusA,
+        Files.createTempDirectory("ingdrift_ckptA").toString,
+        maxRecordsPerBatch = Some(10L), driftGate = Some(gate))
+      .awaitTermination()
+    val cleanCorpus = ids(IngestDedupApp.corpus(spark, corpusA))
+    assert(cleanCorpus == ((1L to 10L) ++ (21L to 30L)).toSet,
+      cleanCorpus.toSeq.sorted)
+    assert(ids(IngestDedupApp.quarantine(spark, corpusA)) == (11L to 20L).toSet,
+      "the drifted batch quarantines whole")
+
+    // crash mid-run, replay: same corpus, same quarantine
+    val dirB = freshFixture()
+    val corpusB = Files.createTempDirectory("ingdrift_corpusB").toString
+    val ckptB = Files.createTempDirectory("ingdrift_ckptB").toString
+    val marker = Files.createTempDirectory("ingdrift_marker").resolve("fired").toString
+    def startB() = IngestDedupApp.run(spark, dirB, corpusB, ckptB,
+      maxRecordsPerBatch = Some(10L), driftGate = Some(gate),
+      extraOptions = Map("faultInjectMarker" -> marker, "faultInjectAfter" -> "5"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      startB().awaitTermination()
+    }
+    startB().awaitTermination()
+    assert(ids(IngestDedupApp.corpus(spark, corpusB)) == cleanCorpus)
+    assert(ids(IngestDedupApp.quarantine(spark, corpusB)) == (11L to 20L).toSet)
+  }
+
   test("constraint-gated ingest: a poisoned batch quarantines whole; replay converges") {
     // Q40 fused into the exactly-once loop: the gate runs per micro-batch
     // before dedup admission; a failing batch is routed to quarantine and

@@ -247,6 +247,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming PSI drift monitor equals batch psiDrift on the same data") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.ProfileOps
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (lo, hi, k) = (0.0, 100.0, 5)
+      // ref snapshot: uniform; cur stream: mass shifted to the upper half
+      val refVals = (0 until 100).map(_.toDouble)
+      val curVals = (0 until 100).map(i => (i % 50) + 50.0)
+      val events = curVals.zipWithIndex.map { case (v, i) =>
+        Ev(i.toLong, tsOf(i % 60), i.toLong % 7, "view", v) }
+
+      val input = MemoryStream[Ev]
+      val out = StreamQueries.psiCountsStream(input.toDF(), "value", lo, hi, k)
+      val name = "psi_counts_out"
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+        .start()
+      events.grouped(40).foreach { c => input.addData(c); q.processAllAvailable() }
+      q.stop()
+
+      // the monitor's view: latest emission per bucket = the running counts
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy(col("n_cur").desc)
+      val streamCounts = spark.table(name)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("bucket"), col("n_cur"))
+      val ref = ProfileOps.refBucketCounts(refVals.toDF("v"), "v", lo, hi, k)
+      val streamPsi = ProfileOps.psiFromCounts(
+        ref.join(streamCounts, Seq("bucket"), "full"), k)
+
+      // batch twin over the identical snapshots, one conditional-count scan
+      val both = refVals.map(v => (v, "r")).union(curVals.map(v => (v, "c")))
+        .toDF("v", "snap")
+      val batchPsi = ProfileOps.psiDrift(both, "v",
+        col("snap") === "r", col("snap") === "c", lo, hi, k)
+      assert(streamPsi.collect().toSeq == batchPsi.collect().toSeq)
+      // and the drifted stream trips the canonical 0.2 line
+      val total = streamPsi.agg(sum(col("psi_term"))).collect()(0).getDouble(0)
+      assert(total > 0.2, s"expected drift, psi=$total")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState emits only changed users, converging to batch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
