@@ -646,6 +646,57 @@ object DedupOps {
        |  round(avg(jaccard) + 1e-9, 4) AS avg_jaccard
        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q69 — train/val/test split-leakage audit: near-dup pairs whose
+    * members land in DIFFERENT folds of the standard hash split (the
+    * TextOps.trainSplit assignment). A random-by-id split is exactly what
+    * every pipeline does first, and near-dups straddling train/test are
+    * silent eval contamination — the metric this emits is the one a
+    * decontamination run (q23_contamination) is supposed to drive to
+    * zero. Off-diagonal rows (leaked=1) are the contamination mass;
+    * diagonal rows are benign same-fold duplication the keeper pass
+    * handles.
+    *
+    * Scale shape: rides the SAME shared pair stage as every shingle
+    * operator (zero extra shuffles over q23), then two 8-byte-key hash
+    * joins against the slim (doc_id, fold) projection — post-threshold
+    * pair volume only; the rollup is ≤ 9 rows. */
+  def splitLeakage(docs: DataFrame, threshold: Double = JaccardThreshold,
+      k: Int = K, dfCap: Int = DefaultDfCap,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val np = ngramJaccard(docs, threshold, k, dfCap)
+    val bucket = conv(substring(md5(to_binary(col("doc_id").cast("string"),
+      lit("utf-8"))), 1, 15), 16, 10).cast("long") % 100
+    val fold = when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+    val sp = docs.select(col("doc_id"), fold.as("_sp"))
+    np.join(sp.select(col("doc_id").as("d1"), col("_sp").as("_f1")), "d1")
+      .join(sp.select(col("doc_id").as("d2"), col("_sp").as("_f2")), "d2")
+      .select(least(col("_f1"), col("_f2")).as("split_a"),
+        greatest(col("_f1"), col("_f2")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", (col("split_a") =!= col("split_b")).cast("int"))
+      .orderBy("split_a", "split_b")
+  }
+  val splitLeakageSql: String =
+    s"""WITH ${pairsCte(capped = true)},
+       |np AS (SELECT d1, d2 FROM pairs
+       |  WHERE inter / (n1 + n2 - inter) >= $JaccardThreshold),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |      ELSE 'test' END AS f
+       |  FROM (SELECT doc_id,
+       |      CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       |        AS BIGINT) % 100 AS b FROM documents)),
+       |g AS (SELECT least(sa.f, sb.f) AS split_a,
+       |    greatest(sa.f, sb.f) AS split_b
+       |  FROM np JOIN sp sa ON sa.doc_id = np.d1
+       |  JOIN sp sb ON sb.doc_id = np.d2)
+       |SELECT split_a, split_b, count(*) AS n_pairs,
+       |  CAST(split_a <> split_b AS INT) AS leaked
+       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Exact dedup: md5 content hash → keep-first per group, plus a corpus
     * summary row (the corpus has no exact dups, so the per-group output
     * alone would be empty; the summary keeps the check meaningful). */
@@ -909,6 +960,9 @@ object DedupOps {
     ("q67_source_overlap",
       (s: SparkSession, d: String) => sourceOverlap(Tables.documents(s, d)),
       Some(sourceOverlapSql)),
+    ("q69_split_leakage",
+      (s: SparkSession, d: String) => splitLeakage(Tables.documents(s, d)),
+      Some(splitLeakageSql)),
     ("q23_dedup_embedding",
       (s: SparkSession, d: String) => embeddingNearDup(Tables.embeddings(s, d)),
       Some(embeddingNearDupSql)),

@@ -204,28 +204,36 @@ object SimilarityOps {
     knnLshIndexed(indexed, queryIds, k, maxHamming, candidateFraction)
   }
 
-  /** The oracle-checkable form of q24's LSH path: per-query recall of
-    * [[knnLsh]] against the [[knnBrute]] ground truth, emitting only the
-    * engine-agnostic verdict — `recall_ok` = 1 iff ≥ `minRecall` of the
-    * true top-k survive the multi-probe budget. The DuckDB twin emits the
-    * query ids with a literal 1, so the driver's rows+schema+hash compare
-    * passes EXACTLY WHEN every query clears the recall floor — a bounded
-    * oracle for an approximate operator (both sides are deterministic:
-    * the planes are seeded, the probe order is fixed). The raw top-k
-    * surface stays public as [[knnLsh]], spec-bounded in LlmOpsSpec. */
+  /** The oracle-checkable form of q24's LSH path: AGGREGATE recall of
+    * [[knnLsh]] against the [[knnBrute]] ground truth (|lsh ∩ brute| /
+    * |brute| over all query–neighbor pairs — the SAME semantic
+    * LlmOpsSpec's recall bound uses; a per-query floor is the wrong
+    * contract for budgeted multi-probe, where one far-tail query may
+    * legitimately dip while the operator's guarantee holds). Emits only
+    * the engine-agnostic verdict: query count and `recall_ok` = 1 iff
+    * aggregate recall ≥ `minRecall`. The DuckDB twin emits the same
+    * count and a literal 1, so the driver's rows+schema+hash compare
+    * passes EXACTLY WHEN the recall bound holds — a bounded oracle for
+    * an approximate operator (both sides are deterministic: the planes
+    * are seeded, the probe order is fixed). The raw top-k surface stays
+    * public as [[knnLsh]], spec-bounded in LlmOpsSpec. */
   def knnLshRecallAudit(em: DataFrame, queryIds: Seq[Long] = QueryIds,
       k: Int = TopK, minRecall: Double = 0.8): DataFrame = {
     val truth = knnBrute(em, queryIds, k).select(col("qid"), col("neighbor"))
-    val got = knnLsh(em, queryIds, k).select(col("qid"), col("neighbor"))
-    truth.join(got, Seq("qid", "neighbor"), "left_semi")
-      .groupBy(col("qid")).agg(count(lit(1)).as("_hits"))
-      .select(col("qid"),
-        (col("_hits") >= lit(minRecall * k)).cast("int").as("recall_ok"))
-      .orderBy("qid")
+    val hits = truth.join(
+      knnLsh(em, queryIds, k).select(col("qid"), col("neighbor")),
+      Seq("qid", "neighbor"), "left_semi")
+    truth.agg(countDistinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("_total"))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("_hit"))))
+      .select(col("n_queries"),
+        (col("_hit") >= lit(minRecall) * col("_total")).cast("int")
+          .as("recall_ok"))
   }
   val knnLshRecallSql: String =
-    s"""SELECT DISTINCT vec_id AS qid, 1 AS recall_ok FROM embeddings
-       |WHERE vec_id IN (${QueryIds.mkString(", ")}) ORDER BY qid""".stripMargin
+    s"""SELECT count(DISTINCT vec_id) AS n_queries, 1 AS recall_ok
+       |FROM embeddings
+       |WHERE vec_id IN (${QueryIds.mkString(", ")})""".stripMargin
 
   /** [[knnLsh]] against an ALREADY-bucketed index frame — typically
     * `spark.table(t)` after [[writeLshIndex]], or the cached in-session

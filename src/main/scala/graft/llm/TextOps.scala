@@ -475,6 +475,79 @@ object TextOps {
       |  round(avg(entropy) + 1e-9, 4) AS avg_entropy
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** q70 — Gopher-style hard quality gates (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 heuristics, adapted to the
+    * tokenizer contract): per-document RULE VERDICTS rather than a
+    * blended score (q25_quality_score is the soft form) — a doc passes
+    * the corpus gate only if every rule passes. Rules: word count within
+    * [minWords, maxWords]; mean word length within [3, 10]; at least 2
+    * DISTINCT stopwords present (the "symbol salad" guard); duplicate
+    * trigram fraction ≤ 0.3 (the repetition guard, same signal as
+    * q25_repetition). Output: per-source doc counts, per-rule fail
+    * counts, and the all-rules pass count — the table a curation run
+    * reads to decide which rule is eating which source.
+    *
+    * Scale shape: every rule is a per-row expression battery over ONE
+    * scan (no explode — token stats come from array HOFs), collapsing
+    * map-side to |sources| rows. */
+  def gopherRules(docs: DataFrame, minWords: Int = 20,
+      maxWords: Int = 100000): DataFrame = {
+    val ts = Text.tokens(col("text"))
+    val nW = size(ts)
+    val meanLen = when(nW > 0,
+      aggregate(transform(ts, t => length(t)), lit(0),
+        (a, x) => a + x).cast("double") / nW.cast("double"))
+      .otherwise(lit(0.0))
+    val nStopDistinct = size(array_intersect(array_distinct(ts),
+      array(Text.stopwords.map(lit): _*)))
+    val dupFrac = when(nW >= 3,
+      lit(1.0) - size(Text.shingles(ts, 3)).cast("double")
+        / (nW - 2).cast("double"))
+      .otherwise(lit(0.0))
+    val rWc = nW >= minWords && nW <= maxWords
+    val rMwl = meanLen >= 3.0 && meanLen <= 10.0
+    val rStop = nStopDistinct >= 2
+    val rRep = dupFrac <= 0.3
+    Tables.fanout(docs)
+      .select(col("source"), rWc.as("_wc"), rMwl.as("_mwl"),
+        rStop.as("_stop"), rRep.as("_rep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(!col("_wc"), 1)).as("fail_wordcount"),
+        count(when(!col("_mwl"), 1)).as("fail_meanwordlen"),
+        count(when(!col("_stop"), 1)).as("fail_stopwords"),
+        count(when(!col("_rep"), 1)).as("fail_repetition"),
+        count(when(col("_wc") && col("_mwl") && col("_stop") && col("_rep"),
+          1)).as("n_pass"))
+      .orderBy("source")
+  }
+  val gopherRulesSql: String = {
+    val toks = Text.tokensSql("text")
+    s"""WITH t AS (SELECT source, $toks AS ts FROM documents),
+       |r AS (SELECT source,
+       |    len(ts) BETWEEN 20 AND 100000 AS r_wc,
+       |    (CASE WHEN len(ts) > 0 THEN
+       |      CAST(list_reduce(list_prepend(0,
+       |          list_transform(ts, x -> len(x))), (a, x) -> a + x)
+       |        AS DOUBLE) / len(ts)
+       |      ELSE 0.0 END) BETWEEN 3.0 AND 10.0 AS r_mwl,
+       |    len(list_intersect(list_distinct(ts),
+       |      ${Text.stopwordsSqlList})) >= 2 AS r_stop,
+       |    (CASE WHEN len(ts) >= 3 THEN
+       |      1.0 - CAST(len(${Text.shinglesSql("ts", 3)}) AS DOUBLE)
+       |        / (len(ts) - 2)
+       |      ELSE 0.0 END) <= 0.3 AS r_rep
+       |  FROM t)
+       |SELECT source, count(*) AS n_docs,
+       |  count(CASE WHEN NOT r_wc THEN 1 END) AS fail_wordcount,
+       |  count(CASE WHEN NOT r_mwl THEN 1 END) AS fail_meanwordlen,
+       |  count(CASE WHEN NOT r_stop THEN 1 END) AS fail_stopwords,
+       |  count(CASE WHEN NOT r_rep THEN 1 END) AS fail_repetition,
+       |  count(CASE WHEN r_wc AND r_mwl AND r_stop AND r_rep THEN 1 END)
+       |    AS n_pass
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** q63 — Zipf rank–frequency fit of the corpus vocabulary: OLS slope,
     * intercept and R² of ln(freq) on ln(rank) over the top-k terms.
     * Natural language sits near slope −1 (Zipf 1949); template/boilerplate
@@ -536,5 +609,6 @@ object TextOps {
     ("q25_source_cap", onDocs(sourceCap(_)), Some(sourceCapSql())),
     ("q54_bigram_lm", onDocs(bigramLmScore(_)), Some(bigramLmSql)),
     ("q58_char_entropy", onDocs(charEntropy), Some(charEntropySql)),
-    ("q63_zipf_fit", onDocs(zipfFit(_)), Some(zipfFitSql)))
+    ("q63_zipf_fit", onDocs(zipfFit(_)), Some(zipfFitSql)),
+    ("q70_gopher_rules", onDocs(gopherRules(_)), Some(gopherRulesSql)))
 }

@@ -284,6 +284,62 @@ object ProfileOps {
        |FROM lineitem""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
 
+  /** q71 — equal-frequency feature binning of N numeric columns in ONE
+    * distributed pass: the quantile-bucketing step of feature
+    * engineering (decile bins for monotonic models, drift bucketing,
+    * score calibration), computed with the GROUPED global-window
+    * machinery — the columns unpivot to (feature, value) and a single
+    * grouped ntile range-partitions on (feature, value, tiebreak), so N
+    * columns cost one shuffle of N·rows narrow rows instead of N window
+    * passes (and no `Window.partitionBy(feature)` single-reducer-per-
+    * column collapse: at 10⁹ rows a column IS a reducer's worth of
+    * data). `tieBreak` must make (value, tieBreak) unique per feature
+    * for deterministic bin edges — same contract as SQL ntile. Output:
+    * (feature, bin, n, lo, hi) — the bin dictionary you persist and join
+    * at serve time. */
+  def featureBins(df: DataFrame, cols: Seq[String], tieBreak: Column,
+      n: Int): DataFrame = {
+    require(cols.nonEmpty, "featureBins needs at least one column")
+    val stackArgs = cols
+      .map(c => s"'$c', cast($c as double)").mkString(", ")
+    val un = df
+      .select(tieBreak.as("_rid"),
+        expr(s"stack(${cols.size}, $stackArgs)").as(Seq("feature", "val")))
+      .filter(col("val").isNotNull)
+    GlobalWindows.withGlobalNtile(un,
+        Seq("val" -> true, "_rid" -> true), n, "bin",
+        groups = Seq("feature"))
+      .groupBy(col("feature"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("val")), 4).as("lo"),
+        round(max(col("val")), 4).as("hi"))
+      .orderBy("feature", "bin")
+  }
+
+  private val BinCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  /** q71 registry entry: decile bins of three lineitem measures; the
+    * (l_orderkey, l_linenumber) composite is the tiebreak (l_linenumber
+    * ≤ 7 in TPC-H, so ×10 is injective). */
+  def lineitemFeatureBins(lineitem: DataFrame): DataFrame =
+    featureBins(lineitem, BinCols,
+      col("l_orderkey") * 10 + col("l_linenumber"), n = 10)
+
+  val q71FeatureBinsSql: String = {
+    val arms = BinCols.map { c =>
+      s"""SELECT '$c' AS feature, CAST($c AS DOUBLE) AS val,
+         |  l_orderkey * 10 + l_linenumber AS rid FROM lineitem
+         |  WHERE $c IS NOT NULL""".stripMargin
+    }.mkString("(", "\nUNION ALL\n", ")")
+    s"""WITH u AS $arms,
+       |b AS (SELECT feature, val,
+       |    ntile(10) OVER (PARTITION BY feature ORDER BY val, rid) AS bin
+       |  FROM u)
+       |SELECT feature, bin, count(*) AS n,
+       |  round(min(val), 4) AS lo, round(max(val), 4) AS hi
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** q43 registry entry: PSI drift of order value between the even- and
     * odd-keyed halves of orders (two interleaved snapshots of one
     * process — drift should be ≈ 0, which is itself the assertion a
@@ -418,6 +474,9 @@ object ProfileOps {
     ("q43_drift",
       (s: SparkSession, d: String) => ordersDrift(Tables.orders(s, d)),
       Some(q43DriftSql)),
+    ("q71_feature_bins",
+      (s: SparkSession, d: String) => lineitemFeatureBins(Tables.lineitem(s, d)),
+      Some(q71FeatureBinsSql)),
     ("q47_ks_drift",
       (s: SparkSession, d: String) => ordersKsDrift(Tables.orders(s, d)),
       Some(q47KsSql)),

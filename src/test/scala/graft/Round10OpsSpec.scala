@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llm.{DedupOps, TextOps}
+import graft.operators.ProfileOps
+
+/** Round-10 additions: split-leakage audit, Gopher rule gates, grouped
+  * equal-frequency feature binning. */
+class Round10OpsSpec extends SparkSpec {
+
+  test("splitLeakage: cross-fold near-dup pairs flagged leaked, same-fold not") {
+    import spark.implicits._
+    // doc pairs (1,2) and (3,4) are exact near-dups; md5 fold assignment
+    // is deterministic, so compute expected folds with the same rule
+    def text(ns: Long): String = (0 until 12).map(t => s"w${ns}t$t").mkString(" ")
+    val docs = Seq(
+      (1L, text(100)), (2L, text(100)),
+      (3L, text(200)), (4L, text(200)),
+      (5L, text(300))).toDF("doc_id", "text")
+    val got = DedupOps.splitLeakage(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val folds = docs.select(col("doc_id"),
+        when(conv(substring(md5(to_binary(col("doc_id").cast("string"),
+          lit("utf-8"))), 1, 15), 16, 10).cast("long") % 100 < 80, "train")
+          .when(conv(substring(md5(to_binary(col("doc_id").cast("string"),
+            lit("utf-8"))), 1, 15), 16, 10).cast("long") % 100 < 90, "val")
+          .otherwise("test").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Seq((1L, 2L), (3L, 4L))
+      .map { case (a, b) =>
+        val fs = Seq(folds(a), folds(b)).sorted
+        (fs(0), fs(1)) }
+      .groupBy(p => p).map { case ((x, y), g) =>
+        (x, y, g.size.toLong, if (x != y) 1 else 0) }.toSet
+    assert(got.toSet == expected, s"got ${got.toSeq} want $expected")
+    // every pair is accounted for: leaked + unleaked == all near-dup pairs
+    assert(got.map(_._3).sum == 2)
+  }
+
+  test("gopherRules: each rule fails exactly the doc built to fail it") {
+    import spark.implicits._
+    val stopRich = "the a an and of to in is it or"
+    val docs = Seq(
+      // passes everything: 20+ varied words incl. 2+ distinct stopwords
+      (1L, "s1", stopRich + " " + (1 to 15).map(i => s"word$i").mkString(" ")),
+      // fails word count (< 20 words)
+      (2L, "s1", "the a short doc"),
+      // fails mean word length only (> 10 avg): 20+ DISTINCT long words
+      (3L, "s1", ("the a " + (1 to 20).map(i => s"extraordinarily$i").mkString(" "))),
+      // fails stopword rule: 20+ words, none are stopwords
+      (4L, "s1", (1 to 25).map(i => s"token$i").mkString(" ")),
+      // fails repetition only: one trigram repeated end to end (dup frac
+      // ≈ 0.9) while word count, mean length and stopwords all pass
+      (5L, "s1", ("the and " + "xyzw abcd qrst " * 12).trim))
+      .toDF("doc_id", "source", "text")
+    val r = TextOps.gopherRules(docs).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getString(0) == "s1")
+    assert(row.getLong(1) == 5, "n_docs")
+    assert(row.getLong(2) == 1, s"fail_wordcount=${row.getLong(2)}")
+    assert(row.getLong(3) == 1, s"fail_meanwordlen=${row.getLong(3)}")
+    assert(row.getLong(4) == 1, s"fail_stopwords=${row.getLong(4)}")
+    assert(row.getLong(5) == 1, s"fail_repetition=${row.getLong(5)}")
+    assert(row.getLong(6) == 1, s"n_pass=${row.getLong(6)}")
+  }
+
+  test("featureBins: equal-frequency bins, ntile sizing law, matches built-in") {
+    val li = Tables.lineitem(spark, sf0001)
+    val bins = ProfileOps.lineitemFeatureBins(li).collect()
+    val total = li.count()
+    bins.groupBy(_.getString(0)).foreach { case (feature, rows) =>
+      assert(rows.length == 10, s"$feature should have 10 bins")
+      val ns = rows.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(ns.sum == total, s"$feature bins must cover every row")
+      // SQL ntile law: first (total % 10) bins one larger, rest equal
+      assert(ns.max - ns.min <= 1, s"$feature bins must be equal-frequency")
+      // bin value ranges are non-overlapping and ordered
+      val sorted = rows.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getDouble(4) <= b.getDouble(3) + 1e-9,
+          s"$feature bin ${a.getLong(1)} hi > bin ${b.getLong(1)} lo")
+      case _ => ()
+      }
+    }
+  }
+
+  test("featureBins plans ONE range shuffle for all three features") {
+    val df = ProfileOps.lineitemFeatureBins(Tables.lineitem(spark, sf0001))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // ONE data-path range exchange on (feature, val, …); the only other
+    // rangepartitioning is the final ORDER BY over the 30-row bin table
+    assert("\\+- Exchange rangepartitioning\\(feature#\\d+ ASC NULLS FIRST, val#"
+      .r.findAllIn(plan).length == 1, plan)
+    // and never the single-reducer window collapse on the data path
+    assert(!plan.contains("Window [ntile"), plan)
+  }
+}
