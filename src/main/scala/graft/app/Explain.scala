@@ -52,7 +52,9 @@ object Explain {
     "q64_quantize_audit"    -> "int8 quantize: expression-only HOFs over one scan; only the |labels|-row rollup shuffles",
     "q65_hll_vocab"         -> "HLL: fixed-size DataSketches rows shuffle, union rollup never rescans terms",
     "q67_source_overlap"    -> "cross-source dup matrix: thresholded pairs join the slim (doc,source) projection twice; |sources|^2 rollup",
-    "q68_rfm_segments"      -> "RFM: one fact shuffle to user metrics, three distributed-ntile passes, 125-cell rollup")
+    "q68_rfm_segments"      -> "RFM: one fact shuffle to user metrics, ONE grouped distributed-ntile pass over the unpivoted axes, 125-cell rollup",
+    "q69_split_leakage"     -> "split leakage: the shared pair stage + two slim fold joins; 9-row rollup",
+    "q71_feature_bins"      -> "feature bins: N columns unpivot into ONE grouped range shuffle; no per-column single-reducer ntile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -177,14 +177,19 @@ object GlobalWindows {
     * contribute nothing, like SQL SUM). Integral inputs accumulate as
     * LONG (exact), fractional as DOUBLE. Within equal keys the running
     * sum is row-order dependent (same contract as a ROWS window);
-    * aggregate `df` per key first if ties must collapse. */
+    * aggregate `df` per key first if ties must collapse. `groups` is the
+    * grouped form — `SUM(x) OVER (PARTITION BY groups ORDER BY keys)`
+    * with accumulators resetting on group change and per-group offset
+    * patching, one range shuffle for all groups (the same extension
+    * [[withGlobalOrderStats]] has). */
   def withGlobalRunningSum(df: DataFrame, keys: Seq[(String, Boolean)],
-      sums: Seq[(String, String)]): DataFrame = {
+      sums: Seq[(String, String)], groups: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty, "global running sum needs at least one key")
     require(sums.nonEmpty, "global running sum needs at least one column")
-    val sortCols = keys.map { case (n, asc) =>
+    val sortCols = groups.map(col(_).asc) ++ keys.map { case (n, asc) =>
       if (asc) col(n).asc else col(n).desc }
     val sumIdx = sums.map { case (in, _) => df.schema.fieldIndex(in) }
+    val groupIdx = groups.map(df.schema.fieldIndex)
     val isLong = sumIdx.map(i => df.schema(i).dataType match {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
@@ -201,7 +206,19 @@ object GlobalWindows {
       val pid = TaskContext.getPartitionId()
       val accL = new Array[Long](nSums)
       val accD = new Array[Double](nSums)
+      var prevGroup: Seq[Any] = null
       it.map { r =>
+        if (groupIdx.nonEmpty) {
+          val g = groupIdx.map(r.get)
+          val newGroup = prevGroup == null ||
+            !g.iterator.zip(prevGroup.iterator).forall { case (a, b) =>
+              java.util.Objects.deepEquals(a, b) }
+          if (newGroup) {
+            java.util.Arrays.fill(accL, 0L)
+            java.util.Arrays.fill(accD, 0.0)
+            prevGroup = g
+          }
+        }
         val vals = new Array[Any](nSums)
         var j = 0
         while (j < nSums) {
@@ -219,23 +236,28 @@ object GlobalWindows {
       }
     }(Encoders.row(outSchema))
 
-    // per-partition totals ride the SAME range shuffle (ReusedExchange);
-    // the exclusive-prefix offsets are a |partitions|-row window
+    // per-(partition, group) totals ride the SAME range shuffle
+    // (ReusedExchange); the exclusive-prefix offsets are a |partitions ×
+    // groups spanned|-row window, cumulative per group over pid order
+    val gcols = groups.map(col)
     val aggs = sums.zipWithIndex.map { case ((in, _), j) =>
       // all-NULL partitions total 0, not NULL — a NULL here would poison
       // the offset arithmetic for that partition
       coalesce(sum(col(in)), lit(0)).as(s"_gw_t$j") }
-    val counts = local.groupBy(col("_gw_pid")).agg(aggs.head, aggs.tail: _*)
-    val w = Window.orderBy(col("_gw_pid"))
+    val counts = local.groupBy(col("_gw_pid") +: gcols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val w = Window.partitionBy(gcols: _*).orderBy(col("_gw_pid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = sums.indices.foldLeft(counts) { (d, j) =>
       d.withColumn(s"_gw_off$j",
         sum(col(s"_gw_t$j")).over(w) - col(s"_gw_t$j"))
-    }.select(col("_gw_pid") +: sums.indices.map(j => col(s"_gw_off$j")): _*)
+    }.select(col("_gw_pid") +: gcols ++:
+      sums.indices.map(j => col(s"_gw_off$j")): _*)
 
     val patched = sums.zipWithIndex.foldLeft(
-        local.join(broadcast(offsets), "_gw_pid")) { case (d, ((_, out), j)) =>
-      d.withColumn(out, col(out) + col(s"_gw_off$j"))
+        local.join(broadcast(offsets), "_gw_pid" +: groups)) {
+      case (d, ((_, out), j)) =>
+        d.withColumn(out, col(out) + col(s"_gw_off$j"))
     }
     patched.drop("_gw_pid" +: sums.indices.map(j => s"_gw_off$j"): _*)
   }

@@ -142,14 +142,20 @@ object ProfileOps {
   def jsDrift(df: DataFrame, valueCol: String, refPred: Column,
       curPred: Column, lo: Double, hi: Double, k: Int): DataFrame = {
     require(k > 0 && hi > lo, "jsDrift needs a positive bucket count and range")
-    val width = (hi - lo) / k
-    val bucket = least(greatest(
-      floor((col(valueCol) - lo) / width), lit(0)), lit(k - 1)).cast("int")
     val counts = df.filter(col(valueCol).isNotNull)
-      .groupBy(bucket.as("bucket"))
+      .groupBy(psiBucket(col(valueCol), lo, hi, k).as("bucket"))
       .agg(count(when(refPred, 1)).as("n_ref"),
         count(when(curPred, 1)).as("n_cur"))
-    val frame = df.sparkSession.range(k.toLong)
+    jsFromCounts(counts, k)
+  }
+
+  /** The k-row JSD assembly over a (bucket, n_ref, n_cur) count frame —
+    * same join point as [[psiFromCounts]], so a streaming monitor serves
+    * BOTH divergences from the SAME
+    * [[graft.streaming.StreamQueries.psiCountsStream]] state joined to
+    * one stored [[refBucketCounts]] profile. */
+  def jsFromCounts(counts: DataFrame, k: Int): DataFrame = {
+    val frame = counts.sparkSession.range(k.toLong)
       .select(col("id").cast("int").as("bucket"))
     val w = Window.orderBy(col("bucket")).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
@@ -287,43 +293,71 @@ object ProfileOps {
   /** q71 — equal-frequency feature binning of N numeric columns in ONE
     * distributed pass: the quantile-bucketing step of feature
     * engineering (decile bins for monotonic models, drift bucketing,
-    * score calibration), computed with the GROUPED global-window
-    * machinery — the columns unpivot to (feature, value) and a single
-    * grouped ntile range-partitions on (feature, value, tiebreak), so N
-    * columns cost one shuffle of N·rows narrow rows instead of N window
-    * passes (and no `Window.partitionBy(feature)` single-reducer-per-
-    * column collapse: at 10⁹ rows a column IS a reducer's worth of
-    * data). `tieBreak` must make (value, tieBreak) unique per feature
-    * for deterministic bin edges — same contract as SQL ntile. Output:
-    * (feature, bin, n, lo, hi) — the bin dictionary you persist and join
-    * at serve time. */
-  def featureBins(df: DataFrame, cols: Seq[String], tieBreak: Column,
-      n: Int): DataFrame = {
+    * score calibration). The bin DICTIONARY never ranks rows: the
+    * columns unpivot to (feature, value), collapse map-side to
+    * per-distinct-value counts (one hash exchange of the narrow count
+    * table), the weighted CDF rides ONE grouped
+    * [[GlobalWindows.withGlobalRunningSum]] pass (all features share the
+    * range shuffle; no `Window.partitionBy(feature)` single-reducer
+    * collapse), and each bin's edges come from a broadcast boundary
+    * lookup against the CDF — SQL-ntile-identical by construction,
+    * because the value at global row position p is exactly the value
+    * whose cumulative range contains p. At 10⁹ rows the rank
+    * formulation moves every row through the order-stats machinery;
+    * this moves only the distinct-value counts (bounded by NDV, which
+    * low-cardinality features collapse to almost nothing). Output:
+    * (feature, bin, n, lo, hi) — the dictionary you persist and join at
+    * serve time; per-row ASSIGNMENT, when needed, is the grouped
+    * [[GlobalWindows.withGlobalNtile]]. */
+  def featureBins(df: DataFrame, cols: Seq[String], n: Int): DataFrame = {
     require(cols.nonEmpty, "featureBins needs at least one column")
     val stackArgs = cols
       .map(c => s"'$c', cast($c as double)").mkString(", ")
-    val un = df
-      .select(tieBreak.as("_rid"),
-        expr(s"stack(${cols.size}, $stackArgs)").as(Seq("feature", "val")))
+    val counts = df
+      .select(expr(s"stack(${cols.size}, $stackArgs)")
+        .as(Seq("feature", "val")))
       .filter(col("val").isNotNull)
-    GlobalWindows.withGlobalNtile(un,
-        Seq("val" -> true, "_rid" -> true), n, "bin",
-        groups = Seq("feature"))
-      .groupBy(col("feature"), col("bin"))
-      .agg(count(lit(1)).as("n"),
-        round(min(col("val")), 4).as("lo"),
-        round(max(col("val")), 4).as("hi"))
+      .groupBy(col("feature"), col("val")).agg(count(lit(1)).as("cnt"))
+    val cum = GlobalWindows.withGlobalRunningSum(counts,
+      Seq("val" -> true), Seq("cnt" -> "cum"), groups = Seq("feature"))
+    // SQL ntile law over each feature's total: the first (total % n) bins
+    // hold (total div n)+1 rows; [start, end] are global row positions
+    val bounds = counts.groupBy(col("feature"))
+      .agg(sum(col("cnt")).as("_total"))
+      .select(col("feature"), col("_total"),
+        explode(sequence(lit(1), lit(n))).as("bin"))
+      .withColumn("_size", expr(s"_total div $n"))
+      .withColumn("_rem", col("_total") % n)
+      .withColumn("startp", (col("bin") - 1) * col("_size")
+        + least(col("bin") - 1, col("_rem")) + 1)
+      .withColumn("endp", col("bin") * col("_size")
+        + least(col("bin"), col("_rem")))
+      .select(col("feature"), col("bin"), col("startp"), col("endp"))
+    // a position p falls on the value whose cum range [cum-cnt+1, cum]
+    // contains it; lo = value at startp, hi = value at endp (aliases:
+    // cum and bounds both descend from `counts` — a self-join otherwise)
+    val lo = cum.alias("c").join(broadcast(bounds.alias("b")),
+        expr("c.feature = b.feature AND b.startp > c.cum - c.cnt" +
+          " AND b.startp <= c.cum"))
+      .selectExpr("b.feature AS feature", "b.bin AS bin",
+        "b.startp AS startp", "b.endp AS endp", "c.val AS lo_v")
+    val hi = cum.alias("c2").join(broadcast(bounds.alias("b2")),
+        expr("c2.feature = b2.feature AND b2.endp > c2.cum - c2.cnt" +
+          " AND b2.endp <= c2.cum"))
+      .selectExpr("b2.feature AS feature", "b2.bin AS bin",
+        "c2.val AS hi_v")
+    lo.join(hi, Seq("feature", "bin"))
+      .select(col("feature"), col("bin").cast("long").as("bin"),
+        (col("endp") - col("startp") + 1).as("n"),
+        round(col("lo_v"), 4).as("lo"), round(col("hi_v"), 4).as("hi"))
       .orderBy("feature", "bin")
   }
 
   private val BinCols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
-  /** q71 registry entry: decile bins of three lineitem measures; the
-    * (l_orderkey, l_linenumber) composite is the tiebreak (l_linenumber
-    * ≤ 7 in TPC-H, so ×10 is injective). */
+  /** q71 registry entry: decile bins of three lineitem measures. */
   def lineitemFeatureBins(lineitem: DataFrame): DataFrame =
-    featureBins(lineitem, BinCols,
-      col("l_orderkey") * 10 + col("l_linenumber"), n = 10)
+    featureBins(lineitem, BinCols, n = 10)
 
   val q71FeatureBinsSql: String = {
     val arms = BinCols.map { c =>

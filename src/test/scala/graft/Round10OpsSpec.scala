@@ -87,6 +87,25 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("grouped running sum equals the built-in PARTITION BY cumulative window") {
+    val orders = Tables.orders(spark, sf0001)
+    val got = graft.operators.GlobalWindows.withGlobalRunningSum(orders,
+        Seq("o_orderdate" -> true, "o_orderkey" -> true),
+        Seq("o_totalprice" -> "run"),
+        groups = Seq("o_orderpriority"))
+      .select(col("o_orderkey"), round(col("run"), 2).as("run"))
+      .orderBy("o_orderkey").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = orders.select(col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("run"))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(got == want)
+  }
+
   test("featureBins plans ONE range shuffle for all three features") {
     val df = ProfileOps.lineitemFeatureBins(Tables.lineitem(spark, sf0001))
     df.collect()

@@ -291,6 +291,13 @@ class StreamingSpec extends SparkSpec {
       // and the drifted stream trips the canonical 0.2 line
       val total = streamPsi.agg(sum(col("psi_term"))).collect()(0).getDouble(0)
       assert(total > 0.2, s"expected drift, psi=$total")
+
+      // the SAME streamed counts + ref serve the JS divergence monitor
+      val streamJs = ProfileOps.jsFromCounts(
+        ref.join(streamCounts, Seq("bucket"), "full"), k)
+      val batchJs = ProfileOps.jsDrift(both, "v",
+        col("snap") === "r", col("snap") === "c", lo, hi, k)
+      assert(streamJs.collect().toSeq == batchJs.collect().toSeq)
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
