@@ -359,6 +359,37 @@ object ProfileOps {
   def lineitemFeatureBins(lineitem: DataFrame): DataFrame =
     featureBins(lineitem, BinCols, n = 10)
 
+  /** q72 — EXACT grouped percentiles at scale (`percentile_disc`
+    * semantics: the smallest stored value whose cumulative count reaches
+    * ⌈p·n⌉) via the same weighted-CDF shape as [[featureBins]]: one
+    * map-side collapse to per-(group, value) counts, one grouped
+    * running-sum pass, and a |groups × percentiles|-row broadcast
+    * boundary lookup. The 100 TB story: exact p99s per key WITHOUT
+    * `percentile` buffers (which hold every distinct value per group in
+    * one aggregation buffer) and WITHOUT a per-group sort funneling
+    * through `Window.partitionBy` reducers — cost is NDV-linear and all
+    * groups share one range shuffle. `percentile_approx` remains the
+    * one-pass estimate; this is the exact twin for when the number IS
+    * the contract (SLO reporting, billing cuts). */
+  def exactPercentiles(df: DataFrame, valueCol: String, groupCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "percentiles must lie in (0, 1]")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"), col(valueCol).cast("double").as("_v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = GlobalWindows.withGlobalRunningSum(counts,
+      Seq("_v" -> true), Seq("cnt" -> "cum"), groups = Seq("_g"))
+    val bounds = counts.groupBy(col("_g")).agg(sum(col("cnt")).as("_n"))
+      .select(col("_g"), col("_n"), explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("pos", greatest(ceil(col("p") * col("_n")), lit(1L)))
+      .select(col("_g"), col("p"), col("pos"))
+    cum.alias("c").join(broadcast(bounds.alias("b")),
+        expr("c._g = b._g AND b.pos > c.cum - c.cnt AND b.pos <= c.cum"))
+      .selectExpr("b._g AS grp", "b.p AS p", "c._v AS value")
+      .orderBy("grp", "p")
+  }
+
   val q71FeatureBinsSql: String = {
     val arms = BinCols.map { c =>
       s"""SELECT '$c' AS feature, CAST($c AS DOUBLE) AS val,
@@ -372,6 +403,20 @@ object ProfileOps {
        |SELECT feature, bin, count(*) AS n,
        |  round(min(val), 4) AS lo, round(max(val), 4) AS hi
        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** q72 registry entry: exact p50/p90/p99 of event value per type. */
+  def eventValuePercentiles(events: DataFrame): DataFrame =
+    exactPercentiles(events, "value", "event_type", Seq(0.5, 0.9, 0.99))
+      .withColumnRenamed("grp", "event_type")
+
+  val q72PercentilesSql: String = {
+    val arms = Seq(0.5, 0.9, 0.99).map { p =>
+      s"""SELECT event_type, CAST($p AS DOUBLE) AS p,
+         |  percentile_disc($p) WITHIN GROUP (ORDER BY value) AS value
+         |FROM events WHERE value IS NOT NULL GROUP BY event_type""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$arms\nORDER BY event_type, p"
   }
 
   /** q43 registry entry: PSI drift of order value between the even- and
@@ -511,6 +556,9 @@ object ProfileOps {
     ("q71_feature_bins",
       (s: SparkSession, d: String) => lineitemFeatureBins(Tables.lineitem(s, d)),
       Some(q71FeatureBinsSql)),
+    ("q72_exact_percentiles",
+      (s: SparkSession, d: String) => eventValuePercentiles(Tables.events(s, d)),
+      Some(q72PercentilesSql)),
     ("q47_ks_drift",
       (s: SparkSession, d: String) => ordersKsDrift(Tables.orders(s, d)),
       Some(q47KsSql)),

@@ -106,6 +106,29 @@ class Round10OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("exactPercentiles: percentile_disc semantics vs a sorted reference") {
+    val events = Tables.events(spark, sf0001)
+    val got = ProfileOps.eventValuePercentiles(events).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val byType = events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (t, rows) =>
+        t -> rows.map(_.getDouble(1)).sorted }
+    byType.foreach { case (t, sorted) =>
+      Seq(0.5, 0.9, 0.99).foreach { p =>
+        val pos = math.max(math.ceil(p * sorted.length).toLong, 1L)
+        assert(got((t, p)) == sorted((pos - 1).toInt),
+          s"$t p$p: got ${got((t, p))}")
+      }
+    }
+    // the data path range-partitions once; no per-group reducer sort
+    val df = ProfileOps.eventValuePercentiles(events)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\+- Exchange rangepartitioning\\(_g#\\d+ ASC NULLS FIRST, _v#"
+      .r.findAllIn(plan).length == 1, plan)
+  }
+
   test("featureBins plans ONE range shuffle for all three features") {
     val df = ProfileOps.lineitemFeatureBins(Tables.lineitem(spark, sf0001))
     df.collect()
