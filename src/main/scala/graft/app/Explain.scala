@@ -54,7 +54,8 @@ object Explain {
     "q67_source_overlap"    -> "cross-source dup matrix: thresholded pairs join the slim (doc,source) projection twice; |sources|^2 rollup",
     "q68_rfm_segments"      -> "RFM: one fact shuffle to user metrics, ONE grouped distributed-ntile pass over the unpivoted axes, 125-cell rollup",
     "q69_split_leakage"     -> "split leakage: the shared pair stage + two slim fold joins; 9-row rollup",
-    "q71_feature_bins"      -> "feature bins: N columns unpivot into ONE grouped range shuffle; no per-column single-reducer ntile")
+    "q71_feature_bins"      -> "feature bins: N columns unpivot into ONE grouped range shuffle; no per-column single-reducer ntile",
+    "q72_exact_percentiles" -> "exact percentile_disc per group: NDV-collapse + grouped running sum + broadcast boundary lookup; no per-group buffers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

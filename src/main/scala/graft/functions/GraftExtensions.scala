@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(clazz, name), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
+    ext.injectPlannerStrategy(_ => graft.plans.RunningStatsStrategy)
   }
 }
 

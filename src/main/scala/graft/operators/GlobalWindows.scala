@@ -75,55 +75,25 @@ object GlobalWindows {
     val needRank = stats("rank") || stats("percent_rank")
     val needDense = stats("dense_rank")
     val needCount = stats("count") || stats("percent_rank")
-    val needKeyCmp = needRank || needDense
-    val sortCols = groups.map(col(_).asc) ++ keys.map { case (n, asc) =>
-      if (asc) col(n).asc else col(n).desc }
-    val keyIdx = keys.map { case (n, _) => df.schema.fieldIndex(n) }
-    val groupIdx = groups.map(df.schema.fieldIndex)
-
-    val ranged = df.repartitionByRange(sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-
-    var outSchema = StructType(df.schema.fields)
-      .add("_gw_pid", IntegerType).add("_gw_lrn", LongType)
-    if (needRank) outSchema = outSchema.add("_gw_lrk", LongType)
-    if (needDense) outSchema = outSchema.add("_gw_ldr", LongType)
-    def sameKey(a: Seq[Any], b: Seq[Any]): Boolean =
-      // deepEquals, not equals: BinaryType keys surface as Array[Byte],
-      // where plain equals is reference identity and ties never form
-      a.iterator.zip(b.iterator).forall { case (x, y) =>
-        java.util.Objects.deepEquals(x, y) }
-    // one streaming pass per partition: O(1) state (previous key + three
-    // counters), no materialization — partitions of any length stream
-    val local = ranged.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var rn = 0L; var rk = 0L; var dr = 0L
-      var prev: Seq[Any] = null
-      var prevGroup: Seq[Any] = null
-      it.map { r =>
-        if (groupIdx.nonEmpty) {
-          val g = groupIdx.map(r.get)
-          if (prevGroup == null || !sameKey(g, prevGroup)) {
-            rn = 0L; rk = 0L; dr = 0L; prev = null; prevGroup = g
-          }
-        }
-        rn += 1
-        var extra: List[Any] = Nil
-        if (needKeyCmp) {
-          val k = keyIdx.map(r.get)
-          val newKey = prev == null || !sameKey(k, prev)
-          if (newKey) { rk = rn; dr += 1; prev = k }
-          if (needDense) extra = dr :: extra
-          if (needRank) extra = rk :: extra
-        }
-        Row.fromSeq(r.toSeq ++ (pid :: rn :: extra))
-      }
-    }(Encoders.row(outSchema))
+    // the linear local pass is a first-class physical operator
+    // (plans/RunningStats.scala): InternalRow in, InternalRow out — no
+    // Row-encoder round trip, which used to dominate the cost of every
+    // query on this machinery. EnsureRequirements plans the one range
+    // exchange from the node's declared distribution.
+    val local = graft.plans.RunningStats.local(df, groups, keys,
+      sums = Nil, needRowNumber = true, needRank = needRank,
+      needDense = needDense)
 
     // per-(partition, group) totals ride the SAME range shuffle
     // (ReusedExchange); the offset window runs over |partitions × groups
     // spanned| rows — metadata, not data. A group split across partition
     // boundaries patches exactly like the ungrouped global window did.
+    // The totals MUST aggregate `local`, not the pre-pass shuffle: a
+    // separate aggregate over the raw exchange gets column-pruned into
+    // a DIFFERENT (2-column) range exchange whose sampled boundaries
+    // disagree with the pass's partitioning — measured: 75% of row
+    // numbers off by the boundary drift. Re-reading `local` is cheap
+    // now that the pass is InternalRow-level (no encoder round-trip).
     val gcols = groups.map(col)
     val countAggs = max(col("_gw_lrn")).as("_gw_n") +:
       (if (needDense) Seq(max(col("_gw_ldr")).as("_gw_nd")) else Nil)
@@ -186,59 +156,17 @@ object GlobalWindows {
       sums: Seq[(String, String)], groups: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty, "global running sum needs at least one key")
     require(sums.nonEmpty, "global running sum needs at least one column")
-    val sortCols = groups.map(col(_).asc) ++ keys.map { case (n, asc) =>
-      if (asc) col(n).asc else col(n).desc }
-    val sumIdx = sums.map { case (in, _) => df.schema.fieldIndex(in) }
-    val groupIdx = groups.map(df.schema.fieldIndex)
-    val isLong = sumIdx.map(i => df.schema(i).dataType match {
-      case LongType | IntegerType | ShortType | ByteType => true
-      case _ => false
-    })
-
-    val ranged = df.repartitionByRange(sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-
-    var outSchema = StructType(df.schema.fields).add("_gw_pid", IntegerType)
-    sums.zip(isLong).foreach { case ((_, out), l) =>
-      outSchema = outSchema.add(out, if (l) LongType else DoubleType) }
-    val nSums = sums.size
-    val local = ranged.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      val accL = new Array[Long](nSums)
-      val accD = new Array[Double](nSums)
-      var prevGroup: Seq[Any] = null
-      it.map { r =>
-        if (groupIdx.nonEmpty) {
-          val g = groupIdx.map(r.get)
-          val newGroup = prevGroup == null ||
-            !g.iterator.zip(prevGroup.iterator).forall { case (a, b) =>
-              java.util.Objects.deepEquals(a, b) }
-          if (newGroup) {
-            java.util.Arrays.fill(accL, 0L)
-            java.util.Arrays.fill(accD, 0.0)
-            prevGroup = g
-          }
-        }
-        val vals = new Array[Any](nSums)
-        var j = 0
-        while (j < nSums) {
-          val v = r.get(sumIdx(j))
-          if (isLong(j)) {
-            if (v != null) accL(j) += v.asInstanceOf[Number].longValue()
-            vals(j) = accL(j)
-          } else {
-            if (v != null) accD(j) += v.asInstanceOf[Number].doubleValue()
-            vals(j) = accD(j)
-          }
-          j += 1
-        }
-        Row.fromSeq(r.toSeq ++ Seq[Any](pid) ++ vals)
-      }
-    }(Encoders.row(outSchema))
+    // same first-class local pass as [[withGlobalOrderStats]], in
+    // running-sum mode — the sums come back already named `out`
+    val local = graft.plans.RunningStats.local(df, groups, keys, sums,
+      needRowNumber = false, needRank = false, needDense = false)
 
     // per-(partition, group) totals ride the SAME range shuffle
-    // (ReusedExchange); the exclusive-prefix offsets are a |partitions ×
-    // groups spanned|-row window, cumulative per group over pid order
+    // (ReusedExchange); they aggregate `local` — NOT a separate
+    // aggregate over the raw exchange, which would column-prune into a
+    // different range exchange with independently sampled (drifting)
+    // boundaries. The offsets are a |partitions × groups spanned|-row
+    // window, cumulative per group over pid order.
     val gcols = groups.map(col)
     val aggs = sums.zipWithIndex.map { case ((in, _), j) =>
       // all-NULL partitions total 0, not NULL — a NULL here would poison

@@ -321,34 +321,43 @@ object ProfileOps {
     val cum = GlobalWindows.withGlobalRunningSum(counts,
       Seq("val" -> true), Seq("cnt" -> "cum"), groups = Seq("feature"))
     // SQL ntile law over each feature's total: the first (total % n) bins
-    // hold (total div n)+1 rows; [start, end] are global row positions
-    val bounds = counts.groupBy(col("feature"))
+    // hold (total div n)+1 rows. Rather than probing the CDF once per
+    // bin edge (two joins = two more trips through the running-sum
+    // pass), each CDF row inverts the law in closed form: its positions
+    // span [cum-cnt+1, cum], the bin of position p is
+    //   p <= rem*(size+1) ? ceil(p/(size+1)) : rem + ceil((p-rem*(size+1))/size)
+    // and the row explodes to the (usually one) bins it overlaps. The
+    // values overlapping a bin are contiguous in sort order, so
+    // min/max(val) per (feature, bin) ARE the values at startp/endp —
+    // the CDF is consumed exactly once, by a codegen'd expression + a
+    // |features × n|-row aggregate. (size = 0 keeps every position in
+    // the first branch — big = total — so the else-side div never hits
+    // 0.)
+    val totals = counts.groupBy(col("feature"))
       .agg(sum(col("cnt")).as("_total"))
-      .select(col("feature"), col("_total"),
-        explode(sequence(lit(1), lit(n))).as("bin"))
       .withColumn("_size", expr(s"_total div $n"))
       .withColumn("_rem", col("_total") % n)
-      .withColumn("startp", (col("bin") - 1) * col("_size")
-        + least(col("bin") - 1, col("_rem")) + 1)
-      .withColumn("endp", col("bin") * col("_size")
-        + least(col("bin"), col("_rem")))
-      .select(col("feature"), col("bin"), col("startp"), col("endp"))
-    // a position p falls on the value whose cum range [cum-cnt+1, cum]
-    // contains it; lo = value at startp, hi = value at endp (aliases:
-    // cum and bounds both descend from `counts` — a self-join otherwise)
-    val lo = cum.alias("c").join(broadcast(bounds.alias("b")),
-        expr("c.feature = b.feature AND b.startp > c.cum - c.cnt" +
-          " AND b.startp <= c.cum"))
-      .selectExpr("b.feature AS feature", "b.bin AS bin",
-        "b.startp AS startp", "b.endp AS endp", "c.val AS lo_v")
-    val hi = cum.alias("c2").join(broadcast(bounds.alias("b2")),
-        expr("c2.feature = b2.feature AND b2.endp > c2.cum - c2.cnt" +
-          " AND b2.endp <= c2.cum"))
-      .selectExpr("b2.feature AS feature", "b2.bin AS bin",
-        "c2.val AS hi_v")
-    lo.join(hi, Seq("feature", "bin"))
+    // same floor-division form as GlobalWindows.withGlobalNtile — the
+    // two must stay law-identical (bins here are the dictionary, ntile
+    // is the per-row assignment of the same cuts)
+    def binOf(p: Column): Column = {
+      val big = col("_rem") * (col("_size") + lit(1L))
+      when(p <= big,
+          floor((p - 1) / (col("_size") + lit(1L))).cast("long") + 1)
+        .otherwise(col("_rem") +
+          floor((p - big - 1) / col("_size")).cast("long") + 1)
+    }
+    val spans = cum.join(broadcast(totals), "feature")
+      .withColumn("_first", binOf(col("cum") - col("cnt") + 1))
+      .withColumn("_last", binOf(col("cum")))
+      .select(col("feature"), col("val"),
+        explode(sequence(col("_first"), col("_last"))).as("bin"))
+    spans.groupBy(col("feature"), col("bin"))
+      .agg(min(col("val")).as("lo_v"), max(col("val")).as("hi_v"))
+      .join(broadcast(totals), "feature")
       .select(col("feature"), col("bin").cast("long").as("bin"),
-        (col("endp") - col("startp") + 1).as("n"),
+        (col("_size") + when(col("bin") <= col("_rem"), 1L).otherwise(0L))
+          .as("n"),
         round(col("lo_v"), 4).as("lo"), round(col("hi_v"), 4).as("hi"))
       .orderBy("feature", "bin")
   }
