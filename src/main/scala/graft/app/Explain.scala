@@ -55,7 +55,9 @@ object Explain {
     "q68_rfm_segments"      -> "RFM: one fact shuffle to user metrics, ONE grouped distributed-ntile pass over the unpivoted axes, 125-cell rollup",
     "q69_split_leakage"     -> "split leakage: the shared pair stage + two slim fold joins; 9-row rollup",
     "q71_feature_bins"      -> "feature bins: N columns unpivot into ONE grouped range shuffle; no per-column single-reducer ntile",
-    "q72_exact_percentiles" -> "exact percentile_disc per group: NDV-collapse + grouped running sum + broadcast boundary lookup; no per-group buffers")
+    "q72_exact_percentiles" -> "exact percentile_disc per group: NDV-collapse + grouped running sum + broadcast boundary lookup; no per-group buffers",
+    "q73_kll_quantiles"     -> "mergeable KLL quantile sketches: fixed-size rows shuffle, union rollup; audit bounds ride the q72 exact machinery",
+    "q74_theta_overlap"     -> "theta set-sketches: per-source fixed-size rows, pairwise intersection post-agg; exact audit self-join only at test scale")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

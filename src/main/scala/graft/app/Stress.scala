@@ -79,7 +79,8 @@ object Stress {
       "q62_volume_anomaly", "q63_zipf_fit", "q64_quantize_audit",
       "q65_hll_vocab", "q66_dup_degrees", "q67_source_overlap",
       "q68_rfm_segments", "q69_split_leakage", "q70_gopher_rules",
-      "q71_feature_bins", "q72_exact_percentiles")
+      "q71_feature_bins", "q72_exact_percentiles", "q73_kll_quantiles",
+      "q74_theta_overlap")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

@@ -108,11 +108,168 @@ object SketchOps {
        |  count(DISTINCT term) AS exact_vocab, 1 AS est_ok
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q73 — mergeable per-key quantile sketches (DataSketches KLL, the
+    * quantile member of the approximate family; [[graft.functions.KllAgg]]).
+    * The persisted-sketch idiom from q65, for quantiles: one pass builds
+    * fixed-size sketches per (event_type, week) — the rows you would
+    * store — and ANY later span's p50/p90/p99 comes from a lossless
+    * `kll_union_agg` rollup of those rows, never a rescan. At 100 TB the
+    * exact path (q72) costs an NDV-sized shuffle per question; this
+    * costs one |keys × epochs|-row union per question, with a proven
+    * ±1.65% rank bound (k=200, 99% conf.).
+    *
+    * Bounded oracle, q65-style: KLL compaction is randomized, so the
+    * audit emits the EXACT values at ranks p ± 2ε (both engines can
+    * compute those) plus `est_ok` = 1 iff the sketch estimate landed
+    * between them; the DuckDB twin emits the same exact bounds and a
+    * literal 1. Exact bounds ride [[graft.operators.ProfileOps.exactPercentiles]]
+    * — the q72 machinery — so the audit itself stays scale-safe. */
+  def kllQuantileAudit(events: DataFrame, ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      k: Int = 200): DataFrame = {
+    val kagg = udaf(new graft.functions.KllAgg(k), Encoders.scalaDouble)
+    val kunion = udaf(new graft.functions.KllUnionAgg(k), Encoders.BINARY)
+    val perEpoch = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("week", col("ts")).as("wk"))
+      .agg(kagg(col("value")).as("sk"))
+    val rolled = perEpoch.groupBy(col("event_type"))
+      .agg(kunion(col("sk")).as("sk"))
+    val qUdf = udf((b: Array[Byte], p: Double) =>
+      graft.functions.KllQuantiles.quantile(b, p))
+    val est = rolled
+      .select(col("event_type"), explode(array(ps.map(lit): _*)).as("p"),
+        col("sk"))
+      .withColumn("est", qUdf(col("sk"), col("p")))
+      .drop("sk")
+    val eps = 2.0 * graft.functions.KllQuantiles.rankError(k)
+    val ranks = ps.map(p => (p, math.max(p - eps, 1e-6), math.min(p + eps, 1.0)))
+    val exact = graft.operators.ProfileOps.exactPercentiles(
+      events, "value", "event_type",
+      ranks.flatMap { case (_, lo, hi) => Seq(lo, hi) }.distinct)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rankMap = ranks.toDF("p", "lo_r", "hi_r")
+    est.join(broadcast(rankMap), "p")
+      .join(broadcast(exact.select(col("grp"), col("p").as("lo_r"),
+        col("value").as("lo"))), Seq("lo_r"))
+      .filter(col("grp") === col("event_type")).drop("grp")
+      .join(broadcast(exact.select(col("grp"), col("p").as("hi_r"),
+        col("value").as("hi"))), Seq("hi_r"))
+      .filter(col("grp") === col("event_type")).drop("grp")
+      .select(col("event_type"), col("p"), col("lo"), col("hi"),
+        (col("est") >= col("lo") && col("est") <= col("hi"))
+          .cast("int").as("est_ok"))
+      .orderBy("event_type", "p")
+  }
+
+  val q73KllAuditSql: String = {
+    val k = 200
+    val eps = 2.0 * graft.functions.KllQuantiles.rankError(k)
+    Seq(0.5, 0.9, 0.99).map { p =>
+      val lo = math.max(p - eps, 1e-6); val hi = math.min(p + eps, 1.0)
+      s"""SELECT event_type, CAST($p AS DOUBLE) AS p,
+         |  percentile_disc($lo) WITHIN GROUP (ORDER BY value) AS lo,
+         |  percentile_disc($hi) WITHIN GROUP (ORDER BY value) AS hi,
+         |  1 AS est_ok
+         |FROM events WHERE value IS NOT NULL GROUP BY event_type""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY event_type, p"
+  }
+
+  /** q74 — cross-source distinct-content overlap via theta sketches
+    * ([[graft.functions.ThetaAgg]]), completing the persisted-sketch
+    * family: HLL counts distincts (q65), KLL answers quantiles (q73),
+    * theta intersects SETS. q67 answers "which sources mirror each
+    * other" through the near-dup pair stage; this answers the coarser
+    * set question — what fraction of source A's distinct shingles also
+    * appear in B — in ONE pass with fixed memory: per-source sketches
+    * are built map-side (ObjectHashAggregate partial merge), only
+    * |sources| fixed-size sketch rows shuffle, and every pairwise
+    * intersection runs on those rows POST-aggregation. At 100 TB the
+    * exact path's (source, shingle)-distinct self-join shuffles the
+    * full shingle universe twice; the sketch path shuffles kilobytes
+    * and is the one you persist per (source, day) for later rollup.
+    *
+    * Bounded oracle, q65-style with the q24 aggregate twist: the audit
+    * emits the EXACT pairwise distinct-shingle overlap (both engines
+    * can compute it at test scale) plus `cov_ok` = 1 iff ≥90% of pairs
+    * land inside their sketch's own ±2σ interval
+    * ([[ThetaSketchOps.intersectBounds]]). The interval is a ~95%
+    * PER-PAIR guarantee, so over a 190-pair matrix a handful of misses
+    * on near-disjoint pairs is expected behavior, not failure — the
+    * spec-correct gate is coverage, exactly as q24_knn_lsh gates
+    * aggregate recall rather than per-query rank. The coverage scalar
+    * rides in-plan as crossJoin(broadcast(agg)) — the q17 pattern, no
+    * Exchange SinglePartition. Zero-intersection pairs drop from both
+    * engines' inner joins symmetrically. */
+  def thetaSourceOverlap(docs: DataFrame, k: Int = 5,
+      lgK: Int = 12): DataFrame = {
+    val sh = docs
+      .select(col("source"),
+        explode(Text.shingles(Text.tokens(col("text")), k)).as("sh_s"))
+      .select(col("source"), xxhash64(col("sh_s")).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.alias("a").join(sh.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val tAgg = udaf(new graft.functions.ThetaAgg(lgK), Encoders.scalaLong)
+    val sk = sh.groupBy(col("source")).agg(tAgg(col("sh")).as("sk"))
+    val boundsUdf = udf((a: Array[Byte], b: Array[Byte]) => {
+      val (_, lo, hi) = graft.functions.ThetaSketchOps.intersectBounds(a, b)
+      Array(lo, hi)
+    })
+    val est = sk.alias("x").join(broadcast(sk.alias("y")),
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        boundsUdf(col("x.sk"), col("y.sk")).as("ib"))
+    val flags = inter
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("n_b"))), "source_b")
+      .join(broadcast(est), Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))
+          + lit(1e-9), 4).as("jaccard"),
+        (col("n_inter") >= col("ib").getItem(0)
+          && col("n_inter") <= col("ib").getItem(1)).cast("int").as("est_ok"))
+    val cov = flags.agg(
+      (sum(col("est_ok")) >= count(lit(1)) * lit(0.9)).cast("int")
+        .as("cov_ok"))
+    flags.drop("est_ok").crossJoin(broadcast(cov))
+      .orderBy("source_a", "source_b")
+  }
+
+  val q74ThetaOverlapSql: String =
+    s"""WITH tok AS (SELECT source, ${Text.tokensSql("text")} AS ts
+       |  FROM documents),
+       |sh AS (SELECT DISTINCT source, sh FROM
+       |  (SELECT source, unnest(${Text.shinglesSql("ts", 5)}) AS sh FROM tok)),
+       |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+       |i AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, CAST(sa.n AS BIGINT) AS n_a,
+       |  CAST(sb.n AS BIGINT) AS n_b, CAST(n_inter AS BIGINT) AS n_inter,
+       |  round(n_inter / (sa.n + sb.n - n_inter) + 1e-9, 4) AS jaccard,
+       |  1 AS cov_ok
+       |FROM i JOIN sizes sa ON sa.source = i.source_a
+       |JOIN sizes sb ON sb.source = i.source_b
+       |ORDER BY 1, 2""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q31_heavy_hitters",
       (s: SparkSession, d: String) => heavyHittersPerLang(Tables.documents(s, d)),
       Some(q31HeavyHittersSql)),
     ("q65_hll_vocab",
       (s: SparkSession, d: String) => hllVocabAudit(Tables.documents(s, d)),
-      Some(q65HllAuditSql)))
+      Some(q65HllAuditSql)),
+    ("q73_kll_quantiles",
+      (s: SparkSession, d: String) => kllQuantileAudit(Tables.events(s, d)),
+      Some(q73KllAuditSql)),
+    ("q74_theta_overlap",
+      (s: SparkSession, d: String) => thetaSourceOverlap(Tables.documents(s, d)),
+      Some(q74ThetaOverlapSql)))
 }

@@ -129,6 +129,29 @@ class Round10OpsSpec extends SparkSpec {
       .r.findAllIn(plan).length == 1, plan)
   }
 
+  test("kllQuantileAudit: sketch estimates inside the exact ±2ε rank bounds") {
+    val events = Tables.events(spark, sf0001)
+    val rows = graft.llm.SketchOps.kllQuantileAudit(events).collect()
+    assert(rows.length == 15, rows.length) // 5 types × 3 percentiles
+    assert(rows.forall(_.getInt(4) == 1),
+      rows.filter(_.getInt(4) != 1).mkString(";"))
+    // the bounds are real data values that straddle the target rank
+    rows.foreach(r => assert(r.getDouble(2) <= r.getDouble(3), r.toString))
+  }
+
+  test("thetaSourceOverlap: ≥90% of exact overlaps inside the sketch ±2σ") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = graft.llm.SketchOps.thetaSourceOverlap(docs).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(6) == 1),
+      rows.filter(_.getInt(6) != 1).mkString(";"))
+    // overlap counts are genuine intersections: n_inter <= min(n_a, n_b)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)), r.toString)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0, r.toString)
+    }
+  }
+
   test("featureBins plans ONE range shuffle for all three features") {
     val df = ProfileOps.lineitemFeatureBins(Tables.lineitem(spark, sf0001))
     df.collect()
