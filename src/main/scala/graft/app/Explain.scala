@@ -57,7 +57,8 @@ object Explain {
     "q71_feature_bins"      -> "feature bins: N columns unpivot into ONE grouped range shuffle; no per-column single-reducer ntile",
     "q72_exact_percentiles" -> "exact percentile_disc per group: NDV-collapse + grouped running sum + broadcast boundary lookup; no per-group buffers",
     "q73_kll_quantiles"     -> "mergeable KLL quantile sketches: fixed-size rows shuffle, union rollup; audit bounds ride the q72 exact machinery",
-    "q74_theta_overlap"     -> "theta set-sketches: per-source fixed-size rows, pairwise intersection post-agg; exact audit self-join only at test scale")
+    "q74_theta_overlap"     -> "theta set-sketches: per-source fixed-size rows, pairwise intersection post-agg; exact audit self-join only at test scale",
+    "q75_cluster_split"     -> "leakage-free split: pair stage + CC once, fold hash on keeper id; leaked-pairs scalar rides in-plan (provably 0)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -697,6 +697,79 @@ object DedupOps {
        |  CAST(split_a <> split_b AS INT) AS leaked
        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q75 — leakage-FREE train/val/test split: fold assignment hashed by
+    * dup-CLUSTER keeper id, not doc id, so every member of a near-dup
+    * component lands in the same fold by construction. q69 DETECTS the
+    * contamination a random-by-id split creates; this is the operator
+    * that prevents it — the pipeline's actual fix (dedup-aware splitting,
+    * the decontamination counterpart of [[dedupCorpus]] for the case
+    * where you keep the duplicates but must not let them straddle eval).
+    * Singleton docs (no near-dup edge) hash by their own id, which is
+    * exactly the q69/q25 fold hash — an undeduplicated corpus splits
+    * identically to [[TextOps.trainSplit]].
+    *
+    * Output: per-fold doc counts plus `leaked_pairs`, the q69 leakage
+    * metric recomputed under this assignment — provably zero, emitted so
+    * the guarantee is part of the result contract, not a comment.
+    *
+    * Scale shape: pair stage + CC once (the q23 keeper path), one
+    * left join to coalesce singletons, and the audit joins ride the
+    * thresholded pair list on 8-byte keys — the q69 shape. The fold
+    * roll-up is 3 rows; the leak scalar rides in-plan as
+    * crossJoin(broadcast(agg)) — the q17 pattern. */
+  def clusterSplit(docs: DataFrame, threshold: Double = JaccardThreshold,
+      k: Int = K, dfCap: Int = DefaultDfCap, maxIters: Int = 15,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val np = ngramJaccard(docs, threshold, k, dfCap).select("d1", "d2")
+    val cc = connectedComponents(np, maxIters)
+    val keyed = docs.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper"), col("doc_id")).as("grp"))
+    val bucket = conv(substring(md5(to_binary(col("grp").cast("string"),
+      lit("utf-8"))), 1, 15), 16, 10).cast("long") % 100
+    val assigned = keyed.select(col("doc_id"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("fold"))
+    val leaks = np
+      .join(assigned.select(col("doc_id").as("d1"), col("fold").as("_f1")),
+        "d1")
+      .join(assigned.select(col("doc_id").as("d2"), col("fold").as("_f2")),
+        "d2")
+      .filter(col("_f1") =!= col("_f2"))
+      .agg(count(lit(1)).as("leaked_pairs"))
+    assigned.groupBy(col("fold")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(leaks))
+      .orderBy("fold")
+  }
+  val clusterSplitSql: String =
+    s"""WITH RECURSIVE ${pairsCte(capped = true)},
+       |np AS (SELECT d1, d2 FROM pairs
+       |  WHERE inter / (n1 + n2 - inter) >= $JaccardThreshold),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM np
+       |  UNION ALL SELECT d2, d1 FROM np),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS keeper
+       |  FROM reach GROUP BY src),
+       |keyed AS (SELECT d.doc_id, coalesce(c.keeper, d.doc_id) AS grp
+       |  FROM documents d LEFT JOIN cc c ON c.doc_id = d.doc_id),
+       |asg AS (SELECT doc_id,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |      ELSE 'test' END AS fold
+       |  FROM (SELECT doc_id,
+       |      CAST(('0x' || substring(md5(CAST(grp AS VARCHAR)), 1, 15))
+       |        AS BIGINT) % 100 AS b FROM keyed)),
+       |lk AS (SELECT CAST(count(*) AS BIGINT) AS leaked_pairs
+       |  FROM np JOIN asg a1 ON a1.doc_id = np.d1
+       |  JOIN asg a2 ON a2.doc_id = np.d2
+       |  WHERE a1.fold <> a2.fold)
+       |SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+       |  (SELECT leaked_pairs FROM lk) AS leaked_pairs
+       |FROM asg GROUP BY fold ORDER BY fold""".stripMargin
+
   /** Exact dedup: md5 content hash → keep-first per group, plus a corpus
     * summary row (the corpus has no exact dups, so the per-group output
     * alone would be empty; the summary keeps the check meaningful). */
@@ -963,6 +1036,9 @@ object DedupOps {
     ("q69_split_leakage",
       (s: SparkSession, d: String) => splitLeakage(Tables.documents(s, d)),
       Some(splitLeakageSql)),
+    ("q75_cluster_split",
+      (s: SparkSession, d: String) => clusterSplit(Tables.documents(s, d)),
+      Some(clusterSplitSql)),
     ("q23_dedup_embedding",
       (s: SparkSession, d: String) => embeddingNearDup(Tables.embeddings(s, d)),
       Some(embeddingNearDupSql)),

@@ -181,12 +181,14 @@ object SketchOps {
     * other" through the near-dup pair stage; this answers the coarser
     * set question — what fraction of source A's distinct shingles also
     * appear in B — in ONE pass with fixed memory: per-source sketches
-    * are built map-side (ObjectHashAggregate partial merge), only
-    * |sources| fixed-size sketch rows shuffle, and every pairwise
-    * intersection runs on those rows POST-aggregation. At 100 TB the
-    * exact path's (source, shingle)-distinct self-join shuffles the
-    * full shingle universe twice; the sketch path shuffles kilobytes
-    * and is the one you persist per (source, day) for later rollup.
+    * build via ObjectHashAggregate partial merge, only fixed-size
+    * sketch rows shuffle, and every pairwise intersection runs on
+    * those rows POST-aggregation. At 100 TB you run the sketch branch
+    * alone (a direct groupBy(source) — kilobytes shuffled, persisted
+    * per (source, day) for later rollup); the exact branch here is the
+    * AUDIT, feasible at test scale, and the whole audit shares one
+    * groupBy(shingle) exchange (ReusedExchange) so the corpus scan
+    * runs once.
     *
     * Bounded oracle, q65-style with the q24 aggregate twist: the audit
     * emits the EXACT pairwise distinct-shingle overlap (both engines
@@ -206,14 +208,32 @@ object SketchOps {
       .select(col("source"),
         explode(Text.shingles(Text.tokens(col("text")), k)).as("sh_s"))
       .select(col("source"), xxhash64(col("sh_s")).as("sh"))
-      .distinct()
-    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val inter = sh.alias("a").join(sh.alias("b"),
-        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    // One groupBy(sh) exchange feeds BOTH downstream branches: identical
+    // exchange subplans dedup to a ReusedExchange, so the
+    // tokenize+shingle scan runs ONCE — the first cut self-joined the
+    // scan and paid it 4×. collect_set dedups per-shingle sources, so
+    // no separate distinct() exchange either. Intersections come from
+    // in-set pair explosion (a shingle in s sources contributes its
+    // s·(s−1)/2 pairs map-side, |sources|² bounded) — no shingle-keyed
+    // join at all.
+    // Sizes and sketches share ONE per-source ObjectHashAggregate whose
+    // own exchange is then reused by all four of its consumers, so the
+    // expensive per-shingle final aggregate executes exactly twice in
+    // the whole plan (once under `inter`, once under `perSource`).
+    val bySh = sh.groupBy(col("sh"))
+      .agg(collect_set(col("source")).as("ss"))
+    val inter = bySh
+      .select(explode(col("ss")).as("source_a"), col("ss"))
+      .select(col("source_a"), explode(col("ss")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_inter"))
     val tAgg = udaf(new graft.functions.ThetaAgg(lgK), Encoders.scalaLong)
-    val sk = sh.groupBy(col("source")).agg(tAgg(col("sh")).as("sk"))
+    val perSource = bySh.select(explode(col("ss")).as("source"), col("sh"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), tAgg(col("sh")).as("sk"))
+    val sizes = perSource.select(col("source"), col("n"))
+    val sk = perSource.select(col("source"), col("sk"))
     val boundsUdf = udf((a: Array[Byte], b: Array[Byte]) => {
       val (_, lo, hi) = graft.functions.ThetaSketchOps.intersectBounds(a, b)
       Array(lo, hi)

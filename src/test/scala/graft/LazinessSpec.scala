@@ -21,7 +21,8 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 class LazinessSpec extends SparkSpec {
 
   private val iterativeByDesign =
-    Set("q23_dedup_keeper", "q23_dedup_corpus", "q55_dedup_cluster_stats")
+    Set("q23_dedup_keeper", "q23_dedup_corpus", "q55_dedup_cluster_stats",
+      "q75_cluster_split")
 
   test("constructing registry queries fires no Spark job") {
     // pre-warm per-table schema resolution so first-touch footer reads

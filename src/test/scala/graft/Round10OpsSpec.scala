@@ -152,6 +152,20 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("clusterSplit: zero leaked pairs, folds partition the corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = graft.llm.DedupOps.clusterSplit(docs).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("train", "val", "test"))
+    assert(rows.forall(_.getLong(2) == 0L), rows.mkString(";"))
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    // the by-id split it replaces DOES leak on this fixture — the fix
+    // is load-bearing, not vacuous
+    val leakedById = graft.llm.DedupOps.splitLeakage(docs)
+      .filter(col("leaked") === 1)
+      .agg(sum(col("n_pairs"))).collect()(0).getLong(0)
+    assert(leakedById > 0, s"fixture has no by-id leakage to prevent")
+  }
+
   test("featureBins plans ONE range shuffle for all three features") {
     val df = ProfileOps.lineitemFeatureBins(Tables.lineitem(spark, sf0001))
     df.collect()
