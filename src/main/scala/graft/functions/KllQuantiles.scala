@@ -64,6 +64,9 @@ class KllAgg(k: Int) extends Aggregator[Double, KllBuf, Array[Byte]] {
 class KllUnionAgg(k: Int) extends Aggregator[Array[Byte], KllBuf, Array[Byte]] {
   override def zero: KllBuf = new KllBuf(null)
   override def reduce(b: KllBuf, bytes: Array[Byte]): KllBuf = {
+    // NULL / zero-length cells in a persisted sketch table are skipped,
+    // not fatal: a single bad row must not NPE the whole rollup job.
+    if (bytes == null || bytes.isEmpty) return b
     val s = KllDoublesSketch.heapify(Memory.wrap(bytes))
     if (b.sk == null) b.sk = s else b.sk.merge(s)
     b
@@ -83,9 +86,14 @@ object KllQuantiles {
     * search: smallest stored value whose cumulative weight reaches
     * ⌈p·n⌉) — evaluated on |groups × percentiles| rows AFTER
     * aggregation, never on data rows. */
-  def quantile(bytes: Array[Byte], p: Double): Double =
-    KllDoublesSketch.heapify(Memory.wrap(bytes))
-      .getQuantile(p, QuantileSearchCriteria.INCLUSIVE)
+  def quantile(bytes: Array[Byte], p: Double): Double = {
+    if (bytes == null || bytes.isEmpty) return Double.NaN
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    // getQuantile on an empty sketch raises; a group that saw no values
+    // reads as NaN, the SQL NULL analog for a double column.
+    if (sk.isEmpty) Double.NaN
+    else sk.getQuantile(p, QuantileSearchCriteria.INCLUSIVE)
+  }
 
   /** Single-sided normalized rank error of a k-sketch (99% conf.). */
   def rankError(k: Int): Double = KllSketch.getNormalizedRankError(k, false)

@@ -19,20 +19,25 @@ import org.apache.spark.sql.expressions.Aggregator
   * ordered byte form (the [[KllBuf]] idiom — never generic object
   * serialization of sketch internals).
   */
-class ThetaBuf(@transient var un: Union) extends Serializable {
+class ThetaBuf(@transient var un: Union, var lgK: Int) extends Serializable {
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    // lgK rides alongside the bytes: rebuilding with the default-size
+    // builder after a shuffle round trip would silently downsample a
+    // lgK > 12 sketch to default precision (or oversize a lgK < 12 one).
+    out.writeInt(lgK)
     val bytes =
       if (un == null) Array.emptyByteArray else un.getResult.toByteArray
     out.writeInt(bytes.length)
     out.write(bytes)
   }
   private def readObject(in: java.io.ObjectInputStream): Unit = {
+    lgK = in.readInt()
     val n = in.readInt()
     if (n == 0) un = null
     else {
       val bytes = new Array[Byte](n)
       in.readFully(bytes)
-      un = SetOperation.builder().buildUnion()
+      un = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
       un.union(CompactSketch.heapify(Memory.wrap(bytes)))
     }
   }
@@ -43,7 +48,7 @@ class ThetaBuf(@transient var un: Union) extends Serializable {
   * relative standard error above that many distincts; exact below). */
 class ThetaAgg(lgK: Int) extends Aggregator[Long, ThetaBuf, Array[Byte]] {
   private def fresh() = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
-  override def zero: ThetaBuf = new ThetaBuf(null)
+  override def zero: ThetaBuf = new ThetaBuf(null, lgK)
   override def reduce(b: ThetaBuf, v: Long): ThetaBuf = {
     if (b.un == null) b.un = fresh()
     b.un.update(v)
