@@ -54,6 +54,11 @@ object Sessions {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.locality.wait", "0s")
       .config("spark.sql.session.timeZone", "UTC")
+      // fixture parquet writes timestamp[us] without the UTC flag; read
+      // it as TIMESTAMP (LTZ, session tz UTC) — the same naive-as-UTC
+      // reading DuckDB uses — instead of Spark 4's inferred NTZ, which
+      // rejects unix_micros()/watermarks and breaks cross-engine equality
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

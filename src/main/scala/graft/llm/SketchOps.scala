@@ -204,35 +204,62 @@ object SketchOps {
     * engines' inner joins symmetrically. */
   def thetaSourceOverlap(docs: DataFrame, k: Int = 5,
       lgK: Int = 12): DataFrame = {
-    val sh = docs
+    // Source dimension — metadata-scale, derived IN-PLAN (no driver
+    // action at construction: the laziness contract). Each source owns
+    // one bit of a 64-bit mask via a row_number over the tiny distinct
+    // frame (the q42 metadata-scale-window idiom); >63 sources fails
+    // loudly in-plan instead of silently wrapping the shift.
+    val srcDim = broadcast(docs.select(col("source")).na.drop().distinct()
+      .select(col("source"), row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("source")).as("sid"))
       .select(col("source"),
-        explode(Text.shingles(Text.tokens(col("text")), k)).as("sh_s"))
-      .select(col("source"), xxhash64(col("sh_s")).as("sh"))
-    // One groupBy(sh) exchange feeds BOTH downstream branches: identical
-    // exchange subplans dedup to a ReusedExchange, so the
-    // tokenize+shingle scan runs ONCE — the first cut self-joined the
-    // scan and paid it 4×. collect_set dedups per-shingle sources, so
-    // no separate distinct() exchange either. Intersections come from
-    // in-set pair explosion (a shingle in s sources contributes its
-    // s·(s−1)/2 pairs map-side, |sources|² bounded) — no shingle-keyed
-    // join at all.
-    // Sizes and sketches share ONE per-source ObjectHashAggregate whose
-    // own exchange is then reused by all four of its consumers, so the
-    // expensive per-shingle final aggregate executes exactly twice in
-    // the whole plan (once under `inter`, once under `perSource`).
-    val bySh = sh.groupBy(col("sh"))
-      .agg(collect_set(col("source")).as("ss"))
-    val inter = bySh
-      .select(explode(col("ss")).as("source_a"), col("ss"))
-      .select(col("source_a"), explode(col("ss")).as("source_b"))
-      .filter(col("source_a") < col("source_b"))
+        when(col("sid") > 63, raise_error(concat(
+          lit("thetaSourceOverlap bitmask audit supports <= 63 sources; "
+            + "shard the source dimension (sid="), col("sid"), lit(")")))
+          .cast("long"))
+          .otherwise(expr("shiftleft(1L, sid - 1)")).as("bit")))
+    // shingle_hashes is the codegen'd hot path (one in-place tokenize +
+    // hash per doc). The HOF formulation Text.shingles(Text.tokens(..))
+    // re-inlines the regexp tokenizer into the transform lambda —
+    // CollapseProject keeps the alias only when referenced once — so
+    // tokenization re-ran per shingle POSITION: O(tokens²) per doc, the
+    // actual 5 s r10 bench tail. Hash values match xxhash64 of the
+    // space-joined shingle, so oracle counts are unchanged.
+    val sh = docs
+      .select(col("source"), explode(expr(s"shingle_hashes(text, $k)")).as("sh"))
+      .join(srcDim, "source")
+      .select(col("bit").as("m"), col("sh"))
+    // ONE codegen'd groupBy(sh) long-OR hash aggregate replaces the old
+    // collect_set(source) ObjectHashAggregate (the r10 bench tail: 5 s
+    // of string-array building + double final aggregation). Each
+    // distinct shingle folds its witnessing sources into a bitmask;
+    // the exchange is shared by the mask-histogram and sketch branches
+    // below (identical subplans dedup to a ReusedExchange).
+    val byMask = sh.groupBy(col("sh")).agg(bit_or(col("m")).as("mask"))
+    // Distinct OBSERVED source-set combinations: bounded by the shingle
+    // count but in practice a handful of rows. Every pairwise exact
+    // statistic runs on THIS table — never per shingle.
+    val masks = byMask.groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+    val sizes = masks
+      .join(srcDim, (col("mask").bitwiseAND(col("bit"))) =!= 0)
+      .groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+    val pairDim = broadcast(
+      srcDim.select(col("source").as("source_a"), col("bit").as("bit_a"))
+        .crossJoin(srcDim.select(col("source").as("source_b"),
+          col("bit").as("bit_b")))
+        .filter(col("source_a") < col("source_b")))
+    val inter = masks
+      .join(pairDim, (col("mask").bitwiseAND(col("bit_a"))) =!= 0
+        && (col("mask").bitwiseAND(col("bit_b"))) =!= 0)
       .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("n_inter"))
+      .agg(sum(col("cnt")).as("n_inter"))
+    // The sketch branch is the only one that revisits shingles (theta
+    // updates fold per (source, shingle)); it rides byMask's reused
+    // exchange, fanning each shingle out to its witnessing sources.
     val tAgg = udaf(new graft.functions.ThetaAgg(lgK), Encoders.scalaLong)
-    val perSource = bySh.select(explode(col("ss")).as("source"), col("sh"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n"), tAgg(col("sh")).as("sk"))
-    val sizes = perSource.select(col("source"), col("n"))
+    val perSource = byMask
+      .join(srcDim, (col("mask").bitwiseAND(col("bit"))) =!= 0)
+      .groupBy(col("source")).agg(tAgg(col("sh")).as("sk"))
     val sk = perSource.select(col("source"), col("sk"))
     val boundsUdf = udf((a: Array[Byte], b: Array[Byte]) => {
       val (_, lo, hi) = graft.functions.ThetaSketchOps.intersectBounds(a, b)

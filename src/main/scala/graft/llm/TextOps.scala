@@ -203,7 +203,10 @@ object TextOps {
   def repetition(docs: DataFrame): DataFrame = {
     val toks = Text.tokens(col("text"))
     val total = when(size(toks) >= 3, size(toks) - 2).otherwise(0)
-    val distinctN = size(Text.shingles(toks, 3)) // shingles() dedups
+    // codegen'd distinct-shingle count (same tokenizer contract as
+    // Text.shingles; see ShingleHashes scaladoc) — the HOF form re-ran
+    // the regexp tokenizer once per shingle position
+    val distinctN = size(expr("shingle_hashes(text, 3)"))
     val dupFrac = when(total > 0,
       lit(1.0) - distinctN.cast("double") / total.cast("double"))
       .otherwise(lit(0.0))
@@ -501,7 +504,7 @@ object TextOps {
     val nStopDistinct = size(array_intersect(array_distinct(ts),
       array(Text.stopwords.map(lit): _*)))
     val dupFrac = when(nW >= 3,
-      lit(1.0) - size(Text.shingles(ts, 3)).cast("double")
+      lit(1.0) - size(expr("shingle_hashes(text, 3)")).cast("double")
         / (nW - 2).cast("double"))
       .otherwise(lit(0.0))
     val rWc = nW >= minWords && nW <= maxWords

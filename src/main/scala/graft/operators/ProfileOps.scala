@@ -27,10 +27,18 @@ object ProfileOps {
   /** Profile `cols` (numeric, cast to double) of `df`: one row per column
     * with (n, nulls, ndv, min, max, mean), rounded for cross-engine
     * equality. */
+  // caller-supplied column names get spliced into expression text —
+  // quote the label and backquote the reference so a name with spaces,
+  // quotes, or dots can't break parsing or resolve to the wrong column
+  private def sqlStr(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+  private def sqlId(s: String): String =
+    "`" + s.replace("`", "``") + "`"
+
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val stackArgs = cols
-      .map(c => s"'$c', cast($c as double)").mkString(", ")
+      .map(c => s"${sqlStr(c)}, cast(${sqlId(c)} as double)").mkString(", ")
     df.select(expr(s"stack(${cols.size}, $stackArgs)")
         .as(Seq("column", "value")))
       .groupBy(col("column"))
@@ -312,7 +320,7 @@ object ProfileOps {
   def featureBins(df: DataFrame, cols: Seq[String], n: Int): DataFrame = {
     require(cols.nonEmpty, "featureBins needs at least one column")
     val stackArgs = cols
-      .map(c => s"'$c', cast($c as double)").mkString(", ")
+      .map(c => s"${sqlStr(c)}, cast(${sqlId(c)} as double)").mkString(", ")
     val counts = df
       .select(expr(s"stack(${cols.size}, $stackArgs)")
         .as(Seq("feature", "val")))

@@ -199,10 +199,17 @@ object RunningStats {
       sums: Seq[(String, String)], needRowNumber: Boolean,
       needRank: Boolean, needDense: Boolean): DataFrame = {
     val analyzed = df.queryExecution.analyzed
+    // mirror Dataset.resolve: a name matching several attributes (common
+    // after joins) must fail loudly, not silently bind the first side
     def attr(n: String): Attribute = analyzed.output
-      .find(_.name == n)
-      .getOrElse(throw new IllegalArgumentException(
-        s"column $n not in ${analyzed.output.map(_.name).mkString(",")}"))
+      .filter(_.name == n) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not in ${analyzed.output.map(_.name).mkString(",")}")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous: matches ${many.size} attributes " +
+            s"(${many.map(_.qualifiedName).mkString(", ")})")
+      }
     val sortOrder = (groups.map(_ -> true) ++ keys).map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending) }
     val sumAttrs = sums.map { case (in, _) => attr(in) }
