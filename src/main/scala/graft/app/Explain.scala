@@ -57,8 +57,13 @@ object Explain {
     "q71_feature_bins"      -> "feature bins: N columns unpivot into ONE grouped range shuffle; no per-column single-reducer ntile",
     "q72_exact_percentiles" -> "exact percentile_disc per group: NDV-collapse + grouped running sum + broadcast boundary lookup; no per-group buffers",
     "q73_kll_quantiles"     -> "mergeable KLL quantile sketches: fixed-size rows shuffle, union rollup; audit bounds ride the q72 exact machinery",
-    "q74_theta_overlap"     -> "theta set-sketches: per-source fixed-size rows, pairwise intersection post-agg; exact audit self-join only at test scale",
-    "q75_cluster_split"     -> "leakage-free split: pair stage + CC once, fold hash on keeper id; leaked-pairs scalar rides in-plan (provably 0)")
+    "q74_theta_overlap"     -> "theta set-sketches: codegen'd bit_or source-bitmask per shingle (no collect_set); pairwise exact stats on the distinct-mask histogram; sketch rows post-agg",
+    "q75_cluster_split"     -> "leakage-free split: pair stage + CC once, fold hash on keeper id; leaked-pairs scalar rides in-plan (provably 0)",
+    "q76_basket_rules"      -> "basket rules: one user-key exchange for sessionize + set-mask agg; pair stats on the mask histogram, never the fact table",
+    "q77_compaction_plan"   -> "compaction planner: metadata-scale running-sum window + per-bin rollup on one group-key exchange",
+    "q78_bm25"              -> "BM25: postings filtered to query terms at the scan; df + corpus scalars broadcast in-plan; TakeOrdered top-N",
+    "q79_interval_coverage" -> "interval union: O(n log n) sweep — running max(end) + island sum on ONE user-key exchange, no interval self-join",
+    "q80_key_skew"          -> "key-skew audit: one fact shuffle to per-key counts; scalars broadcast in-plan; TakeOrdered top-N")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -80,7 +80,9 @@ object Stress {
       "q65_hll_vocab", "q66_dup_degrees", "q67_source_overlap",
       "q68_rfm_segments", "q69_split_leakage", "q70_gopher_rules",
       "q71_feature_bins", "q72_exact_percentiles", "q73_kll_quantiles",
-      "q74_theta_overlap", "q75_cluster_split")
+      "q74_theta_overlap", "q75_cluster_split", "q76_basket_rules",
+      "q77_compaction_plan", "q78_bm25", "q79_interval_coverage",
+      "q80_key_skew")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

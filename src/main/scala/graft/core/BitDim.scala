@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** In-plan bit-position dimension for low-cardinality set columns.
+  *
+  * Several set-statistics operators (q74 source overlap, q76 basket
+  * rules) collapse "which members of a small dimension witnessed this
+  * key" into a 64-bit OR mask, so the expensive per-key aggregate is a
+  * codegen'd `bit_or(long)` instead of `collect_set(string)`, and every
+  * pairwise statistic then runs on the tiny distinct-mask histogram —
+  * never per key.
+  *
+  * The dimension is derived IN-PLAN (no driver action at plan
+  * construction — the laziness contract): a row_number over the distinct
+  * frame, which is metadata-scale by the operator's own premise. More
+  * than 63 members fails loudly via raise_error instead of silently
+  * wrapping the shift; callers that outgrow it shard the dimension.
+  */
+object BitDim {
+
+  /** (value, bit) dimension frame for `c`'s distinct non-null values,
+    * broadcast-marked. Bit assignment is by ascending value order, so it
+    * is deterministic across runs and engines. */
+  def dim(df: DataFrame, c: String): DataFrame =
+    broadcast(df.select(col(c)).na.drop().distinct()
+      .select(col(c), row_number().over(Window.orderBy(c)).as("_bd_id"))
+      .select(col(c),
+        when(col("_bd_id") > 63, raise_error(concat(
+          lit(s"BitDim($c) supports <= 63 distinct values; shard the "
+            + "dimension (id="), col("_bd_id"), lit(")"))).cast("long"))
+          .otherwise(expr("shiftleft(1L, _bd_id - 1)")).as("bit")))
+
+  /** Unordered-pair frame of a [[dim]]: (a, bit_a, b, bit_b) with a < b. */
+  def pairs(dimDf: DataFrame, c: String, aName: String, bName: String)
+      : DataFrame =
+    broadcast(dimDf.select(col(c).as(aName), col("bit").as("bit_a"))
+      .crossJoin(dimDf.select(col(c).as(bName), col("bit").as("bit_b")))
+      .filter(col(aName) < col(bName)))
+
+  /** `mask` has `bit` set. */
+  def hasBit(mask: Column, bit: Column): Column =
+    (mask.bitwiseAND(bit)) =!= 0
+}

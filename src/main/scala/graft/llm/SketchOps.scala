@@ -204,20 +204,9 @@ object SketchOps {
     * engines' inner joins symmetrically. */
   def thetaSourceOverlap(docs: DataFrame, k: Int = 5,
       lgK: Int = 12): DataFrame = {
-    // Source dimension — metadata-scale, derived IN-PLAN (no driver
-    // action at construction: the laziness contract). Each source owns
-    // one bit of a 64-bit mask via a row_number over the tiny distinct
-    // frame (the q42 metadata-scale-window idiom); >63 sources fails
-    // loudly in-plan instead of silently wrapping the shift.
-    val srcDim = broadcast(docs.select(col("source")).na.drop().distinct()
-      .select(col("source"), row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("source")).as("sid"))
-      .select(col("source"),
-        when(col("sid") > 63, raise_error(concat(
-          lit("thetaSourceOverlap bitmask audit supports <= 63 sources; "
-            + "shard the source dimension (sid="), col("sid"), lit(")")))
-          .cast("long"))
-          .otherwise(expr("shiftleft(1L, sid - 1)")).as("bit")))
+    // Source dimension — metadata-scale, derived in-plan; each source
+    // owns one bit of a 64-bit mask (see [[graft.core.BitDim]]).
+    val srcDim = graft.core.BitDim.dim(docs, "source")
     // shingle_hashes is the codegen'd hot path (one in-place tokenize +
     // hash per doc). The HOF formulation Text.shingles(Text.tokens(..))
     // re-inlines the regexp tokenizer into the transform lambda —
@@ -243,11 +232,8 @@ object SketchOps {
     val sizes = masks
       .join(srcDim, (col("mask").bitwiseAND(col("bit"))) =!= 0)
       .groupBy(col("source")).agg(sum(col("cnt")).as("n"))
-    val pairDim = broadcast(
-      srcDim.select(col("source").as("source_a"), col("bit").as("bit_a"))
-        .crossJoin(srcDim.select(col("source").as("source_b"),
-          col("bit").as("bit_b")))
-        .filter(col("source_a") < col("source_b")))
+    val pairDim = graft.core.BitDim.pairs(srcDim, "source",
+      "source_a", "source_b")
     val inter = masks
       .join(pairDim, (col("mask").bitwiseAND(col("bit_a"))) =!= 0
         && (col("mask").bitwiseAND(col("bit_b"))) =!= 0)

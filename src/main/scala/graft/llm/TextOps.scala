@@ -593,6 +593,74 @@ object TextOps {
        |  round(regr_r2(ln(n), ln(rank)) + 1e-9, 4) AS r2
        |FROM r""".stripMargin
 
+  /** q78 — BM25 retrieval scoring (Robertson & Walker SIGIR'94; the
+    * Lucene `(k1+1)`/`idf+1` practical form): score every document
+    * against a fixed query-term set and keep the global top-N — the
+    * query-based curation step (mine a corpus for docs "about" a topic)
+    * and the classic IR ranking function in one operator, completing the
+    * term-statistics family (q25_tfidf weighs terms corpus-wide; this
+    * scores documents against a QUERY with tf saturation and length
+    * normalization).
+    *
+    * Scale shape: the token explode filters to the query terms BEFORE
+    * any shuffle, so only matching postings (|terms| ≤ a handful per
+    * doc) leave the scan; df and the (n_docs, avgdl) scalars are
+    * metadata-scale broadcasts riding in-plan (the q17 pattern); the
+    * final top-N is TakeOrderedAndProject — per-partition heaps, never
+    * a global sort. At 100 TB with a standing query set you'd persist
+    * the filtered postings table once and re-score per query from it. */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topN: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val base = Tables.fanout(docs)
+      .select(col("doc_id"), Text.tokens(col("text")).as("ts"))
+      .withColumn("dl", size(col("ts")))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("ts")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dft), "t").crossJoin(broadcast(stats))
+      .withColumn("_w",
+        log((col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)) + lit(1.0))
+          * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("_w")) + lit(1e-9), 4).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  /** q78 registry fixture: a three-term query over the synthetic vocab. */
+  val bm25Terms: Seq[String] = Seq("hash", "merge", "scan")
+
+  def bm25Sql(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topN: Int = 20): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts
+       |  FROM documents),
+       |d AS (SELECT doc_id, ts, len(ts) AS dl FROM base),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+       |tf AS (SELECT doc_id, dl, t, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(ts) AS t FROM d)
+       |  WHERE t IN ($inList) GROUP BY 1, 2, 3),
+       |dfq AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id,
+       |    ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+       |      * (tf.tf * ${k1 + 1.0})
+       |      / (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl / st.avgdl)) AS w
+       |  FROM tf JOIN dfq USING (t), st)
+       |SELECT doc_id, round(sum(w) + 1e-9, 4) AS score,
+       |  CAST(count(*) AS BIGINT) AS n_terms
+       |FROM sc GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $topN""".stripMargin
+  }
+
   private def onDocs(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.documents(s, d))
 
@@ -613,5 +681,6 @@ object TextOps {
     ("q54_bigram_lm", onDocs(bigramLmScore(_)), Some(bigramLmSql)),
     ("q58_char_entropy", onDocs(charEntropy), Some(charEntropySql)),
     ("q63_zipf_fit", onDocs(zipfFit(_)), Some(zipfFitSql)),
-    ("q70_gopher_rules", onDocs(gopherRules(_)), Some(gopherRulesSql)))
+    ("q70_gopher_rules", onDocs(gopherRules(_)), Some(gopherRulesSql)),
+    ("q78_bm25", onDocs(bm25(_, bm25Terms)), Some(bm25Sql(bm25Terms))))
 }

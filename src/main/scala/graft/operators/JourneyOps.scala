@@ -342,6 +342,140 @@ object JourneyOps {
       |  round(avg(monetary) + 1e-9, 4) AS avg_monetary
       |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** q76 — market-basket association rules over event sessions (Agrawal
+    * & Srikant VLDB'94 shape, at pair order): for every unordered pair
+    * of event types, the session support, the a→b confidence, and the
+    * lift, over 30-minute-gap sessions (the q20b session contract).
+    *
+    * Scale shape: ONE fact shuffle on user_id — the lag/running-sum
+    * sessionization windows and the (user, session) type-set aggregate
+    * all reuse the same Exchange+Sort. Per-session type sets collapse to
+    * a 64-bit [[graft.core.BitDim]] OR mask (codegen'd bit_or, never
+    * collect_set), and every pairwise count then comes from the distinct
+    * mask HISTOGRAM — ≤ 2^|types| metadata rows — so the itemset pair
+    * space never touches the fact table. An Apriori pass at higher order
+    * would iterate on the same histogram. */
+  def basketRules(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import graft.core.BitDim
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .withColumn("_brk", (coalesce(unix_micros(col("ts"))
+        - unix_micros(lag(col("ts"), 1).over(w)), lit(gapUs)) >= gapUs)
+        .cast("long"))
+      .withColumn("sid", sum(col("_brk")).over(w))
+    val typeDim = BitDim.dim(events, "event_type")
+    val bySess = sess.join(typeDim, "event_type")
+      .groupBy(col("user_id"), col("sid"))
+      .agg(bit_or(col("bit")).as("mask"))
+    val masks = bySess.groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+    val total = masks.agg(sum(col("cnt")).as("n_sessions"))
+    val sizes = masks.join(typeDim, BitDim.hasBit(col("mask"), col("bit")))
+      .groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    val pairDim = BitDim.pairs(typeDim, "event_type", "type_a", "type_b")
+    val inter = masks.join(pairDim,
+        BitDim.hasBit(col("mask"), col("bit_a"))
+          && BitDim.hasBit(col("mask"), col("bit_b")))
+      .groupBy(col("type_a"), col("type_b")).agg(sum(col("cnt")).as("n_ab"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_ab"), col("n_sessions"),
+        round(col("n_ab") / col("n_sessions") + lit(1e-9), 4).as("support"),
+        round(col("n_ab") / col("n_a") + lit(1e-9), 4).as("confidence"),
+        round(col("n_ab") * col("n_sessions") / (col("n_a") * col("n_b"))
+          + lit(1e-9), 4).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+  val q76BasketSql: String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (
+      |  SELECT user_id, event_type,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM x),
+      |s AS (SELECT DISTINCT user_id, sid, event_type FROM y),
+      |t AS (SELECT count(*) AS n_sessions
+      |  FROM (SELECT DISTINCT user_id, sid FROM s)),
+      |sz AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1),
+      |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*) AS n_ab
+      |  FROM s a JOIN s b ON a.user_id = b.user_id AND a.sid = b.sid
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, CAST(za.n AS BIGINT) AS n_a,
+      |  CAST(zb.n AS BIGINT) AS n_b, CAST(n_ab AS BIGINT) AS n_ab,
+      |  CAST(t.n_sessions AS BIGINT) AS n_sessions,
+      |  round(n_ab / t.n_sessions + 1e-9, 4) AS support,
+      |  round(n_ab / za.n + 1e-9, 4) AS confidence,
+      |  round(n_ab * t.n_sessions / (za.n * zb.n) + 1e-9, 4) AS lift
+      |FROM i JOIN sz za ON za.event_type = i.type_a
+      |JOIN sz zb ON zb.event_type = i.type_b, t
+      |ORDER BY type_a, type_b""".stripMargin
+
+  /** q79 — per-user interval-union coverage (gaps-and-islands): each
+    * event opens a half-open activity interval [ts, ts+horizon); the
+    * operator reports, per user, how many merged activity islands those
+    * intervals form and the total covered microseconds — the union
+    * length, where overlaps count once. The same sweep answers ad-break
+    * coverage, sensor uptime, and GPU-occupancy questions.
+    *
+    * Classic formulation is an interval self-join; this is the O(n log n)
+    * sweep instead: a running `max(end)` over the event-time sort marks
+    * island breaks (start strictly past everything seen → new island;
+    * touching intervals merge), a running sum numbers them, and two
+    * key-local aggregations collapse islands then users. ONE fact
+    * shuffle on user_id — both windows share the Exchange+Sort, and both
+    * groupBys reuse its hash partitioning. */
+  def intervalCoverage(events: DataFrame, horizonMinutes: Int = 5): DataFrame = {
+    val durUs = horizonMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + lit(durUs))
+      .withColumn("_maxe",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_brk",
+        (col("_maxe").isNull || col("s") > col("_maxe")).cast("long"))
+      .withColumn("island", sum(col("_brk")).over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("_is"), max(col("e")).as("_ie"),
+        count(lit(1)).as("_n"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("_n")).as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum(col("_ie") - col("_is")).as("covered_us"))
+      .orderBy("user_id")
+  }
+  val q79IntervalSql: String =
+    """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + 300000000 AS e FROM events),
+      |m AS (SELECT user_id, event_id, s, e,
+      |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+      |  FROM x),
+      |b AS (SELECT user_id, event_id, s, e,
+      |    CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END AS brk FROM m),
+      |isl AS (SELECT user_id, s, e,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM b),
+      |g AS (SELECT user_id, island, min(s) AS i_s, max(e) AS i_e,
+      |    count(*) AS n FROM isl GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(count(*) AS BIGINT) AS n_islands,
+      |  CAST(sum(i_e - i_s) AS BIGINT) AS covered_us
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
   private def onEvents(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.events(s, d))
 
@@ -352,5 +486,8 @@ object JourneyOps {
     ("q57_cohort_retention", onEvents(cohortRetention), Some(q57CohortSql)),
     ("q61_markov_transitions", onEvents(markovTransitions),
       Some(q61MarkovSql)),
-    ("q68_rfm_segments", onEvents(rfmSegments(_)), Some(q68RfmSql)))
+    ("q68_rfm_segments", onEvents(rfmSegments(_)), Some(q68RfmSql)),
+    ("q76_basket_rules", onEvents(basketRules(_)), Some(q76BasketSql)),
+    ("q79_interval_coverage", onEvents(intervalCoverage(_)),
+      Some(q79IntervalSql)))
 }

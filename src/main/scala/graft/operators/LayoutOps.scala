@@ -119,9 +119,65 @@ object LayoutOps {
        |FROM zs GROUP BY tile ORDER BY tile""".stripMargin
   }
 
+  /** q77 — small-file compaction planner (the Delta/Iceberg OPTIMIZE
+    * bin-packing shape, public canon): assign size-carrying items to
+    * contiguous target-size output bins, per group, in a stable order —
+    * item i's bin is `floor(start_offset / target)` where start_offset
+    * is the running size sum before it. First-fit-in-order: every bin
+    * except a group's last is ≥ target minus one item, bins never split
+    * an item, and the plan is a pure function of (order, sizes) — two
+    * runs over the same metadata agree.
+    *
+    * Scale shape: the input is the FILE-METADATA table (one row per
+    * file/object — millions of rows where the data is 100 TB), so this
+    * is metadata-scale by construction. One shuffle on the group key;
+    * the running sum and the per-bin rollup reuse the same
+    * Exchange+Sort. A single group whose file list dwarfs the rest
+    * swaps in the grouped [[GlobalWindows.withGlobalRunningSum]] pass —
+    * same law, range-partitioned. */
+  def compactionPlan(files: DataFrame, groupCol: String, orderCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    files
+      .withColumn("_cum", sum(col(sizeCol)).over(w))
+      .withColumn("bin",
+        floor((col("_cum") - col(sizeCol)) / lit(targetBytes.toDouble))
+          .cast("long"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col(sizeCol)).as("bytes"),
+        min(col(orderCol)).as("lo"), max(col(orderCol)).as("hi"))
+      .orderBy(groupCol, "bin")
+  }
+
+  /** q77 registry entry: documents as the file-metadata fixture —
+    * compact each source's docs (in doc_id order, n_chars as the size)
+    * into ~4 KiB bins. */
+  def documentsCompactionPlan(docs: DataFrame): DataFrame =
+    compactionPlan(docs, "source", "doc_id", "n_chars", 4096L)
+
+  val q77CompactionSql: String =
+    """WITH c AS (SELECT source, doc_id, n_chars,
+      |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM documents),
+      |b AS (SELECT source, doc_id, n_chars,
+      |    CAST(floor((cum - n_chars) / 4096.0) AS BIGINT) AS bin FROM c)
+      |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+      |  min(doc_id) AS lo, max(doc_id) AS hi
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   type QFn = (SparkSession, String) => DataFrame
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q50_zorder_layout",
       (s: SparkSession, d: String) => ordersZorderAudit(Tables.orders(s, d)),
-      Some(q50ZorderSql)))
+      Some(q50ZorderSql)),
+    ("q77_compaction_plan",
+      (s: SparkSession, d: String) =>
+        documentsCompactionPlan(Tables.documents(s, d)),
+      Some(q77CompactionSql)))
 }

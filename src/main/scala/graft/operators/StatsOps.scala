@@ -181,6 +181,58 @@ object StatsOps {
 
   type QFn = (SparkSession, String) => DataFrame
 
+  /** q80 — join/partition-key skew audit: the table you read BEFORE
+    * choosing a shuffle strategy on a key (salt? AQE skew-join? broadcast
+    * the other side?). Per candidate key: the top-N heaviest values with
+    * their row share, plus two whole-distribution skew scalars repeated
+    * on every row — max-over-average (how much heavier the hottest
+    * partition would run than the mean; > ~5 says salt or skew-join) and
+    * p99/p50 of per-key counts (is the tail systemic or one hot key).
+    *
+    * Scale shape: ONE fact shuffle to the per-key count table; everything
+    * after runs on |keys| rows. The scalars ride in-plan as a broadcast
+    * (the q17 pattern); the top-N is TakeOrderedAndProject (per-partition
+    * heaps). Exact `percentile` over the count table pins the DuckDB
+    * oracle (quantile_cont — same interpolation law); at 10⁹ distinct
+    * keys swap `percentile_approx`, the q44 knob. */
+  def keySkewAudit(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      sum(col("cnt")).cast("double").as("_total"),
+      count(lit(1)).as("_n_keys"),
+      max(col("cnt")).as("_max_cnt"),
+      expr("percentile(cnt, 0.5)").as("_p50"),
+      expr("percentile(cnt, 0.99)").as("_p99"))
+    val top = counts
+      .orderBy(col("cnt").desc, col(keyCol)).limit(topN)
+    top.crossJoin(broadcast(stats))
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col(keyCol))).as("rank"),
+        col(keyCol), col("cnt"),
+        round(col("cnt") / col("_total") + lit(1e-9), 4).as("share"),
+        round(col("_max_cnt") * col("_n_keys") / col("_total") + lit(1e-9), 4)
+          .as("max_over_avg"),
+        round(col("_p99") / col("_p50") + lit(1e-9), 4).as("p99_over_p50"))
+      .orderBy("rank")
+  }
+
+  val q80SkewSql: String =
+    """WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+      |  WHERE user_id IS NOT NULL GROUP BY 1),
+      |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total, count(*) AS n_keys,
+      |    max(cnt) AS max_cnt, quantile_cont(cnt, 0.5) AS p50,
+      |    quantile_cont(cnt, 0.99) AS p99 FROM c),
+      |t AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10)
+      |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INT)
+      |    AS rank,
+      |  user_id, CAST(cnt AS BIGINT) AS cnt,
+      |  round(cnt / st.total + 1e-9, 4) AS share,
+      |  round(max_cnt * n_keys / st.total + 1e-9, 4) AS max_over_avg,
+      |  round(p99 / p50 + 1e-9, 4) AS p99_over_p50
+      |FROM t, st ORDER BY rank""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q59_benford",
       (s: SparkSession, d: String) => ordersBenford(Tables.orders(s, d)),
@@ -190,5 +242,9 @@ object StatsOps {
       Some(q60GiniSql)),
     ("q62_volume_anomaly",
       (s: SparkSession, d: String) => volumeAnomalies(Tables.events(s, d)),
-      Some(q62AnomalySql)))
+      Some(q62AnomalySql)),
+    ("q80_key_skew",
+      (s: SparkSession, d: String) =>
+        keySkewAudit(Tables.events(s, d), "user_id"),
+      Some(q80SkewSql)))
 }

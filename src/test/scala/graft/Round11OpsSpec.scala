@@ -70,4 +70,113 @@ class Round11OpsSpec extends SparkSpec {
     val empty = KllDoublesSketch.newHeapInstance(200).toByteArray
     assert(KllQuantiles.quantile(empty, 0.5).isNaN)
   }
+
+  // ---- round-11 operators, hand-pinned on tiny frames ----
+
+  import org.apache.spark.sql.functions._
+
+  private def eventsFrame(rows: Seq[(Long, Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "event_type", "_ts")
+      .withColumn("ts", col("_ts").cast("timestamp")).drop("_ts")
+      .withColumn("value", lit(1.0))
+  }
+
+  test("basketRules: support/confidence/lift by hand on 3 sessions") {
+    // user 1: {A,B} then (40 min later) {A,C}; user 2: {A}
+    val ev = eventsFrame(Seq(
+      (1L, 1L, "A", "2024-01-01 00:00:00"),
+      (2L, 1L, "B", "2024-01-01 00:10:00"),
+      (3L, 1L, "A", "2024-01-01 00:50:00"),
+      (4L, 1L, "C", "2024-01-01 00:55:00"),
+      (5L, 2L, "A", "2024-01-01 00:00:00")))
+    val out = graft.operators.JourneyOps.basketRules(ev).collect()
+    assert(out.length == 2) // (A,B) and (A,C); B,C never co-occur
+    out.foreach { r =>
+      assert(r.getString(0) == "A")
+      assert(r.getLong(2) == 3L)      // n_a: A in all 3 sessions
+      assert(r.getLong(3) == 1L)      // n_b
+      assert(r.getLong(4) == 1L)      // n_ab
+      assert(r.getLong(5) == 3L)      // n_sessions
+      assert(r.getDouble(6) == 0.3333) // support 1/3
+      assert(r.getDouble(7) == 0.3333) // confidence a→b 1/3
+      assert(r.getDouble(8) == 1.0)    // lift 1·3/(3·1)
+    }
+    assert(out.map(_.getString(1)).toSeq == Seq("B", "C"))
+  }
+
+  test("basketRules: a 30-minute gap splits, 29 minutes does not") {
+    val ev = eventsFrame(Seq(
+      (1L, 1L, "A", "2024-01-01 00:00:00"),
+      (2L, 1L, "B", "2024-01-01 00:29:00"),  // same session
+      (3L, 1L, "C", "2024-01-01 00:59:00"))) // ≥30 min after B → new
+    val out = graft.operators.JourneyOps.basketRules(ev).collect()
+    // sessions {A,B} and {C}: only the (A,B) pair exists
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "A" && out.head.getString(1) == "B")
+    assert(out.head.getLong(5) == 2L)
+  }
+
+  test("intervalCoverage: overlap counts once, touching merges, gap splits") {
+    val ev = eventsFrame(Seq(
+      (1L, 1L, "A", "2024-01-01 00:00:00"),  // [0, 300s)
+      (2L, 1L, "A", "2024-01-01 00:01:00"),  // [60, 360) — overlaps
+      (3L, 1L, "A", "2024-01-01 00:20:00"),  // [1200, 1500) — new island
+      (4L, 2L, "A", "2024-01-01 00:00:00"),  // [0, 300)
+      (5L, 2L, "A", "2024-01-01 00:05:00"))) // [300, 600) — touching: merge
+    val out = graft.operators.JourneyOps.intervalCoverage(ev)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 2L, (360L + 300L) * 1000000L)))
+    assert(out(2L) == ((2L, 1L, 600L * 1000000L)))
+  }
+
+  test("compactionPlan: first-fit bins by running start offset") {
+    import spark.implicits._
+    val files = Seq(("g", 1L, 3000L), ("g", 2L, 2000L), ("g", 3L, 1000L),
+      ("g", 4L, 5000L), ("h", 1L, 100L))
+      .toDF("source", "doc_id", "n_chars")
+    val out = graft.operators.LayoutOps
+      .compactionPlan(files, "source", "doc_id", "n_chars", 4096L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // offsets 0, 3000, 5000, 6000 → bins 0, 0, 1, 1
+    assert(out(("g", 0L)) == ((2L, 5000L, 1L, 2L)))
+    assert(out(("g", 1L)) == ((2L, 6000L, 3L, 4L)))
+    assert(out(("h", 0L)) == ((1L, 100L, 1L, 1L)))
+  }
+
+  test("bm25 matches the formula computed independently") {
+    import spark.implicits._
+    val docs = Seq((1L, "hash hash merge sort"), (2L, "hash sort join"),
+      (3L, "scan scan scan scan"), (4L, "group order limit"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.TextOps.bm25(docs, Seq("hash", "merge"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // independent reimplementation of the Lucene-form BM25
+    val (k1, b) = (1.2, 0.75)
+    val n = 4.0; val avgdl = (4 + 3 + 4 + 3) / 4.0
+    def idf(df: Int) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def w(df: Int, tf: Int, dl: Int) =
+      idf(df) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    def r4(x: Double) = math.rint((x + 1e-9) * 10000) / 10000
+    assert(out(1L) == ((r4(w(2, 2, 4) + w(1, 1, 4)), 2L)))
+    assert(out(2L) == ((r4(w(2, 1, 3)), 1L)))
+    assert(!out.contains(3L) && !out.contains(4L))
+    // the two-term doc with the rare term outranks the one-term doc
+    assert(out(1L)._1 > out(2L)._1)
+  }
+
+  test("keySkewAudit: shares and skew scalars by hand") {
+    import spark.implicits._
+    val df = Seq("a", "a", "a", "a", "b", "b", "c", "d")
+      .toDF("user_id")
+    val out = graft.operators.StatsOps.keySkewAudit(df, "user_id", topN = 2)
+      .collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("a", "b"))
+    assert(out.head.getLong(2) == 4L)
+    assert(out.head.getDouble(3) == 0.5)        // share 4/8
+    assert(out.head.getDouble(4) == 2.0)        // max 4 / avg 2
+    // counts (1,1,2,4): p50 = 1.5, p99 = 2 + 0.97·2 = 3.94
+    assert(out.head.getDouble(5) == math.rint((3.94 / 1.5 + 1e-9) * 10000) / 10000)
+  }
 }
