@@ -355,15 +355,25 @@ object JourneyOps {
     * mask HISTOGRAM — ≤ 2^|types| metadata rows — so the itemset pair
     * space never touches the fact table. An Apriori pass at higher order
     * would iterate on the same histogram. */
-  def basketRules(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    import graft.core.BitDim
+  /** Gap sessionization (the q20b contract: a session breaks when the
+    * gap since the previous event is ≥ `gapMinutes`): appends `sid`, a
+    * per-user session sequence number. ONE shuffle on user_id; the lag
+    * and running-sum windows share the Exchange+Sort, and any
+    * groupBy(user_id, sid) downstream reuses the partitioning. */
+  def sessionized(events: DataFrame, gapMinutes: Int): DataFrame = {
     val gapUs = gapMinutes * 60L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val sess = events
+    events
       .withColumn("_brk", (coalesce(unix_micros(col("ts"))
         - unix_micros(lag(col("ts"), 1).over(w)), lit(gapUs)) >= gapUs)
         .cast("long"))
       .withColumn("sid", sum(col("_brk")).over(w))
+      .drop("_brk")
+  }
+
+  def basketRules(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import graft.core.BitDim
+    val sess = sessionized(events, gapMinutes)
     val typeDim = BitDim.dim(events, "event_type")
     val bySess = sess.join(typeDim, "event_type")
       .groupBy(col("user_id"), col("sid"))
@@ -476,6 +486,53 @@ object JourneyOps {
       |  CAST(sum(i_e - i_s) AS BIGINT) AS covered_us
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q81 — frequent session paths (sequential-pattern mining at fixed
+    * order — the SPADE/PrefixSpan question asked the way production
+    * funnels ask it): the top-N most common length-k event-type
+    * sequences occurring contiguously inside a session, with
+    * multiplicity. Markov (q61) gives 1-step transition rates; this
+    * surfaces the actual multi-step journeys ("view click purchase")
+    * ranked by raw frequency.
+    *
+    * Scale shape: the sessionize windows and the per-session ordered
+    * collect ride ONE user-key exchange (collect_list is bounded by
+    * session length — per-key density, not corpus size); k-gram
+    * extraction is a per-row generator, and the path rollup shuffles
+    * ≤|types|^k count rows. Top-N is TakeOrderedAndProject. */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30, k: Int = 3,
+      topN: Int = 15): DataFrame = {
+    val sess = sessionized(events, gapMinutes)
+    val perSession = sess.groupBy(col("user_id"), col("sid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type")).as("seq"))
+    perSession
+      .select(explode(graft.llm.Text.ngramOccurrences(col("seq"), k))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topN)
+  }
+  def q81PathsSql(k: Int = 3, topN: Int = 15): String =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, event_type, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |y AS (
+       |  SELECT user_id, event_id, event_type, ts,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM x),
+       |p AS (SELECT list(event_type ORDER BY ts, event_id) AS seq
+       |  FROM y GROUP BY user_id, sid),
+       |g AS (SELECT unnest(${graft.llm.Text.ngramOccurrencesSql("seq", k)})
+       |    AS path FROM p)
+       |SELECT path, CAST(count(*) AS BIGINT) AS n
+       |FROM g GROUP BY 1 ORDER BY n DESC, path LIMIT $topN""".stripMargin
+
   private def onEvents(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.events(s, d))
 
@@ -489,5 +546,6 @@ object JourneyOps {
     ("q68_rfm_segments", onEvents(rfmSegments(_)), Some(q68RfmSql)),
     ("q76_basket_rules", onEvents(basketRules(_)), Some(q76BasketSql)),
     ("q79_interval_coverage", onEvents(intervalCoverage(_)),
-      Some(q79IntervalSql)))
+      Some(q79IntervalSql)),
+    ("q81_session_paths", onEvents(sessionPaths(_)), Some(q81PathsSql())))
 }

@@ -219,6 +219,105 @@ object QualityOps {
       |  CAST(violations = 0 AS INTEGER) AS passed
       |FROM t ORDER BY "constraint"""".stripMargin
 
+  /** q82 — keyed snapshot diff / reconciliation: given two snapshots of
+    * the same logical table, report added / removed / changed / unchanged
+    * key counts plus a per-compared-column changed count — the data-diff
+    * a pipeline regression gate or a replication check reads (q41's xor
+    * manifest answers "did anything change"; this answers WHAT changed,
+    * at column granularity, without shipping rows anywhere).
+    *
+    * Scale shape: ONE full-outer shuffle join on the key (each side
+    * shuffles once); all verdicts are per-row expressions folded by a
+    * single wide aggregate into ONE row, unpivoted to (metric, n) by
+    * the q37 stack. Null-safe equality (`<=>`) so NULL→value and
+    * value→NULL count as changes, never as matches. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "snapshotDiff needs at least one compare column")
+    val aSel = a.select((key +: cols).map(c => col(c).as(s"a_$c")): _*)
+    val bSel = b.select((key +: cols).map(c => col(c).as(s"b_$c")): _*)
+    val j = aSel.join(bSel, col(s"a_$key") === col(s"b_$key"), "full_outer")
+    val inA = col(s"a_$key").isNotNull
+    val inB = col(s"b_$key").isNotNull
+    val colChanged = cols.map(c =>
+      (inA && inB && !(col(s"a_$c") <=> col(s"b_$c"))).cast("long"))
+    val anyChanged = colChanged.reduce((x, y) =>
+      greatest(x, y))
+    val aggs =
+      Seq(sum((inB && !inA).cast("long")).as("added"),
+        sum((inA && !inB).cast("long")).as("removed"),
+        sum(when(inA && inB, anyChanged)).as("changed"),
+        sum((inA && inB).cast("long") - anyChanged).as("unchanged")) ++
+        cols.zip(colChanged).map { case (c, ch) =>
+          sum(ch).as(s"col_$c") }
+    val wide = j.agg(aggs.head, aggs.tail: _*)
+    val names = Seq("added", "removed", "changed", "unchanged") ++
+      cols.map(c => s"col_$c")
+    val stackArgs = names
+      .map(n => s"'${n.replace("'", "\\'")}', `${n.replace("`", "``")}`")
+      .mkString(", ")
+    wide.select(expr(s"stack(${names.size}, $stackArgs)")
+        .as(Seq("metric", "n")))
+      .orderBy("metric")
+  }
+
+  /** q82 registry fixture: snapshot B derived deterministically from
+    * orders — keys ≡ 0 (mod 97) deleted, totalprice bumped where ≡ 0
+    * (mod 13), plus re-keyed additions from keys ≡ 0 (mod 89). */
+  def ordersSnapshotDiff(orders: DataFrame): DataFrame = {
+    val b = orders.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(orders.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("o_orderkey", -col("o_orderkey") - 1))
+    snapshotDiff(orders, b, "o_orderkey",
+      Seq("o_totalprice", "o_orderstatus"))
+  }
+
+  val q82DiffSql: String =
+    """WITH b AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderstatus
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT -o_orderkey - 1, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 89 = 0),
+      |j AS (SELECT a.o_orderkey AS ak, b.o_orderkey AS bk,
+      |    a.o_totalprice AS ap, b.o_totalprice AS bp,
+      |    a.o_orderstatus AS asx, b.o_orderstatus AS bs
+      |  FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey),
+      |w AS (SELECT
+      |    sum(CASE WHEN bk IS NOT NULL AND ak IS NULL THEN 1 ELSE 0 END)
+      |      AS added,
+      |    sum(CASE WHEN ak IS NOT NULL AND bk IS NULL THEN 1 ELSE 0 END)
+      |      AS removed,
+      |    sum(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+      |          AND (NOT (ap IS NOT DISTINCT FROM bp)
+      |            OR NOT (asx IS NOT DISTINCT FROM bs)) THEN 1 ELSE 0 END)
+      |      AS changed,
+      |    sum(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+      |          AND ap IS NOT DISTINCT FROM bp
+      |          AND asx IS NOT DISTINCT FROM bs THEN 1 ELSE 0 END)
+      |      AS unchanged,
+      |    sum(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+      |          AND NOT (ap IS NOT DISTINCT FROM bp) THEN 1 ELSE 0 END)
+      |      AS col_tp,
+      |    sum(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+      |          AND NOT (asx IS NOT DISTINCT FROM bs) THEN 1 ELSE 0 END)
+      |      AS col_st
+      |  FROM j)
+      |SELECT metric, CAST(n AS BIGINT) AS n FROM (
+      |  SELECT 'added' AS metric, added AS n FROM w
+      |  UNION ALL SELECT 'removed', removed FROM w
+      |  UNION ALL SELECT 'changed', changed FROM w
+      |  UNION ALL SELECT 'unchanged', unchanged FROM w
+      |  UNION ALL SELECT 'col_o_totalprice', col_tp FROM w
+      |  UNION ALL SELECT 'col_o_orderstatus', col_st FROM w)
+      |ORDER BY metric""".stripMargin
+
   type QFn = (SparkSession, String) => DataFrame
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q40_constraints",
@@ -230,5 +329,8 @@ object QualityOps {
       Some(q44WinsorizeSql)),
     ("q45_mad_outliers",
       (s: SparkSession, d: String) => madOutlierAudit(Tables.orders(s, d)),
-      Some(q45MadSql)))
+      Some(q45MadSql)),
+    ("q82_snapshot_diff",
+      (s: SparkSession, d: String) => ordersSnapshotDiff(Tables.orders(s, d)),
+      Some(q82DiffSql)))
 }

@@ -166,6 +166,38 @@ class Round11OpsSpec extends SparkSpec {
     assert(out(1L)._1 > out(2L)._1)
   }
 
+  test("sessionPaths: contiguous k-grams per session, multiplicity kept") {
+    val ev = eventsFrame(Seq(
+      (1L, 1L, "A", "2024-01-01 00:00:00"),
+      (2L, 1L, "B", "2024-01-01 00:01:00"),
+      (3L, 1L, "C", "2024-01-01 00:02:00"),
+      (4L, 1L, "D", "2024-01-01 00:03:00"),
+      (5L, 1L, "A", "2024-01-01 01:00:00"),  // new session
+      (6L, 1L, "B", "2024-01-01 01:01:00"),
+      (7L, 1L, "C", "2024-01-01 01:02:00"),
+      (8L, 2L, "A", "2024-01-01 00:00:00"))) // too short for a 3-gram
+    val out = graft.operators.JourneyOps.sessionPaths(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("A B C" -> 2L, "B C D" -> 1L))
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged + per-column counts") {
+    import spark.implicits._
+    val a = Seq((1L, Some(10.0), "x"), (2L, Some(20.0), "x"),
+      (3L, Some(30.0), "x"), (4L, Some(40.0), "x"))
+      .toDF("k", "v", "s")
+    val b = Seq((1L, Some(10.0), "x"),        // unchanged
+      (2L, Some(99.0), "y"),                  // both columns changed
+      (4L, Option.empty[Double], "x"),        // v → NULL: a change
+      (5L, Some(50.0), "x"))                  // added; 3 removed
+      .toDF("k", "v", "s")
+    val out = graft.operators.QualityOps
+      .snapshotDiff(a, b, "k", Seq("v", "s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("added" -> 1L, "removed" -> 1L, "changed" -> 2L,
+      "unchanged" -> 1L, "col_v" -> 2L, "col_s" -> 1L))
+  }
+
   test("keySkewAudit: shares and skew scalars by hand") {
     import spark.implicits._
     val df = Seq("a", "a", "a", "a", "b", "b", "c", "d")
