@@ -247,6 +247,99 @@ object StreamQueries {
         TimeMode.EventTime(), OutputMode.Update())
   }
 
+  /** Running interval-union sweep state: closed islands are folded into
+    * (closedIslands, closedUs); the open island is [curStart, curEnd).
+    * curStart < 0 marks "no event seen yet". */
+  case class CoverageState(nEvents: Long, closedIslands: Long,
+      closedUs: Long, curStart: Long, curEnd: Long)
+  /** Coverage snapshot for `user_id` as of the emitting trigger —
+    * identical columns to the batch q79 row. */
+  case class CoverageRow(user_id: Long, n_events: Long, n_islands: Long,
+      covered_us: Long)
+
+  /** q79 streaming — continuous per-user uptime: the interval-union
+    * sweep of [[graft.operators.JourneyOps.intervalCoverage]] as
+    * incremental `transformWithState`. The batch sweep needs events in
+    * event-TIME order, so (the [[FunnelProcessor]] buffering discipline)
+    * arrivals wait in a per-user `ListState` until the watermark proves
+    * no earlier event can still arrive, then fold through the same
+    * running-max(end) island machine; an event-time timer drains users
+    * that stop appearing. State per user is the buffer (bounded by
+    * watermark delay × rate) plus five longs — the closed-island
+    * accumulators and the one open island; emission is Update-mode, the
+    * latest row per user IS the batch answer over everything finalized
+    * so far. */
+  class IntervalCoverageProcessor(durUs: Long)
+      extends StatefulProcessor[Long, JEvent, CoverageRow] {
+    @transient private var buffer: ListState[JEvent] = _
+    @transient private var st: ValueState[CoverageState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buffer = getHandle.getListState[JEvent](
+        "buffer", Encoders.product[JEvent], TTLConfig.NONE)
+      st = getHandle.getValueState[CoverageState](
+        "coverage", Encoders.product[CoverageState], TTLConfig.NONE)
+    }
+
+    private def advance(key: Long, ripe: Seq[JEvent]): Option[CoverageRow] = {
+      if (ripe.isEmpty) return None
+      var s = if (st.exists()) st.get()
+        else CoverageState(0L, 0L, 0L, -1L, -1L)
+      ripe.sortBy(e => (e.tsUs, e.event_id)).foreach { e =>
+        val (start, end) = (e.tsUs, e.tsUs + durUs)
+        s = if (s.curStart < 0)
+          CoverageState(s.nEvents + 1, 0L, 0L, start, end)
+        else if (start > s.curEnd)  // strict gap → close the open island
+          CoverageState(s.nEvents + 1, s.closedIslands + 1,
+            s.closedUs + (s.curEnd - s.curStart), start, end)
+        else                        // overlap or touch → extend
+          s.copy(nEvents = s.nEvents + 1,
+            curEnd = math.max(s.curEnd, end))
+      }
+      st.update(s)
+      Some(CoverageRow(key, s.nEvents, s.closedIslands + 1,
+        s.closedUs + (s.curEnd - s.curStart)))
+    }
+
+    private def drain(key: Long, fresh: Seq[JEvent],
+        timerValues: TimerValues): Iterator[CoverageRow] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val all = buffer.get().toSeq ++ fresh
+      val (ripe, pending) = all.partition(_.tsUs <= wmUs)
+      buffer.clear()
+      if (pending.nonEmpty) {
+        buffer.appendList(pending.toArray)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(pending.map(_.tsUs).max / 1000L + 1L)
+      }
+      advance(key, ripe).iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[JEvent],
+        timerValues: TimerValues): Iterator[CoverageRow] =
+      drain(key, rows.toSeq, timerValues)
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[CoverageRow] =
+      drain(key, Seq.empty, timerValues)
+  }
+
+  /** Streaming per-user interval coverage; 10-minute watermark bounds
+    * lateness and buffer size. */
+  def intervalCoverage(events: DataFrame,
+      horizonMinutes: Int = 5): Dataset[CoverageRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[JEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new IntervalCoverageProcessor(horizonMinutes * 60L * 1000000L),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** One (lang, term) observation for the streaming sketch. */
   case class LangTerm(lang: String, term: String)
   /** A sketch snapshot wrapped for the state encoder. */

@@ -461,6 +461,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming interval coverage (transformWithState, RocksDB) converges to batch q79") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(47)
+      // bursty per-user traffic: islands form where bursts cluster
+      val events = (0 until 200).map { i =>
+        Ev(i, tsOf(rnd.nextInt(8) * 30 + rnd.nextInt(12), rnd.nextInt(60)),
+          rnd.nextInt(10), "view", 1.0)
+      }
+      // time-ordered chunks, shuffled internally (out-of-order within
+      // the watermark); late-chunk users drain via event-time timers
+      val chunks = events.sortBy(e => e.ts.getTime).grouped(70)
+        .map(c => rnd.shuffle(c)).toSeq
+      val input = MemoryStream[Ev]
+      val out = StreamQueries.intervalCoverage(input.toDF())
+      val name = "coverage_out"
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+        .start()
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      input.addData(Ev(9999, tsOf(5000), 999L, "view", 0.0)) // watermark push
+      q.processAllAvailable()
+      q.stop()
+      // n_events grows monotonically → the latest row per user is the
+      // one with the largest n_events
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      val got = spark.table(name).filter(col("user_id") =!= 999L)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "n_events", "n_islands", "covered_us")
+        .orderBy("user_id").collect().toSeq
+      val batch = graft.operators.JourneyOps.intervalCoverage(events.toDF())
+        .collect().toSeq
+      assert(got == batch)
+      assert(batch.exists(_.getLong(2) > 1), "fixture produced no multi-island user")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming CDC materialization (transformWithState, RocksDB) equals batch q36") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
