@@ -65,7 +65,8 @@ object Explain {
     "q79_interval_coverage" -> "interval union: O(n log n) sweep — running max(end) + island sum on ONE user-key exchange, no interval self-join",
     "q80_key_skew"          -> "key-skew audit: one fact shuffle to per-key counts; scalars broadcast in-plan; TakeOrdered top-N",
     "q81_session_paths"     -> "frequent paths: sessionize + ordered collect on ONE user-key exchange; k-gram generate; |types|^k rollup",
-    "q82_snapshot_diff"     -> "snapshot diff: one full-outer key join, verdicts folded into ONE wide agg row, stack unpivot")
+    "q82_snapshot_diff"     -> "snapshot diff: one full-outer key join, verdicts folded into ONE wide agg row, stack unpivot",
+    "q83_join_cardinality"  -> "join pre-flight: per-side count tables, |keys|-row join, ONE summary row — the join output never materializes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -82,7 +82,8 @@ object Stress {
       "q71_feature_bins", "q72_exact_percentiles", "q73_kll_quantiles",
       "q74_theta_overlap", "q75_cluster_split", "q76_basket_rules",
       "q77_compaction_plan", "q78_bm25", "q79_interval_coverage",
-      "q80_key_skew", "q81_session_paths", "q82_snapshot_diff")
+      "q80_key_skew", "q81_session_paths", "q82_snapshot_diff",
+      "q83_join_cardinality")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

@@ -233,6 +233,59 @@ object StatsOps {
       |  round(p99 / p50 + 1e-9, 4) AS p99_over_p50
       |FROM t, st ORDER BY rank""".stripMargin
 
+  /** q83 — join-cardinality pre-flight: the exact output size and skew
+    * profile of an equi-join, computed WITHOUT running the join — the
+    * other half of the q80 decision table (q80 profiles one side's key
+    * distribution; this predicts what the join of two sides produces).
+    * |A ⋈ B| = Σ_k cntA(k)·cntB(k) over the per-key count tables, with
+    * the hottest key's contribution and an output-to-input amplification
+    * ratio: join_rows ≫ inputs means a fan-out join (plan for the
+    * output's shuffle, or pre-aggregate); max_key_contrib ≈ join_rows
+    * means one key produces the join (salt exactly that key).
+    *
+    * Scale shape: one count-table shuffle per side (the fact tables
+    * collapse map-side), then a |keys|-row join; side totals ride
+    * in-plan as broadcast scalars. ONE summary row out — nothing about
+    * the would-be join output is ever materialized. */
+  def joinCardinality(a: DataFrame, b: DataFrame, keyA: String,
+      keyB: String): DataFrame = {
+    val ca = a.filter(col(keyA).isNotNull)
+      .groupBy(col(keyA).as("k")).agg(count(lit(1)).as("ca"))
+    val cb = b.filter(col(keyB).isNotNull)
+      .groupBy(col(keyB).as("k")).agg(count(lit(1)).as("cb"))
+    val sa = broadcast(ca.agg(sum(col("ca")).as("n_a"),
+      count(lit(1)).as("keys_a")))
+    val sb = broadcast(cb.agg(sum(col("cb")).as("n_b"),
+      count(lit(1)).as("keys_b")))
+    ca.join(cb, "k")
+      .agg(count(lit(1)).as("keys_common"),
+        sum(col("ca") * col("cb")).as("join_rows"),
+        max(col("ca") * col("cb")).as("max_key_contrib"))
+      .crossJoin(sa).crossJoin(sb)
+      .select(col("n_a"), col("keys_a"), col("n_b"), col("keys_b"),
+        col("keys_common"), col("join_rows"), col("max_key_contrib"),
+        round(col("join_rows") / (col("n_a") + col("n_b")) + lit(1e-9), 4)
+          .as("amplification"))
+  }
+
+  val q83JoinCardSql: String =
+    """WITH ca AS (SELECT o_orderkey AS k, count(*) AS ca FROM orders
+      |  WHERE o_orderkey IS NOT NULL GROUP BY 1),
+      |cb AS (SELECT l_orderkey AS k, count(*) AS cb FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL GROUP BY 1),
+      |sa AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+      |    CAST(count(*) AS BIGINT) AS keys_a FROM ca),
+      |sb AS (SELECT CAST(sum(cb) AS BIGINT) AS n_b,
+      |    CAST(count(*) AS BIGINT) AS keys_b FROM cb),
+      |j AS (SELECT CAST(count(*) AS BIGINT) AS keys_common,
+      |    CAST(sum(ca * cb) AS BIGINT) AS join_rows,
+      |    CAST(max(ca * cb) AS BIGINT) AS max_key_contrib
+      |  FROM ca JOIN cb USING (k))
+      |SELECT n_a, keys_a, n_b, keys_b, keys_common, join_rows,
+      |  max_key_contrib,
+      |  round(join_rows / (n_a + n_b) + 1e-9, 4) AS amplification
+      |FROM j, sa, sb""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q59_benford",
       (s: SparkSession, d: String) => ordersBenford(Tables.orders(s, d)),
@@ -246,5 +299,10 @@ object StatsOps {
     ("q80_key_skew",
       (s: SparkSession, d: String) =>
         keySkewAudit(Tables.events(s, d), "user_id"),
-      Some(q80SkewSql)))
+      Some(q80SkewSql)),
+    ("q83_join_cardinality",
+      (s: SparkSession, d: String) =>
+        joinCardinality(Tables.orders(s, d), Tables.lineitem(s, d),
+          "o_orderkey", "l_orderkey"),
+      Some(q83JoinCardSql)))
 }

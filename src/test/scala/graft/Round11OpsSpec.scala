@@ -198,6 +198,23 @@ class Round11OpsSpec extends SparkSpec {
       "unchanged" -> 1L, "col_v" -> 2L, "col_s" -> 1L))
   }
 
+  test("joinCardinality: exact join size and skew profile by hand") {
+    import spark.implicits._
+    val a = Seq(1L, 1L, 2L, 3L).toDF("ka")
+    val b = Seq(1L, 2L, 2L, 4L).toDF("kb")
+    val r = graft.operators.StatsOps.joinCardinality(a, b, "ka", "kb")
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L) // n_a, keys_a
+    assert(r.getLong(2) == 4L && r.getLong(3) == 3L) // n_b, keys_b
+    assert(r.getLong(4) == 2L)                       // keys_common {1,2}
+    assert(r.getLong(5) == 4L)                       // 2·1 + 1·2
+    assert(r.getLong(6) == 2L)                       // hottest key contrib
+    assert(r.getDouble(7) == 0.5)                    // 4 / (4+4)
+    // cross-check against the actually-executed join
+    val real = a.join(b, col("ka") === col("kb")).count()
+    assert(real == r.getLong(5))
+  }
+
   test("keySkewAudit: shares and skew scalars by hand") {
     import spark.implicits._
     val df = Seq("a", "a", "a", "a", "b", "b", "c", "d")
