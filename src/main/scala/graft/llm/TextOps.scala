@@ -641,7 +641,8 @@ object TextOps {
 
   def bm25Sql(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topN: Int = 20): String = {
-    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val inList = terms.map(t => "'" + t.replace("'", "''") + "'")
+      .mkString(", ")
     s"""WITH base AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts
        |  FROM documents),
        |d AS (SELECT doc_id, ts, len(ts) AS dl FROM base),

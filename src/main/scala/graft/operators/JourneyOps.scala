@@ -364,6 +364,10 @@ object JourneyOps {
     val gapUs = gapMinutes * 60L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events
+      // a null event time cannot be placed in any session — and Spark
+      // sorts nulls FIRST where the SQL oracles sort them LAST, so
+      // letting them through would silently shift every sid
+      .filter(col("ts").isNotNull)
       .withColumn("_brk", (coalesce(unix_micros(col("ts"))
         - unix_micros(lag(col("ts"), 1).over(w)), lit(gapUs)) >= gapUs)
         .cast("long"))
@@ -379,7 +383,11 @@ object JourneyOps {
       .groupBy(col("user_id"), col("sid"))
       .agg(bit_or(col("bit")).as("mask"))
     val masks = bySess.groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
-    val total = masks.agg(sum(col("cnt")).as("n_sessions"))
+    // session denominator from sess, NOT the mask table: a session whose
+    // every event has a null type carries no mask row, but it is still a
+    // session (and the SQL twin counts it)
+    val total = sess.agg(
+      count_distinct(col("user_id"), col("sid")).as("n_sessions"))
     val sizes = masks.join(typeDim, BitDim.hasBit(col("mask"), col("bit")))
       .groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
     val pairDim = BitDim.pairs(typeDim, "event_type", "type_a", "type_b")
@@ -407,7 +415,8 @@ object JourneyOps {
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
       |         THEN 1 ELSE 0 END AS brk
-      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |  FROM events WHERE ts IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |y AS (
       |  SELECT user_id, event_type,
       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -450,6 +459,7 @@ object JourneyOps {
     val durUs = horizonMinutes * 60L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
     events
+      .filter(col("ts").isNotNull) // null times open no interval; see sessionized
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("s"))
       .withColumn("e", col("s") + lit(durUs))
       .withColumn("_maxe",
@@ -468,7 +478,7 @@ object JourneyOps {
   }
   val q79IntervalSql: String =
     """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS s,
-      |    epoch_us(ts) + 300000000 AS e FROM events),
+      |    epoch_us(ts) + 300000000 AS e FROM events WHERE ts IS NOT NULL),
       |m AS (SELECT user_id, event_id, s, e,
       |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
@@ -520,7 +530,8 @@ object JourneyOps {
        |    CASE WHEN lag(ts) OVER w IS NULL
        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
        |         THEN 1 ELSE 0 END AS brk
-       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |  FROM events WHERE ts IS NOT NULL
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |y AS (
        |  SELECT user_id, event_id, event_type, ts,
        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id

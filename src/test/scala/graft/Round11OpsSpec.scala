@@ -198,6 +198,27 @@ class Round11OpsSpec extends SparkSpec {
       "unchanged" -> 1L, "col_v" -> 2L, "col_s" -> 1L))
   }
 
+  test("null event times and types don't shift sessions or denominators") {
+    import spark.implicits._
+    // user 1: one session of A+B plus a null-ts row (dropped) and a
+    // null-type event (counts toward the session denominator, never pairs)
+    val ev = Seq(
+      (1L, 1L, "A", Some("2024-01-01 00:00:00")),
+      (2L, 1L, "B", Some("2024-01-01 00:05:00")),
+      (3L, 1L, "A", None),
+      (4L, 2L, null.asInstanceOf[String], Some("2024-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "event_type", "_ts")
+      .withColumn("ts", col("_ts").cast("timestamp")).drop("_ts")
+    val rules = graft.operators.JourneyOps.basketRules(ev).collect()
+    assert(rules.length == 1)
+    // user 2's null-type session still counts in n_sessions → support 1/2
+    assert(rules.head.getLong(5) == 2L)
+    assert(rules.head.getDouble(6) == 0.5)
+    val cov = graft.operators.JourneyOps.intervalCoverage(ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cov(1L) == 2L) // the null-ts event opens no interval
+  }
+
   test("joinCardinality: exact join size and skew profile by hand") {
     import spark.implicits._
     val a = Seq(1L, 1L, 2L, 3L).toDF("ka")
