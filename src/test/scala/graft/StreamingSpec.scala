@@ -509,6 +509,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming interval coverage survives a stop/restart from checkpoint") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val inDir = Files.createTempDirectory("cov_in").toString
+      val ckpt = Files.createTempDirectory("cov_ckpt").toString
+      val outDir = Files.createTempDirectory("cov_out").toString
+      def writeChunk(evs: Seq[Ev], file: String): Unit =
+        evs.toDF().coalesce(1).write.mode("overwrite").parquet(s"$inDir/$file")
+      def startQuery() = {
+        val in = spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+          .parquet(s"$inDir/*")
+        StreamQueries.intervalCoverage(in).toDF()
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            df.write.mode("append").parquet(outDir): Unit
+          }
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .start()
+      }
+      // every user active in BOTH phases, so each re-emits after restart;
+      // phase-1 tail events are still inside the watermark at stop time —
+      // the restart must recover the per-user buffer, not just offsets
+      val all = (0 until 80).map(i => Ev(i, tsOf(i), i % 4, "view", 1.0))
+      writeChunk(all.take(40), "part1")
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop()
+      writeChunk(all.drop(40), "part2")
+      writeChunk(Seq(Ev(9999, tsOf(5000), 999L, "view", 0.0)), "flush")
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      val got = spark.read.parquet(outDir).filter(col("user_id") =!= 999L)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "n_events", "n_islands", "covered_us")
+        .orderBy("user_id").collect().toSeq
+      val batch = graft.operators.JourneyOps.intervalCoverage(all.toDF())
+        .collect().toSeq
+      assert(got == batch,
+        "restarted stream must converge to the batch sweep (no loss, no dupes)")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming CDC materialization (transformWithState, RocksDB) equals batch q36") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
