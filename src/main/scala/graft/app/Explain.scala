@@ -66,7 +66,8 @@ object Explain {
     "q80_key_skew"          -> "key-skew audit: one fact shuffle to per-key counts; scalars broadcast in-plan; TakeOrdered top-N",
     "q81_session_paths"     -> "frequent paths: sessionize + ordered collect on ONE user-key exchange; k-gram generate; |types|^k rollup",
     "q82_snapshot_diff"     -> "snapshot diff: one full-outer key join, verdicts folded into ONE wide agg row, stack unpivot",
-    "q83_join_cardinality"  -> "join pre-flight: per-side count tables, |keys|-row join, ONE summary row — the join output never materializes")
+    "q83_join_cardinality"  -> "join pre-flight: per-side count tables, |keys|-row join, ONE summary row — the join output never materializes",
+    "q84_linear_fit"        -> "per-group OLS: five running sums per group in ONE hash aggregate over one scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

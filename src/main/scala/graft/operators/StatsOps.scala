@@ -286,6 +286,47 @@ object StatsOps {
       |  round(join_rows / (n_a + n_b) + 1e-9, 4) AS amplification
       |FROM j, sa, sb""".stripMargin
 
+  /** q84 — per-group ordinary-least-squares fit (slope, intercept, R²,
+    * n) of y on x via the SQL:2023 `regr_*` aggregates — the trend
+    * detector behind "is this metric drifting with time/load" questions,
+    * at whatever group granularity the caller passes. Spark and DuckDB
+    * implement the same textbook sum formulas, so the oracle pins the
+    * rounded coefficients directly.
+    *
+    * Scale shape: ONE hash aggregate over one scan — the regression
+    * state is five running sums per group, exactly as cheap as a
+    * count/avg rollup at any scale. Rounded +1e-9 (the q25 epsilon
+    * idiom): partial-aggregation order can move the sums by an ulp. */
+  def linearFit(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame =
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        round(regr_slope(col(yCol), col(xCol)) + lit(1e-9), 4).as("slope"),
+        round(regr_intercept(col(yCol), col(xCol)) + lit(1e-9), 4)
+          .as("intercept"),
+        round(regr_r2(col(yCol), col(xCol)) + lit(1e-9), 4).as("r2"),
+        regr_count(col(yCol), col(xCol)).as("n"))
+      .orderBy(groupCol)
+
+  /** q84 registry fixture: per event type, value regressed on hour of
+    * day (does the metric trend across the day?). */
+  def eventsLinearFit(events: DataFrame): DataFrame =
+    linearFit(
+      events.withColumn("hour", hour(col("ts")).cast("double")),
+      "event_type", "hour", "value")
+
+  val q84LinearFitSql: String =
+    """SELECT event_type,
+      |  round(regr_slope(value, hour) + 1e-9, 4) AS slope,
+      |  round(regr_intercept(value, hour) + 1e-9, 4) AS intercept,
+      |  round(regr_r2(value, hour) + 1e-9, 4) AS r2,
+      |  CAST(regr_count(value, hour) AS BIGINT) AS n
+      |FROM (SELECT event_type, CAST(hour(ts) AS DOUBLE) AS hour, value
+      |  FROM events)
+      |WHERE hour IS NOT NULL AND value IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q59_benford",
       (s: SparkSession, d: String) => ordersBenford(Tables.orders(s, d)),
@@ -304,5 +345,8 @@ object StatsOps {
       (s: SparkSession, d: String) =>
         joinCardinality(Tables.orders(s, d), Tables.lineitem(s, d),
           "o_orderkey", "l_orderkey"),
-      Some(q83JoinCardSql)))
+      Some(q83JoinCardSql)),
+    ("q84_linear_fit",
+      (s: SparkSession, d: String) => eventsLinearFit(Tables.events(s, d)),
+      Some(q84LinearFitSql)))
 }

@@ -236,6 +236,22 @@ class Round11OpsSpec extends SparkSpec {
     assert(real == r.getLong(5))
   }
 
+  test("linearFit: exact line recovered, noise lowers r2, nulls skipped") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1.0), Some(3.0)), ("a", Some(2.0), Some(5.0)),
+      ("a", Some(3.0), Some(7.0)), ("a", None, Some(9.0)),
+      ("b", Some(1.0), Some(1.0)), ("b", Some(2.0), Some(3.0)),
+      ("b", Some(3.0), Some(2.0)))
+      .toDF("g", "x", "y")
+    val out = graft.operators.StatsOps.linearFit(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out("a") == ((2.0, 1.0, 1.0, 3L))) // y = 2x + 1 exactly; null x skipped
+    assert(out("b")._4 == 3L)
+    assert(out("b")._3 < 1.0) // noisy group: r2 strictly below 1
+  }
+
   test("keySkewAudit: shares and skew scalars by hand") {
     import spark.implicits._
     val df = Seq("a", "a", "a", "a", "b", "b", "c", "d")
