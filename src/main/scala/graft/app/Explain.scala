@@ -67,7 +67,8 @@ object Explain {
     "q81_session_paths"     -> "frequent paths: sessionize + ordered collect on ONE user-key exchange; k-gram generate; |types|^k rollup",
     "q82_snapshot_diff"     -> "snapshot diff: one full-outer key join, verdicts folded into ONE wide agg row, stack unpivot",
     "q83_join_cardinality"  -> "join pre-flight: per-side count tables, |keys|-row join, ONE summary row — the join output never materializes",
-    "q84_linear_fit"        -> "per-group OLS: five running sums per group in ONE hash aggregate over one scan")
+    "q84_linear_fit"        -> "per-group OLS: five running sums per group in ONE hash aggregate over one scan",
+    "q85_basket_triples"    -> "order-3 itemsets: the SAME session mask histogram as q76 joined to the C(|types|,3) dimension — no new fact pass")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -441,6 +441,73 @@ object JourneyOps {
       |JOIN sz zb ON zb.event_type = i.type_b, t
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** q85 — order-3 itemsets (the Apriori step up from [[basketRules]],
+    * demonstrating the claim that higher orders ITERATE ON THE SAME
+    * HISTOGRAM): for every unordered triple of event types, the number
+    * of sessions containing all three and its support. No new pass over
+    * the fact table — the sessionize + set-mask aggregate is identical
+    * to q76's, and the C(|types|,3) triple dimension joins the SAME
+    * distinct-mask histogram. At any corpus size the marginal cost of
+    * order k over order k−1 is the dimension cross-join growth only. */
+  def basketTriples(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import graft.core.BitDim
+    val sess = sessionized(events, gapMinutes)
+    val typeDim = BitDim.dim(events, "event_type")
+    val bySess = sess.join(typeDim, "event_type")
+      .groupBy(col("user_id"), col("sid"))
+      .agg(bit_or(col("bit")).as("mask"))
+    val masks = bySess.groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+    val total = sess.agg(
+      count_distinct(col("user_id"), col("sid")).as("n_sessions"))
+    val tripleDim = broadcast(
+      typeDim.select(col("event_type").as("type_a"), col("bit").as("bit_a"))
+        .crossJoin(typeDim.select(col("event_type").as("type_b"),
+          col("bit").as("bit_b")))
+        .crossJoin(typeDim.select(col("event_type").as("type_c"),
+          col("bit").as("bit_c")))
+        .filter(col("type_a") < col("type_b")
+          && col("type_b") < col("type_c")))
+    masks.join(tripleDim,
+        BitDim.hasBit(col("mask"), col("bit_a"))
+          && BitDim.hasBit(col("mask"), col("bit_b"))
+          && BitDim.hasBit(col("mask"), col("bit_c")))
+      .groupBy(col("type_a"), col("type_b"), col("type_c"))
+      .agg(sum(col("cnt")).as("n_abc"))
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("type_c"), col("n_abc"),
+        col("n_sessions"),
+        round(col("n_abc") / col("n_sessions") + lit(1e-9), 4).as("support"))
+      .orderBy("type_a", "type_b", "type_c")
+  }
+  val q85TriplesSql: String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events WHERE ts IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (
+      |  SELECT user_id, event_type,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM x),
+      |s AS MATERIALIZED (SELECT DISTINCT user_id, sid, event_type FROM y),
+      |t AS (SELECT count(*) AS n_sessions
+      |  FROM (SELECT DISTINCT user_id, sid FROM s)),
+      |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    c.event_type AS type_c, count(*) AS n_abc
+      |  FROM s a
+      |  JOIN s b ON a.user_id = b.user_id AND a.sid = b.sid
+      |    AND a.event_type < b.event_type
+      |  JOIN s c ON a.user_id = c.user_id AND a.sid = c.sid
+      |    AND b.event_type < c.event_type
+      |  GROUP BY 1, 2, 3)
+      |SELECT type_a, type_b, type_c, CAST(n_abc AS BIGINT) AS n_abc,
+      |  CAST(t.n_sessions AS BIGINT) AS n_sessions,
+      |  round(n_abc / t.n_sessions + 1e-9, 4) AS support
+      |FROM i, t ORDER BY type_a, type_b, type_c""".stripMargin
+
   /** q79 — per-user interval-union coverage (gaps-and-islands): each
     * event opens a half-open activity interval [ts, ts+horizon); the
     * operator reports, per user, how many merged activity islands those
@@ -558,5 +625,6 @@ object JourneyOps {
     ("q76_basket_rules", onEvents(basketRules(_)), Some(q76BasketSql)),
     ("q79_interval_coverage", onEvents(intervalCoverage(_)),
       Some(q79IntervalSql)),
-    ("q81_session_paths", onEvents(sessionPaths(_)), Some(q81PathsSql())))
+    ("q81_session_paths", onEvents(sessionPaths(_)), Some(q81PathsSql())),
+    ("q85_basket_triples", onEvents(basketTriples(_)), Some(q85TriplesSql)))
 }

@@ -105,6 +105,23 @@ class Round11OpsSpec extends SparkSpec {
     assert(out.map(_.getString(1)).toSeq == Seq("B", "C"))
   }
 
+  test("basketTriples: order-3 support on the same histogram") {
+    // sessions {A,B,C}, {A,C}, {A} → only triple (A,B,C), support 1/3
+    val ev = eventsFrame(Seq(
+      (1L, 1L, "A", "2024-01-01 00:00:00"),
+      (2L, 1L, "B", "2024-01-01 00:05:00"),
+      (3L, 1L, "C", "2024-01-01 00:10:00"),
+      (4L, 1L, "A", "2024-01-01 01:00:00"),
+      (5L, 1L, "C", "2024-01-01 01:05:00"),
+      (6L, 2L, "A", "2024-01-01 00:00:00")))
+    val out = graft.operators.JourneyOps.basketTriples(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getString(2)) == (("A", "B", "C")))
+    assert(r.getLong(3) == 1L && r.getLong(4) == 3L)
+    assert(r.getDouble(5) == 0.3333)
+  }
+
   test("basketRules: a 30-minute gap splits, 29 minutes does not") {
     val ev = eventsFrame(Seq(
       (1L, 1L, "A", "2024-01-01 00:00:00"),
