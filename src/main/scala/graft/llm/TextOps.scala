@@ -201,8 +201,8 @@ object TextOps {
     * aggregated per lang. Pure list arithmetic — `1 − distinct/total` —
     * identical in both engines. */
   def repetition(docs: DataFrame): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    val total = when(size(toks) >= 3, size(toks) - 2).otherwise(0)
+    // token COUNT materialized once per row (see gopherRules note)
+    val total = when(col("_rp_n") >= 3, col("_rp_n") - 2).otherwise(0)
     // codegen'd distinct-shingle count (same tokenizer contract as
     // Text.shingles; see ShingleHashes scaladoc) — the HOF form re-ran
     // the regexp tokenizer once per shingle position
@@ -211,6 +211,8 @@ object TextOps {
       lit(1.0) - distinctN.cast("double") / total.cast("double"))
       .otherwise(lit(0.0))
     Tables.fanout(docs)
+      .select(col("lang"), col("text"),
+        size(Text.tokens(col("text"))).as("_rp_n"))
       .select(col("lang"), dupFrac.as("df"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -495,7 +497,12 @@ object TextOps {
     * map-side to |sources| rows. */
   def gopherRules(docs: DataFrame, minWords: Int = 20,
       maxWords: Int = 100000): DataFrame = {
-    val ts = Text.tokens(col("text"))
+    // materialized once per row: `ts` is referenced by three rule
+    // expressions, and CollapseProject keeps a multiply-referenced
+    // non-cheap alias in its own projection — inline, the regexp
+    // tokenizer would run once per REFERENCE (the q74 hazard's
+    // constant-factor cousin)
+    val ts = col("_gr_ts")
     val nW = size(ts)
     val meanLen = when(nW > 0,
       aggregate(transform(ts, t => length(t)), lit(0),
@@ -512,6 +519,8 @@ object TextOps {
     val rStop = nStopDistinct >= 2
     val rRep = dupFrac <= 0.3
     Tables.fanout(docs)
+      .select(col("source"), col("text"),
+        Text.tokens(col("text")).as("_gr_ts"))
       .select(col("source"), rWc.as("_wc"), rMwl.as("_mwl"),
         rStop.as("_stop"), rRep.as("_rep"))
       .groupBy(col("source"))
