@@ -44,6 +44,8 @@ object GraftExtensions {
       }),
     ("simhash64", classOf[SimHash64].getName,
       exprs => SimHash64(exprs(0))),
+    ("double_sort_bits", classOf[DoubleSortBits].getName,
+      exprs => DoubleSortBits(exprs(0))),
     // Spark's own runtime-filter machinery (InjectRuntimeFilter's
     // BloomFilterAggregate / BloomFilterMightContain), surfaced as named
     // functions so a pipeline can build and apply a bloom semi-join

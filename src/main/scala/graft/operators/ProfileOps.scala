@@ -298,71 +298,142 @@ object ProfileOps {
        |FROM lineitem""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
 
-  /** q71 — equal-frequency feature binning of N numeric columns in ONE
-    * distributed pass: the quantile-bucketing step of feature
-    * engineering (decile bins for monotonic models, drift bucketing,
-    * score calibration). The bin DICTIONARY never ranks rows: the
-    * columns unpivot to (feature, value), collapse map-side to
-    * per-distinct-value counts (one hash exchange of the narrow count
-    * table), the weighted CDF rides ONE grouped
-    * [[GlobalWindows.withGlobalRunningSum]] pass (all features share the
-    * range shuffle; no `Window.partitionBy(feature)` single-reducer
-    * collapse), and each bin's edges come from a broadcast boundary
-    * lookup against the CDF — SQL-ntile-identical by construction,
-    * because the value at global row position p is exactly the value
-    * whose cumulative range contains p. At 10⁹ rows the rank
-    * formulation moves every row through the order-stats machinery;
-    * this moves only the distinct-value counts (bounded by NDV, which
-    * low-cardinality features collapse to almost nothing). Output:
-    * (feature, bin, n, lo, hi) — the dictionary you persist and join at
-    * serve time; per-row ASSIGNMENT, when needed, is the grouped
-    * [[GlobalWindows.withGlobalNtile]]. */
-  def featureBins(df: DataFrame, cols: Seq[String], n: Int): DataFrame = {
+  /** q71 — equal-frequency feature binning of N numeric columns: the
+    * quantile-bucketing step of feature engineering (decile bins for
+    * monotonic models, drift bucketing, score calibration). Output:
+    * (feature, bin, n, lo, hi) — SQL-ntile-identical by construction.
+    * `n` per bin comes from the ntile law alone (the first total%n bins
+    * hold total/n+1 rows); `lo`/`hi` are the values at the bin's first
+    * and last global sort position — so the whole dictionary reduces to
+    * EXACT SELECTION at 2n positions per feature, solved by classic
+    * histogram refinement (the iterative-bucket exact-quantile scheme of
+    * Munro–Paterson-style selection, one refinement level):
+    *
+    *  1. histogram: ONE scan collapses map-side onto a DATA-INDEPENDENT
+    *     monotone bucket key — `shiftright(double_sort_bits(val), s)`,
+    *     the order-preserving IEEE bit image ([[graft.functions
+    *     .DoubleSortBits]]) truncated to its top bits — so no bounds
+    *     pre-pass exists and no outlier can degrade the bucketing (the
+    *     classic equi-width failure: one 1e300 row collapses a
+    *     min/max-scaled histogram's useful range to one bucket).
+    *     Resolution is RELATIVE — 2^(52-s) buckets per binary octave
+    *     (s = 44 → 256, ~0.4% relative) — and the key space is hard-capped
+    *     at 2^(64-s) with occupied buckets further bounded by NDV and by
+    *     the octaves the data actually spans (thousands, in practice);
+    *  2. locate: a metadata-scale cumulative window (the PSI/q43
+    *     fixed-frame pattern; coalesce(1) lets SinglePartition satisfy
+    *     the window so no second exchange follows the groupBy) turns the
+    *     histogram into a bucket CDF, derives the per-feature totals and
+    *     law columns from the SAME frame (no separate bounds subtree to
+    *     re-run a scan), and binds each law position to the one bucket
+    *     whose cumulative range contains it;
+    *  3. refine: a second scan keeps ONLY rows falling in those ≤ 2n
+    *     boundary buckets (ONE broadcast of `located` is both the
+    *     scan-side prune and the rank lookup), collapses them map-side
+    *     to per-value counts, and a per-position cumulative window
+    *     selects the exact value at each position's residual rank.
+    *
+    * Versus ranking formulations: a global sort moves every row; the
+    * weighted-CDF form (see [[exactPercentiles]]) moves every DISTINCT
+    * value through a range exchange — NDV-linear, which for continuous
+    * features is the data again. This moves an octave-bounded histogram
+    * plus one bucket's worth of distinct values per boundary, at the
+    * price of two column-pruned scans — the right trade at 100 TB, where
+    * the scan is cheap (3 doubles of the fact table) and the shuffle is
+    * the bottleneck. NaN/±Inf order exactly as both engines sort them
+    * (-Inf first, NaN last); -0.0 is normalized to 0.0 before keying.
+    * Degenerate case: data clustered inside one bucket's relative width
+    * sends its NDV through the single refinement window — lower `shift`
+    * for finer buckets if a feature needs it. Per-row ASSIGNMENT against
+    * the dictionary, when needed, is the grouped
+    * [[GlobalWindows.withGlobalNtile]] — the two stay law-identical. */
+  def featureBins(df: DataFrame, cols: Seq[String], n: Int,
+      bucketShift: Int = 44): DataFrame = {
     require(cols.nonEmpty, "featureBins needs at least one column")
+    require(bucketShift >= 32 && bucketShift <= 56,
+      "bucketShift outside [32, 56] gives degenerate buckets")
+    // +0.0 normalizes -0.0 so the bucket key can never split a value
+    // that groupBy/equality treats as one
     val stackArgs = cols
-      .map(c => s"${sqlStr(c)}, cast(${sqlId(c)} as double)").mkString(", ")
-    val counts = df
+      .map(c => s"${sqlStr(c)}, cast(${sqlId(c)} as double) + 0.0d")
+      .mkString(", ")
+    def unpivot = df
       .select(expr(s"stack(${cols.size}, $stackArgs)")
         .as(Seq("feature", "val")))
       .filter(col("val").isNotNull)
-      .groupBy(col("feature"), col("val")).agg(count(lit(1)).as("cnt"))
-    val cum = GlobalWindows.withGlobalRunningSum(counts,
-      Seq("val" -> true), Seq("cnt" -> "cum"), groups = Seq("feature"))
-    // SQL ntile law over each feature's total: the first (total % n) bins
-    // hold (total div n)+1 rows. Rather than probing the CDF once per
-    // bin edge (two joins = two more trips through the running-sum
-    // pass), each CDF row inverts the law in closed form: its positions
-    // span [cum-cnt+1, cum], the bin of position p is
-    //   p <= rem*(size+1) ? ceil(p/(size+1)) : rem + ceil((p-rem*(size+1))/size)
-    // and the row explodes to the (usually one) bins it overlaps. The
-    // values overlapping a bin are contiguous in sort order, so
-    // min/max(val) per (feature, bin) ARE the values at startp/endp —
-    // the CDF is consumed exactly once, by a codegen'd expression + a
-    // |features × n|-row aggregate. (size = 0 keeps every position in
-    // the first branch — big = total — so the else-side div never hits
-    // 0.)
-    val totals = counts.groupBy(col("feature"))
-      .agg(sum(col("cnt")).as("_total"))
-      .withColumn("_size", expr(s"_total div $n"))
-      .withColumn("_rem", col("_total") % n)
-    // same floor-division form as GlobalWindows.withGlobalNtile — the
-    // two must stay law-identical (bins here are the dictionary, ntile
-    // is the per-row assignment of the same cuts)
-    def binOf(p: Column): Column = {
-      val big = col("_rem") * (col("_size") + lit(1L))
-      when(p <= big,
-          floor((p - 1) / (col("_size") + lit(1L))).cast("long") + 1)
-        .otherwise(col("_rem") +
-          floor((p - big - 1) / col("_size")).cast("long") + 1)
-    }
-    val spans = cum.join(broadcast(totals), "feature")
-      .withColumn("_first", binOf(col("cum") - col("cnt") + 1))
-      .withColumn("_last", binOf(col("cum")))
-      .select(col("feature"), col("val"),
-        explode(sequence(col("_first"), col("_last"))).as("bin"))
-    spans.groupBy(col("feature"), col("bin"))
-      .agg(min(col("val")).as("lo_v"), max(col("val")).as("hi_v"))
-      .join(broadcast(totals), "feature")
+    // identical codegen'd key expression in both passes
+    def bucketOf: Column =
+      expr(s"shiftright(double_sort_bits(val), $bucketShift)")
+
+    // pass 1: bucket histogram (map-side collapse; ≤ occupied-bucket
+    // rows shuffle) → one-task CDF + law frame
+    val hist = unpivot
+      .withColumn("_b", bucketOf)
+      .groupBy(col("feature"), col("_b")).agg(count(lit(1)).as("cnt"))
+      .coalesce(1)
+    val wB = Window.partitionBy(col("feature")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wT = Window.partitionBy(col("feature"))
+    val histCum = hist.withColumn("cum", sum(col("cnt")).over(wB))
+      .withColumn("_t", sum(col("cnt")).over(wT))
+      .withColumn("_size", expr(s"_t div $n"))
+      .withColumn("_rem", col("_t") % n)
+    // bind each ntile-law position to the bucket whose cumulative range
+    // contains it: positions are GENERATED per histogram row and
+    // filtered to the in-range ones — ≤ 2n·|buckets| rows through a
+    // codegen'd generate+filter, no shuffle, no extra subtree. size = 0
+    // empty bins (fewer rows than bins) drop via endp < startp,
+    // mirroring ntile.
+    val located = histCum
+      .select(col("feature"), col("_b"), col("cnt"), col("cum"),
+        col("_size"), col("_rem"),
+        explode(sequence(lit(1L), lit(n.toLong))).as("bin"))
+      .withColumn("_startp", (col("bin") - 1) * col("_size")
+        + least(col("bin") - 1, col("_rem")) + 1)
+      .withColumn("_endp",
+        col("bin") * col("_size") + least(col("bin"), col("_rem")))
+      .filter(col("_endp") >= col("_startp"))
+      .select(col("feature"), col("_b"), col("cnt"), col("cum"), col("bin"),
+        col("_size"), col("_rem"),
+        explode(map(lit("lo"), col("_startp"), lit("hi"), col("_endp")))
+          .as(Seq("kind", "p")))
+      .filter(col("p") > col("cum") - col("cnt") && col("p") <= col("cum"))
+      .select(col("feature"), col("bin"), col("kind"), col("_b"),
+        (col("p") - (col("cum") - col("cnt"))).as("resid"),
+        col("_size"), col("_rem"))
+
+    // pass 3: refine inside the ≤ 2n·|features| boundary buckets only.
+    // ONE broadcast of `located` serves as both the scan-side prune and
+    // the rank lookup: the inner join multiplies each surviving row by
+    // the (≤ 2) positions probing its bucket, and the per-POSITION
+    // cumulative window selects the value at that position's residual
+    // rank — a semi-join + second-join shape would broadcast the
+    // histogram arm twice (column pruning forks the exchange).
+    // located carries _size/_rem so no later join needs the law frame.
+    val bvals = unpivot
+      .withColumn("_b", bucketOf)
+      .join(broadcast(located), Seq("feature", "_b"))
+      .groupBy(col("feature"), col("_b"), col("bin"), col("kind"),
+        col("resid"), col("_size"), col("_rem"), col("val"))
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1) // ≤ one bucket's NDV per boundary — same fixed-frame move
+    val wV = Window
+      .partitionBy(col("feature"), col("_b"), col("bin"), col("kind"))
+      .orderBy(col("val"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atPos = bvals.withColumn("vcum", sum(col("cnt")).over(wV))
+      .filter(col("resid") > col("vcum") - col("cnt")
+        && col("resid") <= col("vcum"))
+      .select(col("feature"), col("bin"), col("kind"), col("val"),
+        col("_size"), col("_rem"))
+
+    // ≤ 2n·|features| rows remain: coalesce to one partition so the
+    // closing groupBy and ORDER BY are satisfied by SinglePartition —
+    // two exchanges and a range-sampling job gone from the tail
+    atPos.coalesce(1).groupBy(col("feature"), col("bin"))
+      .agg(min(when(col("kind") === "lo", col("val"))).as("lo_v"),
+        max(when(col("kind") === "hi", col("val"))).as("hi_v"),
+        first(col("_size")).as("_size"), first(col("_rem")).as("_rem"))
       .select(col("feature"), col("bin").cast("long").as("bin"),
         (col("_size") + when(col("bin") <= col("_rem"), 1L).otherwise(0L))
           .as("n"),

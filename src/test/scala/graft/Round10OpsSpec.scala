@@ -166,15 +166,23 @@ class Round10OpsSpec extends SparkSpec {
     assert(leakedById > 0, s"fixture has no by-id leakage to prevent")
   }
 
-  test("featureBins plans ONE range shuffle for all three features") {
+  test("featureBins: histogram refinement keeps data off the exchanges") {
     val df = ProfileOps.lineitemFeatureBins(Tables.lineitem(spark, sf0001))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    // ONE data-path range exchange on (feature, val, …); the only other
-    // rangepartitioning is the final ORDER BY over the 30-row bin table
-    assert("\\+- Exchange rangepartitioning\\(feature#\\d+ ASC NULLS FIRST, val#"
-      .r.findAllIn(plan).length == 1, plan)
-    // and never the single-reducer window collapse on the data path
+    // no range exchange anywhere: the tail is coalesced to one partition
+    // so even the closing ORDER BY is a plain sort
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    // never the single-reducer ntile window collapse on the data path
     assert(!plan.contains("Window [ntile"), plan)
+    // both passes key on the codegen'd order-preserving bit bucket, and
+    // the refinement scan is pruned by the broadcast position join
+    assert(plan.contains("double_sort_bits"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only hash exchanges carry histogram/boundary rows, keyed by
+    // the bucket — never a raw (feature, val) fact shuffle
+    val hashEx = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("_b#")), plan)
   }
 }
