@@ -25,13 +25,20 @@ object BitDim {
     * broadcast-marked. Bit assignment is by ascending value order, so it
     * is deterministic across runs and engines. */
   def dim(df: DataFrame, c: String): DataFrame =
-    broadcast(df.select(col(c)).na.drop().distinct()
+    broadcast(dimPlain(df, c))
+
+  /** [[dim]] without the broadcast hint: already SinglePartition (the
+    * bit-assignment window collapses it), so a metadata-scale tail can
+    * merge/NL-join it in-stage instead of paying a broadcast-exchange
+    * job per lookup. */
+  def dimPlain(df: DataFrame, c: String): DataFrame =
+    df.select(col(c)).na.drop().distinct()
       .select(col(c), row_number().over(Window.orderBy(c)).as("_bd_id"))
       .select(col(c),
         when(col("_bd_id") > 63, raise_error(concat(
           lit(s"BitDim($c) supports <= 63 distinct values; shard the "
             + "dimension (id="), col("_bd_id"), lit(")"))).cast("long"))
-          .otherwise(expr("shiftleft(1L, _bd_id - 1)")).as("bit")))
+          .otherwise(expr("shiftleft(1L, _bd_id - 1)")).as("bit"))
 
   /** Unordered-pair frame of a [[dim]]: (a, bit_a, b, bit_b) with a < b. */
   def pairs(dimDf: DataFrame, c: String, aName: String, bName: String)

@@ -64,6 +64,35 @@ class ThetaAgg(lgK: Int) extends Aggregator[Long, ThetaBuf, Array[Byte]] {
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+/** `theta_union_agg(sketch_bytes)`: lossless rollup of serialized theta
+  * sketches — the persisted-sketch read path (union per-(key, epoch)
+  * sketch rows into any coarser grouping without rescanning raw data).
+  * q74 builds ONE sketch per distinct source-mask in the same pass as
+  * the mask histogram, then unions the handful of per-mask sketches
+  * into per-source sketches — each source's shingle set is exactly the
+  * disjoint union of its masks' shingle sets. */
+class ThetaUnionAgg(lgK: Int)
+    extends Aggregator[Array[Byte], ThetaBuf, Array[Byte]] {
+  private def fresh() = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+  override def zero: ThetaBuf = new ThetaBuf(null, lgK)
+  override def reduce(b: ThetaBuf, v: Array[Byte]): ThetaBuf = {
+    // NULL / empty cells (absent epochs, failed upstream writes) skip
+    // instead of failing the whole rollup — the KllUnionAgg contract
+    if (v == null || v.isEmpty) return b
+    if (b.un == null) b.un = fresh()
+    b.un.union(CompactSketch.heapify(Memory.wrap(v)))
+    b
+  }
+  override def merge(a: ThetaBuf, b: ThetaBuf): ThetaBuf =
+    if (a.un == null) b
+    else { if (b.un != null) a.un.union(b.un.getResult); a }
+  override def finish(b: ThetaBuf): Array[Byte] =
+    (if (b.un == null) fresh().getResult else b.un.getResult).toByteArray
+  override def bufferEncoder: Encoder[ThetaBuf] =
+    Encoders.javaSerialization(classOf[ThetaBuf])
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
 object ThetaSketchOps {
   /** Intersection estimate of two serialized sketches with its ±nSigma
     * confidence interval — evaluated on |keys|² POST-aggregation rows,

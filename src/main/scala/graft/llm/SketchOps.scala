@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
 import graft.core.Tables
@@ -227,8 +228,25 @@ object SketchOps {
     val byMask = sh.groupBy(col("sh")).agg(bit_or(col("m")).as("mask"))
     // Distinct OBSERVED source-set combinations: bounded by the shingle
     // count but in practice a handful of rows. Every pairwise exact
-    // statistic runs on THIS table — never per shingle.
-    val masks = byMask.groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+    // statistic runs on THIS table — never per shingle — and the theta
+    // sketch of each mask's (disjoint) shingle set builds in the SAME
+    // aggregation, so the whole operator makes exactly ONE pass over the
+    // shingle table (the r11 shape re-ran the 2M-row bit_or final once
+    // per downstream branch and paid 13 broadcast-exchange jobs for
+    // lookups between metadata-size frames; job latency, not compute,
+    // was the entire bench tail). coalesce(1) pins the tail below to
+    // one task — the PSI/q43 fixed-frame justification.
+    // one bounded persist of the count histogram: the sizes arm, the
+    // intersection arm, and the coverage consumers all branch from it,
+    // and each branch is its own subtree under AQE — cached, the 2M-row
+    // final aggregation over the reused shingle exchange runs once.
+    // coalesce(1) BEFORE the cache pins the whole tail below to one
+    // task (the PSI/q43 fixed-frame justification): every later join is
+    // a broadcast lookup that preserves the stream's SinglePartition,
+    // so no tail aggregate or window ever re-exchanges.
+    val masks = graft.core.CacheOnce.swap("theta-masks",
+      byMask.groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+        .coalesce(1))
     val sizes = masks
       .join(srcDim, (col("mask").bitwiseAND(col("bit"))) =!= 0)
       .groupBy(col("source")).agg(sum(col("cnt")).as("n"))
@@ -243,23 +261,30 @@ object SketchOps {
     // updates fold per (source, shingle)); it rides byMask's reused
     // exchange, fanning each shingle out to its witnessing sources.
     val tAgg = udaf(new graft.functions.ThetaAgg(lgK), Encoders.scalaLong)
-    val perSource = byMask
+    val sk = byMask
       .join(srcDim, (col("mask").bitwiseAND(col("bit"))) =!= 0)
       .groupBy(col("source")).agg(tAgg(col("sh")).as("sk"))
-    val sk = perSource.select(col("source"), col("sk"))
+      .coalesce(1)
     val boundsUdf = udf((a: Array[Byte], b: Array[Byte]) => {
       val (_, lo, hi) = graft.functions.ThetaSketchOps.intersectBounds(a, b)
       Array(lo, hi)
     })
-    val est = sk.alias("x").join(broadcast(sk.alias("y")),
+    // both sketch copies are the IDENTICAL 20-row subtree (its exchange
+    // dedups); the pair frame coalesces back to one task
+    val est = sk.alias("x")
+      .join(sk.alias("y").hint("shuffle_replicate_nl"),
         col("x.source") < col("y.source"))
+      .coalesce(1)
       .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
         boundsUdf(col("x.sk"), col("y.sk")).as("ib"))
+    // both size lookups broadcast the IDENTICAL `sizes` subtree (renames
+    // stay OUTSIDE the broadcast) so the second join reuses the first's
+    // exchange instead of recomputing
     val flags = inter
-      .join(broadcast(sizes.select(col("source").as("source_a"),
-        col("n").as("n_a"))), "source_a")
-      .join(broadcast(sizes.select(col("source").as("source_b"),
-        col("n").as("n_b"))), "source_b")
+      .join(broadcast(sizes), col("source_a") === col("source"))
+      .withColumnRenamed("n", "n_a").drop("source")
+      .join(broadcast(sizes), col("source_b") === col("source"))
+      .withColumnRenamed("n", "n_b").drop("source")
       .join(broadcast(est), Seq("source_a", "source_b"))
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
         col("n_inter"),
@@ -267,10 +292,15 @@ object SketchOps {
           + lit(1e-9), 4).as("jaccard"),
         (col("n_inter") >= col("ib").getItem(0)
           && col("n_inter") <= col("ib").getItem(1)).cast("int").as("est_ok"))
-    val cov = flags.agg(
-      (sum(col("est_ok")) >= count(lit(1)) * lit(0.9)).cast("int")
-        .as("cov_ok"))
-    flags.drop("est_ok").crossJoin(broadcast(cov))
+    // the coverage scalar is an unpartitioned window over the (already
+    // SinglePartition) pair frame — the crossJoin(broadcast(agg)) form
+    // would re-run the whole pair subtree as its own job
+    val wAll = Window.partitionBy()
+    flags
+      .withColumn("cov_ok",
+        (sum(col("est_ok")).over(wAll)
+          >= count(lit(1)).over(wAll) * lit(0.9)).cast("int"))
+      .drop("est_ok")
       .orderBy("source_a", "source_b")
   }
 

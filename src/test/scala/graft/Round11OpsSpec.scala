@@ -45,6 +45,34 @@ class Round11OpsSpec extends SparkSpec {
     assert(restored.un == null)
   }
 
+  test("ThetaUnionAgg: union of disjoint per-part sketches ≈ direct sketch") {
+    // the persisted-sketch read path: per-(key, epoch) sketches roll up
+    // into any coarser grouping without rescanning raw data
+    val lgK = 12
+    val direct = new ThetaAgg(lgK)
+    var whole = direct.zero
+    (0L until 60000L).foreach(v => whole = direct.reduce(whole, v))
+    val parts = (0 until 6).map { p =>
+      var b = direct.zero
+      (p * 10000L until (p + 1) * 10000L).foreach(v => b = direct.reduce(b, v))
+      direct.finish(b)
+    }
+    val u = new graft.functions.ThetaUnionAgg(lgK)
+    var buf = u.zero
+    buf = u.reduce(buf, null) // absent epoch tolerated, KllUnionAgg contract
+    buf = u.reduce(buf, Array.emptyByteArray)
+    parts.foreach(bytes => buf = u.reduce(buf, bytes))
+    val est = org.apache.datasketches.theta.CompactSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(u.finish(buf))).getEstimate
+    val want = org.apache.datasketches.theta.CompactSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(direct.finish(whole)))
+      .getEstimate
+    // both estimate the same 60k-key set; each carries ~1.6% RSE at
+    // lgK=12, so 5% separates agreement from a lost part cleanly
+    assert(math.abs(est - want) / want < 0.05, s"union $est vs direct $want")
+    assert(math.abs(est - 60000.0) / 60000.0 < 0.05, s"estimate $est")
+  }
+
   test("KllUnionAgg skips NULL / empty cells instead of failing the rollup") {
     val k = 200
     val mk = (vals: Seq[Double]) => {
