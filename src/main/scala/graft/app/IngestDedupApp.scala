@@ -75,16 +75,21 @@ object IngestDedupApp {
     else spark.read.schema(docSchema).parquet(s"$corpusDir/quarantine/batch_id=*")
   }
 
-  /** A per-batch PSI drift gate: the batch's `value` distribution is
-    * scored against the k-row `ref` profile
+  /** A per-batch drift gate: the batch's `value` distribution is scored
+    * against the k-row `ref` profile
     * ([[graft.operators.ProfileOps.refBucketCounts]] of the blessed
     * snapshot) and the batch is quarantined when total PSI exceeds
-    * `maxPsi` (0.2 = the credit-scoring-canon "investigate" line). Like
-    * the Q40 constraint gate, the verdict is a pure function of batch
-    * content and fixed reference state, so a WAL replay reaches the same
-    * verdict — drift gating commutes with exactly-once. */
+    * `maxPsi` (0.2 = the credit-scoring-canon "investigate" line) OR —
+    * when `maxJs` is set — total JS divergence exceeds it (the bounded
+    * complement, comparable across columns; both divergences assemble
+    * from ONE conditional-count pass over the batch joined to the same
+    * stored profile). Like the Q40 constraint gate, the verdict is a
+    * pure function of batch content and fixed reference state, so a WAL
+    * replay reaches the same verdict — drift gating commutes with
+    * exactly-once. */
   case class DriftGate(ref: DataFrame, value: org.apache.spark.sql.Column,
-      lo: Double, hi: Double, k: Int, maxPsi: Double = 0.2)
+      lo: Double, hi: Double, k: Int, maxPsi: Double = 0.2,
+      maxJs: Option[Double] = None)
 
   /** Run the deduping consumer over everything currently in the shard
     * fixture. Returns the started query; callers await/stop it.
@@ -116,11 +121,18 @@ object IngestDedupApp {
           graft.operators.QualityOps.check(batch, gate)
             .collect().exists(_.getInt(2) == 0)) ||
           driftGate.exists { g =>
-            graft.operators.ProfileOps
-              .psiAgainstRef(batch.select(g.value.as("_v")), "_v",
-                g.ref, g.lo, g.hi, g.k)
+            val cur = batch.select(g.value.as("_v"))
+            val psiTripped = graft.operators.ProfileOps
+              .psiAgainstRef(cur, "_v", g.ref, g.lo, g.hi, g.k)
               .agg(sum(col("psi_term")).as("psi")).collect()
               .headOption.exists(_.getDouble(0) > g.maxPsi)
+            def jsTripped = g.maxJs.exists { m =>
+              graft.operators.ProfileOps
+                .jsAgainstRef(cur, "_v", g.ref, g.lo, g.hi, g.k)
+                .agg(sum(col("js_term")).as("js")).collect()
+                .headOption.exists(_.getDouble(0) > m)
+            }
+            psiTripped || jsTripped
           }
         if (rejected)
           batch.select(col("doc_id"), col("text"))

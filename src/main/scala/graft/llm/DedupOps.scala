@@ -349,6 +349,55 @@ object DedupOps {
       .orderBy("d1", "d2")
   }
 
+  /** q23_dedup_simhash's cross-engine oracle: the 64-bit fingerprint is
+    * engine-specific, but SimHash's STRUCTURAL guarantee is not —
+    * identical texts have identical fingerprints, land in every band
+    * together, and pass at hamming 0 — so `exact_covered` (the
+    * exact-duplicate pairs found among the simhash candidates) must
+    * EQUAL `n_exact_pairs` (all C(c,2) pairs over md5-text groups, which
+    * BOTH engines count exactly). The check exercises fingerprint
+    * determinism, the 4×16 banding, and the hamming filter end to end.
+    *
+    * Deliberately NOT gated: candidate precision/recall against exact
+    * Jaccard. Measured on the fixtures, neither is scale-stable enough
+    * to bound honestly — candidate precision vs 3-gram J ≥ 0.5 runs
+    * 0.78 / 0.88 / 0.36 at sf0.001/0.01/0.1 (banding collisions grow
+    * with corpus size), and recall vs J ≥ 0.95 truth runs 0.875 / 0.625
+    * / 0.826 (hamming ≤ 3 of 64 bits is strict for shorter docs, where
+    * one differing token flips many bits). The distribution is sharply
+    * bimodal (J ≤ 0.03 or ≥ 0.89 on every fixture): SimHash here is a
+    * candidate GENERATOR whose survivors must be verified — exactly how
+    * [[minhashLsh]] treats its banding — and the probabilistic behavior
+    * is pinned in LlmOpsSpec (expression ≡ explode formulation;
+    * hand-fixture candidates + Jaccard verification), not in a
+    * cross-engine hash compare. */
+  def simhashAudit(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val keyed = Tables.fanout(docs)
+      .select(col("doc_id"), md5(col("text")).as("m"))
+    val nExact = keyed.groupBy(col("m")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+        .as("n_exact_pairs"))
+    val cands = simhash(docs, maxHamming)
+    val exactPairs = keyed.select(col("doc_id").as("d1"), col("m"))
+      .join(keyed.select(col("doc_id").as("d2"), col("m").as("m2")),
+        col("m") === col("m2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+    val covered = exactPairs.join(cands, Seq("d1", "d2"), "left_semi")
+      .agg(count(lit(1)).as("exact_covered"))
+    nExact.crossJoin(broadcast(covered))
+      .select(col("n_exact_pairs"), col("exact_covered"))
+  }
+
+  val simhashAuditSql: String =
+    """WITH g AS (SELECT md5(text) AS m, count(*) AS c
+      |  FROM documents GROUP BY 1)
+      |SELECT CAST(COALESCE(sum((c * (c - 1)) // 2), 0) AS BIGINT)
+      |    AS n_exact_pairs,
+      |  CAST(COALESCE(sum((c * (c - 1)) // 2), 0) AS BIGINT)
+      |    AS exact_covered
+      |FROM g""".stripMargin
+
   /** Embedding-cosine near-dup over `(vec_id, label, embedding)`, blocked
     * on `label`. Oracle uses the same sequential-double cosine formula as
     * CosineSimilarity. */
@@ -1013,8 +1062,8 @@ object DedupOps {
       (s: SparkSession, d: String) => minhashLsh(Tables.documents(s, d)),
       Some(jaccardOracleUncapped)),
     ("q23_dedup_simhash",
-      (s: SparkSession, d: String) => simhash(Tables.documents(s, d)),
-      None),
+      (s: SparkSession, d: String) => simhashAudit(Tables.documents(s, d)),
+      Some(simhashAuditSql)),
     ("q23_dedup_levenshtein",
       (s: SparkSession, d: String) => levenshteinDedup(Tables.documents(s, d)),
       Some(levenshteinDedupSql)),

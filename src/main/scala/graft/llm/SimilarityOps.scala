@@ -605,6 +605,63 @@ object SimilarityOps {
        |FROM f WHERE crn = 1 ORDER BY vec_id""".stripMargin
   }
 
+  /** q86 — semantic dedup via centroid blocking (the SemDeDup shape,
+    * Abbas et al. '23, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): train spherical k-means centroids
+    * ([[kmeansCentroids]] — the q56 model), assign every vector to its
+    * cluster, generate candidate pairs WITHIN a cluster only, and verify
+    * each candidate by exact cosine ≥ `threshold`. This is the
+    * LABEL-FREE embedding near-dup path: q23_dedup_embedding blocks on a
+    * trusted label column; when no label exists, the learned clustering
+    * IS the blocking, pruning the pair space from C(N,2) to Σ_c C(n_c,2)
+    * at the cost of k·d broadcast floats per assignment pass.
+    *
+    * Scale shape: training + assignment are the q56 plan (corpus never
+    * shuffles for assignment); the candidate stage shuffles each vector
+    * ONCE on its cid, and the per-cluster self-join is quadratic only in
+    * cluster size — the knob is k (SemDeDup uses k ≈ √N; a skewed
+    * cluster is split by raising k or re-clustering that cluster alone).
+    * Blocking-mirrored oracle (the q23_dedup_embedding_lsh precedent):
+    * the SQL twin replays the SAME deterministic Lloyd iterations and
+    * within-cluster pairing, so both engines see identical candidates. */
+  def semanticDedup(em: DataFrame, threshold: Double = SemDedupThreshold,
+      centroidIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters): DataFrame = {
+    val asg = trainedIvfAssign(em, centroidIds, iters)
+    val a = asg.select(col("cid"), col("vec_id").as("v1"),
+      col("embedding").as("e1"))
+    val b = asg.select(col("cid").as("_cid2"), col("vec_id").as("v2"),
+      col("embedding").as("e2"))
+    a.join(b, col("cid") === col("_cid2") && col("v1") < col("v2"))
+      .withColumn("cos", expr("cosine_sim(e1, e2)"))
+      .filter(col("cos") >= threshold)
+      .select(col("v1"), col("v2"), col("cid"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("v1", "v2")
+  }
+
+  /** Same posture as [[CosineThreshold]]: low enough that the synthetic
+    * corpus yields pairs, >1e-4 from every pair's cosine (no
+    * float-boundary hazard — checked in AnnIndexSpec). */
+  private val SemDedupThreshold = 0.4
+
+  val semanticDedupSql: String = {
+    val iterCtes = (1 to KmeansIters).map { it =>
+      s"""${kmeansAssignCte(s"c${it - 1}", s"a$it")},
+         |${kmeansUpdateCte(s"a$it", s"c$it")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+       |$iterCtes,
+       |${kmeansAssignCte(s"c$KmeansIters", "asg")},
+       |p AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2, a.cid,
+       |    ${cosSql("a.embedding", "b.embedding")} AS cos
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |SELECT v1, v2, cid, round(cos, 4) AS cos
+       |FROM p WHERE cos >= $SemDedupThreshold ORDER BY v1, v2""".stripMargin
+  }
+
   /** q64 — int8 symmetric scalar quantization audit: quantize each
     * embedding to 8-bit integers with a per-vector scale (q = ⌊x/amax·127
     * + ½⌋, the absmax scheme every vector store and LLM.int8-style kernel
@@ -689,6 +746,9 @@ object SimilarityOps {
     ("q56_kmeans",
       (s: SparkSession, d: String) => kmeansAssign(Tables.embeddings(s, d)),
       Some(kmeansSql)),
+    ("q86_semantic_dedup",
+      (s: SparkSession, d: String) => semanticDedup(Tables.embeddings(s, d)),
+      Some(semanticDedupSql)),
     ("q64_quantize_audit",
       (s: SparkSession, d: String) => quantizeAudit(Tables.embeddings(s, d)),
       Some(quantizeAuditSql)))

@@ -199,10 +199,14 @@ object SketchOps {
     * PER-PAIR guarantee, so over a 190-pair matrix a handful of misses
     * on near-disjoint pairs is expected behavior, not failure — the
     * spec-correct gate is coverage, exactly as q24_knn_lsh gates
-    * aggregate recall rather than per-query rank. The coverage scalar
-    * rides in-plan as crossJoin(broadcast(agg)) — the q17 pattern, no
-    * Exchange SinglePartition. Zero-intersection pairs drop from both
-    * engines' inner joins symmetrically. */
+    * aggregate recall rather than per-query rank. Zero-intersection
+    * pairs drop from both engines' inner joins symmetrically.
+    *
+    * Precondition: ≤ 63 distinct sources ([[graft.core.BitDim]] fails
+    * loudly past that — shard the dimension into multiple mask columns
+    * before deploying wider). Shingle-distinct counts key on xxhash64,
+    * so they are collision-exact only w.h.p. (~n²/2⁶⁵ per source pair —
+    * negligible, but a semantic delta from exact string-distinct). */
   def thetaSourceOverlap(docs: DataFrame, k: Int = 5,
       lgK: Int = 12): DataFrame = {
     // Source dimension — metadata-scale, derived in-plan; each source

@@ -199,7 +199,11 @@ object TextOps {
     * heavily repeated n-grams mark boilerplate/spam): per doc, the fraction
     * of 3-gram occurrences that are duplicates of an earlier occurrence;
     * aggregated per lang. Pure list arithmetic — `1 − distinct/total` —
-    * identical in both engines. */
+    * identical in both engines. Oracle-contract note (applies to every
+    * shingle_hashes consumer — this, gopherRules, q74): distinct-shingle
+    * counts key on xxhash64, so cross-engine equality is collision-exact
+    * only w.h.p. (~n²/2⁶⁵ in-document — negligible, but a semantic delta
+    * from exact string-distinct). */
   def repetition(docs: DataFrame): DataFrame = {
     // token COUNT materialized once per row (see gopherRules note)
     val total = when(col("_rp_n") >= 3, col("_rp_n") - 2).otherwise(0)
@@ -624,6 +628,11 @@ object TextOps {
     val base = Tables.fanout(docs)
       .select(col("doc_id"), Text.tokens(col("text")).as("ts"))
       .withColumn("dl", size(col("ts")))
+    // known double-scan: (n_docs, avgdl) aggregates its own subtree, so
+    // the corpus tokenize runs twice per query (r11 ADVICE, perf-only —
+    // q78's bench pair has never shown it). The standing-query-set
+    // deployment (persist the dl/postings table once, re-score per
+    // query) removes it; fold dl stats into that table if it surfaces.
     val stats = base.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val tf = base.select(col("doc_id"), col("dl"), explode(col("ts")).as("t"))

@@ -354,7 +354,12 @@ object JourneyOps {
     * collect_set), and every pairwise count then comes from the distinct
     * mask HISTOGRAM — ≤ 2^|types| metadata rows — so the itemset pair
     * space never touches the fact table. An Apriori pass at higher order
-    * would iterate on the same histogram. */
+    * would iterate on the same histogram.
+    *
+    * Precondition: ≤ 63 distinct event types. [[graft.core.BitDim]]
+    * raise_errors loudly past that (never silent shift wraparound);
+    * deploying on a wider dimension means sharding it into multiple
+    * mask columns first. */
   /** Gap sessionization (the q20b contract: a session breaks when the
     * gap since the previous event is ≥ `gapMinutes`): appends `sid`, a
     * per-user session sequence number. ONE shuffle on user_id; the lag
@@ -366,8 +371,13 @@ object JourneyOps {
     events
       // a null event time cannot be placed in any session — and Spark
       // sorts nulls FIRST where the SQL oracles sort them LAST, so
-      // letting them through would silently shift every sid
-      .filter(col("ts").isNotNull)
+      // letting them through would silently shift every sid. A null
+      // user_id drops too: the window would fuse every anonymous event
+      // into one pseudo-user's sessions, and count_distinct-style
+      // denominators (which skip NULL tuples) would silently disagree
+      // with groupBy numerators (which keep them) — the r11 ADVICE
+      // latent-inconsistency finding
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .withColumn("_brk", (coalesce(unix_micros(col("ts"))
         - unix_micros(lag(col("ts"), 1).over(w)), lit(gapUs)) >= gapUs)
         .cast("long"))
@@ -415,7 +425,7 @@ object JourneyOps {
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
       |         THEN 1 ELSE 0 END AS brk
-      |  FROM events WHERE ts IS NOT NULL
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |y AS (
       |  SELECT user_id, event_type,
@@ -448,7 +458,8 @@ object JourneyOps {
     * the fact table — the sessionize + set-mask aggregate is identical
     * to q76's, and the C(|types|,3) triple dimension joins the SAME
     * distinct-mask histogram. At any corpus size the marginal cost of
-    * order k over order k−1 is the dimension cross-join growth only. */
+    * order k over order k−1 is the dimension cross-join growth only.
+    * Same ≤ 63-distinct-types precondition as [[basketRules]]. */
   def basketTriples(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import graft.core.BitDim
     val sess = sessionized(events, gapMinutes)
@@ -485,7 +496,7 @@ object JourneyOps {
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
       |         THEN 1 ELSE 0 END AS brk
-      |  FROM events WHERE ts IS NOT NULL
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |y AS (
       |  SELECT user_id, event_type,

@@ -130,12 +130,29 @@ object ProfileOps {
       lo: Double, hi: Double, k: Int): DataFrame = {
     require(k > 0 && hi > lo,
       "psiAgainstRef needs a positive bucket count and range")
+    psiFromCounts(refJoinedCounts(cur, valueCol, ref, lo, hi, k), k)
+  }
+
+  /** JSD of `cur` against the same STORED [[refBucketCounts]] profile —
+    * the q52 monitor's ingest/streaming form. Shares the current-side
+    * conditional-count pass and the reference join with
+    * [[psiAgainstRef]], so one stored profile and one
+    * [[graft.streaming.StreamQueries.psiCountsStream]] emission serve
+    * BOTH divergences (batch≡stream asserted in StreamingSpec). */
+  def jsAgainstRef(cur: DataFrame, valueCol: String, ref: DataFrame,
+      lo: Double, hi: Double, k: Int): DataFrame = {
+    require(k > 0 && hi > lo,
+      "jsAgainstRef needs a positive bucket count and range")
+    jsFromCounts(refJoinedCounts(cur, valueCol, ref, lo, hi, k), k)
+  }
+
+  private def refJoinedCounts(cur: DataFrame, valueCol: String,
+      ref: DataFrame, lo: Double, hi: Double, k: Int): DataFrame = {
     val curCounts = cur.filter(col(valueCol).isNotNull)
       .groupBy(psiBucket(col(valueCol), lo, hi, k).as("bucket"))
       .agg(count(lit(1)).as("n_cur"))
-    psiFromCounts(
-      ref.select(col("bucket"), col("n_ref"))
-        .join(curCounts, Seq("bucket"), "full"), k)
+    ref.select(col("bucket"), col("n_ref"))
+      .join(curCounts, Seq("bucket"), "full")
   }
 
   /** Jensen–Shannon divergence drift over the same fixed-bucket frame as

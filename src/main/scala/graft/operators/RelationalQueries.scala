@@ -95,12 +95,18 @@ object RelationalQueries {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   /** q06 — multi-way star join (TPC-H Q5 shape): dims broadcast, single
-    * shuffle on the fact side for the final agg. */
+    * shuffle on the fact side for the final agg. The region→nation link
+    * (5×25 rows) runs as an in-stage nested loop rather than its own
+    * nested broadcast-exchange job (the r11 verdict's q06 job-count
+    * item); customer then probes the finished chain as a regular
+    * broadcast-hash join — hash probing, not NL, because customer is
+    * data-scale at real size. */
   def q06MultiJoin(region: DataFrame, nation: DataFrame, customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val rn = region.filter(col("r_name").isin("ASIA", "EUROPE"))
+      .join(nation.hint("shuffle_replicate_nl"),
+        col("n_regionkey") === col("r_regionkey"))
     val dims = broadcast(
-      region.filter(col("r_name").isin("ASIA", "EUROPE"))
-        .join(nation, col("n_regionkey") === col("r_regionkey"))
-        .join(customer, col("c_nationkey") === col("n_nationkey"))
+      customer.join(broadcast(rn), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("n_name")))
     orders
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))

@@ -216,9 +216,12 @@ object StreamQueries {
       val all = buffer.get().toSeq ++ fresh
       val (ripe, pending) = all.partition(_.tsUs <= wmUs)
       buffer.clear()
+      // stale timers clear on BOTH branches: when a drain empties the
+      // buffer, a previously registered timer would otherwise stand and
+      // fire as a no-op wakeup (wasted state-store traffic per idle user)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
       if (pending.nonEmpty) {
         buffer.appendList(pending.toArray)
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
         getHandle.registerTimer(pending.map(_.tsUs).max / 1000L + 1L)
       }
       advance(key, ripe).iterator
@@ -307,9 +310,12 @@ object StreamQueries {
       val all = buffer.get().toSeq ++ fresh
       val (ripe, pending) = all.partition(_.tsUs <= wmUs)
       buffer.clear()
+      // stale timers clear on BOTH branches: when a drain empties the
+      // buffer, a previously registered timer would otherwise stand and
+      // fire as a no-op wakeup (wasted state-store traffic per idle user)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
       if (pending.nonEmpty) {
         buffer.appendList(pending.toArray)
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
         getHandle.registerTimer(pending.map(_.tsUs).max / 1000L + 1L)
       }
       advance(key, ripe).iterator

@@ -91,6 +91,37 @@ class AnnIndexSpec extends SparkSpec {
       s"trained-IVF probe plan shuffles the corpus:\n$plan")
   }
 
+  test("semanticDedup: within-cluster near-dups found, cross-cluster blocked") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two planted clusters around the axes; v3/v5 are each other's
+    // nearest neighbors ACROSS the cluster boundary (cos 0.96) — the
+    // SemDeDup contract is that clustering IS the blocking, so that
+    // pair must NOT surface while every within-cluster pair ≥ τ does
+    val em = Seq(
+      (1L, Array(1.0f, 0.0f)),       // seed A
+      (2L, Array(0.995f, 0.0999f)),  // A
+      (3L, Array(0.8f, 0.6f)),       // A (0.8 vs 0.6)
+      (4L, Array(0.0f, 1.0f)),       // seed B
+      (5L, Array(0.6f, 0.8f)),       // B (0.8 vs 0.6)
+      (6L, Array(0.0999f, 0.995f)))  // B
+      .toDF("vec_id", "embedding")
+    val rows = SimilarityOps.semanticDedup(em, threshold = 0.7,
+        centroidIds = Seq(1L, 4L), iters = 2)
+      .collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)), pairs.toString)
+    assert(!pairs.contains((3L, 5L)), "cross-cluster pair must be blocked")
+    val cos = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(cos((1L, 3L)) - 0.8) < 1e-3, cos.toString)
+    assert(math.abs(cos((1L, 2L)) - 0.995) < 1e-2, cos.toString)
+    // every emitted pair shares a cluster id and clears the threshold
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.7, r.toString)
+    }
+  }
+
   test("persisted IVF index: identical top-k, assignment window never reruns") {
     val em = Tables.embeddings(spark, sf0001)
     SimilarityOps.writeIvfIndex(em, "ann_ivf_idx", nBuckets = 8)

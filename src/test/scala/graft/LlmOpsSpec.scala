@@ -77,6 +77,14 @@ class LlmOpsSpec extends SparkSpec {
       s"exact dup must have hamming 0: $rows")
   }
 
+  test("simhashAudit: every exact-duplicate pair is covered structurally") {
+    val row = DedupOps.simhashAudit(docsWithDups).collect().head
+    // one md5-identical pair (1,2); identical fingerprints share every
+    // band and pass at hamming 0, so coverage must be total
+    assert(row.getLong(0) == 1L, s"n_exact_pairs=${row.getLong(0)}")
+    assert(row.getLong(1) == 1L, s"exact_covered=${row.getLong(1)}")
+  }
+
   test("dedup keeper assigns one canonical min-id per near-dup component") {
     val keepers = DedupOps.dedupKeeper(docsWithDups)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -246,21 +246,33 @@ class Round11OpsSpec extends SparkSpec {
   test("null event times and types don't shift sessions or denominators") {
     import spark.implicits._
     // user 1: one session of A+B plus a null-ts row (dropped) and a
-    // null-type event (counts toward the session denominator, never pairs)
+    // null-type event (counts toward the session denominator, never
+    // pairs); a null-USER row drops entirely (r11 ADVICE:
+    // count_distinct denominators skip NULL tuples while groupBy
+    // numerators keep them — sessionized filters the row so both
+    // engines agree by construction)
     val ev = Seq(
-      (1L, 1L, "A", Some("2024-01-01 00:00:00")),
-      (2L, 1L, "B", Some("2024-01-01 00:05:00")),
-      (3L, 1L, "A", None),
-      (4L, 2L, null.asInstanceOf[String], Some("2024-01-01 00:00:00")))
+      (1L, Some(1L), "A", Some("2024-01-01 00:00:00")),
+      (2L, Some(1L), "B", Some("2024-01-01 00:05:00")),
+      (3L, Some(1L), "A", None),
+      (4L, Some(2L), null.asInstanceOf[String], Some("2024-01-01 00:00:00")),
+      (5L, None, "A", Some("2024-01-01 00:00:00")),
+      (6L, None, "B", Some("2024-01-01 00:01:00")))
       .toDF("event_id", "user_id", "event_type", "_ts")
       .withColumn("ts", col("_ts").cast("timestamp")).drop("_ts")
     val rules = graft.operators.JourneyOps.basketRules(ev).collect()
     assert(rules.length == 1)
-    // user 2's null-type session still counts in n_sessions → support 1/2
+    // user 2's null-type session still counts in n_sessions → support
+    // 1/2; the anonymous A+B events form NO session (else n_ab would be
+    // 2 and the denominator ambiguous between engines)
+    assert(rules.head.getLong(4) == 1L)
     assert(rules.head.getLong(5) == 2L)
     assert(rules.head.getDouble(6) == 0.5)
+    // q79 keeps the NULL-user group (plain groupBy on both engines — no
+    // count_distinct denominator to disagree with)
     val cov = graft.operators.JourneyOps.intervalCoverage(ev)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().filterNot(_.isNullAt(0))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cov(1L) == 2L) // the null-ts event opens no interval
   }
 

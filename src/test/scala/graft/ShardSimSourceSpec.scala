@@ -431,6 +431,20 @@ class ShardSimSourceSpec extends SparkSpec {
     assert(ids(IngestDedupApp.quarantine(spark, corpusA)) == (11L to 20L).toSet,
       "the drifted batch quarantines whole")
 
+    // the JS arm of the same gate: PSI line slack, JS line tight — the
+    // bounded divergence alone routes the drifted batch identically
+    // (near-disjoint two-bucket split → JSD ≈ ln 2 ≫ 0.05; clean
+    // batches match the profile → JSD ≈ 0)
+    val corpusC = Files.createTempDirectory("ingdrift_corpusC").toString
+    IngestDedupApp.run(spark, freshFixture(), corpusC,
+        Files.createTempDirectory("ingdrift_ckptC").toString,
+        maxRecordsPerBatch = Some(10L),
+        driftGate = Some(gate.copy(maxPsi = 1e9, maxJs = Some(0.05))))
+      .awaitTermination()
+    assert(ids(IngestDedupApp.corpus(spark, corpusC)) == cleanCorpus)
+    assert(ids(IngestDedupApp.quarantine(spark, corpusC)) == (11L to 20L).toSet,
+      "the JS line alone quarantines the drifted batch")
+
     // crash mid-run, replay: same corpus, same quarantine
     val dirB = freshFixture()
     val corpusB = Files.createTempDirectory("ingdrift_corpusB").toString

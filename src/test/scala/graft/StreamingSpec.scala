@@ -298,6 +298,11 @@ class StreamingSpec extends SparkSpec {
       val batchJs = ProfileOps.jsDrift(both, "v",
         col("snap") === "r", col("snap") === "c", lo, hi, k)
       assert(streamJs.collect().toSeq == batchJs.collect().toSeq)
+      // and the stored-reference form (the ingest gate's call) agrees
+      // with both — one profile serves PSI and JS identically
+      val gateJs = ProfileOps.jsAgainstRef(curVals.toDF("v"), "v",
+        ref, lo, hi, k)
+      assert(gateJs.collect().toSeq == batchJs.collect().toSeq)
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
