@@ -68,7 +68,9 @@ object Explain {
     "q82_snapshot_diff"     -> "snapshot diff: one full-outer key join, verdicts folded into ONE wide agg row, stack unpivot",
     "q83_join_cardinality"  -> "join pre-flight: per-side count tables, |keys|-row join, ONE summary row — the join output never materializes",
     "q84_linear_fit"        -> "per-group OLS: five running sums per group in ONE hash aggregate over one scan",
-    "q85_basket_triples"    -> "order-3 itemsets: the SAME session mask histogram as q76 joined to the C(|types|,3) dimension — no new fact pass")
+    "q85_basket_triples"    -> "order-3 itemsets: the SAME session mask histogram as q76 joined to the C(|types|,3) dimension — no new fact pass",
+    "q86_semantic_dedup"    -> "SemDeDup: k-means assignment blocks the pair space to within-cluster; exact cosine verifies; corpus shuffles once on cid",
+    "q87_semantic_keeper"   -> "SemDeDup resolution: min-label CC over the semantic pairs, every vector labeled keeper/pruned")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -84,7 +84,7 @@ object Stress {
       "q77_compaction_plan", "q78_bm25", "q79_interval_coverage",
       "q80_key_skew", "q81_session_paths", "q82_snapshot_diff",
       "q83_join_cardinality", "q84_linear_fit", "q85_basket_triples",
-      "q86_semantic_dedup")
+      "q86_semantic_dedup", "q87_semantic_keeper")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

@@ -662,6 +662,62 @@ object SimilarityOps {
        |FROM p WHERE cos >= $SemDedupThreshold ORDER BY v1, v2""".stripMargin
   }
 
+  /** q87 — the SemDeDup END PRODUCT: the corpus pruned to one canonical
+    * representative per semantic cluster. [[semanticDedup]] emits the
+    * audit-grade pair list; this collapses those pairs with the same
+    * distributed connected-components machinery the text path uses
+    * ([[graft.llm.DedupOps.connectedComponents]] — min-label iteration,
+    * O(1) plan depth via localCheckpoint, loud non-convergence) and
+    * labels EVERY vector: `keeper` = the min vec_id of its semantic
+    * component (itself when unpaired), `is_keeper` = the row survives
+    * pruning. Train → pair → resolve, all label-free — the embedding
+    * mirror of q23_dedup_keeper/q23_dedup_corpus. Same recursive-CTE
+    * oracle pattern as q23_dedup_keeper, over the q86 blocking-mirrored
+    * pair set. */
+  def semanticKeeper(em: DataFrame, threshold: Double = SemDedupThreshold,
+      centroidIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters): DataFrame = {
+    val pairs = semanticDedup(em, threshold, centroidIds, iters)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+    val cc = graft.llm.DedupOps.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    em.select(col("vec_id"))
+      .join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("keeper"), col("vec_id")).as("keeper"))
+      .withColumn("is_keeper", (col("vec_id") === col("keeper")).cast("int"))
+      .orderBy("vec_id")
+  }
+
+  val semanticKeeperSql: String = {
+    val iterCtes = (1 to KmeansIters).map { it =>
+      s"""${kmeansAssignCte(s"c${it - 1}", s"a$it")},
+         |${kmeansUpdateCte(s"a$it", s"c$it")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE c0 AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+       |$iterCtes,
+       |${kmeansAssignCte(s"c$KmeansIters", "asg")},
+       |np AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $SemDedupThreshold),
+       |edges AS (SELECT v1 AS src, v2 AS dst FROM np
+       |  UNION ALL SELECT v2, v1 FROM np),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |k AS (SELECT src AS vec_id, least(src, min(dst)) AS keeper
+       |  FROM reach GROUP BY src)
+       |SELECT e.vec_id, COALESCE(k.keeper, e.vec_id) AS keeper,
+       |  CASE WHEN COALESCE(k.keeper, e.vec_id) = e.vec_id
+       |    THEN 1 ELSE 0 END AS is_keeper
+       |FROM embeddings e LEFT JOIN k ON k.vec_id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   /** q64 — int8 symmetric scalar quantization audit: quantize each
     * embedding to 8-bit integers with a per-vector scale (q = ⌊x/amax·127
     * + ½⌋, the absmax scheme every vector store and LLM.int8-style kernel
@@ -749,6 +805,9 @@ object SimilarityOps {
     ("q86_semantic_dedup",
       (s: SparkSession, d: String) => semanticDedup(Tables.embeddings(s, d)),
       Some(semanticDedupSql)),
+    ("q87_semantic_keeper",
+      (s: SparkSession, d: String) => semanticKeeper(Tables.embeddings(s, d)),
+      Some(semanticKeeperSql)),
     ("q64_quantize_audit",
       (s: SparkSession, d: String) => quantizeAudit(Tables.embeddings(s, d)),
       Some(quantizeAuditSql)))

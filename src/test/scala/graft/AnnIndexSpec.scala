@@ -120,6 +120,14 @@ class AnnIndexSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getDouble(3) >= 0.7, r.toString)
     }
+
+    // the keeper resolution collapses each semantic component to its
+    // min id; unpaired vectors keep themselves
+    val keepers = SimilarityOps.semanticKeeper(em, threshold = 0.7,
+        centroidIds = Seq(1L, 4L), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(keepers.toSeq == Seq((1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0),
+      (4L, 4L, 1), (5L, 4L, 0), (6L, 4L, 0)), keepers.mkString(","))
   }
 
   test("persisted IVF index: identical top-k, assignment window never reruns") {
