@@ -245,7 +245,16 @@ object ProfileOps {
     * pass + broadcast offset patch — the q35 machinery, so a high-NDV
     * column never funnels through Exchange SinglePartition), and the
     * max-|diff| is a plain aggregate. One row out: n_ref, n_cur, ks_d,
-    * drifted. */
+    * drifted.
+    *
+    * Streaming posture (a DECISION, not an omission): the PSI and JS
+    * monitors stream because their state is k fixed buckets; exact KS
+    * state is the full distinct-value CDF — unbounded, growing with the
+    * stream — so a faithful streaming KS does not exist at fixed memory.
+    * Bucketizing KS to make it streamable just reproduces a fixed-frame
+    * divergence, i.e. the PSI/JS gate that already runs
+    * ([[jsAgainstRef]] / [[psiAgainstRef]] in IngestDedupApp). Run exact
+    * KS per batch/epoch against a persisted reference SAMPLE instead. */
   def ksDrift(df: DataFrame, valueCol: String, refPred: Column,
       curPred: Column): DataFrame = {
     val counts = df.filter(col(valueCol).isNotNull)

@@ -166,6 +166,62 @@ class Round10OpsSpec extends SparkSpec {
     assert(leakedById > 0, s"fixture has no by-id leakage to prevent")
   }
 
+  test("double_sort_bits: signed order equals double order across the range") {
+    import spark.implicits._
+    // adversarial ladder: -Inf, large/small negatives, denormals, zero,
+    // denormal positives, ordinary values, +Inf, NaN (both engines sort
+    // NaN last) — the expression's SIGNED long order must match exactly
+    val vals = Seq(Double.NegativeInfinity, -1.7e308, -3.14, -1.0,
+      -0.5, -Double.MinPositiveValue, 0.0, Double.MinPositiveValue,
+      1e-300, 0.5, 1.0, 3.14, 1.7e308, Double.PositiveInfinity, Double.NaN)
+    val keys = vals.map(graft.functions.DoubleSortBits.compute)
+    assert(keys == keys.sorted, vals.zip(keys).toString)
+    // -0.0 normalizes away BEFORE keying in featureBins; the raw images
+    // differ (documented), which is why the +0.0 normalization exists
+    assert(graft.functions.DoubleSortBits.compute(-0.0 + 0.0) ==
+      graft.functions.DoubleSortBits.compute(0.0))
+    // the SQL surface agrees with the static function
+    val viaSql = vals.filterNot(_.isNaN).toDF("v")
+      .selectExpr("double_sort_bits(v)").collect().map(_.getLong(0)).toSeq
+    assert(viaSql == vals.filterNot(_.isNaN).map(
+      graft.functions.DoubleSortBits.compute))
+  }
+
+  test("featureBins equals the ntile formulation on adversarial data") {
+    import spark.implicits._
+    // negatives, cross-octave magnitudes, heavy duplicate blocks longer
+    // than a bin, a constant column, and fewer-rows-than-bins — none of
+    // which the parquet fixtures exercise (all-positive data)
+    val rnd = new scala.util.Random(7)
+    val a = (1 to 997).map(_ => (rnd.nextDouble() - 0.5) * math.pow(10,
+      rnd.nextInt(9) - 4))
+    val b = (1 to 997).map(i => if (i % 3 == 0) -42.0 else rnd.nextInt(7)
+      .toDouble)
+    val c = (1 to 997).map(_ => 13.37)
+    val d = (1 to 997).map(i => if (i <= 5) i.toDouble else Double.NaN)
+    val df = a.indices.map(i => (i.toLong, a(i), b(i), c(i),
+        if (d(i).isNaN) None else Some(d(i))))
+      .toDF("rid", "fa", "fb", "fc", "fd")
+    val got = graft.operators.ProfileOps
+      .featureBins(df, Seq("fa", "fb", "fc", "fd"), n = 10).collect().toSeq
+    df.createOrReplaceTempView("fb_prop")
+    val arms = Seq("fa", "fb", "fc", "fd").map { col =>
+      s"""SELECT '$col' AS feature, CAST($col AS DOUBLE) AS val, rid
+         |FROM fb_prop WHERE $col IS NOT NULL""".stripMargin
+    }.mkString("(", " UNION ALL ", ")")
+    val want = spark.sql(
+      s"""WITH u AS $arms,
+         |b AS (SELECT feature, val,
+         |    ntile(10) OVER (PARTITION BY feature ORDER BY val, rid) AS bin
+         |  FROM u)
+         |SELECT feature, bin, count(*) AS n,
+         |  round(min(val), 4) AS lo, round(max(val), 4) AS hi
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin).collect().toSeq
+    assert(got.map(_.toString) == want.map(_.toString),
+      got.zip(want).filter { case (g, w) => g.toString != w.toString }
+        .take(5).toString)
+  }
+
   test("featureBins: histogram refinement keeps data off the exchanges") {
     val df = ProfileOps.lineitemFeatureBins(Tables.lineitem(spark, sf0001))
     df.collect()
