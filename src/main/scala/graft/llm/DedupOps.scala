@@ -658,6 +658,130 @@ object DedupOps {
        |SELECT degree, count(*) AS n_docs FROM deg
        |GROUP BY degree ORDER BY degree""".stripMargin
 
+  /** PageRank over an undirected pair graph (Page et al. '99 tech
+    * report), fixed-iteration power method: `iters` rounds of
+    * pr' = (1−d)/N + d·(Σ_{src→dst} pr(src)/outdeg(src) + dangling/N),
+    * where dangling mass is the rank held by isolated nodes (on a dup
+    * graph that's most of the corpus) redistributed uniformly — total
+    * rank stays 1 every round, so scores are comparable across corpora.
+    *
+    * Iteration hygiene mirrors [[connectedComponents]]: edges, degrees,
+    * and the node frame are checkpointed ONCE; each round is one
+    * edge-join + one dst-aggregation materialized through an eager
+    * `localCheckpoint()`, so plan depth stays O(1) and — load-bearing for
+    * correctness of COST, not just speed — the two consumers of the
+    * previous round (the contribution join and the dangling-mass scalar)
+    * read a materialized table instead of re-deriving the whole chain,
+    * which would otherwise double work per round (2^iters blowup).
+    * The dangling scalar rides in-plan as a broadcast 1-row aggregate
+    * (the q17 pattern); no driver-side collect anywhere in the loop.
+    *
+    * Scale shape: per-round cost is one shuffle of the edge table keyed
+    * by src plus a node-scale aggregate — rank state is |V| rows, never
+    * |E|², and the fixed iteration count makes the total cost
+    * iters × O(|E|). Fixed iterations (not convergence-tested) keep the
+    * operator engine-reproducible: the oracle unrolls the same rounds. */
+  def pagerank(pairs: DataFrame, nodes: DataFrame, damping: Double = 0.85,
+      iters: Int = 5, topN: Int = 20): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      def ckptIds = sc.getPersistentRDDs
+        .collect { case (id, r) if r.isCheckpointed => id }.toSet
+      val before = ckptIds
+      val out = df.localCheckpoint()
+      (out, ckptIds -- before)
+    }
+    def drop(ids: Set[Int]): Unit =
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+    val (edges, edgeIds) = checkpointed(
+      pairs.select(col("d1").as("src"), col("d2").as("dst")).unionByName(
+        pairs.select(col("d2").as("src"), col("d1").as("dst"))))
+    val (deg, degIds) = checkpointed(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("od")))
+    val (nodeT, nodeIds) = checkpointed(
+      nodes.select(col("doc_id")).distinct())
+    val n = nodeT.count().toDouble // metadata-scale; the only driver read
+    var (pr, prIds) = checkpointed(
+      nodeT.select(col("doc_id"), lit(1.0 / n).as("pr")))
+    (1 to iters).foreach { _ =>
+      val dang = pr.join(deg, pr("doc_id") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+      val contrib = edges.join(deg, "src")
+        .join(pr, col("src") === pr("doc_id"))
+        .groupBy(col("dst")).agg(sum(col("pr") / col("od")).as("contrib"))
+      val next = nodeT
+        .join(contrib, nodeT("doc_id") === contrib("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(nodeT("doc_id"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dm") / lit(n)))
+            .as("pr"))
+      val (nxt, ids) = checkpointed(next)
+      drop(prIds); pr = nxt; prIds = ids
+    }
+    val out = pr
+      .select(col("doc_id"), round(col("pr") + lit(1e-9), 6).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("doc_id")).limit(topN)
+    // the limit materializes from checkpointed blocks; edges/deg/nodes are
+    // no longer needed once `out` is consumed — but `out` is still lazy
+    // here, so only the superseded structures are droppable. The final pr
+    // blocks back `out`; callers consume it within the session.
+    drop(edgeIds); drop(degIds); drop(nodeIds)
+    out
+  }
+
+  /** q90 registry entry: PageRank over the thresholded near-dup graph —
+    * ranks the hub documents of template/boilerplate families (the docs
+    * whose removal breaks the most near-dup mass; review THESE before
+    * bulk-dropping a cluster). Rides the shared pair stage. */
+  def dupPagerank(docs: DataFrame, threshold: Double = JaccardThreshold,
+      k: Int = K, dfCap: Int = DefaultDfCap): DataFrame =
+    pagerank(
+      jaccardPairs(docs, k, dfCap).filter(col("jac") >= threshold)
+        .select("d1", "d2"),
+      docs.select(col("doc_id")))
+
+  /** Oracle: the same fixed rounds unrolled as materialized CTEs (each
+    * pr_i is read twice — dangling scalar + contribution join — so
+    * materialization mirrors the Spark checkpoint, not just taste). */
+  def dupPagerankSql(damping: Double = 0.85, iters: Int = 5,
+      topN: Int = 20): String = {
+    val head =
+      s"""WITH ${pairsCte(capped = true)},
+         |jp AS (SELECT d1, d2 FROM pairs
+         |  WHERE inter / (n1 + n2 - inter) >= $JaccardThreshold),
+         |edges AS MATERIALIZED (
+         |  SELECT d1 AS src, d2 AS dst FROM jp
+         |  UNION ALL SELECT d2, d1 FROM jp),
+         |deg AS MATERIALIZED (
+         |  SELECT src, count(*) AS od FROM edges GROUP BY src),
+         |nodes AS MATERIALIZED (SELECT DISTINCT doc_id FROM documents),
+         |nn AS (SELECT count(*) AS cnt FROM nodes),
+         |pr0 AS MATERIALIZED (
+         |  SELECT doc_id, 1.0 / (SELECT cnt FROM nn) AS pr FROM nodes)"""
+        .stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = s"pr${i - 1}"
+      s"""dang$i AS (SELECT coalesce(sum(p.pr), 0) AS dm FROM $p p
+         |  LEFT JOIN deg d ON d.src = p.doc_id WHERE d.src IS NULL),
+         |pr$i AS MATERIALIZED (SELECT nd.doc_id,
+         |    ${1.0 - damping} / (SELECT cnt FROM nn) + $damping *
+         |      (coalesce(c.contrib, 0) + (SELECT dm FROM dang$i)
+         |        / (SELECT cnt FROM nn)) AS pr
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS doc_id, sum(p.pr / d.od) AS contrib
+         |    FROM $p p JOIN edges e ON e.src = p.doc_id
+         |    JOIN deg d ON d.src = p.doc_id GROUP BY e.dst) c
+         |  ON c.doc_id = nd.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$rounds
+       |SELECT doc_id, round(pr + 1e-9, 6) AS pagerank FROM pr$iters
+       |ORDER BY pagerank DESC, doc_id LIMIT $topN""".stripMargin
+  }
+
   /** q67 — cross-source duplication matrix: near-dup pair counts and mean
     * Jaccard per unordered source pair. The crawl-curation question
     * behind it: which sources are mirroring each other (off-diagonal
@@ -1093,5 +1217,8 @@ object DedupOps {
       Some(embeddingNearDupSql)),
     ("q23_dedup_embedding_lsh",
       (s: SparkSession, d: String) => embeddingNearDupLsh(Tables.embeddings(s, d)),
-      Some(embeddingNearDupLshSql)))
+      Some(embeddingNearDupLshSql)),
+    ("q90_graph_pagerank",
+      (s: SparkSession, d: String) => dupPagerank(Tables.documents(s, d)),
+      Some(dupPagerankSql())))
 }

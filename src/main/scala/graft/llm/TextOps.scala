@@ -680,6 +680,107 @@ object TextOps {
        |ORDER BY score DESC, doc_id LIMIT $topN""".stripMargin
   }
 
+  /** q89 — BPE merge-candidate statistics (Sennrich, Haddow & Birch,
+    * "Neural Machine Translation of Rare Words with Subword Units", ACL
+    * 2016, step 1 of training): count adjacent character-symbol pairs
+    * across the corpus, weighted by word frequency — the argmax pair is
+    * the first merge a BPE tokenizer learns. Running it per corpus is how
+    * a pipeline decides whether an off-the-shelf tokenizer fits the data
+    * (compare the top pair ranks against the tokenizer's merge table).
+    *
+    * Scale shape — the load-bearing property: the corpus collapses to the
+    * VOCABULARY first (one token-count exchange whose output is
+    * NDV-bounded), and the per-character pair explode runs over vocab
+    * rows only. Pair counting is corpus-size-independent after that
+    * collapse — 100 TB of text with a 10 M-type vocabulary explodes
+    * 10 M short arrays, not 10¹³ tokens. The final rollup is
+    * |alphabet|²-bounded. */
+  def bpePairs(docs: DataFrame, topN: Int = 50): DataFrame = {
+    val vocab = Tables.fanout(docs)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    vocab.filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => concat_ws(" ", col("w").substr(i, lit(1)),
+            col("w").substr(i + 1, lit(1))))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(topN)
+  }
+
+  def bpePairsSql(topN: Int = 50): String =
+    s"""WITH tok AS (SELECT unnest(${Text.tokensSql("text")}) AS w
+       |  FROM documents),
+       |v AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+       |p AS (SELECT freq, unnest(list_transform(
+       |    generate_series(1, length(w) - 1),
+       |    i -> substr(w, i, 1) || ' ' || substr(w, i + 1, 1))) AS pair
+       |  FROM v WHERE length(w) >= 2)
+       |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p
+       |GROUP BY pair ORDER BY n DESC, pair LIMIT $topN""".stripMargin
+
+  /** q91 — pointwise mutual information over within-document term
+    * co-occurrence (Church & Hanks, "Word Association Norms, Mutual
+    * Information, and Lexicography", CL 1990): for term pairs that
+    * co-occur in ≥ `minPair` documents, PMI = ln(N·n_xy / (n_x·n_y)) on
+    * document-level indicator counts. The collocation/topic-structure
+    * probe of a corpus audit: PMI ≫ 0 pairs are phrases and domain
+    * collocations; a corpus whose top PMI pairs are boilerplate fragments
+    * has a template problem q25's term stats won't show.
+    *
+    * Scale shape: the pair space is generated per document by a doc_id
+    * self-join of the DISTINCT doc-term table AFTER a df-threshold
+    * semi-join (terms below `minDf` can never reach `minPair` when
+    * minDf ≥ minPair — the filter is exactness-preserving, not a
+    * sample), so fanout is C(kept-terms-per-doc, 2), bounded by the
+    * df-filtered per-doc vocabulary — never |vocab|². The df table
+    * itself is NDV-bounded and broadcast. */
+  def pmiPairs(docs: DataFrame, minDf: Int = 25, minPair: Int = 20,
+      topN: Int = 50): DataFrame = {
+    require(minDf >= minPair,
+      "minDf < minPair would prune pairs the threshold admits")
+    val dt = Tables.fanout(docs)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+      .filter(!col("t").isin(Text.stopwords: _*))
+      .distinct()
+    val df0 = dt.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+      .filter(col("n_t") >= minDf)
+    val kept = dt.join(broadcast(df0), "t")
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    kept.select(col("doc_id"), col("t").as("t1"), col("n_t").as("n_x"))
+      .join(kept.select(col("doc_id"), col("t").as("t2"),
+        col("n_t").as("n_y")), "doc_id")
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"), col("n_x"), col("n_y"))
+      .agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minPair)
+      .crossJoin(broadcast(nDocs))
+      .select(col("t1"), col("t2"), col("n_xy"),
+        round(log(col("n_xy") * col("n_docs")
+          / (col("n_x") * col("n_y"))) + lit(1e-9), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2")).limit(topN)
+  }
+
+  def pmiPairsSql(minDf: Int = 25, minPair: Int = 20,
+      topN: Int = 50): String =
+    s"""WITH dt AS (SELECT DISTINCT doc_id, t
+       |  FROM (SELECT doc_id, unnest(${Text.tokensSql("text")}) AS t
+       |    FROM documents)
+       |  WHERE NOT list_contains(${Text.stopwordsSqlList}, t)),
+       |dfq AS (SELECT t, count(*) AS n_t FROM dt GROUP BY t
+       |  HAVING count(*) >= $minDf),
+       |kept AS (SELECT dt.doc_id, dt.t, dfq.n_t
+       |  FROM dt JOIN dfq ON dfq.t = dt.t),
+       |nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |px AS (SELECT a.t AS t1, b.t AS t2, a.n_t AS n_x, b.n_t AS n_y,
+       |    count(*) AS n_xy
+       |  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.t < b.t
+       |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $minPair)
+       |SELECT t1, t2, n_xy,
+       |  round(ln(n_xy * (SELECT n_docs FROM nn)
+       |    / (CAST(n_x AS DOUBLE) * n_y)) + 1e-9, 4) AS pmi
+       |FROM px ORDER BY pmi DESC, t1, t2 LIMIT $topN""".stripMargin
+
   private def onDocs(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.documents(s, d))
 
@@ -701,5 +802,7 @@ object TextOps {
     ("q58_char_entropy", onDocs(charEntropy), Some(charEntropySql)),
     ("q63_zipf_fit", onDocs(zipfFit(_)), Some(zipfFitSql)),
     ("q70_gopher_rules", onDocs(gopherRules(_)), Some(gopherRulesSql)),
-    ("q78_bm25", onDocs(bm25(_, bm25Terms)), Some(bm25Sql(bm25Terms))))
+    ("q78_bm25", onDocs(bm25(_, bm25Terms)), Some(bm25Sql(bm25Terms))),
+    ("q89_bpe_pairs", onDocs(bpePairs(_)), Some(bpePairsSql())),
+    ("q91_pmi_pairs", onDocs(pmiPairs(_)), Some(pmiPairsSql())))
 }

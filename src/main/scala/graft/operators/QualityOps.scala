@@ -318,6 +318,116 @@ object QualityOps {
       |  UNION ALL SELECT 'col_o_orderstatus', col_st FROM w)
       |ORDER BY metric""".stripMargin
 
+  /** A candidate functional dependency `lhs → rhs` to validate. */
+  final case class Fd(name: String, lhs: Seq[String], rhs: String)
+
+  /** q88 — functional-dependency audit (candidate validation, the second
+    * half of FD discovery — Papenbrock et al., "Functional Dependency
+    * Discovery: An Experimental Evaluation", VLDB 2015): for each declared
+    * `X → Y`, count the X-groups where Y takes more than one distinct
+    * value. The schema-integrity gate a denormalized lake table needs —
+    * a violated FD on a denormalization invariant (`part_key → brand`)
+    * means the join that built the table drifted, long before any row
+    * fails a q40-style range check.
+    *
+    * ONE scan for the whole suite: every distinct LHS becomes a GROUPING
+    * SETS entry, so Spark expands each row once per set and a single
+    * hash aggregate computes `count(DISTINCT rhs)` for all audited RHS
+    * columns per group. A second, metadata-scale aggregation (|groups|
+    * rows, already map-side combined) folds each set down to one verdict
+    * row per FD. No per-FD rescans, no self-joins; the Expand ×|sets|
+    * row blowup is the same tradeoff q37 profiling documents for
+    * distinct aggregates, and at 100 TB you bound it by auditing related
+    * FDs (shared LHS) together.
+    *
+    * Set identity crosses the two stages as an explicit
+    * Σ grouping(cᵢ)·2ⁱ in OUR column order — not the engine's
+    * `grouping_id()`, whose bit order is engine-specific (the q71
+    * identifier-escaping lesson applied to grouping bits). */
+  def fdAudit(df: DataFrame, fds: Seq[Fd]): DataFrame = {
+    require(fds.nonEmpty, "FD suite is empty")
+    val lhsCols: Seq[String] = fds.flatMap(_.lhs).distinct
+    val rhsCols: Seq[String] = fds.map(_.rhs).distinct
+    val sets: Seq[Seq[String]] = fds.map(_.lhs).distinct
+    val gidOf: Map[Seq[String], Int] = sets.map { s =>
+      s -> lhsCols.zipWithIndex.collect {
+        case (c, i) if !s.contains(c) => 1 << i }.sum
+    }.toMap
+    // grouping() is only legal inside the grouping-sets aggregate list,
+    // so the set id is computed as an agg output, not a post-select
+    val gid = lhsCols.zipWithIndex
+      .map { case (c, i) => grouping(col(c)).cast("int") * lit(1 << i) }
+      .reduce(_ + _).as("_gid")
+    val ndAggs = rhsCols.map(r => countDistinct(col(r)).as(s"_nd_$r"))
+    val grouped = df.groupingSets(
+        sets.map(_.map(col)), lhsCols.map(col): _*)
+      .agg(gid, ndAggs: _*)
+      .select(col("_gid") +: rhsCols.map(r => col(s"_nd_$r")): _*)
+    val verdictAggs = count(lit(1)).as("_ng") +:
+      rhsCols.map(r =>
+        sum(when(col(s"_nd_$r") > 1, 1L).otherwise(0L)).as(s"_nv_$r"))
+    val perSet = grouped.groupBy(col("_gid"))
+      .agg(verdictAggs.head, verdictAggs.tail: _*)
+    fds.map { fd =>
+      perSet.filter(col("_gid") === gidOf(fd.lhs))
+        .select(lit(fd.name).as("fd"), col("_ng").as("n_groups"),
+          col(s"_nv_${fd.rhs}").as("n_violating"),
+          round(col(s"_nv_${fd.rhs}") / col("_ng") + lit(1e-9), 4)
+            .as("viol_rate"),
+          (col(s"_nv_${fd.rhs}") === 0).cast("int").as("holds"))
+    }.reduce(_.unionByName(_)).orderBy("fd")
+  }
+
+  /** q88 registry fixture: the denormalized lineitem ⋈ part view (part
+    * broadcast — a metadata-scale dim), auditing the denormalization
+    * invariant that HOLDS (`l_partkey → p_brand`), the multi-sourcing
+    * candidate that fails (`l_partkey → l_suppkey`), and the line-key
+    * data-entry candidate that fails on duplicated line numbers
+    * (`l_orderkey, l_linenumber → l_quantity`). */
+  def lineitemFdAudit(lineitem: DataFrame, part: DataFrame): DataFrame =
+    fdAudit(
+      lineitem.join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey")),
+      Seq(
+        Fd("part_determines_brand", Seq("l_partkey"), "p_brand"),
+        Fd("part_determines_supplier", Seq("l_partkey"), "l_suppkey"),
+        Fd("linekey_determines_quantity",
+          Seq("l_orderkey", "l_linenumber"), "l_quantity")))
+
+  val q88FdAuditSql: String =
+    """WITH f AS (
+      |  SELECT l.l_partkey, l.l_orderkey, l.l_linenumber,
+      |    l.l_suppkey, l.l_quantity, p.p_brand
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |g AS (
+      |  SELECT GROUPING(l_partkey)*1 + GROUPING(l_orderkey)*2
+      |      + GROUPING(l_linenumber)*4 AS gid,
+      |    count(DISTINCT p_brand) AS nd_brand,
+      |    count(DISTINCT l_suppkey) AS nd_supp,
+      |    count(DISTINCT l_quantity) AS nd_qty
+      |  FROM f
+      |  GROUP BY GROUPING SETS ((l_partkey), (l_orderkey, l_linenumber))),
+      |v AS (
+      |  SELECT gid, count(*) AS ng,
+      |    sum(CASE WHEN nd_brand > 1 THEN 1 ELSE 0 END) AS nv_brand,
+      |    sum(CASE WHEN nd_supp > 1 THEN 1 ELSE 0 END) AS nv_supp,
+      |    sum(CASE WHEN nd_qty > 1 THEN 1 ELSE 0 END) AS nv_qty
+      |  FROM g GROUP BY gid)
+      |SELECT fd, CAST(n_groups AS BIGINT) AS n_groups,
+      |  CAST(n_violating AS BIGINT) AS n_violating,
+      |  round(n_violating / CAST(n_groups AS DOUBLE) + 1e-9, 4)
+      |    AS viol_rate,
+      |  CAST(n_violating = 0 AS INT) AS holds
+      |FROM (
+      |  SELECT 'part_determines_brand' AS fd, ng AS n_groups,
+      |    nv_brand AS n_violating FROM v WHERE gid = 6
+      |  UNION ALL
+      |  SELECT 'part_determines_supplier', ng, nv_supp FROM v WHERE gid = 6
+      |  UNION ALL
+      |  SELECT 'linekey_determines_quantity', ng, nv_qty FROM v
+      |  WHERE gid = 1)
+      |ORDER BY fd""".stripMargin
+
   type QFn = (SparkSession, String) => DataFrame
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q40_constraints",
@@ -332,5 +442,9 @@ object QualityOps {
       Some(q45MadSql)),
     ("q82_snapshot_diff",
       (s: SparkSession, d: String) => ordersSnapshotDiff(Tables.orders(s, d)),
-      Some(q82DiffSql)))
+      Some(q82DiffSql)),
+    ("q88_fd_audit",
+      (s: SparkSession, d: String) =>
+        lineitemFdAudit(Tables.lineitem(s, d), Tables.part(s, d)),
+      Some(q88FdAuditSql)))
 }
