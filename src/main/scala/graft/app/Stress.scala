@@ -54,10 +54,15 @@ object Stress {
     val nCust = replicate("customer", Seq("c_custkey"))
     // lineitem rides the same orderkey re-key (q48's correlation profile
     // is scan-bound — the interesting scale axis is just row count)
-    val nItems = replicate("lineitem", Seq("l_orderkey"))
+    // lineitem's partkey rides the same per-replica re-key as part, so
+    // replica r of a line points at replica r of its part and q88's
+    // denormalization FD (l_partkey → p_brand) stays true at every factor
+    val nItems = replicate("lineitem", Seq("l_orderkey", "l_partkey"))
+    val nParts = replicate("part", Seq("p_partkey"))
 
     println(s"[stress] $nDocs docs, $nVecs vectors, " +
-      s"$nEvents events, $nOrders orders, $nCust customers " +
+      s"$nEvents events, $nOrders orders, $nCust customers, " +
+      s"$nItems lineitems, $nParts parts " +
       s"(${factor}x $sfDir)")
     Seq(
       "q23_dedup_exact", "q23_dedup_minhash_lsh", "q23_dedup_ngram_jaccard",
@@ -84,7 +89,9 @@ object Stress {
       "q77_compaction_plan", "q78_bm25", "q79_interval_coverage",
       "q80_key_skew", "q81_session_paths", "q82_snapshot_diff",
       "q83_join_cardinality", "q84_linear_fit", "q85_basket_triples",
-      "q86_semantic_dedup", "q87_semantic_keeper")
+      "q86_semantic_dedup", "q87_semantic_keeper",
+      "q88_fd_audit", "q89_bpe_pairs", "q90_graph_pagerank",
+      "q91_pmi_pairs")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

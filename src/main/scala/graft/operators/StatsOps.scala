@@ -144,10 +144,20 @@ object StatsOps {
     * partitions by type over that metadata-scale frame. At 100 TB the
     * cells frame for a year of 1000 event types is 365 k rows. */
   def volumeAnomalies(events: DataFrame, lookback: Int = 7,
+      zThreshold: Double = 3.0): DataFrame =
+    scoreDailyCounts(
+      events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")),
+      lookback, zThreshold)
+
+  /** The z-scoring half of [[volumeAnomalies]], split out so the
+    * streaming twin scores its watermark-finalized daily-count store
+    * with the IDENTICAL window arithmetic (the psiAgainstRef
+    * architecture: the stream owns exact counts, the shared batch
+    * assembly owns the math — batch≡stream by construction, not by
+    * re-implementation). `daily` must carry (event_type, day, n). */
+  def scoreDailyCounts(daily: DataFrame, lookback: Int = 7,
       zThreshold: Double = 3.0): DataFrame = {
-    val daily = events
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(-lookback, -1)
     daily

@@ -521,6 +521,27 @@ object StreamQueries {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** q62 streaming — the daily-count half of the volume-anomaly monitor:
+    * a watermarked 1-day tumbling aggregation in APPEND mode, so a
+    * (event_type, day, n) row is emitted exactly once, when the
+    * watermark proves the day complete. The scoring half is the SAME
+    * batch assembly ([[graft.operators.StatsOps.scoreDailyCounts]]) run
+    * over the accumulating finalized-count store — |types × days| rows,
+    * metadata-scale however large the stream — mirroring the PSI/JS
+    * stored-reference architecture: the stream owns exact finalized
+    * counts, the shared batch code owns the window math, and
+    * batch≡stream holds because neither side re-implements the other.
+    * No custom processor: Spark's windowed aggregation + watermark IS
+    * the correct finalize-exactly-once machine for this shape. */
+  def dailyCountsStream(events: DataFrame,
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("event_type"),
+        window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), to_date(col("w.start")).as("day"), col("n"))
+
   /** Output modes each query supports (documented for sinks/tests). */
   val outputModes: Map[String, OutputMode] = Map(
     "tumbling" -> OutputMode.Append(),

@@ -620,4 +620,55 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming volume-anomaly monitor equals batch q62 on finalized days") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def dayTs(day: Int, hour: Int, minute: Int = 0): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:$minute%02d:00")
+    // 12 days × 2 types: "click" trends up with a day-10 spike (the
+    // anomaly the monitor must flag); "view" is constant (zero-variance
+    // history — the sd>0 filter must drop every view row)
+    var id = 0L
+    val events = (1 to 12).flatMap { d =>
+      val clicks = (if (d == 10) 60 else 10 + d)
+      val perDay =
+        (0 until clicks).map { i =>
+          id += 1; Ev(id, dayTs(d, i % 20, i % 50), i % 5, "click", i * 1.0)
+        } ++ (0 until 20).map { i =>
+          id += 1; Ev(id, dayTs(d, i % 20, (i * 7) % 50), i % 5, "view", i * 1.0)
+        }
+      perDay
+    }
+    val input = MemoryStream[Ev]
+    val stream = StreamQueries.dailyCountsStream(input.toDF())
+    val name = "daily_counts_out"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    // feed day-grouped but intra-day shuffled (out-of-order inside the
+    // watermark), two days per trigger
+    events.grouped(events.size / 6 + 1).foreach { c =>
+      input.addData(scala.util.Random.shuffle(c)); q.processAllAvailable()
+    }
+    input.addData(Ev(999999, dayTs(25, 0), 0, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val finalized = spark.table(name)
+      .filter(col("event_type") =!= "flush")
+    // every real day finalized exactly once
+    assert(finalized.count() == 24)
+    val streamScored = graft.operators.StatsOps.scoreDailyCounts(finalized)
+      .collect().toSeq
+    val batchScored = graft.operators.StatsOps
+      .volumeAnomalies(events.toDF()).collect().toSeq
+    assert(streamScored == batchScored,
+      s"stream/batch anomaly rows diverged (${streamScored.size} vs ${batchScored.size})")
+    // the fixture exercises both interesting paths: day-10 spike flagged,
+    // zero-variance view days absent
+    assert(streamScored.exists(r =>
+      r.getString(0) == "click" && r.getInt(5) == 1))
+    assert(!streamScored.exists(_.getString(0) == "view"))
+  }
 }
