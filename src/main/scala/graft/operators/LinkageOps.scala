@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Cross-table record linkage / entity resolution — the blocking +
+  * verification shape of Fellegi & Sunter (JASA 1969) with the blocking
+  * discipline of Newcombe et al. (Science 1959): candidate pairs come
+  * only from shared cheap block keys, and the expensive string distance
+  * runs on candidates alone. The reference delegates record semantics to
+  * consumer callbacks (reference src/Kinesis/Kinesis.hs:42-176); this is
+  * the master-data step a consumer of two feeds runs before joining them
+  * on a surrogate key that doesn't exist yet.
+  *
+  * Distinct from [[graft.llm.DedupOps]]: dedup resolves duplicates
+  * WITHIN one corpus on content similarity; linkage matches entities
+  * ACROSS two differently-sourced tables on identifying fields.
+  */
+object LinkageOps {
+
+  /** Blocked fuzzy linkage of `a` to `b` on a name/description column:
+    * candidates share the first `blockLen` characters, matches verify at
+    * Levenshtein ≤ `maxDist`. Emits (a_id, b_id, dist).
+    *
+    * Scale shape: ONE shuffle of each slim (id, name) projection on the
+    * block key; the per-block self-product is bounded by block occupancy
+    * (the analog of the dedup dfCap — pick `blockLen` so blocks stay
+    * narrow; redundant multi-pass blocking on other keys is the standard
+    * recall fix and composes as a UNION of calls). Levenshtein runs on
+    * candidates only, never the cross product, and the
+    * LevenshteinPrefilter rule injects the free length-difference guard
+    * in front of the O(len²) distance. */
+  def fuzzyLinkage(a: DataFrame, b: DataFrame, idA: String, idB: String,
+      nameA: String, nameB: String, blockLen: Int = 3,
+      maxDist: Int = 3): DataFrame = {
+    require(blockLen > 0 && maxDist >= 0, "blockLen > 0, maxDist >= 0")
+    val ax = a.select(col(idA).as("a_id"), col(nameA).as("_an"),
+      substring(col(nameA), 1, blockLen).as("_blk"))
+    val bx = b.select(col(idB).as("b_id"), col(nameB).as("_bn"),
+      substring(col(nameB), 1, blockLen).as("_blk"))
+    ax.join(bx, "_blk")
+      .withColumn("dist", levenshtein(col("_an"), col("_bn")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The composite "entity description" both the fixture and its oracle
+    * link on — near-unique across parts (1995 of 2000 at sf0.01), so
+    * cross-matches are real duplicate entities, not name collisions. */
+  private val DescSql =
+    "p_name || ' ' || p_brand || ' ' || p_type || ' ' || CAST(p_size AS VARCHAR)"
+  private def desc(df: DataFrame): DataFrame =
+    df.withColumn("_d", concat_ws(" ", col("p_name"), col("p_brand"),
+      col("p_type"), col("p_size").cast("string")))
+
+  /** q92 registry entry: link the part master to a deterministically
+    * degraded "vendor feed" twin of itself — re-keyed, with per-key
+    * description damage spanning the match spectrum: unchanged (dist 0),
+    * truncated last char (dist 1), a ' zz' suffix (dist 3, at the
+    * verify threshold), and a 'zz ' PREFIX — which survives verification
+    * but falls outside the 3-char block, the deliberate
+    * blocking-recall miss every linkage deployment must know it has
+    * (recovered in practice by a second pass on another block key). */
+  def partFeedLinkage(part: DataFrame): DataFrame = {
+    val master = desc(part)
+    val feed = desc(part)
+      .withColumn("f_id", col("p_partkey") + lit(1000000L))
+      .withColumn("_fd",
+        when(col("p_partkey") % 4 === 0, col("_d"))
+          .when(col("p_partkey") % 4 === 1,
+            expr("substring(_d, 1, length(_d) - 1)"))
+          .when(col("p_partkey") % 4 === 2, concat(col("_d"), lit(" zz")))
+          .otherwise(concat(lit("zz "), col("_d"))))
+    fuzzyLinkage(master, feed, "p_partkey", "f_id", "_d", "_fd")
+  }
+
+  val q92LinkageSql: String =
+    s"""WITH m AS (SELECT p_partkey AS a_id, $DescSql AS d FROM part),
+       |f AS (SELECT p_partkey + 1000000 AS b_id,
+       |    CASE WHEN p_partkey % 4 = 0 THEN d
+       |         WHEN p_partkey % 4 = 1 THEN substring(d, 1, length(d) - 1)
+       |         WHEN p_partkey % 4 = 2 THEN d || ' zz'
+       |         ELSE 'zz ' || d END AS d
+       |  FROM (SELECT p_partkey, $DescSql AS d FROM part))
+       |SELECT a_id, b_id, CAST(levenshtein(m.d, f.d) AS INT) AS dist
+       |FROM m JOIN f ON substring(m.d, 1, 3) = substring(f.d, 1, 3)
+       |WHERE levenshtein(m.d, f.d) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+
+  type QFn = (SparkSession, String) => DataFrame
+  val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q92_record_linkage",
+      (s: SparkSession, d: String) => partFeedLinkage(Tables.part(s, d)),
+      Some(q92LinkageSql)))
+}

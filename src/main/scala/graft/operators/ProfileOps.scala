@@ -275,6 +275,79 @@ object ProfileOps {
             / (col("_tr") * col("_tc")))).cast("int")).as("drifted"))
   }
 
+  /** q93 — exact 1-Wasserstein (earth mover's) distance between the
+    * ref- and cur-side empirical distributions of a numeric column:
+    * W₁ = ∫|F_ref − F_cur| dx over the observed support (Vallender 1974
+    * for the 1-D identity; Ramdas et al. 2017 for its use as a
+    * two-sample statistic). Completes the drift family: PSI/JS see
+    * bucket-mass moves but are blind to WHERE mass moved; KS sees the
+    * worst single gap; W₁ integrates gap × distance — the only one of
+    * the four that scales with how FAR the distribution shifted, which
+    * is what a downstream model actually feels.
+    *
+    * Scale shape (the q47 KS chassis): one conditional-count scan
+    * collapses the data to per-distinct-value counts; CDFs are
+    * distributed running sums over that NDV-bounded table
+    * ([[GlobalWindows.withGlobalRunningSum]] — range partition, never
+    * Exchange SinglePartition on data); the running count doubles as a
+    * global row index, so the segment width (next distinct value − this
+    * one) is an equi-join on index, not a single-partition lead();
+    * totals ride in-plan as a broadcast scalar. */
+  def wassersteinDrift(df: DataFrame, valueCol: String, refPred: Column,
+      curPred: Column): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("_v"))
+      .agg(count(when(refPred, 1)).as("_nr"),
+        count(when(curPred, 1)).as("_nc"))
+      .withColumn("_one", lit(1L))
+    val cum = GlobalWindows.withGlobalRunningSum(counts,
+      Seq("_v" -> true),
+      Seq("_nr" -> "_cr", "_nc" -> "_cc", "_one" -> "_rn"))
+    val tot = counts.agg(sum(col("_nr")).as("_tr"),
+      sum(col("_nc")).as("_tc"), min(col("_v")).as("_lo"),
+      max(col("_v")).as("_hi"))
+    val nxt = cum.select((col("_rn") - 1).as("_rn"), col("_v").as("_vn"))
+    cum.join(nxt, "_rn") // inner: the last value owns no segment
+      .crossJoin(broadcast(tot))
+      .withColumn("_seg",
+        abs(col("_cr").cast("double") / col("_tr")
+          - col("_cc").cast("double") / col("_tc"))
+          * (col("_vn") - col("_v")))
+      .agg(max(col("_tr")).as("n_ref"), max(col("_tc")).as("n_cur"),
+        round(sum(col("_seg")) + lit(1e-9), 4).as("w1"),
+        round(sum(col("_seg")) / (max(col("_hi")) - max(col("_lo")))
+          + lit(1e-9), 6).as("w1_norm"))
+  }
+
+  /** q93 registry entry: W₁ between the even- and odd-keyed halves of
+    * orders on value — the q43/q47/q52 split, so all four drift gates
+    * read the same two snapshots (≈ 0 expected; the regression-gate
+    * assertion). */
+  def ordersWassersteinDrift(orders: DataFrame): DataFrame =
+    wassersteinDrift(orders, "o_totalprice",
+      refPred = col("o_orderkey") % 2 === 0,
+      curPred = col("o_orderkey") % 2 === 1)
+
+  val q93WassersteinSql: String =
+    """WITH c AS (
+      |  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+      |    count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS nr,
+      |    count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS nc
+      |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+      |w AS (SELECT v, sum(nr) OVER o AS cr, sum(nc) OVER o AS cc,
+      |    lead(v) OVER o AS vn
+      |  FROM c WINDOW o AS (ORDER BY v)),
+      |t AS (SELECT sum(nr) AS tr, sum(nc) AS tc,
+      |    min(v) AS lo, max(v) AS hi FROM c)
+      |SELECT CAST(t.tr AS BIGINT) AS n_ref, CAST(t.tc AS BIGINT) AS n_cur,
+      |  round(sum(abs(w.cr / CAST(t.tr AS DOUBLE)
+      |    - w.cc / CAST(t.tc AS DOUBLE)) * (w.vn - w.v)) + 1e-9, 4) AS w1,
+      |  round(sum(abs(w.cr / CAST(t.tr AS DOUBLE)
+      |    - w.cc / CAST(t.tc AS DOUBLE)) * (w.vn - w.v))
+      |    / (t.hi - t.lo) + 1e-9, 6) AS w1_norm
+      |FROM w, t WHERE w.vn IS NOT NULL
+      |GROUP BY t.tr, t.tc, t.lo, t.hi""".stripMargin
+
   /** One-scan pairwise Pearson correlation profile of `cols` — the
     * feature-redundancy / leakage sweep before training on tabular
     * columns. All C(n,2) `corr` aggregates evaluate in a SINGLE wide
@@ -684,5 +757,9 @@ object ProfileOps {
       Some(q52JsSql)),
     ("q53_welch_ttest",
       (s: SparkSession, d: String) => eventsWelch(Tables.events(s, d)),
-      Some(q53WelchSql)))
+      Some(q53WelchSql)),
+    ("q93_wasserstein_drift",
+      (s: SparkSession, d: String) =>
+        ordersWassersteinDrift(Tables.orders(s, d)),
+      Some(q93WassersteinSql)))
 }

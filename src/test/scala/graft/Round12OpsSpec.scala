@@ -119,6 +119,71 @@ class Round12OpsSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  // ---------------------------------------------------------------- q92
+
+  test("fuzzyLinkage: blocking admits, distance verifies, prefix miss blocks") {
+    val a = Seq((1L, "red widget"), (2L, "blue bolt")).toDF("id", "name")
+    val b = Seq(
+      (10L, "red widget"),   // exact → dist 0
+      (11L, "red widgets"),  // within maxDist → dist 1
+      (12L, "red gadget widget thing"), // same block, too far → dropped
+      (13L, "xred widget")   // 1 edit but block prefix differs → never seen
+    ).toDF("id", "name")
+    val out = graft.operators.LinkageOps
+      .fuzzyLinkage(a, b, "id", "id", "name", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == Seq((1L, 10L, 0), (1L, 11L, 1)))
+  }
+
+  test("partFeedLinkage: planted damage matches at its exact distance; " +
+    "the prefix-damaged quarter is the documented blocking miss") {
+    val part = graft.core.Tables.part(spark, sf0001)
+    val out = graft.operators.LinkageOps.partFeedLinkage(part).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val self = out.collect {
+      case (a, b, d) if b == a + 1000000L => a -> d }.toMap
+    val keys = part.select("p_partkey").collect().map(_.getLong(0))
+    keys.foreach { k =>
+      (k % 4) match {
+        case 0 => assert(self(k) == 0, s"key $k unchanged should be dist 0")
+        case 1 => assert(self(k) == 1, s"key $k truncated should be dist 1")
+        case 2 => assert(self(k) == 3, s"key $k suffixed should be dist 3")
+        case _ => assert(!self.contains(k),
+          s"key $k prefix-damaged should be blocked out")
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- q93
+
+  test("wassersteinDrift: point masses a unit apart score W1 = 1") {
+    val df = Seq((0.0, "ref"), (1.0, "cur")).toDF("v", "side")
+    val r = graft.operators.ProfileOps.wassersteinDrift(
+      df, "v", col("side") === "ref", col("side") === "cur").collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-6) // support width is 1
+  }
+
+  test("wassersteinDrift: a 5-unit shift of a uniform 3-pointer scores 5") {
+    val df = (Seq(0.0, 1.0, 2.0).map((_, "ref")) ++
+      Seq(5.0, 6.0, 7.0).map((_, "cur"))).toDF("v", "side")
+    val r = graft.operators.ProfileOps.wassersteinDrift(
+      df, "v", col("side") === "ref", col("side") === "cur").collect().head
+    // segments: 1/3 + 2/3 + 3·1 + 2/3 + 1/3 = 5 (mean-shift recovered
+    // exactly — the property PSI/JS/KS all lack)
+    assert(math.abs(r.getDouble(2) - 5.0) < 1e-6)
+  }
+
+  test("wassersteinDrift: identical distributions score 0") {
+    val df = Seq((1.0, 0L), (2.0, 0L), (1.0, 1L), (2.0, 1L), (7.0, 0L),
+      (7.0, 1L)).toDF("v", "k")
+    val r = graft.operators.ProfileOps.wassersteinDrift(
+      df, "v", col("k") === 0, col("k") === 1).collect().head
+    assert(math.abs(r.getDouble(2)) < 1e-6)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+  }
+
   // ---------------------------------------------------------------- q91
 
   test("pmiPairs: independent pair scores 0, associated pair scores ln 2") {
