@@ -762,7 +762,19 @@ object DedupOps {
          |pr0 AS MATERIALIZED (
          |  SELECT doc_id, 1.0 / (SELECT cnt FROM nn) AS pr FROM nodes)"""
         .stripMargin
-    val rounds = (1 to iters).map { i =>
+    s"""$head,
+       |${pagerankRoundsSql(damping, iters)}
+       |SELECT doc_id, round(pr + 1e-9, 6) AS pagerank FROM pr$iters
+       |ORDER BY pagerank DESC, doc_id LIMIT $topN""".stripMargin
+  }
+
+  /** The unrolled power-method CTE chain shared by every PageRank oracle
+    * (q90 dup graph, q94 TextRank): assumes CTEs `edges(src, dst)`,
+    * `deg(src, od)`, `nodes(doc_id)`, `nn(cnt)`, `pr0(doc_id, pr)` are
+    * already defined; emits dang1/pr1 … dang_iters/pr_iters. */
+  private[graft] def pagerankRoundsSql(damping: Double,
+      iters: Int): String =
+    (1 to iters).map { i =>
       val p = s"pr${i - 1}"
       s"""dang$i AS (SELECT coalesce(sum(p.pr), 0) AS dm FROM $p p
          |  LEFT JOIN deg d ON d.src = p.doc_id WHERE d.src IS NULL),
@@ -776,11 +788,6 @@ object DedupOps {
          |    JOIN deg d ON d.src = p.doc_id GROUP BY e.dst) c
          |  ON c.doc_id = nd.doc_id)""".stripMargin
     }.mkString(",\n")
-    s"""$head,
-       |$rounds
-       |SELECT doc_id, round(pr + 1e-9, 6) AS pagerank FROM pr$iters
-       |ORDER BY pagerank DESC, doc_id LIMIT $topN""".stripMargin
-  }
 
   /** q67 — cross-source duplication matrix: near-dup pair counts and mean
     * Jaccard per unordered source pair. The crawl-curation question

@@ -786,6 +786,42 @@ object SimilarityOps {
   // Registry adapters (fixture tables → library calls)
   // ------------------------------------------------------------------
 
+  /** q95 — per-dimension embedding profile: count/mean/stddev/min/max
+    * for every coordinate of the vector column. The embedding-health
+    * gate before any ANN/cluster step: a dead dimension (σ ≈ 0) means a
+    * truncated or mis-exported model; a mean far off 0 breaks
+    * cosine-vs-dot assumptions; a dimension whose range dwarfs the rest
+    * dominates every distance. Same role q37 plays for tabular columns,
+    * for the array column the tabular profiler can't see.
+    *
+    * Scale shape: posexplode fans each vector into d rows, but the
+    * aggregation is hash-grouped on `dim` with map-side partial
+    * combine — each task collapses to ≤ d cells before the exchange, so
+    * the shuffle is |tasks| × d rows and the output d rows, independent
+    * of corpus size. */
+  def embeddingProfile(em: DataFrame): DataFrame =
+    Tables.fanout(em)
+      .select(posexplode(col("embedding")).as(Seq("p", "x")))
+      .select((col("p") + 1).as("dim"), col("x").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(col("x")).as("n"),
+        round(avg(col("x")) + lit(1e-9), 4).as("mean"),
+        round(stddev_samp(col("x")) + lit(1e-9), 4).as("sd"),
+        round(min(col("x")) + lit(1e-9), 4).as("min"),
+        round(max(col("x")) + lit(1e-9), 4).as("max"))
+      .orderBy("dim")
+
+  val embeddingProfileSql: String =
+    """SELECT dim, count(x) AS n,
+      |  round(avg(x) + 1e-9, 4) AS mean,
+      |  round(stddev_samp(x) + 1e-9, 4) AS sd,
+      |  round(min(x) + 1e-9, 4) AS min,
+      |  round(max(x) + 1e-9, 4) AS max
+      |FROM (SELECT unnest(generate_series(1, len(embedding))) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings)
+      |GROUP BY dim ORDER BY dim""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q24_knn_brute",
       (s: SparkSession, d: String) => knnBrute(Tables.embeddings(s, d)),
@@ -810,5 +846,8 @@ object SimilarityOps {
       Some(semanticKeeperSql)),
     ("q64_quantize_audit",
       (s: SparkSession, d: String) => quantizeAudit(Tables.embeddings(s, d)),
-      Some(quantizeAuditSql)))
+      Some(quantizeAuditSql)),
+    ("q95_embedding_profile",
+      (s: SparkSession, d: String) => embeddingProfile(Tables.embeddings(s, d)),
+      Some(embeddingProfileSql)))
 }

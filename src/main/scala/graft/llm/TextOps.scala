@@ -735,26 +735,37 @@ object TextOps {
     * sample), so fanout is C(kept-terms-per-doc, 2), bounded by the
     * df-filtered per-doc vocabulary — never |vocab|². The df table
     * itself is NDV-bounded and broadcast. */
-  def pmiPairs(docs: DataFrame, minDf: Int = 25, minPair: Int = 20,
-      topN: Int = 50): DataFrame = {
+  /** Shared q91/q94 co-occurrence stage: (vocab of terms with df ≥
+    * `minDf`, term pairs with document co-occurrence count ≥ `minPair`).
+    * One tokenize scan, one doc_id self-join of the df-filtered
+    * distinct doc-term table. */
+  private def cooccurrence(docs: DataFrame, minDf: Int,
+      minPair: Int): (DataFrame, DataFrame) = {
     require(minDf >= minPair,
       "minDf < minPair would prune pairs the threshold admits")
     val dt = Tables.fanout(docs)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
       .filter(!col("t").isin(Text.stopwords: _*))
       .distinct()
-    val df0 = dt.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val vocab = dt.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
       .filter(col("n_t") >= minDf)
-    val kept = dt.join(broadcast(df0), "t")
-    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-    kept.select(col("doc_id"), col("t").as("t1"), col("n_t").as("n_x"))
+    val kept = dt.join(broadcast(vocab), "t")
+    val pairs = kept
+      .select(col("doc_id"), col("t").as("t1"), col("n_t").as("n_x"))
       .join(kept.select(col("doc_id"), col("t").as("t2"),
         col("n_t").as("n_y")), "doc_id")
       .filter(col("t1") < col("t2"))
       .groupBy(col("t1"), col("t2"), col("n_x"), col("n_y"))
       .agg(count(lit(1)).as("n_xy"))
       .filter(col("n_xy") >= minPair)
-      .crossJoin(broadcast(nDocs))
+    (vocab, pairs)
+  }
+
+  def pmiPairs(docs: DataFrame, minDf: Int = 25, minPair: Int = 20,
+      topN: Int = 50): DataFrame = {
+    val (_, pairs) = cooccurrence(docs, minDf, minPair)
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    pairs.crossJoin(broadcast(nDocs))
       .select(col("t1"), col("t2"), col("n_xy"),
         round(log(col("n_xy") * col("n_docs")
           / (col("n_x") * col("n_y"))) + lit(1e-9), 4).as("pmi"))
@@ -781,6 +792,54 @@ object TextOps {
        |    / (CAST(n_x AS DOUBLE) * n_y)) + 1e-9, 4) AS pmi
        |FROM px ORDER BY pmi DESC, t1, t2 LIMIT $topN""".stripMargin
 
+  /** q94 — TextRank keyword extraction (Mihalcea & Tarau, "TextRank:
+    * Bringing Order into Text", EMNLP 2004): PageRank over the term
+    * co-occurrence graph — a term matters when it co-occurs with terms
+    * that matter. The corpus-level keyword list a curation pipeline puts
+    * on a dashboard (and diffs across snapshots: a shifted keyword head
+    * is topic drift no frequency rank shows, because rank rewards
+    * ubiquity while TextRank rewards connectivity).
+    *
+    * Pure composition of shipped pieces — the q91 co-occurrence stage
+    * builds the edges, the q90 power method ranks them — so the scale
+    * posture is inherited: pair fanout bounded by the df filter,
+    * per-round cost one edge shuffle, rank state |vocab| rows. */
+  def textrank(docs: DataFrame, minDf: Int = 25, minPair: Int = 20,
+      topN: Int = 30): DataFrame = {
+    val (vocab, pairs) = cooccurrence(docs, minDf, minPair)
+    graft.llm.DedupOps.pagerank(
+        pairs.select(col("t1").as("d1"), col("t2").as("d2")),
+        vocab.select(col("t").as("doc_id")), topN = topN)
+      .select(col("doc_id").as("term"), col("pagerank"))
+  }
+
+  def textrankSql(minDf: Int = 25, minPair: Int = 20, topN: Int = 30,
+      damping: Double = 0.85, iters: Int = 5): String =
+    s"""WITH dt AS (SELECT DISTINCT doc_id, t
+       |  FROM (SELECT doc_id, unnest(${Text.tokensSql("text")}) AS t
+       |    FROM documents)
+       |  WHERE NOT list_contains(${Text.stopwordsSqlList}, t)),
+       |dfq AS (SELECT t, count(*) AS n_t FROM dt GROUP BY t
+       |  HAVING count(*) >= $minDf),
+       |kept AS (SELECT dt.doc_id, dt.t
+       |  FROM dt JOIN dfq ON dfq.t = dt.t),
+       |px AS (SELECT a.t AS t1, b.t AS t2
+       |  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.t < b.t
+       |  GROUP BY 1, 2 HAVING count(*) >= $minPair),
+       |edges AS MATERIALIZED (
+       |  SELECT t1 AS src, t2 AS dst FROM px
+       |  UNION ALL SELECT t2, t1 FROM px),
+       |deg AS MATERIALIZED (
+       |  SELECT src, count(*) AS od FROM edges GROUP BY src),
+       |nodes AS MATERIALIZED (SELECT t AS doc_id FROM dfq),
+       |nn AS (SELECT count(*) AS cnt FROM nodes),
+       |pr0 AS MATERIALIZED (
+       |  SELECT doc_id, 1.0 / (SELECT cnt FROM nn) AS pr FROM nodes),
+       |${graft.llm.DedupOps.pagerankRoundsSql(damping, iters)}
+       |SELECT doc_id AS term, round(pr + 1e-9, 6) AS pagerank
+       |FROM pr$iters
+       |ORDER BY pagerank DESC, term LIMIT $topN""".stripMargin
+
   private def onDocs(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.documents(s, d))
 
@@ -804,5 +863,6 @@ object TextOps {
     ("q70_gopher_rules", onDocs(gopherRules(_)), Some(gopherRulesSql)),
     ("q78_bm25", onDocs(bm25(_, bm25Terms)), Some(bm25Sql(bm25Terms))),
     ("q89_bpe_pairs", onDocs(bpePairs(_)), Some(bpePairsSql())),
-    ("q91_pmi_pairs", onDocs(pmiPairs(_)), Some(pmiPairsSql())))
+    ("q91_pmi_pairs", onDocs(pmiPairs(_)), Some(pmiPairsSql())),
+    ("q94_textrank", onDocs(textrank(_)), Some(textrankSql())))
 }

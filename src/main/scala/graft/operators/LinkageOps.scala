@@ -25,22 +25,34 @@ object LinkageOps {
     * Levenshtein ≤ `maxDist`. Emits (a_id, b_id, dist).
     *
     * Scale shape: ONE shuffle of each slim (id, name) projection on the
-    * block key; the per-block self-product is bounded by block occupancy
-    * (the analog of the dedup dfCap — pick `blockLen` so blocks stay
-    * narrow; redundant multi-pass blocking on other keys is the standard
-    * recall fix and composes as a UNION of calls). Levenshtein runs on
-    * candidates only, never the cross product, and the
-    * LevenshteinPrefilter rule injects the free length-difference guard
-    * in front of the O(len²) distance. */
+    * block key; the per-block product is the cost driver, so blocks
+    * whose A-side occupancy exceeds `maxBlock` are DROPPED outright —
+    * the block-size cap every production blocker carries (the dedup
+    * dfCap in linkage form), because one degenerate key ("unknown", a
+    * boilerplate prefix) must not contribute occupancy² candidates.
+    * Capped-out mass is a recall loss the caller recovers the standard
+    * way: a second pass blocked on a different key, UNIONed. Levenshtein
+    * runs on candidates only, and the LevenshteinPrefilter rule injects
+    * the free length-difference guard in front of the O(len²) distance.
+    * Discovered the hard way: a 3-char block over a low-diversity name
+    * column put 25k rows in one block at the 20× stress point — 10⁹
+    * distance calls. `blockLen` must reach past the shared head of the
+    * name distribution; the cap is the backstop when it can't. */
   def fuzzyLinkage(a: DataFrame, b: DataFrame, idA: String, idB: String,
-      nameA: String, nameB: String, blockLen: Int = 3,
-      maxDist: Int = 3): DataFrame = {
-    require(blockLen > 0 && maxDist >= 0, "blockLen > 0, maxDist >= 0")
+      nameA: String, nameB: String, blockLen: Int = 20,
+      maxDist: Int = 3, maxBlock: Int = 1000): DataFrame = {
+    require(blockLen > 0 && maxDist >= 0 && maxBlock > 0,
+      "blockLen > 0, maxDist >= 0, maxBlock > 0")
     val ax = a.select(col(idA).as("a_id"), col(nameA).as("_an"),
       substring(col(nameA), 1, blockLen).as("_blk"))
     val bx = b.select(col(idB).as("b_id"), col(nameB).as("_bn"),
       substring(col(nameB), 1, blockLen).as("_blk"))
-    ax.join(bx, "_blk")
+    // occupancy audit rides the same shuffle key; blocks over the cap
+    // never reach the pair product
+    val ok = ax.groupBy(col("_blk")).agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") <= maxBlock)
+      .select(col("_blk"))
+    ax.join(ok, "_blk").join(bx, "_blk")
       .withColumn("dist", levenshtein(col("_an"), col("_bn")))
       .filter(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist"))
@@ -61,7 +73,7 @@ object LinkageOps {
     * description damage spanning the match spectrum: unchanged (dist 0),
     * truncated last char (dist 1), a ' zz' suffix (dist 3, at the
     * verify threshold), and a 'zz ' PREFIX — which survives verification
-    * but falls outside the 3-char block, the deliberate
+    * but falls outside the block prefix, the deliberate
     * blocking-recall miss every linkage deployment must know it has
     * (recovered in practice by a second pass on another block key). */
   def partFeedLinkage(part: DataFrame): DataFrame = {
@@ -84,9 +96,12 @@ object LinkageOps {
        |         WHEN p_partkey % 4 = 1 THEN substring(d, 1, length(d) - 1)
        |         WHEN p_partkey % 4 = 2 THEN d || ' zz'
        |         ELSE 'zz ' || d END AS d
-       |  FROM (SELECT p_partkey, $DescSql AS d FROM part))
+       |  FROM (SELECT p_partkey, $DescSql AS d FROM part)),
+       |ok AS (SELECT substring(d, 1, 20) AS blk FROM m
+       |  GROUP BY 1 HAVING count(*) <= 1000)
        |SELECT a_id, b_id, CAST(levenshtein(m.d, f.d) AS INT) AS dist
-       |FROM m JOIN f ON substring(m.d, 1, 3) = substring(f.d, 1, 3)
+       |FROM m JOIN f ON substring(m.d, 1, 20) = substring(f.d, 1, 20)
+       |JOIN ok ON ok.blk = substring(m.d, 1, 20)
        |WHERE levenshtein(m.d, f.d) <= 3
        |ORDER BY a_id, b_id""".stripMargin
 

@@ -22,7 +22,8 @@ class LazinessSpec extends SparkSpec {
 
   private val iterativeByDesign =
     Set("q23_dedup_keeper", "q23_dedup_corpus", "q55_dedup_cluster_stats",
-      "q75_cluster_split", "q87_semantic_keeper", "q90_graph_pagerank")
+      "q75_cluster_split", "q87_semantic_keeper", "q90_graph_pagerank",
+      "q94_textrank")
 
   test("constructing registry queries fires no Spark job") {
     // pre-warm per-table schema resolution so first-touch footer reads

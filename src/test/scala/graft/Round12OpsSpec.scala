@@ -130,9 +130,23 @@ class Round12OpsSpec extends SparkSpec {
       (13L, "xred widget")   // 1 edit but block prefix differs → never seen
     ).toDF("id", "name")
     val out = graft.operators.LinkageOps
-      .fuzzyLinkage(a, b, "id", "id", "name", "name").collect()
+      .fuzzyLinkage(a, b, "id", "id", "name", "name", blockLen = 3)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(out == Seq((1L, 10L, 0), (1L, 11L, 1)))
+  }
+
+  test("fuzzyLinkage: over-occupied blocks are dropped whole") {
+    val a = Seq((1L, "aa x"), (2L, "aa y"), (3L, "aa z"), (4L, "bb x"))
+      .toDF("id", "name")
+    val b = Seq((10L, "aa x"), (11L, "bb x")).toDF("id", "name")
+    val out = graft.operators.LinkageOps
+      .fuzzyLinkage(a, b, "id", "id", "name", "name",
+        blockLen = 2, maxBlock = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the "aa" block holds 3 A-rows > cap → dropped outright, even though
+    // (1, 10) would verify at dist 0; "bb" (occupancy 1) links normally
+    assert(out == Seq((4L, 11L)))
   }
 
   test("partFeedLinkage: planted damage matches at its exact distance; " +
@@ -198,6 +212,35 @@ class Round12OpsSpec extends SparkSpec {
     assert(math.abs(out(("alpha", "beta"))._2 - math.log(2.0)) < 1e-4)
     assert(out(("delta", "gamma"))._1 == 2L) // pairs are lexicographic
     assert(!out.contains(("alpha", "gamma"))) // never co-occur
+  }
+
+  // ---------------------------------------------------------------- q94
+
+  test("textrank: connected terms outrank isolated ones; symmetric " +
+    "partners tie") {
+    val docs = (
+      (1 to 3).map(i => (i.toLong, "alpha beta")) ++
+      (4 to 6).map(i => (i.toLong, "gamma"))).toDF("doc_id", "text")
+    val out = TextOps.textrank(docs, minDf = 2, minPair = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set("alpha", "beta", "gamma"))
+    assert(math.abs(out("alpha") - out("beta")) < 1e-9)
+    assert(out("alpha") > out("gamma"))
+    assert(math.abs(out.values.sum - 1.0) < 1e-5)
+  }
+
+  // ---------------------------------------------------------------- q95
+
+  test("embeddingProfile: per-dimension stats, 1-based dims, dead dim " +
+    "shows sd 0") {
+    val em = Seq(
+      (1L, Seq(0.0f, 2.0f)),
+      (2L, Seq(2.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = graft.llm.SimilarityOps.embeddingProfile(em).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out(1) == ((2L, 1.0, 1.4142, 0.0, 2.0)))
+    assert(out(2) == ((2L, 2.0, 0.0, 2.0, 2.0)))
   }
 
   test("pmiPairs: df threshold prunes exactly the sub-minPair terms") {
