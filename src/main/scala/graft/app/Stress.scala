@@ -91,7 +91,8 @@ object Stress {
       "q83_join_cardinality", "q84_linear_fit", "q85_basket_triples",
       "q86_semantic_dedup", "q87_semantic_keeper",
       "q88_fd_audit", "q89_bpe_pairs", "q90_graph_pagerank",
-      "q91_pmi_pairs", "q92_record_linkage", "q93_wasserstein_drift")
+      "q91_pmi_pairs", "q92_record_linkage", "q93_wasserstein_drift",
+      "q94_textrank", "q95_embedding_profile")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

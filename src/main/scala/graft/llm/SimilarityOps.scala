@@ -804,19 +804,22 @@ object SimilarityOps {
       .select(posexplode(col("embedding")).as(Seq("p", "x")))
       .select((col("p") + 1).as("dim"), col("x").cast("double").as("x"))
       .groupBy(col("dim"))
+      // the + 0.0 AFTER round is the FIXTURES.md negative-zero guard: a
+      // near-zero mean rounds to -0.0 in DuckDB but +0.0 here (caught at
+      // the sf0.1 sweep — means at 2000 vectors are ~1e-9)
       .agg(count(col("x")).as("n"),
-        round(avg(col("x")) + lit(1e-9), 4).as("mean"),
-        round(stddev_samp(col("x")) + lit(1e-9), 4).as("sd"),
-        round(min(col("x")) + lit(1e-9), 4).as("min"),
-        round(max(col("x")) + lit(1e-9), 4).as("max"))
+        (round(avg(col("x")) + lit(1e-9), 4) + lit(0.0)).as("mean"),
+        (round(stddev_samp(col("x")) + lit(1e-9), 4) + lit(0.0)).as("sd"),
+        (round(min(col("x")) + lit(1e-9), 4) + lit(0.0)).as("min"),
+        (round(max(col("x")) + lit(1e-9), 4) + lit(0.0)).as("max"))
       .orderBy("dim")
 
   val embeddingProfileSql: String =
     """SELECT dim, count(x) AS n,
-      |  round(avg(x) + 1e-9, 4) AS mean,
-      |  round(stddev_samp(x) + 1e-9, 4) AS sd,
-      |  round(min(x) + 1e-9, 4) AS min,
-      |  round(max(x) + 1e-9, 4) AS max
+      |  round(avg(x) + 1e-9, 4) + 0.0 AS mean,
+      |  round(stddev_samp(x) + 1e-9, 4) + 0.0 AS sd,
+      |  round(min(x) + 1e-9, 4) + 0.0 AS min,
+      |  round(max(x) + 1e-9, 4) + 0.0 AS max
       |FROM (SELECT unnest(generate_series(1, len(embedding))) AS dim,
       |    CAST(unnest(embedding) AS DOUBLE) AS x
       |  FROM embeddings)
