@@ -75,7 +75,16 @@ object Explain {
     "q89_bpe_pairs"         -> "BPE pairs: corpus collapses to NDV-bounded vocab FIRST; pair explode runs on vocab rows only",
     "q92_record_linkage"    -> "blocked linkage: occupancy audit rides the block-key shuffle; over-cap blocks dropped before the pair product; levenshtein on candidates only",
     "q93_wasserstein_drift" -> "exact W1: per-distinct-value counts -> distributed running-sum CDFs (range partition, no SinglePartition); segment widths via rn equi-join",
-    "q95_embedding_profile" -> "embedding profile: posexplode fanout collapses map-side to <=d cells per task; d-row output")
+    "q95_embedding_profile" -> "embedding profile: posexplode fanout collapses map-side to <=d cells per task; d-row output",
+    "q96_triangle_census"   -> "triangle census: degree-ordered orientation bounds wedge fanout to O(|E|^1.5); closing edge via one semi-join",
+    "q97_attribution"       -> "attribution: next-conversion + rank windows share ONE user-key exchange; no touch x conversion interval join",
+    "q98_dup_spans"         -> "dup spans: xxhash64 n-gram count join, singletons pruned from the build side; per-doc then per-source rollup",
+    "q99_vocab_coverage"    -> "vocab coverage: top-V vocab broadcast to the token stream; corpus never shuffles for membership",
+    "q100_knn_label_agreement" -> "kNN label audit: trained-IVF blocking; salted (cid,salt) candidate join (nProbe*N^2/k, parallel past k keys); arrays dropped pre-window",
+    "q101_boilerplate_ngrams" -> "boilerplate report: one gram-keyed count shuffle (string is the output), TakeOrdered top-N, corpus count broadcast in-plan",
+    "q102_crossentropy_transfer" -> "cross-entropy transfer: reference-slice count tables joined on xxhash64 longs; V broadcast in-plan; unseen floor via left joins",
+    "q103_segmented_drift"  -> "segmented PSI: ONE conditional-count scan to a segments x k frame; per-segment windows; |segments|-row rollup",
+    "q104_mahalanobis_outliers" -> "Mahalanobis audit: |labels|*d model cells collapse map-side; model broadcast back; scoring is an expression fold, no shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -92,7 +92,11 @@ object Stress {
       "q86_semantic_dedup", "q87_semantic_keeper",
       "q88_fd_audit", "q89_bpe_pairs", "q90_graph_pagerank",
       "q91_pmi_pairs", "q92_record_linkage", "q93_wasserstein_drift",
-      "q94_textrank", "q95_embedding_profile")
+      "q94_textrank", "q95_embedding_profile",
+      "q96_triangle_census", "q97_attribution", "q98_dup_spans",
+      "q99_vocab_coverage", "q100_knn_label_agreement",
+      "q101_boilerplate_ngrams", "q102_crossentropy_transfer",
+      "q103_segmented_drift", "q104_mahalanobis_outliers")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

@@ -789,6 +789,93 @@ object DedupOps {
          |  ON c.doc_id = nd.doc_id)""".stripMargin
     }.mkString(",\n")
 
+  /** q96 — triangle census of the near-dup graph: node/edge counts,
+    * wedges (length-2 paths, Σ C(deg,2)), triangles, and the global
+    * clustering coefficient 3·T/W. The structural complement to q66
+    * degrees and q90 PageRank: a dup graph whose triangles are dense
+    * relative to its wedges is template FAMILIES (every member similar to
+    * every other — safe to keep one and drop the rest); a wedge-heavy,
+    * triangle-poor graph is chain duplication (A~B~C but A≁C — pairwise
+    * thresholds transitively applied would over-delete). ONE row out.
+    *
+    * Scale shape: edges ride the shared df-capped pair stage. Triangles
+    * are counted on a DEGREE-ORDERED ORIENTATION (Ortmann & Brandes '14 /
+    * the classic compact-forward scheme): each undirected edge is
+    * directed from its (degree, id)-smaller endpoint, which makes the
+    * orientation acyclic with max out-degree O(√|E|) on any graph, so the
+    * wedge join materializes O(|E|^1.5) candidate rows worst-case instead
+    * of Σ deg² (a single boilerplate hub of degree d would otherwise
+    * put C(d,2) wedges on one key). Each triangle has exactly one vertex
+    * with two out-edges under an acyclic orientation, so the semi-join
+    * against the oriented closing edge counts it exactly once. Wedge
+    * totals come from the degree table alone — no join. The oracle counts
+    * the same triangles by the plain i<j<k 3-way join (id order is
+    * DuckDB-friendly; both formulations count each triangle once). */
+  def dupTriangles(docs: DataFrame, threshold: Double = JaccardThreshold,
+      k: Int = K, dfCap: Int = DefaultDfCap): DataFrame = {
+    val np = jaccardPairs(docs, k, dfCap)
+      .filter(col("jac") >= threshold).select("d1", "d2")
+    val pairs = graft.core.CacheOnce.swap("dup-tri-pairs", np)
+    val deg = pairs.select(col("d1").as("v"))
+      .unionByName(pairs.select(col("d2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient each edge small→large under the (deg, id) total order
+    val withDeg = pairs
+      .join(deg.withColumnRenamed("v", "d1").withColumnRenamed("deg", "g1"), "d1")
+      .join(deg.withColumnRenamed("v", "d2").withColumnRenamed("deg", "g2"), "d2")
+    val oriented = withDeg.select(
+      when(col("g1") < col("g2") ||
+        (col("g1") === col("g2") && col("d1") < col("d2")), col("d1"))
+        .otherwise(col("d2")).as("src"),
+      when(col("g1") < col("g2") ||
+        (col("g1") === col("g2") && col("d1") < col("d2")), col("d2"))
+        .otherwise(col("d1")).as("dst"))
+    // wedges at the apex u; the closing edge is checked against the
+    // id-normalized undirected pair list (d1 < d2), so dst-id order —
+    // not orientation order — names the closing pair and each triangle
+    // (unique apex) is counted exactly once, in one semi-join.
+    val o = graft.core.CacheOnce.swap("dup-tri-oriented", oriented)
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.src") === col("e2.src")
+        && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("v"), col("e2.dst").as("w"))
+      .join(pairs.select(col("d1").as("v"), col("d2").as("w")),
+        Seq("v", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      coalesce(sum(col("deg") * (col("deg") - 1) / 2), lit(0L))
+        .cast("long").as("n_wedges"))
+    val edges = pairs.agg(count(lit(1)).as("n_edges"))
+    edges.crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles")
+          / greatest(col("n_wedges"), lit(1L)) + lit(1e-9), 4)
+          .as("global_cc"))
+  }
+
+  val dupTrianglesSql: String =
+    s"""WITH ${pairsCte(capped = true)},
+       |e AS MATERIALIZED (SELECT d1, d2 FROM pairs
+       |  WHERE inter / (n1 + n2 - inter) >= $JaccardThreshold),
+       |deg AS (SELECT v, count(*) AS deg FROM (
+       |    SELECT d1 AS v FROM e UNION ALL SELECT d2 FROM e)
+       |  GROUP BY v),
+       |tri AS (SELECT count(*) AS t
+       |  FROM e e1 JOIN e e2 ON e2.d1 = e1.d2
+       |  JOIN e e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2),
+       |w AS (SELECT count(*) AS n_nodes,
+       |  CAST(coalesce(sum(deg * (deg - 1) / 2), 0) AS BIGINT) AS n_wedges
+       |  FROM deg)
+       |SELECT (SELECT n_nodes FROM w) AS n_nodes,
+       |  (SELECT count(*) FROM e) AS n_edges,
+       |  (SELECT n_wedges FROM w) AS n_wedges,
+       |  (SELECT t FROM tri) AS n_triangles,
+       |  round(3.0 * (SELECT t FROM tri)
+       |    / greatest((SELECT n_wedges FROM w), 1) + 1e-9, 4) AS global_cc"""
+      .stripMargin
+
   /** q67 — cross-source duplication matrix: near-dup pair counts and mean
     * Jaccard per unordered source pair. The crawl-curation question
     * behind it: which sources are mirroring each other (off-diagonal
@@ -1227,5 +1314,8 @@ object DedupOps {
       Some(embeddingNearDupLshSql)),
     ("q90_graph_pagerank",
       (s: SparkSession, d: String) => dupPagerank(Tables.documents(s, d)),
-      Some(dupPagerankSql())))
+      Some(dupPagerankSql())),
+    ("q96_triangle_census",
+      (s: SparkSession, d: String) => dupTriangles(Tables.documents(s, d)),
+      Some(dupTrianglesSql)))
 }

@@ -718,6 +718,191 @@ object SimilarityOps {
        |ORDER BY e.vec_id""".stripMargin
   }
 
+  /** q100 — kNN label-agreement audit (the confident-learning / kNN
+    * label-noise shape, Northcutt et al. '21): for EVERY vector, find its
+    * top-k cosine neighbors and score what share carry the same label;
+    * report per label the mean agreement and how many members fall below
+    * `suspectBelow` — the mislabel review queue. A label whose agreement
+    * sits at chance (1/|labels|) is noise or isn't separable in this
+    * embedding space; a tight label with a few low-agreement members is
+    * a curation queue of exactly those members.
+    *
+    * Scale shape: all-queries brute force is O(N²·d) — a non-starter —
+    * so neighbors come from the TRAINED IVF index (q56 centroids): the
+    * corpus assigns once (broadcast k·d floats), each vector probes its
+    * `nProbe` nearest clusters, and the candidate stage is ONE
+    * (cid, salt)-keyed join — cost Σ (probes into c) × |c| ≈
+    * nProbe·N²/k, divided by the centroid count. The salt fanout exists
+    * because cid alone has only k distinct values (parallelism k); the
+    * compute knob is the centroid count itself — SemDeDup's k ≈ √N makes
+    * the candidate cost ≈ nProbe·N^1.5 — and this fixture's fixed 8
+    * seeds are the small-k worst case, which the salt keeps parallel
+    * anyway. Arrays are projected away before the top-k window. Fully
+    * deterministic blocking ⇒ the oracle replays the same Lloyd
+    * iterations and probe ranking (the q86 blocking-mirrored precedent —
+    * NOT a weaker rows-only check). Per-vector agreement is an exact
+    * small rational (sums of 0/1 doubles), so the suspect threshold
+    * compares identical doubles on both engines. */
+  /** Salt fanout for the q100 candidate join (see inline note). */
+  private val SaltBuckets = 32
+
+  def knnLabelAgreement(em: DataFrame, k: Int = TopK, nProbe: Int = NProbe,
+      centroidIds: Seq[Long] = CentroidIds, iters: Int = KmeansIters,
+      suspectBelow: Double = 0.4): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    // k-rows model; localCheckpoint so training runs once, not once per
+    // consumer (assignment + probe ranking both read it)
+    val model = kmeansCentroids(em, centroidIds, iters).localCheckpoint()
+    val asg = argmaxCentroid(em, model)
+      .join(em.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("label"), col("cid"))
+    val a = graft.core.CacheOnce.swap("knn-label-asg", asg)
+    val q = a.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      col("label").as("qlabel"))
+    val probes = nearestCentroid(q, model.select(col("cid"), col("ce")),
+        "qid", "qe", nProbe)
+      .select(col("qid"), col("qe"), col("qlabel"), col("cid"))
+    // The candidate join has only |centroids| distinct keys — with a
+    // fixed small k that caps parallelism at k tasks regardless of
+    // cluster size, and the first 20× capture paid 440 s for it. Salt
+    // the key: corpus rows take one of `SaltBuckets` salts, each probe
+    // replicates across all of them — k×SaltBuckets join cells, same
+    // logical output (the standard many-to-many skew treatment; q92's
+    // block-cap lesson, applied as fanout rather than dropping). The
+    // probe-side duplication is |queries|·nProbe·SaltBuckets slim rows.
+    val aSalt = a.withColumn("salt",
+      pmod(xxhash64(col("vec_id")), lit(SaltBuckets)).cast("int"))
+    val pSalt = probes.withColumn("salt",
+      explode(sequence(lit(0), lit(SaltBuckets - 1))))
+    // arrays are dropped BEFORE the top-k window: sorting |candidates|
+    // rows that still carry two d-float vectors is the memory bill, not
+    // the cosine arithmetic (the other half of that 440 s)
+    val scored = aSalt.join(pSalt, Seq("cid", "salt"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        expr("cosine_sim(qe, embedding)").as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val perVec = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(avg(when(col("label") === col("qlabel"), lit(1.0))
+        .otherwise(lit(0.0))).as("agree"))
+    perVec.groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("agree")) + lit(1e-9), 4).as("avg_agreement"),
+        sum(when(col("agree") < suspectBelow, 1L).otherwise(0L))
+          .as("n_suspect"))
+      .orderBy("label")
+  }
+
+  val knnLabelAgreementSql: String = {
+    val iterCtes = (1 to KmeansIters).map { it =>
+      s"""${kmeansAssignCte(s"c${it - 1}", s"a$it")},
+         |${kmeansUpdateCte(s"a$it", s"c$it")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+       |$iterCtes,
+       |${kmeansAssignCte(s"c$KmeansIters", "asg")},
+       |a AS (SELECT g.vec_id, g.embedding, g.cid, e.label
+       |  FROM asg g JOIN embeddings e ON e.vec_id = g.vec_id),
+       |probes AS (SELECT vec_id AS qid, qe, qlabel, cid FROM (
+       |  SELECT a.vec_id, a.embedding AS qe, a.label AS qlabel, c.cid,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${cosSql("c.ce", "a.embedding")} DESC, c.cid) AS crn
+       |  FROM a, c$KmeansIters c) t WHERE crn <= $NProbe),
+       |scored AS (
+       |  SELECT p.qid, p.qlabel, n.vec_id, n.label,
+       |    ${cosSql("p.qe", "n.embedding")} AS cos
+       |  FROM probes p JOIN a n ON n.cid = p.cid
+       |  WHERE n.vec_id <> p.qid),
+       |r AS (SELECT qid, qlabel, label,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+       |    AS rnk
+       |  FROM scored),
+       |pv AS (SELECT qid, qlabel,
+       |    avg(CASE WHEN label = qlabel THEN CAST(1 AS DOUBLE)
+       |      ELSE CAST(0 AS DOUBLE) END) AS agree
+       |  FROM r WHERE rnk <= $TopK GROUP BY qid, qlabel)
+       |SELECT qlabel AS label, count(*) AS n_vecs,
+       |  round(avg(agree) + 1e-9, 4) AS avg_agreement,
+       |  CAST(sum(CASE WHEN agree < 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_suspect
+       |FROM pv GROUP BY qlabel ORDER BY label""".stripMargin
+  }
+
+  /** q104 — per-label diagonal-covariance Mahalanobis outlier audit: fit
+    * per-dimension (mean, variance) per label, score every vector by
+    * d² = Σᵢ (xᵢ−μᵢ)²/(σᵢ²+ε), and report per label the score
+    * distribution plus the count above `threshold` — the distributional
+    * complement to q100: kNN agreement catches points whose NEIGHBORS
+    * disagree; this catches points far from their OWN label's mass even
+    * when no near neighbor exists to vote. Diagonal covariance is the
+    * standard at-scale compromise (a full d×d inverse per label doesn't
+    * distribute and overfits small labels); under it E[d²] = d for
+    * in-distribution points, so the default gate is the χ²-style
+    * d + 3·√(2d) (≈ 98 at d = 64).
+    *
+    * Scale shape: the model fit is the q24_label_centroids reduction —
+    * posexplode to (label, pos) cells that collapse map-side to
+    * |labels|·d rows; the |labels|-row (mus, s2s) model table then
+    * BROADCASTS back and scoring is a pure expression fold per vector
+    * (no shuffle). Model components round to 6 dp before scoring (the
+    * q56 model-state canonicalization) so the d² fold is
+    * engine-deterministic. */
+  def mahalanobisOutliers(em: DataFrame, eps: Double = 1e-6,
+      threshold: Double = 98.0): DataFrame = {
+    val comp = em
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"), col("v").cast("double").as("v"))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")) + lit(1e-9), 6).as("mu"),
+        round(var_pop(col("v")) + lit(1e-9), 6).as("s2"))
+    val model = comp.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mu"),
+        col("s2")))).as("ms"))
+      .select(col("label"), expr("transform(ms, x -> x.mu)").as("mus"),
+        expr("transform(ms, x -> x.s2)").as("s2s"))
+    em.join(broadcast(model), "label")
+      .withColumn("d2", expr(
+        s"""aggregate(sequence(0, size(embedding) - 1),
+           | CAST(0.0 AS DOUBLE),
+           | (acc, i) -> acc + pow(CAST(embedding[i] AS DOUBLE) - mus[i], 2)
+           |   / (s2s[i] + $eps))""".stripMargin))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("d2")) + lit(1e-9), 4).as("avg_d2"),
+        round(max(col("d2")) + lit(1e-9), 4).as("max_d2"),
+        sum(when(col("d2") > threshold, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("label")
+  }
+
+  def mahalanobisOutliersSql(eps: Double = 1e-6,
+      threshold: Double = 98.0): String =
+    s"""WITH c AS (SELECT label, g.i AS pos,
+       |    round(avg(CAST(embedding[g.i] AS DOUBLE)) + 1e-9, 6) AS mu,
+       |    round(var_pop(CAST(embedding[g.i] AS DOUBLE)) + 1e-9, 6) AS s2
+       |  FROM embeddings,
+       |    UNNEST(generate_series(1, len(embedding))) AS g(i)
+       |  GROUP BY 1, 2),
+       |m AS (SELECT label, list(mu ORDER BY pos) AS mus,
+       |    list(s2 ORDER BY pos) AS s2s FROM c GROUP BY label),
+       |d AS (SELECT e.vec_id, e.label,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(e.embedding)),
+       |        i -> pow(CAST(e.embedding[i] AS DOUBLE) - m.mus[i], 2)
+       |          / (m.s2s[i] + $eps))),
+       |      (acc, v) -> acc + v) AS d2
+       |  FROM embeddings e JOIN m USING (label))
+       |SELECT label, count(*) AS n_vecs,
+       |  round(avg(d2) + 1e-9, 4) AS avg_d2,
+       |  round(max(d2) + 1e-9, 4) AS max_d2,
+       |  CAST(sum(CASE WHEN d2 > $threshold THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers
+       |FROM d GROUP BY label ORDER BY label""".stripMargin
+
   /** q64 — int8 symmetric scalar quantization audit: quantize each
     * embedding to 8-bit integers with a per-vector scale (q = ⌊x/amax·127
     * + ½⌋, the absmax scheme every vector store and LLM.int8-style kernel
@@ -852,5 +1037,12 @@ object SimilarityOps {
       Some(quantizeAuditSql)),
     ("q95_embedding_profile",
       (s: SparkSession, d: String) => embeddingProfile(Tables.embeddings(s, d)),
-      Some(embeddingProfileSql)))
+      Some(embeddingProfileSql)),
+    ("q100_knn_label_agreement",
+      (s: SparkSession, d: String) => knnLabelAgreement(Tables.embeddings(s, d)),
+      Some(knnLabelAgreementSql)),
+    ("q104_mahalanobis_outliers",
+      (s: SparkSession, d: String) =>
+        mahalanobisOutliers(Tables.embeddings(s, d)),
+      Some(mahalanobisOutliersSql())))
 }

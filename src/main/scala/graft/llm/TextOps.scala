@@ -840,6 +840,259 @@ object TextOps {
        |FROM pr$iters
        |ORDER BY pagerank DESC, term LIMIT $topN""".stripMargin
 
+  /** q98 — duplicated-span share (the position-level view of Lee et al.
+    * '21, "Deduplicating Training Data Makes Language Models Better",
+    * whose suffix-array ExactSubstr pass removes spans that occur
+    * verbatim elsewhere): a token POSITION is duplicated when the
+    * k-token n-gram starting there occurs more than once in the corpus
+    * (anywhere — another doc or a repeat within the same doc). Per
+    * source: scored docs, total positions, duplicated positions, the
+    * duplicated share, and how many docs are majority-duplicated
+    * (> `flagShare`) — the doc-level dedup operators (q23) say WHICH
+    * docs to drop; this says how much residual verbatim text the kept
+    * corpus still carries, source by source.
+    *
+    * Scale shape: n-gram occurrences are a per-row generate; the
+    * occurrence count table and the join back both key on `xxhash64`
+    * LONGS (the q54 posture — 8-byte shuffle keys, no n-gram strings
+    * past the first groupBy), and singleton hashes (the Zipf majority)
+    * are PRUNED from the join's build side — an occurrence with no match
+    * is known unique (`coalesce → not duplicated`), so the join carries
+    * only the duplicated minority. Exact within w.h.p. — a 64-bit
+    * collision would overcount one position; the oracle counts strings.
+    * A true suffix-array pass finds variable-length maximal spans;
+    * fixed-k positions are the distributable refinement (Lee et al.'s
+    * own minimum match length plays the same role as k). */
+  def dupSpans(docs: DataFrame, k: Int = 5,
+      flagShare: Double = 0.5): DataFrame = {
+    val base = Tables.fanout(docs).select(col("doc_id"), col("source"),
+      Text.tokens(col("text")).as("ts"))
+    val occ = base.select(col("doc_id"), col("source"),
+      explode(Text.ngramOccurrences(col("ts"), k)).as("g"))
+      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh"))
+    val cnt = occ.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+    val perDoc = occ
+      .join(cnt.filter(col("c") > 1), Seq("gh"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_pos")).as("n_positions"),
+        sum(col("n_dup")).as("dup_positions"),
+        round(sum(col("n_dup")) / sum(col("n_pos")) + lit(1e-9), 4)
+          .as("dup_share"),
+        sum(when(col("n_dup") > col("n_pos") * flagShare, 1L)
+          .otherwise(0L)).as("n_flagged_docs"))
+      .orderBy("source")
+  }
+  def dupSpansSql(k: Int = 5, flagShare: Double = 0.5): String =
+    s"""WITH tok AS (SELECT doc_id, source, ${Text.tokensSql("text")} AS ts
+       |  FROM documents),
+       |occ AS (SELECT doc_id, source,
+       |    unnest(${Text.ngramOccurrencesSql("ts", k)}) AS g FROM tok),
+       |cnt AS (SELECT g, count(*) AS c FROM occ GROUP BY g),
+       |pd AS (SELECT o.doc_id, o.source, count(*) AS n_pos,
+       |    CAST(sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup
+       |  FROM occ o JOIN cnt ON cnt.g = o.g
+       |  GROUP BY o.doc_id, o.source)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_pos) AS BIGINT) AS n_positions,
+       |  CAST(sum(n_dup) AS BIGINT) AS dup_positions,
+       |  round(sum(n_dup) / sum(n_pos) + 1e-9, 4) AS dup_share,
+       |  CAST(sum(CASE WHEN n_dup > n_pos * $flagShare THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_flagged_docs
+       |FROM pd GROUP BY source ORDER BY source""".stripMargin
+
+  /** q99 — tokenizer-vocabulary coverage audit: fix the vocabulary to
+    * the corpus's top-`vocabSize` tokens by occurrence count (ties
+    * broken by token — a deterministic stand-in for a shipped tokenizer
+    * vocab file), then measure per source: token volume, out-of-vocab
+    * occurrence share, and how many docs fall below `minCoverage`
+    * in-vocab share. The pre-training question this answers: which
+    * sources will fragment into byte-fallback garbage under the chosen
+    * tokenizer — a source with high OOV rate inflates its token count
+    * and starves its effective epoch share. Run per tokenizer candidate;
+    * the deltas rank them.
+    *
+    * Scale shape: the vocab is top-V of a token-count aggregate
+    * (TakeOrderedAndProject, V rows) and BROADCASTS to the occurrence
+    * stream — membership is a broadcast left-semi-shaped join, never a
+    * shuffle of the corpus; per-doc then per-source rollups ride the
+    * doc-keyed aggregate. With a real tokenizer the vocab arrives as a
+    * file and broadcasts the same way (V ≈ 10⁵ entries — KBs). */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 24,
+      minCoverage: Double = 0.9): DataFrame = {
+    val base = Tables.fanout(docs).select(col("doc_id"), col("source"),
+      explode(Text.tokens(col("text"))).as("t"))
+    val vocab = base.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(vocabSize)
+      .select(col("t"), lit(1).as("inv"))
+    val perDoc = base
+      .join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_oov")).as("oov_tokens"),
+        round(sum(col("n_oov")) / sum(col("n_tok")) + lit(1e-9), 4)
+          .as("oov_rate"),
+        sum(when((col("n_tok") - col("n_oov"))
+          < col("n_tok") * minCoverage, 1L).otherwise(0L))
+          .as("n_low_cov_docs"))
+      .orderBy("source")
+  }
+  def vocabCoverageSql(vocabSize: Int = 24,
+      minCoverage: Double = 0.9): String =
+    s"""WITH tk AS (SELECT doc_id, source, unnest(${Text.tokensSql("text")})
+       |    AS t FROM documents),
+       |v AS (SELECT t FROM (
+       |    SELECT t, count(*) AS c FROM tk GROUP BY t
+       |    ORDER BY c DESC, t LIMIT $vocabSize)),
+       |pd AS (SELECT tk.doc_id, tk.source, count(*) AS n_tok,
+       |    CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_oov
+       |  FROM tk LEFT JOIN v ON v.t = tk.t
+       |  GROUP BY tk.doc_id, tk.source)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_oov) AS BIGINT) AS oov_tokens,
+       |  round(sum(n_oov) / sum(n_tok) + 1e-9, 4) AS oov_rate,
+       |  CAST(sum(CASE WHEN n_tok - n_oov < n_tok * $minCoverage
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low_cov_docs
+       |FROM pd GROUP BY source ORDER BY source""".stripMargin
+
+  /** q101 — the boilerplate report: the top-N k-grams by DOCUMENT
+    * frequency (appearing in ≥ `minDf` docs), with occurrence totals and
+    * corpus doc-share. The inspection companion to q98: dup_spans says
+    * HOW MUCH verbatim duplication each source carries; this prints WHAT
+    * is duplicated — the navbar/footer/license-header families C4-style
+    * line filters and RefinedWeb's boilerplate pass target. Review this
+    * list BEFORE setting the q23 dfCap or writing removal rules: a
+    * legitimate idiom and a template footer look identical to a
+    * threshold but not to a reader.
+    *
+    * Scale shape: per-doc DISTINCT shingles (df semantics — same
+    * contract as the dedup index) aggregate by the n-gram STRING: the
+    * string is the report's output, so it rides the one count shuffle
+    * (~k·8 bytes/key vs 8 — acceptable for a report; the dedup path
+    * proper stays on hashes). Top-N is TakeOrderedAndProject; the corpus
+    * doc count broadcasts in-plan (q17 pattern). */
+  def boilerplateNgrams(docs: DataFrame, k: Int = 5, minDf: Int = 2,
+      topN: Int = 20): DataFrame = {
+    val base = Tables.fanout(docs).select(col("doc_id"),
+      Text.tokens(col("text")).as("ts"))
+    val occ = base.select(col("doc_id"),
+      explode(Text.ngramOccurrences(col("ts"), k)).as("g"))
+    val stats = occ.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("df_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("df_docs") >= minDf)
+    val nd = docs.agg(count(lit(1)).as("_nd"))
+    stats.crossJoin(broadcast(nd))
+      .select(col("g").as("gram"), col("df_docs"), col("n_occurrences"),
+        round(col("df_docs") / col("_nd") + lit(1e-9), 4).as("doc_share"))
+      .orderBy(col("df_docs").desc, col("n_occurrences").desc, col("gram"))
+      .limit(topN)
+  }
+  def boilerplateNgramsSql(k: Int = 5, minDf: Int = 2,
+      topN: Int = 20): String =
+    s"""WITH tok AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts
+       |  FROM documents),
+       |occ AS (SELECT doc_id,
+       |    unnest(${Text.ngramOccurrencesSql("ts", k)}) AS g FROM tok),
+       |st AS (SELECT g, count(DISTINCT doc_id) AS df_docs,
+       |    count(*) AS n_occurrences
+       |  FROM occ GROUP BY g HAVING count(DISTINCT doc_id) >= $minDf),
+       |nd AS (SELECT count(*) AS n FROM documents)
+       |SELECT g AS gram, df_docs, n_occurrences,
+       |  round(df_docs / (SELECT n FROM nd) + 1e-9, 4) AS doc_share
+       |FROM st
+       |ORDER BY df_docs DESC, n_occurrences DESC, gram LIMIT $topN"""
+      .stripMargin
+
+  /** q102 — cross-entropy transfer scoring: train the add-k bigram LM on
+    * a clean REFERENCE slice (here `lang = refLang`; CCNet trains KenLM
+    * on Wikipedia — Wenzek et al., LREC 2020), then score EVERY document
+    * against that model and report per lang the mean NLL and the share
+    * of docs above `flagNll`. This is the actual CCNet filter shape —
+    * q54 scores a corpus under its own statistics (drift/garble
+    * detection); this scores under a TRUSTED model (quality ranking:
+    * "how unlike the reference does this text read"), and the two
+    * disagree exactly on systematic domain shift. Unseen bigrams take
+    * the smoothed floor (c12 = 0, and c1 = 0 for an unseen prefix) —
+    * scoring never mutates the model.
+    *
+    * Scale shape: q54's posture with a train/score split — the count
+    * tables build from the reference slice only (predicate pushed to the
+    * scan), score occurrences join them on xxhash64 LONGS, and V rides
+    * in-plan as a broadcast scalar. The hapax-pruning trick does NOT
+    * apply here: a missing count means 0 (unseen), not 1, so the full
+    * reference count table joins — at 100 TB this table is the model
+    * artifact you persist once and broadcast/bucket per scoring batch.
+    * Docs with < 2 tokens carry no bigrams and are excluded. */
+  def crossEntropyTransfer(docs: DataFrame, refLang: String = "en",
+      addK: Double = 0.5, flagNll: Double = 3.5): DataFrame = {
+    val base = Tables.fanout(docs).select(col("doc_id"), col("lang"),
+      Text.tokens(col("text")).as("ts"))
+    def occs(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+      explode(Text.ngramOccurrences(col("ts"), 2)).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        xxhash64(col("bg")).as("bgh"),
+        xxhash64(substring_index(col("bg"), " ", 1)).as("w1h"))
+    val ref = base.filter(col("lang") === refLang)
+    val cnt = occs(ref).groupBy(col("bgh"), col("w1h"))
+      .agg(count(lit(1)).as("c12"))
+    val pre = cnt.groupBy(col("w1h")).agg(sum(col("c12")).as("c1"))
+    val voc = ref.select(explode(col("ts")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    occs(base)
+      .join(cnt.select("bgh", "c12"), Seq("bgh"), "left")
+      .join(pre, Seq("w1h"), "left")
+      .crossJoin(broadcast(voc))
+      .withColumn("lp", log(
+        (coalesce(col("c12"), lit(0L)) + lit(addK))
+          / (coalesce(col("c1"), lit(0L)) + lit(addK) * col("v"))))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg((-avg(col("lp"))).as("nll"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("nll")) + lit(1e-9), 4).as("avg_nll"),
+        sum(when(col("nll") > flagNll, 1L).otherwise(0L)).as("n_flagged"),
+        round(sum(when(col("nll") > flagNll, 1L).otherwise(0L))
+          / count(lit(1)) + lit(1e-9), 4).as("flagged_share"))
+      .orderBy("lang")
+  }
+  def crossEntropyTransferSql(refLang: String = "en", addK: Double = 0.5,
+      flagNll: Double = 3.5): String =
+    s"""WITH tok AS (SELECT doc_id, lang, ${Text.tokensSql("text")} AS ts
+       |  FROM documents),
+       |rocc AS (SELECT unnest(${Text.ngramOccurrencesSql("ts", 2)}) AS bg
+       |  FROM tok WHERE lang = '$refLang'),
+       |cnt AS (SELECT bg, count(*) AS c12 FROM rocc GROUP BY bg),
+       |pre AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+       |  FROM cnt GROUP BY 1),
+       |v AS (SELECT count(DISTINCT t) AS v FROM (
+       |  SELECT unnest(ts) AS t FROM tok WHERE lang = '$refLang')),
+       |occ AS (SELECT doc_id, lang,
+       |    unnest(${Text.ngramOccurrencesSql("ts", 2)}) AS bg FROM tok),
+       |sc AS (SELECT o.doc_id, o.lang,
+       |    ln((coalesce(c.c12, 0) + $addK)
+       |      / (coalesce(p.c1, 0) + $addK * v.v)) AS lp
+       |  FROM occ o LEFT JOIN cnt c ON c.bg = o.bg
+       |  LEFT JOIN pre p ON p.w1 = split_part(o.bg, ' ', 1), v),
+       |d AS (SELECT doc_id, lang, -avg(lp) AS nll FROM sc GROUP BY 1, 2)
+       |SELECT lang, count(*) AS n_docs,
+       |  round(avg(nll) + 1e-9, 4) AS avg_nll,
+       |  CAST(sum(CASE WHEN nll > $flagNll THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_flagged,
+       |  round(sum(CASE WHEN nll > $flagNll THEN 1 ELSE 0 END)
+       |    / count(*) + 1e-9, 4) AS flagged_share
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   private def onDocs(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.documents(s, d))
 
@@ -864,5 +1117,12 @@ object TextOps {
     ("q78_bm25", onDocs(bm25(_, bm25Terms)), Some(bm25Sql(bm25Terms))),
     ("q89_bpe_pairs", onDocs(bpePairs(_)), Some(bpePairsSql())),
     ("q91_pmi_pairs", onDocs(pmiPairs(_)), Some(pmiPairsSql())),
-    ("q94_textrank", onDocs(textrank(_)), Some(textrankSql())))
+    ("q94_textrank", onDocs(textrank(_)), Some(textrankSql())),
+    ("q98_dup_spans", onDocs(dupSpans(_)), Some(dupSpansSql())),
+    ("q99_vocab_coverage", onDocs(vocabCoverage(_)),
+      Some(vocabCoverageSql())),
+    ("q101_boilerplate_ngrams", onDocs(boilerplateNgrams(_)),
+      Some(boilerplateNgramsSql())),
+    ("q102_crossentropy_transfer", onDocs(crossEntropyTransfer(_)),
+      Some(crossEntropyTransferSql())))
 }

@@ -622,6 +622,76 @@ object JourneyOps {
        |SELECT path, CAST(count(*) AS BIGINT) AS n
        |FROM g GROUP BY 1 ORDER BY n DESC, path LIMIT $topN""".stripMargin
 
+  /** q97 — multi-touch conversion attribution: credit each `purchase`
+    * to the user's preceding non-purchase touches under the three
+    * standard position models at once — first-touch (the touch that
+    * opened the journey gets the whole conversion), last-touch (the
+    * closer gets it), and linear (1/n to each of the n touches). The
+    * attribution window for a conversion is the touches since the user's
+    * previous conversion, capped at `lookbackDays` — the "since last
+    * purchase, at most L days" window every marketing stack defaults to.
+    * Output is per channel (= event_type): touch volume and credited
+    * conversions under each model; a channel whose first-touch ≫
+    * last-touch credit is an opener (awareness), the reverse is a closer.
+    *
+    * Scale shape: ONE user-key exchange carries everything — the
+    * next-conversion window (min over the following frame), the
+    * per-conversion ranking window (its (user_id, conv_ts) clustering is
+    * subsumed by the user_id hash partitioning, so Spark inserts a sort,
+    * not a second Exchange), and only the final per-channel rollup (≤
+    * |types| rows) shuffles again. No interval join, no fact-×-fact pair
+    * blowup: a touch finds its conversion positionally, so cost is one
+    * sort per user partition regardless of how many conversions a user
+    * has. */
+  def attribution(events: DataFrame, lookbackDays: Int = 3): DataFrame = {
+    val lookUs = lookbackDays * 86400L * 1000000L
+    val wNext = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val base = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .withColumn("conv_ts",
+        min(when(col("event_type") === "purchase", col("ts"))).over(wNext))
+    val touches = base
+      .filter(col("event_type") =!= "purchase" && col("conv_ts").isNotNull
+        && unix_micros(col("ts")) > unix_micros(col("conv_ts")) - lookUs)
+    val wConv = Window.partitionBy(col("user_id"), col("conv_ts"))
+    val wRank = wConv.orderBy(col("ts"), col("event_id"))
+    touches
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("sz", count(lit(1)).over(wConv))
+      .groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("first_touch"),
+        sum(when(col("rn") === col("sz"), 1L).otherwise(0L)).as("last_touch"),
+        round(sum(lit(1.0) / col("sz")) + lit(1e-9), 4).as("linear_credit"))
+      .orderBy("channel")
+  }
+  def q97AttributionSql(lookbackDays: Int = 3): String =
+    s"""WITH b AS (
+       |  SELECT event_id, user_id, event_type, ts,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_ts
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       |t AS (
+       |  SELECT user_id, event_type, ts, event_id, conv_ts
+       |  FROM b WHERE event_type <> 'purchase' AND conv_ts IS NOT NULL
+       |    AND ts > conv_ts - INTERVAL $lookbackDays DAY),
+       |r AS (
+       |  SELECT event_type,
+       |    row_number() OVER (PARTITION BY user_id, conv_ts
+       |      ORDER BY ts, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY user_id, conv_ts) AS sz
+       |  FROM t)
+       |SELECT event_type AS channel, count(*) AS n_touches,
+       |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS first_touch,
+       |  CAST(sum(CASE WHEN rn = sz THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS last_touch,
+       |  round(sum(1.0 / sz) + 1e-9, 4) AS linear_credit
+       |FROM r GROUP BY channel ORDER BY channel""".stripMargin
+
   private def onEvents(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.events(s, d))
 
@@ -637,5 +707,7 @@ object JourneyOps {
     ("q79_interval_coverage", onEvents(intervalCoverage(_)),
       Some(q79IntervalSql)),
     ("q81_session_paths", onEvents(sessionPaths(_)), Some(q81PathsSql())),
-    ("q85_basket_triples", onEvents(basketTriples(_)), Some(q85TriplesSql)))
+    ("q85_basket_triples", onEvents(basketTriples(_)), Some(q85TriplesSql)),
+    ("q97_attribution", onEvents(attribution(_)),
+      Some(q97AttributionSql())))
 }

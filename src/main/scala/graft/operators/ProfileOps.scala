@@ -733,6 +733,112 @@ object ProfileOps {
   }
 
   type QFn = (SparkSession, String) => DataFrame
+  /** q103 — segmented PSI drift: the q43 population-stability gate run
+    * PER SEGMENT in one scan, one summary row per segment. The aggregate
+    * PSI monitors hide exactly the failures segmentation finds: a whole-
+    * population PSI near 0 can mask one segment drifting hard against
+    * another drifting back (mix-shift cancellation) — the per-segment
+    * sweep is what a model on segmented traffic actually gates on.
+    * Same bucketing ([[psiBucket]]), same +0.5 smoothing, same stored-
+    * reference compatibility as q43 — thresholds transfer unchanged.
+    *
+    * Plan shape: ONE conditional-count scan to a (segment × k)-row
+    * frame; the full per-segment bucket frame comes from a
+    * broadcast(distinct segments) × range(k) cross (metadata-scale), the
+    * smoothing windows partition by segment over k-row groups, and the
+    * final rollup is |segments| rows. Nothing re-scans the fact table. */
+  def segmentedDrift(df: DataFrame, valueCol: String, segCol: String,
+      refPred: Column, curPred: Column, lo: Double, hi: Double,
+      k: Int): DataFrame = {
+    require(k > 0 && hi > lo,
+      "segmentedDrift needs a positive bucket count and range")
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(segCol).isNotNull)
+      .groupBy(col(segCol).as("segment"),
+        psiBucket(col(valueCol), lo, hi, k).as("bucket"))
+      .agg(count(when(refPred, 1)).as("n_ref"),
+        count(when(curPred, 1)).as("n_cur"))
+    segmentedPsiFromCounts(counts, k)
+  }
+
+  /** The per-segment PSI assembly over a (segment, bucket, n_ref, n_cur)
+    * count frame — the shared metadata-scale half (the
+    * [[psiFromCounts]] of the segmented family). Public because it is
+    * the join point for the STREAMING monitor: feed it a stored
+    * [[segmentedRefCounts]] profile full-joined to the latest
+    * [[graft.streaming.StreamQueries.segmentedPsiCountsStream]] emission
+    * and it yields the same |segments|-row sweep the batch query
+    * produces (StreamingSpec asserts equality). */
+  def segmentedPsiFromCounts(counts: DataFrame, k: Int): DataFrame = {
+    val spark = counts.sparkSession
+    val frame = counts.select("segment").distinct()
+      .crossJoin(spark.range(k.toLong)
+        .select(col("id").cast("int").as("bucket")))
+    val w = Window.partitionBy(col("segment"))
+    frame.join(counts, Seq("segment", "bucket"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .withColumn("_tr", sum(col("n_ref")).over(w))
+      .withColumn("_tc", sum(col("n_cur")).over(w))
+      .withColumn("_pr",
+        (col("n_ref") + lit(0.5)) / (col("_tr") + lit(0.5 * k)))
+      .withColumn("_pc",
+        (col("n_cur") + lit(0.5)) / (col("_tc") + lit(0.5 * k)))
+      .withColumn("_term",
+        (col("_pc") - col("_pr")) * log(col("_pc") / col("_pr")))
+      .groupBy(col("segment"))
+      .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"),
+        round(sum(col("_term")) + lit(1e-9), 6).as("psi"))
+      .orderBy("segment")
+  }
+
+  /** The persistable reference half of the segmented gate: per-
+    * (segment, bucket) counts under the shared bucketing — the
+    * [[refBucketCounts]] of the segmented family. */
+  def segmentedRefCounts(df: DataFrame, valueCol: String, segCol: String,
+      lo: Double, hi: Double, k: Int): DataFrame =
+    df.filter(col(valueCol).isNotNull && col(segCol).isNotNull)
+      .groupBy(col(segCol).as("segment"),
+        psiBucket(col(valueCol), lo, hi, k).as("bucket"))
+      .agg(count(lit(1)).as("n_ref"))
+
+  /** q103 registry entry: per-event-type PSI of `value`, first calendar
+    * week of the stream as reference vs everything after — the
+    * "did any traffic segment shift after the deploy" sweep. */
+  def eventsSegmentedDrift(events: DataFrame): DataFrame =
+    segmentedDrift(events, "value", "event_type",
+      refPred = col("ts") < to_timestamp(lit("2024-01-08")),
+      curPred = col("ts") >= to_timestamp(lit("2024-01-08")),
+      lo = 0.0, hi = 500.0, k = 10)
+
+  val q103SegmentedDriftSql: String =
+    """WITH b AS (
+      |  SELECT event_type AS segment,
+      |    least(greatest(CAST(floor(value / 50.0) AS INT), 0), 9)
+      |      AS bucket,
+      |    count(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 END)
+      |      AS n_ref,
+      |    count(CASE WHEN ts >= TIMESTAMP '2024-01-08' THEN 1 END)
+      |      AS n_cur
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |fb AS (
+      |  SELECT s.segment, f.bucket, coalesce(b.n_ref, 0) AS n_ref,
+      |    coalesce(b.n_cur, 0) AS n_cur
+      |  FROM (SELECT DISTINCT segment FROM b) s
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) f
+      |  LEFT JOIN b ON b.segment = s.segment AND b.bucket = f.bucket),
+      |t AS (SELECT segment, sum(n_ref) AS tr, sum(n_cur) AS tc
+      |  FROM fb GROUP BY segment)
+      |SELECT fb.segment,
+      |  CAST(sum(fb.n_ref) AS BIGINT) AS n_ref,
+      |  CAST(sum(fb.n_cur) AS BIGINT) AS n_cur,
+      |  round(sum(((fb.n_cur + 0.5) / (t.tc + 5.0)
+      |      - (fb.n_ref + 0.5) / (t.tr + 5.0))
+      |    * ln(((fb.n_cur + 0.5) / (t.tc + 5.0))
+      |        / ((fb.n_ref + 0.5) / (t.tr + 5.0)))) + 1e-9, 6) AS psi
+      |FROM fb JOIN t ON t.segment = fb.segment
+      |GROUP BY fb.segment ORDER BY fb.segment""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q37_profile",
       (s: SparkSession, d: String) => lineitemProfile(Tables.lineitem(s, d)),
@@ -761,5 +867,9 @@ object ProfileOps {
     ("q93_wasserstein_drift",
       (s: SparkSession, d: String) =>
         ordersWassersteinDrift(Tables.orders(s, d)),
-      Some(q93WassersteinSql)))
+      Some(q93WassersteinSql)),
+    ("q103_segmented_drift",
+      (s: SparkSession, d: String) =>
+        eventsSegmentedDrift(Tables.events(s, d)),
+      Some(q103SegmentedDriftSql)))
 }

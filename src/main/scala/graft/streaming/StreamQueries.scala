@@ -521,6 +521,51 @@ object StreamQueries {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class SegBucketObs(segment: String, bucket: Int)
+  case class SegBucketCount(segment: String, bucket: Int, n_cur: Long)
+
+  /** The q103 monitor's keyed running count — [[PsiCountProcessor]]
+    * widened to a (segment, bucket) key. State per key is ONE long;
+    * segment count × k keys total, however large the stream. */
+  class SegPsiCountProcessor
+      extends StatefulProcessor[(String, Int), SegBucketObs, SegBucketCount] {
+    @transient private var state: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Long](
+        "n", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, Int),
+        rows: Iterator[SegBucketObs],
+        timerValues: TimerValues): Iterator[SegBucketCount] = {
+      val n = (if (state.exists()) state.get() else 0L) + rows.size
+      state.update(n)
+      Iterator.single(SegBucketCount(key._1, key._2, n))
+    }
+  }
+
+  /** Streaming running (segment, bucket) counts — the current-side input
+    * to the SEGMENTED drift gate (q103's streaming twin): the latest
+    * emission per key, full-joined to a stored
+    * [[graft.operators.ProfileOps.segmentedRefCounts]] profile and fed to
+    * [[graft.operators.ProfileOps.segmentedPsiFromCounts]], reproduces
+    * the batch sweep exactly (StreamingSpec asserts it). Same
+    * architecture as PSI/JS/q62: the stream owns exact running counts,
+    * the shared batch assembly owns the math. */
+  def segmentedPsiCountsStream(values: DataFrame, valueCol: String,
+      segCol: String, lo: Double, hi: Double,
+      k: Int): Dataset[SegBucketCount] = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    values.filter(col(valueCol).isNotNull && col(segCol).isNotNull)
+      .select(col(segCol).as("segment"), graft.operators.ProfileOps
+        .psiBucket(col(valueCol), lo, hi, k).as("bucket"))
+      .as[SegBucketObs]
+      .groupByKey(o => (o.segment, o.bucket))
+      .transformWithState(new SegPsiCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** q62 streaming — the daily-count half of the volume-anomaly monitor:
     * a watermarked 1-day tumbling aggregation in APPEND mode, so a
     * (event_type, day, n) row is emitted exactly once, when the

@@ -1,0 +1,266 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{DedupOps, SimilarityOps, TextOps}
+import graft.operators.JourneyOps
+
+/** Round-12 second batch on hand-computable fixtures: triangle census
+  * over constructed dup graphs, multi-touch attribution journeys,
+  * duplicated-span shares, vocabulary coverage, and IVF-blocked kNN
+  * label agreement. */
+class Round12bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- q96
+
+  test("dupTriangles: identical-doc clique plus an isolated edge") {
+    // A,B,C byte-identical (pairwise jaccard 1) → a 3-clique; D,E
+    // identical → one edge; F unique (all its shingles df=1 → no pairs)
+    val clique = "one two three four five six"
+    val pair = "seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, clique, "s"), (2L, clique, "s"), (3L, clique, "s"),
+      (4L, pair, "s"), (5L, pair, "s"),
+      (6L, "apple banana cherry date elder fig", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = DedupOps.dupTriangles(docs).collect().head
+    assert(r.getLong(0) == 5L, s"n_nodes: $r")     // F never pairs
+    assert(r.getLong(1) == 4L, s"n_edges: $r")     // 3 clique + 1 pair
+    assert(r.getLong(2) == 3L, s"n_wedges: $r")    // 3 × C(2,2) at A,B,C
+    assert(r.getLong(3) == 1L, s"n_triangles: $r")
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-9)  // 3·1/3
+  }
+
+  test("dupTriangles: an open wedge is not a triangle") {
+    // B overlaps A and C; A and C share nothing → path A–B–C, no closure.
+    // A has shingles {a1,a2}; C has {c1,c2}; B contains both token runs,
+    // so jac(A,B) = 2/(2+8-2) = 0.25 — use a 0.2 threshold to admit it.
+    val a = "one two three four five six"
+    val c = "seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, a, "s"), (3L, c, "s"), (2L, s"$a $c", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = DedupOps.dupTriangles(docs, threshold = 0.2).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 2L, 1L, 0L)), r.toString)
+    assert(math.abs(r.getDouble(4) - 0.0) < 1e-9)
+  }
+
+  // ---------------------------------------------------------------- q97
+
+  test("attribution: first/last/linear credit across two conversions") {
+    def ts(min: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(min * 60))
+    // user 1: click → view → PURCHASE, then click → PURCHASE
+    // user 2: a touch with no conversion ever — dropped
+    // user 3: only touch is 4 days before its purchase — outside lookback
+    val events = Seq(
+      (1L, ts(0), 1L, "click"),
+      (2L, ts(10), 1L, "view"),
+      (3L, ts(20), 1L, "purchase"),
+      (4L, ts(30), 1L, "click"),
+      (5L, ts(40), 1L, "purchase"),
+      (6L, ts(0), 2L, "view"),
+      (7L, ts(0), 3L, "click"),
+      (8L, ts(4L * 1440), 3L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = JourneyOps.attribution(events).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // conv1 touches {click, view}: click opens, view closes, ½ each;
+    // conv2 touches {click}: all three models give it the whole credit
+    assert(out("click") == ((2L, 2L, 1L, 1.5)), out.toString)
+    assert(out("view") == ((1L, 0L, 1L, 0.5)), out.toString)
+    assert(out.size == 2, out.toString)
+  }
+
+  test("attribution: touch at the conversion instant belongs to it") {
+    def ts(min: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(min * 60))
+    // the view shares the purchase's timestamp but sorts BEFORE it on
+    // event_id, so its following-frame still sees the purchase
+    val events = Seq(
+      (1L, ts(5), 1L, "view"),
+      (2L, ts(5), 1L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = JourneyOps.attribution(events).collect()
+    assert(out.length == 1 && out.head.getString(0) == "view"
+      && out.head.getLong(1) == 1L, out.mkString(","))
+  }
+
+  // ---------------------------------------------------------------- q98
+
+  test("dupSpans: position-level duplication with within-corpus repeats") {
+    val t = "a b c d e f"          // positions: "a b c d e", "b c d e f"
+    val docs = Seq(
+      (1L, t, "s1"), (2L, t, "s1"),                // every position dup
+      (3L, "g h i j k l", "s2"),                   // all unique
+      (4L, "a b c d e x", "s2"),                   // 1 of 2 positions dup
+      (5L, "a b", "s2"))                           // < k tokens: unscored
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.dupSpans(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert((s1.getLong(1), s1.getLong(2), s1.getLong(3), s1.getLong(5)) ==
+      ((2L, 4L, 4L, 2L)), s1.toString)
+    assert(math.abs(s1.getDouble(4) - 1.0) < 1e-9)
+    val s2 = out("s2")
+    assert((s2.getLong(1), s2.getLong(2), s2.getLong(3), s2.getLong(5)) ==
+      ((2L, 4L, 1L, 0L)), s2.toString)
+    assert(math.abs(s2.getDouble(4) - 0.25) < 1e-9)
+  }
+
+  // ---------------------------------------------------------------- q99
+
+  test("vocabCoverage: top-V vocab, OOV share, low-coverage docs") {
+    val docs = Seq(
+      (1L, "a a b c", "s1"),   // OOV: c → rate 1/4, coverage 0.75
+      (2L, "a b b d", "s1"),   // OOV: d → rate 1/4, coverage 0.75
+      (3L, "a b a b", "s2"))   // fully covered
+      .toDF("doc_id", "text", "source")
+    // counts: a=5, b=5, c=1, d=1 → top-2 vocab {a, b}
+    val out = TextOps.vocabCoverage(docs, vocabSize = 2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert((s1.getLong(1), s1.getLong(2), s1.getLong(3), s1.getLong(5)) ==
+      ((2L, 8L, 2L, 2L)), s1.toString)
+    assert(math.abs(s1.getDouble(4) - 0.25) < 1e-9)
+    val s2 = out("s2")
+    assert((s2.getLong(1), s2.getLong(2), s2.getLong(3), s2.getLong(5)) ==
+      ((1L, 4L, 0L, 0L)), s2.toString)
+  }
+
+  test("vocabCoverage: count ties at the vocab boundary break by token") {
+    // c and d both occur once; V=3 keeps {a, b, c} (token order), so d
+    // is the only OOV occurrence
+    val docs = Seq((1L, "a a b b c d", "s")).toDF("doc_id", "text", "source")
+    val r = TextOps.vocabCoverage(docs, vocabSize = 3).collect().head
+    assert(r.getLong(3) == 1L, r.toString)
+  }
+
+  // --------------------------------------------------------------- q100
+
+  test("knnLabelAgreement: the off-label vector is the suspect") {
+    // cluster A around (1,0): three 'x' and one 'y'; cluster B around
+    // (0,1): all 'z'. nProbe=1 keeps neighbors within a cluster; k=2
+    // top-2 of every A member is pure 'x', so only the 'y' disagrees.
+    val em = Seq(
+      (0L, Array(1.0f, 0.0f), "x"),
+      (1L, Array(0.9f, 0.1f), "x"),
+      (2L, Array(1.0f, 0.1f), "x"),
+      (3L, Array(0.8f, 0.2f), "y"),
+      (10L, Array(0.0f, 1.0f), "z"),
+      (11L, Array(0.1f, 0.9f), "z"),
+      (12L, Array(0.0f, 0.9f), "z"),
+      (13L, Array(0.2f, 0.8f), "z"))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.knnLabelAgreement(em, k = 2, nProbe = 1,
+        centroidIds = Seq(0L, 10L), iters = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out("x") == ((3L, 1.0, 0L)), out.toString)
+    assert(out("y") == ((1L, 0.0, 1L)), out.toString)
+    assert(out("z") == ((4L, 1.0, 0L)), out.toString)
+  }
+
+  // --------------------------------------------------------------- q101
+
+  test("boilerplateNgrams: df counts docs, occurrences count positions") {
+    val t = "a b c d e f"
+    val docs = Seq(
+      (1L, t, "s"), (2L, t, "s"),
+      // "a b c d e" repeats WITHIN doc 3 → df 3 but occurrences 4;
+      // doc-3-only grams have df 1 and are filtered by minDf=2
+      (3L, "a b c d e x a b c d e x", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.boilerplateNgrams(docs).collect()
+    assert(out.length == 2, out.mkString(","))
+    val top = out.head
+    assert((top.getString(0), top.getLong(1), top.getLong(2)) ==
+      (("a b c d e", 3L, 4L)), top.toString)
+    assert(math.abs(top.getDouble(3) - 1.0) < 1e-9)
+    val snd = out(1)
+    assert((snd.getString(0), snd.getLong(1), snd.getLong(2)) ==
+      (("b c d e f", 2L, 2L)), snd.toString)
+    assert(math.abs(snd.getDouble(3) - 0.6667) < 1e-9)
+  }
+
+  // --------------------------------------------------------------- q102
+
+  test("crossEntropyTransfer: reference-trained NLL, unseen floor") {
+    val docs = Seq(
+      (1L, "a b a b", "en", "s"),  // in-model: nll = -(2·ln(2.5/3)+ln .75)/3
+      (2L, "c a", "fr", "s"),      // fully unseen bigram: ln(0.5/V) floor
+      (3L, "x", "de", "s"))        // < 2 tokens: unscored, lang absent
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.crossEntropyTransfer(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set("en", "fr"), out.toString)
+    assert(out("en")._1 == 1L)
+    assert(math.abs(out("en")._2 - 0.2174) < 1e-9, out.toString)
+    // c12=0, c1=0, V=2 → lp = ln(0.5/(0.5·2)) = ln 0.5
+    assert(math.abs(out("fr")._2 - 0.6931) < 1e-9, out.toString)
+  }
+
+  // --------------------------------------------------------------- q103
+
+  test("segmentedDrift: total shift vs identical halves, per segment") {
+    val df = Seq(
+      // segment A: ref mass all in bucket 0, cur mass all in bucket 1
+      ("A", 1.0, 1), ("A", 1.0, 1), ("A", 1.0, 1),
+      ("A", 9.0, 0), ("A", 9.0, 0), ("A", 9.0, 0),
+      // segment B: ref and cur identical
+      ("B", 1.0, 1), ("B", 9.0, 1), ("B", 1.0, 0), ("B", 9.0, 0))
+      .toDF("seg", "v", "is_ref")
+    val out = graft.operators.ProfileOps.segmentedDrift(df, "v", "seg",
+        refPred = col("is_ref") === 1, curPred = col("is_ref") === 0,
+        lo = 0.0, hi = 10.0, k = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // per bucket: (0.125−0.875)·ln(1/7), twice → 2·0.75·ln 7
+    assert(out("A")._1 == 3L && out("A")._2 == 3L)
+    assert(math.abs(out("A")._3 - 2.918865) < 1e-9, out.toString)
+    assert(out("B") == ((2L, 2L, 0.0)), out.toString)
+  }
+
+  // --------------------------------------------------------------- q104
+
+  test("mahalanobisOutliers: diagonal-covariance distances and the gate") {
+    val em = Seq(
+      (0L, Array(0.0f, 0.0f), "x"),
+      (1L, Array(2.0f, 0.0f), "x"),
+      (2L, Array(0.0f, 0.0f), "x"),
+      (3L, Array(6.0f, 0.0f), "x"),  // d² = 16/6 — the only gate trip
+      (10L, Array(5.0f, 5.0f), "y")) // singleton: var 0, d² 0
+      .toDF("vec_id", "embedding", "label")
+    // label x: μ=(2,0), σ²=(6,0) → d² = {4/6, 0, 4/6, 16/6}, avg 1
+    val out = graft.llm.SimilarityOps.mahalanobisOutliers(em,
+        threshold = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out("x")._1 == 4L)
+    assert(math.abs(out("x")._2 - 1.0) < 1e-9, out.toString)
+    assert(math.abs(out("x")._3 - 2.6667) < 1e-9, out.toString)
+    assert(out("x")._4 == 1L, out.toString)
+    assert(out("y") == ((1L, 0.0, 0.0, 0L)), out.toString)
+  }
+
+  test("knnLabelAgreement: clusters smaller than k still score") {
+    // one two-member cluster: each member's only neighbor is the other
+    val em = Seq(
+      (0L, Array(1.0f, 0.0f), "x"),
+      (1L, Array(0.9f, 0.1f), "y"),
+      (10L, Array(0.0f, 1.0f), "z"),
+      (11L, Array(0.1f, 0.9f), "z"))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.knnLabelAgreement(em, k = 5, nProbe = 1,
+        centroidIds = Seq(0L, 10L), iters = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // x's single neighbor is y (agree 0), z's single neighbor is z
+    assert(out("x") == ((1L, 0.0, 1L)), out.toString)
+    assert(out("y") == ((1L, 0.0, 1L)), out.toString)
+    assert(out("z") == ((2L, 1.0, 0L)), out.toString)
+  }
+}

@@ -311,6 +311,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming segmented PSI monitor equals batch segmentedDrift") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.ProfileOps
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (lo, hi, k) = (0.0, 100.0, 5)
+      // reference: both segments uniform. current stream: 'view' shifts
+      // to the upper half, 'click' stays put — exactly the mix-shift
+      // case the aggregate monitor hides and the segmented sweep flags
+      val refRows = (0 until 100).flatMap(i =>
+        Seq(("view", i.toDouble), ("click", i.toDouble)))
+      val curView = (0 until 100).map(i => ("view", (i % 50) + 50.0))
+      val curClick = (0 until 100).map(i => ("click", i.toDouble))
+      val events = (curView ++ curClick).zipWithIndex.map {
+        case ((seg, v), i) => Ev(i.toLong, tsOf(i % 60), i.toLong % 7, seg, v) }
+
+      val input = MemoryStream[Ev]
+      val out = StreamQueries.segmentedPsiCountsStream(
+        input.toDF(), "value", "event_type", lo, hi, k)
+      val name = "seg_psi_out"
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+        .start()
+      // out-of-order chunks: interleave the two segments
+      events.grouped(35).foreach { c => input.addData(c); q.processAllAvailable() }
+      q.stop()
+
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("segment", "bucket").orderBy(col("n_cur").desc)
+      val streamCounts = spark.table(name)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("segment"), col("bucket"), col("n_cur"))
+      val ref = ProfileOps.segmentedRefCounts(
+        refRows.toDF("seg", "v"), "v", "seg", lo, hi, k)
+      val streamPsi = ProfileOps.segmentedPsiFromCounts(
+        ref.join(streamCounts, Seq("segment", "bucket"), "full"), k)
+
+      val both = refRows.map { case (s, v) => (s, v, "r") } ++
+        (curView ++ curClick).map { case (s, v) => (s, v, "c") }
+      val batchPsi = ProfileOps.segmentedDrift(
+        both.toDF("seg", "v", "snap"), "v", "seg",
+        col("snap") === "r", col("snap") === "c", lo, hi, k)
+      assert(streamPsi.collect().toSeq == batchPsi.collect().toSeq)
+      val psiBySeg = streamPsi.collect()
+        .map(r => r.getString(0) -> r.getDouble(3)).toMap
+      assert(psiBySeg("view") > 0.2, s"view must trip the gate: $psiBySeg")
+      assert(psiBySeg("click") < 0.05, s"click must stay quiet: $psiBySeg")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState emits only changed users, converging to batch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
