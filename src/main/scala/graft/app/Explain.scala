@@ -84,7 +84,9 @@ object Explain {
     "q101_boilerplate_ngrams" -> "boilerplate report: one gram-keyed count shuffle (string is the output), TakeOrdered top-N, corpus count broadcast in-plan",
     "q102_crossentropy_transfer" -> "cross-entropy transfer: reference-slice count tables joined on xxhash64 longs; V broadcast in-plan; unseen floor via left joins",
     "q103_segmented_drift"  -> "segmented PSI: ONE conditional-count scan to a segments x k frame; per-segment windows; |segments|-row rollup",
-    "q104_mahalanobis_outliers" -> "Mahalanobis audit: |labels|*d model cells collapse map-side; model broadcast back; scoring is an expression fold, no shuffle")
+    "q104_mahalanobis_outliers" -> "Mahalanobis audit: |labels|*d model cells collapse map-side; model broadcast back; scoring is an expression fold, no shuffle",
+    "q105_novelty_rate"     -> "novelty: gram->first-doc table with singletons pruned from the build side (a join miss IS novel); hash-keyed throughout",
+    "q106_disorder_audit"   -> "disorder audit: global running max via deterministic id-range buckets + broadcast prefix-max patch, never SinglePartition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

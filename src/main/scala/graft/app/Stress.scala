@@ -96,7 +96,8 @@ object Stress {
       "q96_triangle_census", "q97_attribution", "q98_dup_spans",
       "q99_vocab_coverage", "q100_knn_label_agreement",
       "q101_boilerplate_ngrams", "q102_crossentropy_transfer",
-      "q103_segmented_drift", "q104_mahalanobis_outliers")
+      "q103_segmented_drift", "q104_mahalanobis_outliers",
+      "q105_novelty_rate", "q106_disorder_audit")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

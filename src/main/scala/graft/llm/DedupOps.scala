@@ -876,6 +876,59 @@ object DedupOps {
        |    / greatest((SELECT n_wedges FROM w), 1) + 1e-9, 4) AS global_cc"""
       .stripMargin
 
+  /** q105 — first-occurrence novelty rate: per source, the share of each
+    * doc's distinct k-gram shingles whose FIRST corpus occurrence (min
+    * doc_id — ingest order) is that doc. The marginal-value question a
+    * crawl pipeline asks before paying for another snapshot: q98 says
+    * how much of a source is verbatim repetition; this says how much of
+    * what a source contributes is NEW vs already covered by earlier
+    * ingests — a source whose novelty decays toward zero across
+    * snapshots has been exhausted.
+    *
+    * Scale shape: the per-doc distinct shingle table (the codegen'd
+    * shingle_hashes expression, 8-byte keys) aggregates to a
+    * gram → (df, first_doc) table; grams seen ONCE are pruned from the
+    * join's build side (the q98 singleton trick — a left-join miss is
+    * known df=1, hence novel by definition), so the join back carries
+    * only the repeated minority. Exact w.h.p. — the oracle counts
+    * strings; see the q25i collision note. */
+  def noveltyRate(docs: DataFrame, k: Int = K): DataFrame = {
+    val sh = shingleHashes(docs, k)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+    val first = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"), min(col("doc_id")).as("first_doc"))
+      .filter(col("c") > 1).select("h", "first_doc")
+    val perDoc = sh.join(first, Seq("h"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc").isNull
+          || col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("n_grams"),
+        sum(col("n_novel")).as("novel_grams"),
+        round(sum(col("n_novel")) / sum(col("n_grams")) + lit(1e-9), 4)
+          .as("novelty_rate"))
+      .orderBy("source")
+  }
+  val noveltyRateSql: String =
+    s"""WITH tok AS (SELECT doc_id, source, ${Text.tokensSql("text")} AS ts
+       |  FROM documents),
+       |sh AS (SELECT doc_id, source,
+       |    unnest(${Text.shinglesSql("ts", K)}) AS g FROM tok),
+       |f AS (SELECT g, min(doc_id) AS fd FROM sh GROUP BY g),
+       |pd AS (SELECT sh.doc_id, sh.source, count(*) AS n_grams,
+       |    CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_novel
+       |  FROM sh JOIN f ON f.g = sh.g GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+       |  CAST(sum(n_novel) AS BIGINT) AS novel_grams,
+       |  round(sum(n_novel) / sum(n_grams) + 1e-9, 4) AS novelty_rate
+       |FROM pd GROUP BY source ORDER BY source""".stripMargin
+
   /** q67 — cross-source duplication matrix: near-dup pair counts and mean
     * Jaccard per unordered source pair. The crawl-curation question
     * behind it: which sources are mirroring each other (off-diagonal
@@ -1317,5 +1370,8 @@ object DedupOps {
       Some(dupPagerankSql())),
     ("q96_triangle_census",
       (s: SparkSession, d: String) => dupTriangles(Tables.documents(s, d)),
-      Some(dupTrianglesSql)))
+      Some(dupTrianglesSql)),
+    ("q105_novelty_rate",
+      (s: SparkSession, d: String) => noveltyRate(Tables.documents(s, d)),
+      Some(noveltyRateSql)))
 }

@@ -337,6 +337,89 @@ object StatsOps {
       |WHERE hour IS NOT NULL AND value IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q106 — stream-disorder audit: how out-of-order the stream's event
+    * time is relative to its ARRIVAL order (event_id), the number every
+    * watermark / allowed-lateness knob should be calibrated from rather
+    * than guessed. An event is "late" when some earlier-arriving event
+    * already carried a later event time; its lateness is the gap to the
+    * running event-time high-water mark. Per event_type: late share,
+    * mean lateness over late events, and the max — `withWatermark`
+    * delay below the observed tail silently drops those events.
+    *
+    * Scale shape: the global running max over arrival order CANNOT be a
+    * single-partition window (the q35 anti-pattern). It distributes as
+    * two phases: slice the arrival axis into `buckets` DETERMINISTIC
+    * event_id-range buckets (bounds ride in-plan as a broadcast scalar —
+    * value-derived, NOT spark_partition_id over a sampled range
+    * exchange, whose independently-sampled boundaries disagree between
+    * the two consumers and produced false lateness in this operator's
+    * first capture), per-bucket running max via an ordinary
+    * partition-local window, then a ≤ `buckets`-row prefix-max table
+    * broadcasts back and `greatest` patches local into global — max is
+    * associative, so GlobalWindows' offset-patch trick applies verbatim.
+    * Skewed event_id ranges skew the buckets (acceptable for an audit;
+    * the sum/rank family's RunningStats operator handles the general
+    * case).
+    *
+    * On the fixture stream event time is monotone in arrival order, so
+    * every late count is 0 — which is itself the assertion (the q43
+    * ≈-0-drift posture): a nonzero here means reordering. The disorder
+    * math is exercised on genuinely shuffled data in Round12bOpsSpec. */
+  def disorderAudit(events: DataFrame, buckets: Int = 32): DataFrame = {
+    val raw = events
+      .filter(col("ts").isNotNull && col("event_id").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("_us"))
+    val bounds = raw.agg(min(col("event_id")).as("_lo"),
+      max(col("event_id")).as("_hi"))
+    val base = raw.crossJoin(broadcast(bounds))
+      .withColumn("_bkt", least(lit(buckets - 1),
+        ((col("event_id") - col("_lo")) * buckets
+          / (col("_hi") - col("_lo") + 1)).cast("int")))
+    val wLocal = Window.partitionBy(col("_bkt")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("_lmax", max(col("_us")).over(wLocal))
+    val wPrefix = Window.orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ `buckets` rows — the one legitimately tiny global window
+    val prefix = base.groupBy(col("_bkt")).agg(max(col("_us")).as("_bmax"))
+      .withColumn("_prevmax", max(col("_bmax")).over(wPrefix))
+      .select(col("_bkt"), col("_prevmax"))
+    local.join(broadcast(prefix), "_bkt")
+      .withColumn("_gmax", greatest(col("_lmax"), col("_prevmax")))
+      .withColumn("_late_us",
+        when(col("_gmax") > col("_us"), col("_gmax") - col("_us"))
+          .otherwise(lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("_late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        round(sum(when(col("_late_us") > 0, 1L).otherwise(0L))
+          / count(lit(1)) + lit(1e-9), 4).as("late_share"),
+        round(avg(when(col("_late_us") > 0, col("_late_us")) / 1e6)
+          + lit(1e-9), 2).as("avg_late_s"),
+        round(max(col("_late_us")) / lit(1e6) + lit(1e-9), 2)
+          .as("max_late_s"))
+      .orderBy("event_type")
+  }
+  val q106DisorderSql: String =
+    """WITH b AS (
+      |  SELECT event_id, event_type, epoch_us(ts) AS us,
+      |    max(epoch_us(ts)) OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gmax
+      |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+      |l AS (SELECT event_type,
+      |    CASE WHEN gmax > us THEN gmax - us ELSE 0 END AS late_us
+      |  FROM b)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late,
+      |  round(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+      |    / count(*) + 1e-9, 4) AS late_share,
+      |  round(avg(CASE WHEN late_us > 0 THEN late_us END) / 1e6
+      |    + 1e-9, 2) AS avg_late_s,
+      |  round(max(late_us) / 1e6 + 1e-9, 2) AS max_late_s
+      |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q59_benford",
       (s: SparkSession, d: String) => ordersBenford(Tables.orders(s, d)),
@@ -358,5 +441,8 @@ object StatsOps {
       Some(q83JoinCardSql)),
     ("q84_linear_fit",
       (s: SparkSession, d: String) => eventsLinearFit(Tables.events(s, d)),
-      Some(q84LinearFitSql)))
+      Some(q84LinearFitSql)),
+    ("q106_disorder_audit",
+      (s: SparkSession, d: String) => disorderAudit(Tables.events(s, d)),
+      Some(q106DisorderSql)))
 }

@@ -246,6 +246,48 @@ class Round12bOpsSpec extends SparkSpec {
     assert(out("y") == ((1L, 0.0, 0.0, 0L)), out.toString)
   }
 
+  // --------------------------------------------------------------- q105
+
+  test("noveltyRate: first corpus occurrence wins, by ingest order") {
+    val docs = Seq(
+      (1L, "one two three four five six", "a"),   // both shingles novel
+      (2L, "one two three four five six", "b"),   // all seen in doc 1
+      (3L, "one two three four five seven", "b")) // 1 of 2 novel
+      .toDF("doc_id", "text", "source")
+    val out = graft.llm.DedupOps.noveltyRate(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("a") == ((1L, 2L, 2L, 1.0)), out.toString)
+    assert(out("b") == ((2L, 4L, 1L, 0.25)), out.toString)
+  }
+
+  // --------------------------------------------------------------- q106
+
+  test("disorderAudit: lateness against the running high-water mark") {
+    def ts(min: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(min * 60))
+    // arrival order 1..5; high-water after each: 10, 10, 20, 20, 20.
+    // e2 is 5 min late, e4 ties the mark exactly (NOT late), e5 is 12
+    // min late. buckets=2 splits arrivals {1,2,3} / {4,5}, so e5's
+    // lateness is only visible through the cross-bucket prefix patch.
+    val events = Seq(
+      (1L, ts(10), "A"), (2L, ts(5), "A"), (3L, ts(20), "B"),
+      (4L, ts(20), "B"), (5L, ts(8), "A"))
+      .toDF("event_id", "ts", "event_type")
+    val out = graft.operators.StatsOps.disorderAudit(events, buckets = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert((a.getLong(1), a.getLong(2)) == ((3L, 2L)), a.toString)
+    assert(math.abs(a.getDouble(3) - 0.6667) < 1e-9, a.toString)
+    assert(math.abs(a.getDouble(4) - 510.0) < 1e-9, a.toString)
+    assert(math.abs(a.getDouble(5) - 720.0) < 1e-9, a.toString)
+    val b = out("B")
+    assert((b.getLong(1), b.getLong(2)) == ((2L, 0L)), b.toString)
+    assert(math.abs(b.getDouble(3) - 0.0) < 1e-9, b.toString)
+    assert(b.isNullAt(4), s"no late events → avg lateness is null: $b")
+    assert(math.abs(b.getDouble(5) - 0.0) < 1e-9, b.toString)
+  }
+
   test("knnLabelAgreement: clusters smaller than k still score") {
     // one two-member cluster: each member's only neighbor is the other
     val em = Seq(
