@@ -1034,22 +1034,58 @@ object TextOps {
     * reference count table joins — at 100 TB this table is the model
     * artifact you persist once and broadcast/bucket per scoring batch.
     * Docs with < 2 tokens carry no bigrams and are excluded. */
-  def crossEntropyTransfer(docs: DataFrame, refLang: String = "en",
-      addK: Double = 0.5, flagNll: Double = 3.5): DataFrame = {
-    val base = Tables.fanout(docs).select(col("doc_id"), col("lang"),
+  private def lmTokenized(docs: DataFrame): DataFrame =
+    Tables.fanout(docs).select(col("doc_id"), col("lang"),
       Text.tokens(col("text")).as("ts"))
-    def occs(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+
+  private def lmOccs(tok: DataFrame): DataFrame =
+    tok.select(col("doc_id"), col("lang"),
       explode(Text.ngramOccurrences(col("ts"), 2)).as("bg"))
       .select(col("doc_id"), col("lang"),
         xxhash64(col("bg")).as("bgh"),
         xxhash64(substring_index(col("bg"), " ", 1)).as("w1h"))
-    val ref = base.filter(col("lang") === refLang)
-    val cnt = occs(ref).groupBy(col("bgh"), col("w1h"))
+
+  /** The q102 model as two lazy frames: the hashed bigram count table
+    * (bgh, w1h, c12) and the 1-row vocabulary scalar (v). */
+  def bigramLmModel(docs: DataFrame,
+      refLang: String = "en"): (DataFrame, DataFrame) = {
+    val ref = lmTokenized(docs).filter(col("lang") === refLang)
+    val cnt = lmOccs(ref).groupBy(col("bgh"), col("w1h"))
       .agg(count(lit(1)).as("c12"))
-    val pre = cnt.groupBy(col("w1h")).agg(sum(col("c12")).as("c1"))
     val voc = ref.select(explode(col("ts")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    occs(base)
+    (cnt, voc)
+  }
+
+  /** Persist the q102 reference LM: the bigram count table lands as
+    * `<table>_bigrams` and the vocabulary scalar as `<table>_meta` —
+    * training reads the reference slice exactly once, at write time,
+    * and every later scoring batch joins the STORED tables
+    * ([[scoreUnderLm]]). The same artifact contract as the ANN index
+    * family ([[graft.llm.SimilarityOps.writeTrainedIvfIndex]]): small
+    * immutable model state, re-training is a rebuild. Round12bOpsSpec
+    * pins stored-model scoring ≡ the direct path. */
+  def writeBigramLm(docs: DataFrame, table: String,
+      refLang: String = "en"): Unit = {
+    val spark = docs.sparkSession
+    val (cnt, voc) = bigramLmModel(docs, refLang)
+    graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_bigrams")
+    cnt.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_bigrams")
+    graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_meta")
+    voc.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  /** Score a document batch under a trained (possibly STORED) q102
+    * model — the serving half: prefix totals derive from the count
+    * table (a model-table aggregate, never a reference rescan), the
+    * vocabulary scalar broadcasts in-plan, and the batch is the only
+    * fact-scale input. */
+  def scoreUnderLm(docs: DataFrame, cnt: DataFrame, voc: DataFrame,
+      addK: Double = 0.5, flagNll: Double = 3.5): DataFrame = {
+    val pre = cnt.groupBy(col("w1h")).agg(sum(col("c12")).as("c1"))
+    lmOccs(lmTokenized(docs))
       .join(cnt.select("bgh", "c12"), Seq("bgh"), "left")
       .join(pre, Seq("w1h"), "left")
       .crossJoin(broadcast(voc))
@@ -1065,6 +1101,12 @@ object TextOps {
         round(sum(when(col("nll") > flagNll, 1L).otherwise(0L))
           / count(lit(1)) + lit(1e-9), 4).as("flagged_share"))
       .orderBy("lang")
+  }
+
+  def crossEntropyTransfer(docs: DataFrame, refLang: String = "en",
+      addK: Double = 0.5, flagNll: Double = 3.5): DataFrame = {
+    val (cnt, voc) = bigramLmModel(docs, refLang)
+    scoreUnderLm(docs, cnt, voc, addK, flagNll)
   }
   def crossEntropyTransferSql(refLang: String = "en", addK: Double = 0.5,
       flagNll: Double = 3.5): String =

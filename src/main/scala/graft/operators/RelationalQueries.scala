@@ -544,6 +544,87 @@ object RelationalQueries {
       |WHERE rev > (SELECT sum(rev) FROM byNation) * 0.02
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** q107 — sole-late-supplier audit (the TPC-H Q21 shape over the
+    * available columns: Q21's correlated EXISTS / NOT EXISTS pair
+    * finds suppliers who ALONE held up a multi-supplier order; with no
+    * commit/receipt dates, "late" is shipping > `lateDays` after the
+    * order date). Re-expressed Spark-first WITHOUT correlated
+    * subqueries: one pass collapses lineitem to per-(order, supplier)
+    * late flags, and the per-order supplier/late counts are WINDOWS over
+    * those flags — the qualifying rows are then a pure filter (late ∧
+    * multi-supplier ∧ exactly-one-late). One explicit orderkey
+    * repartition feeds BOTH the flag aggregation (its (orderkey,
+    * suppkey) clustering is subsumed — same-order rows are co-located)
+    * and the windows, so lineitem is scanned once and exchanged once;
+    * a groupBy + self-join formulation measured TWO scans and four fact
+    * exchanges (Spark plans each side of a self-join independently).
+    * Supplier names broadcast at the end.
+    *
+    * The decorrelation matters at 100 TB: Catalyst rewrites correlated
+    * EXISTS into joins, but the NOT EXISTS arm becomes a second
+    * fact-fact anti-join; this formulation never joins the fact table
+    * to itself in any form. */
+  def q107WaitingSupplier(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, lateDays: Int = 60, topN: Int = 20): DataFrame = {
+    val flags = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"), 1)
+        .otherwise(0)).as("late"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    flags
+      .withColumn("ns", count(lit(1)).over(w))
+      .withColumn("nl", sum(col("late")).over(w))
+      .filter(col("late") === 1 && col("ns") > 1 && col("nl") === 1)
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(topN)
+  }
+  def q107Sql(lateDays: Int = 60, topN: Int = 20): String =
+    s"""WITH f AS (
+       |  SELECT l_orderkey, l_suppkey,
+       |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL $lateDays DAY
+       |      THEN 1 ELSE 0 END) AS late
+       |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |o AS (SELECT l_orderkey, count(*) AS ns, sum(late) AS nl
+       |  FROM f GROUP BY 1)
+       |SELECT s_name, count(*) AS numwait
+       |FROM f JOIN o USING (l_orderkey)
+       |JOIN supplier ON s_suppkey = f.l_suppkey
+       |WHERE f.late = 1 AND o.ns > 1 AND o.nl = 1
+       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT $topN"""
+      .stripMargin
+
+  /** q108 — customer order-count distribution (the TPC-H Q13 shape):
+    * how many customers placed 0, 1, 2, … orders — the zero bucket is
+    * the point (it only exists through the LEFT join) and the shape is
+    * the canonical join-fanout histogram: a long zero/low head means
+    * dormant accounts; a fat tail means concentration the per-key
+    * operators (q80 skew audit) should know about. One outer join on
+    * the customer key + two metadata-scale aggregations. */
+  def q108CustOrderDist(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  val q108Sql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q01_scan",
       (s: SparkSession, d: String) => q01Scan(Tables.lineitem(s, d)),
@@ -622,5 +703,13 @@ object RelationalQueries {
       Some(q18Sql)),
     ("q29_supplier_share",
       (s: SparkSession, d: String) => q29SupplierShare(Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d)),
-      Some(q29Sql)))
+      Some(q29Sql)),
+    ("q107_waiting_supplier",
+      (s: SparkSession, d: String) => q107WaitingSupplier(
+        Tables.lineitem(s, d), Tables.orders(s, d), Tables.supplier(s, d)),
+      Some(q107Sql())),
+    ("q108_cust_order_dist",
+      (s: SparkSession, d: String) => q108CustOrderDist(
+        Tables.customer(s, d), Tables.orders(s, d)),
+      Some(q108Sql)))
 }

@@ -203,4 +203,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q97 attribution: one fact exchange serves all three windows") {
+    // the (user_id, conv_ts) windows' clustering requirement is subsumed
+    // by the user_id hash partitioning, so only a sort is inserted; the
+    // second exchange is the |channels|-row rollup
+    val p = finalPlan(graft.operators.JourneyOps
+      .attribution(T.events(spark, sf0001)))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1, p)
+    assert(hashExchanges(p) == 2, p)
+  }
+
+  test("q99 vocab coverage: membership joins broadcast, corpus never shuffles for it") {
+    val p = finalPlan(graft.llm.TextOps
+      .vocabCoverage(T.documents(spark, sf0001)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no sort-merge anywhere: the only hash exchanges are the vocab
+    // count, the per-doc rollup, and the per-source rollup
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q107 waiting supplier: the Q21 EXISTS pair decorrelates — no anti join, one fact scan+exchange") {
+    val p = finalPlan(graft.operators.RelationalQueries.q107WaitingSupplier(
+      T.lineitem(spark, sf0001), T.orders(spark, sf0001),
+      T.supplier(spark, sf0001)))
+    assert(!p.contains("Anti"), p)
+    // ONE lineitem scan; the flag agg and both windows ride the single
+    // explicit orderkey repartition; supplier broadcasts
+    assert("lineitem.parquet".r.findAllIn(p).length == 1, p)
+    assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).length == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q104 mahalanobis: the model broadcasts back; scoring adds no fact shuffle") {
+    val p = finalPlan(graft.llm.SimilarityOps
+      .mahalanobisOutliers(T.embeddings(spark, sf0001)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exchanges: model-fit (label,pos) cells, model rollup by label, and
+    // the final |labels|-row rollup — the em scoring side itself never
+    // hash-shuffles (it streams into the broadcast join)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -203,6 +203,23 @@ class Round12bOpsSpec extends SparkSpec {
     assert(math.abs(out("fr")._2 - 0.6931) < 1e-9, out.toString)
   }
 
+  test("crossEntropyTransfer: stored-model scoring equals the direct path") {
+    val docs = Seq(
+      (1L, "a b a b c a", "en", "s"), (2L, "b a c a", "en", "s"),
+      (3L, "c a b x", "fr", "s"), (4L, "x y z w", "de", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    TextOps.writeBigramLm(docs, "lm_ref")
+    val stored = TextOps.scoreUnderLm(docs,
+      spark.table("lm_ref_bigrams"), spark.table("lm_ref_meta"))
+    val direct = TextOps.crossEntropyTransfer(docs)
+    assert(stored.collect().toSeq == direct.collect().toSeq)
+    // the stored path reads the model from the catalog tables, not a
+    // re-derivation of the reference slice
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("lm_ref_bigrams"),
+      s"stored-model plan must scan the persisted count table:\n$plan")
+  }
+
   // --------------------------------------------------------------- q103
 
   test("segmentedDrift: total shift vs identical halves, per segment") {
@@ -286,6 +303,39 @@ class Round12bOpsSpec extends SparkSpec {
     assert(math.abs(b.getDouble(3) - 0.0) < 1e-9, b.toString)
     assert(b.isNullAt(4), s"no late events → avg lateness is null: $b")
     assert(math.abs(b.getDouble(5) - 0.0) < 1e-9, b.toString)
+  }
+
+  // --------------------------------------------------------------- q107
+
+  test("q107: only the sole late supplier of a multi-supplier order waits") {
+    def ts(day: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(day * 86400L))
+    val orders = Seq((1L, ts(0)), (2L, ts(0)), (3L, ts(0)), (4L, ts(0)))
+      .toDF("o_orderkey", "o_orderdate")
+    val lineitem = Seq(
+      (1L, 1L, ts(100)), (1L, 2L, ts(10)),   // S1 alone late → counts
+      (2L, 1L, ts(100)), (2L, 2L, ts(100)),  // both late → neither counts
+      (3L, 1L, ts(100)),                     // single-supplier → no
+      (4L, 2L, ts(100)), (4L, 3L, ts(10)))   // S2 alone late → counts
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val supplier = Seq((1L, "S1"), (2L, "S2"), (3L, "S3"))
+      .toDF("s_suppkey", "s_name")
+    val out = graft.operators.RelationalQueries
+      .q107WaitingSupplier(lineitem, orders, supplier)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("S1", 1L), ("S2", 1L)), out.toString)
+  }
+
+  // --------------------------------------------------------------- q108
+
+  test("q108: the zero-order bucket exists only through the left join") {
+    val customer = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 1L), (13L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val out = graft.operators.RelationalQueries
+      .q108CustOrderDist(customer, orders)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((0L, 2L), (3L, 1L), (1L, 1L)), out.toString)
   }
 
   test("knnLabelAgreement: clusters smaller than k still score") {
