@@ -87,9 +87,18 @@ object IngestDedupApp {
     * pure function of batch content and fixed reference state, so a WAL
     * replay reaches the same verdict — drift gating commutes with
     * exactly-once. */
+  /** `segment`/`segRef`/`maxSegPsi` arm the SEGMENTED sweep (q103): the
+    * batch is additionally scored per segment against a
+    * [[graft.operators.ProfileOps.segmentedRefCounts]] profile and
+    * quarantined when ANY segment's PSI exceeds the line — the mix-shift
+    * case (one segment drifting up while another drifts down) cancels in
+    * the aggregate divergences and ONLY this arm catches it. */
   case class DriftGate(ref: DataFrame, value: org.apache.spark.sql.Column,
       lo: Double, hi: Double, k: Int, maxPsi: Double = 0.2,
-      maxJs: Option[Double] = None)
+      maxJs: Option[Double] = None,
+      segment: Option[org.apache.spark.sql.Column] = None,
+      segRef: Option[DataFrame] = None,
+      maxSegPsi: Option[Double] = None)
 
   /** Run the deduping consumer over everything currently in the shard
     * fixture. Returns the started query; callers await/stop it.
@@ -132,7 +141,23 @@ object IngestDedupApp {
                 .agg(sum(col("js_term")).as("js")).collect()
                 .headOption.exists(_.getDouble(0) > m)
             }
-            psiTripped || jsTripped
+            def segTripped = (g.segment, g.segRef, g.maxSegPsi) match {
+              case (Some(segc), Some(sref), Some(m)) =>
+                val segCounts = batch
+                  .select(g.value.as("_v"), segc.as("segment"))
+                  .filter(col("_v").isNotNull && col("segment").isNotNull)
+                  .groupBy(col("segment"), graft.operators.ProfileOps
+                    .psiBucket(col("_v"), g.lo, g.hi, g.k).as("bucket"))
+                  .agg(count(lit(1)).as("n_cur"))
+                graft.operators.ProfileOps
+                  .segmentedPsiFromCounts(
+                    sref.join(segCounts, Seq("segment", "bucket"), "full"),
+                    g.k)
+                  .agg(max(col("psi")).as("m")).collect()
+                  .headOption.exists(r => !r.isNullAt(0) && r.getDouble(0) > m)
+              case _ => false
+            }
+            psiTripped || jsTripped || segTripped
           }
         if (rejected)
           batch.select(col("doc_id"), col("text"))

@@ -59,11 +59,14 @@ object Stress {
     // denormalization FD (l_partkey → p_brand) stays true at every factor
     val nItems = replicate("lineitem", Seq("l_orderkey", "l_partkey"))
     val nParts = replicate("part", Seq("p_partkey"))
-    // supplier copies as-is: lineitem keeps its original l_suppkey, so
-    // the supplier dimension must keep its key space (per-supplier
-    // fanout grows with the factor — the realistic dimension model)
-    spark.read.parquet(s"$sfDir/supplier.parquet")
-      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    // metadata dimensions copy as-is: lineitem keeps its original
+    // l_suppkey and customer its c_nationkey, so these key spaces must
+    // not re-key (per-dimension-row fanout grows with the factor — the
+    // realistic dimension model)
+    Seq("supplier", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
 
     println(s"[stress] $nDocs docs, $nVecs vectors, " +
       s"$nEvents events, $nOrders orders, $nCust customers, " +
@@ -103,7 +106,8 @@ object Stress {
       "q101_boilerplate_ngrams", "q102_crossentropy_transfer",
       "q103_segmented_drift", "q104_mahalanobis_outliers",
       "q105_novelty_rate", "q106_disorder_audit",
-      "q107_waiting_supplier", "q108_cust_order_dist")
+      "q107_waiting_supplier", "q108_cust_order_dist",
+      "q109_dormant_customers")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

@@ -602,6 +602,46 @@ object RelationalQueries {
        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT $topN"""
       .stripMargin
 
+  /** q109 — dormant high-balance customers (the TPC-H Q22 shape,
+    * re-cut for a stream of continuing orders: Q22's "no orders ever"
+    * is empty on any live book, so dormancy is "no orders since
+    * `cutoff`"): customers above the positive-balance average with no
+    * recent order, rolled up per nation — the win-back candidate list
+    * with the money on the table. Composition: a broadcast scalar
+    * subquery (the q17 pattern), an anti join whose probe side is
+    * PRE-FILTERED at the orders scan (the date predicate pushes down,
+    * so the anti join sees only the recent slice, not order history),
+    * and a broadcast dimension rollup. */
+  def q109DormantCustomers(customer: DataFrame, orders: DataFrame,
+      nation: DataFrame, cutoff: String = "2000-01-01"): DataFrame = {
+    val avgbal = customer.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("a"))
+    val recent = orders
+      .filter(col("o_orderdate") >= to_timestamp(lit(cutoff)))
+      .select(col("o_custkey"))
+    customer.crossJoin(broadcast(avgbal))
+      .filter(col("c_acctbal") > col("a"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")) + lit(1e-9), 2).as("totacctbal"))
+      .orderBy("n_name")
+  }
+  def q109Sql(cutoff: String = "2000-01-01"): String =
+    s"""WITH avgbal AS (
+       |  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+       |SELECT n_name, count(*) AS numcust,
+       |  round(sum(c_acctbal) + 1e-9, 2) AS totacctbal
+       |FROM customer, avgbal
+       |JOIN nation ON n_nationkey = c_nationkey
+       |WHERE c_acctbal > avgbal.a
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |    WHERE o_custkey = c_custkey
+       |      AND o_orderdate >= TIMESTAMP '$cutoff')
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** q108 — customer order-count distribution (the TPC-H Q13 shape):
     * how many customers placed 0, 1, 2, … orders — the zero bucket is
     * the point (it only exists through the LEFT join) and the shape is
@@ -711,5 +751,9 @@ object RelationalQueries {
     ("q108_cust_order_dist",
       (s: SparkSession, d: String) => q108CustOrderDist(
         Tables.customer(s, d), Tables.orders(s, d)),
-      Some(q108Sql)))
+      Some(q108Sql)),
+    ("q109_dormant_customers",
+      (s: SparkSession, d: String) => q109DormantCustomers(
+        Tables.customer(s, d), Tables.orders(s, d), Tables.nation(s, d)),
+      Some(q109Sql())))
 }

@@ -338,6 +338,26 @@ class Round12bOpsSpec extends SparkSpec {
     assert(out == Seq((0L, 2L), (3L, 1L), (1L, 1L)), out.toString)
   }
 
+  // --------------------------------------------------------------- q109
+
+  test("q109: above-average balance and no RECENT order, per nation") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // positive-balance avg = (150+50+200)/3 ≈ 133.3; above: C1, C3.
+    // C1 ordered recently → excluded; C3's only order predates the
+    // cutoff → dormant; C4's negative balance is outside the average
+    val customer = Seq(
+      (1L, 1, 150.0), (2L, 1, 50.0), (3L, 2, 200.0), (4L, 2, -30.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val orders = Seq(
+      (10L, 1L, ts("2001-05-01")), (11L, 3L, ts("1996-03-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val nation = Seq((1, "N1"), (2, "N2")).toDF("n_nationkey", "n_name")
+    val out = graft.operators.RelationalQueries
+      .q109DormantCustomers(customer, orders, nation)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("N2", 1L, 200.0)), out.mkString(","))
+  }
+
   test("knnLabelAgreement: clusters smaller than k still score") {
     // one two-member cluster: each member's only neighbor is the other
     val em = Seq(

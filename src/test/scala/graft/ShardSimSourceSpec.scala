@@ -461,6 +461,72 @@ class ShardSimSourceSpec extends SparkSpec {
     assert(ids(IngestDedupApp.quarantine(spark, corpusB)) == (11L to 20L).toSet)
   }
 
+  test("segment-gated ingest: mix shift invisible to the aggregate gate quarantines") {
+    // the q103 value proposition end-to-end: batch 2 swaps the two
+    // segments' length distributions (evens go long, odds go short), so
+    // the AGGREGATE length distribution is identical to the reference —
+    // PSI ≈ 0, the plain gate admits it — while either segment alone
+    // has drifted completely and the segmented arm quarantines it
+    import graft.app.IngestDedupApp
+    import graft.operators.ProfileOps
+    import spark.implicits._
+    def text(ns: Long): String = (0 until 12).map(t => s"w${ns}t$t").mkString(" ")
+    def longText(ns: Long): String =
+      (0 until 12).map(t => s"w${ns}t$t" + "x" * 40).mkString(" ")
+    def clean(i: Long) = if (i % 2 == 0) text(i) else longText(i)
+    def swapped(i: Long) = if (i % 2 == 0) longText(i) else text(i)
+    val rows = ((1L to 10L).map(i => i -> clean(i)) ++
+      (11L to 20L).map(i => i -> swapped(i)) ++
+      (21L to 30L).map(i => i -> clean(i)))
+      .zipWithIndex.map { case ((id, txt), i) =>
+        (s"d$id", 1700000000000000L + i, s"""{"doc_id":$id,"text":"$txt"}""")
+      }
+    val (lo, hi, k) = (0.0, 400.0, 2)
+    // aggregate reference: the clean mix (5 short + 5 long)
+    val ref = ProfileOps.refBucketCounts(
+      (1L to 10L).map(i => clean(i).length.toDouble).toDF("len"),
+      "len", lo, hi, k)
+    // per-segment reference: evens short, odds long
+    val segRef = ProfileOps.segmentedRefCounts(
+      (1L to 10L).map(i => (clean(i).length.toDouble, (i % 2).toString))
+        .toDF("len", "seg"), "len", "seg", lo, hi, k)
+    val lenCol = org.apache.spark.sql.functions.length(
+      org.apache.spark.sql.functions.col("text")).cast("double")
+    val segCol = (org.apache.spark.sql.functions.col("doc_id") % 2)
+      .cast("string")
+    def freshFixture(): String = {
+      val dir = Files.createTempDirectory("ingseg_fixture").toString
+      ShardSimFixture.writeShard(dir, 0, rows)
+      dir
+    }
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+
+    // the aggregate gate at the canonical 0.2 line ADMITS the mix shift
+    val corpusA = Files.createTempDirectory("ingseg_corpusA").toString
+    IngestDedupApp.run(spark, freshFixture(), corpusA,
+        Files.createTempDirectory("ingseg_ckptA").toString,
+        maxRecordsPerBatch = Some(10L),
+        driftGate = Some(IngestDedupApp.DriftGate(ref, lenCol, lo, hi, k)))
+      .awaitTermination()
+    assert(ids(IngestDedupApp.corpus(spark, corpusA)) == (1L to 30L).toSet,
+      "aggregate PSI cancels across segments — the plain gate must admit")
+
+    // the segmented arm catches exactly that batch
+    val corpusB = Files.createTempDirectory("ingseg_corpusB").toString
+    IngestDedupApp.run(spark, freshFixture(), corpusB,
+        Files.createTempDirectory("ingseg_ckptB").toString,
+        maxRecordsPerBatch = Some(10L),
+        driftGate = Some(IngestDedupApp.DriftGate(ref, lenCol, lo, hi, k,
+          maxPsi = 1e9, segment = Some(segCol), segRef = Some(segRef),
+          maxSegPsi = Some(0.5))))
+      .awaitTermination()
+    assert(ids(IngestDedupApp.corpus(spark, corpusB)) ==
+      ((1L to 10L) ++ (21L to 30L)).toSet)
+    assert(ids(IngestDedupApp.quarantine(spark, corpusB)) == (11L to 20L).toSet,
+      "the segmented arm must quarantine the mix-shifted batch")
+  }
+
   test("constraint-gated ingest: a poisoned batch quarantines whole; replay converges") {
     // Q40 fused into the exactly-once loop: the gate runs per micro-batch
     // before dedup admission; a failing batch is routed to quarantine and
