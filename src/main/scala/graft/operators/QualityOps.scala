@@ -429,6 +429,67 @@ object QualityOps {
       |ORDER BY fd""".stripMargin
 
   type QFn = (SparkSession, String) => DataFrame
+  /** q110 — k-anonymity / l-diversity audit (Sweeney '02; Machanavajjhala
+    * '07): group the table by its quasi-identifier columns and report
+    * re-identification exposure in ONE row — groups below `k` members
+    * (each such row is pin-pointable by its QI combination), the rows
+    * they contain, and groups whose sensitive attribute shows fewer than
+    * `l` distinct values (everyone in the group shares the secret even
+    * when the group is large). The release gate a training-data pipeline
+    * runs BESIDE q33 redaction: redaction strips direct identifiers;
+    * this measures what the remaining quasi-identifiers still leak.
+    * NULL QI values form their own group (both engines' GROUP BY
+    * semantics); NULL sensitive values don't count toward diversity.
+    *
+    * Scale shape: one hash aggregate on the QI key (count + distinct
+    * partials collapse map-side) and a one-row rollup — nothing else
+    * touches the fact table. */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
+      sensitive: Column, k: Int = 5, l: Int = 3): DataFrame = {
+    require(qiCols.nonEmpty, "k-anonymity needs at least one QI column")
+    val groups = df
+      .groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("sz"),
+        count_distinct(sensitive).as("ndist"))
+    groups.agg(
+      sum(col("sz")).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      min(col("sz")).as("min_group_size"),
+      sum(when(col("sz") < k, 1L).otherwise(0L)).as("groups_below_k"),
+      sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("rows_at_risk"),
+      round(sum(when(col("sz") < k, col("sz")).otherwise(0L))
+        / sum(col("sz")) + lit(1e-9), 4).as("risk_share"),
+      sum(when(col("ndist") < l, 1L).otherwise(0L))
+        .as("groups_low_diversity"),
+      round(avg(col("ndist")) + lit(1e-9), 4).as("avg_diversity"))
+  }
+
+  /** q110 registry entry: the customer dimension under its releasable
+    * quasi-identifiers (nation, market segment), account balance coarsed
+    * to the thousand as the sensitive attribute. */
+  def customerKAnonymity(customer: DataFrame): DataFrame =
+    kAnonymityAudit(customer, Seq("c_nationkey", "c_mktsegment"),
+      floor(col("c_acctbal") / 1000).cast("long"))
+
+  val q110KAnonymitySql: String =
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS sz,
+      |    count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS ndist
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+      |  count(*) AS n_groups,
+      |  CAST(min(sz) AS BIGINT) AS min_group_size,
+      |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS groups_below_k,
+      |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+      |    AS rows_at_risk,
+      |  round(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+      |    / sum(sz) + 1e-9, 4) AS risk_share,
+      |  CAST(sum(CASE WHEN ndist < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS groups_low_diversity,
+      |  round(avg(ndist) + 1e-9, 4) AS avg_diversity
+      |FROM g""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q40_constraints",
       (s: SparkSession, d: String) =>
@@ -446,5 +507,8 @@ object QualityOps {
     ("q88_fd_audit",
       (s: SparkSession, d: String) =>
         lineitemFdAudit(Tables.lineitem(s, d), Tables.part(s, d)),
-      Some(q88FdAuditSql)))
+      Some(q88FdAuditSql)),
+    ("q110_kanonymity",
+      (s: SparkSession, d: String) => customerKAnonymity(Tables.customer(s, d)),
+      Some(q110KAnonymitySql)))
 }

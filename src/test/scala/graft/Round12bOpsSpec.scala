@@ -358,6 +358,103 @@ class Round12bOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("N2", 1L, 200.0)), out.mkString(","))
   }
 
+  // --------------------------------------------------------------- q110
+
+  test("kAnonymityAudit: small groups and low-diversity groups both flag") {
+    val df = Seq(
+      ("A", Some(1)), ("A", Some(1)), ("A", Some(2)),
+      ("A", Some(2)), ("A", Some(3)), ("A", Some(3)),
+      ("B", Some(5)), ("B", Some(5)),           // sz 2 < k; ndist 1 < l
+      ("C", Some(1)), ("C", Some(2)), ("C", Some(3)),
+      ("C", Some(4)), ("C", None))              // null sensitive: no vote
+      .toDF("g", "s")
+    val r = graft.operators.QualityOps.kAnonymityAudit(df, Seq("g"), col("s"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((13L, 3L, 2L)),
+      r.toString)
+    assert((r.getLong(3), r.getLong(4)) == ((1L, 2L)), r.toString)
+    assert(math.abs(r.getDouble(5) - 0.1538) < 1e-9, r.toString)
+    assert(r.getLong(6) == 1L, r.toString)
+    // diversities 3, 1, 4 → mean 8/3
+    assert(math.abs(r.getDouble(7) - 2.6667) < 1e-9, r.toString)
+  }
+
+  // ----------------------------------------------- adversarial batches
+
+  test("disorderAudit: bucket-count invariance + in-memory reference on shuffled data") {
+    // the distributed prefix-max patch must give THE answer, not an
+    // answer-per-partitioning: any bucket count, including the
+    // degenerate single bucket, agrees with a sequential reference
+    val rnd = new scala.util.Random(7)
+    val events = (1L to 300L).map { id =>
+      (id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        rnd.nextInt(600000).toLong)), s"t${id % 3}")
+    }
+    val df = events.toDF("event_id", "ts", "event_type")
+    def run(buckets: Int) = graft.operators.StatsOps
+      .disorderAudit(df, buckets).collect().toSeq
+    val canonical = run(32)
+    assert(run(1) == canonical, "single-bucket degenerate case diverged")
+    assert(run(7) == canonical, "odd bucket count diverged")
+
+    // sequential reference: running max over arrival order
+    def r2(x: Double) = BigDecimal(x + 1e-9)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var mx = Long.MinValue
+    val late = events.sortBy(_._1).map { case (_, ts, tp) =>
+      val us = ts.toInstant.getEpochSecond * 1000000L
+      val l = if (mx > us) mx - us else 0L
+      mx = math.max(mx, us)
+      tp -> l
+    }
+    val expected = late.groupBy(_._1).map { case (tp, xs) =>
+      val ls = xs.map(_._2)
+      val lateOnly = ls.filter(_ > 0)
+      tp -> (ls.size.toLong, lateOnly.size.toLong,
+        r4(lateOnly.size.toDouble / ls.size),
+        if (lateOnly.isEmpty) null
+        else r2(lateOnly.map(_ / 1e6).sum / lateOnly.size): Any,
+        r2(ls.max / 1e6))
+    }
+    val got = canonical.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3),
+        (if (r.isNullAt(4)) null else r.getDouble(4)): Any,
+        r.getDouble(5))).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("attribution: credit conservation on a random journey batch") {
+    // every conversion with >= 1 in-window touch hands out exactly one
+    // first-touch, one last-touch, and a linear total of 1.0 — summed
+    // over channels these must agree with each other
+    val rnd = new scala.util.Random(11)
+    val events = (1L to 400L).map { id =>
+      val tp = rnd.nextInt(10) match {
+        case 0 | 1 => "purchase"
+        case 2 | 3 | 4 => "view"
+        case _ => "click"
+      }
+      (id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        rnd.nextInt(500000).toLong)), (id % 17) + 1L, tp)
+    }
+    val out = graft.operators.JourneyOps
+      .attribution(events.toDF("event_id", "ts", "user_id", "event_type"))
+      .collect()
+    val first = out.map(_.getLong(2)).sum
+    val last = out.map(_.getLong(3)).sum
+    val linear = out.map(_.getDouble(4)).sum
+    assert(first == last, s"first $first != last $last")
+    assert(first > 0, "fixture must produce conversions with touches")
+    assert(math.abs(linear - first) < 1e-3 * out.length,
+      s"linear credit $linear must sum to the conversion count $first")
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(1),
+        r.toString)
+    }
+  }
+
   test("knnLabelAgreement: clusters smaller than k still score") {
     // one two-member cluster: each member's only neighbor is the other
     val em = Seq(
