@@ -628,6 +628,66 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("segmented PSI running counts survive a stop/restart from checkpoint") {
+    import spark.implicits._
+    import graft.operators.ProfileOps
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val inDir = Files.createTempDirectory("segpsi_in").toString
+      val ckpt = Files.createTempDirectory("segpsi_ckpt").toString
+      val outDir = Files.createTempDirectory("segpsi_out").toString
+      val (lo, hi, k) = (0.0, 100.0, 5)
+      def writeChunk(evs: Seq[Ev], file: String): Unit =
+        evs.toDF().coalesce(1).write.mode("overwrite").parquet(s"$inDir/$file")
+      def startQuery() = {
+        val in = spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+          .parquet(s"$inDir/*")
+        StreamQueries.segmentedPsiCountsStream(in, "value", "event_type",
+            lo, hi, k).toDF()
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            df.write.mode("append").parquet(outDir): Unit
+          }
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .start()
+      }
+      // both segments drift mid-stream; the running counts must pick up
+      // phase-1 state after the restart, not restart from zero
+      val all = (0 until 120).map { i =>
+        Ev(i, tsOf(i), i % 5, if (i % 2 == 0) "view" else "click",
+          ((i * 7) % 100).toDouble)
+      }
+      writeChunk(all.take(60), "part1")
+      val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+      writeChunk(all.drop(60), "part2")
+      val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("segment", "bucket").orderBy(col("n_cur").desc)
+      val streamCounts = spark.read.parquet(outDir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("segment"), col("bucket"), col("n_cur"))
+      // the final running counts must equal a batch bucketing of the
+      // WHOLE stream — i.e. the restart resumed phase-1 counts
+      val batchCounts = all.toDF()
+        .select(col("event_type").as("segment"),
+          ProfileOps.psiBucket(col("value"), lo, hi, k).as("bucket"))
+        .groupBy("segment", "bucket").agg(count(lit(1)).as("n_cur"))
+      assert(streamCounts.orderBy("segment", "bucket").collect().toSeq ==
+        batchCounts.orderBy("segment", "bucket").collect().toSeq,
+        "restarted monitor must carry phase-1 counts forward")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming CDC materialization (transformWithState, RocksDB) equals batch q36") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
