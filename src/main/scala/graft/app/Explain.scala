@@ -90,7 +90,8 @@ object Explain {
     "q107_waiting_supplier" -> "Q21 shape decorrelated: per-(order,supplier) late flags + per-order counts on ONE orderkey exchange; no fact-fact anti-join",
     "q108_cust_order_dist"  -> "Q13 shape: one outer key join; the zero bucket exists only through it; two metadata-scale aggs",
     "q109_dormant_customers" -> "Q22 shape: broadcast scalar subquery + anti join against the scan-filtered recent slice + broadcast dim rollup",
-    "q110_kanonymity"       -> "k-anonymity/l-diversity: ONE QI-key hash aggregate (count + distinct partials map-side) + a one-row rollup")
+    "q110_kanonymity"       -> "k-anonymity/l-diversity: ONE QI-key hash aggregate (count + distinct partials map-side) + a one-row rollup",
+    "q111_session_stats"    -> "entry-channel quality: sessionize + per-session rollup on ONE user-key exchange; |types|-row final rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -692,6 +692,68 @@ object JourneyOps {
        |  round(sum(1.0 / sz) + 1e-9, 4) AS linear_credit
        |FROM r GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** q111 — session entry-point quality: per ENTRY event type (the
+    * session's first event — the "landing channel"), session volume,
+    * bounce rate (single-event sessions), mean session depth, and mean
+    * dwell (first→last event seconds). The standard web-analytics read
+    * on the q20b sessionization: an entry channel with a high bounce
+    * rate buys traffic that leaves immediately; one with long dwell and
+    * depth seeds real journeys — read beside q97 attribution (which
+    * credits the END of a journey; this scores how journeys START).
+    *
+    * Scale shape: rides the sessionized() user-key exchange; the
+    * per-session rollup (count + min/max ts + min_by entry) groups on
+    * (user_id, sid), whose clustering the user_id partitioning subsumes
+    * — ONE fact exchange, then a ≤|types|-row rollup. min_by on the
+    * (ts, event_id) struct picks the entry event deterministically
+    * (unique tuple), mirrored by DuckDB's min_by over the same tuple. */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionized(events, gapMinutes)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("event_type"), struct(col("ts"), col("event_id")))
+          .as("entry_type"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          / lit(1e6)).as("dwell_s"))
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          / count(lit(1)) + lit(1e-9), 4).as("bounce_rate"),
+        round(avg(col("n_events")) + lit(1e-9), 2).as("avg_depth"),
+        round(avg(col("dwell_s")) + lit(1e-9), 1).as("avg_dwell_s"))
+      .orderBy("entry_type")
+  val q111SessionStatsSql: String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM x),
+      |agg AS (
+      |  SELECT user_id, sid, count(*) AS n_events,
+      |    (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS dwell_s
+      |  FROM y GROUP BY user_id, sid),
+      |e AS (
+      |  SELECT user_id, sid, event_type AS entry_type FROM (
+      |    SELECT user_id, sid, event_type,
+      |      row_number() OVER (PARTITION BY user_id, sid
+      |        ORDER BY ts, event_id) AS rn
+      |    FROM y) WHERE rn = 1),
+      |s AS (SELECT agg.n_events, e.entry_type, agg.dwell_s
+      |  FROM agg JOIN e USING (user_id, sid))
+      |SELECT entry_type, count(*) AS n_sessions,
+      |  round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+      |    / count(*) + 1e-9, 4) AS bounce_rate,
+      |  round(avg(n_events) + 1e-9, 2) AS avg_depth,
+      |  round(avg(dwell_s) + 1e-9, 1) AS avg_dwell_s
+      |FROM s GROUP BY entry_type ORDER BY entry_type""".stripMargin
+
   private def onEvents(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.events(s, d))
 
@@ -709,5 +771,7 @@ object JourneyOps {
     ("q81_session_paths", onEvents(sessionPaths(_)), Some(q81PathsSql())),
     ("q85_basket_triples", onEvents(basketTriples(_)), Some(q85TriplesSql)),
     ("q97_attribution", onEvents(attribution(_)),
-      Some(q97AttributionSql())))
+      Some(q97AttributionSql())),
+    ("q111_session_stats", onEvents(sessionStats(_)),
+      Some(q111SessionStatsSql)))
 }

@@ -379,6 +379,25 @@ class Round12bOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(7) - 2.6667) < 1e-9, r.toString)
   }
 
+  // --------------------------------------------------------------- q111
+
+  test("sessionStats: entry channel, bounce, depth, dwell") {
+    def ts(min: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(min * 60))
+    val events = Seq(
+      (1L, ts(0), 1L, "view"),    // u1 s1: view → click (dwell 600 s)
+      (2L, ts(10), 1L, "click"),
+      (3L, ts(60), 1L, "click"),  // u1 s2: bounce (gap ≥ 30 min)
+      (4L, ts(0), 2L, "view"))    // u2 s1: bounce
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.JourneyOps.sessionStats(events)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out("view") == ((2L, 0.5, 1.5, 300.0)), out.toString)
+    assert(out("click") == ((1L, 1.0, 1.0, 0.0)), out.toString)
+  }
+
   // ----------------------------------------------- adversarial batches
 
   test("disorderAudit: bucket-count invariance + in-memory reference on shuffled data") {
