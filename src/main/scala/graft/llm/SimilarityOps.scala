@@ -468,6 +468,48 @@ object SimilarityOps {
       table, nBuckets, "cid", Seq("cid"))
   }
 
+  /** Tombstone a set of vectors out of a trained IVF index: ids append
+    * to the `<table>_deletes` side table; nothing in the cid-bucketed
+    * index rewrites. [[liveTrainedIvfIndex]] serves the index with the
+    * tombstones anti-joined out (they are metadata-scale and broadcast),
+    * and [[compactTrainedIvfIndex]] folds them in when their share
+    * justifies the rewrite — the LSM-style delete contract every
+    * immutable-layout store uses: deletes are O(|deletes|) appends at
+    * write time, one broadcast anti-join at read time, and reclaimed in
+    * bulk, never via in-place bucket surgery. Deletes do NOT retrain
+    * the model (same immutability contract as append — re-clustering is
+    * a rebuild). AnnIndexSpec pins delete-then-query ≡ a same-model
+    * index built without the vectors, before AND after compaction. */
+  def deleteFromTrainedIvfIndex(spark: SparkSession, table: String,
+      ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    val df = ids.toDF("vec_id")
+    if (spark.catalog.tableExists(s"${table}_deletes"))
+      df.write.mode("append").format("parquet")
+        .saveAsTable(s"${table}_deletes")
+    else df.write.format("parquet").saveAsTable(s"${table}_deletes")
+  }
+
+  /** The live view of a trained IVF index under its tombstones. */
+  def liveTrainedIvfIndex(spark: SparkSession, table: String): DataFrame = {
+    val idx = spark.table(table)
+    if (spark.catalog.tableExists(s"${table}_deletes"))
+      idx.join(broadcast(spark.table(s"${table}_deletes").distinct()),
+        Seq("vec_id"), "left_anti")
+    else idx
+  }
+
+  /** Fold tombstones into the layout: rewrite the cid-bucketed table
+    * from the live view (assignments and model are untouched — rows only
+    * leave) and drop the tombstone table. */
+  def compactTrainedIvfIndex(spark: SparkSession, table: String,
+      nBuckets: Int = 8): Unit = {
+    val live = liveTrainedIvfIndex(spark, table).localCheckpoint()
+    graft.sources.FileIO.writeParquetBucketed(
+      live, table, nBuckets, "cid", Seq("cid"))
+    graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_deletes")
+  }
+
   /** [[knnIvfIndexed]] for a trained index: identical probe shape, but
     * centroids come from the model table rather than id-filtered corpus
     * rows. Probes broadcast; the corpus side streams unshuffled. */

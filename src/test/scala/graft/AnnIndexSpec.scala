@@ -91,6 +91,38 @@ class AnnIndexSpec extends SparkSpec {
       s"trained-IVF probe plan shuffles the corpus:\n$plan")
   }
 
+  test("trained IVF index: tombstone deletes serve correctly and compact away") {
+    val em = Tables.embeddings(spark, sf0001)
+    import org.apache.spark.sql.functions.col
+    SimilarityOps.writeTrainedIvfIndex(em, "ann_tivf_del", nBuckets = 8)
+    val model = spark.table("ann_tivf_del_model")
+    // delete two non-query, non-seed vectors that DO appear in some
+    // query's top-k under the full index — the probe answers must change
+    val gone = Seq(1L, 2L)
+    SimilarityOps.deleteFromTrainedIvfIndex(spark, "ann_tivf_del", gone)
+    val served = SimilarityOps.knnIvfTrained(
+      SimilarityOps.liveTrainedIvfIndex(spark, "ann_tivf_del"), model)
+    // reference: the same STORED model over the corpus minus the ids
+    // (deletes never retrain — the append contract's mirror)
+    val direct = SimilarityOps.knnIvfTrained(
+      SimilarityOps.assignUnderModel(
+        em.filter(!col("vec_id").isin(gone: _*)), model), model)
+    assert(served.collect().toSeq == direct.collect().toSeq)
+    served.collect().foreach(r =>
+      assert(!gone.contains(r.getLong(2)), s"deleted id served: $r"))
+
+    // compaction folds the tombstones into the layout and drops them;
+    // the served answers must not move
+    SimilarityOps.compactTrainedIvfIndex(spark, "ann_tivf_del", nBuckets = 8)
+    assert(!spark.catalog.tableExists("ann_tivf_del_deletes"),
+      "compaction must drop the tombstone table")
+    val afterCompact = SimilarityOps.knnIvfTrained(
+      SimilarityOps.liveTrainedIvfIndex(spark, "ann_tivf_del"), model)
+    assert(afterCompact.collect().toSeq == direct.collect().toSeq)
+    // and the compacted layout is still the bucketed catalog table
+    assert(spark.table("ann_tivf_del").count() == em.count() - gone.size)
+  }
+
   test("semanticDedup: within-cluster near-dups found, cross-cluster blocked") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
