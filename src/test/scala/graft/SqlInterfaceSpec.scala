@@ -106,4 +106,39 @@ class SqlInterfaceSpec extends SparkSpec {
     // the SQL-text route gets the same map-side rank-limit pruning
     assert(sql.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
+
+  test("Q13/Q21-shape SQL matches the q108/q107 DataFrame operators") {
+    registerViews()
+    val q13 = spark.sql(
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+    val api13 = graft.operators.RelationalQueries.q108CustOrderDist(
+      graft.core.Tables.customer(spark, sf0001),
+      graft.core.Tables.orders(spark, sf0001))
+    assert(q13.collect().toSeq == api13.collect().toSeq)
+
+    val q21 = spark.sql(
+      """WITH f AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAYS
+        |      THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |w AS (SELECT l_orderkey, l_suppkey, late,
+        |    count(*) OVER (PARTITION BY l_orderkey) AS ns,
+        |    sum(late) OVER (PARTITION BY l_orderkey) AS nl
+        |  FROM f)
+        |SELECT s_name, count(*) AS numwait
+        |FROM w JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE late = 1 AND ns > 1 AND nl = 1
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
+    val api21 = graft.operators.RelationalQueries.q107WaitingSupplier(
+      graft.core.Tables.lineitem(spark, sf0001),
+      graft.core.Tables.orders(spark, sf0001),
+      graft.core.Tables.supplier(spark, sf0001))
+    assert(q21.collect().toSeq == api21.collect().toSeq)
+  }
 }
