@@ -91,7 +91,8 @@ object Explain {
     "q108_cust_order_dist"  -> "Q13 shape: one outer key join; the zero bucket exists only through it; two metadata-scale aggs",
     "q109_dormant_customers" -> "Q22 shape: broadcast scalar subquery + anti join against the scan-filtered recent slice + broadcast dim rollup",
     "q110_kanonymity"       -> "k-anonymity/l-diversity: ONE QI-key hash aggregate (count + distinct partials map-side) + a one-row rollup",
-    "q111_session_stats"    -> "entry-channel quality: sessionize + per-session rollup on ONE user-key exchange; |types|-row final rollup")
+    "q111_session_stats"    -> "entry-channel quality: sessionize + per-session rollup on ONE user-key exchange; |types|-row final rollup",
+    "q112_lang_confusion"   -> "lang confusion: one expression-only scan to a |langs|^2 frame; share window on the frame, not the corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

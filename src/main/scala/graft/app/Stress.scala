@@ -107,7 +107,8 @@ object Stress {
       "q103_segmented_drift", "q104_mahalanobis_outliers",
       "q105_novelty_rate", "q106_disorder_audit",
       "q107_waiting_supplier", "q108_cust_order_dist",
-      "q109_dormant_customers", "q110_kanonymity", "q111_session_stats")
+      "q109_dormant_customers", "q110_kanonymity", "q111_session_stats",
+      "q112_lang_confusion")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

@@ -119,21 +119,25 @@ object TextOps {
     "es" -> Seq("el", "la", "de", "que", "los", "una"),
     "fr" -> Seq("le", "la", "et", "les", "des", "est"))
 
-  def langId(docs: DataFrame): DataFrame = {
+  /** The marker-list language prediction over `text` — shared by the
+    * q25 distribution and the q112 confusion matrix. foldRight gives
+    * de > en > es > fr priority on ties (alphabetical). */
+  private def predLangCol: Column = {
     val toks = Text.tokens(col("text"))
     val scores = markers.map { case (lg, ws) =>
       lg -> size(array_intersect(toks, array(ws.map(lit): _*)))
     }
     val best = greatest(scores.map(_._2): _*)
-    val pred = scores.foldRight(lit("und")) { case ((lg, sc), acc) =>
+    scores.foldRight(lit("und")) { case ((lg, sc), acc) =>
       when(sc === best && best > 0, lg).otherwise(acc)
     }
-    // foldRight gives de > en > es > fr priority on ties (alphabetical).
+  }
+
+  def langId(docs: DataFrame): DataFrame =
     Tables.fanout(docs)
-      .select(pred.as("pred_lang"))
+      .select(predLangCol.as("pred_lang"))
       .groupBy("pred_lang").agg(count(lit(1)).as("n"))
       .orderBy("pred_lang")
-  }
   val langIdSql: String = {
     val toks = Text.tokensSql("text")
     val scoreSql = markers.map { case (lg, ws) =>
@@ -148,6 +152,47 @@ object TextOps {
        |p AS (SELECT CASE $caseSql ELSE 'und' END AS pred_lang FROM b)
        |SELECT pred_lang, count(*) AS n FROM p
        |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
+  }
+
+  /** q112 — language confusion matrix: the claimed `lang` column crossed
+    * with the marker-list predictor ([[predLangCol]] — the q25_lang_id
+    * heuristic), with per-claimed-lang shares. The metadata-trust audit
+    * every multilingual corpus needs before routing on its own `lang`
+    * tags: a row like (lang=fr, pred=en, share=0.4) means either the
+    * tagger or the corpus is lying, and the language-conditioned
+    * operators downstream (q25 source caps, q102 reference slices)
+    * inherit whichever it is. Diagonal mass = agreement; `und` columns =
+    * texts the marker lists cannot place (short/ambiguous docs).
+    *
+    * Scale shape: one expression-only scan to a ≤|langs|²-row frame; the
+    * share window runs on that frame, not the corpus. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+    Tables.fanout(docs)
+      .select(col("lang"), predLangCol.as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n") / sum(col("n")).over(w) + lit(1e-9), 4))
+      .orderBy("lang", "pred_lang")
+  }
+  val langConfusionSql: String = {
+    val toks = Text.tokensSql("text")
+    val scoreSql = markers.map { case (lg, ws) =>
+      s"len(list_intersect($toks, ${ws.map(w => s"'$w'").mkString("[", ", ", "]")})) AS s_$lg"
+    }.mkString(", ")
+    val caseSql = markers.map { case (lg, _) =>
+      s"WHEN s_$lg = best AND best > 0 THEN '$lg'"
+    }.mkString(" ")
+    s"""WITH sc AS (SELECT doc_id, lang, $scoreSql FROM documents),
+       |b AS (SELECT doc_id, lang, s_de, s_en, s_es, s_fr,
+       |  greatest(s_de, s_en, s_es, s_fr) AS best FROM sc),
+       |p AS (SELECT lang, CASE $caseSql ELSE 'und' END AS pred_lang
+       |  FROM b),
+       |g AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
+       |SELECT lang, pred_lang, n,
+       |  round(n / (sum(n) OVER (PARTITION BY lang)) + 1e-9, 4) AS share
+       |FROM g ORDER BY lang, pred_lang""".stripMargin
   }
 
   /** q25g — normalized-content fingerprint (md5 of canonical token join):
@@ -1165,6 +1210,7 @@ object TextOps {
       Some(vocabCoverageSql())),
     ("q101_boilerplate_ngrams", onDocs(boilerplateNgrams(_)),
       Some(boilerplateNgramsSql())),
+    ("q112_lang_confusion", onDocs(langConfusion), Some(langConfusionSql)),
     ("q102_crossentropy_transfer", onDocs(crossEntropyTransfer(_)),
       Some(crossEntropyTransferSql())))
 }

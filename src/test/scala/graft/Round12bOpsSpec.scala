@@ -398,6 +398,24 @@ class Round12bOpsSpec extends SparkSpec {
     assert(out("click") == ((1L, 1.0, 1.0, 0.0)), out.toString)
   }
 
+  // --------------------------------------------------------------- q112
+
+  test("langConfusion: claimed lang crossed with the marker predictor") {
+    val docs = Seq(
+      (1L, "the cat is black and white", "en", "s"), // en → en
+      (2L, "the dog was that good", "en", "s"),      // en → en
+      (3L, "the final report", "fr", "s"),           // fr claimed, en text
+      (4L, "zzz qqq xxx", "de", "s"))                // no markers → und
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.llm.TextOps.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("en", "en")) == ((2L, 1.0)), out.toString)
+    assert(out(("fr", "en")) == ((1L, 1.0)), out.toString)
+    assert(out(("de", "und")) == ((1L, 1.0)), out.toString)
+    assert(out.size == 3, out.toString)
+  }
+
   // ----------------------------------------------- adversarial batches
 
   test("disorderAudit: bucket-count invariance + in-memory reference on shuffled data") {
