@@ -810,12 +810,33 @@ object DedupOps {
     * against the oriented closing edge counts it exactly once. Wedge
     * totals come from the degree table alone — no join. The oracle counts
     * the same triangles by the plain i<j<k 3-way join (id order is
-    * DuckDB-friendly; both formulations count each triangle once). */
+    * DuckDB-friendly; both formulations count each triangle once).
+    *
+    * `maxDegree` is the q92-class production cap: vertices above it are
+    * excluded from the census entirely (edges, wedges, AND triangles —
+    * a consistent subgraph, not a mixed count), because one
+    * boilerplate-family hub of degree d contributes O(d²) wedges and
+    * O(d³) clique triangles no matter how the join is oriented — the
+    * 100× stress fixture (every doc in a 100-way clique) measured
+    * exactly that cubic blowup. Capped vertices are reported
+    * (`n_capped`), never silently dropped; the default is far above any
+    * organic dup degree. */
   def dupTriangles(docs: DataFrame, threshold: Double = JaccardThreshold,
-      k: Int = K, dfCap: Int = DefaultDfCap): DataFrame = {
+      k: Int = K, dfCap: Int = DefaultDfCap,
+      maxDegree: Int = 10000): DataFrame = {
     val np = jaccardPairs(docs, k, dfCap)
       .filter(col("jac") >= threshold).select("d1", "d2")
-    val pairs = graft.core.CacheOnce.swap("dup-tri-pairs", np)
+    val rawPairs = graft.core.CacheOnce.swap("dup-tri-pairs", np)
+    val rawDeg = rawPairs.select(col("d1").as("v"))
+      .unionByName(rawPairs.select(col("d2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val hot = rawDeg.filter(col("deg") > maxDegree).select("v")
+    val nCapped = hot.agg(count(lit(1)).as("n_capped"))
+    // the census runs on the consistent sub-graph EXCLUDING hub
+    // vertices: their edges leave with them, so degrees re-derive
+    val pairs = rawPairs
+      .join(hot.withColumnRenamed("v", "d1"), Seq("d1"), "left_anti")
+      .join(hot.withColumnRenamed("v", "d2"), Seq("d2"), "left_anti")
     val deg = pairs.select(col("d1").as("v"))
       .unionByName(pairs.select(col("d2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -848,17 +869,26 @@ object DedupOps {
         .cast("long").as("n_wedges"))
     val edges = pairs.agg(count(lit(1)).as("n_edges"))
     edges.crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
+      .crossJoin(broadcast(nCapped))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         round(lit(3.0) * col("n_triangles")
           / greatest(col("n_wedges"), lit(1L)) + lit(1e-9), 4)
-          .as("global_cc"))
+          .as("global_cc"),
+        col("n_capped"))
   }
 
-  val dupTrianglesSql: String =
+  def dupTrianglesSql(maxDegree: Int = 10000): String =
     s"""WITH ${pairsCte(capped = true)},
-       |e AS MATERIALIZED (SELECT d1, d2 FROM pairs
+       |e0 AS MATERIALIZED (SELECT d1, d2 FROM pairs
        |  WHERE inter / (n1 + n2 - inter) >= $JaccardThreshold),
+       |rdeg AS (SELECT v, count(*) AS deg FROM (
+       |    SELECT d1 AS v FROM e0 UNION ALL SELECT d2 FROM e0)
+       |  GROUP BY v),
+       |hot AS (SELECT v FROM rdeg WHERE deg > $maxDegree),
+       |e AS MATERIALIZED (SELECT d1, d2 FROM e0
+       |  WHERE d1 NOT IN (SELECT v FROM hot)
+       |    AND d2 NOT IN (SELECT v FROM hot)),
        |deg AS (SELECT v, count(*) AS deg FROM (
        |    SELECT d1 AS v FROM e UNION ALL SELECT d2 FROM e)
        |  GROUP BY v),
@@ -873,8 +903,8 @@ object DedupOps {
        |  (SELECT n_wedges FROM w) AS n_wedges,
        |  (SELECT t FROM tri) AS n_triangles,
        |  round(3.0 * (SELECT t FROM tri)
-       |    / greatest((SELECT n_wedges FROM w), 1) + 1e-9, 4) AS global_cc"""
-      .stripMargin
+       |    / greatest((SELECT n_wedges FROM w), 1) + 1e-9, 4) AS global_cc,
+       |  (SELECT count(*) FROM hot) AS n_capped""".stripMargin
 
   /** q105 — first-occurrence novelty rate: per source, the share of each
     * doc's distinct k-gram shingles whose FIRST corpus occurrence (min
@@ -1370,7 +1400,7 @@ object DedupOps {
       Some(dupPagerankSql())),
     ("q96_triangle_census",
       (s: SparkSession, d: String) => dupTriangles(Tables.documents(s, d)),
-      Some(dupTrianglesSql)),
+      Some(dupTrianglesSql())),
     ("q105_novelty_rate",
       (s: SparkSession, d: String) => noveltyRate(Tables.documents(s, d)),
       Some(noveltyRateSql)))

@@ -30,6 +30,21 @@ class Round12bOpsSpec extends SparkSpec {
     assert(r.getLong(2) == 3L, s"n_wedges: $r")    // 3 × C(2,2) at A,B,C
     assert(r.getLong(3) == 1L, s"n_triangles: $r")
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-9)  // 3·1/3
+    assert(r.getLong(5) == 0L, s"n_capped: $r")
+  }
+
+  test("dupTriangles: the degree cap removes hub vertices as a consistent subgraph") {
+    // cap 1 excises the 3-clique (every member has degree 2) whole;
+    // the D–E edge (degree 1) survives untouched
+    val clique = "one two three four five six"
+    val pair = "seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, clique, "s"), (2L, clique, "s"), (3L, clique, "s"),
+      (4L, pair, "s"), (5L, pair, "s"))
+      .toDF("doc_id", "text", "source")
+    val r = DedupOps.dupTriangles(docs, maxDegree = 1).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(5)) == ((2L, 1L, 0L, 0L, 3L)), r.toString)
   }
 
   test("dupTriangles: an open wedge is not a triangle") {
