@@ -827,19 +827,28 @@ object DedupOps {
     val np = jaccardPairs(docs, k, dfCap)
       .filter(col("jac") >= threshold).select("d1", "d2")
     val rawPairs = graft.core.CacheOnce.swap("dup-tri-pairs", np)
+    // materialize the pair stage ONCE before the census arms fan out:
+    // the hub-cap broadcast jobs launch concurrently, and each would
+    // otherwise race the cold cache and recompute the full
+    // shingle-scan + inverted-index join subtree
+    rawPairs.count()
     val rawDeg = rawPairs.select(col("d1").as("v"))
       .unionByName(rawPairs.select(col("d2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val hot = rawDeg.filter(col("deg") > maxDegree).select("v")
     val nCapped = hot.agg(count(lit(1)).as("n_capped"))
     // the census runs on the consistent sub-graph EXCLUDING hub
-    // vertices: their edges leave with them, so degrees re-derive
-    val pairs = rawPairs
+    // vertices: their edges leave with them, so degrees re-derive.
+    // Cached: five arms below (deg, both orientation joins, the
+    // triangle semi-join) would otherwise each replay the two
+    // left_anti joins over the full pair list.
+    val pairs = graft.core.CacheOnce.swap("dup-tri-capped", rawPairs
       .join(hot.withColumnRenamed("v", "d1"), Seq("d1"), "left_anti")
-      .join(hot.withColumnRenamed("v", "d2"), Seq("d2"), "left_anti")
-    val deg = pairs.select(col("d1").as("v"))
-      .unionByName(pairs.select(col("d2").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .join(hot.withColumnRenamed("v", "d2"), Seq("d2"), "left_anti"))
+    val deg = graft.core.CacheOnce.swap("dup-tri-deg",
+      pairs.select(col("d1").as("v"))
+        .unionByName(pairs.select(col("d2").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg")))
     // orient each edge small→large under the (deg, id) total order
     val withDeg = pairs
       .join(deg.withColumnRenamed("v", "d1").withColumnRenamed("deg", "g1"), "d1")
@@ -863,13 +872,29 @@ object DedupOps {
       .join(pairs.select(col("d1").as("v"), col("d2").as("w")),
         Seq("v", "w"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
+    // one pass over the cached degree table yields nodes, wedges AND
+    // edges (handshake: n_edges = Σdeg/2) — no separate count arm.
+    // Assembly via union + one-pass max, not chained broadcast
+    // crossJoins: each broadcast would execute its whole subtree as a
+    // separate sequential driver job, while a single union DAG lets
+    // the scheduler run the arms' stages concurrently over the caches.
     val wedges = deg.agg(
       count(lit(1)).as("n_nodes"),
       coalesce(sum(col("deg") * (col("deg") - 1) / 2), lit(0L))
-        .cast("long").as("n_wedges"))
-    val edges = pairs.agg(count(lit(1)).as("n_edges"))
-    edges.crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
-      .crossJoin(broadcast(nCapped))
+        .cast("long").as("n_wedges"),
+      coalesce(sum(col("deg")) / 2, lit(0L)).cast("long").as("n_edges"))
+    val nl = lit(null).cast("long")
+    wedges.select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        nl.as("n_triangles"), nl.as("n_capped"))
+      .unionByName(tri.select(nl.as("n_nodes"), nl.as("n_edges"),
+        nl.as("n_wedges"), col("n_triangles"), nl.as("n_capped")))
+      .unionByName(nCapped.select(nl.as("n_nodes"), nl.as("n_edges"),
+        nl.as("n_wedges"), nl.as("n_triangles"), col("n_capped")))
+      .agg(max(col("n_nodes")).as("n_nodes"),
+        max(col("n_edges")).as("n_edges"),
+        max(col("n_wedges")).as("n_wedges"),
+        max(col("n_triangles")).as("n_triangles"),
+        max(col("n_capped")).as("n_capped"))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         round(lit(3.0) * col("n_triangles")
