@@ -781,19 +781,36 @@ object TextOps {
     * df-filtered per-doc vocabulary — never |vocab|². The df table
     * itself is NDV-bounded and broadcast. */
   /** Shared q91/q94 co-occurrence stage: (vocab of terms with df ≥
-    * `minDf`, term pairs with document co-occurrence count ≥ `minPair`).
-    * One tokenize scan, one doc_id self-join of the df-filtered
-    * distinct doc-term table. */
-  private def cooccurrence(docs: DataFrame, minDf: Int,
-      minPair: Int): (DataFrame, DataFrame) = {
-    require(minDf >= minPair,
+    * the df threshold, term pairs with document co-occurrence count ≥
+    * `minPair`). One tokenize scan, one doc_id self-join of the
+    * df-filtered distinct doc-term table.
+    *
+    * The df threshold is FRACTIONAL by default (`minDfFrac` of the
+    * corpus doc count, floored at `minPair`, resolved in-plan from a
+    * broadcast count) — an absolute default is the worst case at
+    * corpus scale, where a fixed 25 keeps essentially the whole vocab
+    * and the per-doc pair fanout with it. A fractional threshold keeps
+    * the kept vocabulary scale-free: Σ df ≤ N·L bounds the number of
+    * terms with df ≥ f·N by L/f (L = mean distinct terms per doc),
+    * independent of corpus size. `minDfAbs > 0` overrides with an
+    * absolute count for small-corpus / exploratory runs. */
+  private def cooccurrence(docs: DataFrame, minDfFrac: Double,
+      minDfAbs: Int, minPair: Int): (DataFrame, DataFrame) = {
+    require(minDfAbs <= 0 || minDfAbs >= minPair,
       "minDf < minPair would prune pairs the threshold admits")
     val dt = Tables.fanout(docs)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
       .filter(!col("t").isin(Text.stopwords: _*))
       .distinct()
+    val thr =
+      if (minDfAbs > 0) lit(minDfAbs.toLong)
+      else greatest(ceil(lit(minDfFrac) * col("n_docs")).cast("long"),
+        lit(minPair.toLong))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     val vocab = dt.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
-      .filter(col("n_t") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .filter(col("n_t") >= thr)
+      .select(col("t"), col("n_t"))
     val kept = dt.join(broadcast(vocab), "t")
     val pairs = kept
       .select(col("doc_id"), col("t").as("t1"), col("n_t").as("n_x"))
@@ -806,9 +823,9 @@ object TextOps {
     (vocab, pairs)
   }
 
-  def pmiPairs(docs: DataFrame, minDf: Int = 25, minPair: Int = 20,
-      topN: Int = 50): DataFrame = {
-    val (_, pairs) = cooccurrence(docs, minDf, minPair)
+  def pmiPairs(docs: DataFrame, minDfFrac: Double = 0.05,
+      minPair: Int = 20, topN: Int = 50, minDfAbs: Int = 0): DataFrame = {
+    val (_, pairs) = cooccurrence(docs, minDfFrac, minDfAbs, minPair)
     val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     pairs.crossJoin(broadcast(nDocs))
       .select(col("t1"), col("t2"), col("n_xy"),
@@ -817,8 +834,11 @@ object TextOps {
       .orderBy(col("pmi").desc, col("t1"), col("t2")).limit(topN)
   }
 
-  def pmiPairsSql(minDf: Int = 25, minPair: Int = 20,
-      topN: Int = 50): String =
+  def pmiPairsSql(minDfFrac: Double = 0.05, minPair: Int = 20,
+      topN: Int = 50): String = {
+    val minDf = "greatest(CAST(ceil(" + minDfFrac +
+      " * (SELECT count(DISTINCT doc_id) FROM documents)) AS BIGINT), " +
+      minPair + ")"
     s"""WITH dt AS (SELECT DISTINCT doc_id, t
        |  FROM (SELECT doc_id, unnest(${Text.tokensSql("text")}) AS t
        |    FROM documents)
@@ -836,6 +856,7 @@ object TextOps {
        |  round(ln(n_xy * (SELECT n_docs FROM nn)
        |    / (CAST(n_x AS DOUBLE) * n_y)) + 1e-9, 4) AS pmi
        |FROM px ORDER BY pmi DESC, t1, t2 LIMIT $topN""".stripMargin
+  }
 
   /** q94 — TextRank keyword extraction (Mihalcea & Tarau, "TextRank:
     * Bringing Order into Text", EMNLP 2004): PageRank over the term
@@ -849,17 +870,20 @@ object TextOps {
     * builds the edges, the q90 power method ranks them — so the scale
     * posture is inherited: pair fanout bounded by the df filter,
     * per-round cost one edge shuffle, rank state |vocab| rows. */
-  def textrank(docs: DataFrame, minDf: Int = 25, minPair: Int = 20,
-      topN: Int = 30): DataFrame = {
-    val (vocab, pairs) = cooccurrence(docs, minDf, minPair)
+  def textrank(docs: DataFrame, minDfFrac: Double = 0.05,
+      minPair: Int = 20, topN: Int = 30, minDfAbs: Int = 0): DataFrame = {
+    val (vocab, pairs) = cooccurrence(docs, minDfFrac, minDfAbs, minPair)
     graft.llm.DedupOps.pagerank(
         pairs.select(col("t1").as("d1"), col("t2").as("d2")),
         vocab.select(col("t").as("doc_id")), topN = topN)
       .select(col("doc_id").as("term"), col("pagerank"))
   }
 
-  def textrankSql(minDf: Int = 25, minPair: Int = 20, topN: Int = 30,
-      damping: Double = 0.85, iters: Int = 5): String =
+  def textrankSql(minDfFrac: Double = 0.05, minPair: Int = 20,
+      topN: Int = 30, damping: Double = 0.85, iters: Int = 5): String = {
+    val minDf = "greatest(CAST(ceil(" + minDfFrac +
+      " * (SELECT count(DISTINCT doc_id) FROM documents)) AS BIGINT), " +
+      minPair + ")"
     s"""WITH dt AS (SELECT DISTINCT doc_id, t
        |  FROM (SELECT doc_id, unnest(${Text.tokensSql("text")}) AS t
        |    FROM documents)
@@ -884,6 +908,7 @@ object TextOps {
        |SELECT doc_id AS term, round(pr + 1e-9, 6) AS pagerank
        |FROM pr$iters
        |ORDER BY pagerank DESC, term LIMIT $topN""".stripMargin
+  }
 
   /** q98 — duplicated-span share (the position-level view of Lee et al.
     * '21, "Deduplicating Training Data Makes Language Models Better",

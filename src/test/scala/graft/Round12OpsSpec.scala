@@ -204,7 +204,7 @@ class Round12OpsSpec extends SparkSpec {
     val docs = Seq(
       (1L, "alpha beta"), (2L, "alpha beta"),
       (3L, "gamma delta"), (4L, "gamma delta")).toDF("doc_id", "text")
-    val out = TextOps.pmiPairs(docs, minDf = 2, minPair = 2).collect()
+    val out = TextOps.pmiPairs(docs, minDfAbs = 2, minPair = 2).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getDouble(3))).toMap
     // alpha/beta co-occur in 2 of 4 docs, each df 2 → PMI = ln(2·4/(2·2))
@@ -221,7 +221,7 @@ class Round12OpsSpec extends SparkSpec {
     val docs = (
       (1 to 3).map(i => (i.toLong, "alpha beta")) ++
       (4 to 6).map(i => (i.toLong, "gamma"))).toDF("doc_id", "text")
-    val out = TextOps.textrank(docs, minDf = 2, minPair = 2).collect()
+    val out = TextOps.textrank(docs, minDfAbs = 2, minPair = 2).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out.keySet == Set("alpha", "beta", "gamma"))
     assert(math.abs(out("alpha") - out("beta")) < 1e-9)
@@ -246,14 +246,14 @@ class Round12OpsSpec extends SparkSpec {
   test("pmiPairs: df threshold prunes exactly the sub-minPair terms") {
     val docs = Seq(
       (1L, "x y"), (2L, "x y"), (3L, "x z")).toDF("doc_id", "text")
-    val out = TextOps.pmiPairs(docs, minDf = 2, minPair = 2).collect()
+    val out = TextOps.pmiPairs(docs, minDfAbs = 2, minPair = 2).collect()
     // (x,y): n_xy=2, n_x=3, n_y=2, N=3 → PMI = ln(6/6) = 0; z has df 1
     assert(out.length == 1)
     val r = out.head
     assert((r.getString(0), r.getString(1), r.getLong(2)) == ("x", "y", 2L))
     assert(math.abs(r.getDouble(3)) < 1e-4)
     intercept[IllegalArgumentException] {
-      TextOps.pmiPairs(docs, minDf = 1, minPair = 2)
+      TextOps.pmiPairs(docs, minDfAbs = 1, minPair = 2)
     }
   }
 }
