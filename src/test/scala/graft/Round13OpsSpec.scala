@@ -29,6 +29,33 @@ class Round13OpsSpec extends SparkSpec {
     assert(abs == Set(("com", "mon"), ("pair", "rare")))
   }
 
+  // ---------------------------------------------------------------- q92
+
+  test("fuzzyLinkage: suffix recovery pass restores matches a hot " +
+    "prefix block drops, and prefix-damaged matches pass 1 never sees") {
+    import graft.operators.LinkageOps
+    // Three A rows share the 4-char prefix "same" (occupancy 3 > cap 2)
+    // → pass 1 drops the whole block. Their suffixes differ, so pass 2
+    // blocks each with its true partner. "solo" is recovered by pass 1
+    // alone (cold block); "zz early bird" damages the PREFIX only, the
+    // q92 fixture class pass 1 structurally misses.
+    val a = Seq((1L, "same alpha"), (2L, "same beta"), (3L, "same gamma"),
+      (4L, "solo item"), (5L, "early bird")).toDF("id", "nm")
+    val b = Seq((11L, "same alpha"), (12L, "same beta"), (13L, "same gamma"),
+      (14L, "solo item"), (15L, "zz early bird")).toDF("id", "nm")
+    def run(recover: Boolean) = LinkageOps.fuzzyLinkage(a, b, "id", "id",
+        "nm", "nm", blockLen = 4, maxDist = 3, maxBlock = 2,
+        recoverPass = recover)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // single-pass: the hot "same" block is capped out; "zz early bird"
+    // blocks under "zz e" and never meets "earl"
+    assert(run(recover = false) == Set((4L, 14L, 0)))
+    // two-pass: suffix keys "lpha"/"beta"/"amma"/"item"/"bird" recover
+    // all five (the zz prefix at dist 3)
+    assert(run(recover = true) == Set((1L, 11L, 0), (2L, 12L, 0),
+      (3L, 13L, 0), (4L, 14L, 0), (5L, 15L, 3)))
+  }
+
   test("textrank: fractional df default matches pmiPairs' vocabulary") {
     val docs = (
       (1 to 5).map(i => (i.toLong, "alpha beta")) ++
