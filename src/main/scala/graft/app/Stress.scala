@@ -115,6 +115,24 @@ object Stress {
         val n = graft.SparkEntry.queries(name)(spark, dir).count()
         println(f"[stress] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
       }
+    // stress-only q100 configuration at the PRODUCTION knob k ≈ √N
+    // (SemDeDup's centroid count): the registry entry keeps the fixed
+    // 8-seed model so the DuckDB oracle replays the same Lloyd
+    // iterations — this point exists to MEASURE the nProbe·N^1.5
+    // candidate-cost claim, not to check values. Seeds are a
+    // deterministic hash-ordered sample so reruns are comparable.
+    if (only.exists(_.contains("q100_knn_sqrtk"))) {
+      val em = graft.core.Tables.embeddings(spark, dir)
+      val kC = math.sqrt(nVecs.toDouble).toInt
+      val seeds = em.select(col("vec_id"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(kC).collect().map(_.getLong(0)).toSeq
+      val t0 = System.nanoTime()
+      val n = graft.llm.SimilarityOps
+        .knnLabelAgreement(em, centroidIds = seeds).count()
+      println(f"[stress] q100_knn_sqrtk(k=$kC)   " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+    }
     spark.stop()
   }
 }
