@@ -207,8 +207,10 @@ object DedupOps {
     val freshIds = fresh.select(col("doc_id"))
     // symmetrize so every fresh doc appears as the rejection candidate
     // against each of its partners, then keep the losing side
-    val sym = pairs.select(col("d1").as("cand"), col("d2").as("other"))
-      .unionByName(pairs.select(col("d2").as("cand"), col("d1").as("other")))
+    val sym = pairs.select(explode(array(
+        struct(col("d1").as("cand"), col("d2").as("other")),
+        struct(col("d2").as("cand"), col("d1").as("other")))).as("e"))
+      .select(col("e.cand").as("cand"), col("e.other").as("other"))
     val rejected = sym
       .join(freshIds.withColumnRenamed("doc_id", "cand"), Seq("cand"))
       .join(freshIds.withColumnRenamed("doc_id", "other")
@@ -490,9 +492,13 @@ object DedupOps {
     def drop(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
+    // both directions from ONE evaluation of the pair subtree (a union
+    // of two selects would run the upstream pair stage per branch)
     val (edges, edgeIds) = checkpointed(
-      pairs.select(col("d1"), col("d2")).unionByName(
-        pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
+      pairs.select(explode(array(
+          struct(col("d1"), col("d2")),
+          struct(col("d2").as("d1"), col("d1").as("d2")))).as("e"))
+        .select(col("e.d1").as("d1"), col("e.d2").as("d2")))
     var (labels, labelIds) = checkpointed(
       edges.select(col("d1").as("id")).distinct().withColumn("lab", col("id")))
     var iter = 0
@@ -642,8 +648,10 @@ object DedupOps {
   def dupGraphDegrees(docs: DataFrame, threshold: Double = JaccardThreshold,
       k: Int = K, dfCap: Int = DefaultDfCap): DataFrame = {
     val np = ngramJaccard(docs, threshold, k, dfCap)
-    np.select(col("d1").as("doc_id"))
-      .union(np.select(col("d2").as("doc_id")))
+    // one evaluation of the pair subtree: explode both endpoints from
+    // each pair row instead of a union of two selects (which would run
+    // the shared pair stage once per branch)
+    np.select(explode(array(col("d1"), col("d2"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
       .orderBy("degree")
@@ -668,13 +676,13 @@ object DedupOps {
     * Iteration hygiene mirrors [[connectedComponents]]: edges, degrees,
     * and the node frame are checkpointed ONCE; each round is one
     * edge-join + one dst-aggregation materialized through an eager
-    * `localCheckpoint()`, so plan depth stays O(1) and — load-bearing for
-    * correctness of COST, not just speed — the two consumers of the
-    * previous round (the contribution join and the dangling-mass scalar)
-    * read a materialized table instead of re-deriving the whole chain,
-    * which would otherwise double work per round (2^iters blowup).
-    * The dangling scalar rides in-plan as a broadcast 1-row aggregate
-    * (the q17 pattern); no driver-side collect anywhere in the loop.
+    * `localCheckpoint()`, so plan depth stays O(1) and the previous
+    * round is read from a materialized table instead of re-deriving the
+    * whole chain (which would otherwise double work per round — a
+    * 2^iters blowup). The dangling mass never touches the cluster: the
+    * graph is undirected, so dangling ≡ isolated, every isolated node
+    * carries the identical uniform-only rank, and the mass follows a
+    * closed driver-side recurrence seeded by one metadata-scale count.
     *
     * Scale shape: per-round cost is one shuffle of the edge table keyed
     * by src plus a node-scale aggregate — rank state is |V| rows, never
@@ -695,31 +703,51 @@ object DedupOps {
       ids.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
+    // both edge directions from ONE evaluation of the pair subtree: a
+    // union of two selects over `pairs` would execute the upstream
+    // pair-generation stage once per branch
     val (edges, edgeIds) = checkpointed(
-      pairs.select(col("d1").as("src"), col("d2").as("dst")).unionByName(
-        pairs.select(col("d2").as("src"), col("d1").as("dst"))))
-    val (deg, degIds) = checkpointed(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("od")))
+      pairs.select(explode(array(
+          struct(col("d1").as("src"), col("d2").as("dst")),
+          struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    // out-degree is round-invariant: join it onto the edge table ONCE
+    // and checkpoint the result, so each round joins pr against a
+    // single prepared (src, dst, od) table instead of re-running (and
+    // re-broadcasting) the degree aggregate every iteration
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val (ew, degIds) = checkpointed(edges.join(deg, "src"))
     val (nodeT, nodeIds) = checkpointed(
       nodes.select(col("doc_id")).distinct())
-    val n = nodeT.count().toDouble // metadata-scale; the only driver read
+    val n = nodeT.count().toDouble // metadata-scale driver read
+    // On an UNDIRECTED graph every edge is stored in both directions, so
+    // a node with no out-edges has no edges at all: the dangling set is
+    // exactly the isolated nodes. Isolated nodes receive only the two
+    // uniform terms, so they all carry the same rank r_i and the
+    // dangling mass follows the closed driver-side recurrence
+    //   dm_0 = |D|/N,  dm_{i+1} = |D|·((1−d)/N + d·dm_i/N)
+    // — which deletes the per-round dangling aggregation + broadcast
+    // job the first shape paid (the 19–21-job floor for 5 rounds was
+    // ~3 jobs/round; this leaves one checkpoint job per round).
+    val nDang =
+      n - ew.agg(countDistinct(col("src"))).first().getLong(0).toDouble
+    drop(edgeIds) // ew supersedes the raw edge table
+    var dm = nDang / n
     var (pr, prIds) = checkpointed(
       nodeT.select(col("doc_id"), lit(1.0 / n).as("pr")))
     (1 to iters).foreach { _ =>
-      val dang = pr.join(deg, pr("doc_id") === deg("src"), "left_anti")
-        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
-      val contrib = edges.join(deg, "src")
+      val contrib = ew
         .join(pr, col("src") === pr("doc_id"))
         .groupBy(col("dst")).agg(sum(col("pr") / col("od")).as("contrib"))
       val next = nodeT
         .join(contrib, nodeT("doc_id") === contrib("dst"), "left")
-        .crossJoin(broadcast(dang))
         .select(nodeT("doc_id"),
           (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + col("dm") / lit(n)))
+            (coalesce(col("contrib"), lit(0.0)) + lit(dm / n)))
             .as("pr"))
       val (nxt, ids) = checkpointed(next)
       drop(prIds); pr = nxt; prIds = ids
+      dm = nDang * ((1.0 - damping) / n + damping * dm / n)
     }
     val out = pr
       .select(col("doc_id"), round(col("pr") + lit(1e-9), 6).as("pagerank"))
@@ -728,7 +756,7 @@ object DedupOps {
     // no longer needed once `out` is consumed — but `out` is still lazy
     // here, so only the superseded structures are droppable. The final pr
     // blocks back `out`; callers consume it within the session.
-    drop(edgeIds); drop(degIds); drop(nodeIds)
+    drop(degIds); drop(nodeIds)
     out
   }
 

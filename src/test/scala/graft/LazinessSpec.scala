@@ -28,7 +28,12 @@ class LazinessSpec extends SparkSpec {
       // construction so training runs ONCE for its two consumers (the
       // corpus assignment and the probe ranking) — lazy composition
       // would re-train the model inside both broadcast subtrees
-      "q100_knn_label_agreement")
+      "q100_knn_label_agreement",
+      // q96 materializes its cached pair stage eagerly at construction:
+      // the census arms' broadcast jobs launch concurrently and would
+      // otherwise race the cold cache, each recomputing the full
+      // shingle-scan + inverted-index subtree
+      "q96_triangle_census")
 
   test("constructing registry queries fires no Spark job") {
     // pre-warm per-table schema resolution so first-touch footer reads
