@@ -50,4 +50,54 @@ object BitDim {
   /** `mask` has `bit` set. */
   def hasBit(mask: Column, bit: Column): Column =
     (mask.bitwiseAND(bit)) =!= 0
+
+  // ------------------------------------------------------- sharded form
+
+  /** Sharded dimension for set columns WIDER than 63 values: bit ids
+    * split into ⌈n/63⌉ 63-bit shards — (value, shard, bit), broadcast.
+    * The single-mask [[dim]] stays the fast path (one long per key, one
+    * `bit_or`); operators built on it declare ≤ 63 as a precondition and
+    * fail loudly past it. A caller that outgrows the width switches to
+    * this family: per-key state becomes one small sorted
+    * `array<struct<shard,mask>>` (still fixed-size, still mergeable,
+    * still groupable for the distinct-mask histogram), and membership
+    * tests read the shard's mask. Same deterministic ascending-value bit
+    * assignment as [[dim]]. */
+  def shardedDim(df: DataFrame, c: String): DataFrame =
+    broadcast(df.select(col(c)).na.drop().distinct()
+      .select(col(c),
+        (row_number().over(Window.orderBy(c)) - 1).as("_bd_id"))
+      .select(col(c),
+        expr("CAST(_bd_id DIV 63 AS INT)").as("shard"),
+        expr("shiftleft(1L, CAST(_bd_id % 63 AS INT))").as("bit")))
+
+  /** Per-key sharded masks: `joined` is the fact frame already joined to
+    * [[shardedDim]] (carrying `shard`/`bit`); returns one row per key
+    * with `masks: array<struct<shard,mask>>`, sorted so the array is
+    * canonical — equal sets produce equal arrays, making the column
+    * directly usable as a distinct-histogram grouping key. Two
+    * aggregations, both map-side-collapsing: bits OR within a shard,
+    * shards collect per key (≤ ⌈n/63⌉ rows each). */
+  def shardedMasks(joined: DataFrame, keyCols: Seq[String]): DataFrame =
+    joined
+      .groupBy((keyCols.map(col) :+ col("shard")): _*)
+      .agg(bit_or(col("bit")).as("mask"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("shard"), col("mask"))))
+        .as("masks"))
+
+  /** Unordered-pair frame of a [[shardedDim]]:
+    * (a, shard_a, bit_a, b, shard_b, bit_b) with a < b. */
+  def shardedPairs(dimDf: DataFrame, c: String, aName: String,
+      bName: String): DataFrame =
+    broadcast(dimDf.select(col(c).as(aName), col("shard").as("shard_a"),
+        col("bit").as("bit_a"))
+      .crossJoin(dimDf.select(col(c).as(bName), col("shard").as("shard_b"),
+        col("bit").as("bit_b")))
+      .filter(col(aName) < col(bName)))
+
+  /** The sharded-mask array has `bit` set in shard `shard`. */
+  def hasBitIn(masks: Column, shard: Column, bit: Column): Column =
+    coalesce(element_at(map_from_entries(masks), shard), lit(0L))
+      .bitwiseAND(bit) =!= 0
 }

@@ -358,8 +358,10 @@ object JourneyOps {
     *
     * Precondition: ≤ 63 distinct event types. [[graft.core.BitDim]]
     * raise_errors loudly past that (never silent shift wraparound);
-    * deploying on a wider dimension means sharding it into multiple
-    * mask columns first. */
+    * a wider dimension switches to the sharded family
+    * ([[graft.core.BitDim.shardedDim]]/`shardedMasks`/`hasBitIn`, same
+    * histogram discipline over array-of-masks state, property-tested at
+    * 100 values in Round13OpsSpec). */
   /** Gap sessionization (the q20b contract: a session breaks when the
     * gap since the previous event is ≥ `gapMinutes`): appends `sid`, a
     * per-user session sequence number. ONE shuffle on user_id; the lag

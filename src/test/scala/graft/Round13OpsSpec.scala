@@ -29,6 +29,46 @@ class Round13OpsSpec extends SparkSpec {
     assert(abs == Set(("com", "mon"), ("pair", "rare")))
   }
 
+  // ------------------------------------------------------------- BitDim
+
+  test("BitDim sharded form: pairwise co-occurrence over a 100-value " +
+    "dimension matches the naive per-key self-join") {
+    import graft.core.BitDim
+    // 100 types (> 63 forces two shards), 40 keys, deterministic
+    // pseudo-random membership: key k contains type t iff
+    // (k*31 + t*17) % 7 < 2  (~29% density)
+    val rows = for {
+      k <- 1 to 40; t <- 0 until 100
+      if (k * 31 + t * 17) % 7 < 2
+    } yield (k.toLong, f"t$t%03d")
+    val df = rows.toDF("key", "typ")
+    val dim = BitDim.shardedDim(df, "typ")
+    // the single-mask dim must refuse this width loudly
+    val err = intercept[Exception] {
+      df.join(BitDim.dim(df, "typ"), "typ").collect()
+    }
+    assert(err.getMessage.contains("63 distinct values"))
+    val masks = BitDim.shardedMasks(df.join(dim, "typ"), Seq("key"))
+    // histogram-then-pairs: the fact table never meets the pair space
+    val hist = masks.groupBy(col("masks")).agg(count(lit(1)).as("cnt"))
+    val got = hist.join(BitDim.shardedPairs(dim, "typ", "a", "b"),
+        BitDim.hasBitIn(col("masks"), col("shard_a"), col("bit_a"))
+          && BitDim.hasBitIn(col("masks"), col("shard_b"), col("bit_b")))
+      .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val ref = rows.groupBy(_._1).values.flatMap { ks =>
+      val ts = ks.map(_._2).sorted
+      for (i <- ts.indices; j <- i + 1 until ts.size) yield (ts(i), ts(j))
+    }.groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    assert(got == ref)
+    // shard math: value #64 (0-based id 63) lands in shard 1, bit 0
+    val d = dim.collect().map(r =>
+      r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(d("t000") == ((0, 1L)))
+    assert(d(f"t${63}%03d") == ((1, 1L)))
+  }
+
   // ---------------------------------------------------------------- q92
 
   test("fuzzyLinkage: suffix recovery pass restores matches a hot " +
