@@ -61,7 +61,7 @@ object Explain {
     "q75_cluster_split"     -> "leakage-free split: pair stage + CC once, fold hash on keeper id; leaked-pairs scalar rides in-plan (provably 0)",
     "q76_basket_rules"      -> "basket rules: one user-key exchange for sessionize + set-mask agg; pair stats on the mask histogram, never the fact table",
     "q77_compaction_plan"   -> "compaction planner: metadata-scale running-sum window + per-bin rollup on one group-key exchange",
-    "q78_bm25"              -> "BM25: postings filtered to query terms at the scan; df + corpus scalars broadcast in-plan; TakeOrdered top-N",
+    "q78_bm25"              -> "BM25: ONE corpus tokenize — the slim (dl, hits) projection is cached+eager and every FileScan below sits inside an InMemoryRelation recipe (consumers read InMemoryTableScan); df + corpus scalars broadcast in-plan; TakeOrdered top-N",
     "q79_interval_coverage" -> "interval union: O(n log n) sweep — running max(end) + island sum on ONE user-key exchange, no interval self-join",
     "q80_key_skew"          -> "key-skew audit: one fact shuffle to per-key counts; scalars broadcast in-plan; TakeOrdered top-N",
     "q81_session_paths"     -> "frequent paths: sessionize + ordered collect on ONE user-key exchange; k-gram generate; |types|^k rollup",

@@ -33,7 +33,11 @@ class LazinessSpec extends SparkSpec {
       // the census arms' broadcast jobs launch concurrently and would
       // otherwise race the cold cache, each recomputing the full
       // shingle-scan + inverted-index subtree
-      "q96_triangle_census")
+      "q96_triangle_census",
+      // q78 materializes its cached per-doc (dl, hits) projection for
+      // the same reason: stats + df broadcasts race the cold cache and
+      // each would re-run the corpus tokenize
+      "q78_bm25")
 
   test("constructing registry queries fires no Spark job") {
     // pre-warm per-table schema resolution so first-touch footer reads
