@@ -149,9 +149,17 @@ object IngestDedupApp {
                   .groupBy(col("segment"), graft.operators.ProfileOps
                     .psiBucket(col("_v"), g.lo, g.hi, g.k).as("bucket"))
                   .agg(count(lit(1)).as("n_cur"))
+                // only gate on segments the batch actually carries: a
+                // reference segment with zero current rows would smooth
+                // (+0.5/bucket) into a fake uniform distribution and
+                // quarantine small batches for data they don't contain
+                val refPresent = sref.join(
+                  segCounts.select(col("segment")).distinct(),
+                  Seq("segment"), "left_semi")
                 graft.operators.ProfileOps
                   .segmentedPsiFromCounts(
-                    sref.join(segCounts, Seq("segment", "bucket"), "full"),
+                    refPresent.join(segCounts, Seq("segment", "bucket"),
+                      "full"),
                     g.k)
                   .agg(max(col("psi")).as("m")).collect()
                   .headOption.exists(r => !r.isNullAt(0) && r.getDouble(0) > m)

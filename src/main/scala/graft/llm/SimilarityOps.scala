@@ -830,15 +830,30 @@ object SimilarityOps {
       .groupBy(col("qid"), col("qlabel"))
       .agg(avg(when(col("label") === col("qlabel"), lit(1.0))
         .otherwise(lit(0.0))).as("agree"))
-    perVec.groupBy(col("qlabel").as("label"))
+    // left-join back to the full assignment table: a vector whose
+    // probed clusters hold no other vector (singleton under nProbe)
+    // has NO candidates and would silently vanish from the audit —
+    // yet an isolated point is a prime mislabel candidate. They count
+    // in n_vecs and surface in n_unscored; avg/suspect stay over the
+    // scored population.
+    a.select(col("vec_id").as("qid"), col("label").as("qlabel"))
+      .join(perVec.select(col("qid"), col("agree")), Seq("qid"), "left")
+      .groupBy(col("qlabel").as("label"))
       .agg(count(lit(1)).as("n_vecs"),
         round(avg(col("agree")) + lit(1e-9), 4).as("avg_agreement"),
         sum(when(col("agree") < suspectBelow, 1L).otherwise(0L))
-          .as("n_suspect"))
+          .as("n_suspect"),
+        sum(when(col("agree").isNull, 1L).otherwise(0L))
+          .as("n_unscored"))
       .orderBy("label")
   }
 
-  val knnLabelAgreementSql: String = {
+  /** Same parameters as [[knnLabelAgreement]] (SQL builder/operator
+    * parity): a caller auditing with a non-default k/nProbe/threshold
+    * keeps a comparable oracle. Centroid seeds and iteration count stay
+    * the module's pinned model constants on both sides. */
+  def knnLabelAgreementSql(k: Int = TopK, nProbe: Int = NProbe,
+      suspectBelow: Double = 0.4): String = {
     val iterCtes = (1 to KmeansIters).map { it =>
       s"""${kmeansAssignCte(s"c${it - 1}", s"a$it")},
          |${kmeansUpdateCte(s"a$it", s"c$it")}""".stripMargin
@@ -853,7 +868,7 @@ object SimilarityOps {
        |  SELECT a.vec_id, a.embedding AS qe, a.label AS qlabel, c.cid,
        |    row_number() OVER (PARTITION BY a.vec_id
        |      ORDER BY ${cosSql("c.ce", "a.embedding")} DESC, c.cid) AS crn
-       |  FROM a, c$KmeansIters c) t WHERE crn <= $NProbe),
+       |  FROM a, c$KmeansIters c) t WHERE crn <= $nProbe),
        |scored AS (
        |  SELECT p.qid, p.qlabel, n.vec_id, n.label,
        |    ${cosSql("p.qe", "n.embedding")} AS cos
@@ -863,15 +878,19 @@ object SimilarityOps {
        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
        |    AS rnk
        |  FROM scored),
-       |pv AS (SELECT qid, qlabel,
+       |pv AS (SELECT qid,
        |    avg(CASE WHEN label = qlabel THEN CAST(1 AS DOUBLE)
        |      ELSE CAST(0 AS DOUBLE) END) AS agree
-       |  FROM r WHERE rnk <= $TopK GROUP BY qid, qlabel)
+       |  FROM r WHERE rnk <= $k GROUP BY qid),
+       |av AS (SELECT a.vec_id AS qid, a.label AS qlabel, pv.agree
+       |  FROM a LEFT JOIN pv ON pv.qid = a.vec_id)
        |SELECT qlabel AS label, count(*) AS n_vecs,
        |  round(avg(agree) + 1e-9, 4) AS avg_agreement,
-       |  CAST(sum(CASE WHEN agree < 0.4 THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_suspect
-       |FROM pv GROUP BY qlabel ORDER BY label""".stripMargin
+       |  CAST(sum(CASE WHEN agree < $suspectBelow THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_suspect,
+       |  CAST(sum(CASE WHEN agree IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unscored
+       |FROM av GROUP BY qlabel ORDER BY label""".stripMargin
   }
 
   /** q104 — per-label diagonal-covariance Mahalanobis outlier audit: fit
@@ -1082,7 +1101,7 @@ object SimilarityOps {
       Some(embeddingProfileSql)),
     ("q100_knn_label_agreement",
       (s: SparkSession, d: String) => knnLabelAgreement(Tables.embeddings(s, d)),
-      Some(knnLabelAgreementSql)),
+      Some(knnLabelAgreementSql())),
     ("q104_mahalanobis_outliers",
       (s: SparkSession, d: String) =>
         mahalanobisOutliers(Tables.embeddings(s, d)),

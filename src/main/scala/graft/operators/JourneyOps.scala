@@ -724,11 +724,14 @@ object JourneyOps {
         round(avg(col("n_events")) + lit(1e-9), 2).as("avg_depth"),
         round(avg(col("dwell_s")) + lit(1e-9), 1).as("avg_dwell_s"))
       .orderBy("entry_type")
-  val q111SessionStatsSql: String =
-    """WITH x AS (
+  /** Same parameters as [[sessionStats]] (the SQL builder/operator
+    * parity rule: a non-default `gapMinutes` must not silently lose
+    * oracle comparability). */
+  def q111SessionStatsSql(gapMinutes: Int = 30): String =
+    s"""WITH x AS (
       |  SELECT user_id, event_id, event_type, ts,
       |    CASE WHEN lag(ts) OVER w IS NULL
-      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |           OR ts - lag(ts) OVER w >= INTERVAL $gapMinutes MINUTE
       |         THEN 1 ELSE 0 END AS brk
       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -775,5 +778,5 @@ object JourneyOps {
     ("q97_attribution", onEvents(attribution(_)),
       Some(q97AttributionSql())),
     ("q111_session_stats", onEvents(sessionStats(_)),
-      Some(q111SessionStatsSql)))
+      Some(q111SessionStatsSql())))
 }

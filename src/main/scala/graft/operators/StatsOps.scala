@@ -372,10 +372,17 @@ object StatsOps {
         unix_micros(col("ts")).as("_us"))
     val bounds = raw.agg(min(col("event_id")).as("_lo"),
       max(col("event_id")).as("_hi"))
+    // divide-before-multiply: (event_id - lo) * buckets overflows Long
+    // once the id span passes ~2^58 (sparse/snowflake-style ids), and a
+    // wrapped negative bucket would silently break the bucket-order
+    // prefix-max patch. Per-bucket width = span/buckets + 1 keeps every
+    // intermediate within the span itself; floor(span/width) < buckets
+    // by construction (the least() is belt-and-braces).
     val base = raw.crossJoin(broadcast(bounds))
+      .withColumn("_w", expr(s"(_hi - _lo) DIV ${buckets}L + 1L"))
       .withColumn("_bkt", least(lit(buckets - 1),
-        ((col("event_id") - col("_lo")) * buckets
-          / (col("_hi") - col("_lo") + 1)).cast("int")))
+        expr("(event_id - _lo) DIV _w").cast("int")))
+      .drop("_w")
     val wLocal = Window.partitionBy(col("_bkt")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = base.withColumn("_lmax", max(col("_us")).over(wLocal))

@@ -29,6 +29,28 @@ class Round13OpsSpec extends SparkSpec {
     assert(abs == Set(("com", "mon"), ("pair", "rare")))
   }
 
+  // ---------------------------------------------------------------- q106
+
+  test("disorderAudit: snowflake-scale id spans (> 2^58) bucket without " +
+    "overflow and report exact lateness") {
+    // the pre-fix math ((event_id - lo) * buckets) wraps Long at this
+    // span, yielding negative buckets and silently wrong lateness
+    val big = 1L << 60
+    val df = Seq(
+      (0L, "x", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1100))),
+      (1L << 59, "x", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1050))),
+      (big, "x", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1075))))
+      .toDF("event_id", "event_type", "ts")
+    val r = graft.operators.StatsOps.disorderAudit(df).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // arrival order 0 → 2^59 → 2^60; ts 1100, 1050, 1075: the last two
+    // are 50 s and 25 s behind the running high-water mark
+    assert(row.getLong(1) == 3L && row.getLong(2) == 2L)
+    assert(math.abs(row.getDouble(4) - 37.5) < 1e-6)
+    assert(math.abs(row.getDouble(5) - 50.0) < 1e-6)
+  }
+
   // ------------------------------------------------------------- BitDim
 
   test("BitDim sharded form: pairwise co-occurrence over a 100-value " +
@@ -67,6 +89,29 @@ class Round13OpsSpec extends SparkSpec {
       r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
     assert(d("t000") == ((0, 1L)))
     assert(d(f"t${63}%03d") == ((1, 1L)))
+  }
+
+  // ---------------------------------------------------------------- q100
+
+  test("knnLabelAgreement: a singleton-cluster vector surfaces as " +
+    "n_unscored instead of vanishing from the audit") {
+    // vec 0 is alone in its probed cluster (nProbe=1): no candidates,
+    // no agreement — the pre-fix shape dropped it from n_vecs entirely
+    val em = Seq(
+      (0L, Array(1.0f, 0.0f), "x"),
+      (10L, Array(0.0f, 1.0f), "z"),
+      (11L, Array(0.1f, 0.9f), "z"),
+      (12L, Array(0.0f, 0.9f), "z"))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.llm.SimilarityOps.knnLabelAgreement(em, k = 2,
+        nProbe = 1, centroidIds = Seq(0L, 10L), iters = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = out("x")
+    assert(x.getLong(1) == 1L && x.isNullAt(2) && x.getLong(3) == 0L
+      && x.getLong(4) == 1L, x.toString)
+    val z = out("z")
+    assert(z.getLong(1) == 3L && z.getDouble(2) == 1.0
+      && z.getLong(3) == 0L && z.getLong(4) == 0L, z.toString)
   }
 
   // ---------------------------------------------------------------- q92

@@ -527,6 +527,55 @@ class ShardSimSourceSpec extends SparkSpec {
       "the segmented arm must quarantine the mix-shifted batch")
   }
 
+  test("segment-gated ingest: a batch carrying no rows for a reference " +
+    "segment is not quarantined on that segment's behalf") {
+    // regression: a reference segment entirely absent from a micro-batch
+    // got n_cur=0 in every bucket, which the +0.5 smoothing scored as a
+    // uniform current distribution — small batches quarantined on
+    // segments they carried no data for. Absent segments must be
+    // skipped; only batch-present segments gate.
+    import graft.app.IngestDedupApp
+    import graft.operators.ProfileOps
+    import spark.implicits._
+    def text(ns: Long): String = (0 until 12).map(t => s"w${ns}t$t").mkString(" ")
+    def longText(ns: Long): String =
+      (0 until 12).map(t => s"w${ns}t$t" + "x" * 40).mkString(" ")
+    // corpus: ONLY even ids (segment "0", short text, matching its ref)
+    val rows = (1L to 10L).map(i => i * 2)
+      .zipWithIndex.map { case (id, i) =>
+        (s"d$id", 1700000000000000L + i,
+          s"""{"doc_id":$id,"text":"${text(id)}"}""")
+      }
+    val (lo, hi, k) = (0.0, 400.0, 2)
+    val ref = ProfileOps.refBucketCounts(
+      (1L to 10L).map(i => text(i).length.toDouble).toDF("len"),
+      "len", lo, hi, k)
+    // the reference knows TWO segments; batches will carry only "0"
+    val segRef = ProfileOps.segmentedRefCounts(
+      (1L to 10L).map(i =>
+        (if (i % 2 == 0) text(i).length.toDouble
+         else longText(i).length.toDouble, (i % 2).toString))
+        .toDF("len", "seg"), "len", "seg", lo, hi, k)
+    val lenCol = org.apache.spark.sql.functions.length(
+      org.apache.spark.sql.functions.col("text")).cast("double")
+    val segCol = (org.apache.spark.sql.functions.col("doc_id") % 2)
+      .cast("string")
+    val fixture = Files.createTempDirectory("ingabs_fixture").toString
+    ShardSimFixture.writeShard(fixture, 0, rows)
+    val corpus = Files.createTempDirectory("ingabs_corpus").toString
+    IngestDedupApp.run(spark, fixture, corpus,
+        Files.createTempDirectory("ingabs_ckpt").toString,
+        maxRecordsPerBatch = Some(5L),
+        driftGate = Some(IngestDedupApp.DriftGate(ref, lenCol, lo, hi, k,
+          maxPsi = 1e9, segment = Some(segCol), segRef = Some(segRef),
+          maxSegPsi = Some(0.5))))
+      .awaitTermination()
+    assert(IngestDedupApp.corpus(spark, corpus).collect()
+      .map(_.getLong(0)).toSet == (1L to 10L).map(_ * 2).toSet,
+      "segment-0-only batches match segment 0's reference and must admit")
+    assert(IngestDedupApp.quarantine(spark, corpus).isEmpty)
+  }
+
   test("constraint-gated ingest: a poisoned batch quarantines whole; replay converges") {
     // Q40 fused into the exactly-once loop: the gate runs per micro-batch
     // before dedup admission; a failing batch is routed to quarantine and
