@@ -733,6 +733,12 @@ object DedupOps {
       n - ew.agg(countDistinct(col("src"))).first().getLong(0).toDouble
     drop(edgeIds) // ew supersedes the raw edge table
     var dm = nDang / n
+    // Per-round eager landing is load-bearing for COST even with the
+    // single-consumer lineage: the next round's contribution join
+    // BROADCASTS the rank table, and a broadcast executes its entire
+    // subtree independently — lazy rounds would re-run the whole prefix
+    // chain once per later round (measured: task-sec doubled at 5
+    // rounds under a checkpoint-every-4 variant; reverted).
     var (pr, prIds) = checkpointed(
       nodeT.select(col("doc_id"), lit(1.0 / n).as("pr")))
     (1 to iters).foreach { _ =>
