@@ -703,20 +703,19 @@ object DedupOps {
       ids.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
-    // both edge directions from ONE evaluation of the pair subtree: a
-    // union of two selects over `pairs` would execute the upstream
-    // pair-generation stage once per branch
-    val (edges, edgeIds) = checkpointed(
+    // ONE prepared (src, dst, od) edge table, checkpointed once: both
+    // directions explode from a single evaluation of the pair subtree
+    // (a union of two selects would run the pair stage per branch), and
+    // the round-invariant out-degree rides a count window over the same
+    // src partitioning instead of a separate aggregate + join — one
+    // landing instead of two, no degree broadcast
+    val (ew, degIds) = checkpointed(
       pairs.select(explode(array(
           struct(col("d1").as("src"), col("d2").as("dst")),
           struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst")))
-    // out-degree is round-invariant: join it onto the edge table ONCE
-    // and checkpoint the result, so each round joins pr against a
-    // single prepared (src, dst, od) table instead of re-running (and
-    // re-broadcasting) the degree aggregate every iteration
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val (ew, degIds) = checkpointed(edges.join(deg, "src"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .withColumn("od",
+          count(lit(1)).over(Window.partitionBy(col("src")))))
     val (nodeT, nodeIds) = checkpointed(
       nodes.select(col("doc_id")).distinct())
     val n = nodeT.count().toDouble // metadata-scale driver read
@@ -731,7 +730,6 @@ object DedupOps {
     // ~3 jobs/round; this leaves one checkpoint job per round).
     val nDang =
       n - ew.agg(countDistinct(col("src"))).first().getLong(0).toDouble
-    drop(edgeIds) // ew supersedes the raw edge table
     var dm = nDang / n
     // Per-round eager landing is load-bearing for COST even with the
     // single-consumer lineage: the next round's contribution join
