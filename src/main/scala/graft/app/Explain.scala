@@ -92,7 +92,12 @@ object Explain {
     "q109_dormant_customers" -> "Q22 shape: broadcast scalar subquery + anti join against the scan-filtered recent slice + broadcast dim rollup",
     "q110_kanonymity"       -> "k-anonymity/l-diversity: ONE QI-key hash aggregate (count + distinct partials map-side) + a one-row rollup",
     "q111_session_stats"    -> "entry-channel quality: sessionize + per-session rollup on ONE user-key exchange; |types|-row final rollup",
-    "q112_lang_confusion"   -> "lang confusion: one expression-only scan to a |langs|^2 frame; share window on the frame, not the corpus")
+    "q112_lang_confusion"   -> "lang confusion: one expression-only scan to a |langs|^2 frame; share window on the frame, not the corpus",
+    "q113_smalllot_revenue" -> "Q17 shape decorrelated: brand parts broadcast into the scan; per-part avg as a window on ONE partkey exchange — the fact table never joins itself",
+    "q114_big_baskets"      -> "Q18 shape: fact aggregate + HAVING filter BEFORE any join; the order/customer joins see only the rare survivors",
+    "q115_single_source"    -> "Q20-cut concentration audit: one explicit partkey exchange feeds the (part,supplier) aggregate (key-subset clustering) AND the part-total window",
+    "q116_cheapest_supplier" -> "Q2 shape argmin join: size-class parts broadcast; row_number window over the (part,supplier) unit-cost table",
+    "q117_top_supplier"     -> "Q15 shape: quarter pushed to the scan; max rides in-plan as a broadcast scalar over the SAME aggregate (q17 pattern)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

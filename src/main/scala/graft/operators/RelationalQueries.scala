@@ -665,6 +665,180 @@ object RelationalQueries {
       |  GROUP BY c_custkey)
       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** q113 — small-lot revenue (the TPC-H Q17 shape): revenue locked in
+    * orders whose quantity is under `frac` of that part's average lot,
+    * for one brand — the "should we stop retailing small lots" number.
+    * Q17's correlated scalar subquery (per-part average over the WHOLE
+    * lineitem history) decorrelates to an average WINDOW over the
+    * brand-filtered slice: the brand's parts broadcast into the fact
+    * scan, and the per-part average rides the ONE partkey exchange the
+    * filter-then-sum tail reuses — the fact table never joins itself,
+    * and the unfiltered-history semantics survive because the window
+    * sees every lineitem row of the surviving parts. */
+  def q113SmallLotRevenue(lineitem: DataFrame, part: DataFrame,
+      brand: String = "Brand#13", frac: Double = 0.2): DataFrame = {
+    val bparts = part.filter(col("p_brand") === brand)
+      .select(col("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    lineitem
+      .join(broadcast(bparts), col("l_partkey") === col("p_partkey"))
+      .withColumn("_avgq", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(frac) * col("_avgq"))
+      .agg(count(lit(1)).as("n_small"),
+        round(sum(col("l_extendedprice")) / 7.0 + lit(1e-9), 2)
+          .as("avg_yearly"))
+  }
+  def q113Sql(brand: String = "Brand#13", frac: Double = 0.2): String =
+    s"""SELECT count(*) AS n_small,
+       |  round(sum(l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly
+       |FROM lineitem l JOIN part p ON p_partkey = l_partkey
+       |WHERE p_brand = '$brand'
+       |  AND l_quantity < (SELECT $frac * avg(l_quantity)
+       |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)"""
+      .stripMargin
+
+  /** q114 — big-basket orders (the TPC-H Q18 shape): orders whose total
+    * quantity exceeds `minQty`, with their customers — the large-volume
+    * account report. One fact aggregate on the orderkey, the
+    * HAVING-style filter BEFORE any join (the survivors are rare, so
+    * the order/customer joins see a sliver), then two key joins. */
+  def q114BigBaskets(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, minQty: Double = 250, topN: Int = 100)
+      : DataFrame =
+    lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        round(col("sum_qty") + lit(1e-9), 1).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(topN)
+  def q114Sql(minQty: Double = 250, topN: Int = 100): String =
+    s"""WITH oq AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+       |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > $minQty)
+       |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |  round(sum_qty + 1e-9, 1) AS sum_qty
+       |FROM oq JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT $topN""".stripMargin
+
+  /** q115 — single-source concentration audit (the TPC-H Q20 question
+    * re-cut for shipment data: no partsupp table, so "excess stock"
+    * becomes observed supply share): suppliers carrying at least
+    * `minShare` of some part's total shipped quantity, rolled up per
+    * supplier — the supply-chain-risk list (lose this supplier, lose a
+    * chunk of those parts' volume). Quantities are integer-valued
+    * doubles, so the share is an exact rational and the threshold
+    * compare is engine-deterministic. One explicit partkey exchange
+    * feeds both the (part, supplier) aggregate (key-subset clustering)
+    * and the part-total window. */
+  def q115SingleSourceRisk(lineitem: DataFrame, supplier: DataFrame,
+      minShare: Double = 0.15): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+    lineitem.repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("_q"))
+      .withColumn("_share", col("_q") / sum(col("_q")).over(w))
+      .filter(col("_share") >= minShare)
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_parts_dominated"),
+        round(avg(col("_share")) + lit(1e-9), 4).as("avg_share"))
+      .orderBy(col("n_parts_dominated").desc, col("s_name"))
+  }
+  def q115Sql(minShare: Double = 0.15): String =
+    s"""WITH ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+       |  FROM lineitem GROUP BY 1, 2),
+       |sh AS (SELECT l_partkey, l_suppkey,
+       |    q / sum(q) OVER (PARTITION BY l_partkey) AS share
+       |  FROM ps)
+       |SELECT s_name, count(*) AS n_parts_dominated,
+       |  round(avg(share) + 1e-9, 4) AS avg_share
+       |FROM sh JOIN supplier ON s_suppkey = l_suppkey
+       |WHERE share >= $minShare
+       |GROUP BY s_name
+       |ORDER BY n_parts_dominated DESC, s_name""".stripMargin
+
+  /** q116 — cheapest observed supplier per part (the TPC-H Q2 shape:
+    * Q2's correlated min-supplycost subquery, re-cut to shipment data
+    * as the min observed unit price): for parts of one size class, the
+    * supplier with the lowest observed unit price — the argmin-join
+    * every procurement dashboard runs. Decorrelated as a row_number
+    * window over the (part, supplier) unit-cost table; the size-class
+    * parts broadcast into the fact scan. */
+  def q116CheapestSupplier(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, sizeSel: Int = 10, topN: Int = 100)
+      : DataFrame = {
+    val parts = part.filter(col("p_size") === sizeSel)
+      .select(col("p_partkey"), col("p_name"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("_uc"), col("l_suppkey"))
+    lineitem.filter(col("l_quantity") > 0)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("_uc"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_name"), col("s_name"),
+        round(col("_uc") + lit(1e-9), 4).as("unit_cost"))
+      .orderBy(col("unit_cost"), col("p_name")).limit(topN)
+  }
+  def q116Sql(sizeSel: Int = 10, topN: Int = 100): String =
+    s"""WITH uc AS (
+       |  SELECT l_partkey, p_name, l_suppkey,
+       |    min(l_extendedprice / l_quantity) AS uc
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey
+       |  WHERE p_size = $sizeSel AND l_quantity > 0
+       |  GROUP BY 1, 2, 3),
+       |r AS (SELECT p_name, l_suppkey, uc,
+       |    row_number() OVER (PARTITION BY l_partkey
+       |      ORDER BY uc, l_suppkey) AS rn
+       |  FROM uc)
+       |SELECT p_name, s_name, round(uc + 1e-9, 4) AS unit_cost
+       |FROM r JOIN supplier ON s_suppkey = l_suppkey
+       |WHERE rn = 1
+       |ORDER BY unit_cost, p_name LIMIT $topN""".stripMargin
+
+  /** q117 — top revenue supplier in a quarter (the TPC-H Q15 shape:
+    * the view + scalar-max subquery): per-supplier discounted revenue
+    * over a 3-month ship window, keeping the supplier(s) achieving the
+    * maximum. The max rides in-plan as a broadcast scalar over the
+    * SAME aggregate (the q17 pattern); the date predicate pushes to
+    * the scan so the aggregate sees one quarter, not history. */
+  def q117TopSupplier(lineitem: DataFrame, supplier: DataFrame,
+      from: String = "1996-01-01", months: Int = 3): DataFrame = {
+    val lo = to_timestamp(lit(from))
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lo &&
+        col("l_shipdate") < lo + expr(s"INTERVAL $months MONTHS"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("_r"))
+    val mx = rev.agg(max(col("_r")).as("_m"))
+    rev.crossJoin(broadcast(mx)).filter(col("_r") === col("_m"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), round(col("_r") + lit(1e-9), 2)
+        .as("total_rev"))
+      .orderBy("s_name")
+  }
+  def q117Sql(from: String = "1996-01-01", months: Int = 3): String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    sum(l_extendedprice * (1.0 - l_discount)) AS r
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$from'
+       |    AND l_shipdate < TIMESTAMP '$from' + INTERVAL $months MONTH
+       |  GROUP BY 1)
+       |SELECT s_name, round(r + 1e-9, 2) AS total_rev
+       |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+       |WHERE r = (SELECT max(r) FROM rev)
+       |ORDER BY s_name""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q01_scan",
       (s: SparkSession, d: String) => q01Scan(Tables.lineitem(s, d)),
@@ -755,5 +929,25 @@ object RelationalQueries {
     ("q109_dormant_customers",
       (s: SparkSession, d: String) => q109DormantCustomers(
         Tables.customer(s, d), Tables.orders(s, d), Tables.nation(s, d)),
-      Some(q109Sql())))
+      Some(q109Sql())),
+    ("q113_smalllot_revenue",
+      (s: SparkSession, d: String) => q113SmallLotRevenue(
+        Tables.lineitem(s, d), Tables.part(s, d)),
+      Some(q113Sql())),
+    ("q114_big_baskets",
+      (s: SparkSession, d: String) => q114BigBaskets(
+        Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d)),
+      Some(q114Sql())),
+    ("q115_single_source",
+      (s: SparkSession, d: String) => q115SingleSourceRisk(
+        Tables.lineitem(s, d), Tables.supplier(s, d)),
+      Some(q115Sql())),
+    ("q116_cheapest_supplier",
+      (s: SparkSession, d: String) => q116CheapestSupplier(
+        Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d)),
+      Some(q116Sql())),
+    ("q117_top_supplier",
+      (s: SparkSession, d: String) => q117TopSupplier(
+        Tables.lineitem(s, d), Tables.supplier(s, d)),
+      Some(q117Sql())))
 }

@@ -141,6 +141,96 @@ class Round13OpsSpec extends SparkSpec {
       (3L, 13L, 0), (4L, 14L, 0), (5L, 15L, 3)))
   }
 
+  // ---------------------------------------------------- q113–q117
+
+  test("q113 small-lot revenue: per-part average is over ALL of the " +
+    "part's history, small lots sum, other brands invisible") {
+    import graft.operators.RelationalQueries
+    val ts = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val part = Seq((1L, "B", "t", 1, "p1", 10.0), (2L, "X", "t", 1, "p2", 10.0))
+      .toDF("p_partkey", "p_brand", "p_type", "p_size", "p_name", "p_retailprice")
+    // part 1: quantities 1, 9, 10 → avg 20/3; frac 0.5 → cutoff 10/3:
+    // only the qty-1 row is small. part 2 (brand X) never appears.
+    val li = Seq((1L, 1.0, 100.0, ts), (1L, 9.0, 200.0, ts),
+      (1L, 10.0, 300.0, ts), (2L, 1.0, 999.0, ts))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
+    val r = RelationalQueries.q113SmallLotRevenue(li, part,
+      brand = "B", frac = 0.5).collect().head
+    assert(r.getLong(0) == 1L)
+    assert(math.abs(r.getDouble(1) - 100.0 / 7.0) < 0.01)
+  }
+
+  test("q114 big baskets: only orders over the quantity line survive, " +
+    "with their customers") {
+    import graft.operators.RelationalQueries
+    val ts = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val li = Seq((1L, 30.0), (1L, 25.0), (2L, 10.0))
+      .toDF("l_orderkey", "l_quantity")
+    val orders = Seq((1L, 7L, ts, 500.0), (2L, 8L, ts, 900.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Seq((7L, "alice"), (8L, "bob")).toDF("c_custkey", "c_name")
+    val out = RelationalQueries.q114BigBaskets(li, orders, cust,
+      minQty = 50).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "alice" && r.getLong(2) == 1L
+      && r.getDouble(5) == 55.0)
+  }
+
+  test("q115 single-source risk: a supplier over the share line is " +
+    "counted once per dominated part") {
+    import graft.operators.RelationalQueries
+    val li = Seq(
+      // part 1: s1 ships 60 of 100 (0.6), s2 40 (0.4)
+      (1L, 1L, 60.0), (1L, 2L, 40.0),
+      // part 2: s1 30 of 100 (0.3), s2 70 (0.7)
+      (2L, 1L, 30.0), (2L, 2L, 70.0))
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+    val supp = Seq((1L, "s1"), (2L, "s2")).toDF("s_suppkey", "s_name")
+    val out = RelationalQueries.q115SingleSourceRisk(li, supp,
+        minShare = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map("s1" -> ((1L, 0.6)), "s2" -> ((1L, 0.7))))
+  }
+
+  test("q116 cheapest supplier: argmin per part by min observed unit " +
+    "price, supplier-id tiebreak") {
+    import graft.operators.RelationalQueries
+    val part = Seq((1L, "pA", 5), (2L, "pB", 5), (3L, "pC", 9))
+      .toDF("p_partkey", "p_name", "p_size")
+    val li = Seq(
+      (1L, 1L, 10.0, 40.0), // unit 4.0
+      (1L, 2L, 10.0, 20.0), // unit 2.0 ← cheapest for pA
+      (2L, 1L, 10.0, 30.0), // unit 3.0 ← tie...
+      (2L, 2L, 10.0, 30.0), // unit 3.0, s1 wins by id
+      (3L, 1L, 10.0, 10.0)) // wrong size class, invisible
+      .toDF("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    val supp = Seq((1L, "s1"), (2L, "s2")).toDF("s_suppkey", "s_name")
+    val out = RelationalQueries.q116CheapestSupplier(li, part, supp,
+        sizeSel = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSet == Set(("pA", "s2", 2.0), ("pB", "s1", 3.0)))
+  }
+
+  test("q117 top supplier: max-revenue filter keeps ties, window " +
+    "excludes out-of-range shipments") {
+    import graft.operators.RelationalQueries
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (1L, 100.0, 0.0, t("1996-02-01")),
+      (2L, 60.0, 0.0, t("1996-03-01")),
+      (2L, 40.0, 0.0, t("1996-03-02")),
+      (3L, 500.0, 0.0, t("1997-01-01"))) // outside the quarter
+      .toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val supp = Seq((1L, "s1"), (2L, "s2"), (3L, "s3"))
+      .toDF("s_suppkey", "s_name")
+    val out = RelationalQueries.q117TopSupplier(li, supp,
+        from = "1996-01-01", months = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSet == Set(("s1", 100.0), ("s2", 100.0)))
+  }
+
   test("textrank: fractional df default matches pmiPairs' vocabulary") {
     val docs = (
       (1 to 5).map(i => (i.toLong, "alpha beta")) ++
