@@ -18,7 +18,8 @@ object SparkEntry {
       graft.operators.SampleOps.all ++ graft.operators.QualityOps.all ++
       graft.operators.ManifestOps.all ++ graft.operators.PruneOps.all ++
       graft.operators.LayoutOps.all ++ graft.operators.StatsOps.all ++
-      graft.operators.LinkageOps.all ++ graft.llm.LlmOps.all
+      graft.operators.LinkageOps.all ++ graft.operators.RollupOps.all ++
+      graft.llm.LlmOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

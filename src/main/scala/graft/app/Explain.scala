@@ -97,7 +97,8 @@ object Explain {
     "q114_big_baskets"      -> "Q18 shape: fact aggregate + HAVING filter BEFORE any join; the order/customer joins see only the rare survivors",
     "q115_single_source"    -> "Q20-cut concentration audit: one explicit partkey exchange feeds the (part,supplier) aggregate (key-subset clustering) AND the part-total window",
     "q116_cheapest_supplier" -> "Q2 shape argmin join: size-class parts broadcast; row_number window over the (part,supplier) unit-cost table",
-    "q117_top_supplier"     -> "Q15 shape: quarter pushed to the scan; max rides in-plan as a broadcast scalar over the SAME aggregate (q17 pattern)")
+    "q117_top_supplier"     -> "Q15 shape: quarter pushed to the scan; max rides in-plan as a broadcast scalar over the SAME aggregate (q17 pattern)",
+    "q118_rollup_merge"     -> "incremental rollup maintenance: fact scanned once per batch; merge is an aggregate over two rollup-sized tables; exact distinct users via the presence-table sidecar")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -91,6 +91,40 @@ class Round13OpsSpec extends SparkSpec {
     assert(d(f"t${63}%03d") == ((1, 1L)))
   }
 
+  // ---------------------------------------------------------------- q118
+
+  test("rollup merge: incremental maintenance equals the full recompute, " +
+    "including cross-batch extremes and distinct users") {
+    import graft.operators.RollupOps
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // day 1 type a: history has the min (1.0) and user 7; the batch has
+    // the max (9.0) and users 7 (again — must not double-count) and 8
+    val history = Seq(
+      (1L, t("2024-05-01 10:00:00"), 7L, "a", 1.0),
+      (2L, t("2024-05-01 11:00:00"), 7L, "a", 5.0),
+      (3L, t("2024-05-02 10:00:00"), 9L, "b", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = Seq(
+      (10L, t("2024-05-01 12:00:00"), 7L, "a", 9.0),
+      (11L, t("2024-05-01 13:00:00"), 8L, "a", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val incr = RollupOps.rollupReport(
+      RollupOps.mergeRollups(
+        RollupOps.dailyRollup(history), RollupOps.dailyRollup(batch)),
+      RollupOps.mergePresence(
+        RollupOps.userPresence(history), RollupOps.userPresence(batch)))
+      .collect().toSeq
+    val full = RollupOps.rollupReport(
+      RollupOps.dailyRollup(history.unionByName(batch)),
+      RollupOps.userPresence(history.unionByName(batch)))
+      .collect().toSeq
+    assert(incr == full)
+    val d1 = incr.head
+    assert(d1.getString(1) == "a" && d1.getLong(2) == 4L
+      && d1.getDouble(3) == 17.0 && d1.getDouble(4) == 1.0
+      && d1.getDouble(5) == 9.0 && d1.getLong(6) == 2L)
+  }
+
   // ---------------------------------------------------------------- q100
 
   test("knnLabelAgreement: a singleton-cluster vector surfaces as " +
