@@ -39,7 +39,12 @@ object RollupOps {
     * result is exactly `dailyRollup(historyᵤ∪ᵤbatch)` — the property the
     * registry oracle checks cross-engine and Round13OpsSpec pins. */
   def mergeRollups(stored: DataFrame, delta: DataFrame): DataFrame =
-    stored.unionByName(delta)
+    mergeAll(stored.unionByName(delta))
+
+  /** N-way merge: the same per-column monoids over any number of
+    * stacked rollups (the streaming twin's merge-on-read path). */
+  def mergeAll(rollups: DataFrame): DataFrame =
+    rollups
       .groupBy(col("day"), col("event_type"))
       .agg(sum(col("n_events")).as("n_events"),
         sum(col("sum_value")).as("sum_value"),

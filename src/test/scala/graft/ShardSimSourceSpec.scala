@@ -576,6 +576,68 @@ class ShardSimSourceSpec extends SparkSpec {
     assert(IngestDedupApp.quarantine(spark, corpus).isEmpty)
   }
 
+  test("streaming rollup maintenance: crash replay converges to the " +
+    "batch recompute (per-batch dirs are the idempotence mechanism)") {
+    // q118's streaming twin end-to-end: events stream in micro-batches,
+    // each batch overwrites ITS OWN rollup/presence directory, and the
+    // merged report after a mid-batch crash + WAL replay must equal the
+    // clean batch recompute — nothing double-counts because a replayed
+    // batch overwrites the same directory with the same bytes.
+    import graft.app.RollupStreamApp
+    import graft.operators.RollupOps
+    import spark.implicits._
+    val baseUs = 1700000000000000L // 2023-11-14T22:13:20Z
+    val dayUs = 86400L * 1000000L
+    // 25 events across 3 days, 2 types, users repeating across batches
+    val events = (0 until 25).map { i =>
+      (i.toLong, baseUs + (i % 3) * dayUs + i * 1000000L,
+        (i % 4).toLong, if (i % 2 == 0) "a" else "b", i * 1.5)
+    }
+    val rows = events.map { case (id, ts, uid, typ, v) =>
+      (s"e$id", ts,
+        s"""{"event_id":$id,"ts_us":$ts,"user_id":$uid,"event_type":"$typ","value":$v}""")
+    }
+    def freshFixture(): String = {
+      val dir = Files.createTempDirectory("rollup_fixture").toString
+      ShardSimFixture.writeShard(dir, 0, rows)
+      dir
+    }
+    val expected = RollupOps.rollupReport(
+      RollupOps.dailyRollup(
+        events.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+          .withColumn("ts", org.apache.spark.sql.functions
+            .timestamp_micros(org.apache.spark.sql.functions.col("ts_us")))),
+      RollupOps.userPresence(
+        events.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+          .withColumn("ts", org.apache.spark.sql.functions
+            .timestamp_micros(org.apache.spark.sql.functions.col("ts_us")))))
+      .collect().toSeq
+
+    // clean run
+    val outA = Files.createTempDirectory("rollup_outA").toString
+    RollupStreamApp.run(spark, freshFixture(), outA,
+        Files.createTempDirectory("rollup_ckptA").toString,
+        maxRecordsPerBatch = Some(7L))
+      .awaitTermination()
+    assert(RollupStreamApp.report(spark, outA).collect().toSeq == expected)
+
+    // faulted run: reader dies after 5 rows, restart replays the batch
+    val outB = Files.createTempDirectory("rollup_outB").toString
+    val ckptB = Files.createTempDirectory("rollup_ckptB").toString
+    val marker = Files.createTempDirectory("rollup_marker")
+      .resolve("fired").toString
+    def startB() = RollupStreamApp.run(spark, freshFixture(), outB, ckptB,
+      maxRecordsPerBatch = Some(7L),
+      extraOptions = Map("faultInjectMarker" -> marker,
+        "faultInjectAfter" -> "5"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      startB().awaitTermination()
+    }
+    startB().awaitTermination()
+    assert(RollupStreamApp.report(spark, outB).collect().toSeq == expected,
+      "replayed rollup maintenance must converge to the batch recompute")
+  }
+
   test("constraint-gated ingest: a poisoned batch quarantines whole; replay converges") {
     // Q40 fused into the exactly-once loop: the gate runs per micro-batch
     // before dedup admission; a failing batch is routed to quarantine and
