@@ -235,6 +235,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q113 small-lot revenue: Q17 decorrelates — one fact scan, one " +
+    "partkey exchange, brand filter pushed to the part scan") {
+    val p = finalPlan(graft.operators.RelationalQueries.q113SmallLotRevenue(
+      T.lineitem(spark, sf0001), T.part(spark, sf0001)))
+    // the fact table never joins itself: one lineitem scan, one partkey
+    // exchange feeding the window; brand parts broadcast with the
+    // predicate at the parquet scan
+    assert("lineitem.parquet".r.findAllIn(p).length == 1, p)
+    assert("Exchange hashpartitioning\\(l_partkey".r.findAllIn(p).length == 1, p)
+    assert(p.contains("EqualTo(p_brand,Brand#13)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q115 single-source: one explicit partkey exchange feeds both " +
+    "the (part,supplier) aggregate and the part-total window") {
+    val p = finalPlan(graft.operators.RelationalQueries.q115SingleSourceRisk(
+      T.lineitem(spark, sf0001), T.supplier(spark, sf0001)))
+    assert("lineitem.parquet".r.findAllIn(p).length == 1, p)
+    // the repartition is the ONLY fact-scale exchange: the aggregate's
+    // grouping keys are a superset of the partitioning key, so no
+    // second exchange lands between it and the window
+    assert("Exchange hashpartitioning\\(l_partkey".r.findAllIn(p).length == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q104 mahalanobis: the model broadcasts back; scoring adds no fact shuffle") {
     val p = finalPlan(graft.llm.SimilarityOps
       .mahalanobisOutliers(T.embeddings(spark, sf0001)))
