@@ -806,20 +806,16 @@ object SimilarityOps {
       .select(col("qid"), col("qe"), col("qlabel"), col("cid"))
     // The candidate join has only |centroids| distinct keys — with a
     // fixed small k that caps parallelism at k tasks regardless of
-    // cluster size, and the first 20× capture paid 440 s for it. Salt
-    // the key: corpus rows take one of `SaltBuckets` salts, each probe
-    // replicates across all of them — k×SaltBuckets join cells, same
-    // logical output (the standard many-to-many skew treatment; q92's
-    // block-cap lesson, applied as fanout rather than dropping). The
+    // cluster size, and the first 20× capture paid 440 s for it.
+    // Salting.saltedJoin fans the cid key out: corpus rows take one of
+    // `SaltBuckets` deterministic salts, each probe replicates across
+    // all of them — k×SaltBuckets join cells, same logical output. The
     // probe-side duplication is |queries|·nProbe·SaltBuckets slim rows.
-    val aSalt = a.withColumn("salt",
-      pmod(xxhash64(col("vec_id")), lit(SaltBuckets)).cast("int"))
-    val pSalt = probes.withColumn("salt",
-      explode(sequence(lit(0), lit(SaltBuckets - 1))))
-    // arrays are dropped BEFORE the top-k window: sorting |candidates|
+    // Arrays are dropped BEFORE the top-k window: sorting |candidates|
     // rows that still carry two d-float vectors is the memory bill, not
-    // the cosine arithmetic (the other half of that 440 s)
-    val scored = aSalt.join(pSalt, Seq("cid", "salt"))
+    // the cosine arithmetic (the other half of that 440 s).
+    val scored = graft.core.Salting
+      .saltedJoin(a, probes, Seq("cid"), "vec_id", SaltBuckets)
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
         expr("cosine_sim(qe, embedding)").as("cos"))

@@ -91,6 +91,29 @@ class Round13OpsSpec extends SparkSpec {
     assert(d(f"t${63}%03d") == ((1, 1L)))
   }
 
+  // -------------------------------------------------------------- Salting
+
+  test("saltedJoin equals the plain equi-join and shuffles on the " +
+    "fanned-out key") {
+    import graft.core.Salting
+    // 2-valued key (the parallelism-cap shape), 60 large rows, 6 small
+    val large = (1 to 60).map(i => (i.toLong, s"k${i % 2}", i * 1.0))
+      .toDF("id", "key", "v")
+    val small = (1 to 6).map(i => (s"k${i % 2}", s"tag$i"))
+      .toDF("key", "tag")
+    val salted = Salting.saltedJoin(large, small, Seq("key"), "id",
+      salts = 8)
+    val plain = large.join(small, Seq("key"))
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(salted.collect().map(_.toSeq).groupBy(identity).view
+        .mapValues(_.length).toMap ==
+      plain.collect().map(_.toSeq).groupBy(identity).view
+        .mapValues(_.length).toMap)
+    // the join key in the plan is (key, _salt), not the bare hot key
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("_salt"), p)
+  }
+
   // ---------------------------------------------------------------- q118
 
   test("rollup merge: incremental maintenance equals the full recompute, " +
