@@ -1239,6 +1239,34 @@ object DedupOps {
        |ORDER BY d1, d2""".stripMargin
 
   /** Exact-Jaccard oracle for the df-capped shared pair stage. */
+  /** q119 — candidate-pair similarity histogram: the distribution of
+    * Jaccard values across ALL candidate pairs (no threshold), in
+    * `binWidth` bins — the threshold-TUNING audit run before committing
+    * a dedup threshold: a bimodal histogram (near-dup mass well above
+    * organic overlap) says where the cliff is; a smooth slope says no
+    * clean threshold exists and containment/semantic measures should
+    * arbitrate. Rides the SAME df-capped inverted-index pair stage as
+    * every q23 operator — the histogram is a metadata-scale rollup of
+    * the pair frame the dedup pass computes anyway. */
+  def jaccardHistogram(docs: DataFrame, k: Int = K,
+      dfCap: Int = DefaultDfCap, binWidth: Double = 0.05): DataFrame =
+    jaccardPairs(docs, k, dfCap)
+      .select(floor(col("jac") / binWidth + lit(1e-9)).cast("int")
+        .as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(round(col("bin") * binWidth + lit(1e-9), 2).as("bin_lo"),
+        col("n_pairs"))
+      .orderBy("bin_lo")
+  def jaccardHistogramSql(binWidth: Double = 0.05): String =
+    s"""WITH ${pairsCte(capped = true)},
+       |b AS (SELECT CAST(floor(inter / (n1 + n2 - inter) / $binWidth
+       |    + 1e-9) AS INT) AS bin
+       |  FROM pairs)
+       |SELECT round(bin * $binWidth + 1e-9, 2) AS bin_lo,
+       |  count(*) AS n_pairs
+       |FROM b GROUP BY bin ORDER BY bin_lo""".stripMargin
+
   private val jaccardOracle: String =
     s"""WITH ${pairsCte(capped = true)}
        |SELECT d1, d2,
@@ -1460,5 +1488,8 @@ object DedupOps {
       Some(dupTrianglesSql())),
     ("q105_novelty_rate",
       (s: SparkSession, d: String) => noveltyRate(Tables.documents(s, d)),
-      Some(noveltyRateSql)))
+      Some(noveltyRateSql)),
+    ("q119_jaccard_histogram",
+      (s: SparkSession, d: String) => jaccardHistogram(Tables.documents(s, d)),
+      Some(jaccardHistogramSql())))
 }

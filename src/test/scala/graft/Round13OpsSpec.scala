@@ -91,6 +91,26 @@ class Round13OpsSpec extends SparkSpec {
     assert(d(f"t${63}%03d") == ((1, 1L)))
   }
 
+  // ---------------------------------------------------------------- q119
+
+  test("jaccardHistogram: pairs land in their similarity bins, " +
+    "boundary values bin up") {
+    import graft.llm.DedupOps
+    // doc pairs with known jaccard: (1,2) identical → 1.0 (bin 20 at
+    // width .05 → bin_lo 1.0); (3,4) share 4 of 8 shingles → 4/12 = 1/3
+    // (bin 6 → 0.3). Doc 5 shares nothing that survives.
+    val docs = Seq(
+      (1L, "a b c d e f g h i"), (2L, "a b c d e f g h i"),
+      (3L, "p q r s t u v w"), (4L, "p q r s t u v w x y z a"),
+      (5L, "m n o m n o m n o m n o")).toDF("doc_id", "text")
+    val out = DedupOps.jaccardHistogram(docs).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // (3,4): doc3 has 4 5-gram shingles, doc4 has 8, 4 shared → 4/8? no:
+    // shingles(doc3)=4, shingles(doc4)=8, inter=4 → 4/(4+8-4)=0.5 → 0.5
+    assert(out(1.0) == 1L, out.toString)
+    assert(out(0.5) == 1L, out.toString)
+  }
+
   // -------------------------------------------------------------- Salting
 
   test("saltedJoin equals the plain equi-join and shuffles on the " +
