@@ -805,28 +805,47 @@ object TextOps {
       minDfAbs: Int, minPair: Int): (DataFrame, DataFrame) = {
     require(minDfAbs <= 0 || minDfAbs >= minPair,
       "minDf < minPair would prune pairs the threshold admits")
-    val dt = Tables.fanout(docs)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
-      .filter(!col("t").isin(Text.stopwords: _*))
-      .distinct()
+    // Per-doc distinct terms ROW-LOCALLY (array_distinct on the token
+    // array — no corpus-wide distinct exchange), sorted so downstream
+    // pair generation is ordered for free. Cached lazily: the vocab
+    // broadcast materializes it, the pair arm then reads the cache —
+    // the tokenize runs once, and no eager action is needed (the pair
+    // arm's stage waits on the broadcast future anyway).
+    val dt = graft.core.CacheOnce.swap("pmi-docterms", Tables.fanout(docs)
+      .select(col("doc_id"), array_sort(array_distinct(
+        filter(Text.tokens(col("text")),
+          t => !t.isin(Text.stopwords: _*)))).as("ts")))
     val thr =
       if (minDfAbs > 0) lit(minDfAbs.toLong)
       else greatest(ceil(lit(minDfFrac) * col("n_docs")).cast("long"),
         lit(minPair.toLong))
     val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val vocab = dt.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val vocab = dt.select(explode(col("ts")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
       .crossJoin(broadcast(nDocs))
       .filter(col("n_t") >= thr)
       .select(col("t"), col("n_t"))
-    val kept = dt.join(broadcast(vocab), "t")
-    val pairs = kept
-      .select(col("doc_id"), col("t").as("t1"), col("n_t").as("n_x"))
-      .join(kept.select(col("doc_id"), col("t").as("t2"),
-        col("n_t").as("n_y")), "doc_id")
-      .filter(col("t1") < col("t2"))
-      .groupBy(col("t1"), col("t2"), col("n_x"), col("n_y"))
+    // The pair space generates MAP-SIDE from each doc's kept-term array
+    // (array_intersect against the broadcast vocab list, then ordered
+    // 2-combinations via posexplode + slice) — the former shape
+    // shuffled the exploded doc-term table into a doc_id self-join;
+    // this shape's only fact-scale exchange is the final (t1, t2)
+    // count, which partial-aggregates map-side because per-doc pairs
+    // repeat heavily across the corpus.
+    val vlist = vocab.agg(sort_array(collect_list(col("t"))).as("vl"))
+    val pairs = dt.crossJoin(broadcast(vlist))
+      .select(array_intersect(col("ts"), col("vl")).as("ks"))
+      .select(col("ks"), posexplode(col("ks")).as(Seq("i", "t1")))
+      .select(col("t1"),
+        explode(expr("slice(ks, i + 2, size(ks))")).as("t2"))
+      .groupBy(col("t1"), col("t2"))
       .agg(count(lit(1)).as("n_xy"))
       .filter(col("n_xy") >= minPair)
+      .join(broadcast(vocab.select(col("t").as("t1"),
+        col("n_t").as("n_x"))), "t1")
+      .join(broadcast(vocab.select(col("t").as("t2"),
+        col("n_t").as("n_y"))), "t2")
+      .select(col("t1"), col("t2"), col("n_x"), col("n_y"), col("n_xy"))
     (vocab, pairs)
   }
 
