@@ -260,6 +260,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q91 pmi: pairs generate map-side — no doc_id self-join, no " +
+    "corpus-wide distinct exchange") {
+    val p = finalPlan(graft.llm.TextOps.pmiPairs(T.documents(spark, sf0001)))
+    // per-doc distinct is row-local (array_distinct) and the pair space
+    // explodes from each doc's kept-term array: no join keyed on
+    // doc_id, no exchange over the exploded (doc_id, t) table — the
+    // doc_id-only exchange that remains is the n_docs countDistinct
+    // scalar (slim ids, the q17 pattern)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!"hashpartitioning\\(doc_id[^)]*, t#".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("array_distinct"), p)
+  }
+
   test("q104 mahalanobis: the model broadcasts back; scoring adds no fact shuffle") {
     val p = finalPlan(graft.llm.SimilarityOps
       .mahalanobisOutliers(T.embeddings(spark, sf0001)))
