@@ -867,16 +867,39 @@ object DedupOps {
     val rawDeg = rawPairs.select(col("d1").as("v"))
       .unionByName(rawPairs.select(col("d2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val hot = rawDeg.filter(col("deg") > maxDegree).select("v")
-    val nCapped = hot.agg(count(lit(1)).as("n_capped"))
+    // hub vertices are METADATA-SCALE by the operator's own premise
+    // (degrees above the cap are the pathology, not the population), so
+    // the hub list collects driver-side — one cheap job over the cached
+    // pairs instead of two broadcast anti-join jobs, and in the common
+    // no-hubs case the capped frame IS the cached raw frame (no second
+    // materialized copy). A >100k hub population falls back to the
+    // distributed anti-join path.
+    val HubCollectCap = 100000
+    val hubIds = rawDeg.filter(col("deg") > maxDegree).select(col("v"))
+      .limit(HubCollectCap + 1).collect().map(_.getLong(0))
+    val hubOverflow = hubIds.length > HubCollectCap
     // the census runs on the consistent sub-graph EXCLUDING hub
     // vertices: their edges leave with them, so degrees re-derive.
     // Cached: five arms below (deg, both orientation joins, the
-    // triangle semi-join) would otherwise each replay the two
-    // left_anti joins over the full pair list.
-    val pairs = graft.core.CacheOnce.swap("dup-tri-capped", rawPairs
-      .join(hot.withColumnRenamed("v", "d1"), Seq("d1"), "left_anti")
-      .join(hot.withColumnRenamed("v", "d2"), Seq("d2"), "left_anti"))
+    // triangle semi-join) share the capped frame.
+    val pairs =
+      if (hubIds.isEmpty) rawPairs
+      else if (!hubOverflow)
+        graft.core.CacheOnce.swap("dup-tri-capped", rawPairs
+          .filter(!col("d1").isInCollection(hubIds)
+            && !col("d2").isInCollection(hubIds)))
+      else {
+        val hot = rawDeg.filter(col("deg") > maxDegree).select("v")
+        graft.core.CacheOnce.swap("dup-tri-capped", rawPairs
+          .join(hot.withColumnRenamed("v", "d1"), Seq("d1"), "left_anti")
+          .join(hot.withColumnRenamed("v", "d2"), Seq("d2"), "left_anti"))
+      }
+    val nCapped =
+      if (!hubOverflow)
+        rawPairs.sparkSession.range(1)
+          .select(lit(hubIds.length.toLong).as("n_capped"))
+      else rawDeg.filter(col("deg") > maxDegree)
+        .agg(count(lit(1)).as("n_capped"))
     val deg = graft.core.CacheOnce.swap("dup-tri-deg",
       pairs.select(col("d1").as("v"))
         .unionByName(pairs.select(col("d2").as("v")))
