@@ -98,7 +98,8 @@ object Explain {
     "q115_single_source"    -> "Q20-cut concentration audit: one explicit partkey exchange feeds the (part,supplier) aggregate (key-subset clustering) AND the part-total window",
     "q116_cheapest_supplier" -> "Q2 shape argmin join: size-class parts broadcast; row_number window over the (part,supplier) unit-cost table",
     "q117_top_supplier"     -> "Q15 shape: quarter pushed to the scan; max rides in-plan as a broadcast scalar over the SAME aggregate (q17 pattern)",
-    "q118_rollup_merge"     -> "incremental rollup maintenance: fact scanned once per batch; merge is an aggregate over two rollup-sized tables; exact distinct users via the presence-table sidecar")
+    "q118_rollup_merge"     -> "incremental rollup maintenance: fact scanned once per batch; merge is an aggregate over two rollup-sized tables; exact distinct users via the presence-table sidecar",
+    "q120_pq_audit"         -> "PQ codebook audit: |subspaces| slim slice rows per vector, codebook broadcast, argmin window AFTER arrays are projected away; |subspaces|x|codes|-row output")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

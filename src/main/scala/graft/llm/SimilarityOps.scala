@@ -1013,6 +1013,82 @@ object SimilarityOps {
       |  round(avg(amax) + 1e-9, 4) AS avg_amax
       |FROM e GROUP BY label ORDER BY label""".stripMargin
 
+  /** q120 — product-quantization audit (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+    * codebook compression every at-scale embedding store runs): the
+    * vector splits into `subspaces` contiguous slices, each slice
+    * assigns to its nearest codebook entry (codebook = the SAME slices
+    * of the fixed seed vectors — deterministic, the q24_knn_ivf
+    * precedent, so the oracle replays assignment exactly), and the
+    * audit reports per (subspace, code) the population and mean squared
+    * reconstruction error. Dead codes (missing rows) and fat codes
+    * (population ≫ N/k) say the codebook misfits the data BEFORE anyone
+    * serves distances off it; the mse column is the quantization-error
+    * budget PQ-compressed search pays. The scalar-int8 complement is
+    * q64; this is the vector-codebook story.
+    *
+    * Scale shape: |subspaces| slim slice rows per vector, codebook
+    * broadcast, argmin via a (vec, subspace) window AFTER the arrays
+    * are projected away (the q100 lesson); output is |subspaces|·|codes|
+    * rows. All arithmetic is double-cast before subtraction so both
+    * engines fold identical IEEE sequences. */
+  def pqAudit(em: DataFrame, subspaces: Int = 8,
+      codebookIds: Seq[Long] = CentroidIds): DataFrame = {
+    val cb = em.filter(col("vec_id").isin(codebookIds: _*))
+      .select(col("vec_id").as("code"), col("embedding").as("cbv"))
+    def slices(df: DataFrame, vec: String, out: String): DataFrame =
+      df.withColumn("s",
+          explode(sequence(lit(0), lit(subspaces - 1))))
+        .withColumn("_w", expr(s"size($vec) DIV $subspaces"))
+        .withColumn(out, expr(s"slice($vec, s * _w + 1, _w)"))
+        .drop(vec, "_w")
+    val sub = slices(em.select(col("vec_id"), col("embedding")),
+      "embedding", "sv")
+    val cbs = slices(cb, "cbv", "cv")
+    val scored = sub.join(broadcast(cbs), "s")
+      .withColumn("err2", expr(
+        """aggregate(zip_with(sv, cv,
+          |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+          |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+          |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
+      .select(col("vec_id"), col("s"), col("code"), col("err2"))
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("err2"), col("code"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("s").as("subspace"), col("code"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("err2")) + lit(1e-9), 4).as("mse"))
+      .orderBy("subspace", "code")
+  }
+  def pqAuditSql(subspaces: Int = 8,
+      codebookIds: Seq[Long] = CentroidIds): String = {
+    val err2 =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(generate_series(1, len(sv)),
+        |      i -> (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+        |         * (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))),
+        |    (a, v) -> a + v)""".stripMargin
+    s"""WITH cb AS (SELECT vec_id AS code, embedding AS cbv
+       |  FROM embeddings WHERE vec_id IN (${codebookIds.mkString(", ")})),
+       |sub AS (SELECT vec_id, t.s,
+       |    list_slice(embedding, t.s * (len(embedding) // $subspaces) + 1,
+       |      (t.s + 1) * (len(embedding) // $subspaces)) AS sv
+       |  FROM embeddings, generate_series(0, ${subspaces - 1}) t(s)),
+       |cbs AS (SELECT code, t.s,
+       |    list_slice(cbv, t.s * (len(cbv) // $subspaces) + 1,
+       |      (t.s + 1) * (len(cbv) // $subspaces)) AS cv
+       |  FROM cb, generate_series(0, ${subspaces - 1}) t(s)),
+       |scored AS (SELECT sub.vec_id, sub.s, cbs.code, $err2 AS err2
+       |  FROM sub JOIN cbs ON cbs.s = sub.s),
+       |asg AS (SELECT s, code, err2 FROM (
+       |  SELECT s, code, err2, row_number() OVER (
+       |    PARTITION BY vec_id, s ORDER BY err2, code) AS rn
+       |  FROM scored) WHERE rn = 1)
+       |SELECT s AS subspace, code, count(*) AS n_vecs,
+       |  round(avg(err2) + 1e-9, 4) AS mse
+       |FROM asg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val labelCentroidsSql: String =
     """WITH c AS (
       |  SELECT label, i - 1 AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
@@ -1089,6 +1165,9 @@ object SimilarityOps {
     ("q87_semantic_keeper",
       (s: SparkSession, d: String) => semanticKeeper(Tables.embeddings(s, d)),
       Some(semanticKeeperSql)),
+    ("q120_pq_audit",
+      (s: SparkSession, d: String) => pqAudit(Tables.embeddings(s, d)),
+      Some(pqAuditSql())),
     ("q64_quantize_audit",
       (s: SparkSession, d: String) => quantizeAudit(Tables.embeddings(s, d)),
       Some(quantizeAuditSql)),

@@ -91,6 +91,27 @@ class Round13OpsSpec extends SparkSpec {
     assert(d(f"t${63}%03d") == ((1, 1L)))
   }
 
+  // ---------------------------------------------------------------- q120
+
+  test("pqAudit: per-subspace argmin assignment with hand-computed " +
+    "reconstruction error; code-id tiebreak") {
+    import graft.llm.SimilarityOps
+    // d=2, 2 subspaces of 1 dim; codebook = vectors 1 and 2
+    val em = Seq(
+      (1L, Array(0.0f, 10.0f), 0),
+      (2L, Array(4.0f, 0.0f), 0),
+      (3L, Array(1.0f, 9.0f), 1),  // s0→code 1 (err 1), s1→code 1 (err 1)
+      (4L, Array(3.0f, 1.0f), 1))  // s0→code 2 (err 1), s1→code 2 (err 1)
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.pqAudit(em, subspaces = 2,
+        codebookIds = Seq(1L, 2L))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      (0, 1L) -> ((2L, 0.5)), (0, 2L) -> ((2L, 0.5)),
+      (1, 1L) -> ((2L, 0.5)), (1, 2L) -> ((2L, 0.5))), out.toString)
+  }
+
   // ---------------------------------------------------------------- q119
 
   test("jaccardHistogram: pairs land in their similarity bins, " +
