@@ -189,6 +189,38 @@ class Round13OpsSpec extends SparkSpec {
       && d1.getDouble(5) == 9.0 && d1.getLong(6) == 2L)
   }
 
+  test("rollup merge: incremental equals full recompute over seeded " +
+    "random splits (merge-monoid property)") {
+    import graft.operators.RollupOps
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { round =>
+      val n = 30 + rnd.nextInt(40)
+      val events = (0 until n).map { i =>
+        (i.toLong,
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+            1700000000L + rnd.nextInt(4) * 86400L + rnd.nextInt(3600))),
+          rnd.nextInt(5).toLong,
+          s"t${rnd.nextInt(3)}",
+          math.round(rnd.nextDouble() * 100) / 10.0)
+      }
+      val mask = events.map(_ => rnd.nextBoolean())
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+      val a = events.zip(mask).filter(_._2).map(_._1).toDF(cols: _*)
+      val b = events.zip(mask).filterNot(_._2).map(_._1).toDF(cols: _*)
+      val all = events.toDF(cols: _*)
+      val incr = RollupOps.rollupReport(
+        RollupOps.mergeRollups(
+          RollupOps.dailyRollup(a), RollupOps.dailyRollup(b)),
+        RollupOps.mergePresence(
+          RollupOps.userPresence(a), RollupOps.userPresence(b)))
+        .collect().toSeq
+      val full = RollupOps.rollupReport(
+        RollupOps.dailyRollup(all), RollupOps.userPresence(all))
+        .collect().toSeq
+      assert(incr == full, s"round $round (n=$n) diverged")
+    }
+  }
+
   // ---------------------------------------------------------------- q100
 
   test("knnLabelAgreement: a singleton-cluster vector surfaces as " +
