@@ -6,15 +6,17 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: only dump queries whose name starts with this
-    // prefix (local iteration aid; the driver always passes 2 args)
-    val prefix = args.lift(2)
+    // optional 3rd arg: only dump queries whose name starts with one of
+    // these comma-separated prefixes (local iteration aid; the driver
+    // always passes 2 args)
+    val prefixes = args.lift(2).map(_.split(',').toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.Sessions.get(cpus)
     graft.core.Sessions.sizeShufflePartitionsFor(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => prefix.forall(name.startsWith) }
+      .filter { case (name, _) =>
+        prefixes.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -69,12 +69,21 @@ object RollupStreamApp {
       }
       .start()
 
+  /** Lists batch directories through Hadoop's FileSystem API, so the
+    * rollup dir can live on any supported filesystem (HDFS/S3/local) —
+    * java.io.File listing only works locally and returns null elsewhere,
+    * silently emptying the report. A missing parent directory (no batch
+    * ever committed) is still a legal empty report; anything else
+    * surfaces as the FileSystem's own exception. */
   private def readAll(spark: SparkSession, dir: String,
       schema: StructType): DataFrame = {
-    val d = new java.io.File(dir)
-    val dirs = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-      .map(_.getPath).sorted
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(path)) Array.empty[String]
+      else fs.listStatus(path)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .map(_.getPath.toString).sorted
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

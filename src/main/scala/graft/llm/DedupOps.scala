@@ -673,22 +673,33 @@ object DedupOps {
     * graph that's most of the corpus) redistributed uniformly — total
     * rank stays 1 every round, so scores are comparable across corpora.
     *
-    * Iteration hygiene mirrors [[connectedComponents]]: edges, degrees,
-    * and the node frame are checkpointed ONCE; each round is one
-    * edge-join + one dst-aggregation materialized through an eager
-    * `localCheckpoint()`, so plan depth stays O(1) and the previous
-    * round is read from a materialized table instead of re-deriving the
-    * whole chain (which would otherwise double work per round — a
-    * 2^iters blowup). The dangling mass never touches the cluster: the
-    * graph is undirected, so dangling ≡ isolated, every isolated node
-    * carries the identical uniform-only rank, and the mass follows a
-    * closed driver-side recurrence seeded by one metadata-scale count.
+    * Iteration hygiene mirrors [[connectedComponents]]: the edge table
+    * is checkpointed ONCE; each round is one edge-join + one
+    * dst-aggregation materialized through an eager `localCheckpoint()`,
+    * so plan depth stays O(1) and the previous round is read from a
+    * materialized table instead of re-deriving the whole chain (which
+    * would otherwise double work per round — a 2^iters blowup).
+    *
+    * The rank STATE carries only CONNECTED nodes. On an undirected
+    * graph dangling ≡ isolated, every isolated node holds the identical
+    * uniform-only rank, and that scalar follows a closed driver-side
+    * recurrence (dm_0 = |D|/N, dm_{i+1} = |D|·((1−d)/N + d·dm_i/N)) —
+    * so isolated nodes never enter the iteration at all: no per-round
+    * nodeT left-join to re-seed them (the r13 shape's second landing
+    * input), no per-round dangling aggregation. They rejoin the output
+    * via one anti-join at the final assembly, priced into the limit
+    * job. Round 1 needs no rank table either: pr₀ is uniform, so
+    * contrib₁(v) = (1/N)·Σ_{u→v} 1/od(u) comes straight off the edge
+    * table — the pr₀ checkpoint job is gone. Net job floor: edge
+    * checkpoint + one combined node/connected count + iters round
+    * checkpoints + the final assembly (iters+3, was iters+6).
     *
     * Scale shape: per-round cost is one shuffle of the edge table keyed
-    * by src plus a node-scale aggregate — rank state is |V| rows, never
-    * |E|², and the fixed iteration count makes the total cost
-    * iters × O(|E|). Fixed iterations (not convergence-tested) keep the
-    * operator engine-reproducible: the oracle unrolls the same rounds. */
+    * by src plus a connected-node-scale aggregate — rank state is
+    * ≤|V| rows, never |E|², and the fixed iteration count makes the
+    * total cost iters × O(|E|). Fixed iterations (not
+    * convergence-tested) keep the operator engine-reproducible: the
+    * oracle unrolls the same rounds. */
   def pagerank(pairs: DataFrame, nodes: DataFrame, damping: Double = 0.85,
       iters: Int = 5, topN: Int = 20): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
@@ -716,51 +727,82 @@ object DedupOps {
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .withColumn("od",
           count(lit(1)).over(Window.partitionBy(col("src")))))
-    val (nodeT, nodeIds) = checkpointed(
-      nodes.select(col("doc_id")).distinct())
-    val n = nodeT.count().toDouble // metadata-scale driver read
-    // On an UNDIRECTED graph every edge is stored in both directions, so
-    // a node with no out-edges has no edges at all: the dangling set is
-    // exactly the isolated nodes. Isolated nodes receive only the two
-    // uniform terms, so they all carry the same rank r_i and the
-    // dangling mass follows the closed driver-side recurrence
-    //   dm_0 = |D|/N,  dm_{i+1} = |D|·((1−d)/N + d·dm_i/N)
-    // — which deletes the per-round dangling aggregation + broadcast
-    // job the first shape paid (the 19–21-job floor for 5 rounds was
-    // ~3 jobs/round; this leaves one checkpoint job per round).
-    val nDang =
-      n - ew.agg(countDistinct(col("src"))).first().getLong(0).toDouble
+    // ONE metadata-scale count job covers both scalars the recurrence
+    // needs: |V| (distinct nodes) and |connected| (distinct edge srcs —
+    // a subset of nodes, so one countDistinct over the stacked ids plus
+    // a flagged countDistinct gives both in the same aggregate).
+    val cnts = nodes.select(col("doc_id"), lit(0).as("_e"))
+      .unionByName(ew.select(col("src").as("doc_id"), lit(1).as("_e")))
+      .agg(countDistinct(col("doc_id")).as("n"),
+        countDistinct(when(col("_e") === 1, col("doc_id"))).as("n_conn"))
+      .first()
+    val n = cnts.getLong(0).toDouble
+    val nDang = n - cnts.getLong(1).toDouble
     var dm = nDang / n
     // Per-round eager landing is load-bearing for COST even with the
     // single-consumer lineage: the next round's contribution join
     // BROADCASTS the rank table, and a broadcast executes its entire
     // subtree independently — lazy rounds would re-run the whole prefix
     // chain once per later round (measured: task-sec doubled at 5
-    // rounds under a checkpoint-every-4 variant; reverted).
-    var (pr, prIds) = checkpointed(
-      nodeT.select(col("doc_id"), lit(1.0 / n).as("pr")))
-    (1 to iters).foreach { _ =>
-      val contrib = ew
-        .join(pr, col("src") === pr("doc_id"))
-        .groupBy(col("dst")).agg(sum(col("pr") / col("od")).as("contrib"))
-      val next = nodeT
-        .join(contrib, nodeT("doc_id") === contrib("dst"), "left")
-        .select(nodeT("doc_id"),
-          (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + lit(dm / n)))
-            .as("pr"))
-      val (nxt, ids) = checkpointed(next)
-      drop(prIds); pr = nxt; prIds = ids
-      dm = nDang * ((1.0 - damping) / n + damping * dm / n)
+    // rounds under a checkpoint-every-4 variant of the r12 shape;
+    // reverted).
+    def land(contrib: DataFrame, dmNow: Double): DataFrame =
+      contrib.select(col("dst").as("doc_id"),
+        (lit((1.0 - damping) / n) + lit(damping) *
+          (col("contrib") + lit(dmNow / n))).as("pr"))
+    // the rank side is node-scale and ALWAYS the broadcast side; the
+    // hint matters in the fused (intermediate, un-checkpointed) rounds,
+    // where the aggregate's size estimate would otherwise push the
+    // planner to shuffle the edge table instead
+    def step(prev: DataFrame, dmNow: Double): DataFrame =
+      land(broadcast(prev.select(col("doc_id").as("_s"), col("pr")))
+        .join(ew, col("src") === col("_s"))
+        .groupBy(col("dst")).agg(sum(col("pr") / col("od")).as("contrib")),
+        dmNow)
+    def nextDm(d0: Double): Double =
+      nDang * ((1.0 - damping) / n + damping * d0 / n)
+    // Round 1 inline from the edge table: pr₀ is uniform, so
+    // contrib₁ = Σ (1/N)/od — summed in exactly the oracle's term shape
+    // (pr₀/od per edge, not Σ(1/od) rescaled) so the fp stream matches.
+    // Every connected node has ≥1 in-edge (edges are stored both ways),
+    // so groupBy(dst) covers exactly the connected set — the rank state
+    // from here on.
+    var (pr, prIds) = checkpointed(land(
+      ew.groupBy(col("dst"))
+        .agg(sum(lit(1.0 / n) / col("od")).as("contrib")), dm))
+    dm = nextDm(dm)
+    // TWO rounds per checkpoint from here: the intermediate round's
+    // only consumer is the next round's broadcast-built rank table, so
+    // fusing executes it exactly once inside the checkpoint job (the
+    // r12 shape could NOT fuse — its nodeT left-join landing gave the
+    // intermediate round a second consumer, and a checkpoint-every-4
+    // variant measured task-sec doubling; with the connected-only state
+    // the lineage is a single chain and the job count halves for free).
+    var i = 2
+    while (i <= iters) {
+      var nxt = step(pr, dm)
+      dm = nextDm(dm)
+      if (i + 1 <= iters) {
+        nxt = step(nxt, dm); dm = nextDm(dm); i += 1
+      }
+      val (ck, ids) = checkpointed(nxt)
+      drop(prIds); pr = ck; prIds = ids
+      i += 1
     }
-    val out = pr
+    // Isolated nodes re-enter here at their closed-form scalar rank
+    // (the recurrence's per-node value after `iters` rounds), via one
+    // node-scale anti-join inside the final limit job.
+    val rIso = if (nDang > 0) dm / nDang else 0.0
+    val isolated = nodes.select(col("doc_id")).distinct()
+      .join(pr, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(rIso).as("pr"))
+    val out = pr.unionByName(isolated)
       .select(col("doc_id"), round(col("pr") + lit(1e-9), 6).as("pagerank"))
       .orderBy(col("pagerank").desc, col("doc_id")).limit(topN)
-    // the limit materializes from checkpointed blocks; edges/deg/nodes are
-    // no longer needed once `out` is consumed — but `out` is still lazy
-    // here, so only the superseded structures are droppable. The final pr
-    // blocks back `out`; callers consume it within the session.
-    drop(degIds); drop(nodeIds)
+    // edges are no longer needed once `out` is consumed — but `out` is
+    // still lazy here, so only the superseded structures are droppable.
+    // The final pr blocks back `out`; callers consume it in-session.
+    drop(degIds)
     out
   }
 

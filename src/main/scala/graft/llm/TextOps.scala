@@ -841,17 +841,20 @@ object TextOps {
       .groupBy(col("t1"), col("t2"))
       .agg(count(lit(1)).as("n_xy"))
       .filter(col("n_xy") >= minPair)
-      .join(broadcast(vocab.select(col("t").as("t1"),
-        col("n_t").as("n_x"))), "t1")
-      .join(broadcast(vocab.select(col("t").as("t2"),
-        col("n_t").as("n_y"))), "t2")
-      .select(col("t1"), col("t2"), col("n_x"), col("n_y"), col("n_xy"))
+    // marginal df counts stay OFF the shared pair frame: only PMI needs
+    // them, and each attach is a broadcast-build job TextRank would
+    // otherwise pay for nothing
     (vocab, pairs)
   }
 
   def pmiPairs(docs: DataFrame, minDfFrac: Double = 0.05,
       minPair: Int = 20, topN: Int = 50, minDfAbs: Int = 0): DataFrame = {
-    val (_, pairs) = cooccurrence(docs, minDfFrac, minDfAbs, minPair)
+    val (vocab, rawPairs) = cooccurrence(docs, minDfFrac, minDfAbs, minPair)
+    val pairs = rawPairs
+      .join(broadcast(vocab.select(col("t").as("t1"),
+        col("n_t").as("n_x"))), "t1")
+      .join(broadcast(vocab.select(col("t").as("t2"),
+        col("n_t").as("n_y"))), "t2")
     val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     pairs.crossJoin(broadcast(nDocs))
       .select(col("t1"), col("t2"), col("n_xy"),

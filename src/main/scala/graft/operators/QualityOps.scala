@@ -332,13 +332,17 @@ object QualityOps {
     *
     * ONE scan for the whole suite: every distinct LHS becomes a GROUPING
     * SETS entry, so Spark expands each row once per set and a single
-    * hash aggregate computes `count(DISTINCT rhs)` for all audited RHS
-    * columns per group. A second, metadata-scale aggregation (|groups|
-    * rows, already map-side combined) folds each set down to one verdict
-    * row per FD. No per-FD rescans, no self-joins; the Expand ×|sets|
-    * row blowup is the same tradeoff q37 profiling documents for
-    * distinct aggregates, and at 100 TB you bound it by auditing related
-    * FDs (shared LHS) together.
+    * hash aggregate checks every audited RHS column per group. The
+    * violation test is `min(rhs) ≠ max(rhs)` — exactly equivalent to
+    * `count(DISTINCT rhs) > 1` (both ignore nulls; two distinct non-null
+    * values exist iff the extremes differ) but, unlike countDistinct,
+    * it needs NO second Expand (multi-column distinct aggregates expand
+    * ×|distinct-cols| on top of the grouping-sets ×|sets|) and it
+    * partial-aggregates map-side, so the shuffle carries |groups| slim
+    * rows instead of (group, value) pairs. A second, metadata-scale
+    * aggregation folds each set down to one verdict row per FD. No
+    * per-FD rescans, no self-joins; the remaining Expand ×|sets| is
+    * bounded by auditing related FDs (shared LHS) together.
     *
     * Set identity crosses the two stages as an explicit
     * Σ grouping(cᵢ)·2ⁱ in OUR column order — not the engine's
@@ -358,14 +362,17 @@ object QualityOps {
     val gid = lhsCols.zipWithIndex
       .map { case (c, i) => grouping(col(c)).cast("int") * lit(1 << i) }
       .reduce(_ + _).as("_gid")
-    val ndAggs = rhsCols.map(r => countDistinct(col(r)).as(s"_nd_$r"))
+    val extremeAggs = rhsCols.flatMap(r => Seq(
+      min(col(r)).as(s"_mn_$r"), max(col(r)).as(s"_mx_$r")))
     val grouped = df.groupingSets(
         sets.map(_.map(col)), lhsCols.map(col): _*)
-      .agg(gid, ndAggs: _*)
-      .select(col("_gid") +: rhsCols.map(r => col(s"_nd_$r")): _*)
+      .agg(gid, extremeAggs: _*)
+      .select(col("_gid") +: rhsCols.flatMap(r =>
+        Seq(col(s"_mn_$r"), col(s"_mx_$r"))): _*)
     val verdictAggs = count(lit(1)).as("_ng") +:
       rhsCols.map(r =>
-        sum(when(col(s"_nd_$r") > 1, 1L).otherwise(0L)).as(s"_nv_$r"))
+        sum(when(col(s"_mn_$r") =!= col(s"_mx_$r"), 1L).otherwise(0L))
+          .as(s"_nv_$r"))
     val perSet = grouped.groupBy(col("_gid"))
       .agg(verdictAggs.head, verdictAggs.tail: _*)
     fds.map { fd =>

@@ -785,7 +785,10 @@ object RelationalQueries {
         col("l_suppkey") === col("s_suppkey"))
       .select(col("p_name"), col("s_name"),
         round(col("_uc") + lit(1e-9), 4).as("unit_cost"))
-      .orderBy(col("unit_cost"), col("p_name")).limit(topN)
+      // s_name completes the sort key: two partkeys tying on both
+      // unit_cost and p_name at the LIMIT boundary would otherwise keep
+      // an engine-dependent row
+      .orderBy(col("unit_cost"), col("p_name"), col("s_name")).limit(topN)
   }
   def q116Sql(sizeSel: Int = 10, topN: Int = 100): String =
     s"""WITH uc AS (
@@ -801,7 +804,7 @@ object RelationalQueries {
        |SELECT p_name, s_name, round(uc + 1e-9, 4) AS unit_cost
        |FROM r JOIN supplier ON s_suppkey = l_suppkey
        |WHERE rn = 1
-       |ORDER BY unit_cost, p_name LIMIT $topN""".stripMargin
+       |ORDER BY unit_cost, p_name, s_name LIMIT $topN""".stripMargin
 
   /** q117 — top revenue supplier in a quarter (the TPC-H Q15 shape:
     * the view + scalar-max subquery): per-supplier discounted revenue

@@ -80,8 +80,13 @@ object RollupOps {
     * computes the SAME report from the unsplit table, so the green row
     * IS the incremental-≡-full proof, cross-engine. */
   def q118RollupMerge(events: DataFrame): DataFrame = {
-    val history = events.filter(pmod(col("event_id"), lit(5)) =!= 0)
-    val batch = events.filter(pmod(col("event_id"), lit(5)) === 0)
+    // Null event_ids route explicitly to the batch side: a bare
+    // pmod(...) =!= 0 / === 0 pair evaluates null in BOTH filters and
+    // silently drops such rows from the split while the oracle (which
+    // never splits) keeps them.
+    val residue = coalesce(pmod(col("event_id"), lit(5)), lit(0))
+    val history = events.filter(residue =!= 0)
+    val batch = events.filter(residue === 0)
     rollupReport(
       mergeRollups(dailyRollup(history), dailyRollup(batch)),
       mergePresence(userPresence(history), userPresence(batch)))

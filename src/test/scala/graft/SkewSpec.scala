@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Salting
+import graft.core.Salting
 
 /** Skew handling, both paths: AQE's runtime skew-join split (thresholds
   * lowered so the mechanism fires at test scale) and manual salting for
@@ -60,9 +60,29 @@ class SkewSpec extends SparkSpec {
     val direct = skewed.join(dims, col("k") === col("dk"))
       .groupBy("name").agg(sum("v").as("s"), count(lit(1)).as("n"))
       .orderBy("name").collect().toSeq
-    val salted = Salting.saltedJoin(skewed, dims, "k", "dk")
+    val salted = Salting
+      .saltedJoin(skewed, dims.withColumnRenamed("dk", "k"), Seq("k"),
+        uniqueCol = "v", salts = 16)
       .groupBy("name").agg(sum("v").as("s"), count(lit(1)).as("n"))
       .orderBy("name").collect().toSeq
     assert(salted == direct)
+  }
+
+  test("salting guards: pre-existing _salt and missing columns fail at the call site") {
+    import spark.implicits._
+    val dims = (0L until 10L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val withSalt = skewed.withColumn("_salt", lit(1))
+    intercept[IllegalArgumentException] {
+      Salting.saltedJoin(withSalt, dims, Seq("k"), "v")
+    }
+    intercept[IllegalArgumentException] {
+      Salting.saltedJoin(skewed, dims, Seq("k"), "no_such_col")
+    }
+    intercept[IllegalArgumentException] {
+      Salting.saltedJoin(skewed, dims, Seq("k"), "v", joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Salting.saltedGroupSum(withSalt, "k", "v")
+    }
   }
 }
