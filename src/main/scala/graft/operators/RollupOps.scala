@@ -62,6 +62,30 @@ object RollupOps {
   def mergePresence(stored: DataFrame, delta: DataFrame): DataFrame =
     stored.unionByName(delta).distinct()
 
+  /** The q65 swap point the exact sidecar documents, exercised in code:
+    * when per-(day, type) active-user sets stop fitting (the 100 TB
+    * regime), the presence table becomes one FIXED-SIZE DataSketches
+    * HLL row per (day, type) — state bounded by |days|·|types|·2^lgK
+    * bytes regardless of user cardinality, mergeable by
+    * `hll_union_agg` under the same monoid discipline as the scalar
+    * columns (union of sketches ≡ sketch of union, so incremental
+    * maintenance stays exact-in-sketch: no re-read of history, and a
+    * batch split changes nothing — Round14OpsSpec pins both bounds). */
+  def approxPresence(events: DataFrame, lgK: Int = 12): DataFrame =
+    events.filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("user_sk"))
+
+  /** N-way sketch merge: same shape as [[mergeAll]], one row per key. */
+  def mergeApproxPresence(rollups: DataFrame): DataFrame =
+    rollups.groupBy(col("day"), col("event_type"))
+      .agg(hll_union_agg(col("user_sk")).as("user_sk"))
+
+  /** Read path of the approximate sidecar: estimated distinct users. */
+  def approxUsers(presence: DataFrame): DataFrame =
+    presence.select(col("day"), col("event_type"),
+      hll_sketch_estimate(col("user_sk")).as("n_users_est"))
+
   /** Read path: rollup + presence → the report a dashboard reads. */
   def rollupReport(rollup: DataFrame, presence: DataFrame): DataFrame =
     rollup.join(

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer rule: guard `levenshtein(a, b) <= t` with the free necessary
@@ -54,13 +54,28 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] {
       e.children.forall(isCheap)
   }
 
+  /** Prepend missing guards to a conjunction; None when nothing to add.
+    * Guards go FIRST so short-circuit evaluation skips the quadratic
+    * distance for length-pruned rows. */
+  private def guarded(cond: Expression): Option[Expression] = {
+    val conjuncts = splitConjuncts(cond)
+    val guards = conjuncts.flatMap(guardFor)
+      .filterNot(g => conjuncts.exists(_.semanticEquals(g)))
+    if (guards.isEmpty) None
+    else Some(guards.foldLeft(cond)((acc, g) => And(g, acc)))
+  }
+
+  /** Filters AND join conditions: predicate pushdown routinely folds a
+    * post-join `filter(levenshtein(...) <= t)` INTO the join condition
+    * (the q92 linkage verify stage lands exactly there), where a
+    * Filter-only rule would silently never fire. Conjoining a necessary
+    * condition of an existing conjunct leaves the condition's truth
+    * value unchanged, so the rewrite is legal for every join type. */
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val conjuncts = splitConjuncts(cond)
-      val guards = conjuncts.flatMap(guardFor)
-        .filterNot(g => conjuncts.exists(_.semanticEquals(g)))
-      if (guards.isEmpty) f
-      else Filter(guards.foldLeft(cond)((acc, g) => And(g, acc)), child)
+      guarded(cond).map(Filter(_, child)).getOrElse(f)
+    case j @ Join(_, _, _, Some(cond), _) =>
+      guarded(cond).map(c => j.copy(condition = Some(c))).getOrElse(j)
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

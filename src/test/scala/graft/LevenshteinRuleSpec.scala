@@ -39,6 +39,21 @@ class LevenshteinRuleSpec extends SparkSpec {
     assert(once == twice, "second application must be a no-op")
   }
 
+  test("a levenshtein predicate folded into a join condition is guarded") {
+    // predicate pushdown moves a post-join filter into the join
+    // condition — the rule must fire there too (the q92 linkage shape;
+    // PlanSpec pins the production query, this pins the mechanism)
+    import spark.implicits._
+    val left = pairs.select(col("a"))
+    val right = pairs.select(col("b"))
+    val q = left.join(right, levenshtein(col("a"), col("b")) <= 3)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("abs((length("),
+      s"expected the guard inside the join condition:\n$optimized")
+    val got = q.as[(String, String)].collect().toSet
+    assert(got.contains(("kitten", "sitting")) && got.contains(("same", "same")))
+  }
+
   test("levenshtein above a threshold is also guarded (strict greater)") {
     // 3 < levenshtein(a,b) keeps only pairs with distance > 3; the guard
     // direction flips but stays a necessary condition... which it is NOT

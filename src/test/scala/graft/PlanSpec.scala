@@ -273,6 +273,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("array_distinct"), p)
   }
 
+  test("q92 linkage: the LevenshteinPrefilter guard fires in front of " +
+    "the verify stage") {
+    // the r13/r14 posture decision for q92's residual 2.5–2.7× ratio:
+    // the verify stage is output-bound by fixture construction, and the
+    // free length-difference guard in front of the O(len²) distance is
+    // PINNED here so a refactor of fuzzyLinkage (a renamed column, a
+    // restructured filter) can't silently drop the rule's precondition
+    val q = graft.operators.LinkageOps.partFeedLinkage(T.part(spark, sf0001))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("abs((length("),
+      s"expected the length-difference guard in q92's optimized plan:\n$optimized")
+  }
+
   test("q104 mahalanobis: the model broadcasts back; scoring adds no fact shuffle") {
     val p = finalPlan(graft.llm.SimilarityOps
       .mahalanobisOutliers(T.embeddings(spark, sf0001)))
