@@ -1,0 +1,147 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{ChunkOps, DedupOps, TextOps}
+import graft.operators.ManifestOps
+
+/** The end-to-end training-data pipeline: the canonical corpus path every
+  * stage of which ships (and is oracle-verified) individually —
+  *
+  *   raw → normalize (q25's transform) → Gopher quality gate (q70's
+  *   rules, row-level) → near-dup dedup with keep-min-id keepers (q23)
+  *   → token-budget mixture selection (q34c) → token chunking (q34a2)
+  *   + packing audit (q34b)
+  *
+  * — chained under ONE manifest discipline: every stage boundary lands
+  * on storage and is fingerprinted with the q41 order-invariant content
+  * hash, so a re-run (or a replica on another cluster) proves
+  * byte-equivalence stage by stage, and any divergence names the first
+  * stage that drifted. A final row-fate audit accounts for every input
+  * document exactly once (kept, or dropped at the first gate that
+  * dropped it) — the no-silent-loss property a curation run signs off
+  * on. The reference delegates per-record processing to consumer
+  * callbacks (reference src/Kinesis/Kinesis.hs:42-176); this app is the
+  * canonical shape those callbacks compose into for LLM corpus prep.
+  *
+  * Scale shape: each stage is the already-audited operator plan (no new
+  * joins or shuffles are introduced here); stage boundaries write
+  * parquet and READ BACK, so no stage pays a predecessor's lineage
+  * twice and a failed stage restarts from the last boundary — the
+  * checkpoint discipline a 100 TB run needs anyway. Manifests and fate
+  * counts are metadata-scale rollups of frames the stages already
+  * produce.
+  */
+object PipelineApp {
+
+  /** Content columns every corpus-stage manifest hashes (exact-typed —
+    * the q41 contract). */
+  private val ManifestCols = Seq("doc_id", "text", "lang", "n_chars")
+
+  private def oneManifest(stage: String, df: DataFrame,
+      cols: Seq[String]): DataFrame =
+    ManifestOps.manifest(df, Seq.empty, cols)
+      .select(lit(stage).as("stage"), col("n"), col("fingerprint"))
+
+  /** Stage 1: the canonical cleaning map, with `n_chars` re-derived so
+    * downstream length-based logic sees the cleaned text. */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.withColumn("text", TextOps.normalizeText(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  /** Stage 2: per-document Gopher gate — keep docs passing all four
+    * rules; the flags come from the same expression battery q70
+    * aggregates. */
+  def qualityGate(docs: DataFrame): DataFrame =
+    TextOps.gopherFlags(docs)
+      .filter(col("_wc") && col("_mwl") && col("_stop") && col("_rep"))
+      .select(docs.columns.map(col): _*)
+
+  /** Stage 4: keep exactly the mixture-selected docs (q34c's doc-level
+    * view; the semi join is on the slim selected-id set). */
+  def mixtureGate(docs: DataFrame, totalBudget: Long): DataFrame =
+    docs.join(
+      ChunkOps.mixtureSelectDocs(docs, totalBudget).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+  final case class StageOut(name: String, dir: String, df: DataFrame)
+
+  /** Run the full pipeline from `sfDir`'s documents table into
+    * `outDir`: per-stage corpus parquet + one `manifests` table (stage,
+    * rows, fingerprint), one `row_fates` table, the final `chunks`
+    * training output and the q34b `packing` audit. Returns the manifest
+    * frame (already materialized). */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      totalBudget: Long = 8000L): DataFrame = {
+    val stages = Seq[(String, DataFrame => DataFrame)](
+      "normalized" -> normalize,
+      "quality_gated" -> qualityGate,
+      "deduped" -> (DedupOps.dedupCorpus(_)),
+      "mixture_selected" -> (mixtureGate(_, totalBudget)))
+
+    // each boundary lands on storage and the next stage reads the
+    // landed bytes — the fingerprint then covers what was actually
+    // persisted, not a lineage that might recompute differently
+    val raw = graft.core.Tables.documents(spark, sfDir)
+    val landed = stages.foldLeft(Seq(StageOut("raw", sfDir, raw))) {
+      case (acc, (name, f)) =>
+        val dir = s"$outDir/corpus/$name"
+        f(acc.last.df).write.mode("overwrite").parquet(dir)
+        acc :+ StageOut(name, dir, spark.read.parquet(dir))
+    }
+
+    // final training artifacts off the selected corpus
+    val selected = landed.last.df
+    val chunksDir = s"$outDir/chunks"
+    ChunkOps.chunkTokens(selected).write.mode("overwrite").parquet(chunksDir)
+    val chunks = spark.read.parquet(chunksDir)
+    ChunkOps.packingStats(selected)
+      .write.mode("overwrite").parquet(s"$outDir/packing")
+
+    val manifests = landed
+      .map(s => oneManifest(s.name, s.df, ManifestCols))
+      .reduce(_.unionByName(_))
+      .unionByName(oneManifest("chunks", chunks,
+        Seq("doc_id", "chunk_ix", "chunk_tok", "chunk_md5")))
+    manifests.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/manifests")
+
+    rowFates(landed).coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/row_fates")
+    spark.read.parquet(s"$outDir/manifests")
+  }
+
+  /** Every input doc_id accounted once: `kept`, or `dropped_<stage>`
+    * for the FIRST boundary it failed to cross. Uses the landed frames,
+    * so each membership probe is a slim-id broadcast-ready join, not a
+    * pipeline recomputation. */
+  private def rowFates(landed: Seq[StageOut]): DataFrame = {
+    val base = landed.head.df.select(col("doc_id"))
+    val flagged = landed.tail.foldLeft(base) { (acc, s) =>
+      acc.join(s.df.select(col("doc_id"), lit(1).as(s"_in_${s.name}")),
+        Seq("doc_id"), "left")
+    }
+    val fate = landed.tail.foldLeft(when(lit(false), "")) { (acc, s) =>
+      acc.when(col(s"_in_${s.name}").isNull, s"dropped_${s.name}")
+    }.otherwise("kept")
+    flagged.select(col("doc_id"), fate.as("fate"))
+      .groupBy(col("fate")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("fate")
+  }
+
+  /** CLI: `runMain graft.app.PipelineApp <sfDir> <outDir> [budget]`. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse("target/pipeline_out")
+    val budget = args.lift(2).map(_.toLong).getOrElse(8000L)
+    val spark = graft.core.Sessions.get(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    graft.core.Sessions.sizeShufflePartitionsFor(spark, sfDir)
+    val m = run(spark, sfDir, outDir, budget)
+    m.orderBy("stage").collect().foreach(r =>
+      println(s"[pipeline] stage=${r.getString(0)} rows=${r.getLong(1)} " +
+        s"fingerprint=${r.getLong(2)}"))
+    spark.stop()
+  }
+}

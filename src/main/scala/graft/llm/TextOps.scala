@@ -364,10 +364,16 @@ object TextOps {
     * change and the total character delta. (The transform itself is the
     * per-row map a cleaning pipeline applies; the aggregation makes it
     * oracle-checkable without hashing megabytes of text.) */
+  /** The canonical per-row cleaning transform [[normalizeStats]] audits
+    * and PipelineApp applies: whitespace collapse + trim + lowercase.
+    * Explicit whitespace class: Java's \s includes \x0B but RE2's does
+    * not — the pinned class keeps both engines byte-identical on any
+    * input. */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(text, "[ \\t\\n\\x0B\\f\\r]+", " ")))
+
   def normalizeStats(docs: DataFrame): DataFrame = {
-    // explicit whitespace class: Java's \s includes \x0B but RE2's does
-    // not — the pinned class keeps both engines byte-identical on any input
-    val norm = lower(trim(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+", " ")))
+    val norm = normalizeText(col("text"))
     Tables.fanout(docs)
       .select(col("lang"), col("text"), norm.as("norm"))
       .groupBy(col("lang"))
@@ -544,7 +550,11 @@ object TextOps {
     * Scale shape: every rule is a per-row expression battery over ONE
     * scan (no explode — token stats come from array HOFs), collapsing
     * map-side to |sources| rows. */
-  def gopherRules(docs: DataFrame, minWords: Int = 20,
+  /** Per-document rule verdicts — the row-level form the PipelineApp
+    * quality gate filters on. Keeps every input column and appends the
+    * four `_wc/_mwl/_stop/_rep` booleans; [[gopherRules]] is this plus
+    * the per-source rollup. */
+  def gopherFlags(docs: DataFrame, minWords: Int = 20,
       maxWords: Int = 100000): DataFrame = {
     // materialized once per row: `ts` is referenced by three rule
     // expressions, and CollapseProject keeps a multiply-referenced
@@ -567,11 +577,16 @@ object TextOps {
     val rMwl = meanLen >= 3.0 && meanLen <= 10.0
     val rStop = nStopDistinct >= 2
     val rRep = dupFrac <= 0.3
+    val keep = docs.columns.map(col)
     Tables.fanout(docs)
-      .select(col("source"), col("text"),
-        Text.tokens(col("text")).as("_gr_ts"))
-      .select(col("source"), rWc.as("_wc"), rMwl.as("_mwl"),
-        rStop.as("_stop"), rRep.as("_rep"))
+      .select(keep :+ Text.tokens(col("text")).as("_gr_ts"): _*)
+      .select(keep ++ Seq(rWc.as("_wc"), rMwl.as("_mwl"),
+        rStop.as("_stop"), rRep.as("_rep")): _*)
+  }
+
+  def gopherRules(docs: DataFrame, minWords: Int = 20,
+      maxWords: Int = 100000): DataFrame =
+    gopherFlags(docs, minWords, maxWords)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(!col("_wc"), 1)).as("fail_wordcount"),
@@ -581,7 +596,6 @@ object TextOps {
         count(when(col("_wc") && col("_mwl") && col("_stop") && col("_rep"),
           1)).as("n_pass"))
       .orderBy("source")
-  }
   val gopherRulesSql: String = {
     val toks = Text.tokensSql("text")
     s"""WITH t AS (SELECT source, $toks AS ts FROM documents),
