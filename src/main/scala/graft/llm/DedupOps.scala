@@ -727,11 +727,17 @@ object DedupOps {
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .withColumn("od",
           count(lit(1)).over(Window.partitionBy(col("src")))))
+    // node table checkpointed ONCE: the `nodes` subtree can be a real
+    // aggregation (q94's vocab is an explode+groupBy over the corpus),
+    // and it has two consumers — the scalar counts and the final
+    // isolated-node anti-join — that would otherwise each replay it
+    // (measured: +50% at the 20× point when evaluated per-consumer)
+    val (nodeT, nodeIds) = checkpointed(nodes.select(col("doc_id")).distinct())
     // ONE metadata-scale count job covers both scalars the recurrence
     // needs: |V| (distinct nodes) and |connected| (distinct edge srcs —
     // a subset of nodes, so one countDistinct over the stacked ids plus
     // a flagged countDistinct gives both in the same aggregate).
-    val cnts = nodes.select(col("doc_id"), lit(0).as("_e"))
+    val cnts = nodeT.select(col("doc_id"), lit(0).as("_e"))
       .unionByName(ew.select(col("src").as("doc_id"), lit(1).as("_e")))
       .agg(countDistinct(col("doc_id")).as("n"),
         countDistinct(when(col("_e") === 1, col("doc_id"))).as("n_conn"))
@@ -793,15 +799,18 @@ object DedupOps {
     // (the recurrence's per-node value after `iters` rounds), via one
     // node-scale anti-join inside the final limit job.
     val rIso = if (nDang > 0) dm / nDang else 0.0
-    val isolated = nodes.select(col("doc_id")).distinct()
+    val isolated = nodeT
       .join(pr, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit(rIso).as("pr"))
     val out = pr.unionByName(isolated)
       .select(col("doc_id"), round(col("pr") + lit(1e-9), 6).as("pagerank"))
       .orderBy(col("pagerank").desc, col("doc_id")).limit(topN)
     // edges are no longer needed once `out` is consumed — but `out` is
-    // still lazy here, so only the superseded structures are droppable.
-    // The final pr blocks back `out`; callers consume it in-session.
+    // still lazy here, so only the superseded structures are droppable
+    // (NOT nodeT: the anti-join reads it, and a localCheckpoint's
+    // lineage is truncated, so unpersisting before consumption would
+    // break `out`, not just un-cache it). The final pr and nodeT block
+    // back `out`; callers consume it in-session.
     drop(degIds)
     out
   }

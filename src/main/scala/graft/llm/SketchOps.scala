@@ -149,15 +149,21 @@ object SketchOps {
     val spark = events.sparkSession
     import spark.implicits._
     val rankMap = ranks.toDF("p", "lo_r", "hi_r")
+    // ONE broadcast of the exact bounds, reshaped to a per-group
+    // rank→value map: the former two-join form broadcast `exact` twice
+    // (lo and hi lookups), and each broadcast build re-executed the
+    // whole q72 exact-percentile subtree — the union-runs-the-subtree-
+    // per-branch hazard in broadcast form
+    val pvMap = exact.groupBy(col("grp"))
+      .agg(map_from_entries(collect_list(struct(col("p"), col("value"))))
+        .as("pv"))
     est.join(broadcast(rankMap), "p")
-      .join(broadcast(exact.select(col("grp"), col("p").as("lo_r"),
-        col("value").as("lo"))), Seq("lo_r"))
-      .filter(col("grp") === col("event_type")).drop("grp")
-      .join(broadcast(exact.select(col("grp"), col("p").as("hi_r"),
-        col("value").as("hi"))), Seq("hi_r"))
-      .filter(col("grp") === col("event_type")).drop("grp")
-      .select(col("event_type"), col("p"), col("lo"), col("hi"),
-        (col("est") >= col("lo") && col("est") <= col("hi"))
+      .join(broadcast(pvMap), col("grp") === col("event_type"))
+      .select(col("event_type"), col("p"),
+        element_at(col("pv"), col("lo_r")).as("lo"),
+        element_at(col("pv"), col("hi_r")).as("hi"),
+        (col("est") >= element_at(col("pv"), col("lo_r")) &&
+          col("est") <= element_at(col("pv"), col("hi_r")))
           .cast("int").as("est_ok"))
       .orderBy("event_type", "p")
   }

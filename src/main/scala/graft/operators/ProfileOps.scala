@@ -295,11 +295,15 @@ object ProfileOps {
     * totals ride in-plan as a broadcast scalar. */
   def wassersteinDrift(df: DataFrame, valueCol: String, refPred: Column,
       curPred: Column): DataFrame = {
-    val counts = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(valueCol).cast("double").as("_v"))
-      .agg(count(when(refPred, 1)).as("_nr"),
-        count(when(curPred, 1)).as("_nc"))
-      .withColumn("_one", lit(1L))
+    // cached: four consumers (running-sum local pass, its offsets, the
+    // totals broadcast, and the segment self-join) would otherwise each
+    // replay the fact scan + NDV shuffle
+    val counts = graft.core.CacheOnce.swap("w1-counts",
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).cast("double").as("_v"))
+        .agg(count(when(refPred, 1)).as("_nr"),
+          count(when(curPred, 1)).as("_nc"))
+        .withColumn("_one", lit(1L)))
     val cum = GlobalWindows.withGlobalRunningSum(counts,
       Seq("_v" -> true),
       Seq("_nr" -> "_cr", "_nc" -> "_cc", "_one" -> "_rn"))
