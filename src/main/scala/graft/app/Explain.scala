@@ -99,7 +99,12 @@ object Explain {
     "q116_cheapest_supplier" -> "Q2 shape argmin join: size-class parts broadcast; row_number window over the (part,supplier) unit-cost table",
     "q117_top_supplier"     -> "Q15 shape: quarter pushed to the scan; max rides in-plan as a broadcast scalar over the SAME aggregate (q17 pattern)",
     "q118_rollup_merge"     -> "incremental rollup maintenance: fact scanned once per batch; merge is an aggregate over two rollup-sized tables; exact distinct users via the presence-table sidecar",
-    "q120_pq_audit"         -> "PQ codebook audit: |subspaces| slim slice rows per vector, codebook broadcast, argmin window AFTER arrays are projected away; |subspaces|x|codes|-row output")
+    "q120_pq_audit"         -> "PQ codebook audit: |subspaces| slim slice rows per vector, codebook broadcast, argmin window AFTER arrays are projected away; |subspaces|x|codes|-row output",
+    "q121_late_orders"      -> "Q4 shape: EXISTS decorrelates to a left-semi join carrying the cross-table date compare; quarter pushed to the orders scan; semi join dedups line fanout for free",
+    "q122_priority_lines"   -> "Q12 shape: year pushed to the fact scan; one join + two conditional counts per group, map-side combined",
+    "q123_promo_revenue"    -> "Q14 shape: month pushed to the scan, part class broadcast; conditional and total revenue fold in ONE aggregate row (in-plan ratio)",
+    "q124_supplier_variety" -> "Q16 shape: NOT IN decorrelates to a broadcast anti join BEFORE the distinct-count aggregate; both dims broadcast",
+    "q125_disjunctive_revenue" -> "Q19 shape: part-side conjuncts filter the broadcast build; the OR evaluates in one codegen'd pass; scalar output")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -110,7 +110,9 @@ object Stress {
       "q109_dormant_customers", "q110_kanonymity", "q111_session_stats",
       "q112_lang_confusion", "q113_smalllot_revenue", "q114_big_baskets",
       "q115_single_source", "q116_cheapest_supplier", "q117_top_supplier",
-      "q118_rollup_merge", "q119_jaccard_histogram", "q120_pq_audit")
+      "q118_rollup_merge", "q119_jaccard_histogram", "q120_pq_audit",
+      "q121_late_orders", "q122_priority_lines", "q123_promo_revenue",
+      "q124_supplier_variety", "q125_disjunctive_revenue")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

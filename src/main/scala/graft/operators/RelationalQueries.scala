@@ -842,6 +842,168 @@ object RelationalQueries {
        |WHERE r = (SELECT max(r) FROM rev)
        |ORDER BY s_name""".stripMargin
 
+  /** q121 — late-shipment priority census (the TPC-H Q4 shape): orders
+    * placed in one quarter with at least one line shipped more than
+    * `graceDays` after the order date (the commit-date proxy this
+    * reduced schema carries), counted per priority — the SLA dashboard
+    * row. Q4's EXISTS decorrelates to a left-semi join whose condition
+    * carries the cross-table date compare; the quarter predicate pushes
+    * to the orders scan, and the semi join dedups line fanout for free
+    * (no distinct, no post-join aggregate by orderkey). */
+  def q121LateOrders(orders: DataFrame, lineitem: DataFrame,
+      from: String = "1995-07-01", graceDays: Int = 90): DataFrame = {
+    val lo = to_timestamp(lit(from))
+    orders
+      .filter(col("o_orderdate") >= lo &&
+        col("o_orderdate") < lo + expr("INTERVAL 3 MONTHS"))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") +
+            expr(s"INTERVAL $graceDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+  def q121Sql(from: String = "1995-07-01", graceDays: Int = 90): String =
+    s"""SELECT o_orderpriority, count(*) AS order_count
+       |FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '$from'
+       |  AND o_orderdate < TIMESTAMP '$from' + INTERVAL 3 MONTH
+       |  AND EXISTS (SELECT 1 FROM lineitem
+       |    WHERE l_orderkey = o_orderkey
+       |      AND l_shipdate > o_orderdate + INTERVAL $graceDays DAY)
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q122 — priority mix per return class (the TPC-H Q12 shape): for
+    * lines shipped in one year, how many belong to critical
+    * (1-URGENT/2-HIGH) vs normal orders, per return flag (the ship-mode
+    * stand-in this schema carries). The canonical join-then-CASE-count
+    * shape: one fact scan with the year pushed down, the orders side
+    * joined on the key, two conditional counts per group. */
+  def q122PriorityLines(lineitem: DataFrame, orders: DataFrame,
+      year: String = "1995"): DataFrame = {
+    val lo = to_timestamp(lit(s"$year-01-01"))
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= lo &&
+        col("l_shipdate") < lo + expr("INTERVAL 12 MONTHS"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+  def q122Sql(year: String = "1995"): String =
+    s"""SELECT l_returnflag,
+       |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       |WHERE l_shipdate >= TIMESTAMP '$year-01-01'
+       |  AND l_shipdate < TIMESTAMP '$year-01-01' + INTERVAL 12 MONTH
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q123 — promo revenue share (the TPC-H Q14 shape): of one ship
+    * month's discounted revenue, the percentage earned by PROMO-class
+    * parts. The month predicate pushes to the fact scan, the part class
+    * broadcasts, and both the conditional and total revenue fold in ONE
+    * aggregate row — the in-plan ratio idiom (no second pass, no
+    * driver action). */
+  def q123PromoRevenue(lineitem: DataFrame, part: DataFrame,
+      from: String = "1995-09-01"): DataFrame = {
+    val lo = to_timestamp(lit(from))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem
+      .filter(col("l_shipdate") >= lo &&
+        col("l_shipdate") < lo + expr("INTERVAL 1 MONTHS"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+          sum(when(col("p_type").startsWith("PROMO"), rev)
+            .otherwise(lit(0.0))) / sum(rev) + lit(1e-9), 4)
+        .as("promo_revenue_pct"))
+  }
+  def q123Sql(from: String = "1995-09-01"): String =
+    s"""SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+       |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+       |  / sum(l_extendedprice * (1.0 - l_discount)) + 1e-9, 4)
+       |  AS promo_revenue_pct
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE l_shipdate >= TIMESTAMP '$from'
+       |  AND l_shipdate < TIMESTAMP '$from' + INTERVAL 1 MONTH"""
+      .stripMargin
+
+  /** q124 — supplier variety per part class (the TPC-H Q16 shape): how
+    * many distinct suppliers ship each (brand, type, size) — sourcing
+    * breadth, the procurement complement to q115's concentration risk —
+    * EXCLUDING flagged suppliers (negative account balance, Q16's
+    * complaints list). The exclusion is Q16's NOT IN, decorrelated to a
+    * broadcast anti join on the slim supplier projection BEFORE the
+    * distinct-count aggregate; supplier-part pairs come from the
+    * shipment fact (this schema's partsupp). */
+  def q124SupplierVariety(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, topN: Int = 50): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(supplier.filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"),
+        col("p_type"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+      .limit(topN)
+  def q124Sql(topN: Int = 50): String =
+    s"""SELECT p_brand, p_type, p_size,
+       |  count(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE l_suppkey NOT IN (
+       |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+       |LIMIT $topN""".stripMargin
+
+  /** q125 — disjunctive basket revenue (the TPC-H Q19 shape): revenue
+    * from three (brand, size-range, quantity-range) predicate branches
+    * OR-ed together — the disjunctive-pushdown stress every optimizer
+    * paper cites Q19 for. The part-side conjuncts (brand, size) filter
+    * the broadcast build; the OR evaluates post-join in one codegen'd
+    * pass; output is one scalar row. */
+  def q125DisjunctiveRevenue(lineitem: DataFrame,
+      part: DataFrame): DataFrame = {
+    val b1 = col("p_brand") === "Brand#1" &&
+      col("p_size").between(1, 10) && col("l_quantity").between(1, 15)
+    val b2 = col("p_brand") === "Brand#2" &&
+      col("p_size").between(1, 20) && col("l_quantity").between(10, 30)
+    val b3 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(1, 35) && col("l_quantity").between(20, 50)
+    lineitem
+      .join(broadcast(part
+          .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(b1 || b2 || b3)
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          + lit(1e-9), 2).as("revenue"))
+  }
+  val q125Sql: String =
+    """SELECT count(*) AS n_lines,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-9, 2)
+      |    AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+      |    AND l_quantity BETWEEN 1 AND 15)
+      |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+      |    AND l_quantity BETWEEN 10 AND 30)
+      |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+      |    AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q01_scan",
       (s: SparkSession, d: String) => q01Scan(Tables.lineitem(s, d)),
@@ -952,5 +1114,25 @@ object RelationalQueries {
     ("q117_top_supplier",
       (s: SparkSession, d: String) => q117TopSupplier(
         Tables.lineitem(s, d), Tables.supplier(s, d)),
-      Some(q117Sql())))
+      Some(q117Sql())),
+    ("q121_late_orders",
+      (s: SparkSession, d: String) => q121LateOrders(
+        Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some(q121Sql())),
+    ("q122_priority_lines",
+      (s: SparkSession, d: String) => q122PriorityLines(
+        Tables.lineitem(s, d), Tables.orders(s, d)),
+      Some(q122Sql())),
+    ("q123_promo_revenue",
+      (s: SparkSession, d: String) => q123PromoRevenue(
+        Tables.lineitem(s, d), Tables.part(s, d)),
+      Some(q123Sql())),
+    ("q124_supplier_variety",
+      (s: SparkSession, d: String) => q124SupplierVariety(
+        Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d)),
+      Some(q124Sql())),
+    ("q125_disjunctive_revenue",
+      (s: SparkSession, d: String) => q125DisjunctiveRevenue(
+        Tables.lineitem(s, d), Tables.part(s, d)),
+      Some(q125Sql)))
 }

@@ -286,6 +286,25 @@ class PlanSpec extends SparkSpec {
       s"expected the length-difference guard in q92's optimized plan:\n$optimized")
   }
 
+  test("q121: the EXISTS runs as a semi join with the quarter pushed " +
+    "to the orders scan") {
+    val p = plan(RelationalQueries.q121LateOrders(
+      T.orders(spark, sf0001), T.lineitem(spark, sf0001)))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+  }
+
+  test("q125: the disjunctive branches' part conjuncts reach the " +
+    "broadcast build's scan") {
+    val p = plan(RelationalQueries.q125DisjunctiveRevenue(
+      T.lineitem(spark, sf0001), T.part(spark, sf0001)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the brand IN-list prunes the dimension scan, not the joined rows
+    assert(p.contains("In(p_brand"), p)
+  }
+
   test("q104 mahalanobis: the model broadcasts back; scoring adds no fact shuffle") {
     val p = finalPlan(graft.llm.SimilarityOps
       .mahalanobisOutliers(T.embeddings(spark, sf0001)))

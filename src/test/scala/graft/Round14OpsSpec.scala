@@ -44,6 +44,81 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------- q121–q125
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  test("q121: an order counts once however many lines are late, and " +
+    "on-time / out-of-window orders never count") {
+    val orders = Seq(
+      (1L, "1-URGENT", ts("1995-07-10")),  // two late lines -> counts once
+      (2L, "1-URGENT", ts("1995-07-10")),  // on-time only -> excluded
+      (3L, "5-LOW", ts("1995-08-01")),     // one late line -> counts
+      (4L, "5-LOW", ts("1995-12-01"))      // late but outside the quarter
+    ).toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val lineitem = Seq(
+      (1L, ts("1995-11-01")), (1L, ts("1996-01-01")),
+      (2L, ts("1995-08-01")),
+      (3L, ts("1995-11-15")),
+      (4L, ts("1996-06-01"))
+    ).toDF("l_orderkey", "l_shipdate")
+    val out = graft.operators.RelationalQueries
+      .q121LateOrders(orders, lineitem)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("1-URGENT", 1L), ("5-LOW", 1L)))
+  }
+
+  test("q122/q123/q125: conditional-aggregate shapes on a hand fixture") {
+    val orders = Seq((1L, "1-URGENT"), (2L, "3-MEDIUM"))
+      .toDF("o_orderkey", "o_orderpriority")
+    val lineitem = Seq(
+      // (orderkey, partkey, qty, price, discount, flag, shipdate)
+      (1L, 10L, 5.0, 100.0, 0.0, "A", ts("1995-03-01")),
+      (1L, 11L, 5.0, 200.0, 0.5, "A", ts("1995-04-01")),
+      (2L, 10L, 5.0, 400.0, 0.0, "R", ts("1995-05-01")),
+      (2L, 10L, 5.0, 999.0, 0.0, "R", ts("1994-01-01")) // out of year
+    ).toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_returnflag", "l_shipdate")
+    val out = graft.operators.RelationalQueries
+      .q122PriorityLines(lineitem, orders)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("A", 2L, 0L), ("R", 0L, 1L)))
+
+    val part = Seq((10L, "PROMO BRUSHED", "Brand#1", 5),
+      (11L, "STANDARD PLATED", "Brand#2", 15))
+      .toDF("p_partkey", "p_type", "p_brand", "p_size")
+    // september window: none of the fixture rows - use the march rows
+    // via a custom window start
+    val promo = graft.operators.RelationalQueries
+      .q123PromoRevenue(lineitem, part, from = "1995-03-01")
+      .collect().head.getDouble(0)
+    // march: only line 1 (100.0 promo) -> 100%
+    assert(promo == 100.0)
+
+    // q125: line (1,10): Brand#1 size 5 qty 5 in [1,15] -> branch 1 hits;
+    // line (2,10) qty 5 fails branch 1? no - it also matches [1,15].
+    // line 4 qty 5 matches too (no date filter in Q19 shape).
+    // line (1,11): Brand#2 size 15 qty 5 not in [10,30] -> out.
+    val disj = graft.operators.RelationalQueries
+      .q125DisjunctiveRevenue(lineitem, part).collect().head
+    assert(disj.getLong(0) == 3L)
+    assert(disj.getDouble(1) == 100.0 + 400.0 + 999.0)
+  }
+
+  test("q124: flagged suppliers are excluded before the distinct count") {
+    val lineitem = Seq((10L, 1L), (10L, 2L), (10L, 2L), (10L, 3L),
+      (11L, 1L)).toDF("l_partkey", "l_suppkey")
+    val part = Seq((10L, "Brand#1", "T", 5), (11L, "Brand#2", "T", 6))
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val supplier = Seq((1L, 10.0), (2L, -5.0), (3L, 0.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val out = graft.operators.RelationalQueries
+      .q124SupplierVariety(lineitem, part, supplier)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSeq
+    // part 10: suppliers {1,2,2,3} minus flagged 2 -> 2 distinct
+    assert(out == Seq(("Brand#1", 2L), ("Brand#2", 1L)))
+  }
+
   // ------------------------------------------------------------- q88
 
   test("fdAudit: min!=max violation test matches count(distinct)>1 on " +
