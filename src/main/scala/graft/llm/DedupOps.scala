@@ -756,12 +756,23 @@ object DedupOps {
       contrib.select(col("dst").as("doc_id"),
         (lit((1.0 - damping) / n) + lit(damping) *
           (col("contrib") + lit(dmNow / n))).as("pr"))
-    // the rank side is node-scale and ALWAYS the broadcast side; the
-    // hint matters in the fused (intermediate, un-checkpointed) rounds,
-    // where the aggregate's size estimate would otherwise push the
-    // planner to shuffle the edge table instead
+    // The rank side joins via SHUFFLE_HASH, not broadcast: the edge
+    // table is already hash-partitioned on src (the od window's
+    // partitioning, preserved through the checkpoint), and the rank
+    // state arrives hash-partitioned on its id (the previous round's
+    // groupBy(dst) landing), so the join plans with NO exchange on
+    // either side — where a broadcast would cost one
+    // build-and-collect JOB per round (the r13 shape's per-round
+    // floor), a co-partitioned SHJ is just stages inside whichever job
+    // consumes the chain. This is also the only shape that survives
+    // 100 TB: a corpus-scale rank table can never broadcast. The hint
+    // (not planner choice) pins the build side to the node-scale rank
+    // frame; without it the fused intermediates' missing size stats
+    // push the planner to shuffle the edge table per round (measured
+    // task-sec doubling).
     def step(prev: DataFrame, dmNow: Double): DataFrame =
-      land(broadcast(prev.select(col("doc_id").as("_s"), col("pr")))
+      land(prev.select(col("doc_id").as("_s"), col("pr"))
+        .hint("shuffle_hash")
         .join(ew, col("src") === col("_s"))
         .groupBy(col("dst")).agg(sum(col("pr") / col("od")).as("contrib")),
         dmNow)
@@ -777,23 +788,26 @@ object DedupOps {
       ew.groupBy(col("dst"))
         .agg(sum(lit(1.0 / n) / col("od")).as("contrib")), dm))
     dm = nextDm(dm)
-    // TWO rounds per checkpoint from here: the intermediate round's
-    // only consumer is the next round's broadcast-built rank table, so
-    // fusing executes it exactly once inside the checkpoint job (the
-    // r12 shape could NOT fuse — its nodeT left-join landing gave the
-    // intermediate round a second consumer, and a checkpoint-every-4
-    // variant measured task-sec doubling; with the connected-only state
-    // the lineage is a single chain and the job count halves for free).
-    var i = 2
-    while (i <= iters) {
+    // ALL remaining rounds fuse into ONE checkpoint from here: each
+    // intermediate round's only consumer is the next round's
+    // broadcast-built rank table, so the chain executes every round
+    // exactly once inside the final checkpoint job — nested broadcast
+    // builds materialize inner-to-outer, nothing re-runs (the r12
+    // shape could NOT fuse: its nodeT left-join landing gave each
+    // intermediate a second consumer, and a checkpoint-every-4 variant
+    // measured task-sec doubling; the connected-only state makes the
+    // lineage a single chain). The broadcast hint on the rank side is
+    // REQUIRED — the fused intermediates have no size stats and the
+    // planner would otherwise shuffle the edge table per round.
+    if (iters > 1) {
       var nxt = step(pr, dm)
       dm = nextDm(dm)
-      if (i + 1 <= iters) {
-        nxt = step(nxt, dm); dm = nextDm(dm); i += 1
+      (3 to iters).foreach { _ =>
+        nxt = step(nxt, dm)
+        dm = nextDm(dm)
       }
       val (ck, ids) = checkpointed(nxt)
       drop(prIds); pr = ck; prIds = ids
-      i += 1
     }
     // Isolated nodes re-enter here at their closed-form scalar rank
     // (the recurrence's per-node value after `iters` rounds), via one
