@@ -493,12 +493,16 @@ object DedupOps {
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
     // both directions from ONE evaluation of the pair subtree (a union
-    // of two selects would run the upstream pair stage per branch)
+    // of two selects would run the upstream pair stage per branch);
+    // hash-partitioned on d2 — the label-join key — ONCE here, so the
+    // per-round neighbor join never moves the edge table again (the
+    // q90/q94 chassis lesson: localCheckpoint preserves partitioning)
     val (edges, edgeIds) = checkpointed(
       pairs.select(explode(array(
           struct(col("d1"), col("d2")),
           struct(col("d2").as("d1"), col("d1").as("d2")))).as("e"))
-        .select(col("e.d1").as("d1"), col("e.d2").as("d2")))
+        .select(col("e.d1").as("d1"), col("e.d2").as("d2"))
+        .repartition(col("d2")))
     var (labels, labelIds) = checkpointed(
       edges.select(col("d1").as("id")).distinct().withColumn("lab", col("id")))
     var iter = 0
@@ -506,10 +510,17 @@ object DedupOps {
     while (iter < maxIters && !converged) {
       // min label among neighbors, folded with own label; the changed-label
       // count rides the checkpoint's materializing job via an accumulator
-      // bumped in an identity mapPartitions — no second action per round
-      val nbrMin = edges.join(labels, edges("d2") === labels("id"))
+      // bumped in an identity mapPartitions — no second action per round.
+      // Both joins are shuffle_hash-hinted with the node-scale side as
+      // the build: a broadcast would cost one build-and-collect JOB per
+      // join per round (the former 3-jobs-per-round floor) and could
+      // never carry corpus-scale labels; here the edge table streams
+      // in place and only label-scale rows exchange inside the round's
+      // one checkpoint job.
+      val nbrMin = edges
+        .join(labels.hint("shuffle_hash"), edges("d2") === labels("id"))
         .groupBy(edges("d1").as("id")).agg(min(col("lab")).as("nbr_lab"))
-      val folded = labels.join(nbrMin, "id")
+      val folded = labels.join(nbrMin.hint("shuffle_hash"), "id")
         .select(col("id"), least(col("lab"), col("nbr_lab")).as("lab"),
           col("lab").as("old_lab"))
       val changed = sc.longAccumulator(s"ccChangedLabels_$iter")
