@@ -375,14 +375,23 @@ object QualityOps {
           .as(s"_nv_$r"))
     val perSet = grouped.groupBy(col("_gid"))
       .agg(verdictAggs.head, verdictAggs.tail: _*)
-    fds.map { fd =>
-      perSet.filter(col("_gid") === gidOf(fd.lhs))
-        .select(lit(fd.name).as("fd"), col("_ng").as("n_groups"),
-          col(s"_nv_${fd.rhs}").as("n_violating"),
-          round(col(s"_nv_${fd.rhs}") / col("_ng") + lit(1e-9), 4)
-            .as("viol_rate"),
-          (col(s"_nv_${fd.rhs}") === 0).cast("int").as("holds"))
-    }.reduce(_.unionByName(_)).orderBy("fd")
+    // ONE pass from perSet to per-FD rows: a union of per-FD filtered
+    // branches would re-execute the whole scan+Expand+aggregate chain
+    // once per FD (the union-runs-the-subtree-per-branch hazard —
+    // measured as 2/3 of this operator's task-sec); exploding a
+    // per-row descriptor array evaluates perSet exactly once
+    perSet.select(explode(array(fds.map(fd => struct(
+        lit(fd.name).as("fd"),
+        (col("_gid") === lit(gidOf(fd.lhs))).as("m"),
+        col("_ng").as("n_groups"),
+        col(s"_nv_${fd.rhs}").as("n_violating"))): _*)).as("x"))
+      .filter(col("x.m"))
+      .select(col("x.fd").as("fd"), col("x.n_groups").as("n_groups"),
+        col("x.n_violating").as("n_violating"),
+        round(col("x.n_violating") / col("x.n_groups") + lit(1e-9), 4)
+          .as("viol_rate"),
+        (col("x.n_violating") === 0).cast("int").as("holds"))
+      .orderBy("fd")
   }
 
   /** q88 registry fixture: the denormalized lineitem ⋈ part view (part
