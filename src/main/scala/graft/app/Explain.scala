@@ -104,7 +104,8 @@ object Explain {
     "q122_priority_lines"   -> "Q12 shape: year pushed to the fact scan; one join + two conditional counts per group, map-side combined",
     "q123_promo_revenue"    -> "Q14 shape: month pushed to the scan, part class broadcast; conditional and total revenue fold in ONE aggregate row (in-plan ratio)",
     "q124_supplier_variety" -> "Q16 shape: NOT IN decorrelates to a broadcast anti join BEFORE the distinct-count aggregate; both dims broadcast",
-    "q125_disjunctive_revenue" -> "Q19 shape: part-side conjuncts filter the broadcast build; the OR evaluates in one codegen'd pass; scalar output")
+    "q125_disjunctive_revenue" -> "Q19 shape: part-side conjuncts filter the broadcast build; the OR evaluates in one codegen'd pass; scalar output",
+    "q126_quality_keeper"   -> "quality-argmax keeper: shared pair stage + CC unchanged; slim quality join + per-component window; dfCap bounds component size")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -65,6 +65,13 @@ object RollupStreamApp {
         RollupOps.userPresence(batch)
           .write.mode("overwrite")
           .parquet(s"$rollupDir/presence/batch_id=$batchId")
+        // the q65 swap maintained alongside: one fixed-size HLL row per
+        // (day, type) per batch — at 100 TB the exact presence table is
+        // dropped and this sidecar IS the distinct-user state (it
+        // replays idempotently like the others: same batch, same bytes)
+        RollupOps.approxPresence(batch)
+          .write.mode("overwrite")
+          .parquet(s"$rollupDir/presence_hll/batch_id=$batchId")
         ()
       }
       .start()
@@ -104,4 +111,16 @@ object RollupStreamApp {
       RollupOps.mergeAll(
         readAll(spark, s"$rollupDir/rollup", rollupSchema)),
       readAll(spark, s"$rollupDir/presence", presenceSchema))
+
+  private val hllSchema: StructType = StructType(Seq(
+    StructField("day", DateType), StructField("event_type", StringType),
+    StructField("user_sk", BinaryType)))
+
+  /** The 100 TB read path: estimated distinct users from the HLL
+    * sidecar, merged across batch directories by sketch union. */
+  def approxUsers(spark: SparkSession, rollupDir: String): DataFrame =
+    RollupOps.approxUsers(
+      RollupOps.mergeApproxPresence(
+        readAll(spark, s"$rollupDir/presence_hll", hllSchema)))
+      .orderBy("day", "event_type")
 }

@@ -112,7 +112,8 @@ object Stress {
       "q115_single_source", "q116_cheapest_supplier", "q117_top_supplier",
       "q118_rollup_merge", "q119_jaccard_histogram", "q120_pq_audit",
       "q121_late_orders", "q122_priority_lines", "q123_promo_revenue",
-      "q124_supplier_variety", "q125_disjunctive_revenue")
+      "q124_supplier_variety", "q125_disjunctive_revenue",
+      "q126_quality_keeper")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

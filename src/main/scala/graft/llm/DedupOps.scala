@@ -598,6 +598,67 @@ object DedupOps {
        |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> keeper)
        |ORDER BY doc_id""".stripMargin
 
+  /** q126 — quality-aware keeper selection: within each near-dup
+    * component, the HIGHEST-quality member (the q25e heuristic score;
+    * min doc_id breaks rounded-score ties) — the keeper policy a real
+    * curation run wants once quality scores exist, where keep-min-id is
+    * an arbitrary-but-deterministic placeholder (Lee et al. 2022 keep
+    * one-per-cluster, leaving the representative choice open; quality-
+    * argmax is the standard refinement). Output per component (labeled
+    * by the CC min-id, so the two policies are directly comparable):
+    * the kept doc, its quality, the member count, and whether the
+    * quality policy CHANGED the choice vs keep-min-id — the migration
+    * audit for switching policies on a live corpus.
+    *
+    * Scale shape: rides the shared pair stage + CC unchanged; the
+    * quality join is a slim (doc_id, quality) frame against the
+    * node-scale component table, and the argmax is a window over
+    * component partitions (components are small by construction — the
+    * dfCap bounds clique size). */
+  def qualityKeeper(docs: DataFrame, threshold: Double = JaccardThreshold,
+      k: Int = K, dfCap: Int = DefaultDfCap, maxIters: Int = 15)
+      : DataFrame = {
+    val cc = dedupKeeper(docs, threshold, k, dfCap, maxIters)
+      .select(col("doc_id"), col("keeper").as("component"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    cc.join(graft.llm.TextOps.qualityScore(docs), "doc_id")
+      .select(col("component"), col("doc_id"), col("quality"),
+        row_number().over(w).as("_rn"),
+        count(lit(1)).over(Window.partitionBy(col("component")))
+          .as("n_members"))
+      .filter(col("_rn") === 1)
+      .select(col("component"), col("doc_id").as("kept_doc"),
+        col("quality"), col("n_members"),
+        (col("doc_id") =!= col("component")).cast("int")
+          .as("policy_changed"))
+      .orderBy("component")
+  }
+  def qualityKeeperSql: String =
+    s"""WITH RECURSIVE ${pairsCte(capped = true)},
+       |np AS (
+       |  SELECT d1, d2 FROM pairs
+       |  WHERE inter / (n1 + n2 - inter) >= $JaccardThreshold),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM np
+       |  UNION ALL SELECT d2, d1 FROM np),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+       |  FROM reach GROUP BY src),
+       |qual AS (SELECT * FROM (${graft.llm.TextOps.qualityScoreSql})),
+       |ranked AS (
+       |  SELECT cc.component, cc.doc_id, q.quality,
+       |    row_number() OVER (PARTITION BY cc.component
+       |      ORDER BY q.quality DESC, cc.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY cc.component) AS n_members
+       |  FROM cc JOIN qual q ON q.doc_id = cc.doc_id)
+       |SELECT component, doc_id AS kept_doc, quality,
+       |  CAST(n_members AS BIGINT) AS n_members,
+       |  CAST(doc_id <> component AS INT) AS policy_changed
+       |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin
+
   /** Dedup-run audit — the numbers a pipeline operator reads after a
     * near-dup pass before trusting its output: corpus size, how many docs
     * landed in a duplicate component, how many components (= kept docs
@@ -1558,6 +1619,9 @@ object DedupOps {
     ("q23_dedup_corpus",
       (s: SparkSession, d: String) => dedupCorpus(Tables.documents(s, d)),
       Some(dedupCorpusSql)),
+    ("q126_quality_keeper",
+      (s: SparkSession, d: String) => qualityKeeper(Tables.documents(s, d)),
+      Some(qualityKeeperSql)),
     ("q55_dedup_cluster_stats",
       (s: SparkSession, d: String) => dedupClusterStats(Tables.documents(s, d)),
       Some(dedupClusterStatsSql)),

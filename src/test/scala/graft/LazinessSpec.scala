@@ -23,7 +23,7 @@ class LazinessSpec extends SparkSpec {
   private val iterativeByDesign =
     Set("q23_dedup_keeper", "q23_dedup_corpus", "q55_dedup_cluster_stats",
       "q75_cluster_split", "q87_semantic_keeper", "q90_graph_pagerank",
-      "q94_textrank",
+      "q94_textrank", "q126_quality_keeper",
       // q100 localCheckpoints the Lloyd-trained k-row centroid model at
       // construction so training runs ONCE for its two consumers (the
       // corpus assignment and the probe ranking) — lazy composition

@@ -119,6 +119,33 @@ class Round14OpsSpec extends SparkSpec {
     assert(out == Seq(("Brand#1", 2L), ("Brand#2", 1L)))
   }
 
+  // ------------------------------------------------------------ q126
+
+  test("qualityKeeper keeps the highest-quality member and flags the " +
+    "policy change vs keep-min-id") {
+    // docs 1,2 identical; doc 3 swaps one filler token for a stopword:
+    // still ~0.9 Jaccard (one token = ~5 of ~96 shingles) but higher
+    // quality (stopword ratio +1/97 -> +0.004 after the 0.4 weight,
+    // visible at 4 dp) — so the component keeps 3, not min-id 1
+    val base = (1 to 90).map(i => s"tok$i").mkString(" ") +
+      " the quick brown fox hunts tasty rabbits at night"
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, base.replace("tok1 ", "of ")),
+      (4L, "completely different text about spark and distributed " +
+        "query engines processing petabytes of training data")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val out = graft.llm.DedupOps.qualityKeeper(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("component") == 1L)
+    assert(r.getAs[Long]("kept_doc") == 3L)
+    assert(r.getAs[Long]("n_members") == 3L)
+    assert(r.getAs[Int]("policy_changed") == 1)
+  }
+
   // ------------------------------------------------------------- q88
 
   test("fdAudit: min!=max violation test matches count(distinct)>1 on " +

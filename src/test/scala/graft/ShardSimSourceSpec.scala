@@ -636,6 +636,17 @@ class ShardSimSourceSpec extends SparkSpec {
     startB().awaitTermination()
     assert(RollupStreamApp.report(spark, outB).collect().toSeq == expected,
       "replayed rollup maintenance must converge to the batch recompute")
+
+    // the HLL sidecar replays to the same state too, and at this
+    // cardinality (4 users) lgK=12 estimates are exact — both runs'
+    // sketch-union read paths must equal the exact distinct counts
+    val exactUsers = expected.map(r => (r.get(0), r.get(1), r.get(6)))
+    Seq(outA, outB).foreach { out =>
+      val approx = RollupStreamApp.approxUsers(spark, out).collect()
+        .map(r => (r.get(0), r.get(1), r.get(2))).toSeq
+      assert(approx == exactUsers,
+        s"HLL sidecar read path diverged in $out")
+    }
   }
 
   test("constraint-gated ingest: a poisoned batch quarantines whole; replay converges") {
