@@ -508,20 +508,32 @@ object DedupOps {
     var iter = 0
     var converged = labels.isEmpty // cheap: checkpointed local blocks
     while (iter < maxIters && !converged) {
-      // min label among neighbors, folded with own label; the changed-label
-      // count rides the checkpoint's materializing job via an accumulator
-      // bumped in an identity mapPartitions — no second action per round.
-      // Both joins are shuffle_hash-hinted with the node-scale side as
-      // the build: a broadcast would cost one build-and-collect JOB per
-      // join per round (the former 3-jobs-per-round floor) and could
-      // never carry corpus-scale labels; here the edge table streams
-      // in place and only label-scale rows exchange inside the round's
-      // one checkpoint job.
+      // per round, from the CHECKPOINTED previous labels (safe to read
+      // three times): (a) min label among neighbors — one edge-scale
+      // join; (b) a POINTER JUMP lab(lab) — one node-scale self-join,
+      // the Kiveris et al. (2014) shortcut that turns O(diameter)
+      // convergence into O(log diameter): a 13-round chain corpus
+      // converges in 4–5 rounds, and each saved round is a whole
+      // checkpoint job plus an edge pass. The changed-label count rides
+      // the checkpoint's materializing job via an accumulator bumped in
+      // an identity mapPartitions — no second action per round. Joins
+      // are shuffle_hash-hinted with the node-scale side as build: a
+      // broadcast would cost one build-and-collect JOB per join per
+      // round (the former 3-jobs-per-round floor) and could never carry
+      // corpus-scale labels; the edge table streams in place (its
+      // d2-partitioned checkpoint) and only label-scale rows exchange
+      // inside the round's one checkpoint job.
       val nbrMin = edges
         .join(labels.hint("shuffle_hash"), edges("d2") === labels("id"))
         .groupBy(edges("d1").as("id")).agg(min(col("lab")).as("nbr_lab"))
-      val folded = labels.join(nbrMin.hint("shuffle_hash"), "id")
-        .select(col("id"), least(col("lab"), col("nbr_lab")).as("lab"),
+      // lab values are themselves member ids of the same component, so
+      // the lookup is an inner self-join (every lab exists as an id)
+      val ptr = labels.select(col("id").as("_pid"), col("lab").as("_plab"))
+      val folded = labels
+        .join(ptr.hint("shuffle_hash"), col("lab") === col("_pid"))
+        .join(nbrMin.hint("shuffle_hash"), "id")
+        .select(col("id"),
+          least(col("lab"), col("nbr_lab"), col("_plab")).as("lab"),
           col("lab").as("old_lab"))
       val changed = sc.longAccumulator(s"ccChangedLabels_$iter")
       val countedChanges = {
@@ -1287,7 +1299,13 @@ object DedupOps {
   def clusterSplit(docs: DataFrame, threshold: Double = JaccardThreshold,
       k: Int = K, dfCap: Int = DefaultDfCap, maxIters: Int = 15,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val np = ngramJaccard(docs, threshold, k, dfCap).select("d1", "d2")
+    // cached: TWO consumers (the CC edge checkpoint and the leak-audit
+    // joins) would otherwise each replay the pair verification on top
+    // of the cached shingle table; the edge checkpoint materializes
+    // the cache eagerly at construction, so the later leaks broadcast
+    // reads it warm (no cold-cache race — single broadcast)
+    val np = graft.core.CacheOnce.swap("cluster-split-pairs",
+      ngramJaccard(docs, threshold, k, dfCap).select("d1", "d2"))
     val cc = connectedComponents(np, maxIters)
     val keyed = docs.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"),
