@@ -105,7 +105,14 @@ object Explain {
     "q123_promo_revenue"    -> "Q14 shape: month pushed to the scan, part class broadcast; conditional and total revenue fold in ONE aggregate row (in-plan ratio)",
     "q124_supplier_variety" -> "Q16 shape: NOT IN decorrelates to a broadcast anti join BEFORE the distinct-count aggregate; both dims broadcast",
     "q125_disjunctive_revenue" -> "Q19 shape: part-side conjuncts filter the broadcast build; the OR evaluates in one codegen'd pass; scalar output",
-    "q126_quality_keeper"   -> "quality-argmax keeper: shared pair stage + CC unchanged; slim quality join + per-component window; dfCap bounds component size")
+    "q126_quality_keeper"   -> "quality-argmax keeper: shared pair stage + CC unchanged; slim quality join + per-component window; dfCap bounds component size",
+    "q127_shipping_priority" -> "Q3 shape: segment customers broadcast into the date-pruned orders scan; post-cutoff lineitem filter pre-join; TakeOrderedAndProject top-k",
+    "q128_local_supplier_volume" -> "Q5 shape: the whole region->nation->customer/supplier chain broadcasts; same-nation constraint prunes IN-join; one fact key join",
+    "q129_forecast_revenue" -> "Q6 shape: every predicate at the parquet scan, one conditional-sum row back - the pushdown/codegen showcase",
+    "q130_nation_volume"    -> "Q7 shape: two-nation filter restricts both broadcast dims before the fact join; year is post-join projection",
+    "q131_market_share"     -> "Q8 shape: share as a conditional-sum ratio inside ONE aggregate row per year (grouped q123 in-plan ratio); all dims broadcast",
+    "q132_product_profit"   -> "Q9 shape: material-token parts + supplier nation broadcast; margin folds in one agg; whole-unit rounding absorbs the cancelling-sum fp drift",
+    "q133_returned_items"   -> "Q10 shape: return flag + quarter pushed to the scans; nation broadcast; TakeOrderedAndProject over the per-customer aggregate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

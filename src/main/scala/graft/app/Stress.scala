@@ -113,7 +113,10 @@ object Stress {
       "q118_rollup_merge", "q119_jaccard_histogram", "q120_pq_audit",
       "q121_late_orders", "q122_priority_lines", "q123_promo_revenue",
       "q124_supplier_variety", "q125_disjunctive_revenue",
-      "q126_quality_keeper")
+      "q126_quality_keeper", "q127_shipping_priority",
+      "q128_local_supplier_volume", "q129_forecast_revenue",
+      "q130_nation_volume", "q131_market_share", "q132_product_profit",
+      "q133_returned_items")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

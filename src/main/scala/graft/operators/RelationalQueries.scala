@@ -1004,6 +1004,319 @@ object RelationalQueries {
       |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
       |    AND l_quantity BETWEEN 20 AND 50)""".stripMargin
 
+  /** q127 — unshipped-order revenue ranking (the TPC-H Q3 shape): the
+    * top orders by open revenue for one market segment — segment
+    * customers broadcast into the orders scan (date pushed down), the
+    * lineitem side filtered to post-cutoff shipments before the join,
+    * and the top-k rides TakeOrderedAndProject (never a global sort). */
+  def q127ShippingPriority(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, segment: String = "BUILDING",
+      cutoff: String = "1996-06-30", topN: Int = 10): DataFrame = {
+    val d = to_timestamp(lit(cutoff))
+    orders.filter(col("o_orderdate") < d)
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)
+        .select(col("c_custkey"))), col("o_custkey") === col("c_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > d)
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        + lit(1e-9), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(topN)
+  }
+  def q127Sql(segment: String = "BUILDING", cutoff: String = "1996-06-30",
+      topN: Int = 10): String =
+    s"""SELECT o_orderkey, o_orderdate,
+       |  round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-9, 2)
+       |    AS revenue
+       |FROM orders
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = '$segment'
+       |  AND o_orderdate < TIMESTAMP '$cutoff'
+       |  AND l_shipdate > TIMESTAMP '$cutoff'
+       |GROUP BY o_orderkey, o_orderdate
+       |ORDER BY revenue DESC, o_orderdate, o_orderkey
+       |LIMIT $topN""".stripMargin
+
+  /** q128 — local-supplier volume (the TPC-H Q5 shape): revenue per
+    * nation where the ordering customer and the shipping supplier sit
+    * in the SAME nation of one region, for one order year. The whole
+    * dimension chain (region → nation → customer / supplier)
+    * broadcasts; the only fact-scale work is the lineitem⋈orders key
+    * join; the same-nation constraint is an equi-condition between the
+    * two broadcast dims, so it prunes in-join, not post-join. */
+  def q128LocalSupplierVolume(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, regionName: String = "ASIA",
+      year: String = "1996"): DataFrame = {
+    val lo = to_timestamp(lit(s"$year-01-01"))
+    val nations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    orders
+      .filter(col("o_orderdate") >= lo &&
+        col("o_orderdate") < lo + expr("INTERVAL 12 MONTHS"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        + lit(1e-9), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+  def q128Sql(regionName: String = "ASIA", year: String = "1996"): String =
+    s"""SELECT n_name,
+       |  round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-9, 2)
+       |    AS revenue
+       |FROM orders
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |  AND s_nationkey = c_nationkey
+       |JOIN nation ON n_nationkey = s_nationkey
+       |JOIN region ON r_regionkey = n_regionkey
+       |WHERE r_name = '$regionName'
+       |  AND o_orderdate >= TIMESTAMP '$year-01-01'
+       |  AND o_orderdate < TIMESTAMP '$year-01-01' + INTERVAL 12 MONTH
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** q129 — forecast revenue change (the TPC-H Q6 shape): the pure
+    * scan-aggregate — every predicate (year, discount band, quantity
+    * cap) pushes to the parquet scan and one conditional sum comes
+    * back; the benchmark's canonical pushdown/codegen showcase. */
+  def q129ForecastRevenue(lineitem: DataFrame, year: String = "1996",
+      loDisc: Double = 0.05, hiDisc: Double = 0.07,
+      maxQty: Double = 24): DataFrame = {
+    val lo = to_timestamp(lit(s"$year-01-01"))
+    lineitem
+      .filter(col("l_shipdate") >= lo &&
+        col("l_shipdate") < lo + expr("INTERVAL 12 MONTHS") &&
+        col("l_discount").between(loDisc, hiDisc) &&
+        col("l_quantity") < maxQty)
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * col("l_discount")) + lit(1e-9), 2)
+          .as("revenue_delta"))
+  }
+  def q129Sql(year: String = "1996", loDisc: Double = 0.05,
+      hiDisc: Double = 0.07, maxQty: Double = 24): String =
+    s"""SELECT count(*) AS n_lines,
+       |  round(sum(l_extendedprice * l_discount) + 1e-9, 2)
+       |    AS revenue_delta
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '$year-01-01'
+       |  AND l_shipdate < TIMESTAMP '$year-01-01' + INTERVAL 12 MONTH
+       |  AND l_discount BETWEEN $loDisc AND $hiDisc
+       |  AND l_quantity < $maxQty""".stripMargin
+
+  /** q130 — bilateral shipping volume (the TPC-H Q7 shape): revenue
+    * shipped between two nations (both directions kept separate), per
+    * supplier-nation / customer-nation / ship-year. The two-nation
+    * disjunction restricts BOTH broadcast dims before the fact join;
+    * year extraction is post-join projection (no date functions block
+    * the scan filters). */
+  def q130NationVolume(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      nationA: String = "NATION_18", nationB: String = "NATION_19",
+      fromYear: String = "1996"): DataFrame = {
+    val lo = to_timestamp(lit(s"$fromYear-01-01"))
+    val nat = nation.filter(col("n_name").isin(nationA, nationB))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("_snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("_snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("_cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("_cnk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lo &&
+        col("l_shipdate") < lo + expr("INTERVAL 24 MONTHS"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        + lit(1e-9), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+  def q130Sql(nationA: String = "NATION_18", nationB: String = "NATION_19",
+      fromYear: String = "1996"): String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS INT) AS l_year,
+       |  round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-9, 2)
+       |    AS revenue
+       |FROM lineitem
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+       |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+       |WHERE n1.n_name IN ('$nationA', '$nationB')
+       |  AND n2.n_name IN ('$nationA', '$nationB')
+       |  AND n1.n_name <> n2.n_name
+       |  AND l_shipdate >= TIMESTAMP '$fromYear-01-01'
+       |  AND l_shipdate < TIMESTAMP '$fromYear-01-01' + INTERVAL 24 MONTH
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** q131 — national market share (the TPC-H Q8 shape): one nation's
+    * share of a region's order revenue per order year, for one part
+    * class. The share is a conditional-sum ratio inside ONE aggregate
+    * row per year (the q123 in-plan ratio, grouped) — no second pass,
+    * no self-join; every dimension broadcasts. */
+  def q131MarketShare(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, part: DataFrame,
+      homeNation: String = "NATION_3", regionName: String = "AMERICA",
+      typePrefix: String = "STANDARD"): DataFrame = {
+    val marketNations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem
+      .join(broadcast(part.filter(col("p_type").startsWith(typePrefix))
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(marketNations),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"),
+          col("s_nationkey").as("_sn"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("_hnk"),
+          col("n_name").as("_hn"))), col("_sn") === col("_hnk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(when(col("_hn") === homeNation, rev).otherwise(0.0))
+          / sum(rev) + lit(1e-9), 4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+  def q131Sql(homeNation: String = "NATION_3",
+      regionName: String = "AMERICA",
+      typePrefix: String = "STANDARD"): String =
+    s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       |  round(sum(CASE WHEN n2.n_name = '$homeNation'
+       |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+       |    / sum(l_extendedprice * (1.0 - l_discount)) + 1e-9, 4)
+       |    AS mkt_share
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation n1 ON n1.n_nationkey = c_nationkey
+       |JOIN region ON r_regionkey = n1.n_regionkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation n2 ON n2.n_nationkey = s_nationkey
+       |WHERE r_name = '$regionName' AND p_type LIKE '$typePrefix%'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q132 — product-line margin by supplier nation (the TPC-H Q9
+    * shape, re-cut to this schema's columns): for parts whose name
+    * carries one material token, margin = revenue − 0.8·retail·qty
+    * (the supplycost proxy this schema affords), per supplier nation
+    * and order year. Part and supplier dims broadcast; lineitem joins
+    * orders only for the year — projected to two columns before the
+    * fact join. */
+  def q132ProductProfit(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, nation: DataFrame, part: DataFrame,
+      nameToken: String = "ring", costFactor: Double = 0.8): DataFrame =
+    lineitem
+      .join(broadcast(part
+          .filter(col("p_name").contains(nameToken))
+          .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      // whole-unit margin with a 1e-4 epsilon, not the house 1e-9/2dp:
+      // this sum CANCELS (revenue minus cost terms at ~1e7 magnitude),
+      // so cross-engine fp drift reaches ~1e-6 — far over a cent
+      // boundary's 1e-9 guard, far under the 0.5 whole-unit grid
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          - lit(costFactor) * col("p_retailprice") * col("l_quantity"))
+        + lit(1e-4), 0).cast("long").as("margin"))
+      .orderBy(col("nation"), col("o_year").desc)
+  def q132Sql(nameToken: String = "ring",
+      costFactor: Double = 0.8): String =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       |  CAST(round(sum(l_extendedprice * (1.0 - l_discount)
+       |    - $costFactor * p_retailprice * l_quantity) + 1e-4, 0)
+       |    AS BIGINT) AS margin
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation ON n_nationkey = s_nationkey
+       |WHERE p_name LIKE '%$nameToken%'
+       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** q133 — returned-item losses per customer (the TPC-H Q10 shape):
+    * the top customers by revenue lost to returns in one quarter —
+    * return flag and quarter push to the two scans, the nation dim
+    * broadcasts, and the top-k is TakeOrderedAndProject over the
+    * per-customer aggregate. */
+  def q133ReturnedItems(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame,
+      from: String = "1996-10-01", topN: Int = 20): DataFrame = {
+    val lo = to_timestamp(lit(from))
+    orders
+      .filter(col("o_orderdate") >= lo &&
+        col("o_orderdate") < lo + expr("INTERVAL 3 MONTHS"))
+      .join(lineitem.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") + lit(1e-9), 2).as("c_acctbal"),
+        col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        + lit(1e-9), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(topN)
+  }
+  def q133Sql(from: String = "1996-10-01", topN: Int = 20): String =
+    s"""SELECT c_custkey, c_name, round(c_acctbal + 1e-9, 2) AS c_acctbal,
+       |  n_name,
+       |  round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-9, 2)
+       |    AS revenue
+       |FROM orders
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation ON n_nationkey = c_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '$from'
+       |  AND o_orderdate < TIMESTAMP '$from' + INTERVAL 3 MONTH
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY revenue DESC, c_custkey LIMIT $topN""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q01_scan",
       (s: SparkSession, d: String) => q01Scan(Tables.lineitem(s, d)),
@@ -1134,5 +1447,39 @@ object RelationalQueries {
     ("q125_disjunctive_revenue",
       (s: SparkSession, d: String) => q125DisjunctiveRevenue(
         Tables.lineitem(s, d), Tables.part(s, d)),
-      Some(q125Sql)))
+      Some(q125Sql)),
+    ("q127_shipping_priority",
+      (s: SparkSession, d: String) => q127ShippingPriority(
+        Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d)),
+      Some(q127Sql())),
+    ("q128_local_supplier_volume",
+      (s: SparkSession, d: String) => q128LocalSupplierVolume(
+        Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d)),
+      Some(q128Sql())),
+    ("q129_forecast_revenue",
+      (s: SparkSession, d: String) => q129ForecastRevenue(
+        Tables.lineitem(s, d)),
+      Some(q129Sql())),
+    ("q130_nation_volume",
+      (s: SparkSession, d: String) => q130NationVolume(
+        Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d)),
+      Some(q130Sql())),
+    ("q131_market_share",
+      (s: SparkSession, d: String) => q131MarketShare(
+        Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d),
+        Tables.part(s, d)),
+      Some(q131Sql())),
+    ("q132_product_profit",
+      (s: SparkSession, d: String) => q132ProductProfit(
+        Tables.lineitem(s, d), Tables.orders(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.part(s, d)),
+      Some(q132Sql())),
+    ("q133_returned_items",
+      (s: SparkSession, d: String) => q133ReturnedItems(
+        Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d)),
+      Some(q133Sql())))
 }

@@ -119,6 +119,123 @@ class Round14OpsSpec extends SparkSpec {
     assert(out == Seq(("Brand#1", 2L), ("Brand#2", 1L)))
   }
 
+  // ------------------------------------------------------ q127–q133
+
+  test("q129: every predicate prunes; delta = sum(price*discount) over " +
+    "the qualifying band") {
+    val lineitem = Seq(
+      (10.0, 1000.0, 0.06, ts("1996-05-01")), // qualifies: 60.0
+      (10.0, 2000.0, 0.05, ts("1996-06-01")), // qualifies: 100.0
+      (30.0, 1000.0, 0.06, ts("1996-05-01")), // qty >= 24
+      (10.0, 1000.0, 0.04, ts("1996-05-01")), // below band
+      (10.0, 1000.0, 0.06, ts("1995-05-01"))  // wrong year
+    ).toDF("l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+    val r = graft.operators.RelationalQueries
+      .q129ForecastRevenue(lineitem).collect().head
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 160.0)
+  }
+
+  test("q127/q133: segment/return-flag gates, revenue aggregate, " +
+    "deterministic top-k") {
+    val customer = Seq(
+      (1L, "c1", 10.0, 0L, "BUILDING"), (2L, "c2", 20.0, 0L, "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_acctbal", "c_nationkey",
+        "c_mktsegment")
+    val nation = Seq((0L, "NATION_0")).toDF("n_nationkey", "n_name")
+    val orders = Seq(
+      (100L, 1L, ts("1996-01-01")),  // BUILDING, before cutoff
+      (200L, 2L, ts("1996-01-01")),  // wrong segment for q127
+      (300L, 1L, ts("1996-12-01"))   // after cutoff for q127
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem = Seq(
+      (100L, 100.0, 0.0, "R", ts("1996-07-01")), // ships after cutoff
+      (100L, 50.0, 0.5, "N", ts("1996-08-01")),  // ships after cutoff
+      (100L, 999.0, 0.0, "R", ts("1996-01-05")), // shipped pre-cutoff
+      (200L, 70.0, 0.0, "R", ts("1996-07-01")),
+      (300L, 80.0, 0.0, "R", ts("1997-01-01"))
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag",
+      "l_shipdate")
+    val q3 = graft.operators.RelationalQueries
+      .q127ShippingPriority(lineitem, orders, customer)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(q3.toSeq == Seq((100L, 125.0))) // 100 + 50*0.5
+    // q133: quarter 1996-10-01..1997-01-01 → only order 300 (c1, 'R')
+    val q10 = graft.operators.RelationalQueries
+      .q133ReturnedItems(lineitem, orders, customer, nation)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(4)))
+    assert(q10.toSeq == Seq((1L, "c1", 80.0)))
+  }
+
+  test("q128/q130/q131/q132: the dimension-chain shapes on one " +
+    "mini-warehouse") {
+    val region = Seq((0L, "ASIA"), (1L, "AMERICA"))
+      .toDF("r_regionkey", "r_name")
+    val nation = Seq((1L, "NATION_1", 0L), (2L, "NATION_2", 0L),
+      (3L, "NATION_3", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((11L, 1L), (12L, 2L), (13L, 3L))
+      .toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((21L, 1L), (22L, 2L), (23L, 3L))
+      .toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (100L, 21L, ts("1996-02-01")),
+      (200L, 22L, ts("1996-03-01")),
+      (300L, 23L, ts("1997-04-01"))
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val part = Seq(
+      (31L, "red ring small", "STANDARD X", 100.0),
+      (32L, "blue bolt large", "PROMO Y", 200.0))
+      .toDF("p_partkey", "p_name", "p_type", "p_retailprice")
+    val lineitem = Seq(
+      // order 100 (cust n1): supp 11 (n1, same nation), part 31
+      (100L, 31L, 11L, 2.0, 1000.0, 0.0, ts("1996-02-10")),
+      // order 100: supp 12 (n2, cross nation n1←n2), part 32
+      (100L, 32L, 12L, 1.0, 500.0, 0.2, ts("1996-02-20")),
+      // order 200 (cust n2): supp 11 (n1, cross nation n2←n1), part 31
+      (200L, 31L, 11L, 1.0, 300.0, 0.0, ts("1996-03-10")),
+      // order 300 (cust n3, AMERICA, 1997): supp 13 (n3), part 31
+      (300L, 31L, 13L, 1.0, 400.0, 0.0, ts("1997-04-10"))
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_shipdate")
+
+    // q128 (ASIA, 1996): only line 1 has c_nation == s_nation (n1):
+    // revenue 1000 under NATION_1
+    val q5 = graft.operators.RelationalQueries
+      .q128LocalSupplierVolume(lineitem, orders, customer, supplier,
+        nation, region)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(q5.toSeq == Seq(("NATION_1", 1000.0)))
+
+    // q130 (N1↔N2, ship 1996-97): line 2 (supp n2 → cust n1, 400.0
+    // after discount) and line 3 (supp n1 → cust n2, 300.0)
+    val q7 = graft.operators.RelationalQueries
+      .q130NationVolume(lineitem, orders, customer, supplier, nation,
+        nationA = "NATION_1", nationB = "NATION_2")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getDouble(3)))
+    assert(q7.toSeq == Seq(
+      ("NATION_1", "NATION_2", 1996, 300.0),
+      ("NATION_2", "NATION_1", 1996, 400.0)))
+
+    // q131 (home NATION_3, region AMERICA market, STANDARD parts):
+    // market = order 300 only (cust n3); its supplier IS n3 → share 1.0
+    val q8 = graft.operators.RelationalQueries
+      .q131MarketShare(lineitem, orders, customer, supplier, nation,
+        region, part)
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(q8.toSeq == Seq((1997, 1.0)))
+
+    // q132 ('ring' parts = 31): margins per (supp nation, year):
+    // line1 n1/1996: 1000 - 0.8*100*2 = 840; line3 n1/1996:
+    // 300 - 80 = 220 → 1060; line4 n3/1997: 400 - 80 = 320
+    val q9 = graft.operators.RelationalQueries
+      .q132ProductProfit(lineitem, orders, supplier, nation, part)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(q9.toSeq == Seq(("NATION_1", 1996, 1060L),
+      ("NATION_3", 1997, 320L)))
+  }
+
   // ------------------------------------------------------------ q126
 
   test("qualityKeeper keeps the highest-quality member and flags the " +
