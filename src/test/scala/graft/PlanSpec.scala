@@ -305,6 +305,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("In(p_brand"), p)
   }
 
+  test("q129: all three predicates reach the parquet scan") {
+    val p = plan(RelationalQueries.q129ForecastRevenue(
+      T.lineitem(spark, sf0001)))
+    // toString truncates the PushedFilters list, so pin its head plus
+    // the full predicate battery in the (codegen'd) Filter right above
+    // the scan — all three columns, nothing evaluated post-shuffle
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"), p)
+    assert(p.contains(">= 0.05)") && p.contains("<= 0.07)"), p)
+    assert(p.contains("< 24.0)"), p)
+  }
+
+  test("q128: the whole dimension chain broadcasts — the fact side " +
+    "never sort-merge joins") {
+    val p = plan(RelationalQueries.q128LocalSupplierVolume(
+      T.lineitem(spark, sf0001), T.orders(spark, sf0001),
+      T.customer(spark, sf0001), T.supplier(spark, sf0001),
+      T.nation(spark, sf0001), T.region(spark, sf0001)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q104 mahalanobis: the model broadcasts back; scoring adds no fact shuffle") {
     val p = finalPlan(graft.llm.SimilarityOps
       .mahalanobisOutliers(T.embeddings(spark, sf0001)))
