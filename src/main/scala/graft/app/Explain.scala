@@ -71,7 +71,7 @@ object Explain {
     "q85_basket_triples"    -> "order-3 itemsets: the SAME session mask histogram as q76 joined to the C(|types|,3) dimension — no new fact pass",
     "q86_semantic_dedup"    -> "SemDeDup: k-means assignment blocks the pair space to within-cluster; exact cosine verifies; corpus shuffles once on cid",
     "q87_semantic_keeper"   -> "SemDeDup resolution: min-label CC over the semantic pairs, every vector labeled keeper/pruned",
-    "q88_fd_audit"          -> "FD audit: whole suite in ONE GROUPING SETS scan; set id as explicit grouping-bit sum; metadata-scale verdict fold",
+    "q88_fd_audit"          -> "FD audit: one narrow plain aggregate per LHS set (min!=max verdicts, no Expand, map-side combine); metadata-scale descriptor-explode fold",
     "q89_bpe_pairs"         -> "BPE pairs: corpus collapses to NDV-bounded vocab FIRST; pair explode runs on vocab rows only",
     "q92_record_linkage"    -> "blocked linkage: occupancy audit rides the block-key shuffle; over-cap blocks dropped before the pair product; levenshtein on candidates only",
     "q93_wasserstein_drift" -> "exact W1: per-distinct-value counts -> distributed running-sum CDFs (range partition, no SinglePartition); segment widths via rn equi-join",

@@ -330,67 +330,62 @@ object QualityOps {
     * means the join that built the table drifted, long before any row
     * fails a q40-style range check.
     *
-    * ONE scan for the whole suite: every distinct LHS becomes a GROUPING
-    * SETS entry, so Spark expands each row once per set and a single
-    * hash aggregate checks every audited RHS column per group. The
+    * One PLAIN hash aggregate per distinct LHS — no GROUPING SETS. The
     * violation test is `min(rhs) ≠ max(rhs)` — exactly equivalent to
-    * `count(DISTINCT rhs) > 1` (both ignore nulls; two distinct non-null
-    * values exist iff the extremes differ) but, unlike countDistinct,
-    * it needs NO second Expand (multi-column distinct aggregates expand
-    * ×|distinct-cols| on top of the grouping-sets ×|sets|) and it
-    * partial-aggregates map-side, so the shuffle carries |groups| slim
-    * rows instead of (group, value) pairs. A second, metadata-scale
-    * aggregation folds each set down to one verdict row per FD. No
-    * per-FD rescans, no self-joins; the remaining Expand ×|sets| is
-    * bounded by auditing related FDs (shared LHS) together.
+    * `count(DISTINCT rhs) > 1` (both ignore nulls; two distinct
+    * non-null values exist iff the extremes differ) but needing no
+    * distinct Expand and partial-aggregating map-side, so each set's
+    * shuffle carries |groups| slim rows. Earlier forms fused the sets
+    * into one GROUPING SETS aggregate ("one scan"), but the fused hash
+    * state carried every RHS buffer for every key of every set and
+    * measured as a near-serial spill-bound stage at sf0.1; the per-set
+    * narrow aggregates re-read the (cheap, columnar, pruned) scan once
+    * per set and run fully parallel — aggregate state, not scan I/O,
+    * is this operator's bottleneck. A metadata-scale fold then emits
+    * one verdict row per FD via a descriptor explode (a union of
+    * filtered branches would re-run the aggregate per FD).
     *
-    * Set identity crosses the two stages as an explicit
-    * Σ grouping(cᵢ)·2ⁱ in OUR column order — not the engine's
-    * `grouping_id()`, whose bit order is engine-specific (the q71
-    * identifier-escaping lesson applied to grouping bits). */
+ */
   def fdAudit(df: DataFrame, fds: Seq[Fd]): DataFrame = {
     require(fds.nonEmpty, "FD suite is empty")
-    val lhsCols: Seq[String] = fds.flatMap(_.lhs).distinct
-    val rhsCols: Seq[String] = fds.map(_.rhs).distinct
-    val sets: Seq[Seq[String]] = fds.map(_.lhs).distinct
-    val gidOf: Map[Seq[String], Int] = sets.map { s =>
-      s -> lhsCols.zipWithIndex.collect {
-        case (c, i) if !s.contains(c) => 1 << i }.sum
-    }.toMap
-    // grouping() is only legal inside the grouping-sets aggregate list,
-    // so the set id is computed as an agg output, not a post-select
-    val gid = lhsCols.zipWithIndex
-      .map { case (c, i) => grouping(col(c)).cast("int") * lit(1 << i) }
-      .reduce(_ + _).as("_gid")
-    val extremeAggs = rhsCols.flatMap(r => Seq(
-      min(col(r)).as(s"_mn_$r"), max(col(r)).as(s"_mx_$r")))
-    val grouped = df.groupingSets(
-        sets.map(_.map(col)), lhsCols.map(col): _*)
-      .agg(gid, extremeAggs: _*)
-      .select(col("_gid") +: rhsCols.flatMap(r =>
-        Seq(col(s"_mn_$r"), col(s"_mx_$r"))): _*)
-    val verdictAggs = count(lit(1)).as("_ng") +:
-      rhsCols.map(r =>
-        sum(when(col(s"_mn_$r") =!= col(s"_mx_$r"), 1L).otherwise(0L))
-          .as(s"_nv_$r"))
-    val perSet = grouped.groupBy(col("_gid"))
-      .agg(verdictAggs.head, verdictAggs.tail: _*)
-    // ONE pass from perSet to per-FD rows: a union of per-FD filtered
-    // branches would re-execute the whole scan+Expand+aggregate chain
-    // once per FD (the union-runs-the-subtree-per-branch hazard —
-    // measured as 2/3 of this operator's task-sec); exploding a
-    // per-row descriptor array evaluates perSet exactly once
-    perSet.select(explode(array(fds.map(fd => struct(
-        lit(fd.name).as("fd"),
-        (col("_gid") === lit(gidOf(fd.lhs))).as("m"),
-        col("_ng").as("n_groups"),
-        col(s"_nv_${fd.rhs}").as("n_violating"))): _*)).as("x"))
-      .filter(col("x.m"))
-      .select(col("x.fd").as("fd"), col("x.n_groups").as("n_groups"),
-        col("x.n_violating").as("n_violating"),
-        round(col("x.n_violating") / col("x.n_groups") + lit(1e-9), 4)
+    // One PLAIN aggregate per distinct LHS, each carrying only ITS
+    // FDs' min/max buffers. The previous GROUPING SETS form fused
+    // everything into one Expand'd aggregate whose hash state held
+    // every RHS buffer for every key of every set — measured at sf0.1
+    // as a near-serial spill-bound stage (2.5 s task floor), where the
+    // per-set narrow aggregates (no Expand, map-side combine, ~half
+    // the buffer width each) run fully parallel. The scan is read once
+    // per set, but a columnar scan is the cheap side of this operator;
+    // aggregate state is the bottleneck — the same tradeoff q37
+    // documents, resolved the other way now that it is measured.
+    val bySet: Seq[(Seq[String], Seq[Fd])] =
+      fds.groupBy(_.lhs).toSeq.sortBy(_._1.mkString(","))
+    bySet.map { case (lhs, setFds) =>
+      val rhsCols = setFds.map(_.rhs).distinct
+      val extremeAggs = rhsCols.flatMap(r => Seq(
+        min(col(r)).as(s"_mn_$r"), max(col(r)).as(s"_mx_$r")))
+      val verdictAggs = count(lit(1)).as("_ng") +:
+        rhsCols.map(r =>
+          sum(when(col(s"_mn_$r") =!= col(s"_mx_$r"), 1L).otherwise(0L))
+            .as(s"_nv_$r"))
+      val perSet = df.groupBy(lhs.map(col): _*)
+        .agg(extremeAggs.head, extremeAggs.tail: _*)
+        .groupBy()
+        .agg(verdictAggs.head, verdictAggs.tail: _*)
+      // per-FD rows via ONE descriptor explode over the one-row frame
+      // (a union of filtered branches would re-run the set's aggregate
+      // per FD — the union-runs-the-subtree-per-branch hazard)
+      perSet.select(explode(array(setFds.map(fd => struct(
+          lit(fd.name).as("fd"),
+          col("_ng").as("n_groups"),
+          col(s"_nv_${fd.rhs}").as("n_violating"))): _*)).as("x"))
+        .select(col("x.fd").as("fd"), col("x.n_groups").as("n_groups"),
+          col("x.n_violating").as("n_violating"))
+    }.reduce(_.unionByName(_))
+      .select(col("fd"), col("n_groups"), col("n_violating"),
+        round(col("n_violating") / col("n_groups") + lit(1e-9), 4)
           .as("viol_rate"),
-        (col("x.n_violating") === 0).cast("int").as("holds"))
+        (col("n_violating") === 0).cast("int").as("holds"))
       .orderBy("fd")
   }
 
