@@ -294,11 +294,16 @@ object JourneyOps {
     * back on the user_id partitioning the metrics table already has. The
     * rollup output is ≤ 125 cells — metadata. */
   def rfmSegments(events: DataFrame, buckets: Int = 5): DataFrame = {
-    val byUser = events.groupBy(col("user_id"))
-      .agg(max(to_date(col("ts"))).as("_last_day"),
-        count(lit(1)).as("freq"),
-        round(sum(col("value")) + lit(1e-9), 4).as("monetary"))
-    val ref = events.agg(max(to_date(col("ts"))).as("_ref_day"))
+    // cached: the reference-day broadcast would otherwise re-scan the
+    // fact table (max over per-user maxima ≡ the corpus max); its
+    // build materializes the cache, the metric arm reads it warm —
+    // one fact pass total, no cold-cache race (single broadcast)
+    val byUser = graft.core.CacheOnce.swap("rfm-byuser",
+      events.groupBy(col("user_id"))
+        .agg(max(to_date(col("ts"))).as("_last_day"),
+          count(lit(1)).as("freq"),
+          round(sum(col("value")) + lit(1e-9), 4).as("monetary")))
+    val ref = byUser.agg(max(col("_last_day")).as("_ref_day"))
     val m = byUser.crossJoin(broadcast(ref))
       .withColumn("recency_days",
         datediff(col("_ref_day"), col("_last_day")).cast("int"))

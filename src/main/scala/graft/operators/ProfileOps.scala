@@ -37,18 +37,25 @@ object ProfileOps {
 
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val stackArgs = cols
-      .map(c => s"${sqlStr(c)}, cast(${sqlId(c)} as double)").mkString(", ")
-    df.select(expr(s"stack(${cols.size}, $stackArgs)")
-        .as(Seq("column", "value")))
-      .groupBy(col("column"))
-      .agg(count(lit(1)).as("n"),
-        (count(lit(1)) - count(col("value"))).as("nulls"),
-        countDistinct(col("value")).as("ndv"),
-        round(min(col("value")), 4).as("min"),
-        round(max(col("value")), 4).as("max"),
-        round(avg(col("value")), 4).as("mean"))
-      .orderBy("column")
+    // one narrow global aggregate PER column, unioned — not a stack
+    // unpivot into one grouped distinct aggregate: the unpivot pushes
+    // k× the scan rows through a (column, value) distinct shuffle,
+    // while each branch here scans exactly its own column (columnar
+    // pruning) with single-column distinct state, and the branches run
+    // concurrently (the q88 narrow-state lesson; each branch's scan is
+    // the cheap side)
+    cols.map { c =>
+      val v = col(c).cast("double")
+      df.select(v.as("value"))
+        .agg(count(lit(1)).as("n"),
+          (count(lit(1)) - count(col("value"))).as("nulls"),
+          countDistinct(col("value")).as("ndv"),
+          round(min(col("value")), 4).as("min"),
+          round(max(col("value")), 4).as("max"),
+          round(avg(col("value")), 4).as("mean"))
+        .select(lit(c).as("column"), col("n"), col("nulls"), col("ndv"),
+          col("min"), col("max"), col("mean"))
+    }.reduce(_.unionByName(_)).orderBy("column")
   }
 
   /** Distribution drift between two snapshots of the same column —
