@@ -115,12 +115,19 @@ class AdvancedOpsSpec extends SparkSpec {
         r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
     assert(got("a") == ((5L, 1L, 3L, 1.0, 4.0, 2.25)))
     assert(got("b") == ((5L, 2L, 2L, 10.0, 30.0, 16.6667)))
-    // one wide aggregation over ONE scan of the input — the profile must
-    // not rescan the table per column (the UNION-per-column anti-pattern)
+    // one narrow aggregate branch per column, each scan pruned to
+    // EXACTLY its own column — k single-column columnar reads total
+    // about one full-width read, and the per-branch distinct state is
+    // single-column (the former stack-unpivot "one scan" pushed k× the
+    // rows through one (column, value) distinct shuffle and measured
+    // 1.6× slower at sf0.1 — BASELINE §q)
     val plan = graft.operators.ProfileOps
       .lineitemProfile(graft.core.Tables.lineitem(spark, sf0001))
       .queryExecution.executedPlan.toString
-    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
+    val scans = "struct<[^>]*>".r.findAllIn(plan).toSeq
+    assert(scans.nonEmpty, plan)
+    assert(scans.forall(s => s.count(_ == ':') == 1),
+      s"every profile scan must read exactly one column:\n$plan")
   }
 
   test("scd2History: versions tile the key's timeline; tombstones close but don't appear") {
