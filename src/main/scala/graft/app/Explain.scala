@@ -112,7 +112,8 @@ object Explain {
     "q130_nation_volume"    -> "Q7 shape: two-nation filter restricts both broadcast dims before the fact join; year is post-join projection",
     "q131_market_share"     -> "Q8 shape: share as a conditional-sum ratio inside ONE aggregate row per year (grouped q123 in-plan ratio); all dims broadcast",
     "q132_product_profit"   -> "Q9 shape: material-token parts + supplier nation broadcast; margin folds in one agg; whole-unit rounding absorbs the cancelling-sum fp drift",
-    "q133_returned_items"   -> "Q10 shape: return flag + quarter pushed to the scans; nation broadcast; TakeOrderedAndProject over the per-customer aggregate")
+    "q133_returned_items"   -> "Q10 shape: return flag + quarter pushed to the scans; nation broadcast; TakeOrderedAndProject over the per-customer aggregate",
+    "q134_lsh_tuning"       -> "MMDS S-curve over the OBSERVED q119 histogram: analytic detection probability + expected missed pairs per bin; metadata-scale on the shared pair stage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1445,6 +1445,49 @@ object DedupOps {
        |  count(*) AS n_pairs
        |FROM b GROUP BY bin ORDER BY bin_lo""".stripMargin
 
+  /** q134 — LSH band-tuning audit: the MinHash banding S-curve
+    * (Leskovec/Rajaraman/Ullman, MMDS ch. 3: a (b bands × r rows)
+    * config detects a pair of similarity j with p = 1 − (1 − jʳ)ᵇ)
+    * applied to the OBSERVED q119 pair distribution — per similarity
+    * bin, the analytic detection probability of the CURRENT config and
+    * the expected number of candidate pairs banding would miss. The
+    * operator that turns "are 32×4 bands right for THIS corpus?" from
+    * a rule of thumb into a number: missed mass concentrated above the
+    * dedup threshold says add bands; a large sub-threshold detected
+    * mass says the verify stage is paying for pairs the threshold will
+    * discard anyway (shrink bands or raise r). Metadata-scale on top
+    * of the shared pair stage — the histogram is ≤ 1/binWidth rows. */
+  def lshTuningAudit(docs: DataFrame, k: Int = K,
+      dfCap: Int = DefaultDfCap, binWidth: Double = 0.05,
+      bands: Int = graft.functions.MinHashBands.Bands,
+      rowsPerBand: Int = graft.functions.MinHashBands.RowsPerBand)
+      : DataFrame = {
+    val jMid = col("bin_lo") + lit(binWidth / 2)
+    val pMiss = pow(lit(1.0) - pow(jMid, lit(rowsPerBand)), lit(bands))
+    jaccardHistogram(docs, k, dfCap, binWidth)
+      .select(col("bin_lo"), col("n_pairs"),
+        round(lit(1.0) - pMiss + lit(1e-9), 4).as("p_detect"),
+        round(col("n_pairs") * pMiss + lit(1e-9), 2).as("exp_missed"))
+      .orderBy("bin_lo")
+  }
+  def lshTuningAuditSql(binWidth: Double = 0.05,
+      bands: Int = graft.functions.MinHashBands.Bands,
+      rowsPerBand: Int = graft.functions.MinHashBands.RowsPerBand)
+      : String =
+    s"""WITH ${pairsCte(capped = true)},
+       |b AS (SELECT CAST(floor(inter / (n1 + n2 - inter) / $binWidth
+       |    + 1e-9) AS INT) AS bin
+       |  FROM pairs),
+       |h AS (SELECT round(bin * $binWidth + 1e-9, 2) AS bin_lo,
+       |    count(*) AS n_pairs
+       |  FROM b GROUP BY bin)
+       |SELECT bin_lo, n_pairs,
+       |  round(1.0 - pow(1.0 - pow(bin_lo + ${binWidth / 2},
+       |    $rowsPerBand), $bands) + 1e-9, 4) AS p_detect,
+       |  round(n_pairs * pow(1.0 - pow(bin_lo + ${binWidth / 2},
+       |    $rowsPerBand), $bands) + 1e-9, 2) AS exp_missed
+       |FROM h ORDER BY bin_lo""".stripMargin
+
   private val jaccardOracle: String =
     s"""WITH ${pairsCte(capped = true)}
        |SELECT d1, d2,
@@ -1672,5 +1715,8 @@ object DedupOps {
       Some(noveltyRateSql)),
     ("q119_jaccard_histogram",
       (s: SparkSession, d: String) => jaccardHistogram(Tables.documents(s, d)),
-      Some(jaccardHistogramSql())))
+      Some(jaccardHistogramSql())),
+    ("q134_lsh_tuning",
+      (s: SparkSession, d: String) => lshTuningAudit(Tables.documents(s, d)),
+      Some(lshTuningAuditSql())))
 }

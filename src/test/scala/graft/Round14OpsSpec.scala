@@ -263,6 +263,38 @@ class Round14OpsSpec extends SparkSpec {
     assert(r.getAs[Int]("policy_changed") == 1)
   }
 
+  // ------------------------------------------------------------ q134
+
+  test("lshTuningAudit: per-bin S-curve matches the closed form and " +
+    "missed mass is (1 - p) of the bin") {
+    val base = (1 to 90).map(i => s"tok$i").mkString(" ") +
+      " the quick brown fox hunts tasty rabbits at night"
+    val docs = Seq(
+      (1L, base), (2L, base),                      // exact dup: jac 1.0
+      (3L, base.replace("tasty", "fresh")),        // near dup of 1/2
+      (4L, "entirely different content about distributed engines")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val out = graft.llm.DedupOps.lshTuningAudit(docs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.nonEmpty)
+    val (b, rr) = (graft.functions.MinHashBands.Bands,
+      graft.functions.MinHashBands.RowsPerBand)
+    out.foreach { case (lo, n, p, missed) =>
+      val jMid = lo + 0.025
+      val pm = math.pow(1.0 - math.pow(jMid, rr), b)
+      assert(math.abs(p - (1.0 - pm)) < 5e-4, s"p_detect at $lo")
+      assert(math.abs(missed - n * pm) < 5e-2, s"exp_missed at $lo")
+    }
+    // the S-curve is monotone in similarity
+    val ps = out.map(_._3)
+    assert(ps.zip(ps.tail).forall { case (a2, b2) => b2 >= a2 })
+    // the exact-dup pair (jac 1.0) bin must be detected with p = 1
+    assert(out.last._1 == 1.0 && out.last._3 == 1.0 && out.last._4 == 0.0)
+  }
+
   // ------------------------------------------------------------- q88
 
   test("fdAudit: min!=max violation test matches count(distinct)>1 on " +
