@@ -203,7 +203,13 @@ object Bench {
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
 
+    // SPARK_GRAFT_ONLY=q94,q90 — comma-separated name prefixes for a
+    // targeted paired A/B (same contract as Verify's prefix arg);
+    // unset runs the full suite (the driver's path).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
     val oracle = SparkEntry.oracleSql
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

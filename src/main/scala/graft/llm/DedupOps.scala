@@ -774,9 +774,12 @@ object DedupOps {
     * via one anti-join at the final assembly, priced into the limit
     * job. Round 1 needs no rank table either: pr₀ is uniform, so
     * contrib₁(v) = (1/N)·Σ_{u→v} 1/od(u) comes straight off the edge
-    * table — the pr₀ checkpoint job is gone. Net job floor: edge
-    * checkpoint + one combined node/connected count + iters round
-    * checkpoints + the final assembly (iters+3, was iters+6).
+    * table — the pr₀ checkpoint job is gone, and every round fuses
+    * into ONE rank checkpoint (each intermediate has exactly one
+    * consumer). Net job floor, independent of iters: edge checkpoint
+    * + one combined node/connected count (which also populates the
+    * lazy node cache) + the fused rank checkpoint + the final
+    * assembly = 4 (was iters+6 in r12, iters+3 in r13).
     *
     * Scale shape: per-round cost is one shuffle of the edge table keyed
     * by src plus a connected-node-scale aggregate — rank state is
@@ -785,8 +788,21 @@ object DedupOps {
     * convergence-tested) keep the operator engine-reproducible: the
     * oracle unrolls the same rounds. */
   def pagerank(pairs: DataFrame, nodes: DataFrame, damping: Double = 0.85,
-      iters: Int = 5, topN: Int = 20): DataFrame = {
+      iters: Int = 5, topN: Int = 20, tag: String = "pagerank"): DataFrame = {
+    // Round 1 is computed inline from the edge table (there is no
+    // pr_0 state to return), so the degenerate iters<=0 parameter has
+    // no defined meaning in this chassis — fail loudly instead of
+    // silently returning one round's ranks.
+    require(iters >= 1, s"pagerank needs iters >= 1, got $iters")
     val sc = pairs.sparkSession.sparkContext
+    // Release the PREVIOUS invocation's pinned state under this tag:
+    // the final rank table and node cache must stay alive until the
+    // caller consumes `out` (a localCheckpoint's lineage is truncated —
+    // unpersisting before consumption breaks the frame, not just
+    // un-caches it), so the release rides the next call, CacheOnce-
+    // style, bounding the session-lifetime leak to one invocation per
+    // operator tag.
+    Option(pinnedByTag.remove((sc, tag))).foreach(release => release())
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
       def ckptIds = sc.getPersistentRDDs
         .collect { case (id, r) if r.isCheckpointed => id }.toSet
@@ -811,12 +827,18 @@ object DedupOps {
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .withColumn("od",
           count(lit(1)).over(Window.partitionBy(col("src")))))
-    // node table checkpointed ONCE: the `nodes` subtree can be a real
+    // node table cached ONCE, lazily: the `nodes` subtree can be a real
     // aggregation (q94's vocab is an explode+groupBy over the corpus),
     // and it has two consumers — the scalar counts and the final
     // isolated-node anti-join — that would otherwise each replay it
-    // (measured: +50% at the 20× point when evaluated per-consumer)
-    val (nodeT, nodeIds) = checkpointed(nodes.select(col("doc_id")).distinct())
+    // (measured: +50% at the 20× point when evaluated per-consumer).
+    // A lazy persist (not an eager localCheckpoint) because the first
+    // consumer is the very next action: the cnts job below populates
+    // the cache as it scans, so the separate node-materialization JOB
+    // disappears while the second consumer still reads cached data —
+    // and unlike the edge table, nothing downstream needs this frame's
+    // physical partitioning, the other thing a checkpoint pins.
+    val nodeT = nodes.select(col("doc_id")).distinct().persist()
     // ONE metadata-scale count job covers both scalars the recurrence
     // needs: |V| (distinct nodes) and |connected| (distinct edge srcs —
     // a subset of nodes, so one countDistinct over the stacked ids plus
@@ -829,13 +851,10 @@ object DedupOps {
     val n = cnts.getLong(0).toDouble
     val nDang = n - cnts.getLong(1).toDouble
     var dm = nDang / n
-    // Per-round eager landing is load-bearing for COST even with the
-    // single-consumer lineage: the next round's contribution join
-    // BROADCASTS the rank table, and a broadcast executes its entire
-    // subtree independently — lazy rounds would re-run the whole prefix
-    // chain once per later round (measured: task-sec doubled at 5
-    // rounds under a checkpoint-every-4 variant of the r12 shape;
-    // reverted).
+    // `land` turns a round's contribution aggregate into the rank
+    // state, summing in exactly the oracle's term shape — (1−d)/N +
+    // d·(contrib + dm/N) with dm folded in per round — so the fp
+    // stream matches DuckDB's unrolled CTEs digit for digit.
     def land(contrib: DataFrame, dmNow: Double): DataFrame =
       contrib.select(col("dst").as("doc_id"),
         (lit((1.0 - damping) / n) + lit(damping) *
@@ -868,31 +887,40 @@ object DedupOps {
     // Every connected node has ≥1 in-edge (edges are stored both ways),
     // so groupBy(dst) covers exactly the connected set — the rank state
     // from here on.
-    var (pr, prIds) = checkpointed(land(
+    //
+    // ALL rounds — round 1 included — fuse into ONE checkpoint. The
+    // fusion is safe because the lineage is a single LINEAR chain:
+    // each intermediate round's only consumer is the next round's
+    // join (the connected-only state removed the nodeT left-join that
+    // gave the r12 shape's intermediates a second consumer and made
+    // fusing there double task-sec), so the whole chain executes
+    // every round exactly once inside the final checkpoint job — one
+    // rank-materialization job total, regardless of iters (the r14
+    // shape checkpointed round 1 separately; its only consumer is
+    // round 2's join, so that job was pure overhead). Each fused
+    // round is the co-partitioned shuffle-hash join described at
+    // step(): edge side keeps its checkpoint-preserved src
+    // partitioning, rank side arrives partitioned by the previous
+    // groupBy(dst) landing — no exchange on either side, no per-round
+    // broadcast-build job. The shuffle_hash hint stays REQUIRED: the
+    // fused intermediates carry no size stats, and without it the
+    // planner re-exchanges the edge table per round (measured
+    // task-sec doubling). Do NOT "fix" the hint back to broadcast —
+    // that was the r13 shape's per-round job floor, and a
+    // corpus-scale rank table cannot broadcast at 100 TB.
+    var chain = land(
       ew.groupBy(col("dst"))
-        .agg(sum(lit(1.0 / n) / col("od")).as("contrib")), dm))
+        .agg(sum(lit(1.0 / n) / col("od")).as("contrib")), dm)
     dm = nextDm(dm)
-    // ALL remaining rounds fuse into ONE checkpoint from here: each
-    // intermediate round's only consumer is the next round's
-    // broadcast-built rank table, so the chain executes every round
-    // exactly once inside the final checkpoint job — nested broadcast
-    // builds materialize inner-to-outer, nothing re-runs (the r12
-    // shape could NOT fuse: its nodeT left-join landing gave each
-    // intermediate a second consumer, and a checkpoint-every-4 variant
-    // measured task-sec doubling; the connected-only state makes the
-    // lineage a single chain). The broadcast hint on the rank side is
-    // REQUIRED — the fused intermediates have no size stats and the
-    // planner would otherwise shuffle the edge table per round.
-    if (iters > 1) {
-      var nxt = step(pr, dm)
+    (2 to iters).foreach { _ =>
+      chain = step(chain, dm)
       dm = nextDm(dm)
-      (3 to iters).foreach { _ =>
-        nxt = step(nxt, dm)
-        dm = nextDm(dm)
-      }
-      val (ck, ids) = checkpointed(nxt)
-      drop(prIds); pr = ck; prIds = ids
     }
+    // The ONE checkpoint: the final state has two consumers (the
+    // isolated-node anti-join and the output union), so it must be
+    // materialized — every earlier round had exactly one.
+    lastRoundChain.put(tag, chain)
+    val (pr, prIds) = checkpointed(chain)
     // Isolated nodes re-enter here at their closed-form scalar rank
     // (the recurrence's per-node value after `iters` rounds), via one
     // node-scale anti-join inside the final limit job.
@@ -905,29 +933,66 @@ object DedupOps {
       .orderBy(col("pagerank").desc, col("doc_id")).limit(topN)
     // edges are no longer needed once `out` is consumed — but `out` is
     // still lazy here, so only the superseded structures are droppable
-    // (NOT nodeT: the anti-join reads it, and a localCheckpoint's
-    // lineage is truncated, so unpersisting before consumption would
-    // break `out`, not just un-cache it). The final pr and nodeT block
-    // back `out`; callers consume it in-session.
+    // (NOT the pr checkpoint: a localCheckpoint's lineage is truncated,
+    // so unpersisting it before consumption would break `out`, not just
+    // un-cache it). The final pr and the nodeT cache block back `out`;
+    // they stay registered under `tag` so the NEXT invocation releases
+    // them (see the entry swap above).
     drop(degIds)
+    pinnedByTag.put((sc, tag), () => {
+      nodeT.unpersist(blocking = false)
+      drop(prIds)
+    })
     out
   }
+
+  // The last invocation's fused round chain per tag, BEFORE its
+  // checkpoint truncated the lineage — the checkpoint hides the
+  // per-round join shape from `out`'s executed plan, so PlanSpec pins
+  // the zero-exchange SHJ rounds through this window instead. Holds a
+  // lazy plan only (never execute it: the edge blocks it references
+  // are released when the invocation's output is consumed).
+  private[graft] val lastRoundChain =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  // Release hooks for the state a pagerank invocation must keep pinned
+  // until its output is consumed, keyed per operator tag — the
+  // entry-time swap in [[pagerank]] runs the previous invocation's
+  // hook, so repeated Verify/Stress runs hold at most one invocation's
+  // state per tag.
+  private val pinnedByTag = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), () => Unit]()
 
   /** q90 registry entry: PageRank over the thresholded near-dup graph —
     * ranks the hub documents of template/boilerplate families (the docs
     * whose removal breaks the most near-dup mass; review THESE before
-    * bulk-dropping a cluster). Rides the shared pair stage. */
+    * bulk-dropping a cluster). Rides the shared pair stage.
+    *
+    * Default rounds = [[DupPagerankIters]] (3), measured, not guessed:
+    * IterStudy at sf0.01/sf0.1 against an 8-round reference shows the
+    * top-20 hub SET AND ORDER invariant from round 1 on this graph
+    * (hub rank tracks degree, which one round already prices), with
+    * the score residual shrinking geometrically — max |Δpr| at 3
+    * rounds 2.2e-3 (sf0.01) / 3.0e-4 (sf0.1), well inside the 6-dp
+    * reporting grain's decision margin. Corpora whose hub ordering is
+    * genuinely contested should raise `iters`; the oracle CTE unroll
+    * follows the same parameter. */
   def dupPagerank(docs: DataFrame, threshold: Double = JaccardThreshold,
-      k: Int = K, dfCap: Int = DefaultDfCap): DataFrame =
+      k: Int = K, dfCap: Int = DefaultDfCap,
+      iters: Int = DupPagerankIters): DataFrame =
     pagerank(
       jaccardPairs(docs, k, dfCap).filter(col("jac") >= threshold)
         .select("d1", "d2"),
-      docs.select(col("doc_id")))
+      docs.select(col("doc_id")), iters = iters, tag = "q90_pagerank")
+
+  /** Shared q90 default round count — the Spark operator and the SQL
+    * twin MUST unroll the same number of rounds (see dupPagerank doc). */
+  val DupPagerankIters = 3
 
   /** Oracle: the same fixed rounds unrolled as materialized CTEs (each
     * pr_i is read twice — dangling scalar + contribution join — so
     * materialization mirrors the Spark checkpoint, not just taste). */
-  def dupPagerankSql(damping: Double = 0.85, iters: Int = 5,
+  def dupPagerankSql(damping: Double = 0.85, iters: Int = DupPagerankIters,
       topN: Int = 20): String = {
     val head =
       s"""WITH ${pairsCte(capped = true)},

@@ -375,7 +375,13 @@ object QualityOps {
       // per-FD rows via ONE descriptor explode over the one-row frame
       // (a union of filtered branches would re-run the set's aggregate
       // per FD — the union-runs-the-subtree-per-branch hazard)
-      perSet.select(explode(array(setFds.map(fd => struct(
+      // Empty-input contract: the global aggregate above always emits
+      // one row, so an empty table would otherwise yield _ng=0 verdict
+      // rows with a null 0/0 viol_rate — filter them so fdAudit on an
+      // empty table returns an empty result, matching the GROUPING
+      // SETS oracle (which produces no per-set rows to judge).
+      perSet.filter(col("_ng") > 0)
+        .select(explode(array(setFds.map(fd => struct(
           lit(fd.name).as("fd"),
           col("_ng").as("n_groups"),
           col(s"_nv_${fd.rhs}").as("n_violating"))): _*)).as("x"))

@@ -943,10 +943,15 @@ object RelationalQueries {
     * complaints list). The exclusion is Q16's NOT IN, decorrelated to a
     * broadcast anti join on the slim supplier projection BEFORE the
     * distinct-count aggregate; supplier-part pairs come from the
-    * shipment fact (this schema's partsupp). */
+    * shipment fact (this schema's partsupp). Null fact keys are
+    * dropped EXPLICITLY on both sides: a bare left_anti keeps
+    * null-key rows where SQL's NOT IN evaluates null NOT IN (...) to
+    * null and drops them — the IS NOT NULL conjunct makes the two
+    * shapes agree if the corpus ever grows null l_suppkey. */
   def q124SupplierVariety(lineitem: DataFrame, part: DataFrame,
       supplier: DataFrame, topN: Int = 50): DataFrame =
     lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .filter(col("l_suppkey").isNotNull)
       .join(broadcast(supplier.filter(col("s_acctbal") < 0)
         .select(col("s_suppkey"))),
         col("l_suppkey") === col("s_suppkey"), "left_anti")
@@ -962,7 +967,7 @@ object RelationalQueries {
     s"""SELECT p_brand, p_type, p_size,
        |  count(DISTINCT l_suppkey) AS supplier_cnt
        |FROM lineitem JOIN part ON p_partkey = l_partkey
-       |WHERE l_suppkey NOT IN (
+       |WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN (
        |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
        |GROUP BY 1, 2, 3
        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size

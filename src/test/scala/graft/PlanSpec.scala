@@ -326,6 +326,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q90 pagerank rounds: co-partitioned shuffle-hash joins with no " +
+    "exchange between the join and either input") {
+    // BASELINE §q's central chassis claim, pinned: each fused round's
+    // contribution join consumes the edge checkpoint's src partitioning
+    // and the previous landing's dst partitioning AS IS — a lost
+    // shuffle_hash hint (or a refactor that breaks either side's
+    // partitioning) would silently restore a per-round exchange of the
+    // corpus-scale edge table. The chain is stashed pre-checkpoint
+    // because the checkpoint truncates it out of `out`'s plan.
+    graft.llm.DedupOps.dupPagerank(T.documents(spark, sf0001)).collect()
+    val chain = graft.llm.DedupOps.lastRoundChain.get("q90_pagerank")
+    assert(chain != null, "round chain not stashed")
+    val sp = chain.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val shjs = sp.collect { case j: ShuffledHashJoinExec => j }
+    val rounds = graft.llm.DedupOps.DupPagerankIters
+    assert(shjs.size == rounds - 1,
+      s"expected ${rounds - 1} fused SHJ rounds, got ${shjs.size}:\n$sp")
+    assert(sp.collect { case e: ShuffleExchangeExec => e }.size == rounds,
+      s"expected exactly one exchange per round (the groupBy(dst) " +
+        s"landing), got more:\n$sp")
+    // no exchange between a round join and its inputs: walking down
+    // from each join child must hit the previous round's (final)
+    // aggregate or a leaf before any exchange
+    def cleanAboveAgg(p: SparkPlan): Boolean = p match {
+      case _: ShuffleExchangeExec => false
+      case _: HashAggregateExec => true
+      case leaf if leaf.children.isEmpty => true
+      case other => other.children.forall(cleanAboveAgg)
+    }
+    shjs.foreach(j => j.children.foreach(c =>
+      assert(cleanAboveAgg(c),
+        s"exchange found between a fused round join and its input:\n$sp")))
+  }
+
   test("q104 mahalanobis: the model broadcasts back; scoring adds no fact shuffle") {
     val p = finalPlan(graft.llm.SimilarityOps
       .mahalanobisOutliers(T.embeddings(spark, sf0001)))
