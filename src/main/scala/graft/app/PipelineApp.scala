@@ -4,15 +4,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.llm.{ChunkOps, DedupOps, TextOps}
-import graft.operators.ManifestOps
+import graft.operators.{ManifestOps, QualityOps}
 
 /** The end-to-end training-data pipeline: the canonical corpus path every
   * stage of which ships (and is oracle-verified) individually —
   *
-  *   raw → normalize (q25's transform) → Gopher quality gate (q70's
-  *   rules, row-level) → near-dup dedup with keep-min-id keepers (q23)
-  *   → token-budget mixture selection (q34c) → token chunking (q34a2)
-  *   + packing audit (q34b)
+  *   raw → normalize (q25's transform) → fail-loud constraint gate
+  *   (q40's suite over the corpus schema — a broken invariant aborts
+  *   the RUN, it never ships a partial corpus) → Gopher quality gate
+  *   (q70's rules, row-level) → near-dup dedup with keep-min-id
+  *   keepers (q23) → eval-set decontamination (q23_contamination —
+  *   docs sharing ≥ minFrac of their shingles with the benchmark set
+  *   are dropped) → token-budget mixture selection (q34c) → token
+  *   chunking (q34a2) + packing audit (q34b)
   *
   * — chained under ONE manifest discipline: every stage boundary lands
   * on storage and is fingerprinted with the q41 order-invariant content
@@ -58,7 +62,32 @@ object PipelineApp {
       .filter(col("_wc") && col("_mwl") && col("_stop") && col("_rep"))
       .select(docs.columns.map(col): _*)
 
-  /** Stage 4: keep exactly the mixture-selected docs (q34c's doc-level
+  /** The fail-loud schema/invariant gate (q40's machinery over the
+    * corpus table): key uniqueness and completeness, the normalize
+    * postcondition (`n_chars` = cleaned length), and non-negative
+    * length. One scan, a bounded verdict frame. */
+  def corpusGate(docs: DataFrame): DataFrame =
+    QualityOps.check(docs, Seq(
+      QualityOps.unique("doc_id"),
+      QualityOps.complete("doc_id"),
+      QualityOps.complete("text"),
+      QualityOps.satisfies("n_chars_consistent",
+        col("n_chars") === length(col("text"))),
+      QualityOps.inRange("n_chars", 0, 1e9)))
+
+  /** Stage 4: drop training docs contaminated by the eval/benchmark
+    * set — ≥ `minFrac` of their shingles appear in it (q23_contamination
+    * inverted into a keep-filter; the eval shingle set is tiny next to
+    * the corpus and broadcast-able, so the corpus streams through one
+    * hash join — no pair space). */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
+      minFrac: Double = 0.1): DataFrame =
+    docs.join(
+      DedupOps.contamination(docs, evalDocs, minFrac = minFrac)
+        .select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
+  /** Stage 5: keep exactly the mixture-selected docs (q34c's doc-level
     * view; the semi join is on the slim selected-id set). */
   def mixtureGate(docs: DataFrame, totalBudget: Long): DataFrame =
     docs.join(
@@ -73,12 +102,22 @@ object PipelineApp {
     * training output and the q34b `packing` audit. Returns the manifest
     * frame (already materialized). */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      totalBudget: Long = 8000L): DataFrame = {
-    val stages = Seq[(String, DataFrame => DataFrame)](
-      "normalized" -> normalize,
-      "quality_gated" -> qualityGate,
-      "deduped" -> (DedupOps.dedupCorpus(_)),
-      "mixture_selected" -> (mixtureGate(_, totalBudget)))
+      totalBudget: Long = 8000L,
+      evalDocs: Option[DataFrame] = None): DataFrame = {
+    val stages = Seq[(String, Seq[StageOut] => DataFrame)](
+      "normalized" -> (acc => normalize(acc.last.df)),
+      "quality_gated" -> (acc => qualityGate(acc.last.df)),
+      "deduped" -> (acc => DedupOps.dedupCorpus(acc.last.df)),
+      // the eval set is an EXTERNAL input in production; absent one,
+      // the q23_contamination registry convention stands in (the top
+      // 10% of raw ids play the benchmark set — scale-proportional)
+      "decontaminated" -> (acc => decontaminate(acc.last.df,
+        evalDocs.getOrElse {
+          val cut = acc.head.df.agg(
+            (max(col("doc_id")) * 9 / 10).cast("long")).first().getLong(0)
+          acc.head.df.filter(col("doc_id") >= cut)
+        })),
+      "mixture_selected" -> (acc => mixtureGate(acc.last.df, totalBudget)))
 
     // each boundary lands on storage and the next stage reads the
     // landed bytes — the fingerprint then covers what was actually
@@ -87,8 +126,26 @@ object PipelineApp {
     val landed = stages.foldLeft(Seq(StageOut("raw", sfDir, raw))) {
       case (acc, (name, f)) =>
         val dir = s"$outDir/corpus/$name"
-        f(acc.last.df).write.mode("overwrite").parquet(dir)
-        acc :+ StageOut(name, dir, spark.read.parquet(dir))
+        f(acc).write.mode("overwrite").parquet(dir)
+        val out = acc :+ StageOut(name, dir, spark.read.parquet(dir))
+        // the fail-loud invariant gate sits on the landed normalized
+        // corpus: a broken schema invariant aborts the run HERE, before
+        // any downstream stage spends compute on (or ships) a corpus
+        // that violates its own contract — the q43-style quarantine
+        // path is for row-level quality, this gate is for corruption
+        if (name == "normalized") {
+          val gateDir = s"$outDir/gate"
+          corpusGate(out.last.df).write.mode("overwrite").parquet(gateDir)
+          val verdict = spark.read.parquet(gateDir)
+          val failed = verdict.filter(col("passed") === 0)
+            .select(col("constraint"), col("violations"))
+            .collect()
+          require(failed.isEmpty,
+            s"corpus gate failed, run aborted: " +
+              failed.map(r => s"${r.getString(0)}=${r.getLong(1)}")
+                .mkString(", "))
+        }
+        out
     }
 
     // final training artifacts off the selected corpus
@@ -104,6 +161,12 @@ object PipelineApp {
       .reduce(_.unionByName(_))
       .unionByName(oneManifest("chunks", chunks,
         Seq("doc_id", "chunk_ix", "chunk_tok", "chunk_md5")))
+      // the gate verdict is corpus metadata, but it versions with the
+      // run like any boundary: a replica proving byte-equivalence
+      // proves it passed the SAME checks with the SAME outcome
+      .unionByName(oneManifest("gate",
+        spark.read.parquet(s"$outDir/gate"),
+        Seq("constraint", "violations", "passed")))
     manifests.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/manifests")
 

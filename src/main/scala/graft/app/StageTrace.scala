@@ -15,11 +15,21 @@ object StageTrace {
     graft.core.Sessions.sizeShufflePartitionsFor(spark, sfDir)
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet()
+          starts.put(e.jobId, e.time)
+        }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0: Long = Option(starts.get(e.jobId))
+            .map(_.longValue).getOrElse(e.time)
+          println(f"[job] id=${e.jobId} wall=${(e.time - t0) / 1e3}%.2f " +
+            f"start=$t0%d")
+        }
         override def onTaskEnd(
             e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = e.taskMetrics

@@ -1078,7 +1078,10 @@ object RelationalQueries {
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         + lit(1e-9), 2).as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      // dim-bounded output (≤|nations| rows): sort on one partition —
+      // a global orderBy would pay a RangePartitioning sample JOB to
+      // order a handful of rows
+      .coalesce(1).sortWithinPartitions(col("revenue").desc, col("n_name"))
   }
   def q128Sql(regionName: String = "ASIA", year: String = "1996"): String =
     s"""SELECT n_name,
@@ -1135,16 +1138,20 @@ object RelationalQueries {
       nationA: String = "NATION_18", nationB: String = "NATION_19",
       fromYear: String = "1996"): DataFrame = {
     val lo = to_timestamp(lit(s"$fromYear-01-01"))
+    // ONE nation build serves both lookups: the supplier and customer
+    // sides broadcast the IDENTICAL (unrenamed) subtree, so canonical
+    // plan matching turns the second build into a ReusedExchange — the
+    // rename to supp_nation/cust_nation happens OUTSIDE the broadcast
+    // (renaming inside it made the two subtrees canonically distinct
+    // and built the same 2-row frame twice, one job each).
     val nat = nation.filter(col("n_name").isin(nationA, nationB))
       .select(col("n_nationkey"), col("n_name"))
     val supp = supplier.select(col("s_suppkey"), col("s_nationkey"))
-      .join(broadcast(nat.select(col("n_nationkey").as("_snk"),
-        col("n_name").as("supp_nation"))), col("s_nationkey") === col("_snk"))
-      .select(col("s_suppkey"), col("supp_nation"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     val cust = customer.select(col("c_custkey"), col("c_nationkey"))
-      .join(broadcast(nat.select(col("n_nationkey").as("_cnk"),
-        col("n_name").as("cust_nation"))), col("c_nationkey") === col("_cnk"))
-      .select(col("c_custkey"), col("cust_nation"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
     lineitem
       .filter(col("l_shipdate") >= lo &&
         col("l_shipdate") < lo + expr("INTERVAL 24 MONTHS"))
@@ -1157,7 +1164,10 @@ object RelationalQueries {
         year(col("l_shipdate")).as("l_year"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         + lit(1e-9), 2).as("revenue"))
-      .orderBy("supp_nation", "cust_nation", "l_year")
+      // 2 nations × 2 directions × bounded years: sort on one
+      // partition, skipping the RangePartitioning sample job
+      .coalesce(1)
+      .sortWithinPartitions("supp_nation", "cust_nation", "l_year")
   }
   def q130Sql(nationA: String = "NATION_18", nationB: String = "NATION_19",
       fromYear: String = "1996"): String =

@@ -31,10 +31,19 @@ class PipelineAppSpec extends SparkSpec {
     val rows = m1.map(t => t._1 -> t._2).toMap
     assert(rows("raw") >= rows("quality_gated"))
     assert(rows("quality_gated") >= rows("deduped"))
-    assert(rows("deduped") >= rows("mixture_selected"))
+    assert(rows("deduped") >= rows("decontaminated"))
+    assert(rows("decontaminated") >= rows("mixture_selected"))
     assert(rows("mixture_selected") > 0)
     // normalize is row-preserving
     assert(rows("raw") == rows("normalized"))
+    // the stand-in eval split contaminates SOME training docs at this
+    // fixture (near-copies straddle the id cut), so the stage is
+    // exercised, not vacuous
+    assert(rows("deduped") > rows("decontaminated"))
+    // the fail-loud gate verdict landed, all green
+    val gate = spark.read.parquet(s"$out1/gate").collect()
+      .map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(gate.nonEmpty && gate.values.forall(_ == 1), gate.toString)
 
     // fate audit: disjoint fates sum to the input corpus
     val fates = spark.read.parquet(s"$out1/row_fates").collect()
@@ -46,5 +55,46 @@ class PipelineAppSpec extends SparkSpec {
     // the packing audit landed and covers the selected corpus's sources
     val packing = spark.read.parquet(s"$out1/packing")
     assert(packing.count() > 0)
+  }
+
+  test("a planted eval near-copy is dropped at the decontamination " +
+    "stage and lands in its own fate bucket") {
+    val out = java.nio.file.Files.createTempDirectory("pipe3").toString
+    val pre = java.nio.file.Files.createTempDirectory("pipe3pre").toString
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    // eval set = the text of a doc that reaches the decontamination
+    // stage (one that the quality gate or dedup keeper dropped would
+    // make the plant vacuous), taken from a reference run
+    PipelineApp.run(spark, sf0001, pre)
+    val evalText = spark.read.parquet(s"$pre/corpus/deduped")
+      .orderBy("doc_id").limit(1).collect()(0).getAs[String]("text")
+    val eval = docs.sparkSession.createDataFrame(Seq(
+      (900001L, evalText))).toDF("doc_id", "text")
+    PipelineApp.run(spark, sf0001, out, evalDocs = Some(eval))
+    val fates = spark.read.parquet(s"$out/row_fates").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fates.getOrElse("dropped_decontaminated", 0L) >= 1L,
+      fates.toString)
+    // the contaminated doc is really gone from the selected corpus
+    val decon = spark.read.parquet(s"$out/corpus/decontaminated")
+    assert(decon.filter(col("text") === evalText).count() == 0)
+    assert(fates.values.sum == docs.count(), fates.toString)
+  }
+
+  test("a broken corpus invariant aborts the run at the gate — no " +
+    "downstream stage lands") {
+    val out = java.nio.file.Files.createTempDirectory("pipe4").toString
+    val sick = java.nio.file.Files.createTempDirectory("sick").toString
+    // duplicate every doc_id: the unique_doc_id constraint must trip
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    docs.unionByName(docs).write.mode("overwrite")
+      .parquet(s"$sick/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      PipelineApp.run(spark, sick, out)
+    }
+    assert(e.getMessage.contains("unique_doc_id"), e.getMessage)
+    // fail-loud means fail EARLY: the dedup stage (which would have
+    // absorbed the duplicates silently) never ran
+    assert(!new java.io.File(s"$out/corpus/deduped").exists())
   }
 }
