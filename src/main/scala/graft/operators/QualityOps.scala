@@ -116,9 +116,16 @@ object QualityOps {
     * 100 TB plan); `exact = true` pins the oracle contract. */
   def winsorize(df: DataFrame, c: String, pLo: Double, pHi: Double,
       exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    // ONE percentile aggregate with an array of targets, not one per
+    // bound: each percentile() buffer independently collects every
+    // value (the fat-state hazard doubled); the array form keeps one
+    // value-count buffer and reads both order stats off it
     val bounds = df.agg(
-      pct(col(c), pLo, exact, accuracy).as("_plo"),
-      pct(col(c), pHi, exact, accuracy).as("_phi"))
+      (if (exact) percentile(col(c), array(lit(pLo), lit(pHi)))
+       else percentile_approx(col(c), array(lit(pLo), lit(pHi)),
+         lit(accuracy))).as("_ps"))
+      .select(element_at(col("_ps"), 1).as("_plo"),
+        element_at(col("_ps"), 2).as("_phi"))
     df.crossJoin(broadcast(bounds))
       .withColumn(c + "_w",
         least(greatest(col(c), col("_plo")), col("_phi")))
