@@ -36,6 +36,8 @@ object Explain {
     "q43_drift"             -> "PSI: one conditional-count scan, k-row frame, metadata-scale windows",
     "q44_winsorize"         -> "percentile bounds broadcast back in-plan; codegen'd clamp",
     "q46_bloom_prune"       -> "bloom semi-join prune: one-row sketch subquery filters the fact scan before the exact semi join",
+    "q135_decontaminated_corpus" -> "decontamination keep-set: eval collapses to a distinct hash set, corpus streams one join; anti-join on the small contaminated ids",
+    "q136_eval_leak_report" -> "eval leakage: one-sided bipartite inverted-index join (eval side small); (t,e) pair frame partial-aggregates map-side",
     "q47_ks_drift"          -> "KS: distinct-value counts, CDFs via range-partitioned running sum (no single-reducer window)",
     "q48_corr_matrix"       -> "C(n,2) corr aggregates in ONE wide agg row over one scan, then unpivot",
     "q49_weighted_sample"   -> "A-ES weighted top-k per stratum: WindowGroupLimit prunes map-side",

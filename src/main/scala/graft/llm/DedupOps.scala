@@ -242,6 +242,83 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** q135 — the decontaminated corpus: training doc ids whose shingle
+    * overlap with the eval/benchmark set stays below `minFrac` — the
+    * keep-side complement of [[contamination]] and the standalone form
+    * of PipelineApp's decontamination stage (the id set a curation run
+    * semi-joins its corpus against). Same scale shape: the eval side
+    * collapses to a distinct broadcast-able hash set, the corpus
+    * streams through one join, and the final anti-join is against the
+    * contaminated id set — small by the operator's premise (a corpus
+    * mostly made of eval copies has bigger problems than this query). */
+  def decontaminatedCorpus(train: DataFrame, evalDocs: DataFrame,
+      k: Int = K, minFrac: Double = 0.1): DataFrame =
+    train.select(col("doc_id"))
+      .join(contamination(train, evalDocs, k, minFrac).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+
+  val decontaminatedCorpusSql: String =
+    s"""WITH tok AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts FROM documents),
+       |shg AS (SELECT doc_id, unnest(${Text.shinglesSql("ts", K)}) AS sh FROM tok),
+       |ev AS (SELECT DISTINCT sh FROM shg WHERE doc_id >= $EvalSplitSql),
+       |tr AS (SELECT doc_id, sh FROM shg WHERE doc_id < $EvalSplitSql),
+       |n AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY doc_id),
+       |hits AS (SELECT t.doc_id, count(*) AS hits
+       |  FROM tr t JOIN ev e ON e.sh = t.sh GROUP BY t.doc_id),
+       |bad AS (SELECT h.doc_id FROM hits h JOIN n ON n.doc_id = h.doc_id
+       |  WHERE h.hits / n.n >= 0.1)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id < $EvalSplitSql AND doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q136 — benchmark leakage report, the REVERSE direction of
+    * [[contamination]]: per EVAL doc, how many training docs leak it
+    * (share ≥ `minFrac` of their shingles with that specific eval doc)
+    * and how badly — the "which benchmarks are burned" table an eval
+    * owner reads, where q23_contamination answers the curation-side
+    * "which training docs must go". Per-pair containment is
+    * |S_t ∩ S_e| / |S_t| (the training doc's perspective, matching the
+    * drop rule), grouped to the eval side.
+    *
+    * Scale shape: a one-sided inverted-index bipartite join — the
+    * per-hash fanout is df_train(h) × df_eval(h) with the eval side
+    * small by construction (the incremental-dedup geometry, never a
+    * corpus self-join); the (t, e) pair frame partial-aggregates
+    * map-side because a leaking pair shares many shingles. */
+  def evalLeakReport(train: DataFrame, evalDocs: DataFrame,
+      k: Int = K, minFrac: Double = 0.1): DataFrame = {
+    val st = shingleHashes(train, k)
+      .select(col("doc_id").as("t_id"), size(col("hs")).as("n_t"),
+        explode(col("hs")).as("h"))
+    val se = shingleHashes(evalDocs, k)
+      .select(col("doc_id").as("eval_doc"), explode(col("hs")).as("h"))
+    st.join(se, "h")
+      .groupBy(col("t_id"), col("eval_doc"), col("n_t"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") / col("n_t") >= minFrac)
+      .groupBy(col("eval_doc"))
+      .agg(count(lit(1)).as("n_leaking_docs"),
+        round(max(col("inter") / col("n_t")), 4).as("max_frac"))
+      .orderBy(col("n_leaking_docs").desc, col("eval_doc"))
+  }
+
+  val evalLeakReportSql: String =
+    s"""WITH tok AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts FROM documents),
+       |shg AS (SELECT doc_id, unnest(${Text.shinglesSql("ts", K)}) AS sh FROM tok),
+       |ev AS (SELECT doc_id AS e_id, sh FROM shg WHERE doc_id >= $EvalSplitSql),
+       |tr AS (SELECT doc_id AS t_id, sh FROM shg WHERE doc_id < $EvalSplitSql),
+       |n AS (SELECT t_id, count(*) AS n FROM tr GROUP BY t_id),
+       |px AS (SELECT t.t_id, e.e_id, count(*) AS inter
+       |  FROM tr t JOIN ev e ON e.sh = t.sh GROUP BY 1, 2),
+       |lk AS (SELECT px.e_id, px.inter / n.n AS frac
+       |  FROM px JOIN n ON n.t_id = px.t_id
+       |  WHERE px.inter / n.n >= 0.1)
+       |SELECT e_id AS eval_doc, count(*) AS n_leaking_docs,
+       |  round(max(frac), 4) AS max_frac
+       |FROM lk GROUP BY 1 ORDER BY n_leaking_docs DESC, eval_doc"""
+      .stripMargin
+
   /** Near-dup pairs by exact n-gram-shingle Jaccard ≥ threshold (ground
     * truth for the LSH path; itself a legitimate distributed near-dup
     * operator). */
@@ -1600,7 +1677,7 @@ object DedupOps {
 
   /** Registry split for contamination: the top 10% of doc ids stand in
     * for the eval/benchmark set (scale-proportional, as above). */
-  private val EvalSplitSql = "(SELECT (max(doc_id) * 9) // 10 FROM documents)"
+  private def EvalSplitSql = "(SELECT (max(doc_id) * 9) // 10 FROM documents)"
 
   val contaminationSql: String =
     s"""WITH tok AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts FROM documents),
@@ -1721,6 +1798,18 @@ object DedupOps {
         contamination(train, eval)
       },
       Some(contaminationSql)),
+    ("q135_decontaminated_corpus",
+      (s: SparkSession, d: String) => {
+        val (train, eval) = splitAtMaxIdFraction(Tables.documents(s, d), 9)
+        decontaminatedCorpus(train, eval)
+      },
+      Some(decontaminatedCorpusSql)),
+    ("q136_eval_leak_report",
+      (s: SparkSession, d: String) => {
+        val (train, eval) = splitAtMaxIdFraction(Tables.documents(s, d), 9)
+        evalLeakReport(train, eval)
+      },
+      Some(evalLeakReportSql)),
     ("q23_dedup_incremental",
       (s: SparkSession, d: String) => {
         val (corpus, batch) = splitAtMaxIdFraction(Tables.documents(s, d), 8)

@@ -130,6 +130,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(!got.contains(3L), got.toString)                    // clean doc absent
   }
 
+  test("decontaminatedCorpus keeps exactly the non-contaminated training ids") {
+    import spark.implicits._
+    val evalText = (1 to 60).map(i => s"ev$i").mkString(" ")
+    val train = Seq(
+      (1L, evalText),                                          // dropped: full copy
+      (2L, (1 to 30).map(i => s"ev$i").mkString(" ") + " " +   // dropped: half eval
+        (1 to 30).map(i => s"own$i").mkString(" ")),
+      (3L, (1 to 60).map(i => s"clean$i").mkString(" "))       // kept
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, evalText)).toDF("doc_id", "text")
+    val kept = DedupOps.decontaminatedCorpus(train, evalSet)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(3L), kept.toString)
+  }
+
+  test("evalLeakReport attributes leaking training docs to the eval doc " +
+    "they leak, with the training-side containment fraction") {
+    import spark.implicits._
+    val evA = (1 to 60).map(i => s"a$i").mkString(" ")
+    val evB = (1 to 60).map(i => s"b$i").mkString(" ")
+    val train = Seq(
+      (1L, evA),                                                // leaks A at 1.0
+      (2L, (1 to 30).map(i => s"a$i").mkString(" ") + " " +     // leaks A partially
+        (1 to 30).map(i => s"own$i").mkString(" ")),
+      (3L, (1 to 60).map(i => s"clean$i").mkString(" "))        // leaks nothing
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, evA), (101L, evB)).toDF("doc_id", "text")
+    val got = DedupOps.evalLeakReport(train, evalSet)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // eval doc A is leaked by docs 1 and 2 (max frac 1.0); B by nobody
+    assert(got.keySet == Set(100L), got.toString)
+    assert(got(100L)._1 == 2L && got(100L)._2 == 1.0, got.toString)
+  }
+
   test("df-cap excludes boilerplate from both sides: identical docs still score jac = 1") {
     import spark.implicits._
     // every doc shares the same boilerplate preamble (its shingles exceed
