@@ -293,7 +293,11 @@ object DedupOps {
         explode(col("hs")).as("h"))
     val se = shingleHashes(evalDocs, k)
       .select(col("doc_id").as("eval_doc"), explode(col("hs")).as("h"))
-    st.join(se, "h")
+    // the EVAL side is the broadcast build — pinned, not planner
+    // choice: at this fixture's sizes the planner picks the TRAINING
+    // shingle frame (BuildLeft), which can never broadcast at corpus
+    // scale; the eval set being small is this operator's premise
+    st.join(broadcast(se), "h")
       .groupBy(col("t_id"), col("eval_doc"), col("n_t"))
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter") / col("n_t") >= minFrac)

@@ -364,6 +364,28 @@ class PlanSpec extends SparkSpec {
         s"exchange found between a fused round join and its input:\n$sp")))
   }
 
+  test("q136 eval leakage: the EVAL side is the broadcast build, never " +
+    "the training shingle frame") {
+    // at fixture sizes the planner picks the training side (BuildLeft)
+    // on its own — scale-wrong, a corpus shingle frame can never
+    // broadcast; the explicit hint pins the operator's premise
+    val docs = T.documents(spark, sf0001)
+    val cut = docs.agg(org.apache.spark.sql.functions
+      .max(org.apache.spark.sql.functions.col("doc_id")) * 9 / 10)
+      .first().getDouble(0).toLong
+    val df = graft.llm.DedupOps.evalLeakReport(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") < cut),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") >= cut))
+    df.collect()
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val bhjs = df.queryExecution.executedPlan
+      .collect { case j: BroadcastHashJoinExec => j }
+    assert(bhjs.nonEmpty, df.queryExecution.executedPlan.toString)
+    bhjs.foreach(j => assert(
+      j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight,
+      s"training side built:\n${df.queryExecution.executedPlan}"))
+  }
+
   test("q104 mahalanobis: the model broadcasts back; scoring adds no fact shuffle") {
     val p = finalPlan(graft.llm.SimilarityOps
       .mahalanobisOutliers(T.embeddings(spark, sf0001)))
