@@ -75,6 +75,31 @@ object IngestDedupApp {
     else spark.read.schema(docSchema).parquet(s"$corpusDir/quarantine/batch_id=*")
   }
 
+  /** Docs the eval-set guard rejected land here — ROW-level routing
+    * (unlike the batch-level `quarantine`), because contamination is a
+    * per-document property: one leaked benchmark copy should not block
+    * its clean batchmates. Same per-batch overwrite idempotence. */
+  def contaminated(spark: SparkSession, corpusDir: String): DataFrame = {
+    val dir = new java.io.File(s"$corpusDir/contaminated")
+    if (!dir.isDirectory)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+    else spark.read.schema(docSchema)
+      .parquet(s"$corpusDir/contaminated/batch_id=*")
+  }
+
+  /** The streaming twin of q135/PipelineApp's decontamination stage:
+    * admitted docs sharing ≥ `minFrac` of their shingles with the fixed
+    * `evalDocs` benchmark set are routed to `contaminated/` instead of
+    * the corpus. The verdict is a pure function of (batch content,
+    * eval set), so WAL replay reaches the same routing — the gate
+    * commutes with exactly-once like the constraint and drift gates.
+    * Scale shape: the eval side collapses to one distinct shingle-hash
+    * set (broadcast-able by the operator's premise); each micro-batch
+    * streams through one hash join — never a pair space, and the
+    * corpus-so-far is not touched. */
+  final case class EvalGuard(evalDocs: DataFrame, minFrac: Double = 0.1)
+
   /** A per-batch drift gate: the batch's `value` distribution is scored
     * against the k-row `ref` profile
     * ([[graft.operators.ProfileOps.refBucketCounts]] of the blessed
@@ -110,7 +135,10 @@ object IngestDedupApp {
     * sits beside it: the same quarantine routing when the batch's value
     * distribution drifts past the PSI line — constraints catch broken
     * batches, drift catches subtly WRONG ones (a crawl that silently
-    * switched domains passes every null/length check). Both verdicts are
+    * switched domains passes every null/length check). `evalGuard` is
+    * the third arm: per-ROW decontamination of each admitted batch
+    * against a fixed benchmark set (one leaked eval copy routes to
+    * `contaminated/`, its clean batchmates still land). All verdicts are
     * pure functions of the batch content, so a WAL replay reaches the
     * same verdict and overwrites the same directory — gating commutes
     * with exactly-once. The verdict collects are driver-side by design:
@@ -121,7 +149,8 @@ object IngestDedupApp {
       maxRecordsPerBatch: Option[Long] = None,
       extraOptions: Map[String, String] = Map.empty,
       gate: Seq[graft.operators.QualityOps.Check] = Nil,
-      driftGate: Option[DriftGate] = None): StreamingQuery =
+      driftGate: Option[DriftGate] = None,
+      evalGuard: Option[EvalGuard] = None): StreamingQuery =
     docStream(spark, shardDir, maxRecordsPerBatch, extraOptions).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -175,7 +204,21 @@ object IngestDedupApp {
           val accepted = graft.llm.DedupOps.admitBatch(
             corpus(spark, corpusDir, beforeBatch = Some(batchId)),
             batch, threshold)
-          accepted.select(col("doc_id"), col("text"))
+          val admitted = evalGuard match {
+            case Some(g) =>
+              // row-level routing: contaminated ids are a small frame by
+              // the guard's premise; both writes are batch-scale jobs
+              val bad = graft.llm.DedupOps
+                .contamination(accepted, g.evalDocs, minFrac = g.minFrac)
+                .select(col("doc_id"))
+              accepted.join(bad, Seq("doc_id"), "left_semi")
+                .select(col("doc_id"), col("text"))
+                .write.mode("overwrite")
+                .parquet(s"$corpusDir/contaminated/batch_id=$batchId")
+              accepted.join(bad, Seq("doc_id"), "left_anti")
+            case None => accepted
+          }
+          admitted.select(col("doc_id"), col("text"))
             .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
         }
       }

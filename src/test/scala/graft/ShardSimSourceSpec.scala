@@ -576,6 +576,64 @@ class ShardSimSourceSpec extends SparkSpec {
     assert(IngestDedupApp.quarantine(spark, corpus).isEmpty)
   }
 
+  test("eval-guarded ingest: a leaked benchmark copy routes row-level to " +
+    "contaminated/ while its batchmates land; replay converges") {
+    // the streaming twin of q135/PipelineApp's decontamination stage:
+    // docs 5 and 15 are verbatim copies of benchmark documents (one per
+    // micro-batch); the guard drops exactly those ROWS — unlike the
+    // batch-level quarantine gates, clean batchmates still land — and a
+    // mid-run crash + WAL replay converges because the verdict is a pure
+    // function of (batch content, fixed eval set)
+    import graft.app.IngestDedupApp
+    import spark.implicits._
+    def text(ns: Long): String = (0 until 12).map(t => s"w${ns}t$t").mkString(" ")
+    val rows = (1L to 20L).map(i => i -> text(i))
+      .zipWithIndex.map { case ((id, txt), i) =>
+        (s"d$id", 1700000000000000L + i, s"""{"doc_id":$id,"text":"$txt"}""")
+      }
+    // the benchmark set is an EXTERNAL frame; its ids live in a
+    // different namespace — matching is by shingle content only
+    val evalDocs = Seq(900L -> text(5L), 901L -> text(15L))
+      .toDF("doc_id", "text")
+    def freshFixture(): String = {
+      val dir = Files.createTempDirectory("ingeval_fixture").toString
+      ShardSimFixture.writeShard(dir, 0, rows)
+      dir
+    }
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+
+    val corpusA = Files.createTempDirectory("ingeval_corpusA").toString
+    IngestDedupApp.run(spark, freshFixture(), corpusA,
+        Files.createTempDirectory("ingeval_ckptA").toString,
+        maxRecordsPerBatch = Some(10L),
+        evalGuard = Some(IngestDedupApp.EvalGuard(evalDocs)))
+      .awaitTermination()
+    val clean = ids(IngestDedupApp.corpus(spark, corpusA))
+    assert(clean == ((1L to 20L).toSet - 5L - 15L),
+      clean.toSeq.sorted.toString)
+    assert(ids(IngestDedupApp.contaminated(spark, corpusA)) == Set(5L, 15L),
+      "exactly the leaked rows route to contaminated/")
+    assert(IngestDedupApp.quarantine(spark, corpusA).isEmpty,
+      "row-level guard must not batch-quarantine")
+
+    // crash mid-batch, replay: same corpus, same contaminated set
+    val dirB = freshFixture()
+    val corpusB = Files.createTempDirectory("ingeval_corpusB").toString
+    val ckptB = Files.createTempDirectory("ingeval_ckptB").toString
+    val marker = Files.createTempDirectory("ingeval_marker").resolve("fired").toString
+    def startB() = IngestDedupApp.run(spark, dirB, corpusB, ckptB,
+      maxRecordsPerBatch = Some(10L),
+      evalGuard = Some(IngestDedupApp.EvalGuard(evalDocs)),
+      extraOptions = Map("faultInjectMarker" -> marker, "faultInjectAfter" -> "7"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      startB().awaitTermination()
+    }
+    startB().awaitTermination()
+    assert(ids(IngestDedupApp.corpus(spark, corpusB)) == clean)
+    assert(ids(IngestDedupApp.contaminated(spark, corpusB)) == Set(5L, 15L))
+  }
+
   test("streaming rollup maintenance: crash replay converges to the " +
     "batch recompute (per-batch dirs are the idempotence mechanism)") {
     // q118's streaming twin end-to-end: events stream in micro-batches,
