@@ -947,11 +947,23 @@ object RelationalQueries {
     * dropped EXPLICITLY on both sides: a bare left_anti keeps
     * null-key rows where SQL's NOT IN evaluates null NOT IN (...) to
     * null and drops them — the IS NOT NULL conjunct makes the two
-    * shapes agree if the corpus ever grows null l_suppkey. */
+    * shapes agree if the corpus ever grows null l_suppkey.
+    *
+    * Shape: the fact collapses to DISTINCT (partkey, suppkey) int
+    * pairs FIRST — the partial phase dedups map-side inside the scan
+    * stage on int-only keys, so the one exchange ships the deduped
+    * slim pair set (partsupp cardinality, not line cardinality) and
+    * everything string-keyed (the part probe, the (brand,type,size)
+    * distinct-count) runs after it at full shuffle parallelism. The
+    * alternative — fanning the raw projection out past the row-group
+    * ceiling — ships every line and was measured no faster at sf0.1;
+    * this shape is also the 100 TB-right one (a line-level fact dedups
+    * orders of magnitude before its first shuffle). */
   def q124SupplierVariety(lineitem: DataFrame, part: DataFrame,
       supplier: DataFrame, topN: Int = 50): DataFrame =
     lineitem.select(col("l_partkey"), col("l_suppkey"))
       .filter(col("l_suppkey").isNotNull)
+      .distinct()
       .join(broadcast(supplier.filter(col("s_acctbal") < 0)
         .select(col("s_suppkey"))),
         col("l_suppkey") === col("s_suppkey"), "left_anti")
