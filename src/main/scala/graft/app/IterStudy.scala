@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Throwaway measurement: q94 textrank top-30 stability vs iteration
   * count — how early does the ranked term list (membership AND order)
-  * freeze relative to the 5-round reference? Run per SF dir. */
+  * freeze relative to the 8-round reference? Run per SF dir. */
 object IterStudy {
   def main(args: Array[String]): Unit = {
     val dir = args(0)

@@ -100,10 +100,26 @@ object PipelineApp {
     * `outDir`: per-stage corpus parquet + one `manifests` table (stage,
     * rows, fingerprint), one `row_fates` table, the final `chunks`
     * training output and the q34b `packing` audit. Returns the manifest
-    * frame (already materialized). */
+    * frame (already materialized).
+    *
+    * `resume = true` makes the stage boundaries actual restart points:
+    * a boundary whose parquet landed completely (`_SUCCESS`) is reused
+    * as-is and only missing boundaries recompute — the checkpoint
+    * discipline a 100 TB run needs (a failure in stage 5 must not
+    * re-pay stages 1–4). Resume TRUSTS landed bytes; the manifest
+    * table is the audit for that trust — every stage is
+    * re-fingerprinted from the landed frames on every run (resumed or
+    * not), so a stale/foreign boundary shows up as a fingerprint
+    * divergence against the reference run, named by stage. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       totalBudget: Long = 8000L,
-      evalDocs: Option[DataFrame] = None): DataFrame = {
+      evalDocs: Option[DataFrame] = None,
+      resume: Boolean = false): DataFrame = {
+    def landedOk(dir: String): Boolean =
+      new java.io.File(dir, "_SUCCESS").isFile
+    def materialize(dir: String, f: => DataFrame): Unit =
+      if (!(resume && landedOk(dir)))
+        f.write.mode("overwrite").parquet(dir)
     val stages = Seq[(String, Seq[StageOut] => DataFrame)](
       "normalized" -> (acc => normalize(acc.last.df)),
       "quality_gated" -> (acc => qualityGate(acc.last.df)),
@@ -126,16 +142,18 @@ object PipelineApp {
     val landed = stages.foldLeft(Seq(StageOut("raw", sfDir, raw))) {
       case (acc, (name, f)) =>
         val dir = s"$outDir/corpus/$name"
-        f(acc).write.mode("overwrite").parquet(dir)
+        materialize(dir, f(acc))
         val out = acc :+ StageOut(name, dir, spark.read.parquet(dir))
         // the fail-loud invariant gate sits on the landed normalized
         // corpus: a broken schema invariant aborts the run HERE, before
         // any downstream stage spends compute on (or ships) a corpus
         // that violates its own contract — the q43-style quarantine
-        // path is for row-level quality, this gate is for corruption
+        // path is for row-level quality, this gate is for corruption.
+        // The VERDICT re-checks on resume too (it reads the landed
+        // gate frame — a bounded |constraints|-row collect).
         if (name == "normalized") {
           val gateDir = s"$outDir/gate"
-          corpusGate(out.last.df).write.mode("overwrite").parquet(gateDir)
+          materialize(gateDir, corpusGate(out.last.df))
           val verdict = spark.read.parquet(gateDir)
           val failed = verdict.filter(col("passed") === 0)
             .select(col("constraint"), col("violations"))
@@ -151,10 +169,9 @@ object PipelineApp {
     // final training artifacts off the selected corpus
     val selected = landed.last.df
     val chunksDir = s"$outDir/chunks"
-    ChunkOps.chunkTokens(selected).write.mode("overwrite").parquet(chunksDir)
+    materialize(chunksDir, ChunkOps.chunkTokens(selected))
     val chunks = spark.read.parquet(chunksDir)
-    ChunkOps.packingStats(selected)
-      .write.mode("overwrite").parquet(s"$outDir/packing")
+    materialize(s"$outDir/packing", ChunkOps.packingStats(selected))
 
     val manifests = landed
       .map(s => oneManifest(s.name, s.df, ManifestCols))
@@ -193,15 +210,17 @@ object PipelineApp {
       .orderBy("fate")
   }
 
-  /** CLI: `runMain graft.app.PipelineApp <sfDir> <outDir> [budget]`. */
+  /** CLI: `runMain graft.app.PipelineApp <sfDir> <outDir> [budget]
+    * [resume]`. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("target/pipeline_out")
     val budget = args.lift(2).map(_.toLong).getOrElse(8000L)
+    val resume = args.lift(3).contains("resume")
     val spark = graft.core.Sessions.get(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     graft.core.Sessions.sizeShufflePartitionsFor(spark, sfDir)
-    val m = run(spark, sfDir, outDir, budget)
+    val m = run(spark, sfDir, outDir, budget, resume = resume)
     m.orderBy("stage").collect().foreach(r =>
       println(s"[pipeline] stage=${r.getString(0)} rows=${r.getLong(1)} " +
         s"fingerprint=${r.getLong(2)}"))

@@ -81,6 +81,38 @@ class PipelineAppSpec extends SparkSpec {
     assert(fates.values.sum == docs.count(), fates.toString)
   }
 
+  test("resume reuses landed boundaries, recomputes only missing ones, " +
+    "and converges to the reference fingerprints") {
+    val out = java.nio.file.Files.createTempDirectory("pipe5").toString
+    def fps(m: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      m.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val ref = fps(PipelineApp.run(spark, sf0001, out))
+    def mtime(stage: String): Long =
+      new java.io.File(s"$out/corpus/$stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+
+    // full resume: every boundary reused — no stage parquet rewritten,
+    // manifests reproduce the reference fingerprints byte-for-byte
+    val before = Seq("normalized", "deduped", "mixture_selected")
+      .map(s => s -> mtime(s)).toMap
+    val resumed = fps(PipelineApp.run(spark, sf0001, out, resume = true))
+    assert(resumed == ref, s"$resumed vs $ref")
+    before.foreach { case (s, t) =>
+      assert(mtime(s) == t, s"stage $s was rewritten on full resume")
+    }
+
+    // partial resume: delete one mid-pipeline boundary — exactly the
+    // missing stage recomputes (deterministically, to the SAME
+    // fingerprint) while earlier boundaries stay untouched
+    val tEarly = mtime("quality_gated")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$out/corpus/decontaminated"))
+    val repaired = fps(PipelineApp.run(spark, sf0001, out, resume = true))
+    assert(repaired == ref, s"$repaired vs $ref")
+    assert(mtime("quality_gated") == tEarly,
+      "an upstream boundary was recomputed on partial resume")
+  }
+
   test("a broken corpus invariant aborts the run at the gate — no " +
     "downstream stage lands") {
     val out = java.nio.file.Files.createTempDirectory("pipe4").toString
