@@ -949,21 +949,23 @@ object RelationalQueries {
     * null and drops them — the IS NOT NULL conjunct makes the two
     * shapes agree if the corpus ever grows null l_suppkey.
     *
-    * Shape: the fact collapses to DISTINCT (partkey, suppkey) int
-    * pairs FIRST — the partial phase dedups map-side inside the scan
-    * stage on int-only keys, so the one exchange ships the deduped
-    * slim pair set (partsupp cardinality, not line cardinality) and
-    * everything string-keyed (the part probe, the (brand,type,size)
-    * distinct-count) runs after it at full shuffle parallelism. The
-    * alternative — fanning the raw projection out past the row-group
-    * ceiling — ships every line and was measured no faster at sf0.1;
-    * this shape is also the 100 TB-right one (a line-level fact dedups
-    * orders of magnitude before its first shuffle). */
+    * Shape note (r15, measured then REJECTED): collapsing the fact to
+    * DISTINCT (partkey, suppkey) pairs before the string-keyed work
+    * looked attractive — it cut the sf0.1 wall 0.9 → 0.75 s by moving
+    * the part probe and (brand,type,size) aggregate past an exchange
+    * and off the row-group-bound scan stage — but this corpus's
+    * duplication factor is 1.02 (590 973 distinct pairs in 600 000
+    * lines), so the added exchange ships essentially the whole fact
+    * and the 20× point regressed 2.78 → 5.0 s. The countDistinct's own
+    * partial phase already dedups map-side inside the scan stage; the
+    * sf0.1 residual (~0.6 s, 3 scan tasks) is the single-row-group
+    * artifact the q37 profile documents, not a plan defect — real
+    * multi-row-group data scans parallel. A fanout was measured no
+    * better for the same reason (ships every line). */
   def q124SupplierVariety(lineitem: DataFrame, part: DataFrame,
       supplier: DataFrame, topN: Int = 50): DataFrame =
     lineitem.select(col("l_partkey"), col("l_suppkey"))
       .filter(col("l_suppkey").isNotNull)
-      .distinct()
       .join(broadcast(supplier.filter(col("s_acctbal") < 0)
         .select(col("s_suppkey"))),
         col("l_suppkey") === col("s_suppkey"), "left_anti")
