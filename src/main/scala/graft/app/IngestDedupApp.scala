@@ -47,46 +47,47 @@ object IngestDedupApp {
         col("payload.text").as("text"))
   }
 
+  /** Lists `batch_id=N` children through Hadoop's FileSystem API (the
+    * RollupStreamApp lesson: java.io.File only works locally and
+    * returns null elsewhere, silently emptying the corpus). A missing
+    * parent is a legal empty frame. */
+  private def batchDirs(spark: SparkSession, dir: String,
+      beforeBatch: Option[Long] = None): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .filter(s => beforeBatch.forall(b =>
+        s.getPath.getName.stripPrefix("batch_id=").toLong < b))
+      .map(_.getPath.toString).sorted
+  }
+
+  private def readBatches(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+    else spark.read.schema(docSchema).parquet(dirs: _*)
+
   /** The maintained corpus: union of per-batch accepted-doc directories
     * with batch id strictly below `beforeBatch` (all of them when absent).
     * The strict cut is the replay-safety half of the exactly-once story —
     * see the class doc. */
   def corpus(spark: SparkSession, corpusDir: String,
-      beforeBatch: Option[Long] = None): DataFrame = {
-    val dirs = Option(new java.io.File(corpusDir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-      .filter(f => beforeBatch.forall(b =>
-        f.getName.stripPrefix("batch_id=").toLong < b))
-      .map(_.getPath).sorted
-    if (dirs.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
-    else spark.read.schema(docSchema).parquet(dirs.toIndexedSeq: _*)
-  }
+      beforeBatch: Option[Long] = None): DataFrame =
+    readBatches(spark, batchDirs(spark, corpusDir, beforeBatch))
 
   /** Batches that fail the gate land here (per batch id, overwrite —
     * replay-idempotent by the same argument as the corpus dirs). */
-  def quarantine(spark: SparkSession, corpusDir: String): DataFrame = {
-    val dir = new java.io.File(s"$corpusDir/quarantine")
-    if (!dir.isDirectory)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
-    else spark.read.schema(docSchema).parquet(s"$corpusDir/quarantine/batch_id=*")
-  }
+  def quarantine(spark: SparkSession, corpusDir: String): DataFrame =
+    readBatches(spark, batchDirs(spark, s"$corpusDir/quarantine"))
 
   /** Docs the eval-set guard rejected land here — ROW-level routing
     * (unlike the batch-level `quarantine`), because contamination is a
     * per-document property: one leaked benchmark copy should not block
     * its clean batchmates. Same per-batch overwrite idempotence. */
-  def contaminated(spark: SparkSession, corpusDir: String): DataFrame = {
-    val dir = new java.io.File(s"$corpusDir/contaminated")
-    if (!dir.isDirectory)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
-    else spark.read.schema(docSchema)
-      .parquet(s"$corpusDir/contaminated/batch_id=*")
-  }
+  def contaminated(spark: SparkSession, corpusDir: String): DataFrame =
+    readBatches(spark, batchDirs(spark, s"$corpusDir/contaminated"))
 
   /** The streaming twin of q135/PipelineApp's decontamination stage:
     * admitted docs sharing ≥ `minFrac` of their shingles with the fixed

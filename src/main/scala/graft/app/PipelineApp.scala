@@ -115,8 +115,12 @@ object PipelineApp {
       totalBudget: Long = 8000L,
       evalDocs: Option[DataFrame] = None,
       resume: Boolean = false): DataFrame = {
-    def landedOk(dir: String): Boolean =
-      new java.io.File(dir, "_SUCCESS").isFile
+    // Hadoop FS, not java.io.File: boundaries live wherever the run
+    // writes (HDFS/S3/local) — the RollupStreamApp listing lesson
+    def landedOk(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
     def materialize(dir: String, f: => DataFrame): Unit =
       if (!(resume && landedOk(dir)))
         f.write.mode("overwrite").parquet(dir)
