@@ -58,16 +58,13 @@ object FileIO {
   def dropTableAndLocation(s: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new java.io.File(
-      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
-        .stripSuffix("/") + s"/$table")
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(loc)
-    }
+    // Hadoop FS, not java.io.File: the warehouse can live on any
+    // supported filesystem (here a local tmp dir, at cluster scale
+    // HDFS/S3) and Path handles the URI scheme either way
+    val p = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + s"/$table")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true): Unit
   }
 
   def writeParquetBucketed(df: DataFrame, table: String, nBuckets: Int,
