@@ -227,18 +227,24 @@ object IngestDedupApp {
 
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
-      System.err.println(
-        "usage: IngestDedupApp <shardDir> <corpusDir> <checkpointDir>")
+      System.err.println("usage: IngestDedupApp <shardDir> <corpusDir> " +
+        "<checkpointDir> [evalDocsParquet]")
       sys.exit(2)
     }
     val Array(shardDir, corpusDir, checkpointDir) = args.take(3)
     val spark = graft.core.Sessions.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    // optional 4th arg: a (doc_id, text) parquet of the benchmark/eval
+    // set switches on the row-level decontamination guard
+    val guard = args.lift(3).map(dir =>
+      EvalGuard(spark.read.parquet(dir).select(col("doc_id"), col("text"))))
     val q = run(spark, shardDir, corpusDir, checkpointDir,
       gate = Seq(graft.operators.QualityOps.complete("doc_id"),
-        graft.operators.QualityOps.complete("text")))
+        graft.operators.QualityOps.complete("text")),
+      evalGuard = guard)
     q.awaitTermination()
     println(s"[ingest-dedup] corpus docs=${corpus(spark, corpusDir).count()} " +
-      s"quarantined=${quarantine(spark, corpusDir).count()}")
+      s"quarantined=${quarantine(spark, corpusDir).count()} " +
+      s"contaminated=${contaminated(spark, corpusDir).count()}")
     spark.stop()
   }
 }

@@ -111,6 +111,15 @@ class PipelineAppSpec extends SparkSpec {
     assert(repaired == ref, s"$repaired vs $ref")
     assert(mtime("quality_gated") == tEarly,
       "an upstream boundary was recomputed on partial resume")
+
+    // a boundary without _SUCCESS (interrupted write) is NOT trusted:
+    // resume recomputes it even though parquet files are present
+    val tBefore = mtime("deduped")
+    assert(new java.io.File(s"$out/corpus/deduped/_SUCCESS").delete())
+    val healed = fps(PipelineApp.run(spark, sf0001, out, resume = true))
+    assert(healed == ref, s"$healed vs $ref")
+    assert(mtime("deduped") > tBefore,
+      "a _SUCCESS-less boundary must recompute on resume")
   }
 
   test("a broken corpus invariant aborts the run at the gate — no " +
