@@ -326,7 +326,9 @@ object JourneyOps {
         round(avg(col("recency_days")) + lit(1e-9), 4).as("avg_recency"),
         round(avg(col("freq")) + lit(1e-9), 4).as("avg_freq"),
         round(avg(col("monetary")) + lit(1e-9), 4).as("avg_monetary"))
-      .orderBy("r_q", "f_q", "m_q")
+      // ≤ buckets³ output rows: sort on one partition, skipping the
+      // RangePartitioning sample job (the q128 lesson)
+      .coalesce(1).sortWithinPartitions("r_q", "f_q", "m_q")
   }
   val q68RfmSql: String =
     """WITH u AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,

@@ -115,7 +115,9 @@ object RelationalQueries {
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy("n_name")
+      // dim-bounded output (≤ |nations| rows): one-partition sort
+      // skips the RangePartitioning sample job (the q128 lesson)
+      .coalesce(1).sortWithinPartitions("n_name")
   }
   val q06Sql: String =
     """SELECT n_name,
