@@ -629,7 +629,9 @@ object RelationalQueries {
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("numcust"),
         round(sum(col("c_acctbal")) + lit(1e-9), 2).as("totacctbal"))
-      .orderBy("n_name")
+      // dim-bounded output: one-partition sort skips the
+      // RangePartitioning sample job (the q128 lesson)
+      .coalesce(1).sortWithinPartitions("n_name")
   }
   def q109Sql(cutoff: String = "2000-01-01"): String =
     s"""WITH avgbal AS (
@@ -659,7 +661,9 @@ object RelationalQueries {
       .agg(count(col("o_orderkey")).as("c_count"))
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
-      .orderBy(col("custdist").desc, col("c_count").desc)
+      // dim-bounded output: one-partition sort skips the
+      // RangePartitioning sample job (the q128 lesson)
+      .coalesce(1).sortWithinPartitions(col("custdist").desc, col("c_count").desc)
   val q108Sql: String =
     """SELECT c_count, count(*) AS custdist FROM (
       |  SELECT c_custkey, count(o_orderkey) AS c_count
@@ -865,7 +869,9 @@ object RelationalQueries {
         "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
-      .orderBy("o_orderpriority")
+      // dim-bounded output: one-partition sort skips the
+      // RangePartitioning sample job (the q128 lesson)
+      .coalesce(1).sortWithinPartitions("o_orderpriority")
   }
   def q121Sql(from: String = "1995-07-01", graceDays: Int = 90): String =
     s"""SELECT o_orderpriority, count(*) AS order_count
@@ -895,7 +901,9 @@ object RelationalQueries {
       .groupBy(col("l_returnflag"))
       .agg(sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
         sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
-      .orderBy("l_returnflag")
+      // dim-bounded output: one-partition sort skips the
+      // RangePartitioning sample job (the q128 lesson)
+      .coalesce(1).sortWithinPartitions("l_returnflag")
   }
   def q122Sql(year: String = "1995"): String =
     s"""SELECT l_returnflag,
@@ -1238,7 +1246,9 @@ object RelationalQueries {
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(round(sum(when(col("_hn") === homeNation, rev).otherwise(0.0))
           / sum(rev) + lit(1e-9), 4).as("mkt_share"))
-      .orderBy("o_year")
+      // dim-bounded output: one-partition sort skips the
+      // RangePartitioning sample job (the q128 lesson)
+      .coalesce(1).sortWithinPartitions("o_year")
   }
   def q131Sql(homeNation: String = "NATION_3",
       regionName: String = "AMERICA",
