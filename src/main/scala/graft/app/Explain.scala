@@ -38,6 +38,8 @@ object Explain {
     "q46_bloom_prune"       -> "bloom semi-join prune: one-row sketch subquery filters the fact scan before the exact semi join",
     "q135_decontaminated_corpus" -> "decontamination keep-set: eval collapses to a distinct hash set, corpus streams one join; anti-join on the small contaminated ids",
     "q136_eval_leak_report" -> "eval leakage: one-sided bipartite inverted-index join (eval side small); (t,e) pair frame partial-aggregates map-side",
+    "q137_silhouette" -> "centroid silhouette: |labels|*d model via posexplode partial-avg; one-row broadcast crossJoin scores per vector with array HOFs - no per-vector join or shuffle",
+    "q138_dbscan" -> "DBSCAN on the blocked eps-graph: shared semantic pair stage cached for 3 consumers; core set joins shuffle_hash (node-scale, never broadcast); pointer-jumping CC on core-core edges",
     "q47_ks_drift"          -> "KS: distinct-value counts, CDFs via range-partitioned running sum (no single-reducer window)",
     "q48_corr_matrix"       -> "C(n,2) corr aggregates in ONE wide agg row over one scan, then unpivot",
     "q49_weighted_sample"   -> "A-ES weighted top-k per stratum: WindowGroupLimit prunes map-side",

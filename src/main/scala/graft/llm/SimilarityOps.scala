@@ -668,7 +668,17 @@ object SimilarityOps {
     * within-cluster pairing, so both engines see identical candidates. */
   def semanticDedup(em: DataFrame, threshold: Double = SemDedupThreshold,
       centroidIds: Seq[Long] = CentroidIds,
-      iters: Int = KmeansIters): DataFrame = {
+      iters: Int = KmeansIters): DataFrame =
+    semanticPairs(em, threshold, centroidIds, iters)
+      .select(col("v1"), col("v2"), col("cid"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("v1", "v2")
+
+  /** The blocked ε-neighbor pair stage shared by q86/q87/q138: candidate
+    * pairs WITHIN a learned cluster, verified by exact cosine ≥
+    * `threshold`. Unrounded `cos` — callers round at their output edge. */
+  private def semanticPairs(em: DataFrame, threshold: Double,
+      centroidIds: Seq[Long], iters: Int): DataFrame = {
     val asg = trainedIvfAssign(em, centroidIds, iters)
     val a = asg.select(col("cid"), col("vec_id").as("v1"),
       col("embedding").as("e1"))
@@ -677,9 +687,7 @@ object SimilarityOps {
     a.join(b, col("cid") === col("_cid2") && col("v1") < col("v2"))
       .withColumn("cos", expr("cosine_sim(e1, e2)"))
       .filter(col("cos") >= threshold)
-      .select(col("v1"), col("v2"), col("cid"),
-        round(col("cos"), 4).as("cos"))
-      .orderBy("v1", "v2")
+      .select(col("v1"), col("v2"), col("cid"), col("cos"))
   }
 
   /** Same posture as [[CosineThreshold]]: low enough that the synthetic
@@ -758,6 +766,235 @@ object SimilarityOps {
        |    THEN 1 ELSE 0 END AS is_keeper
        |FROM embeddings e LEFT JOIN k ON k.vec_id = e.vec_id
        |ORDER BY e.vec_id""".stripMargin
+  }
+
+  /** q137 — centroid silhouette audit (Rousseeuw 1987, "Silhouettes: a
+    * graphical aid to the interpretation and validation of cluster
+    * analysis", J. Comput. Appl. Math. 20, simplified to the centroid
+    * form): for every vector, cohesion a = cosine distance (1 − cos) to
+    * its OWN label centroid and separation b = distance to the nearest
+    * OTHER label centroid; silhouette s = (b − a) / max(a, b) ∈ [−1, 1].
+    * Per label: member count, mean and min silhouette, and how many
+    * members sit NEGATIVE (closer to a foreign centroid than their own —
+    * the mislabel / cluster-collapse review queue). This is the cluster-
+    * QUALITY gate the label-blocked dedup (q23_dedup_embedding) and the
+    * per-label ANN paths assume but nothing verified: a label whose mean
+    * silhouette ≈ 0 gives blocking no purchase, and a large n_neg says
+    * the label column disagrees with the geometry (q100 audits pointwise
+    * neighbor labels; this audits the label PARTITION itself).
+    *
+    * Centroid form, not the classic pairwise form, by design: pairwise
+    * a/b is O(N²·d) — a non-starter — while centroids make the audit one
+    * |labels|·d model (the q24_label_centroids reduction) broadcast back
+    * over a single corpus pass, the q104 train-small/score-wide shape.
+    * Model state is canonicalized exactly like the q56 kmeans centroids
+    * (per-dimension mean rounded to 6 dp, narrowed to float) so both
+    * engines score against bit-identical centroids; the distances
+    * themselves then agree bitwise (the cosine_sim numeric contract) and
+    * only the mean aggregate needs the FIXTURES.md rounding guard.
+    *
+    * Scale shape: centroid fit is posexplode → (label, pos) partial
+    * average — shuffle |labels|·d rows; scoring is a one-row broadcast
+    * crossJoin evaluated per vector with array HOFs (no join, no
+    * per-vector shuffle); the final aggregate is |labels| groups. */
+  def silhouetteAudit(em: DataFrame): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val cents = em
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      // +1e-9 before round: the kmeansCentroids boundary nudge (a
+      // summation-order ulp must not flip a 6th-decimal mean component)
+      .agg(round(avg(col("v").cast("double")) + lit(1e-9), 6).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m").cast("float")).as("ce"))
+    val packed = cents
+      .agg(collect_list(struct(col("label").as("clabel"), col("ce"))).as("cts"))
+    val ab = Tables.fanout(em).crossJoin(broadcast(packed))
+      .select(col("label"),
+        (lit(1.0) - expr("array_max(transform(filter(cts, " +
+          "c -> c.clabel = label), c -> cosine_sim(c.ce, embedding)))"))
+          .as("a"),
+        (lit(1.0) - expr("array_max(transform(filter(cts, " +
+          "c -> c.clabel != label), c -> cosine_sim(c.ce, embedding)))"))
+          .as("b"))
+    ab.select(col("label"),
+        ((col("b") - col("a")) / greatest(col("a"), col("b"))).as("sil"),
+        (col("b") < col("a")).cast("long").as("neg"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("sil")) + lit(1e-9), 4).as("mean_sil"),
+        round(min(col("sil")) + lit(1e-9), 4).as("min_sil"),
+        sum(col("neg")).as("n_neg"))
+      // |labels|-bounded output: one-partition sort, no sampling job
+      .coalesce(1).sortWithinPartitions("label")
+  }
+
+  val silhouetteSql: String =
+    s"""WITH cdim AS (SELECT label AS clabel, g.i AS pos,
+       |    round(avg(CAST(embedding[g.i] AS DOUBLE)) + 1e-9, 6) AS m
+       |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+       |  GROUP BY label, g.i),
+       |cent AS (SELECT clabel,
+       |    list_transform(list(m ORDER BY pos), x -> CAST(x AS FLOAT)) AS ce
+       |  FROM cdim GROUP BY clabel),
+       |sc AS (SELECT e.vec_id, e.label, c.clabel,
+       |    ${cosSql("c.ce", "e.embedding")} AS cos
+       |  FROM embeddings e, cent c),
+       |ab AS (SELECT vec_id, label,
+       |    1.0 - max(CASE WHEN clabel = label THEN cos END) AS a,
+       |    1.0 - max(CASE WHEN clabel <> label THEN cos END) AS b
+       |  FROM sc GROUP BY vec_id, label),
+       |s AS (SELECT label, (b - a) / greatest(a, b) AS sil,
+       |    CASE WHEN b < a THEN 1 ELSE 0 END AS neg FROM ab)
+       |SELECT label, count(*) AS n,
+       |  round(avg(sil) + 1e-9, 4) AS mean_sil,
+       |  round(min(sil) + 1e-9, 4) AS min_sil,
+       |  CAST(sum(neg) AS BIGINT) AS n_neg
+       |FROM s GROUP BY label ORDER BY label""".stripMargin
+
+  /** q138 — DBSCAN density clustering (Ester et al., KDD 1996) over the
+    * blocked ε-neighbor graph: a vector is CORE iff it has ≥ `minPts`
+    * neighbors at cosine ≥ `threshold` (neighbors, not counting itself —
+    * one less than the classic point-count convention), clusters are the
+    * connected components of the core–core subgraph labeled by min
+    * vec_id, BORDER points are non-core vectors adjacent to a core
+    * (assigned the smallest adjacent core's cluster — a deterministic
+    * refinement of the classic first-toucher rule), everything else is
+    * NOISE. Output: per-cluster core/border/total counts plus one
+    * `cluster = -1` noise row. Density clustering is the label-free
+    * structure audit k-means can't give: k-means invents k convex cells
+    * whatever the data; DBSCAN reports how many dense regions EXIST,
+    * how big they are, and how much of the corpus is unclusterable —
+    * the topic-discovery / outlier-mining shape over embeddings.
+    *
+    * Scale shape: the ε-graph is the SHARED blocked pair stage
+    * ([[semanticPairs]] — learned-centroid blocking prunes C(N,2) to
+    * Σ_c C(n_c,2); never all-pairs), cached once for its three
+    * consumers (degrees, core–core edges, border adjacency). Degrees
+    * are one edge-scale count; the core set is node-scale and joins via
+    * shuffle_hash (a corpus-scale core set can never broadcast); the
+    * fixpoint is the same O(log diameter) pointer-jumping CC the text
+    * dedup path runs (edges checkpointed once, label-scale exchanges
+    * only). Blocking-mirrored oracle (the q86 precedent): the SQL twin
+    * replays the same Lloyd iterations, pair set, and recursive CC.
+    * Threshold sits where the blocked graph has cores at every test SF
+    * (0.4 leaves max-degree 1 at sf0.01); cross-engine safety comes
+    * from the bit-identical cosine contract, not boundary margin. */
+  def dbscanClusters(em: DataFrame, threshold: Double = DbscanThreshold,
+      minPts: Int = DbscanMinPts, centroidIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters, maxIters: Int = 15): DataFrame = {
+    val pairs = graft.core.CacheOnce.swap("dbscan-pairs",
+      semanticPairs(em, threshold, centroidIds, iters).select("v1", "v2"))
+    val core = graft.core.CacheOnce.swap("dbscan-core",
+      pairs.select(explode(array(col("v1"), col("v2"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= minPts).select("id"))
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("id", "v1").hint("shuffle_hash"),
+        Seq("v1"), "left_semi")
+      .join(core.withColumnRenamed("id", "v2").hint("shuffle_hash"),
+        Seq("v2"), "left_semi")
+    val cc = graft.llm.DedupOps.connectedComponents(
+        coreEdges.select(col("v1").as("d1"), col("v2").as("d2")), maxIters)
+      .select(col("doc_id").as("id"), col("keeper").as("lab"))
+    // a core with no core neighbor is a singleton cluster of its own id
+    // (CC only labels endpoints of core–core edges)
+    val coreLab = cc.unionByName(
+      core.join(cc.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("lab")))
+    // border: non-core endpoint adjacent to a core — both orientations
+    // from ONE evaluation of the cached pair frame
+    val dirs = pairs.select(explode(array(
+        struct(col("v1").as("a"), col("v2").as("b")),
+        struct(col("v2").as("a"), col("v1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val border = dirs
+      .join(core.withColumnRenamed("id", "a").hint("shuffle_hash"),
+        Seq("a"), "left_anti")
+      .join(coreLab.withColumnRenamed("id", "b").hint("shuffle_hash"),
+        Seq("b"))
+      .groupBy(col("a").as("id")).agg(min(col("lab")).as("lab"))
+    val assign = graft.core.CacheOnce.swap("dbscan-assign",
+      coreLab.withColumn("role", lit(1))
+        .unionByName(border.withColumn("role", lit(2))))
+    val perCluster = assign.groupBy(col("lab").as("cluster"))
+      .agg(sum(when(col("role") === 1, 1L).otherwise(0L)).as("n_core"),
+        sum(when(col("role") === 2, 1L).otherwise(0L)).as("n_border"),
+        count(lit(1)).as("n_total"))
+    val noise = em.select(col("vec_id").as("id"))
+      .join(assign.select("id").hint("shuffle_hash"), Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_total"))
+      .select(lit(-1L).as("cluster"), lit(0L).as("n_core"),
+        lit(0L).as("n_border"), col("n_total"))
+    perCluster
+      .select(col("cluster"), col("n_core"), col("n_border"), col("n_total"))
+      .unionByName(noise)
+      // cluster count is data-dependent (not dim-bounded): a
+      // distributed sort, unlike the one-partition q137 output
+      .orderBy("cluster")
+  }
+
+  /** 0.4 (the q86 threshold) leaves the blocked graph with max degree 1
+    * at sf0.01 — no cores at any minPts ≥ 2; 0.32 yields cores, borders
+    * AND noise at all three test SFs (measured degree spectrum). */
+  val DbscanThreshold = 0.32
+  val DbscanMinPts = 3
+
+  /** `np` is MATERIALIZED: it is referenced four times (deg, ce, dirs
+    * ×2) and sits on top of the unrolled Lloyd chain — inlined, DuckDB
+    * re-runs that chain per reference and the sf0.1 oracle runs minutes
+    * instead of ~1 s. */
+  def dbscanSql(threshold: Double = DbscanThreshold,
+      minPts: Int = DbscanMinPts): String = {
+    val iterCtes = (1 to KmeansIters).map { it =>
+      s"""${kmeansAssignCte(s"c${it - 1}", s"a$it")},
+         |${kmeansUpdateCte(s"a$it", s"c$it")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE c0 AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+       |$iterCtes,
+       |${kmeansAssignCte(s"c$KmeansIters", "asg")},
+       |np AS MATERIALIZED (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $threshold),
+       |deg AS (SELECT id, count(*) AS c FROM
+       |  (SELECT v1 AS id FROM np UNION ALL SELECT v2 FROM np)
+       |  GROUP BY id),
+       |core AS (SELECT id FROM deg WHERE c >= $minPts),
+       |ce AS (SELECT v1, v2 FROM np
+       |  WHERE v1 IN (SELECT id FROM core) AND v2 IN (SELECT id FROM core)),
+       |edges AS (SELECT v1 AS src, v2 AS dst FROM ce
+       |  UNION ALL SELECT v2, v1 FROM ce),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cclab AS (SELECT src AS id, least(src, min(dst)) AS lab
+       |  FROM reach GROUP BY src),
+       |corelab AS (SELECT id, lab FROM cclab
+       |  UNION ALL
+       |  SELECT id, id FROM core WHERE id NOT IN (SELECT id FROM cclab)),
+       |dirs AS (SELECT v1 AS a, v2 AS b FROM np
+       |  UNION ALL SELECT v2, v1 FROM np),
+       |border AS (SELECT d.a AS id, min(cl.lab) AS lab
+       |  FROM dirs d JOIN corelab cl ON d.b = cl.id
+       |  WHERE d.a NOT IN (SELECT id FROM core) GROUP BY d.a),
+       |assign AS (SELECT id, lab, 1 AS role FROM corelab
+       |  UNION ALL SELECT id, lab, 2 FROM border),
+       |clus AS (SELECT lab AS cluster,
+       |  CAST(sum(CASE WHEN role = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+       |  CAST(sum(CASE WHEN role = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_border,
+       |  count(*) AS n_total FROM assign GROUP BY lab),
+       |noise AS (SELECT CAST(-1 AS BIGINT) AS cluster,
+       |  CAST(0 AS BIGINT) AS n_core, CAST(0 AS BIGINT) AS n_border,
+       |  (SELECT count(*) FROM embeddings
+       |   WHERE vec_id NOT IN (SELECT id FROM assign)) AS n_total)
+       |SELECT cluster, n_core, n_border, n_total FROM clus
+       |UNION ALL SELECT cluster, n_core, n_border, n_total FROM noise
+       |ORDER BY cluster""".stripMargin
   }
 
   /** q100 — kNN label-agreement audit (the confident-learning / kNN
@@ -1180,5 +1417,11 @@ object SimilarityOps {
     ("q104_mahalanobis_outliers",
       (s: SparkSession, d: String) =>
         mahalanobisOutliers(Tables.embeddings(s, d)),
-      Some(mahalanobisOutliersSql())))
+      Some(mahalanobisOutliersSql())),
+    ("q137_silhouette",
+      (s: SparkSession, d: String) => silhouetteAudit(Tables.embeddings(s, d)),
+      Some(silhouetteSql)),
+    ("q138_dbscan",
+      (s: SparkSession, d: String) => dbscanClusters(Tables.embeddings(s, d)),
+      Some(dbscanSql())))
 }
