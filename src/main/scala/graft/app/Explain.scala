@@ -40,6 +40,8 @@ object Explain {
     "q136_eval_leak_report" -> "eval leakage: one-sided bipartite inverted-index join (eval side small); (t,e) pair frame partial-aggregates map-side",
     "q137_silhouette" -> "centroid silhouette: |labels|*d model via posexplode partial-avg; one-row broadcast crossJoin scores per vector with array HOFs - no per-vector join or shuffle",
     "q138_dbscan" -> "DBSCAN on the blocked eps-graph: shared semantic pair stage cached for 3 consumers; core set joins shuffle_hash (node-scale, never broadcast); pointer-jumping CC on core-core edges",
+    "q139_ann_recall" -> "measured recall@k: sampled-query brute truth (one broadcast vs one unshuffled corpus scan) against the trained-IVF serving path; checkpointed k-row model trains once",
+    "q140_epoch_plan" -> "epoch plan: one token-count agg over one scan, weights folded as literals on the |langs|-row frame - no joins, no second scan",
     "q47_ks_drift"          -> "KS: distinct-value counts, CDFs via range-partitioned running sum (no single-reducer window)",
     "q48_corr_matrix"       -> "C(n,2) corr aggregates in ONE wide agg row over one scan, then unpivot",
     "q49_weighted_sample"   -> "A-ES weighted top-k per stratum: WindowGroupLimit prunes map-side",

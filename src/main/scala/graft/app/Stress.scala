@@ -118,7 +118,8 @@ object Stress {
       "q130_nation_volume", "q131_market_share", "q132_product_profit",
       "q133_returned_items", "q134_lsh_tuning",
       "q135_decontaminated_corpus", "q136_eval_leak_report",
-      "q137_silhouette", "q138_dbscan")
+      "q137_silhouette", "q138_dbscan", "q139_ann_recall",
+      "q140_epoch_plan")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

@@ -260,6 +260,73 @@ object ChunkOps {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** q140 — mixture epoch plan (the data-constrained planning table,
+    * Muennighoff et al. '23 "Scaling Data-Constrained Language Models":
+    * repeating data is near-free up to ~4 epochs, then decays): given the
+    * corpus's NATURAL per-language token supply, the target mixture
+    * ([[mixtureWeights]]) and a total token budget, how many epochs of
+    * each language the budget demands (`epochs` = target / supply), what
+    * that becomes under a repetition cap (`epochs_capped`), the tokens
+    * actually deliverable (`effective_tokens`), and the shortfall the
+    * mixture designer must reallocate (`deficit`). This is the step
+    * BEFORE q34_mixture: mixture selection assumes the budget is
+    * satisfiable per stratum; the epoch plan is the audit that says
+    * whether it is, and by how much it over-asks the scarce languages —
+    * the table a run owner reads to decide between lowering a weight and
+    * accepting >cap repetition. Languages outside the weight map get
+    * target 0 (present in the corpus, absent from the plan — explicit
+    * zero rows, not dropped).
+    *
+    * Scale shape: one token-count aggregate over one corpus scan
+    * (map-side partial sums; the tokenizer is the shared q25 contract),
+    * then pure arithmetic on the |languages|-row frame with the weights
+    * folded in as literals — no joins, no second scan, metadata-scale
+    * output on one partition. */
+  def epochPlan(docs: DataFrame, totalBudget: Long = 60000L,
+      maxEpochs: Int = 4): DataFrame = {
+    val target: Column = mixtureWeights
+      .foldLeft(lit(0L)) { case (acc, (lg, wt)) =>
+        when(col("lang") === lg, lit((totalBudget * wt).round)).otherwise(acc)
+      }
+    docs
+      .select(col("lang"), size(Text.tokens(col("text"))).cast("long")
+        .as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      .withColumn("target_tokens", target)
+      .withColumn("epochs", round(
+        col("target_tokens").cast("double") / col("tokens") + lit(1e-9), 4))
+      .withColumn("effective_tokens",
+        least(col("target_tokens"), col("tokens") * maxEpochs))
+      .withColumn("epochs_capped", round(
+        col("effective_tokens").cast("double") / col("tokens") + lit(1e-9), 4))
+      .withColumn("deficit", col("target_tokens") - col("effective_tokens"))
+      // |languages|-bounded output: one-partition sort, no sampling job
+      .coalesce(1).sortWithinPartitions("lang")
+  }
+
+  def epochPlanSql(totalBudget: Long = 60000L, maxEpochs: Int = 4): String = {
+    val cases = mixtureWeights
+      .map { case (lg, wt) => s"WHEN '$lg' THEN ${(totalBudget * wt).round}" }
+      .mkString(" ")
+    s"""WITH d AS (
+       |  SELECT lang, CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |a AS (SELECT lang, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS tokens
+       |  FROM d GROUP BY lang),
+       |p AS (SELECT lang, n_docs, tokens,
+       |    CAST(CASE lang $cases ELSE 0 END AS BIGINT) AS target_tokens
+       |  FROM a)
+       |SELECT lang, n_docs, tokens, target_tokens,
+       |  round(CAST(target_tokens AS DOUBLE) / tokens + 1e-9, 4) AS epochs,
+       |  least(target_tokens, tokens * $maxEpochs) AS effective_tokens,
+       |  round(CAST(least(target_tokens, tokens * $maxEpochs) AS DOUBLE)
+       |    / tokens + 1e-9, 4) AS epochs_capped,
+       |  target_tokens - least(target_tokens, tokens * $maxEpochs) AS deficit
+       |FROM p ORDER BY lang""".stripMargin
+  }
+
   private def onDocs(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.documents(s, d))
 
@@ -268,5 +335,6 @@ object ChunkOps {
     ("q34_chunk_tokens", onDocs(chunkTokens(_)), Some(chunkTokensSql())),
     ("q34_pack", onDocs(packingStats(_)), Some(packingStatsSql())),
     ("q34_pack_docs", onDocs(packSequences(_)), Some(packSequencesSql())),
-    ("q34_mixture", onDocs(mixtureSelect(_)), Some(mixtureSelectSql())))
+    ("q34_mixture", onDocs(mixtureSelect(_)), Some(mixtureSelectSql())),
+    ("q140_epoch_plan", onDocs(epochPlan(_)), Some(epochPlanSql())))
 }

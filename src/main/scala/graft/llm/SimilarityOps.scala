@@ -515,10 +515,18 @@ object SimilarityOps {
     * rows. Probes broadcast; the corpus side streams unshuffled. */
   def knnIvfTrained(assigned: DataFrame, model: DataFrame,
       queryIds: Seq[Long] = QueryIds, k: Int = TopK,
-      nProbe: Int = NProbe): DataFrame = {
+      nProbe: Int = NProbe): DataFrame =
+    ivfTrainedTopkFor(assigned, model,
+      assigned.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      k, nProbe)
+
+  /** The trained-IVF probe/score core for an arbitrary `(qid, qe)` query
+    * frame — shared by [[knnIvfTrained]] (id-filtered queries) and the
+    * q139 recall audit (a modulus-sampled query set). */
+  private def ivfTrainedTopkFor(assigned: DataFrame, model: DataFrame,
+      q: DataFrame, k: Int, nProbe: Int): DataFrame = {
     GraftFunctions.register(assigned.sparkSession)
-    val q = assigned.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val probes = nearestCentroid(q, model.select(col("cid"), col("ce")),
         "qid", "qe", nProbe)
       .select(col("qid"), col("qe"), col("cid"))
@@ -997,6 +1005,98 @@ object SimilarityOps {
        |ORDER BY cluster""".stripMargin
   }
 
+  /** q139 — measured ANN recall@k (the standard ANN evaluation protocol,
+    * e.g. Jégou et al. '11 §V report recall@R against exhaustive search):
+    * for a deterministic modulus-sampled query set, the exact brute-force
+    * cosine top-k is the ground truth and the TRAINED-IVF path
+    * ([[kmeansCentroids]] model, `nProbe` probe lists — the production
+    * serving shape) is the system under test; per query, how many of the
+    * true k neighbors the index returned, the recall fraction, and a
+    * pass flag (`n_hit ≥ minHits` — integer-valued on both engines, no
+    * float boundary). This turns the spec-level "recall ≥ 0.8 on the
+    * fixture" assertion into a first-class MEASURED audit a user runs
+    * against their own corpus before trusting the blocked path — the
+    * recall/cost trade is the whole point of IVF, and an untested nProbe
+    * is a silent quality cliff (the q120 PQ audit's companion on the
+    * routing side).
+    *
+    * Scale shape: the audit's cost knob is the sample modulus — ground
+    * truth is O(|sample|·N·d) by construction (that is what "exhaustive
+    * ground truth" means; Jégou's protocol samples queries for exactly
+    * this reason), evaluated as one broadcast of the sampled queries
+    * against a single unshuffled corpus scan, map-side top-k via the
+    * rank window's WindowGroupLimit. The candidate side rides the
+    * trained-index serving path unchanged (broadcast probes, no corpus
+    * exchange). Output is |sample| rows — distributed sort, since the
+    * sample scales with the corpus. */
+  def annRecallAudit(em: DataFrame, k: Int = TopK, nProbe: Int = NProbe,
+      sampleMod: Long = 50L, sampleRes: Long = 7L, minHits: Int = 3,
+      centroidIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val q = em.filter(col("vec_id") % sampleMod === sampleRes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val truth = topk(em.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr("cosine_sim(qe, embedding)")), k)
+      .select(col("qid"), col("neighbor"))
+    // k-row model; localCheckpoint so training runs once, not once per
+    // consumer (the q100 pattern — corpus assignment + probe ranking
+    // both read it, and lazy composition would re-train inside both)
+    val model = kmeansCentroids(em, centroidIds, iters).localCheckpoint()
+    val cand = ivfTrainedTopkFor(assignUnderModel(em, model), model, q,
+        k, nProbe)
+      .select(col("qid"), col("neighbor"))
+    val hits = truth.join(cand, Seq("qid", "neighbor"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    q.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / k + lit(1e-9), 4))
+      .withColumn("ok", (col("n_hit") >= minHits).cast("int"))
+      .orderBy("qid")
+  }
+
+  def annRecallSql(k: Int = TopK, nProbe: Int = NProbe,
+      sampleMod: Long = 50L, sampleRes: Long = 7L,
+      minHits: Int = 3): String = {
+    val iterCtes = (1 to KmeansIters).map { it =>
+      s"""${kmeansAssignCte(s"c${it - 1}", s"a$it")},
+         |${kmeansUpdateCte(s"a$it", s"c$it")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+       |$iterCtes,
+       |${kmeansAssignCte(s"c$KmeansIters", "asg")},
+       |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
+       |  FROM embeddings WHERE vec_id % $sampleMod = $sampleRes),
+       |t AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, e.vec_id) AS rnk
+       |  FROM q, embeddings e WHERE e.vec_id <> q.qid) x WHERE rnk <= $k),
+       |p AS (SELECT qid, qe, cid FROM (
+       |  SELECT q.qid, q.qe, c.cid,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("c.ce", "q.qe")} DESC, c.cid) AS crn
+       |  FROM q, c$KmeansIters c) x WHERE crn <= $nProbe),
+       |cand AS (SELECT qid, vec_id FROM (
+       |  SELECT p.qid, a.vec_id,
+       |    row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY ${cosSql("p.qe", "a.embedding")} DESC, a.vec_id) AS rnk
+       |  FROM p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid) x
+       |  WHERE rnk <= $k),
+       |h AS (SELECT t.qid, count(*) AS n_hit FROM t
+       |  JOIN cand c ON t.qid = c.qid AND t.vec_id = c.vec_id
+       |  GROUP BY t.qid)
+       |SELECT q.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  round(coalesce(h.n_hit, 0) / CAST($k AS DOUBLE) + 1e-9, 4)
+       |    AS recall,
+       |  CAST(coalesce(h.n_hit, 0) >= $minHits AS INT) AS ok
+       |FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY q.qid""".stripMargin
+  }
+
   /** q100 — kNN label-agreement audit (the confident-learning / kNN
     * label-noise shape, Northcutt et al. '21): for EVERY vector, find its
     * top-k cosine neighbors and score what share carry the same label;
@@ -1423,5 +1523,8 @@ object SimilarityOps {
       Some(silhouetteSql)),
     ("q138_dbscan",
       (s: SparkSession, d: String) => dbscanClusters(Tables.embeddings(s, d)),
-      Some(dbscanSql())))
+      Some(dbscanSql())),
+    ("q139_ann_recall",
+      (s: SparkSession, d: String) => annRecallAudit(Tables.embeddings(s, d)),
+      Some(annRecallSql())))
 }

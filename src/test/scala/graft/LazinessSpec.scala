@@ -37,7 +37,14 @@ class LazinessSpec extends SparkSpec {
       // q78 materializes its cached per-doc (dl, hits) projection for
       // the same reason: stats + df broadcasts race the cold cache and
       // each would re-run the corpus tokenize
-      "q78_bm25")
+      "q78_bm25",
+      // q138 runs the same eager-localCheckpoint CC fixpoint as the
+      // dedup keeper family, over the core-core subgraph
+      "q138_dbscan",
+      // q139 localCheckpoints the k-row trained centroid model at
+      // construction (the q100 rationale: assignment + probe ranking
+      // both consume it)
+      "q139_ann_recall")
 
   test("constructing registry queries fires no Spark job") {
     // pre-warm per-table schema resolution so first-touch footer reads

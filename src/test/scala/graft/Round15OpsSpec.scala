@@ -77,4 +77,50 @@ class Round15OpsSpec extends SparkSpec {
       (20L, 1L, 2L, 3L)),  // singleton core 20 + borders 21,22
       out.toSeq.toString)
   }
+
+  // --------------------------------------------------------------- q139
+  test("annRecallAudit: planted cross-cluster neighbor is the measured miss") {
+    // Query 100 (30°) has true top-2 {2 (25.8°), 5 (48°)} — but 5 sits
+    // past the trained cluster boundary (~44°) in cluster B, so an
+    // nProbe=1 probe of A can never return it: n_hit must be exactly 1.
+    // Query 200 (78°) has both true neighbors {3, 4} inside its own
+    // cluster: recall 1. The audit MEASURES the recall/probe trade.
+    val em = Seq(
+      1L -> 0.0, 2L -> 25.8, 100L -> 30.0,            // cluster A
+      3L -> 90.0, 4L -> 64.0, 200L -> 78.0, 5L -> 48.0) // cluster B
+      .map { case (id, deg) => (id, unit(deg)) }
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.annRecallAudit(em, k = 2, nProbe = 1,
+        sampleMod = 100L, sampleRes = 0L, minHits = 2,
+        centroidIds = Seq(1L, 3L), iters = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (100L, 1L, 0.5, 0),
+      (200L, 2L, 1.0, 1)),
+      out.toSeq.toString)
+  }
+
+  // --------------------------------------------------------------- q140
+  test("epochPlan: epochs, repetition cap, and deficit from hand counts") {
+    import graft.llm.ChunkOps
+    // en: 5 natural tokens, target 0.4*100=40 -> 8 epochs, capped at 4
+    // (20 effective, 20 deficit); zh: 2 tokens, target 20 -> 10 epochs,
+    // capped 4 (8 effective, 12 deficit); xx: outside the weight map ->
+    // explicit zero-target row, not dropped
+    val docs = Seq(
+      (1L, "en", "a b c"), (2L, "en", "d e"),
+      (3L, "zh", "x y"),
+      (4L, "xx", "q"))
+      .toDF("doc_id", "lang", "text")
+    val out = ChunkOps.epochPlan(docs, totalBudget = 100L, maxEpochs = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6), r.getLong(7)))
+    assert(out.toSeq == Seq(
+      ("en", 2L, 5L, 40L, 8.0, 20L, 4.0, 20L),
+      ("xx", 1L, 1L, 0L, 0.0, 0L, 0.0, 0L),
+      ("zh", 1L, 2L, 20L, 10.0, 8L, 4.0, 12L)),
+      out.toSeq.toString)
+  }
 }
