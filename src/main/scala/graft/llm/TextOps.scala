@@ -77,7 +77,14 @@ object TextOps {
 
   /** q25e — heuristic quality score per doc: length, stopword ratio,
     * alphabetic ratio (identical double math on both engines). */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  // The score expression is shared by q25e and the q142 curriculum
+  // scheduler (which buckets the corpus by this same rounded score).
+  // + 1e-9 before rounding: the 3-term weighted sum can differ by an
+  // ulp across engines (association/FMA), flipping round() when the
+  // true value sits on a .00005 boundary (surfaced at sf0.1: 4 of 10k
+  // docs). The epsilon (>> ulp, << the 1e-4 grid) moves the boundary
+  // off exactly-representable halves so both engines land together.
+  private[llm] def qualityExpr: Column = {
     val toks = Text.tokens(col("text"))
     val nToks = size(toks)
     val nStop = size(filter(toks, t => t.isin(Text.stopwords: _*)))
@@ -86,30 +93,26 @@ object TextOps {
     val lenScore = least(col("n_chars").cast("double") / 500.0, lit(1.0))
     val stopRatio = when(nToks > 0, nStop.cast("double") / nToks.cast("double"))
       .otherwise(lit(0.0))
-    // + 1e-9 before rounding: the 3-term weighted sum can differ by an
-    // ulp across engines (association/FMA), flipping round() when the
-    // true value sits on a .00005 boundary (surfaced at sf0.1: 4 of 10k
-    // docs). The epsilon (>> ulp, << the 1e-4 grid) moves the boundary
-    // off exactly-representable halves so both engines land together.
-    Tables.fanout(docs)
-      .select(col("doc_id"),
-        round(lenScore * 0.3 + stopRatio * 0.4 + alphaRatio * 0.3 + 1e-9, 4)
-          .as("quality"))
-      .orderBy("doc_id")
+    round(lenScore * 0.3 + stopRatio * 0.4 + alphaRatio * 0.3 + 1e-9, 4)
   }
-  val qualityScoreSql: String = {
+  private[llm] val qualityExprSql: String = {
     val toks = Text.tokensSql("text")
-    s"""SELECT doc_id,
-       |  round(least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.3
+    s"""round(least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.3
        |    + (CASE WHEN len($toks) > 0
        |        THEN CAST(len(list_filter($toks,
        |          t -> list_contains(${Text.stopwordsSqlList}, t))) AS DOUBLE)
        |          / CAST(len($toks) AS DOUBLE)
        |        ELSE 0.0 END) * 0.4
        |    + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-       |      / length(text) * 0.3 + 1e-9, 4) AS quality
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |      / length(text) * 0.3 + 1e-9, 4)""".stripMargin
   }
+  def qualityScore(docs: DataFrame): DataFrame =
+    Tables.fanout(docs)
+      .select(col("doc_id"), qualityExpr.as("quality"))
+      .orderBy("doc_id")
+  val qualityScoreSql: String =
+    s"""SELECT doc_id, $qualityExprSql AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q25f — n-gram-heuristic language ID: count distinct marker-word hits
     * per language, argmax with fixed tie order, 'und' when nothing hits. */
@@ -1273,6 +1276,325 @@ object TextOps {
        |    / count(*) + 1e-9, 4) AS flagged_share
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q141 — DSIR-style hashed-n-gram importance weights (Xie et al. '23,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw-corpus document by how target-like its token
+    * distribution is, where "target" is a designated high-quality slice
+    * (here: one source). Features are tokens HASHED into a fixed bucket
+    * space — DSIR's central scalability trick: the weight model is
+    * `buckets` log-ratio cells regardless of corpus or vocabulary size,
+    * so it broadcasts at any scale. Per-bucket smoothed log-ratio
+    * lw(b) = log p̂_tgt(b) − log p̂_src(b); a doc's importance is the sum
+    * of lw over its token stream; docs above the CORPUS MEAN log-weight
+    * are "selected" (centering removes the constant Jensen bias the
+    * noisier small-sample target estimate puts on every doc — with a
+    * raw `logw > 0` cut, a near-i.i.d. corpus selects nothing at all).
+    * Output: per-source doc counts, mean log-weight and selected count —
+    * the audit a curation run reads before resampling (the target source
+    * should score highest; a background source with a high selected
+    * share is cheap uplift).
+    *
+    * Scale shape: ONE token-explode pass, map-side-combined into the
+    * per-doc bucket histogram (doc, source, bucket, count) — the same
+    * materialized feature vector the DSIR recipe stores — CacheOnce'd
+    * for its two consumers: the per-bucket corpus counts (→ the
+    * `buckets`-row weight table, joined back by broadcast) and the
+    * per-doc score Σ c·lw. The cached frame is hashed-feature-bounded
+    * per doc (≤ min(doc_len, buckets) rows), far smaller than the raw
+    * token stream, and a spill of it still beats a second full
+    * scan+explode. No corpus-scale join or self-join anywhere. */
+  def dsirImportance(docs: DataFrame, targetSource: String = "src0",
+      buckets: Int = 512, alpha: Double = 0.5): DataFrame = {
+    val docBucket = graft.core.CacheOnce.swap("q141_dsir_docbucket",
+      Tables.fanout(docs)
+        .select(col("doc_id"), col("source"),
+          explode(Text.tokens(col("text"))).as("tok"))
+        .withColumn("b",
+          conv(substring(md5(to_binary(col("tok"), lit("utf-8"))), 1, 15),
+            16, 10).cast("long") % buckets)
+        .groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("c")))
+    val counts = docBucket.groupBy(col("b")).agg(
+      sum(when(col("source") === targetSource, col("c")).otherwise(0L))
+        .as("ct"),
+      sum(when(col("source") =!= targetSource, col("c")).otherwise(0L))
+        .as("cs"))
+    val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cs")).as("ts"))
+    // additive smoothing keeps unseen buckets finite on both sides
+    val lw = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("ct") + alpha) / (col("tt") + alpha * buckets)) -
+          log((col("cs") + alpha) / (col("ts") + alpha * buckets))).as("lw"))
+    // perDoc recomputes from the cached histogram (broadcast join +
+    // slim agg) for each of ITS two consumers — cheap by construction
+    val perDoc = docBucket.join(broadcast(lw), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c") * col("lw")).as("logw"))
+    val mid = perDoc.agg(avg(col("logw")).as("mid"))
+    perDoc.crossJoin(broadcast(mid))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("logw")) + lit(1e-9), 4).as("mean_logw"),
+        // round both sides to a shared 6-dp grid before comparing: an
+        // ulp of parallel-vs-sequential summation drift must not flip
+        // a selection verdict between engines
+        sum((round(col("logw"), 6) > round(col("mid"), 6)).cast("long"))
+          .as("n_selected"))
+      .orderBy("source")
+  }
+  def dsirImportanceSql(targetSource: String = "src0", buckets: Int = 512,
+      alpha: Double = 0.5): String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    unnest(${Text.tokensSql("text")}) AS tok FROM documents),
+       |tb AS (SELECT doc_id, source,
+       |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)
+       |      % $buckets AS b FROM t),
+       |db AS (SELECT doc_id, source, b, count(*) AS c
+       |  FROM tb GROUP BY 1, 2, 3),
+       |c AS (SELECT b,
+       |    sum(CASE WHEN source = '$targetSource' THEN c ELSE 0 END) AS ct,
+       |    sum(CASE WHEN source <> '$targetSource' THEN c ELSE 0 END) AS cs
+       |  FROM db GROUP BY b),
+       |tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM c),
+       |lw AS (SELECT b,
+       |    ln((ct + $alpha) / (tt + $alpha * $buckets))
+       |      - ln((cs + $alpha) / (ts + $alpha * $buckets)) AS lw
+       |  FROM c, tot),
+       |d AS (SELECT db.doc_id, db.source, sum(db.c * lw.lw) AS logw
+       |  FROM db JOIN lw USING (b) GROUP BY 1, 2),
+       |m AS (SELECT avg(logw) AS mid FROM d)
+       |SELECT source, count(*) AS n_docs,
+       |  round(avg(logw) + 1e-9, 4) AS mean_logw,
+       |  CAST(sum(CASE WHEN round(logw, 6) > round(mid, 6)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+       |FROM d, m GROUP BY source ORDER BY source""".stripMargin
+
+  /** q142 — curriculum schedule: bucket the corpus into `stages`
+    * difficulty tiers by the q25e quality score (a total order — score
+    * then doc_id — so stage assignment is deterministic and every stage
+    * is the same size ±1, which is what an epoch scheduler needs: equal
+    * work per tier, easy→hard). Output is the schedule manifest — per
+    * stage: doc count, score range, token budget — the few-row frame a
+    * training launcher turns into per-stage input globs.
+    *
+    * Scale shape: the score is one narrow scan pass; stage assignment is
+    * a GLOBAL ntile, which at corpus scale must not be a single-partition
+    * window — it rides the distributed GlobalWindows machinery (one range
+    * shuffle + metadata-scale offset patch, q35's operator). The rollup
+    * after is |stages| rows. */
+  def curriculumSchedule(docs: DataFrame, stages: Int = 5): DataFrame = {
+    val scored = Tables.fanout(docs)
+      .select(col("doc_id"), qualityExpr.as("quality"),
+        size(Text.tokens(col("text"))).as("n_toks"))
+    graft.operators.GlobalWindows
+      .withGlobalNtile(scored, Seq("quality" -> true, "doc_id" -> true),
+        stages, outCol = "stage")
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"),
+        sum(col("n_toks")).as("sum_tokens"))
+      .orderBy("stage")
+  }
+  def curriculumScheduleSql(stages: Int = 5): String =
+    s"""WITH s AS (SELECT doc_id, $qualityExprSql AS quality,
+       |    len(${Text.tokensSql("text")}) AS n_toks FROM documents),
+       |st AS (SELECT CAST(ntile($stages) OVER (ORDER BY quality, doc_id)
+       |    AS BIGINT) AS stage, quality, n_toks FROM s)
+       |SELECT stage, count(*) AS n_docs,
+       |  min(quality) AS min_quality, max(quality) AS max_quality,
+       |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+       |FROM st GROUP BY stage ORDER BY stage""".stripMargin
+
+  /** q143 — tokenizer/vocabulary audit per language: exact vocabulary
+    * size, hapax-legomenon count (type frequency 1 — the long-tail mass
+    * a vocab cut discards), type-token ratio, and tokenizer fertility
+    * (chars per BPE-ish token — the cross-language cost metric: a
+    * language with high fertility pays fewer tokens per char, one with
+    * low fertility burns context window). The EXACT companion to q65's
+    * HLL vocab estimate and the per-language refinement of q25d counts.
+    *
+    * Scale shape: one token-explode pass into a (lang, token) map-side-
+    * combined count — aggregate state is vocabulary-bounded, not
+    * corpus-bounded — then a |vocab|-row rollup to |langs| rows; the
+    * char/fertility side is a separate narrow scan joined on the
+    * |langs|-row result. No data-scale join. */
+  def vocabAudit(docs: DataFrame): DataFrame = {
+    val typeCounts = Tables.fanout(docs)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocabStats = typeCounts.groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(col("cnt")).as("n_tokens"),
+        sum((col("cnt") === 1L).cast("long")).as("n_hapax"))
+    val bpeToks = size(expr(
+      "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+    val charStats = docs.groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("sum_chars"),
+        sum(bpeToks).as("sum_bpe"))
+    vocabStats.join(charStats, Seq("lang"))
+      .select(col("lang"), col("n_tokens"), col("vocab_size"),
+        col("n_hapax"),
+        round(col("vocab_size") / col("n_tokens") + lit(1e-9), 4)
+          .as("ttr"),
+        round(col("sum_chars") / col("sum_bpe") + lit(1e-9), 4)
+          .as("fertility"))
+      .orderBy("lang")
+  }
+  val vocabAuditSql: String =
+    s"""WITH t AS (SELECT lang, unnest(${Text.tokensSql("text")}) AS tok
+       |  FROM documents),
+       |tc AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+       |v AS (SELECT lang, count(*) AS vocab_size,
+       |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hapax
+       |  FROM tc GROUP BY lang),
+       |cs AS (SELECT lang, sum(n_chars) AS sum_chars,
+       |    sum(len(regexp_extract_all(text,
+       |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS sum_bpe
+       |  FROM documents GROUP BY lang)
+       |SELECT v.lang, n_tokens, vocab_size, n_hapax,
+       |  round(CAST(vocab_size AS DOUBLE) / n_tokens + 1e-9, 4) AS ttr,
+       |  round(CAST(sum_chars AS DOUBLE) / sum_bpe + 1e-9, 4) AS fertility
+       |FROM v JOIN cs ON cs.lang = v.lang ORDER BY v.lang""".stripMargin
+
+  /** q144 — Heaps'-law vocabulary-growth fit (Heaps '78): V(N) ≈ K·N^β
+    * measured on the corpus itself, the planning curve behind every
+    * vocab-size decision (how fast does vocabulary still grow if we
+    * ingest 10× more? β≈0.5 says √10×). Documents are consumed in
+    * doc_id order; curve points are taken at log-spaced checkpoints
+    * (the last doc inside each power-of-two band of cumulative tokens —
+    * log-spacing is also what a log-log OLS wants), then the fit is
+    * closed-form OLS on (ln N, ln V) with R². One row out.
+    *
+    * Scale shape: cumulative tokens and cumulative first-occurrence
+    * types are BOTH distributed global running sums — one
+    * GlobalWindows pass (range shuffle + linear local pass + broadcast
+    * offset patch), never a single-partition window; the first-occurrence
+    * table is a vocabulary-bounded (token → min doc) aggregate. The
+    * curve collapse and the OLS are metadata-scale (≤ log₂ T rows). */
+  def heapsLaw(docs: DataFrame): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val perDoc = Tables.fanout(docs)
+      .select(col("doc_id"), size(toks).as("n_toks"))
+    val newTypes = Tables.fanout(docs)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("new_types"))
+    val base = perDoc.join(newTypes, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    val run = graft.operators.GlobalWindows.withGlobalRunningSum(base,
+      Seq("doc_id" -> true),
+      Seq("n_toks" -> "cum_n", "new_types" -> "cum_v"))
+      .filter(col("cum_n") > 0 && col("cum_v") > 0)
+    // last doc per power-of-two band: cum_n and cum_v are monotone in
+    // doc order, so max() IS the band's last point. The +1e-9 nudge
+    // keeps floor() from splitting on an ulp when cum_n lands exactly
+    // on a power of two (java vs C log2 disagree there).
+    val pts = run
+      .groupBy(floor(log2(col("cum_n")) + lit(1e-9)).as("lg"))
+      .agg(max(col("cum_n")).as("n"), max(col("cum_v")).as("v"))
+    val s = pts.select(log(col("n")).as("x"), log(col("v")).as("y"))
+      .agg(count(lit(1)).cast("double").as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val beta = (col("m") * col("sxy") - col("sx") * col("sy")) /
+      (col("m") * col("sxx") - col("sx") * col("sx"))
+    val alpha = (col("sy") - beta * col("sx")) / col("m")
+    val r2num = col("m") * col("sxy") - col("sx") * col("sy")
+    val r2 = (r2num * r2num) /
+      ((col("m") * col("sxx") - col("sx") * col("sx")) *
+        (col("m") * col("syy") - col("sy") * col("sy")))
+    s.select(col("m").cast("long").as("n_points"),
+      round(beta + lit(1e-9), 4).as("beta"),
+      round(exp(alpha) + lit(1e-9), 4).as("k"),
+      round(r2 + lit(1e-9), 4).as("r2"))
+  }
+  val heapsLawSql: String = {
+    val toks = Text.tokensSql("text")
+    s"""WITH pd AS (SELECT doc_id, len($toks) AS n_toks FROM documents),
+       |ft AS (SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)
+       |  GROUP BY tok),
+       |nt AS (SELECT doc_id, count(*) AS new_types FROM ft GROUP BY doc_id),
+       |base AS (SELECT pd.doc_id, pd.n_toks,
+       |    coalesce(nt.new_types, 0) AS new_types
+       |  FROM pd LEFT JOIN nt ON nt.doc_id = pd.doc_id),
+       |run AS (SELECT doc_id,
+       |    sum(n_toks) OVER w AS cum_n, sum(new_types) OVER w AS cum_v
+       |  FROM base WINDOW w AS (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |pts AS (SELECT floor(log2(cum_n) + 1e-9) AS lg,
+       |    max(cum_n) AS n, max(cum_v) AS v
+       |  FROM run WHERE cum_n > 0 AND cum_v > 0 GROUP BY 1),
+       |xy AS (SELECT ln(CAST(n AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+       |  FROM pts),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS m, sum(x) AS sx,
+       |    sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+       |    sum(x * y) AS sxy FROM xy)
+       |SELECT CAST(m AS BIGINT) AS n_points,
+       |  round((m * sxy - sx * sy) / (m * sxx - sx * sx) + 1e-9, 4)
+       |    AS beta,
+       |  round(exp((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx)
+       |    / m) + 1e-9, 4) AS k,
+       |  round((m * sxy - sx * sy) * (m * sxy - sx * sy)
+       |    / ((m * sxx - sx * sx) * (m * syy - sy * sy)) + 1e-9, 4) AS r2
+       |FROM s""".stripMargin
+  }
+
+  /** q145 — term burstiness (Church & Gale '95): the variance-to-mean
+    * ratio of a term's per-document counts over ALL documents (absent =
+    * 0). A Poisson-scattered function word sits near VMR 1; a bursty
+    * content word — the kind worth indexing, and the kind template spam
+    * repeats — scores far above it. Top-N by VMR among terms above a
+    * support floor; the complement to plain frequency (q25c) that
+    * frequency alone can't rank.
+    *
+    * Scale shape: one token-explode into a (term, doc) map-side-combined
+    * count, rolled up to vocabulary-bounded per-term moments (present
+    * docs only — the absent-doc zeros enter via the broadcast 1-row
+    * corpus doc count: Σc²/N − μ² needs no zero rows). */
+  def burstiness(docs: DataFrame, minCount: Long = 50,
+      topN: Int = 20): DataFrame = {
+    val td = Tables.fanout(docs)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val stats = td.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("cnt"),
+        sum(col("c") * col("c")).as("c2"))
+      .filter(col("cnt") >= minCount)
+    val nd = docs.agg(count(lit(1)).cast("double").as("nd"))
+    val mu = col("cnt") / col("nd")
+    val vmr = (col("c2") / col("nd") - mu * mu) / mu
+    stats.crossJoin(broadcast(nd))
+      .select(col("term"), col("cnt"), col("n_docs"),
+        round(mu + lit(1e-9), 4).as("mean_c"),
+        round(vmr + lit(1e-9), 4).as("vmr"))
+      .orderBy(col("vmr").desc, col("term"))
+      .limit(topN)
+  }
+  def burstinessSql(minCount: Long = 50, topN: Int = 20): String = {
+    val toks = Text.tokensSql("text")
+    s"""WITH td AS (SELECT term, doc_id, count(*) AS c
+       |  FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |st AS (SELECT term, count(*) AS n_docs,
+       |    CAST(sum(c) AS BIGINT) AS cnt, sum(c * c) AS c2
+       |  FROM td GROUP BY term HAVING sum(c) >= $minCount),
+       |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+       |SELECT term, cnt, n_docs,
+       |  round(cnt / nd + 1e-9, 4) AS mean_c,
+       |  round((c2 / nd - (cnt / nd) * (cnt / nd)) / (cnt / nd) + 1e-9, 4)
+       |    AS vmr
+       |FROM st, nd
+       |ORDER BY vmr DESC, term LIMIT $topN""".stripMargin
+  }
+
   private def onDocs(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.documents(s, d))
 
@@ -1305,5 +1627,12 @@ object TextOps {
       Some(boilerplateNgramsSql())),
     ("q112_lang_confusion", onDocs(langConfusion), Some(langConfusionSql)),
     ("q102_crossentropy_transfer", onDocs(crossEntropyTransfer(_)),
-      Some(crossEntropyTransferSql())))
+      Some(crossEntropyTransferSql())),
+    ("q141_dsir_importance", onDocs(dsirImportance(_)),
+      Some(dsirImportanceSql())),
+    ("q142_curriculum", onDocs(curriculumSchedule(_)),
+      Some(curriculumScheduleSql())),
+    ("q143_vocab_audit", onDocs(vocabAudit), Some(vocabAuditSql)),
+    ("q144_heaps_law", onDocs(heapsLaw), Some(heapsLawSql)),
+    ("q145_burstiness", onDocs(burstiness(_)), Some(burstinessSql())))
 }

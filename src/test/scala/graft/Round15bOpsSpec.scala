@@ -1,0 +1,133 @@
+package graft
+
+import graft.llm.TextOps
+
+/** Round-15 additions, second batch: DSIR importance selection, the
+  * curriculum scheduler, and the per-language vocabulary audit — all on
+  * hand-built corpora where every expected value is derivable by
+  * inspection. The registry rows prove oracle equivalence on real data;
+  * these pin the SEMANTICS. */
+class Round15bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --------------------------------------------------------------- q141
+  test("dsirImportance: target-like docs are selected, background is not") {
+    // Target source speaks only {alpha, beta}; background speaks only
+    // {gamma, delta} — except one background doc written in the target
+    // vocabulary. Selection is centered at the corpus mean log-weight,
+    // so the target docs and the target-like infiltrator must clear it
+    // and the pure-background docs must not.
+    val docs = (
+      (1 to 4).map(i => (i.toLong, "alpha beta alpha beta alpha", "en", "tgt")) ++
+        (5 to 12).map(i => (i.toLong, "gamma delta gamma delta gamma", "en", "bg")) ++
+        Seq((13L, "alpha beta alpha beta alpha", "en", "bg")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val out = TextOps.dsirImportance(docs, targetSource = "tgt")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val (nTgt, meanTgt, selTgt) = out("tgt")
+    val (nBg, meanBg, selBg) = out("bg")
+    assert(nTgt == 4 && nBg == 9)
+    // every target doc is more target-like than the corpus mean
+    assert(selTgt == 4L, s"tgt selected: $selTgt")
+    // exactly the infiltrator crosses the mean from the background side
+    assert(selBg == 1L, s"bg selected: $selBg")
+    assert(meanTgt > meanBg, s"mean order: $meanTgt vs $meanBg")
+  }
+
+  // --------------------------------------------------------------- q142
+  test("curriculumSchedule: equal stages in quality order with token sums") {
+    // identical text (constant stopword/alpha ratios) with n_chars
+    // climbing 50..500 — the quality order IS the n_chars order, so
+    // 10 docs over 5 stages pair up (1,2),(3,4),... by length
+    val docs = (1 to 10).map(i =>
+      (i.toLong, "alpha beta gamma delta", "en", "s", i * 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.curriculumSchedule(docs, stages = 5).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(0)).toSeq == (1L to 5L))
+    assert(out.forall(_.getLong(1) == 2L)) // n_docs per stage
+    // 4 whitespace tokens per doc, 2 docs per stage
+    assert(out.forall(_.getLong(4) == 8L))
+    // stages are quality-ordered and non-overlapping
+    val (mins, maxs) = (out.map(_.getDouble(2)), out.map(_.getDouble(3)))
+    assert(mins.zip(maxs).forall { case (mn, mx) => mn <= mx })
+    assert(maxs.init.zip(mins.tail).forall { case (hi, lo) => hi <= lo },
+      s"stage ranges overlap: ${mins.toSeq} / ${maxs.toSeq}")
+  }
+
+  // --------------------------------------------------------------- q144
+  test("heapsLaw: an all-new-types corpus fits V = N exactly") {
+    // every doc contributes 8 tokens, all globally unique -> cum_v ==
+    // cum_n at every checkpoint, so the log-log OLS must return
+    // beta = 1, K = 1, R^2 = 1 exactly (x and y are the same doubles)
+    val docs = (0 until 16).map { i =>
+      (i.toLong, (0 until 8).map(j => s"t${i}x$j").mkString(" "), "en", "s")
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val out = TextOps.heapsLaw(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) >= 4, s"n_points: ${r.getLong(0)}")
+    assert(r.getDouble(1) == 1.0, s"beta: ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 1.0, s"k: ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 1.0, s"r2: ${r.getDouble(3)}")
+  }
+
+  test("heapsLaw: a saturating vocabulary fits beta well below 1") {
+    // 64 docs over a CLOSED 12-word vocabulary: growth stops after the
+    // first docs, so the fitted exponent must be far below linear
+    val vocab = (0 until 12).map(i => s"w$i")
+    val docs = (0 until 64).map { i =>
+      val text = (0 until 10).map(j => vocab((i * 3 + j) % 12)).mkString(" ")
+      (i.toLong, text, "en", "s")
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val r = TextOps.heapsLaw(docs).collect().head
+    assert(r.getDouble(1) < 0.5, s"beta: ${r.getDouble(1)}")
+    assert(r.getDouble(1) > 0.0, s"beta: ${r.getDouble(1)}")
+  }
+
+  // --------------------------------------------------------------- q145
+  test("burstiness: a clumped term scores VMR 3, a uniform one 0") {
+    // 'f' once in each of 4 docs: mu=1, E[c^2]=1 -> VMR 0 (Poisson-flat
+    // floor); 'b' 4 times in one doc: mu=1, E[c^2]=4 -> VMR 3
+    val docs = Seq(
+      (1L, "f b b b b", "en", "s"),
+      (2L, "f", "en", "s"),
+      (3L, "f", "en", "s"),
+      (4L, "f", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val out = TextOps.burstiness(docs, minCount = 2, topN = 10).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("b", "f"))
+    val b = out(0); val f = out(1)
+    assert(b.getLong(1) == 4L && b.getLong(2) == 1L)
+    assert(b.getDouble(3) == 1.0 && b.getDouble(4) == 3.0)
+    assert(f.getLong(1) == 4L && f.getLong(2) == 4L)
+    assert(f.getDouble(3) == 1.0 && f.getDouble(4) == 0.0)
+  }
+
+  // --------------------------------------------------------------- q143
+  test("vocabAudit: vocab, hapax, TTR and fertility from hand counts") {
+    val docs = Seq(
+      // lang aa: tokens x,x,y -> vocab 2, hapax 1 (y), ttr 2/3
+      //   bpe tokens 3, chars 6 -> fertility 2.0
+      (1L, "x x y", "aa", "s", 6L),
+      // lang bb over two docs: tokens p,p,q,q -> vocab 2, hapax 0,
+      //   ttr 1/2; bpe 4, chars 8 -> fertility 2.0
+      (2L, "p q", "bb", "s", 4L),
+      (3L, "q p", "bb", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.vocabAudit(docs).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("aa", "bb"))
+    val aa = out(0); val bb = out(1)
+    assert(aa.getLong(1) == 3L && aa.getLong(2) == 2L && aa.getLong(3) == 1L)
+    assert(math.abs(aa.getDouble(4) - 0.6667) < 1e-9)
+    assert(math.abs(aa.getDouble(5) - 2.0) < 1e-9)
+    assert(bb.getLong(1) == 4L && bb.getLong(2) == 2L && bb.getLong(3) == 0L)
+    assert(math.abs(bb.getDouble(4) - 0.5) < 1e-9)
+    assert(math.abs(bb.getDouble(5) - 2.0) < 1e-9)
+  }
+}
