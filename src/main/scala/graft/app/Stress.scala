@@ -119,7 +119,8 @@ object Stress {
       "q133_returned_items", "q134_lsh_tuning",
       "q135_decontaminated_corpus", "q136_eval_leak_report",
       "q137_silhouette", "q138_dbscan", "q139_ann_recall",
-      "q140_epoch_plan")
+      "q140_epoch_plan", "q141_dsir_importance", "q142_curriculum",
+      "q143_vocab_audit", "q144_heaps_law", "q145_burstiness")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()
