@@ -1645,6 +1645,76 @@ object TextOps {
        |ORDER BY vmr DESC, term LIMIT $topN""".stripMargin
   }
 
+  /** q146 — source-redundancy matrix: pairwise Jensen–Shannon divergence
+    * between per-source token distributions (hashed into the q141 bucket
+    * space, so the per-source model is ≤ `buckets` cells no matter the
+    * vocabulary). Two sources with near-zero JS are interchangeable for
+    * mixture design — budget spent on both buys the same distribution
+    * twice; the most-similar pairs surface first. The drift family
+    * (q43/q52) compares SNAPSHOTS of one stream; this compares the
+    * corpus's own components to each other.
+    *
+    * JS needs no smoothing: zero-probability cells contribute 0 from
+    * their own side and the disjoint mass enters analytically — for
+    * buckets only one side occupies, Σ p·ln(2p/(p+0)) = ln2·(1−P∩), so
+    * the inner join over SHARED buckets plus each side's joined mass is
+    * the whole statistic. Pairs sharing no bucket at all (JS = ln 2
+    * exactly) produce no row — by construction they cannot rank among
+    * the most-similar output.
+    *
+    * Scale shape: one token-explode pass into the (source, bucket)
+    * count frame — |sources|·`buckets` cells, CacheOnce'd — then the
+    * pair work is a self-join of that BOUNDED model frame, never of the
+    * corpus. Sized for mixture-granularity sources (tens to hundreds);
+    * a per-domain (millions) run should bucket domains first. */
+  def sourceDivergence(docs: DataFrame, buckets: Int = 512,
+      topN: Int = 20): DataFrame = {
+    val ln2 = math.log(2.0)
+    val p = graft.core.CacheOnce.swap("q146_source_model", {
+      val sb = Tables.fanout(docs)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+        .withColumn("b", dsirBucket(col("tok"), buckets))
+        .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+      val tot = sb.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      sb.join(tot, Seq("source"))
+        .select(col("source"), col("b"), (col("c") / col("n")).as("p"))
+    })
+    val a = p.select(col("source").as("src_a"), col("b"), col("p").as("pa"))
+    val bq = p.select(col("source").as("src_b"), col("b"), col("p").as("pb"))
+    a.join(bq, Seq("b")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(lit(0.5) * (col("pa") * log(lit(2.0) * col("pa") /
+            (col("pa") + col("pb"))) +
+          col("pb") * log(lit(2.0) * col("pb") /
+            (col("pa") + col("pb"))))).as("js_shared"),
+        sum(col("pa")).as("ma"), sum(col("pb")).as("mb"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("js_shared") +
+          lit(0.5 * ln2) * ((lit(1.0) - col("ma")) + (lit(1.0) - col("mb")))
+          + lit(1e-9), 4).as("js"))
+      .orderBy(col("js"), col("src_a"), col("src_b"))
+      .limit(topN)
+  }
+  def sourceDivergenceSql(buckets: Int = 512, topN: Int = 20): String =
+    s"""WITH t AS (SELECT source, unnest(${Text.tokensSql("text")}) AS tok
+       |  FROM documents),
+       |sb AS MATERIALIZED (SELECT source,
+       |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)
+       |      % $buckets AS b, count(*) AS c
+       |  FROM t GROUP BY 1, 2),
+       |p AS MATERIALIZED (SELECT source, b,
+       |    c / CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE) AS p
+       |  FROM sb)
+       |SELECT a.source AS src_a, q.source AS src_b,
+       |  count(*) AS n_shared,
+       |  round(sum(0.5 * (a.p * ln(2.0 * a.p / (a.p + q.p))
+       |      + q.p * ln(2.0 * q.p / (a.p + q.p))))
+       |    + 0.5 * ln(2.0) * ((1.0 - sum(a.p)) + (1.0 - sum(q.p)))
+       |    + 1e-9, 4) AS js
+       |FROM p a JOIN p q ON q.b = a.b AND a.source < q.source
+       |GROUP BY 1, 2 ORDER BY js, src_a, src_b LIMIT $topN""".stripMargin
+
   private def onDocs(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.documents(s, d))
 
@@ -1684,5 +1754,7 @@ object TextOps {
       Some(curriculumScheduleSql())),
     ("q143_vocab_audit", onDocs(vocabAudit), Some(vocabAuditSql)),
     ("q144_heaps_law", onDocs(heapsLaw), Some(heapsLawSql)),
-    ("q145_burstiness", onDocs(burstiness(_)), Some(burstinessSql())))
+    ("q145_burstiness", onDocs(burstiness(_)), Some(burstinessSql())),
+    ("q146_source_divergence", onDocs(sourceDivergence(_)),
+      Some(sourceDivergenceSql())))
 }

@@ -137,6 +137,43 @@ class Round15bOpsSpec extends SparkSpec {
     assert(f.getDouble(3) == 1.0 && f.getDouble(4) == 0.0)
   }
 
+  // --------------------------------------------------------------- q146
+  test("sourceDivergence: identical sources score 0, disjoint pairs are absent") {
+    // A and B share the exact distribution over {xx,yy} -> JS 0; C
+    // speaks a disjoint vocabulary -> no shared bucket with A or B, so
+    // those pairs (JS = ln 2 exactly) produce no row by design
+    val docs = Seq(
+      (1L, "xx yy xx", "en", "A"), (2L, "xx yy xx", "en", "B"),
+      (3L, "zz ww", "en", "C"), (4L, "xx xx yy", "en", "A"),
+      (5L, "xx xx yy", "en", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val out = TextOps.sourceDivergence(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(2) == 2L, s"n_shared: ${r.getLong(2)}")
+    assert(r.getDouble(3) == 0.0, s"js: ${r.getDouble(3)}")
+  }
+
+  test("sourceDivergence: a skewed source diverges more than a near one") {
+    // D is a mild tilt of A's distribution, E a hard tilt -> JS(A,D) <
+    // JS(A,E), and the most-similar pair sorts first
+    val mk = (id: Long, words: Seq[String], src: String) =>
+      (id, words.mkString(" "), "en", src)
+    val docs = Seq(
+      mk(1L, Seq.fill(8)("xx") ++ Seq.fill(8)("yy"), "A"),
+      mk(2L, Seq.fill(9)("xx") ++ Seq.fill(7)("yy"), "D"),
+      mk(3L, Seq.fill(15)("xx") ++ Seq.fill(1)("yy"), "E"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val js = TextOps.sourceDivergence(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(js(("A", "D")) < js(("A", "E")),
+      s"JS order: ${js(("A", "D"))} vs ${js(("A", "E"))}")
+    assert(js.values.forall(v => v >= 0.0 && v <= math.log(2.0) + 1e-6))
+  }
+
   // --------------------------------------------------------------- q143
   test("vocabAudit: vocab, hapax, TTR and fertility from hand counts") {
     val docs = Seq(
