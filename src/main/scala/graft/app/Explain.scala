@@ -42,6 +42,10 @@ object Explain {
     "q138_dbscan" -> "DBSCAN on the blocked eps-graph: shared semantic pair stage cached for 3 consumers; core set joins shuffle_hash (node-scale, never broadcast); pointer-jumping CC on core-core edges",
     "q139_ann_recall" -> "measured recall@k: sampled-query brute truth (one broadcast vs one unshuffled corpus scan) against the trained-IVF serving path; checkpointed k-row model trains once",
     "q140_epoch_plan" -> "epoch plan: one token-count agg over one scan, weights folded as literals on the |langs|-row frame - no joins, no second scan",
+    "q141_dsir_importance" -> "DSIR: per-doc hashed-feature histogram cached once; 512-row weight model built per-bucket and joined back by broadcast - the model is fixed-size at any corpus scale",
+    "q142_curriculum" -> "curriculum ntile: distributed GlobalWindows range pass (no single-partition window on the corpus), |stages|-row rollup",
+    "q144_heaps_law" -> "Heaps fit: token->min-doc first-occurrence agg (vocab-bounded) + ONE running-sum range pass for both cumulatives; curve + OLS metadata-scale",
+    "q146_source_divergence" -> "source JS matrix: one corpus pass to the |sources|x512 model frame (cached), pair stage self-joins the MODEL, never the corpus",
     "q47_ks_drift"          -> "KS: distinct-value counts, CDFs via range-partitioned running sum (no single-reducer window)",
     "q48_corr_matrix"       -> "C(n,2) corr aggregates in ONE wide agg row over one scan, then unpivot",
     "q49_weighted_sample"   -> "A-ES weighted top-k per stratum: WindowGroupLimit prunes map-side",
