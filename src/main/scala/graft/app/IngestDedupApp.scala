@@ -89,6 +89,12 @@ object IngestDedupApp {
   def contaminated(spark: SparkSession, corpusDir: String): DataFrame =
     readBatches(spark, batchDirs(spark, s"$corpusDir/contaminated"))
 
+  /** Docs the DSIR score guard rejected land here — ROW-level routing
+    * like `contaminated/` (target-likeness is a per-document property).
+    * Same per-batch overwrite idempotence. */
+  def lowValue(spark: SparkSession, corpusDir: String): DataFrame =
+    readBatches(spark, batchDirs(spark, s"$corpusDir/lowvalue"))
+
   /** The streaming twin of q135/PipelineApp's decontamination stage:
     * admitted docs sharing ≥ `minFrac` of their shingles with the fixed
     * `evalDocs` benchmark set are routed to `contaminated/` instead of
@@ -100,6 +106,22 @@ object IngestDedupApp {
     * streams through one hash join — never a pair space, and the
     * corpus-so-far is not touched. */
   final case class EvalGuard(evalDocs: DataFrame, minFrac: Double = 0.1)
+
+  /** The streaming twin of q141's selection cut: admitted docs whose
+    * DSIR log importance against the STORED `weights` model
+    * ([[graft.llm.TextOps.dsirWeightTable]], trained offline on a
+    * blessed corpus) falls below `minLogw` are routed to `lowvalue/`
+    * instead of the corpus — row-level, like the eval guard: one
+    * off-target doc should not block its batchmates. The model is
+    * frozen at guard construction (collected once — ≤ buckets+1 rows by
+    * construction) and the score is a pure projection of the row's own
+    * text, so WAL replay reaches the same routing. */
+  final case class ScoreGuard(weights: Map[Long, Double],
+      minLogw: Double, buckets: Int = 512)
+  object ScoreGuard {
+    def apply(weights: DataFrame, minLogw: Double): ScoreGuard =
+      ScoreGuard(graft.llm.TextOps.collectWeights(weights), minLogw)
+  }
 
   /** A per-batch drift gate: the batch's `value` distribution is scored
     * against the k-row `ref` profile
@@ -139,7 +161,9 @@ object IngestDedupApp {
     * switched domains passes every null/length check). `evalGuard` is
     * the third arm: per-ROW decontamination of each admitted batch
     * against a fixed benchmark set (one leaked eval copy routes to
-    * `contaminated/`, its clean batchmates still land). All verdicts are
+    * `contaminated/`, its clean batchmates still land). `scoreGuard` is
+    * the fourth: per-ROW DSIR importance scoring against a stored
+    * weight model — off-target docs route to `lowvalue/`. All verdicts are
     * pure functions of the batch content, so a WAL replay reaches the
     * same verdict and overwrites the same directory — gating commutes
     * with exactly-once. The verdict collects are driver-side by design:
@@ -151,7 +175,8 @@ object IngestDedupApp {
       extraOptions: Map[String, String] = Map.empty,
       gate: Seq[graft.operators.QualityOps.Check] = Nil,
       driftGate: Option[DriftGate] = None,
-      evalGuard: Option[EvalGuard] = None): StreamingQuery =
+      evalGuard: Option[EvalGuard] = None,
+      scoreGuard: Option[ScoreGuard] = None): StreamingQuery =
     docStream(spark, shardDir, maxRecordsPerBatch, extraOptions).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -219,7 +244,21 @@ object IngestDedupApp {
               accepted.join(bad, Seq("doc_id"), "left_anti")
             case None => accepted
           }
-          admitted.select(col("doc_id"), col("text"))
+          val valued = scoreGuard match {
+            case Some(g) =>
+              // pure-projection score — no join, no state; below-line
+              // rows route like the contamination arm
+              val scored = admitted.withColumn("_logw",
+                graft.llm.TextOps.dsirLogwExpr(col("text"), g.weights,
+                  g.buckets))
+              scored.filter(col("_logw") < g.minLogw)
+                .select(col("doc_id"), col("text"))
+                .write.mode("overwrite")
+                .parquet(s"$corpusDir/lowvalue/batch_id=$batchId")
+              scored.filter(col("_logw") >= g.minLogw).drop("_logw")
+            case None => admitted
+          }
+          valued.select(col("doc_id"), col("text"))
             .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
         }
       }

@@ -1355,19 +1355,33 @@ object TextOps {
     * collect — so scoring is a pure projection that survives any input
     * volume. Unseen buckets take the sentinel `b = -1` weight. */
   def dsirScoreWithModel(docs: DataFrame, weights: DataFrame,
-      buckets: Int = 512): DataFrame = {
+      buckets: Int = 512): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      dsirLogwExpr(col("text"), collectWeights(weights), buckets)
+        .as("logw"))
+
+  /** Collect a [[dsirWeightTable]] to the driver-side map
+    * [[dsirLogwExpr]] folds into the plan — bounded at `buckets`+1
+    * entries by construction (the hub-list class of collect). */
+  def collectWeights(weights: DataFrame): Map[Long, Double] = {
     val wmap: Map[Long, Double] = weights.collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     require(wmap.contains(-1L),
       "weight table lacks the b = -1 unseen-bucket sentinel row")
-    val mapCol = typedLit(wmap)
-    docs.select(col("doc_id"), col("source"),
-      aggregate(
-        transform(Text.tokens(col("text")), t => dsirBucket(t, buckets)),
-        lit(0.0),
-        (acc, b) => acc +
-          coalesce(element_at(mapCol, b), element_at(mapCol, lit(-1L))))
-        .as("logw"))
+    wmap
+  }
+
+  /** The raw per-row DSIR log-weight expression over any text column —
+    * pure projection (no shuffle, no state), the composable form an
+    * ingest gate folds into its own plan. */
+  def dsirLogwExpr(text: Column, weights: Map[Long, Double],
+      buckets: Int = 512): Column = {
+    val mapCol = typedLit(weights)
+    aggregate(
+      transform(Text.tokens(text), t => dsirBucket(t, buckets)),
+      lit(0.0),
+      (acc, b) => acc +
+        coalesce(element_at(mapCol, b), element_at(mapCol, lit(-1L))))
   }
 
   def dsirImportance(docs: DataFrame, targetSource: String = "src0",

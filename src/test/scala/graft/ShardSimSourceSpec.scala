@@ -634,6 +634,69 @@ class ShardSimSourceSpec extends SparkSpec {
     assert(ids(IngestDedupApp.contaminated(spark, corpusB)) == Set(5L, 15L))
   }
 
+  test("score-guarded ingest: off-target docs route row-level to " +
+    "lowvalue/ against a stored DSIR model; replay converges") {
+    // the streaming twin of q141's selection cut: the model is trained
+    // OFFLINE on a reference corpus where 'tgt' speaks {alpha,beta} and
+    // the background speaks {gamma,delta}; arriving docs written in the
+    // background vocabulary score below 0 and must route to lowvalue/
+    // while their target-like batchmates land
+    import graft.app.IngestDedupApp
+    import spark.implicits._
+    val ref = (
+      (1 to 4).map(i => (i.toLong, "alpha beta alpha beta", "en", "tgt")) ++
+        (5 to 12).map(i => (i.toLong, "gamma delta gamma delta", "en", "bg")))
+      .toDF("doc_id", "text", "lang", "source")
+    val model = graft.llm.TextOps.dsirWeightTable(ref, targetSource = "tgt")
+    // every text unique (the unique token rides the sentinel weight):
+    // the dedup stage must not collapse same-verdict batchmates
+    def text(i: Long): String =
+      if (i % 5 == 0) s"gamma delta gamma delta g${i}z"    // off-target
+      else s"alpha beta alpha beta w${i}x"                 // target-like
+    val rows = (1L to 20L).map(i => i -> text(i))
+      .zipWithIndex.map { case ((id, txt), j) =>
+        (s"d$id", 1700000000000000L + j, s"""{"doc_id":$id,"text":"$txt"}""")
+      }
+    def freshFixture(): String = {
+      val dir = Files.createTempDirectory("ingscore_fixture").toString
+      ShardSimFixture.writeShard(dir, 0, rows)
+      dir
+    }
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val offTarget = (1L to 20L).filter(_ % 5 == 0).toSet
+
+    val corpusA = Files.createTempDirectory("ingscore_corpusA").toString
+    IngestDedupApp.run(spark, freshFixture(), corpusA,
+        Files.createTempDirectory("ingscore_ckptA").toString,
+        maxRecordsPerBatch = Some(10L),
+        scoreGuard = Some(IngestDedupApp.ScoreGuard(model, minLogw = 0.0)))
+      .awaitTermination()
+    assert(ids(IngestDedupApp.corpus(spark, corpusA)) ==
+      (1L to 20L).toSet -- offTarget)
+    assert(ids(IngestDedupApp.lowValue(spark, corpusA)) == offTarget,
+      "exactly the off-target rows route to lowvalue/")
+    assert(IngestDedupApp.quarantine(spark, corpusA).isEmpty,
+      "row-level guard must not batch-quarantine")
+
+    // crash mid-batch, replay: same corpus, same lowvalue set
+    val dirB = freshFixture()
+    val corpusB = Files.createTempDirectory("ingscore_corpusB").toString
+    val ckptB = Files.createTempDirectory("ingscore_ckptB").toString
+    val marker = Files.createTempDirectory("ingscore_marker").resolve("fired").toString
+    def startB() = IngestDedupApp.run(spark, dirB, corpusB, ckptB,
+      maxRecordsPerBatch = Some(10L),
+      scoreGuard = Some(IngestDedupApp.ScoreGuard(model, minLogw = 0.0)),
+      extraOptions = Map("faultInjectMarker" -> marker, "faultInjectAfter" -> "7"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      startB().awaitTermination()
+    }
+    startB().awaitTermination()
+    assert(ids(IngestDedupApp.corpus(spark, corpusB)) ==
+      (1L to 20L).toSet -- offTarget)
+    assert(ids(IngestDedupApp.lowValue(spark, corpusB)) == offTarget)
+  }
+
   test("streaming rollup maintenance: crash replay converges to the " +
     "batch recompute (per-batch dirs are the idempotence mechanism)") {
     // q118's streaming twin end-to-end: events stream in micro-batches,
