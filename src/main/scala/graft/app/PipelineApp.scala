@@ -176,12 +176,21 @@ object PipelineApp {
     materialize(chunksDir, ChunkOps.chunkTokens(selected))
     val chunks = spark.read.parquet(chunksDir)
     materialize(s"$outDir/packing", ChunkOps.packingStats(selected))
+    // the q142 schedule manifest over the selected corpus — the
+    // easy→hard launch order a trainer consumes alongside the chunks
+    materialize(s"$outDir/curriculum",
+      TextOps.curriculumSchedule(selected))
 
     val manifests = landed
       .map(s => oneManifest(s.name, s.df, ManifestCols))
       .reduce(_.unionByName(_))
       .unionByName(oneManifest("chunks", chunks,
         Seq("doc_id", "chunk_ix", "chunk_tok", "chunk_md5")))
+      // exact-typed columns only (the q41 contract): the rounded
+      // quality bounds stay out of the fingerprint
+      .unionByName(oneManifest("curriculum",
+        spark.read.parquet(s"$outDir/curriculum"),
+        Seq("stage", "n_docs", "sum_tokens")))
       // the gate verdict is corpus metadata, but it versions with the
       // run like any boundary: a replica proving byte-equivalence
       // proves it passed the SAME checks with the SAME outcome

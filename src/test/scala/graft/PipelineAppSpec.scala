@@ -55,6 +55,14 @@ class PipelineAppSpec extends SparkSpec {
     // the packing audit landed and covers the selected corpus's sources
     val packing = spark.read.parquet(s"$out1/packing")
     assert(packing.count() > 0)
+
+    // the curriculum schedule landed, covers EXACTLY the selected
+    // corpus, and its manifest row reproduces (it is in m1 == m2 above)
+    val cur = spark.read.parquet(s"$out1/curriculum").collect()
+    assert(cur.nonEmpty)
+    assert(cur.map(_.getLong(1)).sum == rows("mixture_selected"),
+      "curriculum stages must partition the selected corpus")
+    assert(m1.exists(_._1 == "curriculum"))
   }
 
   test("a planted eval near-copy is dropped at the decontamination " +
