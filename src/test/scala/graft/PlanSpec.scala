@@ -395,4 +395,30 @@ class PlanSpec extends SparkSpec {
     // hash-shuffles (it streams into the broadcast join)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q141 dsir: the weight model joins back by broadcast and the " +
+    "histogram is built once (cached) for both consumers") {
+    val df = graft.llm.TextOps.dsirImportance(T.documents(spark, sf0001))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the fixed-size weight table must broadcast — a lost broadcast
+    // would hash-shuffle the doc-scale histogram against a 512-row frame
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // every FileScan sits under the InMemoryRelation recipe: the token
+    // explode runs once, both consumers read InMemoryTableScan
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("q146 source divergence: the pair stage self-joins the bounded " +
+    "model frame, never the corpus") {
+    val df = graft.llm.TextOps.sourceDivergence(T.documents(spark, sf0001))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // both join inputs are InMemoryTableScans of the cached
+    // |sources|×buckets model — the corpus-scale token explode feeds
+    // only the cache build, not the join
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
