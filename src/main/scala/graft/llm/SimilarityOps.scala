@@ -1480,7 +1480,123 @@ object SimilarityOps {
       |  FROM embeddings)
       |GROUP BY dim ORDER BY dim""".stripMargin
 
+  /** q147 — embedding spectral audit: the top covariance eigenvalue and
+    * its explained-variance share, by power iteration on the exact d×d
+    * covariance model. The anisotropy number behind every cosine-space
+    * decision (Mu & Viswanath '18 "All-but-the-Top"): a corpus whose
+    * top direction carries a large share of total variance has a
+    * dominant common component — cosine similarities saturate, IVF cells
+    * elongate, and centering/whitening is indicated; explained ≈ 1/d is
+    * the healthy isotropic answer. Complements q95 (per-dimension
+    * marginals can all look healthy while one diagonal direction
+    * dominates — exactly what the off-diagonal covariance sees).
+    *
+    * Scale shape: one corpus pass fans each vector into its d(d+1)/2
+    * upper-triangle second-moment cells via a pure HOF generate, and
+    * the aggregate map-side-combines to ≤ tasks × d(d+1)/2 slim rows —
+    * the d²-bounded MODEL is the only thing that crosses the wire (the
+    * q48 one-wide-agg lesson, shaped for an array column). Means ride a
+    * d-cell posexplode pass. Both collects are model-scale (hub-list
+    * class); the power iteration runs on the driver's d×d matrix —
+    * microseconds, no cluster round-trips per step (a per-iteration
+    * distributed matvec would pay 50 job launches to multiply a 64×64
+    * matrix). */
+  def spectralAudit(em: DataFrame, iters: Int = 50,
+      sampleMod: Int = 1): DataFrame = {
+    // The d²/2 fan-out is the honest cost of an EXACT covariance and
+    // measures linear in N (100× stress: 21 s for 200k vectors); at
+    // true corpus scale set sampleMod > 1 — a deterministic
+    // vec_id-modulus subsample estimates the same spectrum at
+    // 1/sampleMod the fan-out (the registry entry keeps 1 so the
+    // oracle checks the exact statistic).
+    val spark = em.sparkSession
+    val em0 =
+      if (sampleMod <= 1) em
+      else em.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+    val d = em0.select(size(col("embedding"))).head().getInt(0)
+    val pairArr = flatten(transform(sequence(lit(0), lit(d - 1)), i =>
+      transform(sequence(i, lit(d - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("embedding"), i + 1).cast("double") *
+            element_at(col("embedding"), j + 1).cast("double")).as("v")))))
+    val smom = Tables.fanout(em0)
+      .select(explode(pairArr).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(sum(col("p.v")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    val meanRows = Tables.fanout(em0)
+      .select(posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy(col("p"))
+      .agg(sum(col("x").cast("double")).as("m"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    val n = meanRows.head._2._2
+    val mu = Array.tabulate(d)(i => meanRows(i)._1 / n)
+    val c = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      smom((a, b)) / n - mu(i) * mu(j)
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / norm)
+    }
+    val lambda1 = (0 until d).map(i =>
+      (0 until d).map(j => v(i) * c(i)(j) * v(j)).sum).sum
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    import spark.implicits._
+    Seq((d.toLong, n,
+      math.round((trace + 1e-9) * 1e4) / 1e4,
+      math.round((lambda1 + 1e-9) * 1e4) / 1e4,
+      math.round((lambda1 / trace + 1e-9) * 1e4) / 1e4))
+      .toDF("d", "n", "trace", "lambda1", "explained")
+  }
+  def spectralAuditSql(d: Int = 64, iters: Int = 50): String = {
+    // MATERIALIZED per step is load-bearing (the q138 lesson, squared):
+    // v_t is referenced twice by level t+1 (the matvec and the norm
+    // subquery), so inlining doubles the tree per step — 2^iters
+    // expansion — where materialization keeps each step one 64-row scan
+    val steps = (1 to iters).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT c.i, sum(c.v * p.x) AS x FROM cov c
+         |  JOIN v${t - 1} p ON p.i = c.j GROUP BY c.i),
+         |v$t AS MATERIALIZED (SELECT i,
+         |    x / sqrt((SELECT sum(x * x) FROM w$t)) AS x
+         |  FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sm AS MATERIALIZED (SELECT ii.i AS i, jj.j AS j,
+       |    sum(CAST(embedding[ii.i] AS DOUBLE)
+       |      * CAST(embedding[jj.j] AS DOUBLE)) AS s
+       |  FROM embeddings, generate_series(1, $d) ii(i),
+       |    generate_series(1, $d) jj(j)
+       |  GROUP BY 1, 2),
+       |mu AS MATERIALIZED (SELECT ii.i AS i,
+       |    sum(CAST(embedding[ii.i] AS DOUBLE)) AS m
+       |  FROM embeddings, generate_series(1, $d) ii(i) GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+       |cov AS MATERIALIZED (SELECT sm.i, sm.j,
+       |    sm.s / nn.n - (ma.m / nn.n) * (mb.m / nn.n) AS v
+       |  FROM sm, nn
+       |  JOIN mu ma ON ma.i = sm.i JOIN mu mb ON mb.i = sm.j),
+       |v0 AS (SELECT ii.i AS i, 1.0 / sqrt($d) AS x
+       |  FROM generate_series(1, $d) ii(i)),
+       |$steps,
+       |lam AS (SELECT sum(v1.x * c.v * v2.x) AS l FROM cov c
+       |  JOIN v$iters v1 ON v1.i = c.i JOIN v$iters v2 ON v2.i = c.j),
+       |tr AS (SELECT sum(v) AS t FROM cov WHERE i = j)
+       |SELECT CAST($d AS BIGINT) AS d, nn.n AS n,
+       |  round(tr.t + 1e-9, 4) AS trace,
+       |  round(lam.l + 1e-9, 4) AS lambda1,
+       |  round(lam.l / tr.t + 1e-9, 4) AS explained
+       |FROM nn, lam, tr""".stripMargin
+  }
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q147_spectral_audit",
+      (s: SparkSession, d: String) => spectralAudit(Tables.embeddings(s, d)),
+      Some(spectralAuditSql())),
     ("q24_knn_brute",
       (s: SparkSession, d: String) => knnBrute(Tables.embeddings(s, d)),
       Some(knnBruteSql)),

@@ -174,6 +174,39 @@ class Round15bOpsSpec extends SparkSpec {
     assert(js.values.forall(v => v >= 0.0 && v <= math.log(2.0) + 1e-6))
   }
 
+  // --------------------------------------------------------------- q147
+  test("spectralAudit: a planted dominant direction explains all variance") {
+    // mean-zero vectors living on axis 1 only -> C = diag(2.5, 0, 0, 0):
+    // trace 2.5, lambda1 2.5, explained 1.0, all exact
+    val em = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f), 0),
+      (2L, Array(-1.0f, 0f, 0f, 0f), 0),
+      (3L, Array(2.0f, 0f, 0f, 0f), 0),
+      (4L, Array(-2.0f, 0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.llm.SimilarityOps.spectralAudit(em).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.5, s"trace: ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 2.5, s"lambda1: ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 1.0, s"explained: ${r.getDouble(4)}")
+  }
+
+  test("spectralAudit: two equal directions split the variance evenly") {
+    // C = diag(0.5, 0.5, 0, 0): the tied-top-eigenvalue case power
+    // iteration cannot separate — the Rayleigh quotient still reads the
+    // shared eigenvalue exactly (the ones start vector stays in-plane)
+    val em = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f), 0),
+      (2L, Array(-1.0f, 0f, 0f, 0f), 0),
+      (3L, Array(0f, 1.0f, 0f, 0f), 0),
+      (4L, Array(0f, -1.0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.llm.SimilarityOps.spectralAudit(em).collect().head
+    assert(r.getDouble(2) == 1.0, s"trace: ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 0.5, s"lambda1: ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 0.5, s"explained: ${r.getDouble(4)}")
+  }
+
   // --------------------------------------------------------------- q143
   test("vocabAudit: vocab, hapax, TTR and fertility from hand counts") {
     val docs = Seq(
