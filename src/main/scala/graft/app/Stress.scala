@@ -121,7 +121,8 @@ object Stress {
       "q137_silhouette", "q138_dbscan", "q139_ann_recall",
       "q140_epoch_plan", "q141_dsir_importance", "q142_curriculum",
       "q143_vocab_audit", "q144_heaps_law", "q145_burstiness",
-      "q146_source_divergence", "q147_spectral_audit")
+      "q146_source_divergence", "q147_spectral_audit",
+      "q148_bootstrap_ci")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

@@ -1729,6 +1729,75 @@ object TextOps {
        |FROM p a JOIN p q ON q.b = a.b AND a.source < q.source
        |GROUP BY 1, 2 ORDER BY js, src_a, src_b LIMIT $topN""".stripMargin
 
+  /** q148 — Bayesian-bootstrap confidence interval for the corpus mean
+    * quality score (Rubin '81, run the way massive-data pipelines do it
+    * — Chamandy et al. '12, "Estimating Uncertainty for Massive Data
+    * Streams": per-row replica weights in ONE pass, never B resample
+    * passes). Every row carries B deterministic exponential weights
+    * w_b = −ln u_b, u_b hashed from (doc_id, replica) — a Dirichlet-
+    * weighted replica mean per b — and the CI is the 2.5/97.5 order
+    * statistics of the B replica means. The number a corpus report
+    * needs next to every mean: is 0.4213 ± what?
+    *
+    * Scale shape: one corpus pass fans each row into B (replica,
+    * weight) cells that map-side-combine to ≤ tasks × B rows — the
+    * B-row replica frame is the only thing that crosses the wire, and
+    * the rank/CI fold is metadata-scale (a B-row window). Determinism:
+    * the weights are pure hashes, so the CI is reproducible across
+    * runs, engines, and partitionings. */
+  def bootstrapCi(docs: DataFrame, b: Int = 200): DataFrame = {
+    require(b >= 40, s"need enough replicas for a 2.5% tail, got $b")
+    val scored = Tables.fanout(docs)
+      .select(col("doc_id"), qualityExpr.as("x"))
+    val two60 = math.pow(2, 60)
+    val wArr = transform(sequence(lit(1), lit(b)), bb =>
+      struct(bb.as("b"),
+        (-log((conv(substring(md5(to_binary(
+          concat(col("doc_id").cast("string"), lit("_"),
+            bb.cast("string")), lit("utf-8"))), 1, 15), 16, 10)
+          .cast("double") + 0.5) / two60)).as("w")))
+    val reps = scored.select(col("x"), explode(wArr).as("p"))
+      .groupBy(col("p.b").as("b"))
+      .agg((sum(col("p.w") * col("x")) / sum(col("p.w"))).as("m"))
+    val loIx = math.max(1, math.ceil(0.025 * b).toInt)
+    val hiIx = b + 1 - loIx
+    // B-row frame: the unpartitioned window is metadata-scale by
+    // construction (house convention for k-row rank folds)
+    val ranked = reps.select(col("m"),
+      row_number().over(Window.orderBy(col("m"), col("b"))).as("rn"))
+    val lo = ranked.filter(col("rn") === loIx).select(col("m").as("lo"))
+    val hi = ranked.filter(col("rn") === hiIx).select(col("m").as("hi"))
+    scored.agg(count(lit(1)).as("n_docs"), avg(col("x")).as("mean"))
+      .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n_docs"),
+        round(col("mean") + lit(1e-9), 4).as("mean"),
+        round(col("lo") + lit(1e-9), 4).as("ci_lo"),
+        round(col("hi") + lit(1e-9), 4).as("ci_hi"),
+        lit(b.toLong).as("n_replicas"))
+  }
+  def bootstrapCiSql(b: Int = 200): String = {
+    val loIx = math.max(1, math.ceil(0.025 * b).toInt)
+    val hiIx = b + 1 - loIx
+    // single line: this fragment is interpolated into a stripMargin
+    // template, where an embedded newline starting with "||" would lose
+    // its first pipe to the margin strip
+    val w = "-ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) " +
+      "|| '_' || CAST(t.b AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5) " +
+      "/ 1152921504606846976.0)"
+    s"""WITH s AS MATERIALIZED (SELECT doc_id, $qualityExprSql AS x
+       |  FROM documents),
+       |r AS (SELECT t.b AS b, sum(($w) * x) / sum($w) AS m
+       |  FROM s, generate_series(1, $b) t(b) GROUP BY 1),
+       |rk AS MATERIALIZED (SELECT m,
+       |    row_number() OVER (ORDER BY m, b) AS rn FROM r),
+       |o AS (SELECT count(*) AS n_docs, avg(x) AS mean FROM s)
+       |SELECT n_docs, round(mean + 1e-9, 4) AS mean,
+       |  round((SELECT m FROM rk WHERE rn = $loIx) + 1e-9, 4) AS ci_lo,
+       |  round((SELECT m FROM rk WHERE rn = $hiIx) + 1e-9, 4) AS ci_hi,
+       |  CAST($b AS BIGINT) AS n_replicas
+       |FROM o""".stripMargin
+  }
+
   private def onDocs(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.documents(s, d))
 
@@ -1770,5 +1839,7 @@ object TextOps {
     ("q144_heaps_law", onDocs(heapsLaw), Some(heapsLawSql)),
     ("q145_burstiness", onDocs(burstiness(_)), Some(burstinessSql())),
     ("q146_source_divergence", onDocs(sourceDivergence(_)),
-      Some(sourceDivergenceSql())))
+      Some(sourceDivergenceSql())),
+    ("q148_bootstrap_ci", onDocs(bootstrapCi(_)),
+      Some(bootstrapCiSql())))
 }

@@ -207,6 +207,38 @@ class Round15bOpsSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.5, s"explained: ${r.getDouble(4)}")
   }
 
+  // --------------------------------------------------------------- q148
+  test("bootstrapCi: a constant corpus collapses the interval; more data " +
+      "narrows it") {
+    def corpus(n: Int, f: Int => String): org.apache.spark.sql.DataFrame =
+      (1 to n).map(i => (i.toLong, f(i), "en", "s"))
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length($"text"))
+    // every replica mean of a constant score IS that score
+    val const = TextOps.bootstrapCi(corpus(60, _ => "alpha beta gamma"))
+      .collect().head
+    assert(const.getLong(0) == 60L)
+    assert(const.getDouble(1) == const.getDouble(2) &&
+      const.getDouble(2) == const.getDouble(3),
+      s"constant corpus must collapse: $const")
+    // mixed-score corpora: the 10x corpus's interval must be narrower,
+    // and both must bracket their mean
+    def mixed(n: Int) = corpus(n, i =>
+      if (i % 2 == 0) "alpha beta gamma" else "the a an and or of to in")
+    val small = TextOps.bootstrapCi(mixed(80)).collect().head
+    val big = TextOps.bootstrapCi(mixed(800)).collect().head
+    Seq(small, big).foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(1) &&
+        r.getDouble(1) <= r.getDouble(3), s"CI must bracket the mean: $r")
+    }
+    val wSmall = small.getDouble(3) - small.getDouble(2)
+    val wBig = big.getDouble(3) - big.getDouble(2)
+    assert(wBig < wSmall, s"width must shrink with N: $wBig vs $wSmall")
+    // deterministic weights: a re-run reproduces bit-for-bit
+    assert(TextOps.bootstrapCi(mixed(80)).collect().head == small)
+  }
+
   // --------------------------------------------------------------- q143
   test("vocabAudit: vocab, hapax, TTR and fertility from hand counts") {
     val docs = Seq(
