@@ -611,6 +611,81 @@ object JourneyOps {
       .orderBy(col("n").desc, col("path"))
       .limit(topN)
   }
+  /** q149 — Markov session-anomaly scoring: the behavioral complement
+    * to q61's transition matrix. The matrix is trained on every
+    * intra-session transition (self-supervised — no labels), then each
+    * session is scored by its mean negative log-likelihood per step;
+    * the top-NLL sessions are the ones walking paths the corpus's own
+    * dynamics call improbable — bot loops, broken flows, fraud probes.
+    * Sessions under `minTrans` transitions are skipped (a two-step
+    * session's NLL is noise, the same floor every anomaly family here
+    * applies).
+    *
+    * Scale shape: the sessionize + lead window ride ONE user-key
+    * exchange; the slim (user, sid, src, dst) pair projection is
+    * CacheOnce'd for its two consumers (model fit + scoring) so the
+    * fact shuffle is paid once; the model collapses to a |types|²
+    * frame joined back by broadcast; output is top-N. Scoring against
+    * the SAME corpus the model was fit on means every transition has
+    * p > 0 — no smoothing term to disagree on. */
+  def sessionAnomaly(events: DataFrame, gapMinutes: Int = 720,
+      minTrans: Int = 5, topN: Int = 20): DataFrame = {
+    val sw = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = graft.core.CacheOnce.swap("q149_session_pairs",
+      sessionized(events, gapMinutes)
+        .withColumn("next_type", lead(col("event_type"), 1).over(sw))
+        .filter(col("next_type").isNotNull)
+        .select(col("user_id"), col("sid"),
+          col("event_type").as("src"), col("next_type").as("dst")))
+    val model = pairs.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n") / sum(col("n")).over(Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"), col("p"))
+    pairs.join(broadcast(model), Seq("src", "dst"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_trans"), avg(-log(col("p"))).as("_nll"))
+      .filter(col("n_trans") >= minTrans)
+      .select(col("user_id"), col("sid"), col("n_trans"),
+        round(col("_nll") + lit(1e-9), 4).as("nll_per_step"))
+      .orderBy(col("nll_per_step").desc, col("user_id"), col("sid"))
+      .limit(topN)
+  }
+  def sessionAnomalySql(minTrans: Int = 5, topN: Int = 20): String =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, event_type, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w >= INTERVAL 720 MINUTE
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |y AS (
+       |  SELECT user_id, event_id, event_type, ts,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM x),
+       |pr AS MATERIALIZED (
+       |  SELECT user_id, sid, event_type AS src,
+       |    lead(event_type) OVER (PARTITION BY user_id, sid
+       |      ORDER BY ts, event_id) AS dst
+       |  FROM y),
+       |pp AS (SELECT user_id, sid, src, dst FROM pr
+       |  WHERE dst IS NOT NULL),
+       |md AS (SELECT src, dst,
+       |    count(*) / CAST(sum(count(*)) OVER (PARTITION BY src)
+       |      AS DOUBLE) AS p
+       |  FROM pp GROUP BY src, dst),
+       |sc AS (SELECT pp.user_id, pp.sid, count(*) AS n_trans,
+       |    avg(-ln(md.p)) AS nll
+       |  FROM pp JOIN md ON md.src = pp.src AND md.dst = pp.dst
+       |  GROUP BY 1, 2)
+       |SELECT user_id, CAST(sid AS BIGINT) AS sid,
+       |  CAST(n_trans AS BIGINT) AS n_trans,
+       |  round(nll + 1e-9, 4) AS nll_per_step
+       |FROM sc WHERE n_trans >= $minTrans
+       |ORDER BY nll_per_step DESC, user_id, sid LIMIT $topN""".stripMargin
+
   def q81PathsSql(k: Int = 3, topN: Int = 15): String =
     s"""WITH x AS (
        |  SELECT user_id, event_id, event_type, ts,
@@ -776,6 +851,8 @@ object JourneyOps {
     ("q57_cohort_retention", onEvents(cohortRetention), Some(q57CohortSql)),
     ("q61_markov_transitions", onEvents(markovTransitions),
       Some(q61MarkovSql)),
+    ("q149_session_anomaly", onEvents(sessionAnomaly(_)),
+      Some(sessionAnomalySql())),
     ("q68_rfm_segments", onEvents(rfmSegments(_)), Some(q68RfmSql)),
     ("q76_basket_rules", onEvents(basketRules(_)), Some(q76BasketSql)),
     ("q79_interval_coverage", onEvents(intervalCoverage(_)),

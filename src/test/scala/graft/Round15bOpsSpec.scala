@@ -239,6 +239,33 @@ class Round15bOpsSpec extends SparkSpec {
     assert(TextOps.bootstrapCi(mixed(80)).collect().head == small)
   }
 
+  // --------------------------------------------------------------- q149
+  test("sessionAnomaly: the session walking a rare transition tops the NLL " +
+      "ranking") {
+    import java.sql.Timestamp
+    def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // ten users alternate A/B (the corpus norm); user 99 alternates A/C —
+    // its A→C steps carry probability 3/33 while A→B carries 30/33, so
+    // its mean NLL must rank first and every normal session ties below
+    val rows = (1 to 10).flatMap { u =>
+      "ABABABA".zipWithIndex.map { case (c, i) =>
+        (u * 100L + i, ts(i), u.toLong, c.toString)
+      }
+    } ++ "ACACACA".zipWithIndex.map { case (c, i) =>
+      (9900L + i, ts(i), 99L, c.toString)
+    }
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.JourneyOps.sessionAnomaly(events).collect()
+    assert(out.length == 11)
+    assert(out.forall(_.getLong(2) == 6L)) // 7 events -> 6 transitions
+    val top = out.head
+    assert(top.getLong(0) == 99L, s"top: $top")
+    val normals = out.tail.map(_.getDouble(3)).distinct
+    assert(normals.length == 1, s"normal sessions must tie: ${normals.toSeq}")
+    assert(top.getDouble(3) > normals.head * 5,
+      s"anomaly margin: ${top.getDouble(3)} vs ${normals.head}")
+  }
+
   // --------------------------------------------------------------- q143
   test("vocabAudit: vocab, hapax, TTR and fertility from hand counts") {
     val docs = Seq(
