@@ -122,7 +122,8 @@ object Stress {
       "q140_epoch_plan", "q141_dsir_importance", "q142_curriculum",
       "q143_vocab_audit", "q144_heaps_law", "q145_burstiness",
       "q146_source_divergence", "q147_spectral_audit",
-      "q148_bootstrap_ci", "q149_session_anomaly")
+      "q148_bootstrap_ci", "q149_session_anomaly",
+      "q150_context_window_plan")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

@@ -330,7 +330,60 @@ object ChunkOps {
   private def onDocs(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.documents(s, d))
 
+  /** q150 — context-window planning table: for each candidate window
+    * size, what share of corpus tokens survives one-window-per-doc
+    * truncation, what share of docs truncate at all, and the mean
+    * padding a single-doc-per-window layout would waste. The
+    * three-column tradeoff (coverage vs truncation vs padding) is the
+    * table a training team reads before fixing max_seq_len — q34's
+    * chunk/pack operators then implement whichever point is chosen.
+    *
+    * Scale shape: one scan computes per-doc token counts; each row fans
+    * into |windows| (window, stats) cells that map-side-combine — the
+    * |windows|-row result is the only shuffle. */
+  def contextWindowPlan(docs: DataFrame,
+      windows: Seq[Int] = Seq(64, 128, 256, 512)): DataFrame = {
+    require(windows.nonEmpty, "need candidate windows")
+    val nToks = size(Text.tokens(col("text")))
+    val wArr = array(windows.map(lit): _*)
+    Tables.fanout(docs)
+      .select(col("doc_id"), nToks.cast("long").as("n"))
+      .select(explode(wArr).as("w"), col("n"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(least(col("n"), col("w"))).as("kept_tokens"),
+        sum((col("n") > col("w")).cast("long")).as("n_truncated"),
+        sum(when(col("n") < col("w"), col("w") - col("n"))
+          .otherwise(0L)).as("pad_tokens"))
+      .select(col("w").as("window"), col("n_docs"),
+        round(col("kept_tokens") / col("total_tokens") + lit(1e-9), 4)
+          .as("token_coverage"),
+        round(col("n_truncated") / col("n_docs") + lit(1e-9), 4)
+          .as("truncated_share"),
+        round(col("pad_tokens") /
+          (col("n_docs") * col("w")) + lit(1e-9), 4).as("pad_share"))
+      .orderBy("window")
+  }
+  def contextWindowPlanSql(
+      windows: Seq[Int] = Seq(64, 128, 256, 512)): String =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n
+       |  FROM documents),
+       |f AS (SELECT t.w, n FROM d,
+       |  unnest([${windows.mkString(", ")}]) t(w))
+       |SELECT w AS "window", count(*) AS n_docs,
+       |  round(sum(least(n, w)) / CAST(sum(n) AS DOUBLE) + 1e-9, 4)
+       |    AS token_coverage,
+       |  round(sum(CASE WHEN n > w THEN 1 ELSE 0 END)
+       |    / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS truncated_share,
+       |  round(sum(CASE WHEN n < w THEN w - n ELSE 0 END)
+       |    / (CAST(count(*) AS DOUBLE) * w) + 1e-9, 4) AS pad_share
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q150_context_window_plan", onDocs(contextWindowPlan(_)),
+      Some(contextWindowPlanSql())),
     ("q34_chunk", onDocs(chunk(_)), Some(chunkSql())),
     ("q34_chunk_tokens", onDocs(chunkTokens(_)), Some(chunkTokensSql())),
     ("q34_pack", onDocs(packingStats(_)), Some(packingStatsSql())),

@@ -266,6 +266,25 @@ class Round15bOpsSpec extends SparkSpec {
       s"anomaly margin: ${top.getDouble(3)} vs ${normals.head}")
   }
 
+  // --------------------------------------------------------------- q150
+  test("contextWindowPlan: coverage, truncation and padding from hand counts") {
+    // token counts 2 / 4 / 8 against a 4-token window: kept 2+4+4 of 14,
+    // one of three docs truncates, padding 2 of 12 slot-tokens
+    val docs = Seq(
+      (1L, "a b", "en", "s"), (2L, "a b c d", "en", "s"),
+      (3L, "a b c d e f g h", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val out = graft.llm.ChunkOps
+      .contextWindowPlan(docs, windows = Seq(4)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getInt(0) == 4 && r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - 0.7143) < 1e-9, s"cov: $r")
+    assert(math.abs(r.getDouble(3) - 0.3333) < 1e-9, s"trunc: $r")
+    assert(math.abs(r.getDouble(4) - 0.1667) < 1e-9, s"pad: $r")
+  }
+
   // --------------------------------------------------------------- q143
   test("vocabAudit: vocab, hapax, TTR and fertility from hand counts") {
     val docs = Seq(
