@@ -46,6 +46,9 @@ object Explain {
     "q142_curriculum" -> "curriculum ntile: distributed GlobalWindows range pass (no single-partition window on the corpus), |stages|-row rollup",
     "q144_heaps_law" -> "Heaps fit: token->min-doc first-occurrence agg (vocab-bounded) + ONE running-sum range pass for both cumulatives; curve + OLS metadata-scale",
     "q146_source_divergence" -> "source JS matrix: one corpus pass to the |sources|x512 model frame (cached), pair stage self-joins the MODEL, never the corpus",
+    "q148_bootstrap_ci" -> "bootstrap CI: B hashed weights per row in ONE pass, map-side combine to the B-row replica frame; CI fold is a B-row window",
+    "q149_session_anomaly" -> "session anomaly: sessionize+lead on ONE user-key exchange, cached pair projection serves model fit AND scoring, |types|^2 model broadcasts back",
+    "q150_context_window_plan" -> "context-window plan: one tokenize scan, |windows|-cell map-side rollup - flat at any corpus size",
     "q47_ks_drift"          -> "KS: distinct-value counts, CDFs via range-partitioned running sum (no single-reducer window)",
     "q48_corr_matrix"       -> "C(n,2) corr aggregates in ONE wide agg row over one scan, then unpivot",
     "q49_weighted_sample"   -> "A-ES weighted top-k per stratum: WindowGroupLimit prunes map-side",
