@@ -1747,8 +1747,11 @@ object TextOps {
     * runs, engines, and partitionings. */
   def bootstrapCi(docs: DataFrame, b: Int = 200): DataFrame = {
     require(b >= 40, s"need enough replicas for a 2.5% tail, got $b")
-    val scored = Tables.fanout(docs)
-      .select(col("doc_id"), qualityExpr.as("x"))
+    // two consumers (replica fan-out, plain mean): cache the slim
+    // (doc_id, x) projection so the tokenize-bearing score runs once
+    val scored = graft.core.CacheOnce.swap("q148_scored",
+      Tables.fanout(docs)
+        .select(col("doc_id"), qualityExpr.as("x")))
     val two60 = math.pow(2, 60)
     val wArr = transform(sequence(lit(1), lit(b)), bb =>
       struct(bb.as("b"),

@@ -44,7 +44,12 @@ class LazinessSpec extends SparkSpec {
       // q139 localCheckpoints the k-row trained centroid model at
       // construction (the q100 rationale: assignment + probe ranking
       // both consume it)
-      "q139_ann_recall")
+      "q139_ann_recall",
+      // q147 collects the d²-bounded covariance model and runs the
+      // power iteration on the driver at construction BY DESIGN — a
+      // lazy formulation would either re-fit the model per consumer or
+      // pay 50 scheduler round-trips to multiply a 64×64 matrix
+      "q147_spectral_audit")
 
   test("constructing registry queries fires no Spark job") {
     // pre-warm per-table schema resolution so first-touch footer reads
