@@ -691,6 +691,69 @@ object DedupOps {
        |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> keeper)
        |ORDER BY doc_id""".stripMargin
 
+  /** q151 — dedup-adjusted token supply per language: raw vs
+    * post-keeper UNIQUE token counts and the retention share — the
+    * number q140's epoch planner should budget against (raw supply
+    * overcounts every near-dup clique by its size; on a crawl-heavy
+    * corpus the gap is the difference between "4 epochs is fine" and
+    * silently training 12 epochs on the deduplicated core —
+    * Muennighoff '23's repetition ceiling applies to UNIQUE tokens).
+    * Composes the q23 keeper fixpoint with q25d counting; one row per
+    * language.
+    *
+    * Scale shape: the keeper CC rides the shared df-capped pair stage
+    * (iterative-by-design, eager checkpoint rounds); both token counts
+    * are map-side-combined |langs|-cell aggregates; the final join is
+    * |langs| rows. */
+  def effectiveTokens(docs: DataFrame,
+      threshold: Double = JaccardThreshold, k: Int = K,
+      dfCap: Int = DefaultDfCap): DataFrame = {
+    val nT = size(Text.tokens(col("text"))).cast("long")
+    val raw = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(nT).as("raw_tokens"))
+    val uq = dedupCorpus(docs, threshold, k, dfCap)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept_docs"), sum(nT).as("unique_tokens"))
+    raw.join(uq, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        col("raw_tokens"),
+        coalesce(col("unique_tokens"), lit(0L)).as("unique_tokens"),
+        round(coalesce(col("unique_tokens"), lit(0L)) /
+          col("raw_tokens") + lit(1e-9), 4).as("retention"))
+      .orderBy("lang")
+  }
+  val effectiveTokensSql: String =
+    s"""WITH RECURSIVE ${pairsCte(capped = true)},
+       |np AS (
+       |  SELECT d1, d2 FROM pairs
+       |  WHERE inter / (n1 + n2 - inter) >= $JaccardThreshold),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM np
+       |  UNION ALL SELECT d2, d1 FROM np),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS keeper
+       |  FROM reach GROUP BY src),
+       |raw AS (SELECT lang, count(*) AS n_docs,
+       |    CAST(sum(len(${Text.tokensSql("text")})) AS BIGINT)
+       |      AS raw_tokens
+       |  FROM documents GROUP BY lang),
+       |uq AS (SELECT lang, count(*) AS kept_docs,
+       |    CAST(sum(len(${Text.tokensSql("text")})) AS BIGINT)
+       |      AS unique_tokens
+       |  FROM documents
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> keeper)
+       |  GROUP BY lang)
+       |SELECT raw.lang, n_docs,
+       |  coalesce(kept_docs, 0) AS kept_docs, raw_tokens,
+       |  coalesce(unique_tokens, 0) AS unique_tokens,
+       |  round(coalesce(unique_tokens, 0) / CAST(raw_tokens AS DOUBLE)
+       |    + 1e-9, 4) AS retention
+       |FROM raw LEFT JOIN uq ON uq.lang = raw.lang
+       |ORDER BY raw.lang""".stripMargin
+
   /** q126 — quality-aware keeper selection: within each near-dup
     * component, the HIGHEST-quality member (the q25e heuristic score;
     * min doc_id breaks rounded-score ties) — the keeper policy a real
@@ -1838,6 +1901,9 @@ object DedupOps {
     ("q23_dedup_corpus",
       (s: SparkSession, d: String) => dedupCorpus(Tables.documents(s, d)),
       Some(dedupCorpusSql)),
+    ("q151_effective_tokens",
+      (s: SparkSession, d: String) => effectiveTokens(Tables.documents(s, d)),
+      Some(effectiveTokensSql)),
     ("q126_quality_keeper",
       (s: SparkSession, d: String) => qualityKeeper(Tables.documents(s, d)),
       Some(qualityKeeperSql)),

@@ -45,6 +45,9 @@ class LazinessSpec extends SparkSpec {
       // construction (the q100 rationale: assignment + probe ranking
       // both consume it)
       "q139_ann_recall",
+      // q151 composes the q23_dedup_corpus fixpoint (same eager
+      // checkpoint rounds)
+      "q151_effective_tokens",
       // q147 collects the d²-bounded covariance model and runs the
       // power iteration on the driver at construction BY DESIGN — a
       // lazy formulation would either re-fit the model per consumer or

@@ -285,6 +285,30 @@ class Round15bOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 0.1667) < 1e-9, s"pad: $r")
   }
 
+  // --------------------------------------------------------------- q151
+  test("effectiveTokens: a 3-way clique keeps one doc's tokens; distinct " +
+      "docs keep all") {
+    val docs = Seq(
+      // lang aa: three verbatim copies (6 tokens each) -> one keeper
+      (1L, "p q r s t u", "aa", "s"),
+      (2L, "p q r s t u", "aa", "s"),
+      (3L, "p q r s t u", "aa", "s"),
+      // lang bb: two unrelated docs (5 tokens each) -> both keep
+      (4L, "aa bb cc dd ee", "bb", "s"),
+      (5L, "vv ww xx yy zz", "bb", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val out = graft.llm.DedupOps.effectiveTokens(docs).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("aa", "bb"))
+    val aa = out(0); val bb = out(1)
+    assert(aa.getLong(1) == 3L && aa.getLong(2) == 1L)
+    assert(aa.getLong(3) == 18L && aa.getLong(4) == 6L)
+    assert(math.abs(aa.getDouble(5) - 0.3333) < 1e-9, s"aa: $aa")
+    assert(bb.getLong(1) == 2L && bb.getLong(2) == 2L)
+    assert(bb.getLong(3) == 10L && bb.getLong(4) == 10L)
+    assert(bb.getDouble(5) == 1.0, s"bb: $bb")
+  }
+
   // --------------------------------------------------------------- q143
   test("vocabAudit: vocab, hapax, TTR and fertility from hand counts") {
     val docs = Seq(
