@@ -123,7 +123,8 @@ object Stress {
       "q143_vocab_audit", "q144_heaps_law", "q145_burstiness",
       "q146_source_divergence", "q147_spectral_audit",
       "q148_bootstrap_ci", "q149_session_anomaly",
-      "q150_context_window_plan", "q151_effective_tokens")
+      "q150_context_window_plan", "q151_effective_tokens",
+      "q152_shingle_df_histogram")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

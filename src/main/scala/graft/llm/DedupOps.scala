@@ -754,6 +754,55 @@ object DedupOps {
        |FROM raw LEFT JOIN uq ON uq.lang = raw.lang
        |ORDER BY raw.lang""".stripMargin
 
+  /** q152 — shingle document-frequency histogram: the dfCap tuning
+    * audit, completing the knob-measurement family (q119 measures the
+    * Jaccard THRESHOLD against the observed pair-similarity histogram,
+    * q134 the LSH BAND config; this measures what the inverted-index
+    * df CAP keeps and drops). Per power-of-two df band: distinct
+    * shingle count, posting mass (index size), candidate-pair mass
+    * Σ C(df,2) (the quadratic cost the cap exists to bound), and how
+    * many shingles the current cap excludes. A corpus whose top band
+    * carries most pair mass in capped shingles is boilerplate-dominated
+    * — the cap is earning its keep; near-zero capped mass says the cap
+    * is dead weight.
+    *
+    * Audits on shingle STRINGS (the oracle's domain) rather than the
+    * production path's 64-bit hashes: a hash collision would silently
+    * merge two bands here, where in the pair stage it only ever adds a
+    * candidate that exact verification discards.
+    *
+    * Scale shape: one shingle-explode pass into a vocabulary-bounded
+    * (shingle → df) aggregate — map-side combined, the same state
+    * class as q143 — collapsed to a ≤ log₂(N)-row histogram. */
+  def shingleDfHistogram(docs: DataFrame, k: Int = K,
+      dfCap: Int = DefaultDfCap): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val dfs = Tables.fanout(docs)
+      .select(explode(Text.shingles(toks, k)).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    dfs.groupBy(floor(log2(col("df")) + lit(1e-9)).cast("long").as("lg"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("postings"),
+        sum(expr("df * (df - 1) div 2")).as("pair_mass"),
+        sum((col("df") > dfCap).cast("long")).as("n_capped"))
+      .orderBy("lg")
+  }
+  def shingleDfHistogramSql(k: Int = K,
+      dfCap: Int = DefaultDfCap): String = {
+    val toks = Text.tokensSql("text")
+    s"""WITH tok AS (SELECT doc_id, $toks AS ts FROM documents),
+       |shd AS (SELECT unnest(${Text.shinglesSql("ts", k)}) AS sh
+       |  FROM tok),
+       |d AS (SELECT sh, count(*) AS df FROM shd GROUP BY sh)
+       |SELECT CAST(floor(log2(df) + 1e-9) AS BIGINT) AS lg,
+       |  count(*) AS n_shingles,
+       |  CAST(sum(df) AS BIGINT) AS postings,
+       |  CAST(sum(df * (df - 1) // 2) AS BIGINT) AS pair_mass,
+       |  CAST(sum(CASE WHEN df > $dfCap THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_capped
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q126 — quality-aware keeper selection: within each near-dup
     * component, the HIGHEST-quality member (the q25e heuristic score;
     * min doc_id breaks rounded-score ties) — the keeper policy a real
@@ -1904,6 +1953,10 @@ object DedupOps {
     ("q151_effective_tokens",
       (s: SparkSession, d: String) => effectiveTokens(Tables.documents(s, d)),
       Some(effectiveTokensSql)),
+    ("q152_shingle_df_histogram",
+      (s: SparkSession, d: String) =>
+        shingleDfHistogram(Tables.documents(s, d)),
+      Some(shingleDfHistogramSql())),
     ("q126_quality_keeper",
       (s: SparkSession, d: String) => qualityKeeper(Tables.documents(s, d)),
       Some(qualityKeeperSql)),

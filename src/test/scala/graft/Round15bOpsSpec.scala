@@ -309,6 +309,27 @@ class Round15bOpsSpec extends SparkSpec {
     assert(bb.getDouble(5) == 1.0, s"bb: $bb")
   }
 
+  // --------------------------------------------------------------- q152
+  test("shingleDfHistogram: df bands, pair mass and cap counts by hand") {
+    // three docs share one 5-token shingle (df=3 -> band lg=1,
+    // pair_mass C(3,2)=3); one doc contributes a unique shingle
+    // (df=1 -> band lg=0); cap=2 flags exactly the shared shingle
+    val docs = Seq(
+      (1L, "p q r s t", "en", "s"),
+      (2L, "p q r s t", "en", "s"),
+      (3L, "p q r s t", "en", "s"),
+      (4L, "aa bb cc dd ee", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val out = graft.llm.DedupOps
+      .shingleDfHistogram(docs, dfCap = 2).collect()
+    val byLg = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byLg.keySet == Set(0L, 1L), byLg.toString)
+    assert(byLg(0L) == ((1L, 1L, 0L, 0L)), byLg.toString)
+    assert(byLg(1L) == ((1L, 3L, 3L, 1L)), byLg.toString)
+  }
+
   // --------------------------------------------------------------- q143
   test("vocabAudit: vocab, hapax, TTR and fertility from hand counts") {
     val docs = Seq(
