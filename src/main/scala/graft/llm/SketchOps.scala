@@ -187,10 +187,12 @@ object SketchOps {
     * theta intersects SETS. q67 answers "which sources mirror each
     * other" through the near-dup pair stage; this answers the coarser
     * set question — what fraction of source A's distinct shingles also
-    * appear in B — in ONE pass with fixed memory: per-source sketches
-    * build via ObjectHashAggregate partial merge, only fixed-size
-    * sketch rows shuffle, and every pairwise intersection runs on
-    * those rows POST-aggregation. At 100 TB you run the sketch branch
+    * appear in B — in ONE pass with fixed memory: per-mask sketches
+    * build inside the cached mask-histogram aggregation (ObjectHash
+    * partial merge; only fixed-size sketch rows shuffle), per-source
+    * sketches are a [[graft.functions.ThetaUnionAgg]] rollup of those
+    * metadata-scale rows, and every pairwise intersection runs
+    * POST-aggregation. At 100 TB you run the sketch branch
     * alone (a direct groupBy(source) — kilobytes shuffled, persisted
     * per (source, day) for later rollup); the exact branch here is the
     * AUDIT, feasible at test scale, and the whole audit shares one
@@ -247,13 +249,20 @@ object SketchOps {
     // was the entire bench tail). coalesce(1) pins the tail below to
     // one task — the PSI/q43 fixed-frame justification.
     // one bounded persist of the count histogram: the sizes arm, the
-    // intersection arm, and the coverage consumers all branch from it,
-    // and each branch is its own subtree under AQE — cached, the 2M-row
-    // final aggregation over the reused shingle exchange runs once.
-    // coalesce(1) BEFORE the cache pins the whole tail below to one
-    // task (the PSI/q43 fixed-frame justification): every later join is
-    // a broadcast lookup that preserves the stream's SinglePartition,
-    // so no tail aggregate or window ever re-exchanges.
+    // intersection arm, the SKETCH arm, and the coverage consumers all
+    // branch from it, and each branch is its own subtree under AQE —
+    // cached, the 2M-row final aggregation over the shingle exchange
+    // runs once. The per-mask theta sketch builds IN the same
+    // aggregation (each distinct shingle hash belongs to exactly one
+    // mask, so a source's shingle set is the disjoint union of its
+    // masks' sets and theta's deterministic hash-threshold sample makes
+    // union-of-per-mask-sketches ≡ one per-source sketch) — without it
+    // the sketch branch was a SECOND corpus tokenize+hash pass, the
+    // actual r15 bench move 0.65 → 1.05 s. coalesce(1) BEFORE the cache
+    // pins the whole tail below to one task (the PSI/q43 fixed-frame
+    // justification): every later join is a broadcast lookup that
+    // preserves the stream's SinglePartition, so no tail aggregate or
+    // window ever re-exchanges.
     val masks = graft.core.CacheOnce.swap("theta-masks",
       byMask.groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
         .coalesce(1))
@@ -267,13 +276,25 @@ object SketchOps {
         && (col("mask").bitwiseAND(col("bit_b"))) =!= 0)
       .groupBy(col("source_a"), col("source_b"))
       .agg(sum(col("cnt")).as("n_inter"))
-    // The sketch branch is the only one that revisits shingles (theta
-    // updates fold per (source, shingle)); it rides byMask's reused
-    // exchange, fanning each shingle out to its witnessing sources.
+    // Per-MASK sketches ride byMask's reused exchange (one theta update
+    // per distinct shingle — never the per-source fan-out, which pays
+    // one update per (shingle × witnessing source)); per-source
+    // sketches are then a lossless [[graft.functions.ThetaUnionAgg]]
+    // rollup of the ≤|distinct masks| sketch rows. Each distinct
+    // shingle hash belongs to exactly ONE mask, so a source's shingle
+    // set is the disjoint union of its masks' sets, and theta's
+    // deterministic hash-threshold sample makes union-of-per-mask-
+    // sketches ≡ the directly-built per-source sketch. Kept OUT of the
+    // cached histogram aggregate above: a udaf in that agg forces the
+    // whole thing onto ObjectHashAggregate and serializes the critical
+    // path (measured 1.26–1.38 s vs 0.84–0.97 s same-window).
     val tAgg = udaf(new graft.functions.ThetaAgg(lgK), Encoders.scalaLong)
-    val sk = byMask
+    val uAgg = udaf(new graft.functions.ThetaUnionAgg(lgK),
+      Encoders.BINARY)
+    val maskSk = byMask.groupBy(col("mask")).agg(tAgg(col("sh")).as("msk"))
+    val sk = maskSk
       .join(srcDim, (col("mask").bitwiseAND(col("bit"))) =!= 0)
-      .groupBy(col("source")).agg(tAgg(col("sh")).as("sk"))
+      .groupBy(col("source")).agg(uAgg(col("msk")).as("sk"))
       .coalesce(1)
     val boundsUdf = udf((a: Array[Byte], b: Array[Byte]) => {
       val (_, lo, hi) = graft.functions.ThetaSketchOps.intersectBounds(a, b)
