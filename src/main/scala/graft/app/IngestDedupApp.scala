@@ -264,6 +264,70 @@ object IngestDedupApp {
       }
       .start()
 
+  /** OPTIONAL keeper-table maintenance — [[graft.llm.DedupOps.mergeKeepers]]
+    * wired into the ingest loop, closing the last full-recompute in it
+    * (admission was already incremental; a keeper REFRESH re-ran CC over
+    * the whole corpus graph — at 100 TB with daily batches, the most
+    * expensive recurring job in the pipeline). Maintains generational
+    * snapshots `corpusDir/keepers/upto=N` = the keeper table over all
+    * accepted batches ≤ N:
+    *
+    *  - no prior snapshot → bootstrap with one full CC run;
+    *  - prior snapshot upto=U → ONE incremental merge of every batch in
+    *    (U, max] against it: batch-scale pair discovery
+    *    ([[graft.llm.DedupOps.incrementalNearDup]] — O(|new| × overlap))
+    *    plus a batch-scale contracted-graph CC, never a corpus-graph
+    *    fixpoint.
+    *
+    * Generational overwrite (never read-modify-write of one directory):
+    * a replayed refresh rewrites the same `upto=N` snapshot idempotently
+    * and always reads a STRICTLY older generation — the same
+    * exactly-once posture as the batch directories. Incremental ≡ full
+    * modulo df-cap drift: shingle caps are computed over the corpus as
+    * of each run, so a shingle crossing the cap between runs can retire
+    * candidate pairs a from-scratch run would also retire — the
+    * documented [[graft.llm.DedupOps.admitBatch]] caveat, inherited.
+    * Returns the snapshot id written (-1 when there are no batches). */
+  def refreshKeepers(spark: SparkSession, corpusDir: String,
+      threshold: Double = 0.8): Long = {
+    val dirs = batchDirs(spark, corpusDir)
+    if (dirs.isEmpty) return -1L
+    def idOf(d: String) = d.split("batch_id=").last.toLong
+    val target = dirs.map(idOf).max
+    val kroot = s"$corpusDir/keepers"
+    val kpath = new org.apache.hadoop.fs.Path(kroot)
+    val fs = kpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (!fs.exists(kpath)) None
+      else fs.listStatus(kpath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("upto="))
+        .map(_.getPath.getName.stripPrefix("upto=").toLong)
+        .filter(_ < target).sorted.lastOption
+    def fullKeepers(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"))
+        .join(graft.llm.DedupOps.connectedComponents(
+          graft.llm.DedupOps.jaccardPairs(docs)
+            .filter(col("jac") >= threshold).select("d1", "d2")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("keeper"), col("doc_id")).as("keeper"))
+    val updated = prior match {
+      case Some(u) =>
+        val stored = spark.read.parquet(s"$kroot/upto=$u")
+        val priorCorpus = corpus(spark, corpusDir, beforeBatch = Some(u + 1))
+        val newDocs = readBatches(spark,
+          dirs.filter(d => idOf(d) > u && idOf(d) <= target))
+        graft.llm.DedupOps.mergeKeepers(stored,
+          graft.llm.DedupOps.incrementalNearDup(priorCorpus, newDocs,
+            threshold).select("d1", "d2"),
+          newDocs.select(col("doc_id")))
+      case None =>
+        fullKeepers(corpus(spark, corpusDir, beforeBatch = Some(target + 1)))
+    }
+    updated.write.mode("overwrite").parquet(s"$kroot/upto=$target")
+    target
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
       System.err.println("usage: IngestDedupApp <shardDir> <corpusDir> " +

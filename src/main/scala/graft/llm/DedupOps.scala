@@ -584,38 +584,64 @@ object DedupOps {
           struct(col("d2").as("d1"), col("d1").as("d2")))).as("e"))
         .select(col("e.d1").as("d1"), col("e.d2").as("d2"))
         .repartition(col("d2")))
+    // Labels init at min(id, min neighbor) — the exact output of the
+    // former first round's neighbor-min arm over identity labels, for
+    // the same cost as the plain distinct (one groupBy on the same
+    // key): every caller's round count drops by one, and each saved
+    // round is a whole checkpoint job. Still a member id (min over the
+    // closed neighborhood), so min-label propagation is unchanged.
     var (labels, labelIds) = checkpointed(
-      edges.select(col("d1").as("id")).distinct().withColumn("lab", col("id")))
-    var iter = 0
-    var converged = labels.isEmpty // cheap: checkpointed local blocks
-    while (iter < maxIters && !converged) {
-      // per round, from the CHECKPOINTED previous labels (safe to read
-      // three times): (a) min label among neighbors — one edge-scale
-      // join; (b) a POINTER JUMP lab(lab) — one node-scale self-join,
-      // the Kiveris et al. (2014) shortcut that turns O(diameter)
-      // convergence into O(log diameter): a 13-round chain corpus
-      // converges in 4–5 rounds, and each saved round is a whole
-      // checkpoint job plus an edge pass. The changed-label count rides
-      // the checkpoint's materializing job via an accumulator bumped in
-      // an identity mapPartitions — no second action per round. Joins
-      // are shuffle_hash-hinted with the node-scale side as build: a
-      // broadcast would cost one build-and-collect JOB per join per
-      // round (the former 3-jobs-per-round floor) and could never carry
-      // corpus-scale labels; the edge table streams in place (its
-      // d2-partitioned checkpoint) and only label-scale rows exchange
-      // inside the round's one checkpoint job.
+      edges.groupBy(col("d1")).agg(min(col("d2")).as("_mn"))
+        .select(col("d1").as("id"),
+          least(col("d1"), col("_mn")).as("lab")))
+    // One propagation round over the (id, lab, old_lab) state: (a) min
+    // label among neighbors — one edge-scale join; (b) a POINTER JUMP
+    // lab(lab) — one node-scale self-join, the Kiveris et al. (2014)
+    // shortcut (lab values are member ids, so the lookup is a total
+    // inner self-join). Joins are shuffle_hash-hinted with the
+    // node-scale side as build: a broadcast would cost one
+    // build-and-collect JOB per join per round and could never carry
+    // corpus-scale labels; the edge table streams in place (its
+    // d2-partitioned checkpoint) and only label-scale rows exchange.
+    // Deliberately ONE pointer hop per round: in-round pointer
+    // SQUARING (composing the label map with itself s times) was
+    // measured on the q138 sf0.1 ε-graph and REJECTED twice over —
+    // per-round changed-label counts were near-identical to single-hop
+    // (the convergence bound here is local-minima absorption through
+    // neighbor hops, not pointer-chain depth), and the nested
+    // self-join tree sent Catalyst's sizeInBytes stats into
+    // multi-megabit BigInteger products (InjectRuntimeFilter hung the
+    // driver at round 6).
+    def round(cur: DataFrame): DataFrame = {
+      val nbr = cur.select(col("id").as("_nid"), col("lab").as("_nlab"))
       val nbrMin = edges
-        .join(labels.hint("shuffle_hash"), edges("d2") === labels("id"))
-        .groupBy(edges("d1").as("id")).agg(min(col("lab")).as("nbr_lab"))
-      // lab values are themselves member ids of the same component, so
-      // the lookup is an inner self-join (every lab exists as an id)
-      val ptr = labels.select(col("id").as("_pid"), col("lab").as("_plab"))
-      val folded = labels
-        .join(ptr.hint("shuffle_hash"), col("lab") === col("_pid"))
+        .join(nbr.hint("shuffle_hash"), edges("d2") === col("_nid"))
+        .groupBy(edges("d1").as("id")).agg(min(col("_nlab")).as("nbr_lab"))
+      val ptr = cur.select(col("id").as("_pid"), col("lab").as("_plab"))
+      cur.join(ptr.hint("shuffle_hash"), col("lab") === col("_pid"))
         .join(nbrMin.hint("shuffle_hash"), "id")
         .select(col("id"),
           least(col("lab"), col("nbr_lab"), col("_plab")).as("lab"),
-          col("lab").as("old_lab"))
+          col("old_lab"))
+    }
+    var iter = 0
+    var converged = labels.isEmpty // cheap: checkpointed local blocks
+    while (iter < maxIters && !converged) {
+      // ONE round per checkpoint — measured as the floor, not a
+      // default: fusing round PAIRS into each checkpoint (the
+      // pagerank-chassis lesson) re-executed the inner round's edge
+      // join once per consumer exchange key (4.6 → 14 s at sf0.1 on
+      // q138), and a lazy persist of the inner round only softened it
+      // to 6.2 s (block-lock races + cache round-trip on every pair).
+      // Pagerank can fuse because its chain is LINEAR; a CC round's
+      // state has three consumers in the next round. The changed-label
+      // count rides the checkpoint's materializing pass via an
+      // accumulator bumped in an identity mapPartitions — no second
+      // action per round. Task retries can only over-count, never
+      // under-count to zero, so a spurious retry delays convergence
+      // detection by one (free) round at worst.
+      val folded = round(
+        labels.select(col("id"), col("lab"), col("lab").as("old_lab")))
       val changed = sc.longAccumulator(s"ccChangedLabels_$iter")
       val countedChanges = {
         implicit val enc: org.apache.spark.sql.Encoder[
@@ -630,11 +656,15 @@ object DedupOps {
       }
       val (next, ids) = checkpointed(countedChanges.drop("old_lab"))
       converged = changed.value == 0L
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] iter=$iter changed=${changed.value}")
       drop(labelIds)
       labels = next
       labelIds = ids
       iter += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(s"[cc] rounds=$iter converged=$converged")
     if (!converged) {
       drop(edgeIds); drop(labelIds)
       throw new IllegalStateException(
@@ -659,6 +689,117 @@ object DedupOps {
       jaccardPairs(docs, k, dfCap).filter(col("jac") >= threshold)
         .select("d1", "d2"),
       maxIters)
+
+  /** q153 — INCREMENTAL keeper maintenance: merge a new batch's near-dup
+    * edges into a persisted keeper table without re-running connected
+    * components over the full corpus graph — the batch analog of
+    * [[graft.llm.SimilarityOps.appendToLshIndex]] on the ANN side, and
+    * the missing lifecycle piece of the ingest loop (IngestDedupApp
+    * ADMITS incrementally via [[admitBatch]], but a keeper refresh was a
+    * full recompute until this). Standard union-find-by-contraction:
+    *
+    *   1. each new edge's endpoints map to their stored ROOT (the
+    *      stored keeper for a corpus doc; a fresh doc is its own root)
+    *      — one batch-scale hash-join against the corpus-scale stored
+    *      table, the ONLY corpus-scale work in the whole operator;
+    *   2. connected components run on that CONTRACTED root graph —
+    *      batch-scale by construction (≤ 2·|newPairs| nodes), so the
+    *      CC fixpoint that dominates a full recompute at 100 TB costs
+    *      O(|batch|) here whatever the corpus size;
+    *   3. the stored table updates by one keeper→newKeeper map join
+    *      (affected roots only), and batch docs land with their merged
+    *      keeper (or themselves when unpaired).
+    *
+    * Correct because contracting edges inside already-resolved
+    * components preserves the component structure, and keeper = min id
+    * survives contraction: every stored root IS the minimum of its
+    * members, so the min over merged roots ∪ fresh ids is the true
+    * minimum of the merged component — incremental ≡ full recompute,
+    * asserted cross-engine by the q153 oracle (full recursive CC over
+    * corpus-pairs ∪ incremental-pairs) and in LlmOpsSpec on a
+    * corpus ∪ batch fixture.
+    *
+    * `stored` must hold (doc_id, keeper) for every corpus doc (keeper =
+    * itself when unpaired — [[dedupKeeper]] output left-joined back to
+    * the corpus, the q23_dedup_keeper registry shape); `newPairs` are
+    * the [[incrementalNearDup]] edges (new–new and new–old); `batchIds`
+    * the admitted batch's doc ids. */
+  def mergeKeepers(stored: DataFrame, newPairs: DataFrame,
+      batchIds: DataFrame, maxIters: Int = 15): DataFrame = {
+    val roots = stored.select(col("doc_id"), col("keeper"))
+    // contract: endpoints → stored roots (fresh endpoints stay themselves)
+    val contracted = newPairs.select(col("d1"), col("d2"))
+      .join(roots.select(col("doc_id").as("d1"), col("keeper").as("_r1")),
+        Seq("d1"), "left")
+      .join(roots.select(col("doc_id").as("d2"), col("keeper").as("_r2")),
+        Seq("d2"), "left")
+      .select(coalesce(col("_r1"), col("d1")).as("d1"),
+        coalesce(col("_r2"), col("d2")).as("d2"))
+      .filter(col("d1") =!= col("d2"))
+    // batch-scale CC over the contracted graph: (old root | fresh id) →
+    // merged keeper. Root ids never collide with fresh ids (roots are
+    // corpus doc ids, the batch is id-disjoint by admission contract).
+    val rootMap = connectedComponents(contracted, maxIters)
+    val updatedStored = stored
+      .join(rootMap.select(col("doc_id").as("keeper"),
+        col("keeper").as("_nk")).withColumnRenamed("_nk", "new_k"),
+        Seq("keeper"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_k"), col("keeper")).as("keeper"))
+    val newRows = batchIds.select(col("doc_id"))
+      .join(rootMap.withColumnRenamed("keeper", "new_k"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_k"), col("doc_id")).as("keeper"))
+    updatedStored.unionByName(newRows).orderBy("doc_id")
+  }
+
+  /** q153 oracle: the full-recompute ground truth — recursive CC over
+    * corpus-pairs (df caps computed over the CORPUS alone, mirroring the
+    * stored table's original [[jaccardPairs]] run) unioned with the
+    * incremental pairs (caps over corpus ∪ batch, mirroring
+    * [[incrementalNearDup]]), left-joined back to every document. */
+  // lazy: interpolates IncrSplitSql, declared further down the object —
+  // a strict val here reads null at object-init order
+  lazy val mergeKeepersSql: String =
+    s"""WITH RECURSIVE ${indexCte(capped = true)},
+       |cfreq AS (SELECT sh, count(*) AS df FROM sh
+       |  WHERE doc_id < $IncrSplitSql GROUP BY sh),
+       |csizes AS (SELECT s.doc_id, count(*) AS n FROM sh s
+       |  JOIN cfreq f ON f.sh = s.sh
+       |  WHERE s.doc_id < $IncrSplitSql AND f.df <= $DefaultDfCap
+       |  GROUP BY s.doc_id),
+       |cshc AS (SELECT s.doc_id, s.sh FROM sh s JOIN cfreq f ON f.sh = s.sh
+       |  WHERE s.doc_id < $IncrSplitSql
+       |    AND f.df BETWEEN 2 AND $DefaultDfCap),
+       |ccand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM cshc a JOIN cshc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |cpairs AS (SELECT d1, d2 FROM ccand
+       |  JOIN csizes s1 ON s1.doc_id = d1 JOIN csizes s2 ON s2.doc_id = d2
+       |  WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold),
+       |shn AS (SELECT doc_id, sh FROM shc WHERE doc_id >= $IncrSplitSql),
+       |icand AS (
+       |  SELECT least(a.doc_id, b.doc_id) AS d1,
+       |    greatest(a.doc_id, b.doc_id) AS d2, count(*) AS inter
+       |  FROM shc a JOIN shn b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |    AND (a.doc_id < $IncrSplitSql OR a.doc_id < b.doc_id)
+       |  GROUP BY 1, 2),
+       |ipairs AS (SELECT d1, d2 FROM icand
+       |  JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold),
+       |np AS (SELECT d1, d2 FROM cpairs UNION SELECT d1, d2 FROM ipairs),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM np
+       |  UNION ALL SELECT d2, d1 FROM np),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |k AS (SELECT src AS doc_id, least(src, min(dst)) AS keeper
+       |  FROM reach GROUP BY src)
+       |SELECT d.doc_id, COALESCE(k.keeper, d.doc_id) AS keeper
+       |FROM documents d LEFT JOIN k ON k.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** The user-facing end of the dedup pipeline: the corpus with every
     * non-keeper member of a near-dup component removed (keep-min-id), i.e.
@@ -1932,6 +2073,21 @@ object DedupOps {
         incrementalNearDup(corpus, batch)
       },
       Some(incrementalNearDupSql)),
+    ("q153_keeper_merge",
+      (s: SparkSession, d: String) => {
+        val (corpus, batch) = splitAtMaxIdFraction(Tables.documents(s, d), 8)
+        // the persisted keeper table a prior full run would have left:
+        // CC over the corpus-only pair graph, keeper = self when unpaired
+        val stored = corpus.select(col("doc_id"))
+          .join(connectedComponents(
+            jaccardPairs(corpus).filter(col("jac") >= JaccardThreshold)
+              .select("d1", "d2")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("keeper"), col("doc_id")).as("keeper"))
+        mergeKeepers(stored, incrementalNearDup(corpus, batch)
+          .select("d1", "d2"), batch.select("doc_id"))
+      },
+      Some(mergeKeepersSql)),
     ("q51_dedup_containment",
       (s: SparkSession, d: String) => containmentPairs(Tables.documents(s, d)),
       Some(containmentOracle)),

@@ -923,21 +923,30 @@ object SimilarityOps {
       .join(coreLab.withColumnRenamed("id", "b").hint("shuffle_hash"),
         Seq("b"))
       .groupBy(col("a").as("id")).agg(min(col("lab")).as("lab"))
-    val assign = graft.core.CacheOnce.swap("dbscan-assign",
-      coreLab.withColumn("role", lit(1))
-        .unionByName(border.withColumn("role", lit(2))))
-    val perCluster = assign.groupBy(col("lab").as("cluster"))
-      .agg(sum(when(col("role") === 1, 1L).otherwise(0L)).as("n_core"),
-        sum(when(col("role") === 2, 1L).otherwise(0L)).as("n_border"),
-        count(lit(1)).as("n_total"))
-    val noise = em.select(col("vec_id").as("id"))
-      .join(assign.select("id").hint("shuffle_hash"), Seq("id"), "left_anti")
-      .agg(count(lit(1)).as("n_total"))
-      .select(lit(-1L).as("cluster"), lit(0L).as("n_core"),
-        lit(0L).as("n_border"), col("n_total"))
-    perCluster
-      .select(col("cluster"), col("n_core"), col("n_border"), col("n_total"))
-      .unionByName(noise)
+    // ONE rollup pass over the assignment union replaces the former
+    // three-arm tail (cached assign + per-cluster agg + em anti-join
+    // noise count — 3 extra jobs incl. the cache materialization): the
+    // rollup's grand-total row carries n_assigned, and noise is just
+    // |em| − n_assigned (core and border id sets are disjoint by
+    // construction, so assign ids are distinct) with |em| a broadcast
+    // scalar off the parquet count. Empty-assign degenerates correctly:
+    // rollup of an empty frame still emits the grand-total row, so the
+    // noise row survives with n_total = |em|.
+    val assign = coreLab.withColumn("role", lit(1))
+      .unionByName(border.withColumn("role", lit(2)))
+    val total = broadcast(em.agg(count(lit(1)).as("em_total")))
+    assign.rollup(col("lab"))
+      .agg(sum(when(col("role") === 1, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("role") === 2, 1L).otherwise(0L)).as("nb"),
+        count(lit(1)).as("na"),
+        grouping(col("lab")).as("g"))
+      .crossJoin(total)
+      .select(
+        when(col("g") === 1, lit(-1L)).otherwise(col("lab")).as("cluster"),
+        when(col("g") === 1, lit(0L)).otherwise(col("nc")).as("n_core"),
+        when(col("g") === 1, lit(0L)).otherwise(col("nb")).as("n_border"),
+        when(col("g") === 1, col("em_total") - col("na"))
+          .otherwise(col("na")).as("n_total"))
       // cluster count is data-dependent (not dim-bounded): a
       // distributed sort, unlike the one-partition q137 output
       .orderBy("cluster")

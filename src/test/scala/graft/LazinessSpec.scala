@@ -52,7 +52,11 @@ class LazinessSpec extends SparkSpec {
       // power iteration on the driver at construction BY DESIGN — a
       // lazy formulation would either re-fit the model per consumer or
       // pay 50 scheduler round-trips to multiply a 64×64 matrix
-      "q147_spectral_audit")
+      "q147_spectral_audit",
+      // q153 runs TWO eager CC fixpoints at construction: the stored
+      // keeper table's full run over the corpus split, then the
+      // batch-scale contracted-graph merge
+      "q153_keeper_merge")
 
   test("constructing registry queries fires no Spark job") {
     // pre-warm per-table schema resolution so first-touch footer reads

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.DedupOps
+
+/** Round-16 additions: incremental keeper maintenance (q153) and the
+  * CC init fold. All on hand-built corpora where every expected
+  * component is derivable by inspection; the registry rows prove oracle
+  * equivalence on real data, these pin the SEMANTICS. */
+class Round16OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A token gradient: `variant(s)` replaces the token at each index in
+    * `s` (indices spaced ≥ k apart, so each substitution kills an
+    * independent run of shingles). With 100 tokens / k = 5 the Jaccard
+    * between variants differing at c positions is ≈ (96−5c)/(96+5c):
+    * c=1 → 0.90 (≥ 0.8 pairs), c=2 → 0.81 (pairs), c=3 → 0.73 (does
+    * not pair). */
+  private def variant(changes: Set[Int]): String =
+    (1 to 100).map(i =>
+      if (changes.contains(i)) s"X$i" else s"w$i").mkString(" ")
+
+  // corpus: component {1,2} (c=1 apart), singleton 5 (c=3 from doc 2)
+  private def corpus = Seq(
+    (1L, variant(Set.empty)),
+    (2L, variant(Set(10))),
+    (5L, variant(Set(10, 20, 30, 40)))
+  ).toDF("doc_id", "text")
+
+  // batch: 20 bridges {1,2} and {5} (c=2 from doc 2, c=1 from doc 5);
+  // 21 duplicates 20 (in-batch pair); 22 is novel (stays unpaired)
+  private def batch = Seq(
+    (20L, variant(Set(10, 20, 30))),
+    (21L, variant(Set(10, 20, 30))),
+    (22L, (1 to 100).map(i => s"novel$i").mkString(" "))
+  ).toDF("doc_id", "text")
+
+  private def keeperTable(ids: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame) =
+    ids.select(col("doc_id"))
+      .join(DedupOps.connectedComponents(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper"), col("doc_id")).as("keeper"))
+
+  // ------------------------------------------------------------- q153
+  test("mergeKeepers: incremental merge ≡ full recompute, including a " +
+      "batch doc bridging two stored components") {
+    val storedPairs = DedupOps.ngramJaccard(corpus).select("d1", "d2")
+    val stored = keeperTable(corpus, storedPairs)
+    // sanity on the premise: {1,2} resolved, 5 single
+    assert(stored.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+    val newPairs = DedupOps.incrementalNearDup(corpus, batch)
+      .select("d1", "d2")
+    val merged = DedupOps.mergeKeepers(stored, newPairs,
+      batch.select("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 20 pairs with 2 (c=2) and 5 (c=1): the bridge unites {1,2}, {5},
+    // {20,21} into one component under keeper 1; 22 stays its own
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 5L -> 1L,
+      20L -> 1L, 21L -> 1L, 22L -> 22L), merged.toString)
+    // the semantic contract, verbatim: CC over the UNION pair set
+    val all = corpus.unionByName(batch)
+    val full = keeperTable(all, storedPairs.unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == full, s"incremental $merged != full $full")
+  }
+
+  test("mergeKeepers: empty new-pair set leaves the stored table intact " +
+      "and admits the batch as singletons") {
+    val stored = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("doc_id", "keeper")
+    val noPairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    val merged = DedupOps.mergeKeepers(stored, noPairs,
+      Seq(20L, 22L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 5L -> 5L,
+      20L -> 20L, 22L -> 22L), merged.toString)
+  }
+
+  test("refreshKeepers: bootstrap then incremental snapshot ≡ full " +
+      "recompute over the whole corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-keepers")
+      .toString
+    corpus.write.mode("overwrite").parquet(s"$dir/batch_id=0")
+    assert(graft.app.IngestDedupApp.refreshKeepers(spark, dir) == 0L)
+    val snap0 = spark.read.parquet(s"$dir/keepers/upto=0")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap0 == Map(1L -> 1L, 2L -> 1L, 5L -> 5L), snap0.toString)
+    batch.write.mode("overwrite").parquet(s"$dir/batch_id=1")
+    assert(graft.app.IngestDedupApp.refreshKeepers(spark, dir) == 1L)
+    val snap1 = spark.read.parquet(s"$dir/keepers/upto=1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap1 == Map(1L -> 1L, 2L -> 1L, 5L -> 1L,
+      20L -> 1L, 21L -> 1L, 22L -> 22L), snap1.toString)
+    // the refresh is idempotent under replay (generational overwrite)
+    assert(graft.app.IngestDedupApp.refreshKeepers(spark, dir) == 1L)
+    val replay = spark.read.parquet(s"$dir/keepers/upto=1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replay == snap1)
+  }
+
+  // ------------------------------------------------- CC init fold
+  test("connectedComponents converges in one round on a clique " +
+      "(init already carries the closed-neighborhood minimum)") {
+    // a 4-clique: min-over-neighborhood init IS the fixpoint; the one
+    // round only confirms zero changes
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("d1", "d2")
+    val cc = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("connectedComponents resolves a 12-node chain (diameter beyond " +
+      "the init horizon) to one component") {
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val cc = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == (1L to 12L).map(_ -> 1L).toMap, cc.toString)
+  }
+}
