@@ -342,9 +342,17 @@ object ChunkOps {
     * into |windows| (window, stats) cells that map-side-combine — the
     * |windows|-row result is the only shuffle. */
   def contextWindowPlan(docs: DataFrame,
-      windows: Seq[Int] = Seq(64, 128, 256, 512)): DataFrame = {
+      windows: Seq[Int] = Seq(64, 128, 256, 512),
+      bpeMerges: Option[Seq[(String, String)]] = None): DataFrame = {
     require(windows.nonEmpty, "need candidate windows")
-    val nToks = size(Text.tokens(col("text")))
+    // Optional trained-tokenizer re-basing (q154's merge table): token
+    // counts become BPE symbol counts, so the window plan budgets the
+    // units the model actually consumes. Default stays the whitespace
+    // contract the registry oracle mirrors.
+    val nToks = bpeMerges match {
+      case Some(m) => size(graft.llm.TextOps.bpeTokens(col("text"), m))
+      case None => size(Text.tokens(col("text")))
+    }
     val wArr = array(windows.map(lit): _*)
     Tables.fanout(docs)
       .select(col("doc_id"), nToks.cast("long").as("n"))

@@ -788,6 +788,255 @@ object TextOps {
        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p
        |GROUP BY pair ORDER BY n DESC, pair LIMIT $topN""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q154/q155 — the BPE tokenizer LIFECYCLE (train → persist → apply),
+  // finishing what q89's merge-candidate statistics start
+  // ------------------------------------------------------------------
+
+  /** Default trained merge count. Small BY DESIGN: the oracle twin
+    * replays training as one unrolled CTE chain per merge (the q56
+    * Lloyd-iteration precedent), so the registry entries stay
+    * cross-engine-checkable; production training raises it freely (the
+    * Scala path's cost is linear in merges over the collected vocab). */
+  val BpeMerges = 8
+
+  /** Loud driver-memory guard on the collected vocabulary. */
+  val BpeMaxVocab = 2000000L
+
+  /** One BPE merge applied to one word's symbol array, Sennrich-style
+    * (rules in rank order, each left-to-right non-overlapping): a fold
+    * whose state is (emitted symbols, pending symbol) — when the
+    * pending symbol is `l` and the next is `r` they fuse into a still-
+    * pending `l+r` (so a fused symbol can immediately fuse again under
+    * the same rule, e.g. (a,a) over "aaaa" → [aa, aa]). Pure HOF
+    * expression — stays inside codegen, no UDF. */
+  private def applyOneMerge(toks: Column, l: String, r: String): Column = {
+    def flush(acc: Column): Column =
+      when(acc.getField("pend").isNull, acc.getField("arr"))
+        .otherwise(array_append(acc.getField("arr"), acc.getField("pend")))
+    aggregate(
+      toks,
+      struct(array().cast("array<string>").as("arr"),
+        lit(null).cast("string").as("pend")),
+      (acc, t) =>
+        when(acc.getField("pend") === lit(l) && t === lit(r),
+          struct(acc.getField("arr").as("arr"), lit(l + r).as("pend")))
+          .otherwise(struct(flush(acc).as("arr"), t.as("pend"))),
+      acc => flush(acc))
+  }
+
+  /** A word column → its BPE symbols under an ordered merge list: split
+    * to characters, then fold the rules in rank order. Every rule is
+    * inlined as literals (the merge table is model state — tokens are
+    * lowercase alnum by the [[Text.tokens]] contract, asserted here).
+    * This is the LIVE-apply path for words outside the trained
+    * vocabulary; in-vocabulary words should join the persisted
+    * (word → symbols) table instead (vocabulary-bounded broadcast). */
+  def bpeWordSymbols(word: Column, merges: Seq[(String, String)]): Column = {
+    merges.foreach { case (l, r) =>
+      require(l.matches("[a-z0-9]+") && r.matches("[a-z0-9]+"),
+        s"merge symbols must be lowercase alnum (Text.tokens contract): ($l,$r)")
+    }
+    val chars = filter(split(word, ""), c => c =!= "")
+    merges.foldLeft(chars) { case (t, (l, r)) => applyOneMerge(t, l, r) }
+  }
+
+  /** Whole-text BPE token array: tokenize, then expand each word. */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(Text.tokens(text), w => bpeWordSymbols(w, merges)))
+
+  /** Driver-side mirror of [[applyOneMerge]] for training. */
+  private def mergeWord(toks: Vector[String], l: String,
+      r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var pend: String = null
+    toks.foreach { t =>
+      if (pend == l && t == r) pend = l + r
+      else { if (pend != null) out += pend; pend = t }
+    }
+    if (pend != null) out += pend
+    out.result()
+  }
+
+  /** q154 — BPE merge-table training (Sennrich, Haddow & Birch, ACL
+    * 2016, the full greedy loop q89 computes one step of): `nMerges`
+    * rounds of count-adjacent-pairs → merge the argmax. The corpus
+    * collapses to the word-frequency VOCABULARY in one exchange (the
+    * q89 scale shape), and the greedy loop runs driver-side over that
+    * model-scale state — at 100 TB you train on a sample or a capped
+    * vocabulary, exactly as production BPE training does; the
+    * [[BpeMaxVocab]] guard fails loudly rather than collecting a
+    * corpus. Determinism: ties break on (count DESC, left ASC, right
+    * ASC) in both engines, so the learned table is bit-reproducible.
+    * Returns (rank, left, right, merged). */
+  def trainBpeMerges(docs: DataFrame, nMerges: Int = BpeMerges,
+      maxVocab: Long = BpeMaxVocab): DataFrame = {
+    val spark = docs.sparkSession
+    val (merges, _) = trainBpeModel(docs, nMerges, maxVocab)
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1L, l, r, l + r) }
+      .toDF("rank", "left", "right", "merged")
+  }
+
+  /** Training core: the ordered merge list plus the final
+    * (word, symbols) vocabulary map — the apply-side lookup table. */
+  def trainBpeModel(docs: DataFrame, nMerges: Int = BpeMerges,
+      maxVocab: Long = BpeMaxVocab)
+      : (Seq[(String, String)], Seq[(String, Seq[String])]) = {
+    val wf = Tables.fanout(docs)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(wf.length <= maxVocab,
+      s"BPE training vocabulary ${wf.length} exceeds $maxVocab — train on " +
+        "a corpus sample or raise maxVocab explicitly")
+    var words: Array[(Vector[String], Long)] =
+      wf.map { case (w, f) => (w.split("").filter(_.nonEmpty).toVector, f) }
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    for (_ <- 1 to nMerges if !done) {
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]
+      words.foreach { case (toks, f) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          val k = (toks(i), toks(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), _) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((l, r))
+        words = words.map { case (toks, f) => (mergeWord(toks, l, r), f) }
+      }
+    }
+    (merges.result(), words.toSeq.zip(wf).map { case ((toks, _), (w, _)) =>
+      w -> toks.toSeq
+    })
+  }
+
+  /** Persist a trained model as catalog tables (the [[writeBigramLm]]
+    * pattern): `<table>_merges` (rank, left, right, merged) and
+    * `<table>_vocab` (w, symbols) — small immutable state; re-training
+    * is a rebuild. */
+  def writeBpeModel(docs: DataFrame, table: String,
+      nMerges: Int = BpeMerges): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, vocab) = trainBpeModel(docs, nMerges)
+    graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_merges")
+    merges.zipWithIndex.map { case ((l, r), i) => (i + 1L, l, r, l + r) }
+      .toDF("rank", "left", "right", "merged")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_merges")
+    graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_vocab")
+    vocab.toDF("w", "symbols")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_vocab")
+  }
+
+  /** Read a stored merge table back as the ordered rule list. */
+  def readBpeMerges(spark: SparkSession, table: String)
+      : Seq[(String, String)] =
+    spark.table(s"${table}_merges").orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** q155 — tokenizer fertility under the TRAINED tokenizer: per
+    * language, word count, BPE symbol count and symbols-per-word — the
+    * REAL version of the q143 regex stand-in, the number a context-
+    * window budget (q150) should divide by. Apply is a broadcast join
+    * against the trained (word → symbols) vocabulary — the training
+    * pass already tokenized every in-vocabulary word, so the corpus
+    * never re-runs the merge fold (live fold is only for OOV words,
+    * exercised in Round16OpsSpec). */
+  def bpeFertility(docs: DataFrame, nMerges: Int = BpeMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (_, vocab) = trainBpeModel(docs, nMerges)
+    val vmap = broadcast(
+      vocab.map { case (w, toks) => (w, toks.length.toLong) }
+        .toDF("w", "n_sym"))
+    Tables.fanout(docs)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("w"))
+      .join(vmap, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_symbols"))
+      .select(col("lang"), col("n_words"), col("n_symbols"),
+        round(col("n_symbols") / col("n_words") + lit(1e-9), 4)
+          .as("symbols_per_word"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB twin of [[applyOneMerge]], in the string form Sennrich's
+    * reference implementation uses: the tokenization state is the
+    * symbol list rendered `(s1)(s2)…` (parens cannot occur in symbols
+    * — tokens are lowercase alnum), and one merge is
+    * `replace(state, '(l)(r)', '(lr)')`. SQL replace is left-to-right,
+    * non-overlapping, and resumes AFTER the inserted replacement —
+    * exactly the Spark fold's semantics (a fused symbol can fuse again
+    * with the NEXT symbol, never with already-emitted ones). Chosen
+    * over a list_reduce twin because this container's DuckDB (1.0.0)
+    * does not thread struct accumulators through list_reduce
+    * (measured: the fold returned only the final element). */
+  private def stateToksSql(state: String): String =
+    s"string_split(substr($state, 2, length($state) - 2), ')(')"
+
+  /** Unrolled training CTE chain t0 → t`n` (the q56/q147 precedent:
+    * the oracle replays the SAME deterministic rounds; MATERIALIZED on
+    * every level — each is referenced twice by the next). */
+  private def bpeTrainCtes(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { i =>
+      s"""x$i AS MATERIALIZED (SELECT f,
+         |  ${stateToksSql("state")} AS toks FROM t${i - 1}),
+         |p$i AS MATERIALIZED (
+         |  SELECT pr.l AS l, pr.r AS r, sum(f) AS c
+         |  FROM (SELECT f, unnest(list_transform(
+         |      generate_series(1, len(toks) - 1),
+         |      i -> {'l': toks[i], 'r': toks[i + 1]})) AS pr
+         |    FROM x$i WHERE len(toks) >= 2)
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r FROM p$i
+         |  ORDER BY c DESC, l, r LIMIT 1),
+         |t$i AS MATERIALIZED (SELECT w, f,
+         |  replace(state, '(' || m.l || ')(' || m.r || ')',
+         |    '(' || m.l || m.r || ')') AS state
+         |  FROM t${i - 1}, m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""wf AS MATERIALIZED (SELECT w, count(*) AS f FROM
+       |  (SELECT unnest(${Text.tokensSql("text")}) AS w FROM documents)
+       |  GROUP BY w),
+       |t0 AS MATERIALIZED (SELECT w, f,
+       |  '(' || array_to_string(list_transform(
+       |    generate_series(1, length(w)), i -> substr(w, i, 1)),
+       |    ')(') || ')' AS state FROM wf),
+       |$rounds""".stripMargin
+  }
+
+  def bpeMergesSql(nMerges: Int = BpeMerges): String =
+    s"""WITH ${bpeTrainCtes(nMerges)}
+       |SELECT * FROM (
+       |${(1 to nMerges).map(i =>
+           s"  SELECT CAST($i AS BIGINT) AS rank, l AS \"left\", " +
+             s"r AS \"right\", l || r AS merged FROM m$i")
+           .mkString("\n  UNION ALL\n")})
+       |ORDER BY rank""".stripMargin
+
+  def bpeFertilitySql(nMerges: Int = BpeMerges): String =
+    s"""WITH ${bpeTrainCtes(nMerges)},
+       |vm AS (SELECT w, len(${stateToksSql("state")}) AS n_sym
+       |  FROM t$nMerges),
+       |words AS (SELECT lang, unnest(${Text.tokensSql("text")}) AS w
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_words,
+       |  CAST(sum(vm.n_sym) AS BIGINT) AS n_symbols,
+       |  round(CAST(sum(vm.n_sym) AS DOUBLE) / count(*) + 1e-9, 4)
+       |    AS symbols_per_word
+       |FROM words JOIN vm USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** q91 — pointwise mutual information over within-document term
     * co-occurrence (Church & Hanks, "Word Association Norms, Mutual
     * Information, and Lexicography", CL 1990): for term pairs that
@@ -1483,7 +1732,8 @@ object TextOps {
     * corpus-bounded — then a |vocab|-row rollup to |langs| rows; the
     * char/fertility side is a separate narrow scan joined on the
     * |langs|-row result. No data-scale join. */
-  def vocabAudit(docs: DataFrame): DataFrame = {
+  def vocabAudit(docs: DataFrame,
+      bpeMerges: Option[Seq[(String, String)]] = None): DataFrame = {
     val typeCounts = Tables.fanout(docs)
       .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
       .groupBy(col("lang"), col("tok"))
@@ -1492,8 +1742,15 @@ object TextOps {
       .agg(count(lit(1)).as("vocab_size"),
         sum(col("cnt")).as("n_tokens"),
         sum((col("cnt") === 1L).cast("long")).as("n_hapax"))
-    val bpeToks = size(expr(
-      "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+    // fertility denominator: the regex stand-in by default (the
+    // registry oracle's contract), the TRAINED q154 tokenizer when a
+    // merge table is supplied — fertility then reads chars per real
+    // BPE symbol
+    val bpeToks = bpeMerges match {
+      case Some(m) => size(bpeTokens(col("text"), m))
+      case None => size(expr(
+        "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+    }
     val charStats = docs.groupBy(col("lang"))
       .agg(sum(col("n_chars")).as("sum_chars"),
         sum(bpeToks).as("sum_bpe"))
@@ -1824,6 +2081,8 @@ object TextOps {
     ("q70_gopher_rules", onDocs(gopherRules(_)), Some(gopherRulesSql)),
     ("q78_bm25", onDocs(bm25(_, bm25Terms)), Some(bm25Sql(bm25Terms))),
     ("q89_bpe_pairs", onDocs(bpePairs(_)), Some(bpePairsSql())),
+    ("q154_bpe_merges", onDocs(trainBpeMerges(_)), Some(bpeMergesSql())),
+    ("q155_bpe_fertility", onDocs(bpeFertility(_)), Some(bpeFertilitySql())),
     ("q91_pmi_pairs", onDocs(pmiPairs(_)), Some(pmiPairsSql())),
     ("q94_textrank", onDocs(textrank(_)), Some(textrankSql())),
     ("q98_dup_spans", onDocs(dupSpans(_)), Some(dupSpansSql())),
@@ -1838,7 +2097,7 @@ object TextOps {
       Some(dsirImportanceSql())),
     ("q142_curriculum", onDocs(curriculumSchedule(_)),
       Some(curriculumScheduleSql())),
-    ("q143_vocab_audit", onDocs(vocabAudit), Some(vocabAuditSql)),
+    ("q143_vocab_audit", onDocs(vocabAudit(_)), Some(vocabAuditSql)),
     ("q144_heaps_law", onDocs(heapsLaw), Some(heapsLawSql)),
     ("q145_burstiness", onDocs(burstiness(_)), Some(burstinessSql())),
     ("q146_source_divergence", onDocs(sourceDivergence(_)),

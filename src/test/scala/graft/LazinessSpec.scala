@@ -56,7 +56,11 @@ class LazinessSpec extends SparkSpec {
       // q153 runs TWO eager CC fixpoints at construction: the stored
       // keeper table's full run over the corpus split, then the
       // batch-scale contracted-graph merge
-      "q153_keeper_merge")
+      "q153_keeper_merge",
+      // q154/q155 collect the word-frequency vocabulary and run the
+      // greedy BPE merge loop driver-side at construction (model-scale
+      // by the q89 vocabulary-collapse argument, BpeMaxVocab-guarded)
+      "q154_bpe_merges", "q155_bpe_fertility")
 
   test("constructing registry queries fires no Spark job") {
     // pre-warm per-table schema resolution so first-touch footer reads

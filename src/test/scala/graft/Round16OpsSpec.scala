@@ -99,6 +99,98 @@ class Round16OpsSpec extends SparkSpec {
     assert(replay == snap1)
   }
 
+  // ------------------------------------------------------- q154/q155
+  test("trainBpeModel: greedy merges and final word symbols are the " +
+      "hand-derivable ones") {
+    // freq-weighted pair counts: 'ab' appears in every word of both
+    // docs; hand-run of the greedy loop: merge1 = (a,b) count 6,
+    // merge2 = (ab,c) count 6
+    val docs = Seq(
+      (1L, "abc abc abcabc", "en", "s"),
+      (2L, "abd abcabc", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val (merges, vocab) = graft.llm.TextOps.trainBpeModel(docs, nMerges = 2)
+    assert(merges.head == ("a", "b"), merges.toString)
+    assert(merges(1) == ("ab", "c"), merges.toString)
+    val vm = vocab.toMap
+    assert(vm("abc") == Seq("abc"), vm.toString)
+    assert(vm("abcabc") == Seq("abc", "abc"), vm.toString)
+    assert(vm("abd") == Seq("ab", "d"), vm.toString)
+  }
+
+  test("bpeWordSymbols: the live-apply expression matches the trained " +
+      "vocabulary on every in-vocab word AND tokenizes unseen words") {
+    val docs = Seq((1L, "lower lowest newer newest wider", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val (merges, vocab) = graft.llm.TextOps.trainBpeModel(docs, nMerges = 6)
+    // stored ≡ direct: fold every trained word through the expression
+    val words = vocab.map(_._1)
+    val applied = words.toDF("w")
+      .select(col("w"), graft.llm.TextOps.bpeWordSymbols(col("w"), merges)
+        .as("sym"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    vocab.foreach { case (w, sym) =>
+      assert(applied(w) == sym, s"$w: expr ${applied(w)} != trained $sym")
+    }
+    // OOV: an unseen word still tokenizes under the same rules, and
+    // symbols concatenate back to the word (a BPE invariant)
+    val oov = Seq("lowers").toDF("w")
+      .select(graft.llm.TextOps.bpeWordSymbols(col("w"), merges).as("sym"))
+      .collect().head.getSeq[String](0)
+    assert(oov.mkString("") == "lowers", oov.toString)
+    assert(oov.length < "lowers".length, s"no merge applied: $oov")
+  }
+
+  test("bpe fold semantics: same-rule chains merge left-to-right " +
+      "non-overlapping, matching the driver-side trainer") {
+    val merges = Seq(("a", "a"))
+    val got = Seq("aaaa", "aaa", "a").toDF("w")
+      .select(col("w"), graft.llm.TextOps.bpeWordSymbols(col("w"), merges)
+        .as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(got("aaaa") == Seq("aa", "aa"), got.toString)
+    assert(got("aaa") == Seq("aa", "a"), got.toString)
+    assert(got("a") == Seq("a"), got.toString)
+  }
+
+  test("writeBpeModel/readBpeMerges: stored model round-trips and " +
+      "scores identically to the direct path") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val (direct, _) = graft.llm.TextOps.trainBpeModel(docs)
+    graft.llm.TextOps.writeBpeModel(docs, "bpe_r16_test")
+    val stored = graft.llm.TextOps.readBpeMerges(spark, "bpe_r16_test")
+    assert(stored == direct, s"stored $stored != direct $direct")
+  }
+
+  test("q143/q150 re-base behind the merge-table flag: fertility and " +
+      "window plan shift when the trained tokenizer replaces the stand-in") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val (merges, _) = graft.llm.TextOps.trainBpeModel(docs)
+    val defFert = graft.llm.TextOps.vocabAudit(docs)
+      .select("lang", "fertility").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bpeFert = graft.llm.TextOps.vocabAudit(docs, Some(merges))
+      .select("lang", "fertility").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(defFert.keySet == bpeFert.keySet)
+    assert(defFert != bpeFert, "flag changed nothing")
+    // trained symbols are ≥1 char, so chars-per-symbol stays ≥ 1
+    bpeFert.values.foreach(f => assert(f >= 1.0, bpeFert.toString))
+    val defPlan = graft.llm.ChunkOps.contextWindowPlan(docs)
+      .select("window", "token_coverage").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val bpePlan = graft.llm.ChunkOps.contextWindowPlan(docs,
+      bpeMerges = Some(merges))
+      .select("window", "token_coverage").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(defPlan.keySet == bpePlan.keySet)
+    // BPE splits words into ≥1 symbols, so token counts grow and small
+    // windows cover at most the whitespace coverage
+    bpePlan.foreach { case (w, cov) =>
+      assert(cov <= defPlan(w) + 1e-9, s"window $w: $cov > ${defPlan(w)}")
+    }
+  }
+
   // ------------------------------------------------- CC init fold
   test("connectedComponents converges in one round on a clique " +
       "(init already carries the closed-neighborhood minimum)") {
