@@ -164,6 +164,139 @@ object MultimodalOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q156 — perceptual-hash media dedup (dHash over the stub decode)
+  // ------------------------------------------------------------------
+
+  /** dHash-style 64-bit perceptual signature (Krawetz's difference
+    * hash: downsample to a 9×8 grayscale grid, emit the sign of each
+    * horizontal gradient). The DECODE half is the stub seam — the
+    * "grayscale grid" is a 72-cell block-mean downsample of the raw
+    * byte stream (a real deployment decodes pixels and resizes here;
+    * signature math is unchanged) — and the HASH half is the real
+    * dHash gradient logic. The block-mean decode preserves dHash's
+    * defining locality: one changed byte moves ONE block mean, so at
+    * most two gradient bits flip — near-identical payloads land within
+    * a small hamming radius, identical payloads at exactly 0. */
+  def dHashStub(payload: Array[Byte]): Long = {
+    val cells = 72 // 9 columns × 8 rows
+    val n = payload.length
+    if (n == 0) return 0L
+    val means = new Array[Double](cells)
+    var i = 0
+    while (i < cells) {
+      val lo = (i.toLong * n / cells).toInt
+      val hi = math.max((((i + 1).toLong * n) / cells).toInt, lo + 1)
+      val end = math.min(hi, n)
+      if (end <= lo) means(i) = 0.0
+      else {
+        var s = 0L
+        var j = lo
+        while (j < end) { s += payload(j) & 0xFF; j += 1 }
+        means(i) = s.toDouble / (end - lo)
+      }
+      i += 1
+    }
+    var fp = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (means(r * 9 + c + 1) > means(r * 9 + c))
+          fp |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    fp
+  }
+
+  /** Per-doc perceptual hash — the same typed mapPartitions codec-batch
+    * seam as [[mediaMeta]]. */
+  def mediaHashes(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, dHashStub(bytes)) })
+      .toDF("doc_id", "dhash")
+  }
+
+  /** Media near-dup candidate pairs: hamming-banded exactly like the
+    * text SimHash path ([[graft.llm.DedupOps.simhash]] — 4×16-bit
+    * chunks; a pair within hamming `maxHamming` of 64 differs in at
+    * most 3 chunks, so it shares at least one band), verified by exact
+    * hamming distance. Never all-pairs: the self-join is per
+    * (chunk, key) bucket. */
+  def mediaNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fps = mediaHashes(Tables.fanout(docs))
+    val chunks = fps.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("dhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "ckey")))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("d1", "d2")
+  }
+
+  /** Media keeper table: the perceptual-hash pair graph collapsed by
+    * the SAME shared CC machinery the text and embedding dedup paths
+    * ride ([[graft.llm.DedupOps.connectedComponents]]) — keeper = min
+    * doc_id per near-dup media component, every doc labeled. */
+  def mediaDedupKeeper(docs: DataFrame, maxHamming: Int = 3,
+      maxIters: Int = 15): DataFrame = {
+    val cc = graft.llm.DedupOps.connectedComponents(
+      mediaNearDup(docs, maxHamming).select(col("d1"), col("d2")))
+    docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper"), col("doc_id")).as("keeper"))
+      .withColumn("is_keeper",
+        (col("doc_id") === col("keeper")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** q156 registry audit — the q23_dedup_simhash precedent: the 64-bit
+    * signature is engine-specific, but dHash's STRUCTURAL guarantee is
+    * not — byte-identical payloads have identical signatures, share
+    * every band, and pass at hamming 0 — so `exact_covered` (exact-
+    * duplicate payload pairs found among the perceptual candidates)
+    * must EQUAL `n_exact_pairs` (all C(c,2) pairs over md5-payload
+    * groups, which both engines count exactly). The probabilistic
+    * near-dup behavior (one-byte edits landing within the hamming
+    * radius) is pinned in Round16OpsSpec on planted media. */
+  def mediaDedupAudit(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val keyed = Tables.fanout(docs)
+      .select(col("doc_id"), md5(to_binary(col("text"), lit("utf-8"))).as("m"))
+    val nExact = keyed.groupBy(col("m")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+        .as("n_exact_pairs"))
+    val cands = mediaNearDup(docs, maxHamming)
+    val exactPairs = keyed.select(col("doc_id").as("d1"), col("m"))
+      .join(keyed.select(col("doc_id").as("d2"), col("m").as("m2")),
+        col("m") === col("m2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+    val covered = exactPairs.join(cands, Seq("d1", "d2"), "left_semi")
+      .agg(count(lit(1)).as("exact_covered"))
+    nExact.crossJoin(broadcast(covered))
+      .select(col("n_exact_pairs"), col("exact_covered"))
+  }
+
+  val mediaDedupAuditSql: String =
+    """WITH g AS (SELECT md5(text) AS m, count(*) AS c
+      |  FROM documents GROUP BY 1)
+      |SELECT CAST(COALESCE(sum((c * (c - 1)) // 2), 0) AS BIGINT)
+      |    AS n_exact_pairs,
+      |  CAST(COALESCE(sum((c * (c - 1)) // 2), 0) AS BIGINT)
+      |    AS exact_covered
+      |FROM g""".stripMargin
+
   private def onDocs(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.documents(s, d))
 
@@ -171,5 +304,6 @@ object MultimodalOps {
     ("q26_media_meta", onDocs(mediaMeta), Some(mediaMetaSql)),
     ("q26_frame_sample", onDocs(frameSample), Some(frameSampleSql)),
     ("q26_resize", onDocs(resizePlan), Some(resizePlanSql)),
-    ("q26_features", onDocs(features), Some(featuresSql)))
+    ("q26_features", onDocs(features), Some(featuresSql)),
+    ("q156_media_dedup", onDocs(mediaDedupAudit(_)), Some(mediaDedupAuditSql)))
 }

@@ -191,6 +191,41 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- q156
+  test("media dedup: planted near-dup payloads pair within the hamming " +
+      "radius, exact dups at 0, unrelated media stay apart") {
+    import graft.llm.MultimodalOps
+    val base = (1 to 400).map(i => ('a' + i % 26).toChar).mkString
+    val docs = Seq(
+      (1L, base),                          // original
+      (2L, base),                          // byte-identical copy
+      (3L, base.updated(200, 'Z')),        // one-byte edit: near dup
+      (4L, (1 to 400).map(i => ('a' + (i * 7) % 26).toChar).mkString))
+      .toDF("doc_id", "text")
+    val pairs = MultimodalOps.mediaNearDup(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0), s"exact pair: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 3,
+      s"near-dup pair: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated payload paired: $pairs")
+    val keepers = MultimodalOps.mediaDedupKeeper(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L),
+      keepers.toString)
+  }
+
+  test("dHashStub: deterministic, byte-identical payloads collide, " +
+      "one-byte edits flip at most two gradient bits") {
+    import graft.llm.MultimodalOps.dHashStub
+    val p = (1 to 500).map(i => (i % 251).toByte).toArray
+    assert(dHashStub(p) == dHashStub(p.clone()))
+    val q = p.clone(); q(250) = (q(250) + 90).toByte
+    val d = java.lang.Long.bitCount(dHashStub(p) ^ dHashStub(q))
+    assert(d <= 2, s"one-byte edit flipped $d bits")
+    assert(dHashStub(Array.emptyByteArray) == 0L)
+  }
+
   // ------------------------------------------------- CC init fold
   test("connectedComponents converges in one round on a clique " +
       "(init already carries the closed-neighborhood minimum)") {
