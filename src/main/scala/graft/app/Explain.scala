@@ -49,6 +49,15 @@ object Explain {
     "q148_bootstrap_ci" -> "bootstrap CI: B hashed weights per row in ONE pass, map-side combine to the B-row replica frame; CI fold is a B-row window",
     "q149_session_anomaly" -> "session anomaly: sessionize+lead on ONE user-key exchange, cached pair projection serves model fit AND scoring, |types|^2 model broadcasts back",
     "q150_context_window_plan" -> "context-window plan: one tokenize scan, |windows|-cell map-side rollup - flat at any corpus size",
+    "q143_vocab_audit" -> "vocab audit: one token explode to vocabulary-bounded (lang,tok) counts; fertility joins a separate narrow scan on the |langs|-row frame",
+    "q145_burstiness" -> "burstiness: vocabulary-bounded per-term moment aggregate; absent-doc zeros folded analytically, never a doc x term frame",
+    "q147_spectral_audit" -> "spectral audit: d^2/2 slim pair agg collected as the model; power iteration runs on the driver matrix (no per-step job launches). NOTE: collects at construction, so there is no single lazy plan to dump - Explain prints the covariance-aggregate side only",
+    "q151_effective_tokens" -> "effective tokens: keeper CC fixpoint composed with per-lang token counts; only two |langs|-cell aggregates beyond the shared pair stage",
+    "q152_shingle_df_histogram" -> "df-cap audit: vocabulary-bounded df aggregate into power-of-two bands; candidate-pair mass is the analytic C(df,2) fold",
+    "q153_keeper_merge" -> "incremental keeper merge: new edges contract to stored roots (one batch-scale hash join), CC runs on the contracted batch-scale graph, stored table updates via one keeper-map join",
+    "q154_bpe_merges" -> "BPE train: corpus collapses to the word-frequency vocabulary in one exchange; the greedy merge loop is driver-side model state",
+    "q155_bpe_fertility" -> "BPE fertility: broadcast (word -> symbols) trained-vocab join; |langs|-row rollup - the corpus never re-runs the merge fold",
+    "q156_media_dedup" -> "media dedup audit: per-partition dHash, 4x16-bit band self-join per bucket (never all-pairs), exact-hamming verify",
     "q47_ks_drift"          -> "KS: distinct-value counts, CDFs via range-partitioned running sum (no single-reducer window)",
     "q48_corr_matrix"       -> "C(n,2) corr aggregates in ONE wide agg row over one scan, then unpivot",
     "q49_weighted_sample"   -> "A-ES weighted top-k per stratum: WindowGroupLimit prunes map-side",

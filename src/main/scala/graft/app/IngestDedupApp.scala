@@ -117,7 +117,16 @@ object IngestDedupApp {
     * construction) and the score is a pure projection of the row's own
     * text, so WAL replay reaches the same routing. */
   final case class ScoreGuard(weights: Map[Long, Double],
-      minLogw: Double, buckets: Int = 512)
+      minLogw: Double, buckets: Int = 512) {
+    // Without the b = -1 smoothing sentinel, dsirLogwExpr scores any
+    // doc with an unseen bucket as NULL logw — failing BOTH routing
+    // filters and silently dropping the row from corpus AND lowvalue/.
+    // The companion apply validates via collectWeights; direct
+    // construction must not be able to lose rows.
+    require(weights.contains(-1L),
+      "ScoreGuard weights must include the -1 unseen-bucket sentinel " +
+        "(build via dsirWeightTable / collectWeights)")
+  }
   object ScoreGuard {
     def apply(weights: DataFrame, minLogw: Double): ScoreGuard =
       ScoreGuard(graft.llm.TextOps.collectWeights(weights), minLogw)

@@ -1522,7 +1522,14 @@ object SimilarityOps {
     val em0 =
       if (sampleMod <= 1) em
       else em.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
-    val d = em0.select(size(col("embedding"))).head().getInt(0)
+    // loud empty guard: .head() on an empty table would surface as a
+    // bare NoSuchElementException from deep inside the operator
+    val d = em0.select(size(col("embedding"))).limit(1).collect()
+      .headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "spectralAudit: embeddings table is empty (after sampleMod " +
+          s"filter $sampleMod) — nothing to audit"))
+      .getInt(0)
     val pairArr = flatten(transform(sequence(lit(0), lit(d - 1)), i =>
       transform(sequence(i, lit(d - 1)), j =>
         struct(i.as("i"), j.as("j"),
@@ -1547,7 +1554,12 @@ object SimilarityOps {
       smom((a, b)) / n - mu(i) * mu(j)
     }
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-    for (_ <- 1 to iters) {
+    // an all-constant (or all-zero) table has a zero covariance matrix:
+    // the first matvec norm is 0 and every later step divides 0/0 into
+    // NaN — short-circuit to the (0, 0, 0) spectrum instead of iterating
+    val zeroTrace = (0 until d).forall(i =>
+      (0 until d).forall(j => math.abs(c(i)(j)) < 1e-300))
+    if (!zeroTrace) for (_ <- 1 to iters) {
       val w = Array.tabulate(d)(i =>
         (0 until d).map(j => c(i)(j) * v(j)).sum)
       val norm = math.sqrt(w.map(x => x * x).sum)
@@ -1556,11 +1568,12 @@ object SimilarityOps {
     val lambda1 = (0 until d).map(i =>
       (0 until d).map(j => v(i) * c(i)(j) * v(j)).sum).sum
     val trace = (0 until d).map(i => c(i)(i)).sum
+    val explained = if (zeroTrace) 0.0 else lambda1 / trace
     import spark.implicits._
     Seq((d.toLong, n,
       math.round((trace + 1e-9) * 1e4) / 1e4,
       math.round((lambda1 + 1e-9) * 1e4) / 1e4,
-      math.round((lambda1 / trace + 1e-9) * 1e4) / 1e4))
+      math.round((explained + 1e-9) * 1e4) / 1e4))
       .toDF("d", "n", "trace", "lambda1", "explained")
   }
   def spectralAuditSql(d: Int = 64, iters: Int = 50): String = {

@@ -1633,6 +1633,13 @@ object TextOps {
         coalesce(element_at(mapCol, b), element_at(mapCol, lit(-1L))))
   }
 
+  /** Per-source audit of the q141 selection cut. NOTE: token-less
+    * documents (empty/whitespace-only text) drop at the bucket explode,
+    * so `n_docs` counts SCOREABLE docs per source, not raw rows — the
+    * SQL twin's unnest agrees (cross-engine parity holds), and a doc
+    * with no tokens has no defined importance under the n-gram model;
+    * callers that need empty docs represented should left-join this
+    * back to their source-counts frame. */
   def dsirImportance(docs: DataFrame, targetSource: String = "src0",
       buckets: Int = 512, alpha: Double = 0.5): DataFrame = {
     val docBucket = dsirDocBucket(docs, buckets)

@@ -652,11 +652,12 @@ object JourneyOps {
       .orderBy(col("nll_per_step").desc, col("user_id"), col("sid"))
       .limit(topN)
   }
-  def sessionAnomalySql(minTrans: Int = 5, topN: Int = 20): String =
+  def sessionAnomalySql(gapMinutes: Int = 720, minTrans: Int = 5,
+      topN: Int = 20): String =
     s"""WITH x AS (
        |  SELECT user_id, event_id, event_type, ts,
        |    CASE WHEN lag(ts) OVER w IS NULL
-       |           OR ts - lag(ts) OVER w >= INTERVAL 720 MINUTE
+       |           OR ts - lag(ts) OVER w >= INTERVAL $gapMinutes MINUTE
        |         THEN 1 ELSE 0 END AS brk
        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
