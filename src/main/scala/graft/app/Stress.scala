@@ -124,7 +124,8 @@ object Stress {
       "q146_source_divergence", "q147_spectral_audit",
       "q148_bootstrap_ci", "q149_session_anomaly",
       "q150_context_window_plan", "q151_effective_tokens",
-      "q152_shingle_df_histogram")
+      "q152_shingle_df_histogram", "q153_keeper_merge",
+      "q154_bpe_merges", "q155_bpe_fertility", "q156_media_dedup")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()
@@ -150,5 +151,9 @@ object Stress {
         f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
     }
     spark.stop()
+    // the replica corpus is ~1.8 GiB per 20x run — leftover dirs from
+    // repeated captures once filled the disk mid-shuffle (a 100x pair
+    // stage spills heavily); delete on the way out
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 }

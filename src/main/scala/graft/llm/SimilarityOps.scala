@@ -682,17 +682,39 @@ object SimilarityOps {
         round(col("cos"), 4).as("cos"))
       .orderBy("v1", "v2")
 
+  /** Sub-blocks per side of the within-cluster self-join. The join's
+    * equi-key without them is `cid` alone — |clusters| = 8 key groups,
+    * so at most 8 tasks carry the WHOLE pair compute whatever the
+    * cluster size: the 100× stress point measured one straggler task
+    * computing C(25k,2) ≈ 312 M cosines single-threaded for ~28 min
+    * while 31 cores idled. With S sub-blocks the key becomes
+    * (cid, sa, sb) — 8·S² groups — for an S× replication of each side
+    * through the shuffle: the classic triangular self-join
+    * decomposition, pair SET unchanged (each unordered pair lands in
+    * exactly one (sub(v1), sub(v2)) block; v1 < v2 still dedups). */
+  private val PairSubBlocks = 4
+
   /** The blocked ε-neighbor pair stage shared by q86/q87/q138: candidate
     * pairs WITHIN a learned cluster, verified by exact cosine ≥
     * `threshold`. Unrounded `cos` — callers round at their output edge. */
   private def semanticPairs(em: DataFrame, threshold: Double,
       centroidIds: Seq[Long], iters: Int): DataFrame = {
     val asg = trainedIvfAssign(em, centroidIds, iters)
+    val S = PairSubBlocks
+    // every row fans out S ways per side: the A copy keyed by its own
+    // sub-block × each partner block j, the B copy by each partner
+    // block i × its own sub-block — partition (cid, i, j) then holds
+    // exactly the A rows with sub = i and B rows with sub = j
     val a = asg.select(col("cid"), col("vec_id").as("v1"),
-      col("embedding").as("e1"))
+        col("embedding").as("e1"))
+      .withColumn("_sa", pmod(xxhash64(col("v1")), lit(S.toLong)).cast("int"))
+      .withColumn("_j", explode(sequence(lit(0), lit(S - 1))))
     val b = asg.select(col("cid").as("_cid2"), col("vec_id").as("v2"),
-      col("embedding").as("e2"))
-    a.join(b, col("cid") === col("_cid2") && col("v1") < col("v2"))
+        col("embedding").as("e2"))
+      .withColumn("_sb", pmod(xxhash64(col("v2")), lit(S.toLong)).cast("int"))
+      .withColumn("_i", explode(sequence(lit(0), lit(S - 1))))
+    a.join(b, col("cid") === col("_cid2") && col("_sa") === col("_i")
+        && col("_j") === col("_sb") && col("v1") < col("v2"))
       .withColumn("cos", expr("cosine_sim(e1, e2)"))
       .filter(col("cos") >= threshold)
       .select(col("v1"), col("v2"), col("cid"), col("cos"))
