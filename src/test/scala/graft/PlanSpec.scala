@@ -421,4 +421,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q86 pair stage: the within-cluster self-join keys include the " +
+    "sub-blocks (parallelism past the cluster count)") {
+    // BASELINE §t's 100× straggler fix, pinned: with `cid` as the only
+    // equi-key the pair compute collapses onto |clusters| tasks — one
+    // task computed ~312 M cosines single-threaded at the 100× point.
+    // The sub-block columns must stay INSIDE the join's equi-key (an
+    // equality lost to a refactor would demote them to residual
+    // conditions and silently restore the 8-task ceiling).
+    val df = graft.llm.SimilarityOps.semanticDedup(
+      T.embeddings(spark, sf0001))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("_sa#") && p.contains("_sb#"), p.take(3000))
+    // equi-key form: the join node's key lists carry the sub-block
+    // columns next to cid (residual-only form would print them inside
+    // the post-join condition instead)
+    val joinLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("_sa#"))
+    assert(joinLine.exists(l => l.contains("_i#") && l.contains("_sb#")),
+      s"sub-blocks not in the join keys: ${joinLine.getOrElse(p.take(3000))}")
+  }
 }
