@@ -125,7 +125,8 @@ object Stress {
       "q148_bootstrap_ci", "q149_session_anomaly",
       "q150_context_window_plan", "q151_effective_tokens",
       "q152_shingle_df_histogram", "q153_keeper_merge",
-      "q154_bpe_merges", "q155_bpe_fertility", "q156_media_dedup")
+      "q154_bpe_merges", "q155_bpe_fertility", "q156_media_dedup",
+      "q157_bm25_serve")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

@@ -60,7 +60,11 @@ class LazinessSpec extends SparkSpec {
       // q154/q155 collect the word-frequency vocabulary and run the
       // greedy BPE merge loop driver-side at construction (model-scale
       // by the q89 vocabulary-collapse argument, BpeMaxVocab-guarded)
-      "q154_bpe_merges", "q155_bpe_fertility")
+      "q154_bpe_merges", "q155_bpe_fertility",
+      // q157 eagerly materializes its cached index base at construction
+      // (the q78 rationale: concurrent broadcast builds race the cold
+      // cache and would re-run the corpus tokenize)
+      "q157_bm25_serve")
 
   test("constructing registry queries fires no Spark job") {
     // pre-warm per-table schema resolution so first-touch footer reads

@@ -226,6 +226,31 @@ class Round16OpsSpec extends SparkSpec {
     assert(dHashStub(Array.emptyByteArray) == 0L)
   }
 
+  // ------------------------------------------------------------- q157
+  test("bm25 serve: persisted index round-trips, serve ≡ direct scan, " +
+      "and append ≡ rebuild") {
+    import graft.llm.TextOps
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val terms = TextOps.bm25ServeTerms
+    val direct = TextOps.bm25(docs, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    // stored: write the index tables, serve the same query from them
+    TextOps.writeBm25Index(docs, "bm25_r16_test")
+    val served = TextOps.bm25Serve(spark, "bm25_r16_test", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(served == direct, s"served $served != direct $direct")
+    // incremental: index the first 80% then append the rest — serving
+    // over (index ∪ batch) must equal the rebuilt-from-scratch answer
+    // (df/stats derive at query time, so appends need no model rewrite)
+    val cut = docs.agg(max(col("doc_id"))).collect().head.getLong(0) * 8 / 10
+    TextOps.writeBm25Index(docs.filter(col("doc_id") < cut), "bm25_r16_incr")
+    TextOps.appendToBm25Index(docs.filter(col("doc_id") >= cut),
+      "bm25_r16_incr")
+    val incr = TextOps.bm25Serve(spark, "bm25_r16_incr", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(incr == direct, s"incremental $incr != rebuilt $direct")
+  }
+
   // ------------------------------------------------- CC init fold
   test("connectedComponents converges in one round on a clique " +
       "(init already carries the closed-neighborhood minimum)") {
