@@ -310,6 +310,15 @@ object IngestDedupApp {
       if (!fs.exists(kpath)) None
       else fs.listStatus(kpath).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("upto="))
+        // a refresh that crashes mid-write leaves upto=N WITHOUT its
+        // _SUCCESS commit marker; unlike batch dirs (which the stream
+        // replays and rewrites) nothing re-delivers a keeper snapshot,
+        // so consuming the partial as the merge base would propagate
+        // the corruption into every later generation — skip
+        // uncommitted dirs and fall back to the next-older committed
+        // one (or full bootstrap when none exists)
+        .filter(s => fs.exists(
+          new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
         .map(_.getPath.getName.stripPrefix("upto=").toLong)
         .filter(_ < target).sorted.lastOption
     def fullKeepers(docs: DataFrame): DataFrame =

@@ -20,7 +20,18 @@ object Stress {
     val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
     val spark = graft.core.Sessions.get("32")
     val dir = java.nio.file.Files.createTempDirectory("stress").toString
+    // the replica corpus is multi-GiB per run and an exception mid-query
+    // (the likeliest outcome at the 100x point) must not leak it — the
+    // disk-fill failure mode is exactly what this app exists to probe,
+    // so cleanup rides a finally, not the happy path
+    try { run(spark, sfDir, factor, only, dir) }
+    finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 
+  private def run(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      factor: Int, only: Option[Set[String]], dir: String): Unit = {
     // replicate: each replica r re-keys the id columns (`id*factor + r`),
     // so replicas of a keyed entity are distinct entities — the population
     // grows with the factor while per-key density stays fixed, the
@@ -152,9 +163,5 @@ object Stress {
         f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
     }
     spark.stop()
-    // the replica corpus is ~1.8 GiB per 20x run — leftover dirs from
-    // repeated captures once filled the disk mid-shuffle (a 100x pair
-    // stage spills heavily); delete on the way out
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 }

@@ -185,15 +185,20 @@ object MultimodalOps {
     val means = new Array[Double](cells)
     var i = 0
     while (i < cells) {
+      // exact partition of [0, n) — every byte belongs to EXACTLY one
+      // block (blocks are empty, mean 0, when n < cells), so a
+      // one-byte edit moves one block mean and flips at most the two
+      // gradient bits adjacent to that block at ANY payload size; the
+      // earlier lo+1 clamp made short-payload blocks overlap and
+      // broke that bound
       val lo = (i.toLong * n / cells).toInt
-      val hi = math.max((((i + 1).toLong * n) / cells).toInt, lo + 1)
-      val end = math.min(hi, n)
-      if (end <= lo) means(i) = 0.0
+      val hi = ((i + 1).toLong * n / cells).toInt
+      if (hi <= lo) means(i) = 0.0
       else {
         var s = 0L
         var j = lo
-        while (j < end) { s += payload(j) & 0xFF; j += 1 }
-        means(i) = s.toDouble / (end - lo)
+        while (j < hi) { s += payload(j) & 0xFF; j += 1 }
+        means(i) = s.toDouble / (hi - lo)
       }
       i += 1
     }
@@ -224,16 +229,27 @@ object MultimodalOps {
   }
 
   /** Media near-dup candidate pairs: hamming-banded exactly like the
-    * text SimHash path ([[graft.llm.DedupOps.simhash]] — 4×16-bit
-    * chunks; a pair within hamming `maxHamming` of 64 differs in at
-    * most 3 chunks, so it shares at least one band), verified by exact
-    * hamming distance. Never all-pairs: the self-join is per
-    * (chunk, key) bucket. */
+    * text SimHash path ([[graft.llm.DedupOps.simhash]]). The band
+    * count is DERIVED as `maxHamming + 1` so the pigeonhole guarantee
+    * holds for any radius: a pair differing in ≤ maxHamming of 64 bits
+    * differs in at most maxHamming bands, so with maxHamming+1 bands
+    * at least one band matches — no candidate is ever lost. (The
+    * default radius 3 gives the same 4×16-bit banding as before.)
+    * Verified by exact hamming distance. Never all-pairs: the
+    * self-join is per (chunk, key) bucket. */
   def mediaNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming=$maxHamming: banding needs maxHamming+1 <= 32 bands " +
+        "over a 64-bit signature (2-bit minimum band width)")
+    val nBands = maxHamming + 1
+    val bound = (0 to nBands).map(i => i * 64 / nBands)
     val fps = mediaHashes(Tables.fanout(docs))
     val chunks = fps.select(col("doc_id"), col("dhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("dhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(array((0 until nBands).map { c =>
+        val lo = bound(c); val w = bound(c + 1) - lo
+        if (w >= 64) col("dhash")
+        else shiftright(col("dhash"), lo).bitwiseAND(lit((1L << w) - 1))
+      }: _*))
         .as(Seq("chunk", "ckey")))
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey")
