@@ -75,6 +75,22 @@ object PipelineApp {
         col("n_chars") === length(col("text"))),
       QualityOps.inRange("n_chars", 0, 1e9)))
 
+  /** ExactSubstr span removal (q158) applied AFTER doc-level dedup:
+    * the keeper pass drops whole near-dup docs, but boilerplate spans
+    * repeated ACROSS surviving docs (navbars, license headers, quoted
+    * passages) are invisible to it — this stage excises them from the
+    * text itself (Lee et al. '21's treatment) and drops docs cleaned
+    * to empty. `n_chars` is re-derived so downstream length logic sees
+    * the cleaned text; every other column rides through. */
+  def spanClean(docs: DataFrame, k: Int = 5): DataFrame =
+    docs.drop("text")
+      .join(TextOps.exactSubstrClean(docs, k, sorted = false)
+        .select(col("doc_id"), col("clean_text").as("text")),
+        Seq("doc_id"))
+      .filter(length(col("text")) > 0)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(docs.columns.map(col): _*)
+
   /** Stage 4: drop training docs contaminated by the eval/benchmark
     * set — ≥ `minFrac` of their shingles appear in it (q23_contamination
     * inverted into a keep-filter; the eval shingle set is tiny next to
@@ -128,6 +144,7 @@ object PipelineApp {
       "normalized" -> (acc => normalize(acc.last.df)),
       "quality_gated" -> (acc => qualityGate(acc.last.df)),
       "deduped" -> (acc => DedupOps.dedupCorpus(acc.last.df)),
+      "span_cleaned" -> (acc => spanClean(acc.last.df)),
       // the eval set is an EXTERNAL input in production; absent one,
       // the q23_contamination registry convention stands in (the top
       // 10% of raw ids play the benchmark set — scale-proportional)

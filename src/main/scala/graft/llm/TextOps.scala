@@ -1411,6 +1411,153 @@ object TextOps {
        |    AS BIGINT) AS n_flagged_docs
        |FROM pd GROUP BY source ORDER BY source""".stripMargin
 
+  /** q158 — ExactSubstr span REMOVAL (the treatment, where q98 is the
+    * measurement): materializes the span-cleaned corpus of Lee et al.
+    * '21 — every token position whose k-token n-gram occurs more than
+    * once in the corpus marks the k tokens it covers as duplicated;
+    * overlapping/abutting covered ranges merge into maximal spans
+    * (gaps-and-islands over the running max of span ends); the spans
+    * are excised and the surviving tokens re-joined. Output per doc:
+    * span count, tokens removed, and the cleaned text itself — the
+    * artifact a curation run actually ships. A doc that is entirely
+    * duplicated text cleans to the empty string (Lee et al. keep ONE
+    * copy globally via suffix-array order; the distributable fixed-k
+    * refinement removes every occurrence — combine with the q23 keeper
+    * pass, which already retains a canonical copy per dup cluster,
+    * when a survivor is required).
+    *
+    * Scale shape: n-gram occurrences shuffle as `xxhash64` LONGS (q98's
+    * posture); the count table keeps only c > 1 groups, so the join
+    * back carries the duplicated MINORITY and the per-doc window
+    * (island merge) runs over dup positions only — never all
+    * positions. The final clean is a per-row HOF over the doc's own
+    * (small) span list broadcast through a left join; no driver
+    * collection anywhere. */
+  def exactSubstrClean(docs: DataFrame, k: Int = 5,
+      sorted: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.fanout(docs).select(col("doc_id"), col("source"),
+      Text.tokens(col("text")).as("ts"))
+    val occ = base.select(col("doc_id"),
+      posexplode(Text.ngramOccurrences(col("ts"), k)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        xxhash64(col("g")).as("gh"))
+    val dupGrams = occ.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    val dupPos = occ.join(dupGrams, Seq("gh")).select("doc_id", "pos")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val isl = dupPos
+      .withColumn("prev_end", max(col("pos") + k)
+        .over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk", when(col("prev_end").isNull
+        || col("pos") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk"))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = isl.groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k).as("e"))
+    val spanList = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("removed_tokens"),
+        collect_list(struct(col("s"), col("e"))).as("sp"))
+    val out = base.join(spanList, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        array_join(when(col("sp").isNull, col("ts")).otherwise(
+          transform(filter(sequence(lit(1), size(col("ts"))),
+            i => !exists(col("sp"),
+              sp => i >= sp("s") && i < sp("e"))),
+            i => element_at(col("ts"), i))), " ").as("clean_text"))
+    // registry compares need a total order; the pipeline stage skips
+    // the global sort (a 100 TB corpus never pays it)
+    if (sorted) out.orderBy("doc_id") else out
+  }
+  /** Shared per-doc CTE chain for the q158 SQL twins (DuckDB counts
+    * the n-gram STRINGS where Spark counts xxhash64 longs — exact
+    * unless a 64-bit collision, the documented q98 posture). */
+  private def exactSubstrCleanCte(k: Int): String =
+    s"""tok AS (SELECT doc_id, source, ${Text.tokensSql("text")} AS ts
+       |  FROM documents),
+       |occ AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+       |  SELECT doc_id, unnest(CASE WHEN len(ts) >= $k
+       |    THEN list_transform(generate_series(1, len(ts) - ${k - 1}),
+       |      i -> struct_pack(pos := i,
+       |        g := array_to_string(ts[i:i+${k - 1}], ' ')))
+       |    ELSE [] END) AS u FROM tok)),
+       |dup AS (SELECT o.doc_id, o.pos FROM occ o JOIN (
+       |    SELECT g FROM occ GROUP BY g HAVING count(*) > 1) c
+       |  ON c.g = o.g),
+       |isl AS (SELECT doc_id, pos,
+       |    CASE WHEN pos > coalesce(max(pos + $k) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM dup),
+       |isl2 AS (SELECT doc_id, pos, sum(brk) OVER (
+       |    PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |  FROM isl),
+       |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + $k AS e
+       |  FROM isl2 GROUP BY doc_id, isl),
+       |sl AS (SELECT doc_id, count(*) AS n_spans,
+       |    CAST(sum(e - s) AS BIGINT) AS removed_tokens,
+       |    list(struct_pack(s := s, e := e)) AS sp
+       |  FROM spans GROUP BY doc_id),
+       |clean AS (SELECT t.doc_id, t.source,
+       |    CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       |    coalesce(sl.n_spans, 0) AS n_spans,
+       |    coalesce(sl.removed_tokens, 0) AS removed_tokens,
+       |    coalesce(array_to_string(CASE WHEN sl.sp IS NULL THEN t.ts
+       |      ELSE list_transform(
+       |        list_filter(generate_series(1, len(t.ts)),
+       |          i -> len(list_filter(sl.sp,
+       |            x -> i >= x.s AND i < x.e)) = 0),
+       |        i -> t.ts[i]) END, ' '), '') AS clean_text
+       |  FROM tok t LEFT JOIN sl ON sl.doc_id = t.doc_id)""".stripMargin
+  def exactSubstrCleanSql(k: Int = 5): String =
+    s"""WITH ${exactSubstrCleanCte(k)}
+       |SELECT doc_id, source, n_tokens, n_spans, removed_tokens,
+       |  clean_text
+       |FROM clean ORDER BY doc_id""".stripMargin
+
+  /** q158 char-fate audit: per source, how many CHARACTERS the
+    * ExactSubstr pass kept vs removed (measured over the normalized
+    * token stream — original tokens joined with single spaces — the
+    * only rendering both the cleaned and uncleaned text share), plus
+    * docs touched and docs cleaned to empty. The go/no-go companion:
+    * a source losing most of its chars to span removal needs a
+    * boilerplate rule (q101) upstream, not silent excision. */
+  def exactSubstrCharFate(docs: DataFrame, k: Int = 5): DataFrame =
+    exactSubstrClean(docs, k)
+      .select(col("source"), col("n_spans"), col("removed_tokens"),
+        length(col("clean_text")).cast("long").as("chars_kept"),
+        col("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_spans") > 0, 1L).otherwise(0L))
+          .as("docs_touched"),
+        sum(when(col("n_tokens") > 0 && col("n_tokens")
+          === col("removed_tokens"), 1L).otherwise(0L))
+          .as("docs_emptied"),
+        sum(col("n_spans")).as("n_spans"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(col("removed_tokens")).as("tokens_removed"),
+        sum(col("chars_kept")).as("chars_kept"))
+      .orderBy("source")
+  def exactSubstrCharFateSql(k: Int = 5): String =
+    s"""WITH ${exactSubstrCleanCte(k)}
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_touched,
+       |  CAST(sum(CASE WHEN n_tokens > 0 AND n_tokens = removed_tokens
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_emptied,
+       |  CAST(sum(n_spans) AS BIGINT) AS n_spans,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       |  CAST(sum(removed_tokens) AS BIGINT) AS tokens_removed,
+       |  CAST(sum(length(clean_text)) AS BIGINT) AS chars_kept
+       |FROM clean GROUP BY source ORDER BY source""".stripMargin
+
   /** q99 — tokenizer-vocabulary coverage audit: fix the vocabulary to
     * the corpus's top-`vocabSize` tokens by occurrence count (ties
     * broken by token — a deterministic stand-in for a shipped tokenizer
@@ -2211,6 +2358,10 @@ object TextOps {
     ("q91_pmi_pairs", onDocs(pmiPairs(_)), Some(pmiPairsSql())),
     ("q94_textrank", onDocs(textrank(_)), Some(textrankSql())),
     ("q98_dup_spans", onDocs(dupSpans(_)), Some(dupSpansSql())),
+    ("q158_exactsubstr_clean", onDocs(exactSubstrClean(_)),
+      Some(exactSubstrCleanSql())),
+    ("q158_char_fate", onDocs(exactSubstrCharFate(_)),
+      Some(exactSubstrCharFateSql())),
     ("q99_vocab_coverage", onDocs(vocabCoverage(_)),
       Some(vocabCoverageSql())),
     ("q101_boilerplate_ngrams", onDocs(boilerplateNgrams(_)),

@@ -31,7 +31,8 @@ class PipelineAppSpec extends SparkSpec {
     val rows = m1.map(t => t._1 -> t._2).toMap
     assert(rows("raw") >= rows("quality_gated"))
     assert(rows("quality_gated") >= rows("deduped"))
-    assert(rows("deduped") >= rows("decontaminated"))
+    assert(rows("deduped") >= rows("span_cleaned"))
+    assert(rows("span_cleaned") >= rows("decontaminated"))
     assert(rows("decontaminated") >= rows("mixture_selected"))
     assert(rows("mixture_selected") > 0)
     // normalize is row-preserving
@@ -39,7 +40,7 @@ class PipelineAppSpec extends SparkSpec {
     // the stand-in eval split contaminates SOME training docs at this
     // fixture (near-copies straddle the id cut), so the stage is
     // exercised, not vacuous
-    assert(rows("deduped") > rows("decontaminated"))
+    assert(rows("span_cleaned") > rows("decontaminated"))
     // the fail-loud gate verdict landed, all green
     val gate = spark.read.parquet(s"$out1/gate").collect()
       .map(r => r.getString(0) -> r.getInt(2)).toMap
@@ -74,7 +75,9 @@ class PipelineAppSpec extends SparkSpec {
     // stage (one that the quality gate or dedup keeper dropped would
     // make the plant vacuous), taken from a reference run
     PipelineApp.run(spark, sf0001, pre)
-    val evalText = spark.read.parquet(s"$pre/corpus/deduped")
+    // taken from span_cleaned (the frame decontamination actually
+    // sees) so the plant's shingles match the post-excision text
+    val evalText = spark.read.parquet(s"$pre/corpus/span_cleaned")
       .orderBy("doc_id").limit(1).collect()(0).getAs[String]("text")
     val eval = docs.sparkSession.createDataFrame(Seq(
       (900001L, evalText))).toDF("doc_id", "text")

@@ -50,6 +50,47 @@ class Round17OpsSpec extends SparkSpec {
       snap2.toString)
   }
 
+  // ------------------------------------------------------------- q158
+  test("exactSubstrClean: overlapping dup grams merge into one span, " +
+      "abutting spans fuse, head/tail spans cut cleanly, a fully " +
+      "duplicated doc empties, sub-k docs pass through") {
+    import graft.llm.TextOps
+    val docs = Seq(
+      // E: "c d e" (dup via F) at pos 3 and "d e f" (dup via G) at
+      // pos 4 — intervals [3,6) + [4,7) OVERLAP -> one span [3,7)
+      (1L, "p q c d e f r s", "s1"),
+      (2L, "u1 u2 c d e u3 u4", "s1"),      // F: head-interior span
+      (3L, "d e f v1 v2", "s1"),            // G: HEAD span [1,4)
+      // H: "t1 t2 t3" at 1 and "t4 t5 t6" at 4 (both dup via I) ABUT
+      // ([1,4) + [4,7)) -> ONE span [1,7) -> doc empties
+      (4L, "t1 t2 t3 t4 t5 t6", "s2"),
+      (5L, "t1 t2 t3 zz t4 t5 t6", "s2"),   // I: two spans, keeps "zz"
+      (6L, "w1 w2 w3 w4 w5 t4 t5 t6", "s2"),// TAIL span [6,9)
+      (7L, "xx yy", "s3"))                   // < k tokens: untouched
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.exactSubstrClean(docs, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    assert(out(1L) == ((8L, 1L, 4L, "p q r s")), out(1L).toString)
+    assert(out(2L) == ((7L, 1L, 3L, "u1 u2 u3 u4")), out(2L).toString)
+    assert(out(3L) == ((5L, 1L, 3L, "v1 v2")), out(3L).toString)
+    assert(out(4L) == ((6L, 1L, 6L, "")), out(4L).toString)
+    assert(out(5L) == ((7L, 2L, 6L, "zz")), out(5L).toString)
+    assert(out(6L) == ((8L, 1L, 3L, "w1 w2 w3 w4 w5")), out(6L).toString)
+    assert(out(7L) == ((2L, 0L, 0L, "xx yy")), out(7L).toString)
+    // char fate rolls the same rows up per source; docs_emptied counts
+    // doc 4 only (n_tokens = removed_tokens > 0)
+    val fate = TextOps.exactSubstrCharFate(docs, k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(fate("s2") == ((3L, 3L, 1L, 4L, 21L, 15L, "zz".length.toLong
+      + "w1 w2 w3 w4 w5".length)), fate("s2").toString)
+    assert(fate("s3") == ((1L, 0L, 0L, 0L, 2L, 0L, 5L)),
+      fate("s3").toString)
+  }
+
   test("dHashStub: one-byte edit flips at most two gradient bits even " +
       "on payloads shorter than the 72-cell grid") {
     import MultimodalOps.dHashStub
