@@ -1128,6 +1128,147 @@ object SimilarityOps {
        |FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY q.qid""".stripMargin
   }
 
+  /** q159 — the nProbe→recall TUNING CURVE (q139 answers "what is the
+    * recall at the shipped nProbe"; this answers "which nProbe clears
+    * the bar, and what does each step cost"): one sweep over
+    * nProbe = 1..`maxProbe` emitting, per level, mean recall@k against
+    * the exhaustive truth, total/mean scored candidates (the serving
+    * cost), and an integer-arithmetic pass flag against `minRecall` —
+    * the measured curve that either names the config clearing the bar
+    * or proves the index cannot on this data (q139 measured 0.67–0.72
+    * at nProbe 3/8 on the isotropic fixture; the curve makes the
+    * remediation decision one table read).
+    *
+    * Scale shape: the sweep is NOT maxProbe reruns. Ground truth is
+    * computed once (the q139 arm, O(|sample|·N·d) by definition of
+    * exhaustive truth). On the candidate side every (query, candidate)
+    * cosine is scored ONCE with the probe rank `crn` of the list that
+    * admitted it; because probe lists NEST (level p's pool = level
+    * p−1's ∪ list p), exploding p over crn..maxProbe reconstructs
+    * every level's pool from that single scored frame — the explode
+    * multiplies slim (qid, vec_id, cos, crn) rows, never re-touches
+    * embeddings, and is bounded by the truth arm's own cost. Model
+    * training runs once (localCheckpoint, the q139/q100 pattern). */
+  def annProbeCurve(em: DataFrame, k: Int = TopK, maxProbe: Int = 0,
+      sampleMod: Long = 50L, sampleRes: Long = 7L,
+      minRecall: Double = 0.8, centroidIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val pMax =
+      if (maxProbe <= 0) centroidIds.size
+      else math.min(maxProbe, centroidIds.size)
+    val bar = math.round(minRecall * 10000)
+    val q = em.filter(col("vec_id") % sampleMod === sampleRes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val truth = topk(em.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr("cosine_sim(qe, embedding)")), k)
+      .select(col("qid"), col("neighbor"))
+    val model = kmeansCentroids(em, centroidIds, iters).localCheckpoint()
+    // rank EVERY centroid per query — the serving path ranks the same
+    // list and truncates at nProbe; here the truncation is the knob
+    val probeRank = q.crossJoin(broadcast(model))
+      .withColumn("crn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(expr("cosine_sim(ce, qe)").desc, col("cid"))))
+      .filter(col("crn") <= pMax)
+      .select(col("qid"), col("qe"), col("cid"), col("crn"))
+    val scoredOnce = assignUnderModel(em, model)
+      .join(broadcast(probeRank), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("cosine_sim(qe, embedding)").as("cos"), col("crn"))
+    val levels = scoredOnce
+      .withColumn("p", explode(sequence(col("crn"), lit(pMax))))
+    val ranked = levels.withColumn("rnk",
+      row_number().over(Window.partitionBy(col("qid"), col("p"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+    val scanned = levels.groupBy(col("qid"), col("p"))
+      .agg(count(lit(1)).as("n_scored"))
+    val hits = ranked.filter(col("rnk") <= k)
+      .join(truth, ranked("qid") === truth("qid")
+        && col("vec_id") === col("neighbor"), "left_semi")
+      .groupBy(col("qid"), col("p")).agg(count(lit(1)).as("n_hit"))
+    val grid = q.select(col("qid")).crossJoin(
+      em.sparkSession.range(1, pMax + 1)
+        .select(col("id").cast("int").as("p")))
+    grid.join(scanned, Seq("qid", "p"), "left")
+      .join(hits, Seq("qid", "p"), "left")
+      .select(col("qid"), col("p"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("n_hit")).as("hits_total"),
+        round(sum(col("n_hit")).cast("double")
+          / (lit(k) * count(lit(1))) + lit(1e-9), 4).as("mean_recall"),
+        sum(col("n_scored")).as("scanned_total"),
+        round(sum(col("n_scored")).cast("double")
+          / count(lit(1)) + lit(1e-9), 2).as("mean_scanned"),
+        // integer arithmetic on both engines: recall*10⁴ vs bar*k*n —
+        // no float boundary can flip the verdict
+        (sum(col("n_hit")) * 10000L
+          >= lit(bar) * k * count(lit(1))).cast("int").as("ok"))
+      .select(col("p").as("nprobe"), col("n_queries"), col("hits_total"),
+        col("mean_recall"), col("scanned_total"), col("mean_scanned"),
+        col("ok"))
+      .orderBy("nprobe")
+  }
+
+  def annProbeCurveSql(k: Int = TopK, maxProbe: Int = 8,
+      sampleMod: Long = 50L, sampleRes: Long = 7L,
+      minRecall: Double = 0.8): String = {
+    val bar = math.round(minRecall * 10000)
+    val iterCtes = (1 to KmeansIters).map { it =>
+      s"""${kmeansAssignCte(s"c${it - 1}", s"a$it")},
+         |${kmeansUpdateCte(s"a$it", s"c$it")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+       |$iterCtes,
+       |${kmeansAssignCte(s"c$KmeansIters", "asg")},
+       |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
+       |  FROM embeddings WHERE vec_id % $sampleMod = $sampleRes),
+       |t AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, e.vec_id) AS rnk
+       |  FROM q, embeddings e WHERE e.vec_id <> q.qid) x WHERE rnk <= $k),
+       |pr AS (SELECT qid, qe, cid, crn FROM (
+       |  SELECT q.qid, q.qe, c.cid,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("c.ce", "q.qe")} DESC, c.cid) AS crn
+       |  FROM q, c$KmeansIters c) x WHERE crn <= $maxProbe),
+       |sc1 AS MATERIALIZED (SELECT p.qid, a.vec_id,
+       |    ${cosSql("p.qe", "a.embedding")} AS cos, p.crn
+       |  FROM pr p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid),
+       |lv AS MATERIALIZED (SELECT qid, vec_id, cos,
+       |    unnest(generate_series(crn, $maxProbe)) AS p FROM sc1),
+       |rk AS (SELECT qid, p, vec_id,
+       |    row_number() OVER (PARTITION BY qid, p
+       |      ORDER BY cos DESC, vec_id) AS rnk FROM lv),
+       |sc AS (SELECT qid, p, count(*) AS n_scored FROM lv GROUP BY qid, p),
+       |h AS (SELECT r.qid, r.p, count(*) AS n_hit FROM rk r
+       |  JOIN t ON t.qid = r.qid AND t.vec_id = r.vec_id
+       |  WHERE r.rnk <= $k GROUP BY r.qid, r.p),
+       |grid AS (SELECT q.qid, pp.p FROM q,
+       |  generate_series(1, $maxProbe) pp(p)),
+       |pq AS (SELECT g.qid, g.p,
+       |    coalesce(sc.n_scored, 0) AS n_scored,
+       |    coalesce(h.n_hit, 0) AS n_hit
+       |  FROM grid g
+       |  LEFT JOIN sc ON sc.qid = g.qid AND sc.p = g.p
+       |  LEFT JOIN h ON h.qid = g.qid AND h.p = g.p)
+       |SELECT p AS nprobe, count(*) AS n_queries,
+       |  CAST(sum(n_hit) AS BIGINT) AS hits_total,
+       |  round(sum(n_hit) / CAST($k * count(*) AS DOUBLE) + 1e-9, 4)
+       |    AS mean_recall,
+       |  CAST(sum(n_scored) AS BIGINT) AS scanned_total,
+       |  round(sum(n_scored) / CAST(count(*) AS DOUBLE) + 1e-9, 2)
+       |    AS mean_scanned,
+       |  CAST(sum(n_hit) * 10000 >= $bar * $k * count(*) AS INT) AS ok
+       |FROM pq GROUP BY p ORDER BY nprobe""".stripMargin
+  }
+
   /** q100 — kNN label-agreement audit (the confident-learning / kNN
     * label-noise shape, Northcutt et al. '21): for EVERY vector, find its
     * top-k cosine neighbors and score what share carry the same label;
@@ -1686,5 +1827,8 @@ object SimilarityOps {
       Some(dbscanSql())),
     ("q139_ann_recall",
       (s: SparkSession, d: String) => annRecallAudit(Tables.embeddings(s, d)),
-      Some(annRecallSql())))
+      Some(annRecallSql())),
+    ("q159_ann_probe_curve",
+      (s: SparkSession, d: String) => annProbeCurve(Tables.embeddings(s, d)),
+      Some(annProbeCurveSql())))
 }

@@ -91,6 +91,28 @@ class Round17OpsSpec extends SparkSpec {
       fate("s3").toString)
   }
 
+  // ------------------------------------------------------------- q159
+  test("annProbeCurve: recall is monotone in nProbe, cost strictly " +
+      "grows, and the full-probe level is exhaustive (recall 1.0)") {
+    val em = graft.core.Tables.embeddings(spark, sf0001)
+    val rows = graft.llm.SimilarityOps.annProbeCurve(em)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getInt(6)))
+    assert(rows.length == 8, rows.mkString(","))
+    // probe lists nest: every level adds candidates, never loses hits
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"hits fell $a -> $b")
+      assert(b._4 > a._4, s"scanned did not grow $a -> $b")
+    }
+    // probing all lists IS brute force: recall exactly 1 by construction
+    assert(rows.last._3 == 1.0, rows.last.toString)
+    assert(rows.last._5 == 1, rows.last.toString)
+    // the integer pass flag agrees with the recall it summarizes
+    rows.foreach { case (p, _, rec, _, ok) =>
+      assert((ok == 1) == (rec >= 0.8), s"p=$p rec=$rec ok=$ok")
+    }
+  }
+
   test("dHashStub: one-byte edit flips at most two gradient bits even " +
       "on payloads shorter than the 72-cell grid") {
     import MultimodalOps.dHashStub
