@@ -1007,31 +1007,87 @@ object TextOps {
     require(wf.length <= maxVocab,
       s"BPE training vocabulary ${wf.length} exceeds $maxVocab — train on " +
         "a corpus sample or raise maxVocab explicitly")
-    var words: Array[(Vector[String], Long)] =
-      wf.map { case (w, f) => (w.split("").filter(_.nonEmpty).toVector, f) }
+    trainBpeFromWordFreq(wf, nMerges)
+  }
+
+  /** The greedy loop over an already-collapsed word-frequency table,
+    * with Sennrich's own incremental pair-count update (the reference
+    * implementation's `get_pair_statistics` runs ONCE; each merge then
+    * adjusts counts only for the words that contained the merged pair,
+    * via the `indices` occurrence index): per round the work is
+    * argmax over live pair counts + a rewrite of the AFFECTED words —
+    * never a full vocabulary re-scan. The occurrence index tolerates
+    * stale entries (a word listed for a pair it no longer contains is
+    * skipped after a cheap adjacency check) so merges never pay index
+    * deletion. Semantics are byte-identical to the naive re-count loop
+    * (same (count DESC, left, right) tie-break, same left-to-right
+    * fold) — Round17OpsSpec pins the equivalence and the ≥1024-merge
+    * cost point lives in BASELINE §v. */
+  def trainBpeFromWordFreq(wf: Array[(String, Long)], nMerges: Int)
+      : (Seq[(String, String)], Seq[(String, Seq[String])]) = {
+    val words: Array[Vector[String]] =
+      wf.map { case (w, _) => w.split("").filter(_.nonEmpty).toVector }
+    val freqs: Array[Long] = wf.map(_._2)
+    val counts =
+      new scala.collection.mutable.HashMap[(String, String), Long]
+    val index = new scala.collection.mutable.HashMap[(String, String),
+      scala.collection.mutable.ArrayBuffer[Int]]
+    def register(i: Int, sign: Long): Unit = {
+      val toks = words(i)
+      val f = freqs(i) * sign
+      var j = 0
+      while (j < toks.length - 1) {
+        val k = (toks(j), toks(j + 1))
+        counts.update(k, counts.getOrElse(k, 0L) + f)
+        if (sign > 0)
+          index.getOrElseUpdate(k,
+            new scala.collection.mutable.ArrayBuffer[Int]) += i
+        j += 1
+      }
+    }
+    words.indices.foreach(register(_, 1L))
     val merges = Seq.newBuilder[(String, String)]
     var done = false
     for (_ <- 1 to nMerges if !done) {
-      val counts = new scala.collection.mutable.HashMap[(String, String), Long]
-      words.foreach { case (toks, f) =>
-        var i = 0
-        while (i < toks.length - 1) {
-          val k = (toks(i), toks(i + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + f)
-          i += 1
-        }
+      // stale/zeroed entries are skipped, not deleted — the filter is
+      // the lazy-deletion half of the index contract. One imperative
+      // pass (an Iterator can't survive isEmpty + minBy)
+      var best: ((String, String), Long) = null
+      counts.foreach { e =>
+        if (e._2 > 0L && (best == null || e._2 > best._2
+          || (e._2 == best._2 && (e._1._1 < best._1._1
+            || (e._1._1 == best._1._1 && e._1._2 < best._1._2)))))
+          best = e
       }
-      if (counts.isEmpty) done = true
+      if (best == null) done = true
       else {
-        val ((l, r), _) = counts.toSeq
-          .minBy { case ((a, b), c) => (-c, a, b) }
+        val (l, r) = best._1
         merges += ((l, r))
-        words = words.map { case (toks, f) => (mergeWord(toks, l, r), f) }
+        val hits = index.getOrElse((l, r), Nil)
+        // dedupe: a word appears once per occurrence of the pair
+        val seen = new scala.collection.mutable.HashSet[Int]
+        hits.foreach { i =>
+          if (seen.add(i)) {
+            val toks = words(i)
+            var has = false
+            var j = 0
+            while (!has && j < toks.length - 1) {
+              has = toks(j) == l && toks(j + 1) == r
+              j += 1
+            }
+            if (has) {
+              register(i, -1L)
+              words(i) = mergeWord(toks, l, r)
+              register(i, 1L)
+            }
+          }
+        }
+        counts.remove((l, r))
+        index.remove((l, r))
       }
     }
-    (merges.result(), words.toSeq.zip(wf).map { case ((toks, _), (w, _)) =>
-      w -> toks.toSeq
-    })
+    (merges.result(),
+      words.toSeq.zip(wf).map { case (toks, (w, _)) => w -> toks.toSeq })
   }
 
   /** Persist a trained model as catalog tables (the [[writeBigramLm]]

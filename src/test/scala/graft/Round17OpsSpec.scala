@@ -91,6 +91,97 @@ class Round17OpsSpec extends SparkSpec {
       fate("s3").toString)
   }
 
+  // -------------------------------------------------------- q154/q155
+  test("trainBpeFromWordFreq: incremental pair-count update is " +
+      "byte-identical to the naive full-recount loop") {
+    import graft.llm.TextOps
+    // naive reference: recount EVERY pair every round (the shape the
+    // production trainer replaced; kept here as the semantic oracle)
+    def naive(wf: Array[(String, Long)],
+        nMerges: Int): Seq[(String, String)] = {
+      var words = wf.map { case (w, f) =>
+        (w.split("").filter(_.nonEmpty).toVector, f) }
+      val out = Seq.newBuilder[(String, String)]
+      var done = false
+      for (_ <- 1 to nMerges if !done) {
+        val counts =
+          new scala.collection.mutable.HashMap[(String, String), Long]
+        words.foreach { case (toks, f) =>
+          toks.indices.dropRight(1).foreach { j =>
+            val k = (toks(j), toks(j + 1))
+            counts.update(k, counts.getOrElse(k, 0L) + f)
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), _) =
+            counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((l, r))
+          words = words.map { case (toks, f) =>
+            val nt = toks.foldLeft(
+              (Vector.empty[String], null: String)) { case ((acc, p), t) =>
+              if (p == l && t == r) (acc, l + r)
+              else (if (p != null) acc :+ p else acc, t)
+            }
+            ((if (nt._2 != null) nt._1 :+ nt._2 else nt._1), f)
+          }
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(17)
+    val alpha = "abcdef"
+    val wf = (1 to 300).map { _ =>
+      val w = (1 to (3 + rnd.nextInt(9)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      w -> (1L + rnd.nextInt(50))
+    }.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }
+      .toArray.sortBy(_._1)
+    val (fast, fastVocab) = TextOps.trainBpeFromWordFreq(wf, 64)
+    val slow = naive(wf, 64)
+    assert(fast == slow, s"\nfast=$fast\nslow=$slow")
+    // the returned vocabulary is the fixpoint of applying the merges
+    fastVocab.foreach { case (w, syms) =>
+      assert(syms.mkString == w, s"$w -> $syms")
+    }
+  }
+
+  test("trainBpeFromWordFreq at 1024 merges on a 3k-word vocabulary " +
+      "finishes and stops cleanly when pairs run dry") {
+    import graft.llm.TextOps
+    val rnd = new scala.util.Random(23)
+    val alpha = "abcdefghijklmnop"
+    val wf = (1 to 3000).map { i =>
+      val w = (1 to (4 + rnd.nextInt(10)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString + i.toString
+      w -> (1L + rnd.nextInt(9))
+    }.toMap.toArray.sortBy(_._1)
+    val t0 = System.nanoTime()
+    val (merges, vocab) = TextOps.trainBpeFromWordFreq(wf, 1024)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"1024 merges over ${wf.length} words: $secs%.2f s, " +
+      s"${merges.length} merges learned")
+    assert(merges.length == 1024, s"pairs ran dry at ${merges.length}")
+    assert(merges.distinct.length == merges.length,
+      "a merge rule was learned twice")
+    assert(vocab.length == wf.length)
+    // dry-out: a vocabulary whose pair space exhausts stops early
+    // instead of looping — every word fully fused to one symbol
+    val tiny = Array(("ab", 5L), ("ab", 3L)).take(1)
+    val (m2, v2) = TextOps.trainBpeFromWordFreq(tiny, 1024)
+    assert(m2 == Seq(("a", "b")) && v2 == Seq(("ab", Seq("ab"))))
+  }
+
+  test("BpeMaxVocab guard fails loudly instead of collecting an " +
+      "over-limit vocabulary") {
+    val docs = Seq((1L, "aa bb cc dd"), (2L, "ee ff gg hh"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.TextOps.trainBpeModel(docs, nMerges = 2, maxVocab = 3)
+    }
+    assert(e.getMessage.contains("exceeds"), e.getMessage)
+  }
+
   // ------------------------------------------------------------- q159
   test("annProbeCurve: recall is monotone in nProbe, cost strictly " +
       "grows, and the full-probe level is exhaustive (recall 1.0)") {
