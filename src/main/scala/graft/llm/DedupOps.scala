@@ -527,6 +527,52 @@ object DedupOps {
   }
   private val SignPlanes = 6
 
+  /** Exact per-partition spanning-forest reduction of an undirected
+    * edge list — the standard "filtering" pre-pass of semi-external
+    * connected-components algorithms: each partition runs a local
+    * union–find over its own edges and keeps only the edges that
+    * union two previously-disconnected roots (≤ |nodes touched in the
+    * partition| − 1 kept). Dropped edges are exactly those whose
+    * endpoints the partition's kept edges already connect, so the
+    * UNION across partitions has the same connected components as the
+    * input — no approximation, any partitioning. The win is on dense
+    * graphs (dup cliques, ε-neighbor blobs): |pairs| can be quadratic
+    * in component size while the forest is linear in node count, and
+    * everything downstream of CC's edge checkpoint (the per-round
+    * neighbor join above all) shrinks with it. Memory per task is one
+    * long→long map over the partition's distinct endpoints. */
+  private[graft] def spanningForest(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col("d1").cast("long"), col("d2").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) {
+            val gp = parent.getOrDefault(p.longValue, p)
+            parent.put(x, gp)
+            x = p
+            p = gp
+          }
+          x
+        }
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        it.foreach { case (a, b) =>
+          val ra = find(a)
+          val rb = find(b)
+          if (ra != rb) {
+            parent.put(math.max(ra, rb), math.min(ra, rb))
+            kept += ((a, b))
+          }
+        }
+        kept.iterator
+      }
+      .toDF("d1", "d2")
+  }
+
   /** Connected components over an undirected pair graph `(d1, d2)` →
     * one row per member node with its component's minimum id as `keeper`,
     * via iterative min-label propagation. Rounds needed = component
@@ -554,7 +600,21 @@ object DedupOps {
     * with no signal — at 100 TB a boilerplate clique bridged by
     * near-threshold pairs can exceed any fixed diameter bound. Callers
     * that expect deep chains should raise `maxIters` (cost is linear in
-    * rounds, plan depth stays O(1)); the failure message says how. */
+    * rounds, plan depth stays O(1)); the failure message says how.
+    *
+    * Edge-volume hygiene (the 100× lesson): the fixpoint's input is
+    * first reduced to a per-partition SPANNING FOREST
+    * ([[spanningForest]]) — exact (a spanning forest of each
+    * partition's subgraph preserves global connectivity: an original
+    * edge inside one partition connects nodes its partition forest
+    * already connects), and it caps what the rounds carry at
+    * ~|nodes touched| edges per partition instead of |pairs|. On a
+    * dense ε-graph (q138 at 100×: quasi-cliques where a constant
+    * fraction of within-cluster pairs pass the threshold) the edge
+    * table drops orders of magnitude, and with it the per-round join
+    * shuffle and the checkpoint that previously spilled past the disk
+    * budget. Sparse graphs pass through at original size for one
+    * cheap streaming pass. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     // Track exactly the RDD blocks each localCheckpoint pins so superseded
@@ -578,8 +638,12 @@ object DedupOps {
     // hash-partitioned on d2 — the label-join key — ONCE here, so the
     // per-round neighbor join never moves the edge table again (the
     // q90/q94 chassis lesson: localCheckpoint preserves partitioning)
+    // GRAFT_CC_NO_FOREST exists for A/B measurement only (BASELINE §v)
+    val slim =
+      if (sys.env.contains("GRAFT_CC_NO_FOREST")) pairs
+      else spanningForest(pairs)
     val (edges, edgeIds) = checkpointed(
-      pairs.select(explode(array(
+      slim.select(explode(array(
           struct(col("d1"), col("d2")),
           struct(col("d2").as("d1"), col("d1").as("d2")))).as("e"))
         .select(col("e.d1").as("d1"), col("e.d2").as("d2"))

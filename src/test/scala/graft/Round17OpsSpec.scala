@@ -91,6 +91,48 @@ class Round17OpsSpec extends SparkSpec {
       fate("s3").toString)
   }
 
+  // --------------------------------------------- CC spanning forest
+  test("spanningForest: components preserved exactly on a dense random " +
+      "graph, forest size ~nodes not ~edges, CC labels match a " +
+      "driver-side union-find ground truth") {
+    import graft.llm.DedupOps
+    val rnd = new scala.util.Random(29)
+    // 3 dense blobs + a bridge chain + singleton-free noise edges
+    val edges = (
+      (1 to 2000).map(_ => (rnd.nextInt(40).toLong,
+        rnd.nextInt(40).toLong)) ++                    // blob 0-39
+      (1 to 2000).map(_ => (100L + rnd.nextInt(40),
+        100L + rnd.nextInt(40))) ++                    // blob 100-139
+      Seq((39L, 100L)) ++                              // bridge
+      (1 to 50).map(i => (1000L + i, 1000L + i + 1))   // chain
+    ).filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+    val pairs = edges.toDF("d1", "d2").repartition(2)
+    val forest = DedupOps.spanningForest(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // per-partition forests can overlap across partitions, so the
+    // bound is O(nodes × partitions) — orders below the dense input
+    assert(forest.length <= 2 * nodes.length,
+      s"forest ${forest.length} vs bound ${2 * nodes.length} " +
+        s"(input ${edges.length})")
+    // driver-side union-find ground truth over the ORIGINAL edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = nodes.map(n => n -> find(n)).toMap
+    val cc = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == truth,
+      s"CC diverged from ground truth: ${cc.toSet -- truth.toSet}")
+  }
+
   // -------------------------------------------------------- q154/q155
   test("trainBpeFromWordFreq: incremental pair-count update is " +
       "byte-identical to the naive full-recount loop") {
