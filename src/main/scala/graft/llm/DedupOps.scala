@@ -527,20 +527,25 @@ object DedupOps {
   }
   private val SignPlanes = 6
 
-  /** Exact per-partition spanning-forest reduction of an undirected
-    * edge list — the standard "filtering" pre-pass of semi-external
-    * connected-components algorithms: each partition runs a local
-    * union–find over its own edges and keeps only the edges that
-    * union two previously-disconnected roots (≤ |nodes touched in the
-    * partition| − 1 kept). Dropped edges are exactly those whose
-    * endpoints the partition's kept edges already connect, so the
-    * UNION across partitions has the same connected components as the
-    * input — no approximation, any partitioning. The win is on dense
-    * graphs (dup cliques, ε-neighbor blobs): |pairs| can be quadratic
-    * in component size while the forest is linear in node count, and
-    * everything downstream of CC's edge checkpoint (the per-round
-    * neighbor join above all) shrinks with it. Memory per task is one
-    * long→long map over the partition's distinct endpoints. */
+  /** Exact per-partition STAR contraction of an undirected edge list —
+    * the filtering pre-pass of semi-external connected-components
+    * algorithms, with the output shaped for fast min-label
+    * convergence: each partition runs a local union–find (union by
+    * MIN, so every set's root is its minimum node) and emits one star
+    * edge `(root, v)` per non-root node it touched. Connectivity is
+    * preserved exactly under any partitioning — `v` and `root` are
+    * connected within the partition's own subgraph, and every input
+    * edge's endpoints share a root, so the union of the partition
+    * stars has the same components as the input. Two wins over
+    * emitting the raw spanning edges: (a) volume — ≤ |nodes touched
+    * per partition| − 1 rows however dense the input (a q138 ε-blob's
+    * quadratic pair set collapses to node count); (b) DIAMETER — each
+    * partition-component becomes a depth-1 star centered on its local
+    * minimum, so the fixpoint's rounds scale with cross-partition
+    * hops, not component diameter (raw forest trees at 20× stress
+    * exceeded maxIters). Emitted edges are derived, not input rows —
+    * sound because CC consumes edges only for connectivity. Memory
+    * per task: one long→long map over the partition's endpoints. */
   private[graft] def spanningForest(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
@@ -548,6 +553,7 @@ object DedupOps {
       .as[(Long, Long)]
       .mapPartitions { it =>
         val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]
+        val nodes = new java.util.HashSet[java.lang.Long]
         def find(x0: Long): Long = {
           var x = x0
           var p = parent.getOrDefault(x, x)
@@ -559,16 +565,19 @@ object DedupOps {
           }
           x
         }
-        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         it.foreach { case (a, b) =>
+          nodes.add(a)
+          nodes.add(b)
           val ra = find(a)
           val rb = find(b)
-          if (ra != rb) {
-            parent.put(math.max(ra, rb), math.min(ra, rb))
-            kept += ((a, b))
-          }
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
         }
-        kept.iterator
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        nodes.forEach { v =>
+          val r = find(v)
+          if (r != v) out += ((r, v)) // root is the set MIN: d1 < d2
+        }
+        out.iterator
       }
       .toDF("d1", "d2")
   }
@@ -638,10 +647,18 @@ object DedupOps {
     // hash-partitioned on d2 — the label-join key — ONCE here, so the
     // per-round neighbor join never moves the edge table again (the
     // q90/q94 chassis lesson: localCheckpoint preserves partitioning)
-    // GRAFT_CC_NO_FOREST exists for A/B measurement only (BASELINE §v)
+    // GRAFT_CC_NO_FOREST exists for A/B measurement only (BASELINE §v).
+    // TWO contraction passes: the first collapses each partition's
+    // subgraph to stars around local minima; chains then only survive
+    // through nodes SHARED by different partitions' stars, so the
+    // second pass — repartitioned by the child node, node-scale input —
+    // merges every shared node's roots and collapses those chains too
+    // (a Borůvka level each). q87's 20× ε-graph needed 13 fixpoint
+    // rounds after one pass, 5 after two, against maxIters 15.
     val slim =
       if (sys.env.contains("GRAFT_CC_NO_FOREST")) pairs
-      else spanningForest(pairs)
+      else spanningForest(
+        spanningForest(pairs).repartition(col("d2")))
     val (edges, edgeIds) = checkpointed(
       slim.select(explode(array(
           struct(col("d1"), col("d2")),
