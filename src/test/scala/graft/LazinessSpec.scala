@@ -45,6 +45,10 @@ class LazinessSpec extends SparkSpec {
       // construction (the q100 rationale: assignment + probe ranking
       // both consume it)
       "q139_ann_recall",
+      // q159 sweeps the q139 machinery — same k-row model checkpoint
+      // at construction, three consumers (assignment, probe ranking,
+      // truth arm share the session)
+      "q159_ann_probe_curve",
       // q151 composes the q23_dedup_corpus fixpoint (same eager
       // checkpoint rounds)
       "q151_effective_tokens",
