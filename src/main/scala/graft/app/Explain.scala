@@ -61,6 +61,7 @@ object Explain {
     "q157_bm25_serve" -> "BM25 serve: query scored from index frames only (postings filter prunes to |terms| buckets; df = |terms|-row agg; no corpus rescan). NOTE: materializes its cached index base eagerly at construction",
     "q158_exactsubstr_clean" -> "ExactSubstr span removal: hashed n-gram occurrence counts keep only c>1 (join carries the duplicated minority), per-doc island-merge window over dup positions only, HOF span excision — no driver collection",
     "q159_ann_probe_curve" -> "nProbe sweep in ONE pass: every (query,candidate) cosine scored once with its admitting probe rank; levels reconstructed by exploding p over crn..max (lists nest); cost bounded by the truth arm",
+    "q160_dedup_serve" -> "near-dup admit from index frames only: batch vocab broadcasts into the stored postings scan (matched minority exchanges), df is an LSM re-aggregate, no corpus re-tokenize. NOTE: in-session form materializes its cached shingle base eagerly",
     "q47_ks_drift"          -> "KS: distinct-value counts, CDFs via range-partitioned running sum (no single-reducer window)",
     "q48_corr_matrix"       -> "C(n,2) corr aggregates in ONE wide agg row over one scan, then unpivot",
     "q49_weighted_sample"   -> "A-ES weighted top-k per stratum: WindowGroupLimit prunes map-side",

@@ -160,10 +160,20 @@ object DedupOps {
     val tagged = graft.core.CacheOnce.swap("dedup-incr-shingles",
       Tables.fanout(all).select(col("doc_id"), col("is_new"),
         expr(s"shingle_hashes(text, $k)").as("hs")))
-    val shc = cappedIndex(tagged, dfCap)
+    oneSidedPairTail(cappedIndex(tagged, dfCap), threshold)
+  }
+
+  /** The one-sided pair join + Jaccard tail shared by
+    * [[incrementalNearDupFresh]] and the q160 stored-index serve path —
+    * input is a tagged capped index `(is_new, doc_id, n, h)` (column
+    * order free). old↔new pairs appear once (a must be old or the
+    * smaller new id); new↔new pairs are ordered to avoid double
+    * counting. Sharing the tail is what makes served ≡ direct
+    * assertable BY CONSTRUCTION: the two paths differ only in where
+    * the index rows come from. */
+  private def oneSidedPairTail(shc: DataFrame,
+      threshold: Double): DataFrame = {
     val newSide = shc.filter(col("is_new"))
-    // old↔new pairs appear once (a must be old or the smaller new id);
-    // new↔new pairs are ordered to avoid double counting
     shc.as("a").join(newSide.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id")
           && (!col("a.is_new") || col("a.doc_id") < col("b.doc_id")))
@@ -179,6 +189,148 @@ object DedupOps {
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
       .orderBy("d1", "d2")
+  }
+
+  // ------------------------------------------------------------------
+  // q160 — the near-dup SERVE lifecycle (index → persist → admit),
+  // the dedup analog of the q157 BM25 serve contract: the ingest loop's
+  // remaining corpus-scale cost was re-SHINGLING the whole corpus per
+  // arriving batch inside incrementalNearDup (the measured KeeperScale
+  // slope); with the shingle postings persisted, a batch is admitted
+  // from index frames alone — no tokenize of old text, ever again.
+  // ------------------------------------------------------------------
+
+  /** Candidate pairs of `newDocs` against an ALREADY-INDEXED corpus,
+    * computed from index frames only: `postings` (h, doc_id), `docn`
+    * (doc_id, n_total = the doc's distinct-shingle count), `dfRows`
+    * (h, df) — df rows are LSM-style deltas (append adds rows; the
+    * serve aggregates by h), so appends never rewrite the model.
+    * Semantics are EXACTLY [[incrementalNearDup]] over (indexed docs,
+    * newDocs): union document frequency df_u = stored + batch, the
+    * pairable band 2 ≤ df_u ≤ dfCap, both-sides-capped sizes
+    * n = n_total − |the doc's shingles hot in the union| — a shingle
+    * can BECOME hot through the batch's own additions, and those
+    * newly-hot shingles are necessarily batch shingles, so every size
+    * adjustment is computable from the matched postings without
+    * touching original text. The shared [[oneSidedPairTail]] makes the
+    * equivalence structural.
+    *
+    * Scale shape: batch vocab and derived frames broadcast; the stored
+    * postings scan streams once through two broadcast-filtered joins
+    * (pairable candidates; hot-set size adjustments) and only the
+    * matched MINORITY exchanges; the df aggregate is vocab-scale (the
+    * LSM read amplification — compaction is a rebuild of `_df`), and
+    * nothing anywhere re-reads corpus text. */
+  def incrementalNearDupFromIndex(postings: DataFrame, docn: DataFrame,
+      dfRows: DataFrame, newDocs: DataFrame,
+      threshold: Double = JaccardThreshold, k: Int = K,
+      dfCap: Int = DefaultDfCap): DataFrame = {
+    GraftFunctions.register(newDocs.sparkSession)
+    // re-delivered doc_ids are not "new" (the incrementalNearDup rule)
+    val fresh = newDocs.join(docn.select("doc_id"), Seq("doc_id"), "left_anti")
+    val bh = graft.core.CacheOnce.swap("dedup-serve-batch",
+      shingleHashes(fresh, k).withColumn("n_total", size(col("hs"))))
+    val bpost = bh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val bdf = bpost.groupBy(col("h")).agg(count(lit(1)).as("df_b"))
+    val dfS = graft.core.CacheOnce.swap("dedup-serve-df",
+      dfRows.groupBy(col("h")).agg(sum(col("df")).as("df_s")))
+    // union df for BATCH shingles (stored side pre-pruned by the
+    // broadcast batch vocab); stored-only shingles matter solely
+    // through the stored-hot set below
+    val dfU = bdf.join(
+        dfS.join(broadcast(bdf.select(col("h"))), Seq("h"), "left_semi"),
+        Seq("h"), "left")
+      .select(col("h"),
+        (coalesce(col("df_s"), lit(0L)) + col("df_b")).as("df_u"))
+    val pairable = dfU.filter(col("df_u") >= 2 && col("df_u") <= dfCap)
+      .select("h")
+    val hotAll = dfU.filter(col("df_u") > dfCap).select("h")
+      .unionByName(dfS.filter(col("df_s") > dfCap).select("h"))
+      .distinct()
+    val hotNOld = postings.join(broadcast(hotAll), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hot_n"))
+    val aMatch = postings.join(broadcast(pairable), Seq("h"))
+    val aN = docn
+      .join(broadcast(aMatch.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .join(hotNOld, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_total") - coalesce(col("hot_n"), lit(0L))).as("n"))
+    val aIdx = aMatch.join(broadcast(aN), Seq("doc_id"))
+      .select(lit(false).as("is_new"), col("doc_id"), col("n"), col("h"))
+    val bN = bh.select(col("doc_id"), col("n_total"))
+      .join(bpost.join(broadcast(hotAll), Seq("h"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("hot_n")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_total") - coalesce(col("hot_n"), lit(0L))).as("n"))
+    val bIdx = bpost.join(broadcast(pairable), Seq("h"))
+      .join(broadcast(bN), Seq("doc_id"))
+      .select(lit(true).as("is_new"), col("doc_id"), col("n"), col("h"))
+    oneSidedPairTail(aIdx.unionByName(bIdx), threshold)
+  }
+
+  /** Persist the serve index: `<t>_postings` bucketed by shingle hash
+    * (later joins on h are co-located), `<t>_docn`, `<t>_df`. */
+  def writeDedupIndex(docs: DataFrame, table: String, k: Int = K,
+      nBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val hs = shingleHashes(docs, k).withColumn("n_total", size(col("hs")))
+    val postings = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    graft.sources.FileIO.writeParquetBucketed(
+      postings, s"${table}_postings", nBuckets, "h", Seq("h"))
+    graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_docn")
+    hs.select(col("doc_id"), col("n_total"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_docn")
+    graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_df")
+    postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_df")
+  }
+
+  /** Append an ADMITTED batch (caller guarantees doc_id-disjointness —
+    * the admitBatch contract): postings/docn/df all append-only, df as
+    * delta rows the serve re-aggregates — O(|batch|), no model
+    * rewrite, no corpus scan. */
+  def appendToDedupIndex(docs: DataFrame, table: String, k: Int = K,
+      nBuckets: Int = 8): Unit = {
+    val hs = shingleHashes(docs, k).withColumn("n_total", size(col("hs")))
+    val postings = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    graft.sources.FileIO.appendParquetBucketed(
+      postings, s"${table}_postings", nBuckets, "h", Seq("h"))
+    hs.select(col("doc_id"), col("n_total"))
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_docn")
+    postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_df")
+  }
+
+  /** Serve from the persisted tables. */
+  def incrementalNearDupServe(spark: SparkSession, table: String,
+      newDocs: DataFrame, threshold: Double = JaccardThreshold,
+      k: Int = K, dfCap: Int = DefaultDfCap): DataFrame =
+    incrementalNearDupFromIndex(spark.table(s"${table}_postings"),
+      spark.table(s"${table}_docn"), spark.table(s"${table}_df"),
+      newDocs, threshold, k, dfCap)
+
+  /** q160 registry form: index frames built in-session over the corpus
+    * split (the q157/q24 precedent — the PERSISTED path is pinned by
+    * Round17OpsSpec's round-trip and append tests), batch served from
+    * the frames alone. Eager at construction (the cached shingle base
+    * has three consumers: postings ×2 arms + df). */
+  def dedupServeInSession(corpus: DataFrame, batch: DataFrame,
+      threshold: Double = JaccardThreshold, k: Int = K,
+      dfCap: Int = DefaultDfCap): DataFrame = {
+    val hs = graft.core.CacheOnce.swap("dedup-serve-frames",
+      shingleHashes(corpus, k).withColumn("n_total", size(col("hs"))))
+    hs.count() // the q78/q157 reason: concurrent arms race a cold cache
+    val postings = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    incrementalNearDupFromIndex(postings,
+      hs.select(col("doc_id"), col("n_total")),
+      postings.groupBy(col("h")).agg(count(lit(1)).as("df")),
+      batch, threshold, k, dfCap)
   }
 
   /** Streaming-ingest admission policy over [[incrementalNearDup]]: which
@@ -2152,6 +2304,12 @@ object DedupOps {
       (s: SparkSession, d: String) => {
         val (corpus, batch) = splitAtMaxIdFraction(Tables.documents(s, d), 8)
         incrementalNearDup(corpus, batch)
+      },
+      Some(incrementalNearDupSql)),
+    ("q160_dedup_serve",
+      (s: SparkSession, d: String) => {
+        val (corpus, batch) = splitAtMaxIdFraction(Tables.documents(s, d), 8)
+        dedupServeInSession(corpus, batch)
       },
       Some(incrementalNearDupSql)),
     ("q153_keeper_merge",

@@ -49,6 +49,10 @@ class LazinessSpec extends SparkSpec {
       // at construction, three consumers (assignment, probe ranking,
       // truth arm share the session)
       "q159_ann_probe_curve",
+      // q160's in-session form materializes its cached shingle base
+      // eagerly (the q78/q157 reason: postings ×2 arms + df race a
+      // cold cache); the PERSISTED serve path is job-free until action
+      "q160_dedup_serve",
       // q151 composes the q23_dedup_corpus fixpoint (same eager
       // checkpoint rounds)
       "q151_effective_tokens",

@@ -91,6 +91,42 @@ class Round17OpsSpec extends SparkSpec {
       fate("s3").toString)
   }
 
+  // ------------------------------------------------------------- q160
+  test("dedup serve lifecycle: persisted index round-trips (served ≡ " +
+      "direct), append ≡ rebuild, re-delivered ids dropped") {
+    import graft.llm.DedupOps
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val ids = docs.agg(max(col("doc_id"))).first().getLong(0)
+    val corpus = docs.filter(col("doc_id") <= ids * 6 / 10)
+    val batch1 = docs.filter(col("doc_id") > ids * 6 / 10
+      && col("doc_id") <= ids * 8 / 10)
+    val batch2 = docs.filter(col("doc_id") > ids * 8 / 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // stored ≡ direct
+    DedupOps.writeDedupIndex(corpus, "graft_q160_t")
+    val direct1 = rows(DedupOps.incrementalNearDup(corpus, batch1))
+    val served1 = rows(DedupOps.incrementalNearDupServe(
+      spark, "graft_q160_t", batch1))
+    assert(served1 == direct1, s"\nserved=$served1\ndirect=$direct1")
+    assert(served1.nonEmpty, "fixture must produce pairs")
+    // append ≡ rebuild: admit batch1, serve batch2 from the appended
+    // index; compare against the direct run over corpus ∪ batch1
+    DedupOps.appendToDedupIndex(batch1, "graft_q160_t")
+    val direct2 = rows(DedupOps.incrementalNearDup(
+      corpus.unionByName(batch1), batch2))
+    val served2 = rows(DedupOps.incrementalNearDupServe(
+      spark, "graft_q160_t", batch2))
+    assert(served2 == direct2, s"\nserved=$served2\ndirect=$direct2")
+    // a re-delivered (already indexed) id is not "new": no self pairs,
+    // same output as serving only the genuinely fresh rows
+    val redelivered = batch2.unionByName(corpus.limit(3))
+    val served3 = rows(DedupOps.incrementalNearDupServe(
+      spark, "graft_q160_t", redelivered))
+    assert(served3 == served2, s"\nwithRedeliv=$served3\nclean=$served2")
+  }
+
   // --------------------------------------------- CC spanning forest
   test("spanningForest: components preserved exactly on a dense random " +
       "graph, forest size ~nodes not ~edges, CC labels match a " +
