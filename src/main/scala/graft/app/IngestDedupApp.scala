@@ -77,6 +77,56 @@ object IngestDedupApp {
       beforeBatch: Option[Long] = None): DataFrame =
     readBatches(spark, batchDirs(spark, corpusDir, beforeBatch))
 
+  private def dirBatchId(d: String): Long =
+    d.split("batch_id=").last.toLong
+
+  /** Land the q160 serve-index rows for one ACCEPTED batch — postings /
+    * per-doc shingle counts / df deltas, each under
+    * `corpusDir/index/<frame>/batch_id=N`. Derived from the LANDED
+    * batch parquet (never the in-flight frame), written inside the
+    * same foreachBatch that wrote the batch dir, with the same
+    * per-batch-id overwrite: a WAL replay rewrites both, so the index
+    * can never double-count a re-delivered batch — the idempotence the
+    * flat q160 `append` tables cannot give a replaying stream. */
+  private def writeBatchIndex(spark: SparkSession, corpusDir: String,
+      batchId: Long): Unit = {
+    val docs = spark.read.schema(docSchema)
+      .parquet(s"$corpusDir/batch_id=$batchId")
+    val hs = graft.llm.DedupOps.shingleHashes(docs)
+      .withColumn("n_total", size(col("hs")))
+    val postings = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    postings.write.mode("overwrite")
+      .parquet(s"$corpusDir/index/postings/batch_id=$batchId")
+    hs.select(col("doc_id"), col("n_total")).write.mode("overwrite")
+      .parquet(s"$corpusDir/index/docn/batch_id=$batchId")
+    postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite")
+      .parquet(s"$corpusDir/index/df/batch_id=$batchId")
+  }
+
+  /** The q160 index frames covering every corpus batch < `beforeBatch`,
+    * or None when the index is absent/incomplete for that range (a
+    * legacy corpus, or index dirs from a crashed pre-WAL-commit write
+    * whose batch the stream then never re-delivered — impossible under
+    * the run() ordering, but the guard makes the fallback loud-safe:
+    * admission falls back to the direct corpus re-shingle rather than
+    * silently missing pairs). */
+  private def indexFrames(spark: SparkSession, corpusDir: String,
+      beforeBatch: Option[Long])
+      : Option[(DataFrame, DataFrame, DataFrame)] = {
+    val corpusIds = batchDirs(spark, corpusDir, beforeBatch)
+      .map(dirBatchId).toSet
+    if (corpusIds.isEmpty) return None
+    val frames = Seq("postings", "docn", "df").map { f =>
+      batchDirs(spark, s"$corpusDir/index/$f", beforeBatch)
+    }
+    if (frames.exists(_.map(dirBatchId).toSet != corpusIds)) None
+    else Some((
+      spark.read.parquet(frames(0): _*),
+      spark.read.parquet(frames(1): _*),
+      spark.read.parquet(frames(2): _*)))
+  }
+
   /** Batches that fail the gate land here (per batch id, overwrite —
     * replay-idempotent by the same argument as the corpus dirs). */
   def quarantine(spark: SparkSession, corpusDir: String): DataFrame =
@@ -236,9 +286,19 @@ object IngestDedupApp {
             .write.mode("overwrite")
             .parquet(s"$corpusDir/quarantine/batch_id=$batchId")
         else {
-          val accepted = graft.llm.DedupOps.admitBatch(
-            corpus(spark, corpusDir, beforeBatch = Some(batchId)),
-            batch, threshold)
+          // steady state: admission served from the per-batch index
+          // frames (no corpus re-shingle); direct path only for the
+          // empty/legacy-corpus cases the guard rejects
+          val accepted = indexFrames(spark, corpusDir,
+              beforeBatch = Some(batchId)) match {
+            case Some((post, docn, dfRows)) =>
+              graft.llm.DedupOps.admitBatchServed(
+                post, docn, dfRows, batch, threshold)
+            case None =>
+              graft.llm.DedupOps.admitBatch(
+                corpus(spark, corpusDir, beforeBatch = Some(batchId)),
+                batch, threshold)
+          }
           val admitted = evalGuard match {
             case Some(g) =>
               // row-level routing: contaminated ids are a small frame by
@@ -269,6 +329,7 @@ object IngestDedupApp {
           }
           valued.select(col("doc_id"), col("text"))
             .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+          writeBatchIndex(spark, corpusDir, batchId)
         }
       }
       .start()
@@ -332,13 +393,23 @@ object IngestDedupApp {
     val updated = prior match {
       case Some(u) =>
         val stored = spark.read.parquet(s"$kroot/upto=$u")
-        val priorCorpus = corpus(spark, corpusDir, beforeBatch = Some(u + 1))
         val newDocs = readBatches(spark,
           dirs.filter(d => idOf(d) > u && idOf(d) <= target))
+        // pair discovery from the per-batch index frames when they
+        // cover the prior corpus (the run() steady state); direct
+        // corpus re-shingle otherwise — identical pair semantics
+        val newPairs = indexFrames(spark, corpusDir,
+            beforeBatch = Some(u + 1)) match {
+          case Some((post, docn, dfRows)) =>
+            graft.llm.DedupOps.incrementalNearDupFromIndex(
+              post, docn, dfRows, newDocs, threshold)
+          case None =>
+            graft.llm.DedupOps.incrementalNearDup(
+              corpus(spark, corpusDir, beforeBatch = Some(u + 1)),
+              newDocs, threshold)
+        }
         graft.llm.DedupOps.mergeKeepers(stored,
-          graft.llm.DedupOps.incrementalNearDup(priorCorpus, newDocs,
-            threshold).select("d1", "d2"),
-          newDocs.select(col("doc_id")))
+          newPairs.select("d1", "d2"), newDocs.select(col("doc_id")))
       case None =>
         fullKeepers(corpus(spark, corpusDir, beforeBatch = Some(target + 1)))
     }

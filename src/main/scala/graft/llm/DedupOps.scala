@@ -355,10 +355,17 @@ object DedupOps {
       .withColumn("_ab_rn", row_number().over(pick))
       .filter(col("_ab_rn") === 1).drop("_ab_rn")
       .join(corpus, Seq("doc_id"), "left_anti")
-    val pairs = incrementalNearDupFresh(corpus, fresh, threshold, k, dfCap)
+    admitResolve(fresh,
+      incrementalNearDupFresh(corpus, fresh, threshold, k, dfCap))
+  }
+
+  /** The admission-resolution tail shared by [[admitBatch]] and
+    * [[admitBatchServed]]: symmetrize the pair list so every fresh doc
+    * appears as the rejection candidate against each of its partners,
+    * keep the losing side (corpus partner, or smaller-id batchmate),
+    * anti-join the losers away. */
+  private def admitResolve(fresh: DataFrame, pairs: DataFrame): DataFrame = {
     val freshIds = fresh.select(col("doc_id"))
-    // symmetrize so every fresh doc appears as the rejection candidate
-    // against each of its partners, then keep the losing side
     val sym = pairs.select(explode(array(
         struct(col("d1").as("cand"), col("d2").as("other")),
         struct(col("d2").as("cand"), col("d1").as("other")))).as("e"))
@@ -370,6 +377,25 @@ object DedupOps {
       .filter(col("other_fresh").isNull || col("other") < col("cand"))
       .select(col("cand").as("doc_id")).distinct()
     fresh.join(rejected, Seq("doc_id"), "left_anti")
+  }
+
+  /** [[admitBatch]] against an ALREADY-INDEXED corpus (q160 frames):
+    * identical admission semantics — same mutated-redelivery pick,
+    * same corpus-wins/min-id-wins resolution — with pair discovery
+    * served from index frames instead of a corpus re-shingle. The
+    * ingest loop's steady-state admit becomes O(|batch| + matched
+    * postings): nothing re-reads corpus text. */
+  def admitBatchServed(postings: DataFrame, docn: DataFrame,
+      dfRows: DataFrame, batch: DataFrame,
+      threshold: Double = JaccardThreshold, k: Int = K,
+      dfCap: Int = DefaultDfCap): DataFrame = {
+    val pick = Window.partitionBy(col("doc_id")).orderBy(md5(col("text")))
+    val fresh = batch
+      .withColumn("_ab_rn", row_number().over(pick))
+      .filter(col("_ab_rn") === 1).drop("_ab_rn")
+      .join(docn.select("doc_id"), Seq("doc_id"), "left_anti")
+    admitResolve(fresh, incrementalNearDupFromIndex(
+      postings, docn, dfRows, fresh, threshold, k, dfCap))
   }
 
   /** Decontamination: per training document, the fraction of its shingles

@@ -365,6 +365,20 @@ class ShardSimSourceSpec extends SparkSpec {
     // dedup did real work: 42 (loses to 41 in-batch) and all of 101..110
     // (corpus near-dups) are rejected
     assert(a.map(_._1) == ((1L to 30L).toSet + 41L), a.map(_._1).toSeq.sorted.toString)
+    // the q160 serve-index partitions landed alongside every accepted
+    // batch (the steady-state admit reads THESE, not corpus text) and
+    // cover the corpus's ids exactly
+    def batchIds(sub: String): Set[Long] =
+      new java.io.File(s"$corpusA/$sub").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName.stripPrefix("batch_id=").toLong).toSet
+    val corpusBatches = batchIds(".")
+    Seq("index/postings", "index/docn", "index/df").foreach { f =>
+      assert(batchIds(f) == corpusBatches, s"$f: ${batchIds(f)}")
+    }
+    val docnIds = spark.read.parquet(s"$corpusA/index/docn")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(docnIds == a.map(_._1), "index docn must cover the corpus")
 
     // faulted run: the reader dies mid-batch after 7 rows, then restarts
     val dirB = freshFixture()
