@@ -62,6 +62,9 @@ object Explain {
     "q158_exactsubstr_clean" -> "ExactSubstr span removal: hashed n-gram occurrence counts keep only c>1 (join carries the duplicated minority), per-doc island-merge window over dup positions only, HOF span excision — no driver collection",
     "q159_ann_probe_curve" -> "nProbe sweep in ONE pass: every (query,candidate) cosine scored once with its admitting probe rank; levels reconstructed by exploding p over crn..max (lists nest); cost bounded by the truth arm",
     "q160_dedup_serve" -> "near-dup admit from index frames only: batch vocab broadcasts into the stored postings scan (matched minority exchanges), df is an LSM re-aggregate, no corpus re-tokenize. NOTE: in-session form materializes its cached shingle base eagerly",
+    "q161_nb_classifier" -> "NB classifier: one tokenize pass to the class x vocab count model; scoring joins tokens to the model on the token key only (absent-token smoothing is analytic) — never a tokens x classes fanout; argmax via per-doc window",
+    "q162_takedown_audit" -> "takedown dry-run: every document-derived artifact count rides ONE corpus scan (per-doc posting/shingle sizes in the same projection); embeddings arm is a broadcast left join; 6-row explode output",
+    "q163_hybrid_rrf" -> "hybrid RRF: each arm top-K-bounded by its own plan (BM25 scan-filtered postings; dense broadcast-query TakeOrdered), fusion joins 2K rows. NOTE: lexical arm shares q78's eager cached per-doc projection",
     "q47_ks_drift"          -> "KS: distinct-value counts, CDFs via range-partitioned running sum (no single-reducer window)",
     "q48_corr_matrix"       -> "C(n,2) corr aggregates in ONE wide agg row over one scan, then unpivot",
     "q49_weighted_sample"   -> "A-ES weighted top-k per stratum: WindowGroupLimit prunes map-side",

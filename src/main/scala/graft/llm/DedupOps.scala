@@ -43,7 +43,7 @@ import graft.functions.GraftFunctions
 object DedupOps {
   type QFn = (SparkSession, String) => DataFrame
 
-  private val K = 5            // shingle width (tokens)
+  val K = 5                    // shingle width (tokens)
   private val JaccardThreshold = 0.8
   // Containment flags sub/superset dup pairs the Jaccard threshold misses;
   // higher bar because min-normalization makes high scores easier to hit.
@@ -310,10 +310,26 @@ object DedupOps {
   /** Serve from the persisted tables. */
   def incrementalNearDupServe(spark: SparkSession, table: String,
       newDocs: DataFrame, threshold: Double = JaccardThreshold,
-      k: Int = K, dfCap: Int = DefaultDfCap): DataFrame =
-    incrementalNearDupFromIndex(spark.table(s"${table}_postings"),
-      spark.table(s"${table}_docn"), spark.table(s"${table}_df"),
+      k: Int = K, dfCap: Int = DefaultDfCap): DataFrame = {
+    val tomb = TakedownOps.takedownIds(spark, table)
+    val postings = spark.table(s"${table}_postings")
+    // Tombstones (TakedownOps.takedownDedupIndex): postings/docn serve
+    // through a broadcast anti-join; the stored `_df` aggregate is
+    // corrected by NEGATIVE counts derived from the tombstoned docs'
+    // own posting rows (the downstream sum() re-aggregates delta rows
+    // already, the append contract) — no persisted correction, so a
+    // replayed takedown can never double-subtract. Compaction
+    // (TakedownOps.compactDedupIndex) folds all three back to exact.
+    val dfRows = tomb.fold(spark.table(s"${table}_df")) { t =>
+      spark.table(s"${table}_df").unionByName(
+        postings.join(broadcast(t.select(col("doc_id")).distinct()),
+            Seq("doc_id"), "left_semi")
+          .groupBy(col("h")).agg((-count(lit(1))).as("df")))
+    }
+    incrementalNearDupFromIndex(TakedownOps.liveRows(postings, tomb),
+      TakedownOps.liveRows(spark.table(s"${table}_docn"), tomb), dfRows,
       newDocs, threshold, k, dfCap)
+  }
 
   /** q160 registry form: index frames built in-session over the corpus
     * split (the q157/q24 precedent — the PERSISTED path is pinned by

@@ -6,5 +6,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object LlmOps {
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     DedupOps.all ++ SimilarityOps.all ++ TextOps.all ++ MultimodalOps.all ++
-      SketchOps.all ++ CorpusOps.all ++ ChunkOps.all
+      SketchOps.all ++ CorpusOps.all ++ ChunkOps.all ++ ClassifyOps.all ++
+      TakedownOps.all
 }

@@ -1778,7 +1778,95 @@ object SimilarityOps {
        |FROM nn, lam, tr""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q163 — hybrid retrieval: reciprocal-rank fusion of the lexical
+  // (BM25) and dense (embedding-cosine) arms
+  // ------------------------------------------------------------------
+
+  /** q163 — hybrid retrieval via reciprocal-rank fusion (Cormack,
+    * Clarke & Büttcher, SIGIR 2009): run the lexical arm (BM25 over the
+    * corpus, TextOps.bm25's exact algebra) and the dense arm
+    * (brute-cosine against a query vector) independently to `armK`
+    * results each, then fuse by rrf(d) = Σ_arms 1/(rrfK + rank_arm(d))
+    * — the standard rank-level combiner that needs no score
+    * calibration between arms. vec_id ≡ doc_id (TESTDATA contract).
+    *
+    * Scale shape: each arm is already top-K-bounded by its own
+    * distributed plan (BM25's scan-filtered postings +
+    * TakeOrderedAndProject; cosine's broadcast-query scan + heap
+    * top-K), so the fusion join and re-rank run on 2·armK rows —
+    * driver-trivial whatever the corpus size. At serving scale the two
+    * arms come from their persisted indexes (q157 postings / trained
+    * IVF) — the rank algebra is identical, which is why the oracle is
+    * the direct form. Output: top `topN` fused docs with both arm
+    * ranks (0 = absent from that arm's top-K). */
+  def hybridRrf(docs: DataFrame, em: DataFrame, terms: Seq[String],
+      queryVecId: Long = 0L, armK: Int = 20, topN: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val bmRank = TextOps.bm25(docs, terms, topN = armK)
+      .withColumn("bm25_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"),
+        col("bm25_rank").cast("long").as("bm25_rank"))
+    val q = em.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"))
+    val annRank = em.crossJoin(broadcast(q))
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(armK)
+      .withColumn("ann_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"),
+        col("ann_rank").cast("long").as("ann_rank"))
+    bmRank.join(annRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("bm25_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK) + col("ann_rank")), lit(0.0)),
+        6))
+      .select(col("doc_id"), col("rrf"),
+        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+        coalesce(col("ann_rank"), lit(0L)).as("ann_rank"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(topN)
+  }
+
+  /** q163 fixture: a lexical query whose terms and the dense query
+    * vector (vec 0) pull DIFFERENT top sets, so the fusion exercises
+    * one-arm-only rows on both sides. */
+  val HybridTerms: Seq[String] = Seq("vector", "join", "sort")
+
+  def hybridRrfSql(terms: Seq[String] = HybridTerms,
+      queryVecId: Long = 0L, armK: Int = 20, topN: Int = 10,
+      rrfK: Int = 60): String =
+    s"""WITH ${TextOps.bm25SqlCtes(terms)},
+       |bm AS (${TextOps.bm25SqlSelect(armK)}),
+       |bmr AS (SELECT doc_id,
+       |  row_number() OVER (ORDER BY score DESC, doc_id) AS br FROM bm),
+       |qv AS (SELECT embedding AS qe FROM embeddings
+       |  WHERE vec_id = $queryVecId),
+       |ann AS (SELECT em.vec_id,
+       |    ${cosSql("qv.qe", "em.embedding")} AS cos
+       |  FROM embeddings em, qv),
+       |at AS (SELECT vec_id, cos FROM ann
+       |  ORDER BY cos DESC, vec_id LIMIT $armK),
+       |ar AS (SELECT vec_id AS doc_id,
+       |  row_number() OVER (ORDER BY cos DESC, vec_id) AS ar FROM at),
+       |f AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id, b.br, a.ar
+       |  FROM bmr b FULL OUTER JOIN ar a ON a.doc_id = b.doc_id),
+       |g AS (SELECT doc_id,
+       |    round(coalesce(CAST(1.0 AS DOUBLE) / ($rrfK + br), 0.0)
+       |      + coalesce(CAST(1.0 AS DOUBLE) / ($rrfK + ar), 0.0), 6)
+       |      AS rrf,
+       |    CAST(coalesce(br, 0) AS BIGINT) AS bm25_rank,
+       |    CAST(coalesce(ar, 0) AS BIGINT) AS ann_rank FROM f)
+       |SELECT doc_id, rrf, bm25_rank, ann_rank FROM g
+       |ORDER BY rrf DESC, doc_id LIMIT $topN""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q163_hybrid_rrf",
+      (s: SparkSession, d: String) =>
+        hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
+          HybridTerms),
+      Some(hybridRrfSql())),
     ("q147_spectral_audit",
       (s: SparkSession, d: String) => spectralAudit(Tables.embeddings(s, d)),
       Some(spectralAuditSql())),

@@ -726,11 +726,14 @@ object TextOps {
   /** q78 registry fixture: a three-term query over the synthetic vocab. */
   val bm25Terms: Seq[String] = Seq("hash", "merge", "scan")
 
-  def bm25Sql(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-      topN: Int = 20): String = {
+  /** The bm25 oracle's CTE chain (ends at `sc`, the per-posting weight
+    * rows) — split from [[bm25Sql]] so composite oracles (q163 hybrid
+    * fusion) reuse the exact same scoring algebra. */
+  def bm25SqlCtes(terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): String = {
     val inList = terms.map(t => "'" + t.replace("'", "''") + "'")
       .mkString(", ")
-    s"""WITH base AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts
+    s"""base AS (SELECT doc_id, ${Text.tokensSql("text")} AS ts
        |  FROM documents),
        |d AS (SELECT doc_id, ts, len(ts) AS dl FROM base),
        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
@@ -742,12 +745,19 @@ object TextOps {
        |    ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
        |      * (tf.tf * ${k1 + 1.0})
        |      / (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl / st.avgdl)) AS w
-       |  FROM tf JOIN dfq USING (t), st)
-       |SELECT doc_id, round(sum(w) + 1e-9, 4) AS score,
+       |  FROM tf JOIN dfq USING (t), st)""".stripMargin
+  }
+
+  /** The bm25 oracle's final select over the [[bm25SqlCtes]] chain. */
+  def bm25SqlSelect(topN: Int = 20): String =
+    s"""SELECT doc_id, round(sum(w) + 1e-9, 4) AS score,
        |  CAST(count(*) AS BIGINT) AS n_terms
        |FROM sc GROUP BY doc_id
        |ORDER BY score DESC, doc_id LIMIT $topN""".stripMargin
-  }
+
+  def bm25Sql(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topN: Int = 20): String =
+    s"WITH ${bm25SqlCtes(terms, k1, b)}\n${bm25SqlSelect(topN)}"
 
   // ------------------------------------------------------------------
   // q157 — the BM25 SERVE lifecycle (index → persist → query), the
@@ -844,11 +854,20 @@ object TextOps {
       .limit(topN)
   }
 
-  /** Serve from the persisted tables. */
+  /** Serve from the persisted tables, through any takedown tombstones
+    * (TakedownOps.takedownBm25Index): postings and doclen anti-join the
+    * metadata-scale tombstone set, and because df and corpus stats
+    * derive from those rows at query time, the served scores equal an
+    * index rebuilt without the tombstoned docs exactly
+    * (Round17bOpsSpec pins it, before and after compaction). */
   def bm25Serve(spark: SparkSession, table: String, terms: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame =
-    bm25FromIndex(spark.table(s"${table}_postings"),
-      spark.table(s"${table}_doclen"), terms, k1, b, topN)
+      k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame = {
+    val tomb = TakedownOps.takedownIds(spark, table)
+    bm25FromIndex(
+      TakedownOps.liveRows(spark.table(s"${table}_postings"), tomb),
+      TakedownOps.liveRows(spark.table(s"${table}_doclen"), tomb),
+      terms, k1, b, topN)
+  }
 
   /** q157 registry fixture: a different standing query from q78's, so
     * the two entries exercise distinct posting sets. */

@@ -72,7 +72,10 @@ class LazinessSpec extends SparkSpec {
       // q157 eagerly materializes its cached index base at construction
       // (the q78 rationale: concurrent broadcast builds race the cold
       // cache and would re-run the corpus tokenize)
-      "q157_bm25_serve")
+      "q157_bm25_serve",
+      // q163's lexical arm IS q78's bm25 (same eager cached per-doc
+      // projection, same rationale); the dense arm and fusion are lazy
+      "q163_hybrid_rrf")
 
   test("constructing registry queries fires no Spark job") {
     // pre-warm per-table schema resolution so first-touch footer reads
