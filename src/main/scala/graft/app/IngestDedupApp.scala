@@ -70,12 +70,43 @@ object IngestDedupApp {
     else spark.read.schema(docSchema).parquet(dirs: _*)
 
   /** The maintained corpus: union of per-batch accepted-doc directories
-    * with batch id strictly below `beforeBatch` (all of them when absent).
-    * The strict cut is the replay-safety half of the exactly-once story —
-    * see the class doc. */
+    * with batch id strictly below `beforeBatch` (all of them when absent),
+    * minus the takedown log. The strict cut is the replay-safety half of
+    * the exactly-once story — see the class doc. */
   def corpus(spark: SparkSession, corpusDir: String,
       beforeBatch: Option[Long] = None): DataFrame =
-    readBatches(spark, batchDirs(spark, corpusDir, beforeBatch))
+    liveDocs(spark, corpusDir,
+      readBatches(spark, batchDirs(spark, corpusDir, beforeBatch)))
+
+  /** Corpus-level takedown: append ids to the `corpusDir/takedown` log.
+    * Batch dirs are immutable WAL-replayed state, so removal applies at
+    * READ time: [[corpus]] and [[indexFrames]] serve through the log
+    * (the TakedownOps tombstone posture), and [[refreshKeepers]]
+    * re-elects orphaned clusters via DedupOps.takedownKeepers. The
+    * chosen semantics: taken-down CONTENT leaves every read path, so a
+    * re-arriving near-dup of removed content is admitted FRESH — the
+    * corpus no longer contains what it would have near-dupped against
+    * (Round17bOpsSpec pins both directions). Append-only and replay-
+    * idempotent: ids are distinct-folded at read, double-appends are
+    * harmless. */
+  def takedown(spark: SparkSession, corpusDir: String,
+      ids: DataFrame): Unit =
+    ids.select(col("doc_id")).distinct()
+      .write.mode("append").parquet(s"$corpusDir/takedown")
+
+  /** The takedown log, if any takedown ever ran against this corpus. */
+  def takedownLog(spark: SparkSession,
+      corpusDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$corpusDir/takedown")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct())
+    else None
+  }
+
+  private def liveDocs(spark: SparkSession, corpusDir: String,
+      df: DataFrame): DataFrame =
+    takedownLog(spark, corpusDir).fold(df)(t =>
+      df.join(broadcast(t), Seq("doc_id"), "left_anti"))
 
   private def dirBatchId(d: String): Long =
     d.split("batch_id=").last.toLong
@@ -121,10 +152,26 @@ object IngestDedupApp {
       batchDirs(spark, s"$corpusDir/index/$f", beforeBatch)
     }
     if (frames.exists(_.map(dirBatchId).toSet != corpusIds)) None
-    else Some((
-      spark.read.parquet(frames(0): _*),
-      spark.read.parquet(frames(1): _*),
-      spark.read.parquet(frames(2): _*)))
+    else {
+      val post = spark.read.parquet(frames(0): _*)
+      val docn = spark.read.parquet(frames(1): _*)
+      val dfRows = spark.read.parquet(frames(2): _*)
+      takedownLog(spark, corpusDir) match {
+        case None => Some((post, docn, dfRows))
+        case Some(t) =>
+          // the incrementalNearDupServe tombstone shape: postings/docn
+          // anti-join the broadcast log; the df deltas gain NEGATIVE
+          // rows derived from the tombstoned docs' own postings (the
+          // consumer sums df delta rows already) — nothing persisted,
+          // replays can't double-subtract
+          val tb = broadcast(t)
+          Some((post.join(tb, Seq("doc_id"), "left_anti"),
+            docn.join(tb, Seq("doc_id"), "left_anti"),
+            dfRows.unionByName(
+              post.join(tb, Seq("doc_id"), "left_semi")
+                .groupBy(col("h")).agg((-count(lit(1))).as("df")))))
+      }
+    }
   }
 
   /** Batches that fail the gate land here (per batch id, overwrite —
@@ -413,7 +460,15 @@ object IngestDedupApp {
       case None =>
         fullKeepers(corpus(spark, corpusDir, beforeBatch = Some(target + 1)))
     }
-    updated.write.mode("overwrite").parquet(s"$kroot/upto=$target")
+    // a takedown between snapshots leaves tombstoned rows in the stored
+    // merge base (and possibly in newDocs); the final re-election both
+    // removes them and re-points their orphaned cluster members —
+    // a no-op when the log is empty or already applied (corpus() and
+    // the bootstrap path read through the log)
+    val live = takedownLog(spark, corpusDir)
+      .map(t => graft.llm.DedupOps.takedownKeepers(updated, t))
+      .getOrElse(updated)
+    live.write.mode("overwrite").parquet(s"$kroot/upto=$target")
     target
   }
 

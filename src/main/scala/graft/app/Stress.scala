@@ -139,7 +139,8 @@ object Stress {
       "q154_bpe_merges", "q155_bpe_fertility", "q156_media_dedup",
       "q157_bm25_serve", "q158_exactsubstr_clean", "q158_char_fate",
       "q159_ann_probe_curve", "q160_dedup_serve",
-      "q161_nb_classifier", "q162_takedown_audit", "q163_hybrid_rrf")
+      "q161_nb_classifier", "q162_takedown_audit", "q163_hybrid_rrf",
+      "q164_keeper_takedown")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

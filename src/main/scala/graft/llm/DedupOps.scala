@@ -275,6 +275,8 @@ object DedupOps {
   def writeDedupIndex(docs: DataFrame, table: String, k: Int = K,
       nBuckets: Int = 8): Unit = {
     val spark = docs.sparkSession
+    // fresh generation: the previous generation's tombstones don't apply
+    graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_takedown")
     val hs = shingleHashes(docs, k).withColumn("n_total", size(col("hs")))
     val postings = hs.select(col("doc_id"), explode(col("hs")).as("h"))
     graft.sources.FileIO.writeParquetBucketed(
@@ -1028,6 +1030,90 @@ object DedupOps {
         coalesce(col("new_k"), col("doc_id")).as("keeper"))
     updatedStored.unionByName(newRows).orderBy("doc_id")
   }
+
+  /** q164 — takedown against the KEEPER table: remove a document set
+    * from persisted dedup state and re-elect keepers for the clusters
+    * it orphans (TakedownOps handles the INDEX stores; this is the
+    * derived-model half — a cluster whose keeper is taken down must
+    * not keep routing its members to a deleted doc_id).
+    *
+    * Semantics — membership is MONOTONE: the keeper table stores
+    * component MEMBERSHIP, not the pair graph, so removing a bridge
+    * doc does not split its component (the exact re-split needs the
+    * edges — that's a [[dedupKeeper]] recompute; same conservative
+    * direction as [[admitBatch]]'s near-dups-of-near-dups). Within a
+    * surviving component the new keeper is the minimum surviving
+    * doc_id — which IS the old keeper whenever the old keeper
+    * survives, so untouched clusters are provably unchanged and the
+    * work can be bounded to AFFECTED components only:
+    *
+    *   1. affected roots = keepers of the taken-down rows (one
+    *      broadcast semi-join; metadata-scale when takedowns are);
+    *   2. rows of unaffected components pass through untouched (one
+    *      broadcast anti-join — scan, no shuffle);
+    *   3. only affected-component survivors re-elect (a groupBy over
+    *      the affected minority).
+    *
+    * `stored` must cover every corpus doc (keeper = itself when
+    * unpaired, the q153 contract); output = the live keeper table. */
+  def takedownKeepers(stored: DataFrame, ids: DataFrame): DataFrame = {
+    val take = broadcast(ids.select(col("doc_id")).distinct())
+    val affRoots = broadcast(
+      stored.join(take, Seq("doc_id"), "left_semi")
+        .select(col("keeper")).distinct())
+    val untouched = stored.join(affRoots, Seq("keeper"), "left_anti")
+    val survivors = stored.join(affRoots, Seq("keeper"), "left_semi")
+      .join(take, Seq("doc_id"), "left_anti")
+    val re = survivors.groupBy(col("keeper"))
+      .agg(min(col("doc_id")).as("_nk"))
+    survivors.join(re, Seq("keeper"))
+      .select(col("doc_id"), col("_nk").as("keeper"))
+      .unionByName(untouched.select(col("doc_id"), col("keeper")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q164 registry form: the stored table a prior [[dedupKeeper]] run
+    * left (every doc covered, keeper = self when unpaired), taken down
+    * by source — the same id set TakedownOps.takedownAudit (q162)
+    * dry-runs, so the two entries are the plan and the model half of
+    * one compliance action. */
+  def keeperTakedownInSession(docs: DataFrame, source: String,
+      threshold: Double = JaccardThreshold, k: Int = K,
+      dfCap: Int = DefaultDfCap): DataFrame = {
+    val stored = docs.select(col("doc_id"))
+      .join(dedupKeeper(docs, threshold, k, dfCap), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper"), col("doc_id")).as("keeper"))
+    takedownKeepers(stored,
+      docs.filter(col("source") === lit(source)).select(col("doc_id")))
+  }
+
+  /** q164 oracle: full recursive-CTE CC over the corpus pair graph
+    * (caps over the FULL corpus — the stored table's provenance),
+    * keeper = self when unpaired, then the same remove + min-survivor
+    * re-election in SQL. */
+  lazy val keeperTakedownSql: String =
+    s"""WITH RECURSIVE ${pairsCte(capped = true)},
+       |np AS (
+       |  SELECT d1, d2 FROM pairs
+       |  WHERE inter / (n1 + n2 - inter) >= $JaccardThreshold),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM np
+       |  UNION ALL SELECT d2, d1 FROM np),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS keeper
+       |  FROM reach GROUP BY src),
+       |stored AS (SELECT d.doc_id, coalesce(k.keeper, d.doc_id) AS keeper
+       |  FROM documents d LEFT JOIN cc k ON k.doc_id = d.doc_id),
+       |take AS (SELECT doc_id FROM documents
+       |  WHERE source = '${TakedownOps.TakedownSource}'),
+       |live AS (SELECT s.doc_id, s.keeper FROM stored s
+       |  LEFT JOIN take t ON t.doc_id = s.doc_id WHERE t.doc_id IS NULL),
+       |re AS (SELECT keeper, min(doc_id) AS nk FROM live GROUP BY 1)
+       |SELECT l.doc_id, r.nk AS keeper FROM live l
+       |JOIN re r ON r.keeper = l.keeper ORDER BY doc_id""".stripMargin
 
   /** q153 oracle: the full-recompute ground truth — recursive CC over
     * corpus-pairs (df caps computed over the CORPUS alone, mirroring the
@@ -2354,6 +2440,11 @@ object DedupOps {
         dedupServeInSession(corpus, batch)
       },
       Some(incrementalNearDupSql)),
+    ("q164_keeper_takedown",
+      (s: SparkSession, d: String) =>
+        keeperTakedownInSession(Tables.documents(s, d),
+          TakedownOps.TakedownSource),
+      Some(keeperTakedownSql)),
     ("q153_keeper_merge",
       (s: SparkSession, d: String) => {
         val (corpus, batch) = splitAtMaxIdFraction(Tables.documents(s, d), 8)

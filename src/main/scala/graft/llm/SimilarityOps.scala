@@ -444,6 +444,9 @@ object SimilarityOps {
   def writeTrainedIvfIndex(em: DataFrame, table: String, nBuckets: Int = 8,
       centroidIds: Seq[Long] = CentroidIds, iters: Int = KmeansIters): Unit = {
     GraftFunctions.register(em.sparkSession)
+    // fresh generation: the previous generation's tombstones don't apply
+    graft.sources.FileIO.dropTableAndLocation(em.sparkSession,
+      s"${table}_deletes")
     val model = kmeansCentroids(em, centroidIds, iters).localCheckpoint()
     graft.sources.FileIO.dropTableAndLocation(em.sparkSession, s"${table}_model")
     model.write.mode("overwrite").format("parquet")
@@ -1804,16 +1807,36 @@ object SimilarityOps {
       queryVecId: Long = 0L, armK: Int = 20, topN: Int = 10,
       rrfK: Int = 60): DataFrame = {
     GraftFunctions.register(em.sparkSession)
-    val bmRank = TextOps.bm25(docs, terms, topN = armK)
+    val q = em.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"))
+    rrfFuse(TextOps.bm25(docs, terms, topN = armK),
+      denseArmTop(em, q, armK), armK, topN, rrfK)
+  }
+
+  /** The dense arm: brute-cosine top-K of the (broadcast) query vector
+    * over a vector frame — corpus scan + TakeOrderedAndProject heap,
+    * never a global sort. */
+  private def denseArmTop(em: DataFrame, q: DataFrame,
+      armK: Int): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    em.crossJoin(broadcast(q))
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(armK)
+  }
+
+  /** The RRF combiner over two already-top-K-bounded arms: `bmTop`
+    * (doc_id, score, …) and `annTop` (vec_id, cos, …). Shared by the
+    * direct form ([[hybridRrf]]) and the persisted-index form
+    * ([[hybridRrfServe]]) — identical rank algebra is what makes
+    * serve ≡ direct assertable. Both windows run on ≤ armK rows. */
+  private def rrfFuse(bmTop: DataFrame, annTop: DataFrame, armK: Int,
+      topN: Int, rrfK: Int): DataFrame = {
+    val bmRank = bmTop
       .withColumn("bm25_rank", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"),
         col("bm25_rank").cast("long").as("bm25_rank"))
-    val q = em.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("qe"))
-    val annRank = em.crossJoin(broadcast(q))
-      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
-      .orderBy(col("cos").desc, col("vec_id")).limit(armK)
+    val annRank = annTop
       .withColumn("ann_rank", row_number().over(
         Window.orderBy(col("cos").desc, col("vec_id"))))
       .select(col("vec_id").as("doc_id"),
@@ -1827,6 +1850,32 @@ object SimilarityOps {
         coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
         coalesce(col("ann_rank"), lit(0L)).as("ann_rank"))
       .orderBy(col("rrf").desc, col("doc_id")).limit(topN)
+  }
+
+  /** Hybrid retrieval served ENTIRELY from persisted state: the lexical
+    * arm from the q157 BM25 postings/doclen tables (through their
+    * takedown tombstones), the dense arm from the trained-IVF index's
+    * live rows (through its `_deletes`) with the query vector looked up
+    * IN the index — no corpus re-tokenize, no re-embedding, and one
+    * logical takedown against both indexes disappears from the fused
+    * answer (Round17bOpsSpec pins serve ≡ direct and the takedown
+    * propagation end-to-end). The dense arm scans the index exactly
+    * (full probe) so serve ≡ direct is row-identical; swap in the
+    * nProbe-bounded probe path when the recall trade is wanted —
+    * [[annProbeCurve]] (q159) is the tuning artifact for that call. */
+  def hybridRrfServe(spark: SparkSession, bm25Table: String,
+      ivfTable: String, terms: Seq[String], queryVecId: Long = 0L,
+      armK: Int = 20, topN: Int = 10, rrfK: Int = 60): DataFrame = {
+    val live = liveTrainedIvfIndex(spark, ivfTable)
+    val q = live.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"))
+    val tomb = TakedownOps.takedownIds(spark, bm25Table)
+    val bmTop = TextOps.bm25FromIndex(
+      TakedownOps.liveRows(spark.table(s"${bm25Table}_postings"), tomb),
+      TakedownOps.liveRows(spark.table(s"${bm25Table}_doclen"), tomb),
+      terms, topN = armK)
+    rrfFuse(bmTop, denseArmTop(live.select(col("vec_id"),
+      col("embedding")), q, armK), armK, topN, rrfK)
   }
 
   /** q163 fixture: a lexical query whose terms and the dense query

@@ -799,6 +799,9 @@ object TextOps {
   def writeBm25Index(docs: DataFrame, table: String,
       nBuckets: Int = 8): Unit = {
     val spark = docs.sparkSession
+    // a REBUILD starts a fresh index generation: tombstones from the
+    // previous generation must not apply to it
+    graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_takedown")
     val (postings, _) = bm25IndexFrames(docs)
     graft.sources.FileIO.writeParquetBucketed(
       postings, s"${table}_postings", nBuckets, "t", Seq("t"))

@@ -75,7 +75,11 @@ class LazinessSpec extends SparkSpec {
       "q157_bm25_serve",
       // q163's lexical arm IS q78's bm25 (same eager cached per-doc
       // projection, same rationale); the dense arm and fusion are lazy
-      "q163_hybrid_rrf")
+      "q163_hybrid_rrf",
+      // q164's registry fixture rebuilds the stored keeper table via
+      // the q23 CC fixpoint (eager checkpoint rounds — the q151/q153
+      // rationale); takedownKeepers itself is fully lazy
+      "q164_keeper_takedown")
 
   test("constructing registry queries fires no Spark job") {
     // pre-warm per-table schema resolution so first-touch footer reads

@@ -149,7 +149,104 @@ class Round17bOpsSpec extends SparkSpec {
     assert(dfGot == dfRef)
   }
 
+  // ------------------------------------------------------------- q164
+
+  test("takedownKeepers: keeper removal re-elects the min survivor, " +
+      "bridge removal keeps membership (monotone), untouched clusters " +
+      "and singletons pass through, whole-cluster removal vanishes") {
+    // comp {1,2,3} keeper 1 (formed by chain edges 1–2, 2–3: 2 is a
+    // bridge), comp {5,6} keeper 5, singleton 9
+    val stored = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L),
+      (9L, 9L)).toDF("doc_id", "keeper")
+    def run(ids: Seq[Long]) =
+      graft.llm.DedupOps.takedownKeepers(stored, ids.toDF("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // keeper 1 leaves → {2,3} re-elect 2; other clusters untouched
+    assert(run(Seq(1L)) ==
+      Seq((2L, 2L), (3L, 2L), (5L, 5L), (6L, 5L), (9L, 9L)))
+    // the BRIDGE (2) leaves → membership is monotone: {1,3} stay one
+    // component under keeper 1 (an edge-level recompute would split)
+    assert(run(Seq(2L)) ==
+      Seq((1L, 1L), (3L, 1L), (5L, 5L), (6L, 5L), (9L, 9L)))
+    // a non-keeper member leaves → keeper unchanged
+    assert(run(Seq(6L)) ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (9L, 9L)))
+    // a whole cluster (and a singleton) leaves → no orphan rows
+    assert(run(Seq(5L, 6L, 9L)) == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("ingest takedown: content leaves every read path — a re-arriving " +
+      "near-dup of removed content is admitted fresh, and the next " +
+      "keeper snapshot drops the doc and re-elects its cluster") {
+    import graft.app.IngestDedupApp
+    val dir = java.nio.file.Files.createTempDirectory("graft-td17").toString
+    // batch 0: docs 1,2 near-dups (keeper 1), doc 3 far from both
+    Seq((1L, variant(Set.empty)), (2L, variant(Set(10))),
+      (3L, variant((40 to 75).toSet)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/batch_id=0")
+    assert(IngestDedupApp.refreshKeepers(spark, dir) == 0L)
+    assert(spark.read.parquet(s"$dir/keepers/upto=0").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+
+    // a near-dup of docs 1/2 is REJECTED while they are in the corpus
+    val rearrival = Seq((10L, variant(Set(10, 20)))).toDF("doc_id", "text")
+    assert(graft.llm.DedupOps.admitBatch(
+      IngestDedupApp.corpus(spark, dir), rearrival).count() == 0)
+
+    // take down the whole near-dup cluster's content
+    IngestDedupApp.takedown(spark, dir, Seq(1L, 2L).toDF("doc_id"))
+    assert(IngestDedupApp.corpus(spark, dir).collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    // the same content re-arrives: the corpus no longer contains what
+    // it near-dupped against — admitted fresh
+    assert(graft.llm.DedupOps.admitBatch(
+      IngestDedupApp.corpus(spark, dir), rearrival).count() == 1)
+
+    // replayed takedown append is harmless (distinct-folded at read)
+    IngestDedupApp.takedown(spark, dir, Seq(1L).toDF("doc_id"))
+
+    // next refresh goes through the MERGE path (stored upto=0 is stale:
+    // it still holds docs 1,2) — the final re-election drops them
+    Seq((20L, variant((1 to 35).toSet))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/batch_id=1")
+    assert(IngestDedupApp.refreshKeepers(spark, dir) == 1L)
+    assert(spark.read.parquet(s"$dir/keepers/upto=1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(3L -> 3L, 20L -> 20L))
+  }
+
   // ------------------------------------------------------------- q163
+
+  test("hybridRrfServe: fused answer from persisted indexes equals the " +
+      "direct form, and ONE logical takedown against both stores " +
+      "removes the doc from the fused serving path") {
+    val docs = Tables.documents(spark, sf0001)
+    val em = Tables.embeddings(spark, sf0001)
+    val terms = graft.llm.SimilarityOps.HybridTerms
+    TextOps.writeBm25Index(docs, "hy17")
+    SimilarityOps.writeTrainedIvfIndex(em, "hy17ivf")
+    val direct = SimilarityOps.hybridRrf(docs, em, terms).collect().toSeq
+    val served = SimilarityOps.hybridRrfServe(spark, "hy17", "hy17ivf",
+      terms).collect().toSeq
+    assert(served == direct,
+      s"serve must equal direct:\n$served\nvs\n$direct")
+
+    // one LOGICAL takedown: the same id tombstones both stores (the
+    // fused doc must leave both arms, not just one)
+    val gone = direct.map(_.getLong(0)).find(_ != 0L).get
+    TakedownOps.takedownBm25Index(spark, "hy17", Seq(gone).toDF("doc_id"))
+    SimilarityOps.deleteFromTrainedIvfIndex(spark, "hy17ivf", Seq(gone))
+    val after = SimilarityOps.hybridRrfServe(spark, "hy17", "hy17ivf",
+      terms).collect().toSeq
+    val ref = SimilarityOps.hybridRrf(
+      docs.filter(col("doc_id") =!= gone),
+      em.filter(col("vec_id") =!= gone), terms).collect().toSeq
+    assert(after == ref,
+      "takedown serve must equal the direct form without the doc")
+    assert(!after.exists(_.getLong(0) == gone))
+  }
 
   test("hybridRrf: fusion ranks by summed reciprocal ranks, one-arm " +
       "docs carry rank 0 on the absent arm, rrf ties break by doc_id") {
