@@ -887,6 +887,116 @@ object TextOps {
     bm25FromIndex(postings, doclen, terms)
   }
 
+  // ------------------------------------------------------------------
+  // q165 — passage retrieval: BM25 over token-window chunks with
+  // per-document max-pooling (the RAG serving shape)
+  // ------------------------------------------------------------------
+
+  /** q165 — passage-level BM25: score fixed token windows (the q34
+    * chunkTokens windows — same width/stride/slice algebra, so a chunk
+    * here IS a training chunk there) as pseudo-documents, then
+    * max-pool to the best chunk per document and return the top `topN`
+    * documents by their best passage — what a RAG pipeline actually
+    * serves, since whole-document BM25 (q78) washes out a strong
+    * passage inside a long mixed document. df = chunks containing the
+    * term, dl = chunk token length, corpus stats over chunks —
+    * standard passage-index algebra.
+    *
+    * Scale shape: identical to [[bm25]] with "doc" ↦ "chunk": the
+    * chunk explode is a pure per-row generate (width/stride ≈ 1.33×
+    * row fanout, no shuffle), the slim per-chunk projection (ids,
+    * length, query hits) is cached once for its three consumers, only
+    * matching postings leave the scan, and both pooling steps are
+    * rank-bounded (per-doc best via WindowGroupLimit-prunable window,
+    * global top-N via TakeOrderedAndProject). */
+  def bm25Passages(docs: DataFrame, terms: Seq[String], width: Int = 40,
+      stride: Int = 30, k1: Double = 1.2, b: Double = 0.75,
+      topN: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val chunks = Tables.fanout(docs)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          greatest(floor((size(col("toks")) - 1) / stride), lit(0))
+            .cast("long"))).as("chunk_ix"))
+      .select(col("doc_id"), col("chunk_ix"),
+        slice(col("toks"), (col("chunk_ix") * stride + 1).cast("int"),
+          lit(width)).as("cts"))
+    val perChunk = graft.core.CacheOnce.swap("bm25-passages",
+      chunks.select(col("doc_id"), col("chunk_ix"),
+        size(col("cts")).as("dl"),
+        filter(col("cts"), _.isin(terms: _*)).as("hits")))
+    perChunk.count() // the q78 reason: concurrent broadcasts race a cold cache
+    val stats = perChunk.agg(count(lit(1)).as("n_chunks"),
+      avg(col("dl")).as("avgdl"))
+    val tf = perChunk
+      .select(col("doc_id"), col("chunk_ix"), col("dl"),
+        explode(col("hits")).as("t"))
+      .groupBy(col("doc_id"), col("chunk_ix"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("t"))
+      .agg(countDistinct(col("doc_id"), col("chunk_ix")).as("df"))
+    val chunkScores = tf.join(broadcast(dft), "t")
+      .crossJoin(broadcast(stats))
+      .withColumn("_w",
+        log((col("n_chunks") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)) + lit(1.0))
+          * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"), col("chunk_ix"))
+      .agg(round(sum(col("_w")) + lit(1e-9), 4).as("score"),
+        count(lit(1)).as("n_terms"))
+    chunkScores
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("chunk_ix"))))
+      .filter(col("_rn") === 1).drop("_rn")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  /** q165 fixture: distinct from the q78/q157/q163 term sets. */
+  val PassageTerms: Seq[String] = Seq("stream", "table", "group")
+
+  def bm25PassagesSql(terms: Seq[String] = PassageTerms, width: Int = 40,
+      stride: Int = 30, k1: Double = 1.2, b: Double = 0.75,
+      topN: Int = 10): String = {
+    val inList = terms.map(t => "'" + t.replace("'", "''") + "'")
+      .mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, ${Text.tokensSql("text")} AS toks
+       |  FROM documents),
+       |cw AS (SELECT doc_id, toks,
+       |    unnest(generate_series(0,
+       |      greatest((len(toks)-1)//$stride, 0))) AS chunk_ix
+       |  FROM tk),
+       |d AS (SELECT doc_id, chunk_ix,
+       |    toks[CAST(chunk_ix*$stride+1 AS BIGINT)
+       |         :CAST(chunk_ix*$stride+$width AS BIGINT)] AS cts
+       |  FROM cw),
+       |dd AS (SELECT doc_id, chunk_ix, len(cts) AS dl, cts FROM d),
+       |st AS (SELECT count(*) AS n_chunks, avg(dl) AS avgdl FROM dd),
+       |tf AS (SELECT doc_id, chunk_ix, dl, t, count(*) AS tf
+       |  FROM (SELECT doc_id, chunk_ix, dl, unnest(cts) AS t FROM dd)
+       |  WHERE t IN ($inList) GROUP BY 1, 2, 3, 4),
+       |dfq AS (SELECT t, count(*) AS df FROM (
+       |  SELECT DISTINCT t, doc_id, chunk_ix FROM tf) GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.chunk_ix,
+       |    ln((st.n_chunks - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+       |      * (tf.tf * ${k1 + 1.0})
+       |      / (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl / st.avgdl)) AS w
+       |  FROM tf JOIN dfq USING (t), st),
+       |cs AS (SELECT doc_id, chunk_ix,
+       |    round(sum(w) + 1e-9, 4) AS score,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM sc GROUP BY 1, 2),
+       |r AS (SELECT doc_id, chunk_ix, score, n_terms,
+       |  row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, chunk_ix) AS rn FROM cs)
+       |SELECT doc_id, chunk_ix, score, n_terms FROM r WHERE rn = 1
+       |ORDER BY score DESC, doc_id LIMIT $topN""".stripMargin
+  }
+
   /** q89 — BPE merge-candidate statistics (Sennrich, Haddow & Birch,
     * "Neural Machine Translation of Rare Words with Subword Units", ACL
     * 2016, step 1 of training): count adjacent character-symbol pairs
@@ -2430,6 +2540,8 @@ object TextOps {
     ("q78_bm25", onDocs(bm25(_, bm25Terms)), Some(bm25Sql(bm25Terms))),
     ("q89_bpe_pairs", onDocs(bpePairs(_)), Some(bpePairsSql())),
     ("q154_bpe_merges", onDocs(trainBpeMerges(_)), Some(bpeMergesSql())),
+    ("q165_passage_bm25", onDocs(bm25Passages(_, PassageTerms)),
+      Some(bm25PassagesSql())),
     ("q157_bm25_serve", onDocs(bm25ServeInSession(_)),
       Some(bm25Sql(bm25ServeTerms))),
     ("q155_bpe_fertility", onDocs(bpeFertility(_)), Some(bpeFertilitySql())),

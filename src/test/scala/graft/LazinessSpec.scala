@@ -79,7 +79,10 @@ class LazinessSpec extends SparkSpec {
       // q164's registry fixture rebuilds the stored keeper table via
       // the q23 CC fixpoint (eager checkpoint rounds — the q151/q153
       // rationale); takedownKeepers itself is fully lazy
-      "q164_keeper_takedown")
+      "q164_keeper_takedown",
+      // q165 is q78's bm25 with doc ↦ chunk — same eager cached slim
+      // projection, same three concurrent consumers
+      "q165_passage_bm25")
 
   test("constructing registry queries fires no Spark job") {
     // pre-warm per-table schema resolution so first-touch footer reads

@@ -248,6 +248,32 @@ class Round17bOpsSpec extends SparkSpec {
     assert(!after.exists(_.getLong(0) == gone))
   }
 
+  // ------------------------------------------------------------- q165
+
+  test("bm25Passages: max-pooled passage scoring surfaces the dense " +
+      "window a whole-document ranking washes out, and points at the " +
+      "right chunk") {
+    // doc 1: 40 tokens, a 2-hit passage at tokens 9–10 (chunk_ix 2
+    // under width=4, stride=4); doc 2: 4 tokens with 1 hit. Document-
+    // level BM25 ranks doc 2 FIRST (length normalization punishes doc
+    // 1's 40 tokens more than tf=2 helps); passage-level ranks doc 1
+    // first (its best chunk has tf=2 at the same chunk length) — the
+    // inversion is the operator's reason to exist.
+    val docs = Seq(
+      (1L, (Seq.fill(8)("w") ++ Seq("q", "q", "v", "v")
+        ++ Seq.fill(28)("w")).mkString(" ")),
+      (2L, "q w w w")).toDF("doc_id", "text")
+    val pas = TextOps.bm25Passages(docs, Seq("q"), width = 4, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pas.map(_._1) == Seq(1L, 2L),
+      s"passage ranking must put the dense-window doc first: $pas")
+    assert(pas.head._2 == 2L, s"best chunk of doc 1 must be ix 2: $pas")
+    val docLevel = TextOps.bm25(docs, Seq("q"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(docLevel == Seq(2L, 1L),
+      s"fixture must actually invert under doc-level BM25: $docLevel")
+  }
+
   test("hybridRrf: fusion ranks by summed reciprocal ranks, one-arm " +
       "docs carry rank 0 on the absent arm, rrf ties break by doc_id") {
     val docs = Seq(
