@@ -165,6 +165,24 @@ object Stress {
       println(f"[stress] q100_knn_sqrtk(k=$kC)   " +
         f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
     }
+    // q164's takedown arm ALONE: the registry fixture pays the full CC
+    // keeper build (q153's pattern); the operator's steady state is the
+    // re-election over an EXISTING table. Build the stored table
+    // untimed (and materialize it), then time takedownKeepers.
+    if (only.exists(_.contains("q164_takedown_arm"))) {
+      val docs = graft.core.Tables.documents(spark, dir)
+      val stored = docs.select(col("doc_id"))
+        .join(graft.llm.DedupOps.dedupKeeper(docs), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("keeper"), col("doc_id")).as("keeper"))
+        .localCheckpoint()
+      val ids = docs.filter(col("source") === "src7")
+        .select(col("doc_id")).localCheckpoint()
+      val t0 = System.nanoTime()
+      val n = graft.llm.DedupOps.takedownKeepers(stored, ids).count()
+      println(f"[stress] q164_takedown_arm      " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+    }
     spark.stop()
   }
 }
