@@ -67,6 +67,7 @@ object Explain {
     "q163_hybrid_rrf" -> "hybrid RRF: each arm top-K-bounded by its own plan (BM25 scan-filtered postings; dense broadcast-query TakeOrdered), fusion joins 2K rows. NOTE: lexical arm shares q78's eager cached per-doc projection",
     "q164_keeper_takedown" -> "keeper takedown: affected roots = one broadcast semi-join; unaffected components pass through an anti-join scan (no shuffle); only the affected minority re-elects via groupBy. NOTE: registry fixture rebuilds the stored table via the eager q23 CC fixpoint",
     "q165_passage_bm25" -> "passage BM25: chunk explode is a pure per-row generate (~1.33x fanout, no shuffle); only matching postings leave the scan; per-doc best via WindowGroupLimit-prunable window, global top-N via TakeOrderedAndProject. NOTE: shares q78's eager cached projection rationale",
+    "q166_semantic_contamination" -> "semantic decontamination: eval vectors broadcast (small by definition), the train side streams ONE scan with zero shuffles before the output filter — no pair-space materialization, no blocking recall loss",
     "q47_ks_drift"          -> "KS: distinct-value counts, CDFs via range-partitioned running sum (no single-reducer window)",
     "q48_corr_matrix"       -> "C(n,2) corr aggregates in ONE wide agg row over one scan, then unpivot",
     "q49_weighted_sample"   -> "A-ES weighted top-k per stratum: WindowGroupLimit prunes map-side",

@@ -140,7 +140,8 @@ object Stress {
       "q157_bm25_serve", "q158_exactsubstr_clean", "q158_char_fate",
       "q159_ann_probe_curve", "q160_dedup_serve",
       "q161_nb_classifier", "q162_takedown_audit", "q163_hybrid_rrf",
-      "q164_keeper_takedown", "q165_passage_bm25")
+      "q164_keeper_takedown", "q165_passage_bm25",
+      "q166_semantic_contamination")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

@@ -1910,7 +1910,66 @@ object SimilarityOps {
        |SELECT doc_id, rrf, bm25_rank, ann_rank FROM g
        |ORDER BY rrf DESC, doc_id LIMIT $topN""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q166 — semantic decontamination (the embedding-level twin of the
+  // q135/q136 shingle-level pair)
+  // ------------------------------------------------------------------
+
+  /** q166 — semantic contamination: training vectors whose cosine to
+    * ANY eval/benchmark vector exceeds `tau` — the embedding-level
+    * decontamination modern model reports run ALONGSIDE n-gram overlap
+    * (paraphrased eval items share no 5-gram but sit next to their
+    * source in embedding space; q135/q136 cover the lexical half).
+    * Same id-split convention as q135 (eval = top 1/10 of ids).
+    *
+    * Scale shape: the eval set is SMALL by definition (benchmarks are
+    * thousands of items, the corpus is billions), so the right plan is
+    * brute broadcast — eval vectors ship to every task, the training
+    * side streams through ONE scan with no shuffle before the output
+    * filter; cost is |corpus|·|eval| dot products, embarrassingly
+    * parallel, zero pair-space materialization. If the eval side ever
+    * outgrows a broadcast, the centroid-blocked [[semanticDedup]]
+    * machinery is the fallback — blocking trades recall for cost,
+    * which is why it is NOT the default for a compliance check. */
+  def semanticContamination(em: DataFrame, tau: Double = 0.4): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val cut = em.agg(
+      floor(max(col("vec_id")) * 9 / 10).cast("long").as("_cut"))
+    val tagged = em.crossJoin(broadcast(cut))
+    val train = tagged.filter(col("vec_id") < col("_cut"))
+      .select(col("vec_id").as("train_id"), col("embedding").as("te"))
+    val eval0 = tagged.filter(col("vec_id") >= col("_cut"))
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ee"))
+    train.crossJoin(broadcast(eval0))
+      .withColumn("cos", expr("cosine_sim(te, ee)"))
+      .filter(col("cos") >= tau)
+      .select(col("train_id"), col("eval_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** The q23_embedding_near_dup threshold convention: the synthetic
+    * fixture's cross-split cosines top out near 0.51, so 0.4 exercises
+    * non-empty contamination sets at every SF (20 / 6 / 162 pairs). */
+  val SemanticContaminationTau = 0.4
+
+  val semanticContaminationSql: String =
+    s"""WITH cut AS (SELECT (max(vec_id) * 9) // 10 AS c FROM embeddings),
+       |tr AS (SELECT vec_id AS train_id, embedding AS te
+       |  FROM embeddings, cut WHERE vec_id < c),
+       |ev AS (SELECT vec_id AS eval_id, embedding AS ee
+       |  FROM embeddings, cut WHERE vec_id >= c)
+       |SELECT train_id, eval_id,
+       |  round(${cosSql("tr.te", "ev.ee")}, 4) AS cos
+       |FROM tr, ev
+       |WHERE ${cosSql("tr.te", "ev.ee")} >= $SemanticContaminationTau
+       |ORDER BY train_id, eval_id""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q166_semantic_contamination",
+      (s: SparkSession, d: String) =>
+        semanticContamination(Tables.embeddings(s, d),
+          SemanticContaminationTau),
+      Some(semanticContaminationSql)),
     ("q163_hybrid_rrf",
       (s: SparkSession, d: String) =>
         hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),

@@ -248,6 +248,22 @@ class Round17bOpsSpec extends SparkSpec {
     assert(!after.exists(_.getLong(0) == gone))
   }
 
+  // ------------------------------------------------------------- q166
+
+  test("semanticContamination: an eval-near train vector is flagged, " +
+      "orthogonal ones are not, and the 9/10 id split is strict") {
+    // cut = floor(9*9/10) = 8 → eval = {8, 9}
+    val em = Seq(
+      (0L, Array(1f, 0f)),      // ≈ eval 8 → flagged
+      (1L, Array(0f, 1f)),      // orthogonal to 8, opposite to 9
+      (8L, Array(1f, 0.1f)),
+      (9L, Array(0f, -1f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.llm.SimilarityOps.semanticContamination(em, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 8L)), got.toString)
+  }
+
   // ------------------------------------------------------------- q165
 
   test("bm25Passages: max-pooled passage scoring surfaces the dense " +
