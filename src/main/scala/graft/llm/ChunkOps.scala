@@ -389,7 +389,52 @@ object ChunkOps {
        |    / (CAST(count(*) AS DOUBLE) * w) + 1e-9, 4) AS pad_share
        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q167 — deterministic training-order shuffle + sharding
+  // ------------------------------------------------------------------
+
+  /** q167 — the reproducible global shuffle a training export runs
+    * last: every doc gets a position in a pseudo-random but
+    * DETERMINISTIC global order (md5 of the id + seed — the q34c
+    * mixture convention, so reruns and the oracle agree byte-for-byte)
+    * and a (shard, pos) address at fixed `shardSize`. Downstream
+    * loaders read shard files sequentially and still see an unbiased
+    * interleave of sources/languages — order randomization without a
+    * nondeterministic `rand()` that would break replay, resume, and
+    * cross-engine verification.
+    *
+    * Scale shape: the global row number is the q35 machinery
+    * (GlobalWindows.withGlobalOrderStats — ONE range exchange, linear
+    * per-partition pass, metadata-scale offset patch), never a
+    * single-partition window; everything after it is per-row
+    * arithmetic. */
+  def trainingShuffle(docs: DataFrame, seed: Long = 42L,
+      shardSize: Long = 100L): DataFrame = {
+    val keyed = Tables.fanout(docs).select(col("doc_id"),
+      md5(concat(col("doc_id").cast("string"), lit(s":$seed")))
+        .as("_shuf"))
+    graft.operators.GlobalWindows
+      .withGlobalOrderStats(keyed,
+        Seq("_shuf" -> true, "doc_id" -> true), Set("row_number"))
+      .select(col("doc_id"),
+        ((col("gw_row_number") - 1) / shardSize).cast("long").as("shard"),
+        ((col("gw_row_number") - 1) % shardSize).cast("long").as("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  def trainingShuffleSql(seed: Long = 42L, shardSize: Long = 100L): String =
+    s"""WITH r AS (SELECT doc_id,
+       |  row_number() OVER (
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':$seed'), doc_id)
+       |    AS rn
+       |  FROM documents)
+       |SELECT doc_id, CAST((rn - 1) // $shardSize AS BIGINT) AS shard,
+       |  CAST((rn - 1) % $shardSize AS BIGINT) AS pos
+       |FROM r ORDER BY shard, pos""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q167_training_shuffle", onDocs(trainingShuffle(_)),
+      Some(trainingShuffleSql())),
     ("q150_context_window_plan", onDocs(contextWindowPlan(_)),
       Some(contextWindowPlanSql())),
     ("q34_chunk", onDocs(chunk(_)), Some(chunkSql())),

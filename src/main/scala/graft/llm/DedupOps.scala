@@ -1341,6 +1341,69 @@ object DedupOps {
           .as("policy_changed"))
       .orderBy("component")
   }
+  /** q168 — cluster-capped sampling: keep the top `cap` docs per
+    * near-dup component ranked by the q25 quality score (ties by
+    * doc_id) — the middle ground between "keep everything" and the
+    * keeper's keep-1 (q126): curation runs sometimes keep bounded
+    * near-dup redundancy deliberately, since exact-once dedup can
+    * over-prune templated-but-distinct families (the FineWeb ablation
+    * family of choices). Unpaired docs are their own singleton
+    * component (always kept, rank 1), so the output is a complete
+    * keep-decision table: (component, doc_id, quality, rank,
+    * n_members) for every kept doc.
+    *
+    * Scale shape: rides the SAME shared pair stage + CC as the q23
+    * keeper family; the per-component rank is WindowGroupLimit-
+    * prunable (cap rows per component survive the map side). */
+  def clusterCapSample(docs: DataFrame, cap: Int = 2,
+      threshold: Double = JaccardThreshold, k: Int = K,
+      dfCap: Int = DefaultDfCap, maxIters: Int = 15): DataFrame = {
+    val cc = dedupKeeper(docs, threshold, k, dfCap, maxIters)
+      .select(col("doc_id"), col("keeper").as("component"))
+    val full = docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    full.join(graft.llm.TextOps.qualityScore(docs), "doc_id")
+      .select(col("component"), col("doc_id"), col("quality"),
+        row_number().over(w).as("rank"),
+        count(lit(1)).over(Window.partitionBy(col("component")))
+          .as("n_members"))
+      .filter(col("rank") <= cap)
+      .select(col("component"), col("doc_id"), col("quality"),
+        col("rank").cast("long").as("rank"), col("n_members"))
+      .orderBy(col("component"), col("rank"))
+  }
+
+  def clusterCapSampleSql(cap: Int = 2): String =
+    s"""WITH RECURSIVE ${pairsCte(capped = true)},
+       |np AS (
+       |  SELECT d1, d2 FROM pairs
+       |  WHERE inter / (n1 + n2 - inter) >= $JaccardThreshold),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM np
+       |  UNION ALL SELECT d2, d1 FROM np),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+       |  FROM reach GROUP BY src),
+       |ccfull AS (SELECT d.doc_id,
+       |    coalesce(cc.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+       |qual AS (SELECT * FROM (${graft.llm.TextOps.qualityScoreSql})),
+       |ranked AS (
+       |  SELECT f.component, f.doc_id, q.quality,
+       |    row_number() OVER (PARTITION BY f.component
+       |      ORDER BY q.quality DESC, f.doc_id) AS rank,
+       |    count(*) OVER (PARTITION BY f.component) AS n_members
+       |  FROM ccfull f JOIN qual q ON q.doc_id = f.doc_id)
+       |SELECT component, doc_id, quality, CAST(rank AS BIGINT) AS rank,
+       |  CAST(n_members AS BIGINT) AS n_members
+       |FROM ranked WHERE rank <= $cap ORDER BY component, rank""".stripMargin
+
   def qualityKeeperSql: String =
     s"""WITH RECURSIVE ${pairsCte(capped = true)},
        |np AS (
@@ -2440,6 +2503,10 @@ object DedupOps {
         dedupServeInSession(corpus, batch)
       },
       Some(incrementalNearDupSql)),
+    ("q168_cluster_cap_sample",
+      (s: SparkSession, d: String) =>
+        clusterCapSample(Tables.documents(s, d)),
+      Some(clusterCapSampleSql())),
     ("q164_keeper_takedown",
       (s: SparkSession, d: String) =>
         keeperTakedownInSession(Tables.documents(s, d),

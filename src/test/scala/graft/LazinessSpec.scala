@@ -82,7 +82,10 @@ class LazinessSpec extends SparkSpec {
       "q164_keeper_takedown",
       // q165 is q78's bm25 with doc ↦ chunk — same eager cached slim
       // projection, same three concurrent consumers
-      "q165_passage_bm25")
+      "q165_passage_bm25",
+      // q168 composes the q23 CC fixpoint (eager checkpoint rounds —
+      // the q151/q153/q164 rationale)
+      "q168_cluster_cap_sample")
 
   test("constructing registry queries fires no Spark job") {
     // pre-warm per-table schema resolution so first-touch footer reads

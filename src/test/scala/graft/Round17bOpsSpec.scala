@@ -248,6 +248,57 @@ class Round17bOpsSpec extends SparkSpec {
     assert(!after.exists(_.getLong(0) == gone))
   }
 
+  // ------------------------------------------------------- q167/q168
+
+  test("trainingShuffle: a permutation (every doc exactly once), full " +
+      "shards except the tail, deterministic across reruns, and not " +
+      "the identity order") {
+    import graft.llm.ChunkOps
+    val docs = (0L until 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = ChunkOps.trainingShuffle(docs, seed = 42L, shardSize = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a.map(_._1).sorted == (0L until 10L), "must be a permutation")
+    val sizes = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes == Map(0L -> 4, 1L -> 4, 2L -> 2), sizes.toString)
+    assert(a.map(x => (x._2, x._3)) ==
+      Seq((0L,0L),(0L,1L),(0L,2L),(0L,3L),(1L,0L),(1L,1L),(1L,2L),(1L,3L),
+        (2L,0L),(2L,1L)), "positions must be dense per shard")
+    val b = ChunkOps.trainingShuffle(docs, seed = 42L, shardSize = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b, "same seed must reproduce the same order")
+    assert(a.map(_._1) != (0L until 10L).toSeq,
+      "md5 order must actually permute (fixture sanity)")
+    val c = ChunkOps.trainingShuffle(docs, seed = 7L, shardSize = 4L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(c != a.map(_._1), "a different seed must give a different order")
+  }
+
+  test("clusterCapSample: cap=2 keeps the two best of a 3-clique, " +
+      "singletons survive as rank-1 components, and rank-1 rows agree " +
+      "with the q126 quality keeper") {
+    import graft.llm.DedupOps
+    val docs = Tables.documents(spark, sf0001)
+    val capped = DedupOps.clusterCapSample(docs, cap = 2).collect()
+    val byComp = capped.groupBy(_.getLong(0))
+    // every component keeps at most 2 and ranks are dense from 1
+    byComp.foreach { case (c, rows) =>
+      assert(rows.length <= 2, s"component $c kept ${rows.length}")
+      assert(rows.map(_.getLong(3)).sorted.toSeq ==
+        (1L to rows.length).toSeq, s"ranks not dense for $c")
+    }
+    // multi-member components must exist in the fixture and keep 2
+    val multi = capped.filter(_.getLong(4) >= 2)
+    assert(multi.nonEmpty, "fixture must contain near-dup clusters")
+    assert(multi.groupBy(_.getLong(0)).forall(_._2.length == 2))
+    // the rank-1 choice is exactly q126's quality-argmax keeper
+    val rank1 = capped.filter(_.getLong(3) == 1L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q126 = DedupOps.qualityKeeper(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(q126.subsetOf(rank1),
+      "rank-1 rows must contain every quality-keeper choice")
+  }
+
   // ------------------------------------------------------------- q166
 
   test("semanticContamination: an eval-near train vector is flagged, " +
