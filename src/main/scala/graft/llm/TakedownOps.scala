@@ -192,7 +192,7 @@ object TakedownOps {
     val toks = Text.tokensSql("text")
     s"""WITH per AS (SELECT source = '$TakedownSource' AS hit,
        |    len(list_distinct(toks)) AS np,
-       |    len(${Text.shinglesSql("toks", 5)}) AS ns
+       |    len(${Text.shinglesSql("toks", DedupOps.K)}) AS ns
        |  FROM (SELECT source, $toks AS toks FROM documents)),
        |a AS (SELECT count(*) AS docs_t,
        |    sum(CASE WHEN hit THEN 1 ELSE 0 END) AS docs_r,
