@@ -86,9 +86,14 @@ object IngestDedupApp {
     * chosen semantics: taken-down CONTENT leaves every read path, so a
     * re-arriving near-dup of removed content is admitted FRESH — the
     * corpus no longer contains what it would have near-dupped against
-    * (Round17bOpsSpec pins both directions). Append-only and replay-
-    * idempotent: ids are distinct-folded at read, double-appends are
-    * harmless. */
+    * (Round17bOpsSpec pins both directions). The ID itself stays dead
+    * forever: a re-DELIVERED tombstoned doc_id may land in a batch dir
+    * (admission sees it as fresh — the live corpus no longer holds it)
+    * but every read path keeps excluding it, which is the
+    * right-to-be-forgotten direction: same content under the same id
+    * cannot resurface through replay (also pinned). Append-only and
+    * replay-idempotent: ids are distinct-folded at read, double-appends
+    * are harmless. */
   def takedown(spark: SparkSession, corpusDir: String,
       ids: DataFrame): Unit =
     ids.select(col("doc_id")).distinct()

@@ -215,6 +215,18 @@ class Round17bOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/keepers/upto=1").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(3L -> 3L, 20L -> 20L))
+
+    // a re-DELIVERED tombstoned id may land in a batch dir, but the id
+    // is dead forever: every read path keeps excluding it
+    Seq((1L, variant(Set.empty))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/batch_id=2")
+    assert(!IngestDedupApp.corpus(spark, dir).collect()
+      .map(_.getLong(0)).contains(1L),
+      "a tombstoned id must not resurface through replay")
+    assert(IngestDedupApp.refreshKeepers(spark, dir) == 2L)
+    assert(spark.read.parquet(s"$dir/keepers/upto=2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(3L -> 3L, 20L -> 20L))
   }
 
   // ------------------------------------------------------------- q163
