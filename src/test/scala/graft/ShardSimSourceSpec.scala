@@ -834,4 +834,66 @@ class ShardSimSourceSpec extends SparkSpec {
     assert(ids(IngestDedupApp.corpus(spark, corpusB)) == cleanCorpus)
     assert(ids(IngestDedupApp.quarantine(spark, corpusB)) == (11L to 20L).toSet)
   }
+
+  test("ingest takedown between runs: removed content re-admits in a " +
+      "later stream, crash replay with the log present converges, and " +
+      "the keeper snapshot drops the tombstoned ids") {
+    import graft.app.IngestDedupApp
+    import spark.implicits._
+    def text(ns: Long): String =
+      (0 until 12).map(t => s"w${ns}t$t").mkString(" ")
+    // run 1: docs 1..10; 101..105 duplicate 1..5 and are rejected
+    val rows1 = ((1L to 10L).map(i => i -> text(i)) ++
+      (101L to 105L).map(i => i -> text(i - 100L)))
+      .zipWithIndex.map { case ((id, txt), i) =>
+        (s"d$id", 1700000000000000L + i, s"""{"doc_id":$id,"text":"$txt"}""")
+      }
+    val shardDir = Files.createTempDirectory("ingtd_shard").toString
+    ShardSimFixture.writeShard(shardDir, 0, rows1)
+    val corpus = Files.createTempDirectory("ingtd_corpus").toString
+    val ckpt = Files.createTempDirectory("ingtd_ckpt").toString
+    IngestDedupApp.run(spark, shardDir, corpus, ckpt,
+        maxRecordsPerBatch = Some(8L))
+      .awaitTermination()
+    def ids(): Set[Long] = IngestDedupApp.corpus(spark, corpus)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids() == (1L to 10L).toSet, ids().toSeq.sorted.toString)
+
+    IngestDedupApp.takedown(spark, corpus, (1L to 5L).toDF("doc_id"))
+    assert(ids() == (6L to 10L).toSet)
+
+    // continue the SAME stream (same checkpoint — the one-checkpoint-
+    // per-corpus contract; batch ids continue from the WAL) with a new
+    // shard whose docs 201..205 carry the REMOVED docs' exact text —
+    // with the content gone they must admit; a mid-run crash replays
+    // against the same takedown-filtered index frames
+    val rows2 = (201L to 205L).map(i => i -> text(i - 200L))
+      .zipWithIndex.map { case ((id, txt), i) =>
+        (s"d$id", 1700000001000000L + i, s"""{"doc_id":$id,"text":"$txt"}""")
+      }
+    ShardSimFixture.writeShard(shardDir, 1, rows2)
+    val marker = Files.createTempDirectory("ingtd_marker")
+      .resolve("fired").toString
+    def start2() = IngestDedupApp.run(spark, shardDir, corpus, ckpt,
+      maxRecordsPerBatch = Some(3L),
+      extraOptions = Map("faultInjectMarker" -> marker,
+        "faultInjectAfter" -> "2"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      start2().awaitTermination()
+    }
+    start2().awaitTermination()
+    assert(ids() == ((6L to 10L) ++ (201L to 205L)).toSet,
+      ids().toSeq.sorted.toString)
+
+    // the next keeper snapshot reflects the takedown: tombstoned ids
+    // gone, survivors and re-admitted docs self-keepers
+    assert(IngestDedupApp.refreshKeepers(spark, corpus) >= 0L)
+    val snapDir = new java.io.File(s"$corpus/keepers").listFiles()
+      .filter(_.getName.startsWith("upto=")).map(_.toString).max
+    val snap = spark.read.parquet(snapDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap.keySet == ((6L to 10L) ++ (201L to 205L)).toSet,
+      snap.toString)
+    assert(snap.forall { case (d, k) => d == k }, snap.toString)
+  }
 }
