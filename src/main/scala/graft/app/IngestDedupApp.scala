@@ -287,7 +287,8 @@ object IngestDedupApp {
       gate: Seq[graft.operators.QualityOps.Check] = Nil,
       driftGate: Option[DriftGate] = None,
       evalGuard: Option[EvalGuard] = None,
-      scoreGuard: Option[ScoreGuard] = None): StreamingQuery =
+      scoreGuard: Option[ScoreGuard] = None): StreamingQuery = {
+    bindCheckpoint(spark, corpusDir, checkpointDir)
     docStream(spark, shardDir, maxRecordsPerBatch, extraOptions).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -385,6 +386,38 @@ object IngestDedupApp {
         }
       }
       .start()
+  }
+
+  /** Fail loudly when a DIFFERENT checkpoint targets an existing corpus:
+    * batch dirs are keyed by the stream's WAL batch id, so a fresh
+    * checkpoint restarts ids at 0 and silently OVERWRITES landed batches
+    * — corpus corruption with no error (the per-batch-id overwrite is
+    * exactly right for the same checkpoint's replays and exactly wrong
+    * for any other stream). A one-line marker file binds the corpus to
+    * its checkpoint path at first run; later runs must present the same
+    * path. Pinned in ShardSimSourceSpec. */
+  private def bindCheckpoint(spark: SparkSession, corpusDir: String,
+      checkpointDir: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(corpusDir, "_checkpoint_binding")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val canonical = new org.apache.hadoop.fs.Path(checkpointDir).toUri.toString
+    if (fs.exists(marker)) {
+      val bound = {
+        val in = fs.open(marker)
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+      }
+      require(bound == canonical,
+        s"corpus $corpusDir is bound to checkpoint $bound; refusing to " +
+          s"stream into it from $canonical — a fresh checkpoint restarts " +
+          "batch ids at 0 and would overwrite landed batches. Resume the " +
+          "original checkpoint, or target a new corpus directory.")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(canonical.getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   /** OPTIONAL keeper-table maintenance — [[graft.llm.DedupOps.mergeKeepers]]
     * wired into the ingest loop, closing the last full-recompute in it

@@ -895,5 +895,15 @@ class ShardSimSourceSpec extends SparkSpec {
     assert(snap.keySet == ((6L to 10L) ++ (201L to 205L)).toSet,
       snap.toString)
     assert(snap.forall { case (d, k) => d == k }, snap.toString)
+
+    // the binding guard: a DIFFERENT checkpoint against this corpus
+    // must refuse before starting (batch ids would restart at 0 and
+    // overwrite landed batches — the exact corruption the first draft
+    // of this test tripped over)
+    val foreignCkpt = Files.createTempDirectory("ingtd_foreign").toString
+    val err = intercept[IllegalArgumentException] {
+      IngestDedupApp.run(spark, shardDir, corpus, foreignCkpt)
+    }
+    assert(err.getMessage.contains("bound to checkpoint"), err.getMessage)
   }
 }
