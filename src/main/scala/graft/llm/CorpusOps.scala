@@ -151,7 +151,81 @@ object CorpusOps {
   private def onDocs(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.documents(s, d))
 
+  // ------------------------------------------------------------------
+  // q169 — per-source data report card
+  // ------------------------------------------------------------------
+
+  /** q169 — the per-source report card a curation run files before
+    * mixing: document and token counts, mean quality, near-dup share
+    * (docs that lose to a keeper), and language spread — the one table
+    * a data owner reviews to decide a source's mixture weight and to
+    * spot the source whose volume is mostly duplicates. Composes
+    * frames the q25/q23 operators already audit; nothing new is
+    * invented, which is the point — a "data card" is a VIEW over
+    * measurements the pipeline already trusts.
+    *
+    * Scale shape: one scan for the per-source base stats (token sizes
+    * ride the projection), one model-scale join of the quality frame,
+    * and the shared q23 pair stage + CC for the dup arm; all three
+    * collapse to |sources| rows before the final joins. */
+  def sourceReportCard(docs: DataFrame): DataFrame = {
+    val base = Tables.fanout(docs)
+      .select(col("source"), col("lang"),
+        size(graft.llm.Text.tokens(col("text"))).cast("long").as("_nt"),
+        graft.llm.TextOps.qualityExpr.as("_q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("sum_tokens"),
+        round(avg(col("_q")), 4).as("avg_quality"),
+        countDistinct(col("lang")).as("n_langs"))
+    val dup = DedupOps.dedupKeeper(docs)
+      .filter(col("keeper") =!= col("doc_id"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("dup_docs"))
+    base.join(dup, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("sum_tokens"),
+        col("avg_quality"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        round(coalesce(col("dup_docs"), lit(0L)) / col("n_docs")
+          + lit(1e-9), 4).as("dup_share"),
+        col("n_langs"))
+      .orderBy(col("source"))
+  }
+
+  val sourceReportCardSql: String =
+    s"""WITH RECURSIVE ${DedupOps.keeperPairsCte},
+       |np AS (
+       |  SELECT d1, d2 FROM pairs
+       |  WHERE inter / (n1 + n2 - inter) >= ${DedupOps.JaccardThresholdSql}),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM np
+       |  UNION ALL SELECT d2, d1 FROM np),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cc AS (SELECT src AS doc_id, least(src, min(dst)) AS keeper
+       |  FROM reach GROUP BY src),
+       |dup AS (SELECT d.source, count(*) AS dup_docs
+       |  FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+       |  WHERE cc.keeper <> cc.doc_id GROUP BY 1),
+       |qual AS (SELECT * FROM (${graft.llm.TextOps.qualityScoreSql})),
+       |base AS (SELECT d.source,
+       |    count(*) AS n_docs,
+       |    CAST(sum(len(${graft.llm.Text.tokensSql("d.text")})) AS BIGINT)
+       |      AS sum_tokens,
+       |    round(avg(q.quality), 4) AS avg_quality,
+       |    CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
+       |  FROM documents d JOIN qual q ON q.doc_id = d.doc_id GROUP BY 1)
+       |SELECT b.source, b.n_docs, b.sum_tokens, b.avg_quality,
+       |  CAST(coalesce(dup.dup_docs, 0) AS BIGINT) AS dup_docs,
+       |  round(coalesce(dup.dup_docs, 0) / b.n_docs + 1e-9, 4)
+       |    AS dup_share,
+       |  b.n_langs
+       |FROM base b LEFT JOIN dup ON dup.source = b.source
+       |ORDER BY b.source""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q32_upsert_merge", onDocs(upsertAudit), Some(q32UpsertSql)),
-    ("q33_pii_redact", onDocs(piiRedactAudit), Some(q33PiiSql)))
+    ("q33_pii_redact", onDocs(piiRedactAudit), Some(q33PiiSql)),
+    ("q169_source_report_card", onDocs(sourceReportCard),
+      Some(sourceReportCardSql)))
 }

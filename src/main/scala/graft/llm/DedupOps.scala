@@ -2220,6 +2220,12 @@ object DedupOps {
        |  WHERE $capClause)""".stripMargin
   }
 
+  /** The q23 pair-stage CTE chain and threshold, exposed for composite
+    * oracles outside this file (q169's report card reuses the exact
+    * keeper algebra). */
+  def keeperPairsCte: String = pairsCte(capped = true)
+  def JaccardThresholdSql: Double = JaccardThreshold
+
   private def pairsCte(capped: Boolean): String =
     s"""${indexCte(capped)},
        |pairs AS (

@@ -85,7 +85,9 @@ class LazinessSpec extends SparkSpec {
       "q165_passage_bm25",
       // q168 composes the q23 CC fixpoint (eager checkpoint rounds —
       // the q151/q153/q164 rationale)
-      "q168_cluster_cap_sample")
+      "q168_cluster_cap_sample",
+      // q169's dup arm composes the same q23 CC fixpoint
+      "q169_source_report_card")
 
   test("constructing registry queries fires no Spark job") {
     // pre-warm per-table schema resolution so first-touch footer reads
