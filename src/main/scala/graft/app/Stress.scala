@@ -185,6 +185,42 @@ object Stress {
       println(f"[stress] q164_takedown_arm      " +
         f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
     }
+    // Serve toll of the takedown tombstones (the TakedownOps LSM
+    // contract, measured): query the BM25 and dedup serve paths clean,
+    // tombstoned (5% of docs), and compacted — the tombstoned column
+    // is the per-query price of deferring the rewrite, the compacted
+    // column shows the rewrite buys it back.
+    if (only.exists(_.contains("q_takedown_toll"))) {
+      import graft.llm.{DedupOps, TakedownOps, TextOps}
+      val docs = graft.core.Tables.documents(spark, dir)
+      def timed(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[stress] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+      }
+      val ids = docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id")).localCheckpoint()
+      TextOps.writeBm25Index(docs, "tdtoll_bm")
+      timed("toll_bm25_clean")(TextOps.bm25Serve(spark, "tdtoll_bm",
+        TextOps.bm25ServeTerms).count())
+      TakedownOps.takedownBm25Index(spark, "tdtoll_bm", ids)
+      timed("toll_bm25_tombstoned")(TextOps.bm25Serve(spark, "tdtoll_bm",
+        TextOps.bm25ServeTerms).count())
+      TakedownOps.compactBm25Index(spark, "tdtoll_bm")
+      timed("toll_bm25_compacted")(TextOps.bm25Serve(spark, "tdtoll_bm",
+        TextOps.bm25ServeTerms).count())
+      val batch = docs.filter(col("doc_id") % 31 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      DedupOps.writeDedupIndex(docs, "tdtoll_dd")
+      timed("toll_dedup_clean")(DedupOps.incrementalNearDupServe(
+        spark, "tdtoll_dd", batch).count())
+      TakedownOps.takedownDedupIndex(spark, "tdtoll_dd", ids)
+      timed("toll_dedup_tombstoned")(DedupOps.incrementalNearDupServe(
+        spark, "tdtoll_dd", batch).count())
+      TakedownOps.compactDedupIndex(spark, "tdtoll_dd")
+      timed("toll_dedup_compacted")(DedupOps.incrementalNearDupServe(
+        spark, "tdtoll_dd", batch).count())
+    }
     spark.stop()
   }
 }
