@@ -87,6 +87,17 @@ object ClassifyOps {
     * broken by class name ascending (deterministic, oracle-mirrored).
     * Output: one row per doc `(doc_id, actual, predicted, n_iv)`. */
   def nbScoreFrom(tokCounts: DataFrame, classStats: DataFrame,
+      docs: DataFrame): DataFrame =
+    nbPredict(tokCounts, classStats, docs)
+      .join(docs.select(col("doc_id"), col("lang").as("actual")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("actual"), col("predicted"), col("n_iv"))
+
+  /** The label-free apply path — what a deployed filter actually runs
+    * over unlabeled documents: `(doc_id, predicted, n_iv)` per doc.
+    * [[nbScoreFrom]] is this plus the label join (for confusion /
+    * label-noise audits on labeled data). */
+  def nbPredict(tokCounts: DataFrame, classStats: DataFrame,
       docs: DataFrame): DataFrame = {
     val tc = tokCounts.groupBy(col("lang"), col("t"))
       .agg(sum(col("cnt")).as("cnt")).filter(col("cnt") > 0)
@@ -102,7 +113,7 @@ object ClassifyOps {
     val obs = etok.join(tc, Seq("t"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(log(col("cnt") + lit(1.0))).as("osum"))
-    val scored = docs.select(col("doc_id"), col("lang").as("actual"))
+    val scored = docs.select(col("doc_id"))
       .crossJoin(broadcast(cls))
       .crossJoin(broadcast(vocabN)).crossJoin(broadcast(nTrain))
       .join(obs, Seq("doc_id", "lang"), "left")
@@ -116,7 +127,7 @@ object ClassifyOps {
       Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("lang")))
     scored.withColumn("_rnk", rnk).filter(col("_rnk") === 1)
-      .select(col("doc_id"), col("actual"), col("lang").as("predicted"),
+      .select(col("doc_id"), col("lang").as("predicted"),
         coalesce(col("n_iv"), lit(0L)).as("n_iv"))
   }
 

@@ -33,6 +33,11 @@ class Round17bOpsSpec extends SparkSpec {
     val got = ClassifyOps.nbScoreFrom(tc, cs, test0).collect()
       .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
     assert(got == Set((10L, "a", 2L), (11L, "a", 2L)), got.toString)
+    // the label-free apply path predicts identically without a lang col
+    val unlabeled = test0.drop("lang")
+    val pred = ClassifyOps.nbPredict(tc, cs, unlabeled).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(pred == Set((10L, "a", 2L), (11L, "a", 2L)), pred.toString)
   }
 
   test("NB model lifecycle: stored ≡ direct, append ≡ retrain, unlearn " +
