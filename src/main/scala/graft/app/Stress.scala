@@ -142,7 +142,8 @@ object Stress {
       "q161_nb_classifier", "q162_takedown_audit", "q163_hybrid_rrf",
       "q164_keeper_takedown", "q165_passage_bm25",
       "q166_semantic_contamination", "q167_training_shuffle",
-      "q168_cluster_cap_sample", "q169_source_report_card")
+      "q168_cluster_cap_sample", "q169_source_report_card",
+      "q170_passage_serve")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

@@ -959,6 +959,126 @@ object TextOps {
   /** q165 fixture: distinct from the q78/q157/q163 term sets. */
   val PassageTerms: Seq[String] = Seq("stream", "table", "group")
 
+  // ------------------------------------------------------------------
+  // q170 — the passage index PERSISTED (the q157 contract applied to
+  // chunk-level retrieval: what a RAG serving tier actually stores)
+  // ------------------------------------------------------------------
+
+  /** The in-plan passage-index frames: postings
+    * `(t, doc_id, chunk_ix, dl, tf)` bucketable by term, and the
+    * chunk-length table `(doc_id, chunk_ix, dl)` covering every chunk
+    * (a term-less chunk has no posting row but still counts toward
+    * n_chunks/avgdl — the q157 doclen parity contract, one level
+    * down). Chunk windows are the exact q34/q165 algebra. */
+  def passageIndexFrames(docs: DataFrame, width: Int = 40,
+      stride: Int = 30): (DataFrame, DataFrame) = {
+    val base = graft.core.CacheOnce.swap("passage-index-base",
+      Tables.fanout(docs)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L),
+            greatest(floor((size(col("toks")) - 1) / stride), lit(0))
+              .cast("long"))).as("chunk_ix"))
+        .select(col("doc_id"), col("chunk_ix"),
+          slice(col("toks"), (col("chunk_ix") * stride + 1).cast("int"),
+            lit(width)).as("cts"))
+        .withColumn("dl", size(col("cts"))))
+    base.count() // the q78/q157 reason: concurrent arms race a cold cache
+    val postings = base
+      .select(col("doc_id"), col("chunk_ix"), col("dl"),
+        explode(col("cts")).as("t"))
+      .groupBy(col("t"), col("doc_id"), col("chunk_ix"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    (postings, base.select(col("doc_id"), col("chunk_ix"), col("dl")))
+  }
+
+  /** Persist the passage index: `<t>_postings` bucketed by term (a
+    * query's `t IN (…)` prunes to |terms| buckets) + `<t>_chunklen`.
+    * Takedown is BY DOCUMENT (TakedownOps.takedownBm25Index works
+    * unchanged — the doc_id key rides every row, and removing a doc
+    * removes all its passages), df/stats re-derive at query time so
+    * appends and tombstones need no model rewrite. */
+  def writePassageIndex(docs: DataFrame, table: String, width: Int = 40,
+      stride: Int = 30, nBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_takedown")
+    val (postings, chunklen) = passageIndexFrames(docs, width, stride)
+    graft.sources.FileIO.writeParquetBucketed(
+      postings, s"${table}_postings", nBuckets, "t", Seq("t"))
+    graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_chunklen")
+    chunklen.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_chunklen")
+  }
+
+  /** Append a doc batch (doc_id-disjoint, the admitBatch contract). */
+  def appendToPassageIndex(docs: DataFrame, table: String,
+      width: Int = 40, stride: Int = 30, nBuckets: Int = 8): Unit = {
+    val (postings, chunklen) = passageIndexFrames(docs, width, stride)
+    graft.sources.FileIO.appendParquetBucketed(
+      postings, s"${table}_postings", nBuckets, "t", Seq("t"))
+    chunklen.write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_chunklen")
+  }
+
+  /** Score a query from passage-index frames ONLY — identical algebra
+    * to [[bm25Passages]] (chunk df from the matching postings, corpus
+    * stats from the chunklen table, max-pool per doc, global top-N),
+    * so stored ≡ direct is row-assertable and the q170 oracle is the
+    * direct-form SQL. */
+  def passagesFromIndex(postings: DataFrame, chunklen: DataFrame,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topN: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tf = postings.filter(col("t").isin(terms: _*))
+    val stats = chunklen.agg(count(lit(1)).as("n_chunks"),
+      avg(col("dl")).as("avgdl"))
+    val dft = tf.groupBy(col("t"))
+      .agg(countDistinct(col("doc_id"), col("chunk_ix")).as("df"))
+    val chunkScores = tf.join(broadcast(dft), "t")
+      .crossJoin(broadcast(stats))
+      .withColumn("_w",
+        log((col("n_chunks") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)) + lit(1.0))
+          * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"), col("chunk_ix"))
+      .agg(round(sum(col("_w")) + lit(1e-9), 4).as("score"),
+        count(lit(1)).as("n_terms"))
+    chunkScores
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("chunk_ix"))))
+      .filter(col("_rn") === 1).drop("_rn")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  /** Serve from the persisted tables, through any takedown tombstones
+    * (document-level: a taken-down doc's every passage leaves). */
+  def passageServe(spark: SparkSession, table: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topN: Int = 10): DataFrame = {
+    val tomb = TakedownOps.takedownIds(spark, table)
+    passagesFromIndex(
+      TakedownOps.liveRows(spark.table(s"${table}_postings"), tomb),
+      TakedownOps.liveRows(spark.table(s"${table}_chunklen"), tomb),
+      terms, k1, b, topN)
+  }
+
+  /** q170 registry fixture: a different standing query from q165's. */
+  val PassageServeTerms: Seq[String] = Seq("merge", "window", "batch")
+
+  /** q170 registry form: index frames built in-session (the q157/q160
+    * precedent — the PERSISTED path is pinned by Round17bOpsSpec's
+    * round-trip/append/takedown tests), query served from the frames
+    * alone. */
+  def passageServeInSession(docs: DataFrame,
+      terms: Seq[String] = PassageServeTerms): DataFrame = {
+    val (postings, chunklen) = passageIndexFrames(docs)
+    passagesFromIndex(postings, chunklen, terms)
+  }
+
   def bm25PassagesSql(terms: Seq[String] = PassageTerms, width: Int = 40,
       stride: Int = 30, k1: Double = 1.2, b: Double = 0.75,
       topN: Int = 10): String = {
@@ -2542,6 +2662,8 @@ object TextOps {
     ("q154_bpe_merges", onDocs(trainBpeMerges(_)), Some(bpeMergesSql())),
     ("q165_passage_bm25", onDocs(bm25Passages(_, PassageTerms)),
       Some(bm25PassagesSql())),
+    ("q170_passage_serve", onDocs(passageServeInSession(_)),
+      Some(bm25PassagesSql(PassageServeTerms))),
     ("q157_bm25_serve", onDocs(bm25ServeInSession(_)),
       Some(bm25Sql(bm25ServeTerms))),
     ("q155_bpe_fertility", onDocs(bpeFertility(_)), Some(bpeFertilitySql())),

@@ -87,7 +87,10 @@ class LazinessSpec extends SparkSpec {
       // the q151/q153/q164 rationale)
       "q168_cluster_cap_sample",
       // q169's dup arm composes the same q23 CC fixpoint
-      "q169_source_report_card")
+      "q169_source_report_card",
+      // q170 eagerly materializes its cached chunk base at construction
+      // (the q157 rationale, one level down)
+      "q170_passage_serve")
 
   test("constructing registry queries fires no Spark job") {
     // pre-warm per-table schema resolution so first-touch footer reads

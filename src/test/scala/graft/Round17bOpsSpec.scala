@@ -316,6 +316,45 @@ class Round17bOpsSpec extends SparkSpec {
       "rank-1 rows must contain every quality-keeper choice")
   }
 
+  // ------------------------------------------------------------- q170
+
+  test("passage index lifecycle: stored ≡ direct, append ≡ rebuild, " +
+      "and a document takedown removes EVERY passage of the doc") {
+    val docs = Tables.documents(spark, sf0001)
+    val terms = TextOps.PassageServeTerms
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    TextOps.writePassageIndex(docs, "pi17")
+    val direct = rows(TextOps.bm25Passages(docs, terms))
+    assert(rows(TextOps.passageServe(spark, "pi17", terms)) == direct,
+      "stored serve must equal the direct form")
+
+    // append ≡ rebuild: split the corpus, index the head, append the
+    // tail — answers must match the full index
+    val cutV = docs.agg(
+      (max(col("doc_id")) * 8 / 10).cast("long")).first().getLong(0)
+    TextOps.writePassageIndex(docs.filter(col("doc_id") < cutV), "pi17a")
+    TextOps.appendToPassageIndex(
+      docs.filter(col("doc_id") >= cutV), "pi17a")
+    assert(rows(TextOps.passageServe(spark, "pi17a", terms)) == direct,
+      "append must equal a from-scratch rebuild")
+
+    // takedown by document: every passage of the top doc leaves
+    val gone = direct.head._1
+    graft.llm.TakedownOps.takedownBm25Index(spark, "pi17",
+      Seq(gone).toDF("doc_id"))
+    val served = rows(TextOps.passageServe(spark, "pi17", terms))
+    TextOps.writePassageIndex(
+      docs.filter(col("doc_id") =!= gone), "pi17ref")
+    assert(served == rows(TextOps.passageServe(spark, "pi17ref", terms)),
+      "takedown serve must equal rebuild-without")
+    assert(!served.exists(_._1 == gone))
+    assert(spark.table("pi17_postings")
+      .filter(col("doc_id") === gone).count() > 0,
+      "fixture: the tombstoned doc must actually have postings rows")
+  }
+
   // ------------------------------------------------------------- q166
 
   test("semanticContamination: an eval-near train vector is flagged, " +
