@@ -287,8 +287,9 @@ object IngestDedupApp {
       gate: Seq[graft.operators.QualityOps.Check] = Nil,
       driftGate: Option[DriftGate] = None,
       evalGuard: Option[EvalGuard] = None,
-      scoreGuard: Option[ScoreGuard] = None): StreamingQuery = {
-    bindCheckpoint(spark, corpusDir, checkpointDir)
+      scoreGuard: Option[ScoreGuard] = None,
+      rebind: Boolean = false): StreamingQuery = {
+    bindCheckpoint(spark, corpusDir, checkpointDir, rebind)
     docStream(spark, shardDir, maxRecordsPerBatch, extraOptions).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -395,12 +396,38 @@ object IngestDedupApp {
     * exactly right for the same checkpoint's replays and exactly wrong
     * for any other stream). A one-line marker file binds the corpus to
     * its checkpoint path at first run; later runs must present the same
-    * path. Pinned in ShardSimSourceSpec. */
+    * path. Pinned in ShardSimSourceSpec.
+    *
+    * Paths are compared FILESYSTEM-QUALIFIED (`fs.makeQualified`), not as
+    * raw strings: a relative `checkpointDir` resolves against the
+    * default-FS working directory, so "ckpt" from two working directories
+    * is two physically different checkpoints (raw-string compare would
+    * pass the guard and corrupt), while "/x" vs "file:/x" is ONE
+    * checkpoint (raw-string compare would refuse a legitimate resume).
+    * Markers written by older builds are re-qualified on read, so
+    * pre-existing bindings keep resuming.
+    *
+    * A MISSING marker over a corpus that already has landed batch dirs is
+    * also a refusal (unless `rebind=true`): the corpus predates the guard
+    * (or its marker was lost), and silently adopting whatever checkpoint
+    * is presented would hand exactly the overwrite this guard exists to
+    * stop to every pre-guard corpus. `rebind` is the explicit operator
+    * override for "this IS the original checkpoint, re-mark it". */
   private def bindCheckpoint(spark: SparkSession, corpusDir: String,
-      checkpointDir: String): Unit = {
+      checkpointDir: String, rebind: Boolean = false): Unit = {
     val marker = new org.apache.hadoop.fs.Path(corpusDir, "_checkpoint_binding")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val canonical = new org.apache.hadoop.fs.Path(checkpointDir).toUri.toString
+    // (scheme, authority, path) with null≡empty authority: Hadoop
+    // qualifies "/x" to file:///x (empty authority, copied from the
+    // default-FS URI) but leaves "file:/x" at null authority — same
+    // filesystem location, different URI strings.
+    def qualified(p: String): String = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val uri = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(path).toUri
+      s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}${uri.getPath}"
+    }
+    val canonical = qualified(checkpointDir)
     if (fs.exists(marker)) {
       val bound = {
         val in = fs.open(marker)
@@ -408,12 +435,19 @@ object IngestDedupApp {
           org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
         finally in.close()
       }
-      require(bound == canonical,
+      require(qualified(bound) == canonical,
         s"corpus $corpusDir is bound to checkpoint $bound; refusing to " +
           s"stream into it from $canonical — a fresh checkpoint restarts " +
           "batch ids at 0 and would overwrite landed batches. Resume the " +
           "original checkpoint, or target a new corpus directory.")
     } else {
+      require(rebind || batchDirs(spark, corpusDir).isEmpty,
+        s"corpus $corpusDir has landed batch dirs but no checkpoint " +
+          "binding marker (created before the guard, or marker lost); " +
+          s"refusing to adopt $canonical — if it is NOT the stream's " +
+          "original checkpoint, batch ids restart at 0 and overwrite " +
+          "landed batches. Pass rebind=true to bind this checkpoint " +
+          "explicitly.")
       val out = fs.create(marker, true)
       try out.write(canonical.getBytes("UTF-8")) finally out.close()
     }

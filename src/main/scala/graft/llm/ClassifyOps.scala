@@ -55,10 +55,15 @@ object ClassifyOps {
       .select(col("lang"), explode(Text.tokens(col("text"))).as("t"))
     val tokCounts = tok.groupBy(col("lang"), col("t"))
       .agg(count(lit(1)).as("cnt"))
+    // LEFT join + coalesce(tot, 0): a class whose training docs all
+    // tokenize to zero tokens still keeps its doc-count row — an inner
+    // join would drop its prior entirely (nbPredict could never emit
+    // it, and unlearning such a batch would leave n_docs inconsistent).
     val classStats = train.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"))
       .join(tokCounts.groupBy(col("lang")).agg(sum(col("cnt")).as("tot")),
-        Seq("lang"))
+        Seq("lang"), "left")
+      .withColumn("tot", coalesce(col("tot"), lit(0L)))
     (tokCounts, classStats)
   }
 

@@ -1862,13 +1862,25 @@ object SimilarityOps {
     * propagation end-to-end). The dense arm scans the index exactly
     * (full probe) so serve ≡ direct is row-identical; swap in the
     * nProbe-bounded probe path when the recall trade is wanted —
-    * [[annProbeCurve]] (q159) is the tuning artifact for that call. */
+    * [[annProbeCurve]] (q159) is the tuning artifact for that call.
+    *
+    * The query vector must EXIST in the live index: if `queryVecId` was
+    * taken down (or never indexed), the dense arm would silently come
+    * back empty and the fusion would degrade to lexical-only — a
+    * takedown of the query doc invisibly changing result semantics. We
+    * fail loudly instead (one 1-row lookup; this is a serve call, not a
+    * registry plan). Callers with an out-of-index query should embed it
+    * and fuse via [[hybridRrf]]-style arms directly. */
   def hybridRrfServe(spark: SparkSession, bm25Table: String,
       ivfTable: String, terms: Seq[String], queryVecId: Long = 0L,
       armK: Int = 20, topN: Int = 10, rrfK: Int = 60): DataFrame = {
     val live = liveTrainedIvfIndex(spark, ivfTable)
     val q = live.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("qe"))
+    require(q.limit(1).count() == 1L,
+      s"query vector $queryVecId is not in the live index $ivfTable " +
+        "(taken down or never indexed); refusing to serve a silently " +
+        "lexical-only fusion — pick a live query vector.")
     val tomb = TakedownOps.takedownIds(spark, bm25Table)
     val bmTop = TextOps.bm25FromIndex(
       TakedownOps.liveRows(spark.table(s"${bm25Table}_postings"), tomb),
@@ -1930,15 +1942,27 @@ object SimilarityOps {
     * parallel, zero pair-space materialization. If the eval side ever
     * outgrows a broadcast, the centroid-blocked [[semanticDedup]]
     * machinery is the fallback — blocking trades recall for cost,
-    * which is why it is NOT the default for a compliance check. */
-  def semanticContamination(em: DataFrame, tau: Double = 0.4): DataFrame = {
+    * which is why it is NOT the default for a compliance check.
+    *
+    * The broadcast stays BOUNDED BY CONSTRUCTION: the fixture's eval
+    * split is "top 1/10 of ids", which grows linearly with the corpus
+    * and would eventually blow the broadcast that the "eval is small"
+    * argument assumes away. `evalCap` closes the gap — the eval side is
+    * the first `evalCap` ids at/above the cut (a real benchmark set is
+    * a fixed table and never hits it; the cap defends the synthetic
+    * split). 100k × 64 floats ≈ 26 MB — broadcast-safe; at test SFs
+    * (≤200 eval rows) the cap never binds, so the DuckDB oracle is
+    * unchanged. A lazy filter, not a count — registry laziness holds. */
+  def semanticContamination(em: DataFrame, tau: Double = 0.4,
+      evalCap: Long = 100000L): DataFrame = {
     GraftFunctions.register(em.sparkSession)
     val cut = em.agg(
       floor(max(col("vec_id")) * 9 / 10).cast("long").as("_cut"))
     val tagged = em.crossJoin(broadcast(cut))
     val train = tagged.filter(col("vec_id") < col("_cut"))
       .select(col("vec_id").as("train_id"), col("embedding").as("te"))
-    val eval0 = tagged.filter(col("vec_id") >= col("_cut"))
+    val eval0 = tagged.filter(col("vec_id") >= col("_cut") &&
+        col("vec_id") - col("_cut") < evalCap)
       .select(col("vec_id").as("eval_id"), col("embedding").as("ee"))
     train.crossJoin(broadcast(eval0))
       .withColumn("cos", expr("cosine_sim(te, ee)"))
