@@ -138,8 +138,12 @@ object PipelineApp {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
     def materialize(dir: String, f: => DataFrame): Unit =
-      if (!(resume && landedOk(dir)))
+      if (!(resume && landedOk(dir))) {
+        val t0 = System.nanoTime()
         f.write.mode("overwrite").parquet(dir)
+        println(f"[pipeline-stage] boundary=$dir " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } else println(s"[pipeline-stage] boundary=$dir resumed")
     val stages = Seq[(String, Seq[StageOut] => DataFrame)](
       "normalized" -> (acc => normalize(acc.last.df)),
       "quality_gated" -> (acc => qualityGate(acc.last.df)),

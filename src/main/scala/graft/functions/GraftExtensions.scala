@@ -44,6 +44,8 @@ object GraftExtensions {
       }),
     ("simhash64", classOf[SimHash64].getName,
       exprs => SimHash64(exprs(0))),
+    ("pq_adc", classOf[PqAdc].getName,
+      exprs => PqAdc(exprs(0), exprs(1))),
     ("double_sort_bits", classOf[DoubleSortBits].getName,
       exprs => DoubleSortBits(exprs(0))),
     // Spark's own runtime-filter machinery (InjectRuntimeFilter's

@@ -223,9 +223,14 @@ object CorpusOps {
        |FROM base b LEFT JOIN dup ON dup.source = b.source
        |ORDER BY b.source""".stripMargin
 
+  private def eager(reason: String)(f: QFn): QFn =
+    graft.core.EagerByDesign(reason)(f)
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q32_upsert_merge", onDocs(upsertAudit), Some(q32UpsertSql)),
     ("q33_pii_redact", onDocs(piiRedactAudit), Some(q33PiiSql)),
-    ("q169_source_report_card", onDocs(sourceReportCard),
+    ("q169_source_report_card",
+      eager("the dup arm composes the eager-localCheckpoint CC fixpoint")(
+        onDocs(sourceReportCard)),
       Some(sourceReportCardSql)))
 }

@@ -2472,6 +2472,19 @@ object DedupOps {
   // Registry adapters (fixture tables → library calls)
   // ------------------------------------------------------------------
 
+  /** [[graft.core.EagerByDesign]] shorthand — LazinessSpec discovers
+    * the marker; the reason documents why construction-time jobs are
+    * legitimate for the entry. */
+  private def eager(reason: String)(f: QFn): QFn =
+    graft.core.EagerByDesign(reason)(f)
+
+  /** The iterative-CC rationale shared by every keeper/component
+    * consumer below. */
+  private val CcEager =
+    "composes the connected-components fixpoint: each label-propagation " +
+      "round materializes through an eager localCheckpoint by design " +
+      "(bounded plan depth beats laziness for an iterative fixpoint)"
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q23_dedup_exact",
       (s: SparkSession, d: String) => exactDedup(Tables.documents(s, d)),
@@ -2504,34 +2517,38 @@ object DedupOps {
       },
       Some(incrementalNearDupSql)),
     ("q160_dedup_serve",
-      (s: SparkSession, d: String) => {
-        val (corpus, batch) = splitAtMaxIdFraction(Tables.documents(s, d), 8)
-        dedupServeInSession(corpus, batch)
-      },
+      eager("the in-session form materializes its cached shingle base eagerly (postings arms + df race a cold cache); the PERSISTED serve path is job-free until action")(
+        (s: SparkSession, d: String) => {
+          val (corpus, batch) = splitAtMaxIdFraction(Tables.documents(s, d), 8)
+          dedupServeInSession(corpus, batch)
+        }),
       Some(incrementalNearDupSql)),
     ("q168_cluster_cap_sample",
-      (s: SparkSession, d: String) =>
-        clusterCapSample(Tables.documents(s, d)),
+      eager(CcEager)(
+        (s: SparkSession, d: String) =>
+          clusterCapSample(Tables.documents(s, d))),
       Some(clusterCapSampleSql())),
     ("q164_keeper_takedown",
-      (s: SparkSession, d: String) =>
-        keeperTakedownInSession(Tables.documents(s, d),
-          TakedownOps.TakedownSource),
+      eager(CcEager + "; takedownKeepers itself is fully lazy")(
+        (s: SparkSession, d: String) =>
+          keeperTakedownInSession(Tables.documents(s, d),
+            TakedownOps.TakedownSource)),
       Some(keeperTakedownSql)),
     ("q153_keeper_merge",
-      (s: SparkSession, d: String) => {
-        val (corpus, batch) = splitAtMaxIdFraction(Tables.documents(s, d), 8)
-        // the persisted keeper table a prior full run would have left:
-        // CC over the corpus-only pair graph, keeper = self when unpaired
-        val stored = corpus.select(col("doc_id"))
-          .join(connectedComponents(
-            jaccardPairs(corpus).filter(col("jac") >= JaccardThreshold)
-              .select("d1", "d2")), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("keeper"), col("doc_id")).as("keeper"))
-        mergeKeepers(stored, incrementalNearDup(corpus, batch)
-          .select("d1", "d2"), batch.select("doc_id"))
-      },
+      eager("TWO eager CC fixpoints at construction: the stored keeper table's full run, then the batch-scale contracted-graph merge")(
+        (s: SparkSession, d: String) => {
+          val (corpus, batch) = splitAtMaxIdFraction(Tables.documents(s, d), 8)
+          // the persisted keeper table a prior full run would have left:
+          // CC over the corpus-only pair graph, keeper = self when unpaired
+          val stored = corpus.select(col("doc_id"))
+            .join(connectedComponents(
+              jaccardPairs(corpus).filter(col("jac") >= JaccardThreshold)
+                .select("d1", "d2")), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("keeper"), col("doc_id")).as("keeper"))
+          mergeKeepers(stored, incrementalNearDup(corpus, batch)
+            .select("d1", "d2"), batch.select("doc_id"))
+        }),
       Some(mergeKeepersSql)),
     ("q51_dedup_containment",
       (s: SparkSession, d: String) => containmentPairs(Tables.documents(s, d)),
@@ -2546,23 +2563,28 @@ object DedupOps {
       (s: SparkSession, d: String) => levenshteinDedup(Tables.documents(s, d)),
       Some(levenshteinDedupSql)),
     ("q23_dedup_keeper",
-      (s: SparkSession, d: String) => dedupKeeper(Tables.documents(s, d)),
+      eager(CcEager)(
+        (s: SparkSession, d: String) => dedupKeeper(Tables.documents(s, d))),
       Some(dedupKeeperSql)),
     ("q23_dedup_corpus",
-      (s: SparkSession, d: String) => dedupCorpus(Tables.documents(s, d)),
+      eager(CcEager)(
+        (s: SparkSession, d: String) => dedupCorpus(Tables.documents(s, d))),
       Some(dedupCorpusSql)),
     ("q151_effective_tokens",
-      (s: SparkSession, d: String) => effectiveTokens(Tables.documents(s, d)),
+      eager(CcEager)(
+        (s: SparkSession, d: String) => effectiveTokens(Tables.documents(s, d))),
       Some(effectiveTokensSql)),
     ("q152_shingle_df_histogram",
       (s: SparkSession, d: String) =>
         shingleDfHistogram(Tables.documents(s, d)),
       Some(shingleDfHistogramSql())),
     ("q126_quality_keeper",
-      (s: SparkSession, d: String) => qualityKeeper(Tables.documents(s, d)),
+      eager(CcEager)(
+        (s: SparkSession, d: String) => qualityKeeper(Tables.documents(s, d))),
       Some(qualityKeeperSql)),
     ("q55_dedup_cluster_stats",
-      (s: SparkSession, d: String) => dedupClusterStats(Tables.documents(s, d)),
+      eager(CcEager)(
+        (s: SparkSession, d: String) => dedupClusterStats(Tables.documents(s, d))),
       Some(dedupClusterStatsSql)),
     ("q66_dup_degrees",
       (s: SparkSession, d: String) => dupGraphDegrees(Tables.documents(s, d)),
@@ -2574,7 +2596,8 @@ object DedupOps {
       (s: SparkSession, d: String) => splitLeakage(Tables.documents(s, d)),
       Some(splitLeakageSql)),
     ("q75_cluster_split",
-      (s: SparkSession, d: String) => clusterSplit(Tables.documents(s, d)),
+      eager(CcEager)(
+        (s: SparkSession, d: String) => clusterSplit(Tables.documents(s, d))),
       Some(clusterSplitSql)),
     ("q23_dedup_embedding",
       (s: SparkSession, d: String) => embeddingNearDup(Tables.embeddings(s, d)),
@@ -2583,10 +2606,12 @@ object DedupOps {
       (s: SparkSession, d: String) => embeddingNearDupLsh(Tables.embeddings(s, d)),
       Some(embeddingNearDupLshSql)),
     ("q90_graph_pagerank",
-      (s: SparkSession, d: String) => dupPagerank(Tables.documents(s, d)),
+      eager("iterative power/propagation rounds materialize through eager localCheckpoints (the CC-fixpoint rationale)")(
+        (s: SparkSession, d: String) => dupPagerank(Tables.documents(s, d))),
       Some(dupPagerankSql())),
     ("q96_triangle_census",
-      (s: SparkSession, d: String) => dupTriangles(Tables.documents(s, d)),
+      eager("materializes its cached pair stage eagerly: the census arms' broadcast jobs launch concurrently and would race the cold cache, each recomputing the shingle scan")(
+        (s: SparkSession, d: String) => dupTriangles(Tables.documents(s, d))),
       Some(dupTrianglesSql())),
     ("q105_novelty_rate",
       (s: SparkSession, d: String) => noveltyRate(Tables.documents(s, d)),

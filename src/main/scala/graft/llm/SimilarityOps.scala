@@ -1988,19 +1988,465 @@ object SimilarityOps {
        |WHERE ${cosSql("tr.te", "ev.ee")} >= $SemanticContaminationTau
        |ORDER BY train_id, eval_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q171 — PQ-coded ANN serving (asymmetric distance + exact re-rank)
+  // ------------------------------------------------------------------
+
+  private val PqSubspaces = 8
+  /** Exact-re-rank tail = PqRerank·k ADC candidates per query. */
+  private val PqRerank = 4
+
+  /** Slice vectors into `subspaces` contiguous sub-vectors — one slim
+    * (id, s, slice) row each (the q120 shape, factored out for reuse by
+    * the codebook, the encoder, and the query-side distance tables). */
+  private def pqSliceRows(df: DataFrame, idCol: String, vec: String,
+      out: String, subspaces: Int): DataFrame =
+    df.withColumn("s", explode(sequence(lit(0), lit(subspaces - 1))))
+      .withColumn("_w", expr(s"size($vec) DIV $subspaces"))
+      .withColumn(out, expr(s"slice($vec, s * _w + 1, _w)"))
+      .select(col(idCol), col("s"), col(out))
+
+  /** The PQ codebook: per subspace, the slices of the fixed seed
+    * vectors (deterministic, the q120/q24_knn_ivf convention — the
+    * oracle replays assignment exactly), addressed by dense SLOT (rank
+    * of seed id ascending) so stored codes are direct array indexes
+    * into the query's distance table. `cn2` = ‖slice‖², the piece the
+    * reconstructed-vector norm sums over. */
+  private def pqCodebookOf(em: DataFrame, subspaces: Int,
+      codebookIds: Seq[Long]): DataFrame = {
+    val spark = em.sparkSession
+    import spark.implicits._
+    val slots = codebookIds.sorted.zipWithIndex.toDF("vec_id", "slot")
+    val cb = em.join(broadcast(slots), "vec_id")
+      .select(col("slot"), col("embedding").as("cbv"))
+    pqSliceRows(cb, "slot", "cbv", "cv", subspaces)
+      .withColumn("cn2", expr(
+        """aggregate(cv, CAST(0 AS DOUBLE),
+          |  (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""".stripMargin))
+  }
+
+  /** Encode vectors against a codebook: per subspace the nearest
+    * (L2², slot-ascending tie) codebook slice — one output row per
+    * vector, `codes` = the slot per subspace in s-order plus `rnorm`
+    * = √Σ_s ‖c_{s,code}‖², the reconstructed-vector norm ADC divides
+    * by. Both arrays rebuild through FIXED s-order folds (array_sort
+    * over (s,·) structs), never a groupBy float sum — ADC scores feed
+    * a rank cut, so they must be bit-identical across engines and
+    * retries, and unordered float addition is not. */
+  def pqEncode(vecs: DataFrame, cb: DataFrame,
+      subspaces: Int = PqSubspaces): DataFrame = {
+    val sub = pqSliceRows(vecs.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", "sv", subspaces)
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("err2"), col("slot"))
+    sub.join(broadcast(cb), "s")
+      .withColumn("err2", expr(
+        """aggregate(zip_with(sv, cv,
+          |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+          |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+          |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(s, slot)))," +
+          " x -> x.slot)").as("codes"),
+        sqrt(expr(
+          "aggregate(transform(array_sort(collect_list(struct(s, cn2)))," +
+            " x -> x.cn2), CAST(0 AS DOUBLE), (a, v) -> a + v)"))
+          .as("rnorm"))
+  }
+
+  /** The ADC stage (Jégou '11 §IV "asymmetric distance computation"):
+    * probe `nProbe` cells and score every candidate's APPROXIMATE
+    * cosine from its codes — per candidate the work is `subspaces`
+    * table lookups over slim int arrays, never the d-float embedding.
+    * The query side is model-scale and broadcast: per query one flat
+    * distance table `dt` (dot(q_s, c_{s,slot}) sorted by (s, slot), so
+    * code lookups are direct `element_at` index arithmetic) and the
+    * exact query norm. approx_cos = Σ_s dt[s·K + code_s] /
+    * (‖q‖·rnorm). Keeps the top `rerank·k` per query by (adc DESC,
+    * vec_id) — the tail the exact re-ranker refines. */
+  private def pqAdcTail(codes: DataFrame, cb: DataFrame, model: DataFrame,
+      q: DataFrame, k: Int, nProbe: Int, rerank: Int,
+      subspaces: Int): DataFrame = {
+    val probes = nearestCentroid(q, model.select(col("cid"), col("ce")),
+        "qid", "qe", nProbe)
+      .select(col("qid"), col("cid"))
+    val qdots = pqSliceRows(q.select(col("qid").as("vec_id"), col("qe")),
+        "vec_id", "qe", "qv", subspaces)
+      .join(broadcast(cb), "s")
+      .withColumn("dot", expr(
+        """aggregate(zip_with(qv, cv,
+          |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
+    val qdt = qdots.groupBy(col("vec_id").as("qid"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, slot, dot)))," +
+        " x -> x.dot)").as("dt"))
+    val qn = q.select(col("qid"), sqrt(expr(
+      """aggregate(qe, CAST(0 AS DOUBLE),
+        |  (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"""
+        .stripMargin)).as("qnorm"))
+    val qside = probes.join(qdt, "qid").join(qn, "qid")
+    // pq_adc = the native-codegen form of the s-ordered
+    // aggregate(zip_with(...)) fold — bit-identical result, ~2× on the
+    // serving inner loop (see graft.functions.PqAdc)
+    codes.join(broadcast(qside), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc",
+        expr("pq_adc(codes, dt)") / (col("qnorm") * col("rnorm")))
+      .withColumn("adcrnk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("adcrnk") <= k * rerank)
+      .select(col("qid"), col("vec_id"), col("cid"), col("adcrnk"))
+  }
+
+  /** Exact re-rank of the ADC tail: fetch the tail's FULL vectors (a
+    * rerank·k-per-query pointed lookup, the only place full precision
+    * is paid) and take the true-cosine top-k. */
+  private def pqRerankTail(tail: DataFrame, full: DataFrame, q: DataFrame,
+      k: Int): DataFrame =
+    topk(tail.join(full, "vec_id").join(broadcast(q), "qid")
+      .withColumn("cos", expr("cosine_sim(qe, embedding)")), k)
+
+  /** In-session PQ-served kNN (the composition [[knnPqServe]] runs from
+    * persisted tables) — AnnIndexSpec pins serve ≡ this under a shared
+    * model. */
+  def knnPq(em: DataFrame, queryIds: Seq[Long] = QueryIds, k: Int = TopK,
+      nProbe: Int = NProbe, rerank: Int = PqRerank,
+      subspaces: Int = PqSubspaces,
+      codebookIds: Seq[Long] = CentroidIds,
+      centroidIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val model = kmeansCentroids(em, centroidIds, iters).localCheckpoint()
+    knnPqWith(em, model, pqCodebookOf(em, subspaces, codebookIds),
+      queryIds, k, nProbe, rerank, subspaces)
+  }
+
+  /** [[knnPq]] under EXPLICIT (stored) model + codebook frames — the
+    * model-pinned reference arm AnnIndexSpec compares the persisted
+    * serve path against (the trained-IVF "same-model direct" pattern:
+    * append/delete never retrain, so equivalence is always stated
+    * under a shared model, never across two trainings). */
+  def knnPqWith(em: DataFrame, model: DataFrame, cb: DataFrame,
+      queryIds: Seq[Long] = QueryIds, k: Int = TopK, nProbe: Int = NProbe,
+      rerank: Int = PqRerank, subspaces: Int = PqSubspaces): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val codes = pqEncode(em, cb, subspaces)
+      .join(assignUnderModel(em, model).select(col("vec_id"), col("cid")),
+        "vec_id")
+    val q = em.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    pqRerankTail(pqAdcTail(codes, cb, model, q, k, nProbe, rerank,
+      subspaces), em.select(col("vec_id"), col("embedding")), q, k)
+  }
+
+  /** q171 — the PQ serving tier's recall audit (the q139 protocol with
+    * the ADC+re-rank path as the system under test): the q159 curve
+    * proved scanned-CANDIDATE count is the IVF cost lever; PQ cuts the
+    * per-candidate BYTES instead — candidates score from `subspaces`
+    * small ints (+1 norm) rather than d floats, a ~32× read-volume cut
+    * at d=64, and only the rerank·k tail ever touches full precision.
+    * Per query: the ADC-only top-k hits (what pure compressed serving
+    * would return), the re-ranked hits (the shipped path), recall, and
+    * the integer pass flag.
+    *
+    * Measured finding (sf0.1, the q159 convention of recording what
+    * the audit actually says): the isotropic fixture is PQ's WORST
+    * case — with no cluster structure the 8×8 codebook's quantization
+    * error swamps the signal and ADC ranking is near-uninformative
+    * (mean recall 0.19 at tail=4k, rising ~linearly in the tail:
+    * 0.27 @ 8k, 0.48 @ 32k, and exactly the full-precision IVF
+    * recall 0.67 once the tail covers the probed cells — the
+    * rerank→∞ ≡ [[knnIvfTrained]] identity AnnIndexSpec pins). On
+    * real clustered embeddings ADC concentrates where the data does;
+    * on data like this the audit correctly reports that PQ serving
+    * would be a recall cliff and the full-precision path (q139/q159)
+    * is the right call — which is precisely the decision this audit
+    * exists to put a number on. */
+  def annPqRecallAudit(em: DataFrame, k: Int = TopK, nProbe: Int = NProbe,
+      rerank: Int = PqRerank, sampleMod: Long = 50L, sampleRes: Long = 7L,
+      minHits: Int = 3, subspaces: Int = PqSubspaces,
+      codebookIds: Seq[Long] = CentroidIds,
+      centroidIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val q = em.filter(col("vec_id") % sampleMod === sampleRes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val truth = topk(em.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr("cosine_sim(qe, embedding)")), k)
+      .select(col("qid"), col("neighbor"))
+    val model = kmeansCentroids(em, centroidIds, iters).localCheckpoint()
+    val cb = pqCodebookOf(em, subspaces, codebookIds)
+    val codes = pqEncode(em, cb, subspaces)
+      .join(assignUnderModel(em, model).select(col("vec_id"), col("cid")),
+        "vec_id")
+    val tail = pqAdcTail(codes, cb, model, q, k, nProbe, rerank, subspaces)
+    val fin = pqRerankTail(tail, em.select(col("vec_id"), col("embedding")),
+        q, k)
+      .select(col("qid"), col("neighbor"))
+    val adcTop = tail.filter(col("adcrnk") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor"))
+    def hitsOf(c: DataFrame, out: String): DataFrame =
+      truth.join(c, Seq("qid", "neighbor"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as(out))
+    q.select(col("qid"))
+      .join(hitsOf(adcTop, "n_hit_adc"), Seq("qid"), "left")
+      .join(hitsOf(fin, "n_hit"), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hit_adc"), lit(0L)).as("n_hit_adc"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / k + lit(1e-9), 4))
+      .withColumn("ok", (col("n_hit") >= minHits).cast("int"))
+      .orderBy("qid")
+  }
+
+  def annPqRecallSql(k: Int = TopK, nProbe: Int = NProbe,
+      rerank: Int = PqRerank, sampleMod: Long = 50L, sampleRes: Long = 7L,
+      minHits: Int = 3, subspaces: Int = PqSubspaces,
+      codebookIds: Seq[Long] = CentroidIds): String = {
+    val iterCtes = (1 to KmeansIters).map { it =>
+      s"""${kmeansAssignCte(s"c${it - 1}", s"a$it")},
+         |${kmeansUpdateCte(s"a$it", s"c$it")}""".stripMargin
+    }.mkString(",\n")
+    val err2 =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(generate_series(1, len(sv)),
+        |      i -> (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+        |         * (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))),
+        |    (a, v) -> a + v)""".stripMargin
+    val dot =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(generate_series(1, len(qv)),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))),
+        |    (a, v) -> a + v)""".stripMargin
+    def sumsq(v: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))),
+         |    (a, v) -> a + v)""".stripMargin
+    s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+       |$iterCtes,
+       |${kmeansAssignCte(s"c$KmeansIters", "asg")},
+       |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
+       |  FROM embeddings WHERE vec_id % $sampleMod = $sampleRes),
+       |t AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, e.vec_id) AS rnk
+       |  FROM q, embeddings e WHERE e.vec_id <> q.qid) x WHERE rnk <= $k),
+       |cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS slot,
+       |    embedding AS cbv FROM embeddings
+       |  WHERE vec_id IN (${codebookIds.mkString(", ")})),
+       |cbn AS MATERIALIZED (SELECT slot, g.s,
+       |    list_slice(cbv, g.s * (len(cbv) // $subspaces) + 1,
+       |      (g.s + 1) * (len(cbv) // $subspaces)) AS cv
+       |  FROM cb0, generate_series(0, ${subspaces - 1}) g(s)),
+       |cbn2 AS (SELECT slot, s, cv,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (a, v) -> a + v) AS cn2 FROM cbn),
+       |sub AS (SELECT vec_id, g.s,
+       |    list_slice(embedding, g.s * (len(embedding) // $subspaces) + 1,
+       |      (g.s + 1) * (len(embedding) // $subspaces)) AS sv
+       |  FROM embeddings, generate_series(0, ${subspaces - 1}) g(s)),
+       |enc0 AS (SELECT vec_id, s, slot, cn2 FROM (
+       |  SELECT sub.vec_id, sub.s, cbn2.slot, cbn2.cn2,
+       |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |      ORDER BY $err2, cbn2.slot) AS rn
+       |  FROM sub JOIN cbn2 ON cbn2.s = sub.s) x WHERE rn = 1),
+       |enc AS MATERIALIZED (SELECT vec_id,
+       |    list(slot ORDER BY s) AS codes,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(cn2 ORDER BY s)), (a, v) -> a + v)) AS rnorm
+       |  FROM enc0 GROUP BY vec_id),
+       |p AS (SELECT qid, cid FROM (
+       |  SELECT q.qid, c.cid,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("c.ce", "q.qe")} DESC, c.cid) AS crn
+       |  FROM q, c$KmeansIters c) x WHERE crn <= $nProbe),
+       |qsub AS (SELECT qid, g.s,
+       |    list_slice(qe, g.s * (len(qe) // $subspaces) + 1,
+       |      (g.s + 1) * (len(qe) // $subspaces)) AS qv
+       |  FROM q, generate_series(0, ${subspaces - 1}) g(s)),
+       |qd AS (SELECT qid, qsub.s AS s, slot, $dot AS dot
+       |  FROM qsub JOIN cbn ON cbn.s = qsub.s),
+       |qdt AS (SELECT qid, list(dot ORDER BY s, slot) AS dt
+       |  FROM qd GROUP BY qid),
+       |qn AS (SELECT qid, sqrt(${sumsq("qe")}) AS qnorm FROM q),
+       |adc AS (SELECT p.qid, a.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, $subspaces),
+       |        i -> dt[(i - 1) * (len(dt) // $subspaces)
+       |                + enc.codes[i] + 1])),
+       |      (a2, v) -> a2 + v) / (qn.qnorm * enc.rnorm) AS adc
+       |  FROM p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |  JOIN enc ON enc.vec_id = a.vec_id
+       |  JOIN qdt ON qdt.qid = p.qid
+       |  JOIN qn ON qn.qid = p.qid),
+       |tail AS MATERIALIZED (SELECT qid, vec_id, adcrnk FROM (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adc DESC, vec_id) AS adcrnk FROM adc) x
+       |  WHERE adcrnk <= ${k * rerank}),
+       |fin AS (SELECT qid, vec_id FROM (
+       |  SELECT tl.qid, tl.vec_id,
+       |    row_number() OVER (PARTITION BY tl.qid
+       |      ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, tl.vec_id)
+       |      AS rnk
+       |  FROM tail tl JOIN embeddings e ON e.vec_id = tl.vec_id
+       |  JOIN q ON q.qid = tl.qid) x WHERE rnk <= $k),
+       |ha AS (SELECT t.qid, count(*) AS n_hit_adc FROM t
+       |  JOIN tail tl ON tl.qid = t.qid AND tl.vec_id = t.vec_id
+       |  WHERE tl.adcrnk <= $k GROUP BY t.qid),
+       |hf AS (SELECT t.qid, count(*) AS n_hit FROM t
+       |  JOIN fin f ON f.qid = t.qid AND f.vec_id = t.vec_id
+       |  GROUP BY t.qid)
+       |SELECT q.qid,
+       |  CAST(coalesce(ha.n_hit_adc, 0) AS BIGINT) AS n_hit_adc,
+       |  CAST(coalesce(hf.n_hit, 0) AS BIGINT) AS n_hit,
+       |  round(coalesce(hf.n_hit, 0) / CAST($k AS DOUBLE) + 1e-9, 4)
+       |    AS recall,
+       |  CAST(coalesce(hf.n_hit, 0) >= $minHits AS INT) AS ok
+       |FROM q LEFT JOIN ha ON ha.qid = q.qid
+       |LEFT JOIN hf ON hf.qid = q.qid ORDER BY q.qid""".stripMargin
+  }
+
+  /** Persist PQ codes BESIDE a trained-IVF index (Jégou '11's IVFADC
+    * layout): `<table>_pq` = (vec_id, cid, codes, rnorm), cid-bucketed
+    * like the base — `subspaces` small ints + one float per vector
+    * instead of d floats, the ~32× serve-scan cut at d=64 — plus the
+    * persisted `<table>_pqcodebook`. Shares the base index's `_model`
+    * AND its `_deletes`: one logical takedown tombstones the
+    * full-precision rows and the codes together (the q162 contract —
+    * AnnIndexSpec pins serve-through-tombstones before and after
+    * compaction). */
+  def writePqCodes(spark: SparkSession, ivfTable: String,
+      subspaces: Int = PqSubspaces, codebookIds: Seq[Long] = CentroidIds,
+      nBuckets: Int = 8): Unit = {
+    GraftFunctions.register(spark)
+    val idx = spark.table(ivfTable)
+    val cb = pqCodebookOf(idx.select(col("vec_id"), col("embedding")),
+      subspaces, codebookIds).localCheckpoint()
+    graft.sources.FileIO.dropTableAndLocation(spark, s"${ivfTable}_pqcodebook")
+    cb.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${ivfTable}_pqcodebook")
+    graft.sources.FileIO.writeParquetBucketed(
+      pqEncode(idx, cb, subspaces)
+        .join(idx.select(col("vec_id"), col("cid")), "vec_id")
+        .select(col("vec_id"), col("cid"), col("codes"), col("rnorm")),
+      s"${ivfTable}_pq", nBuckets, "cid", Seq("cid"))
+  }
+
+  /** Extend the PQ side for an appended batch: encode under the STORED
+    * codebook + model — O(|batch|), the codebook never retrains (same
+    * immutability contract as the model; re-fitting is a rebuild). */
+  def appendToPqCodes(newBatch: DataFrame, ivfTable: String,
+      subspaces: Int = PqSubspaces, nBuckets: Int = 8): Unit = {
+    val spark = newBatch.sparkSession
+    GraftFunctions.register(spark)
+    val model = spark.table(s"${ivfTable}_model").localCheckpoint()
+    val cb = spark.table(s"${ivfTable}_pqcodebook").localCheckpoint()
+    graft.sources.FileIO.appendParquetBucketed(
+      pqEncode(newBatch, cb, subspaces)
+        .join(assignUnderModel(newBatch, model)
+          .select(col("vec_id"), col("cid")), "vec_id")
+        .select(col("vec_id"), col("cid"), col("codes"), col("rnorm")),
+      s"${ivfTable}_pq", nBuckets, "cid", Seq("cid"))
+  }
+
+  /** PQ rows under the base index's SHARED tombstones. */
+  def livePqCodes(spark: SparkSession, ivfTable: String): DataFrame = {
+    val pq = spark.table(s"${ivfTable}_pq")
+    if (spark.catalog.tableExists(s"${ivfTable}_deletes"))
+      pq.join(broadcast(spark.table(s"${ivfTable}_deletes").distinct()),
+        Seq("vec_id"), "left_anti")
+    else pq
+  }
+
+  /** Compact PQ codes AND the base index together — the PQ rewrite must
+    * run before [[compactTrainedIvfIndex]] drops the shared `_deletes`
+    * table, so the combined form is the only safe entry point. */
+  def compactPqIvfIndex(spark: SparkSession, ivfTable: String,
+      nBuckets: Int = 8): Unit = {
+    val live = livePqCodes(spark, ivfTable).localCheckpoint()
+    graft.sources.FileIO.writeParquetBucketed(
+      live, s"${ivfTable}_pq", nBuckets, "cid", Seq("cid"))
+    compactTrainedIvfIndex(spark, ivfTable, nBuckets)
+  }
+
+  /** PQ-served kNN from the persisted tables: ADC over `<table>_pq`
+    * (slim codes, tombstone-filtered), exact re-rank of the tail
+    * against the base index's full vectors.
+    *
+    * The re-rank fetch is a POINTED read, not a corpus join: the tail
+    * is rerank·k·|queries| rows by construction, so it collects
+    * (driver-side, metadata-scale — this is a serve call, the
+    * hybridRrfServe posture) and the full vectors come back through a
+    * `cid IN (probed cells)` + `vec_id IN (tail)` filter — the first
+    * predicate bucket-prunes the cid-bucketed base table, the second
+    * pushes to parquet row groups. Without this, the re-rank scanned
+    * the entire full-precision table and erased the ADC scan's byte
+    * savings (measured: the f=1000 pq serve paid its base-table scan
+    * twice). */
+  def knnPqServe(spark: SparkSession, ivfTable: String,
+      queryIds: Seq[Long] = QueryIds, k: Int = TopK, nProbe: Int = NProbe,
+      rerank: Int = PqRerank, subspaces: Int = PqSubspaces): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val live = liveTrainedIvfIndex(spark, ivfTable)
+    val q = live.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val tailRows = pqAdcTail(livePqCodes(spark, ivfTable),
+      spark.table(s"${ivfTable}_pqcodebook"),
+      spark.table(s"${ivfTable}_model"), q, k, nProbe, rerank, subspaces)
+      .collect()
+    val tail = tailRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("qid", "vec_id")
+    val tailIds = tailRows.map(_.getLong(1)).distinct.toSeq
+    val tailCids = tailRows.map(_.getLong(2)).distinct.toSeq
+    val fetched = live
+      .filter(col("cid").isin(tailCids: _*) &&
+        col("vec_id").isin(tailIds: _*))
+      .select(col("vec_id"), col("embedding"))
+    pqRerankTail(tail, fetched, q, k)
+  }
+
+  /** [[graft.core.EagerByDesign]] shorthand — LazinessSpec discovers
+    * the marker; the reason documents why construction-time jobs are
+    * legitimate for the entry. */
+  private def eager(reason: String)(f: QFn): QFn =
+    graft.core.EagerByDesign(reason)(f)
+
+  /** The shared model-fit rationale: the k-row centroid model
+    * localCheckpoints at construction so training runs ONCE for its
+    * multiple consumers — lazy composition would re-train it inside
+    * each broadcast subtree. */
+  private val ModelEager =
+    "localCheckpoints the k-row trained centroid model at construction " +
+      "so training runs once for its multiple consumers"
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q171_pq_ann_recall",
+      eager(ModelEager + " (assignment, ADC probes, truth arm)")(
+        (s: SparkSession, d: String) =>
+          annPqRecallAudit(Tables.embeddings(s, d))),
+      Some(annPqRecallSql())),
     ("q166_semantic_contamination",
       (s: SparkSession, d: String) =>
         semanticContamination(Tables.embeddings(s, d),
           SemanticContaminationTau),
       Some(semanticContaminationSql)),
     ("q163_hybrid_rrf",
-      (s: SparkSession, d: String) =>
-        hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
-          HybridTerms),
+      eager("the lexical arm IS q78's bm25 (eager cached per-doc projection \u2014 concurrent broadcast consumers race a cold cache); the dense arm and fusion are lazy")(
+        (s: SparkSession, d: String) =>
+          hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
+            HybridTerms)),
       Some(hybridRrfSql())),
     ("q147_spectral_audit",
-      (s: SparkSession, d: String) => spectralAudit(Tables.embeddings(s, d)),
+      eager("collects the d\u00b2-bounded covariance model and runs the power iteration driver-side at construction BY DESIGN \u2014 a lazy formulation would re-fit per consumer or pay 50 scheduler round-trips for 64\u00d764 multiplies")(
+        (s: SparkSession, d: String) => spectralAudit(Tables.embeddings(s, d))),
       Some(spectralAuditSql())),
     ("q24_knn_brute",
       (s: SparkSession, d: String) => knnBrute(Tables.embeddings(s, d)),
@@ -2021,7 +2467,8 @@ object SimilarityOps {
       (s: SparkSession, d: String) => semanticDedup(Tables.embeddings(s, d)),
       Some(semanticDedupSql)),
     ("q87_semantic_keeper",
-      (s: SparkSession, d: String) => semanticKeeper(Tables.embeddings(s, d)),
+      eager("composes the connected-components fixpoint: eager localCheckpoint rounds (bounded plan depth)")(
+        (s: SparkSession, d: String) => semanticKeeper(Tables.embeddings(s, d))),
       Some(semanticKeeperSql)),
     ("q120_pq_audit",
       (s: SparkSession, d: String) => pqAudit(Tables.embeddings(s, d)),
@@ -2033,7 +2480,8 @@ object SimilarityOps {
       (s: SparkSession, d: String) => embeddingProfile(Tables.embeddings(s, d)),
       Some(embeddingProfileSql)),
     ("q100_knn_label_agreement",
-      (s: SparkSession, d: String) => knnLabelAgreement(Tables.embeddings(s, d)),
+      eager(ModelEager + " (corpus assignment + probe ranking)")(
+        (s: SparkSession, d: String) => knnLabelAgreement(Tables.embeddings(s, d))),
       Some(knnLabelAgreementSql())),
     ("q104_mahalanobis_outliers",
       (s: SparkSession, d: String) =>
@@ -2043,12 +2491,15 @@ object SimilarityOps {
       (s: SparkSession, d: String) => silhouetteAudit(Tables.embeddings(s, d)),
       Some(silhouetteSql)),
     ("q138_dbscan",
-      (s: SparkSession, d: String) => dbscanClusters(Tables.embeddings(s, d)),
+      eager("runs the eager-localCheckpoint CC fixpoint over the core-core subgraph")(
+        (s: SparkSession, d: String) => dbscanClusters(Tables.embeddings(s, d))),
       Some(dbscanSql())),
     ("q139_ann_recall",
-      (s: SparkSession, d: String) => annRecallAudit(Tables.embeddings(s, d)),
+      eager(ModelEager + " (assignment + probe ranking)")(
+        (s: SparkSession, d: String) => annRecallAudit(Tables.embeddings(s, d))),
       Some(annRecallSql())),
     ("q159_ann_probe_curve",
-      (s: SparkSession, d: String) => annProbeCurve(Tables.embeddings(s, d)),
+      eager(ModelEager + " (assignment, probe ranking, truth arm)")(
+        (s: SparkSession, d: String) => annProbeCurve(Tables.embeddings(s, d))),
       Some(annProbeCurveSql())))
 }

@@ -139,12 +139,20 @@ object TakedownOps {
     * the embedding store (vec_id ≡ doc_id). ONE corpus scan computes
     * every document-derived arm (the per-doc posting/shingle counts
     * ride the same projection); the embedding arm is a second scan of
-    * the (narrow) embeddings table. This is the PLAN a takedown
-    * executes dry-run first — the audit a compliance run files before
-    * and after [[takedownBm25Index]]/[[takedownDedupIndex]]/
-    * SimilarityOps.deleteFromTrainedIvfIndex fire. */
+    * the (narrow) embeddings table; the MODEL arms (bigram LM and DSIR
+    * counts — the artifacts exact unlearning decrements rather than
+    * tombstones) each pay one more token-level pass, because "removed"
+    * for a count table means NET-ZERO rows: bigrams / feature buckets
+    * observed ONLY in the taken-down source, which a per-key group-max
+    * decides. This is the PLAN a takedown executes dry-run first — the
+    * audit a compliance run files before and after
+    * [[takedownBm25Index]]/[[takedownDedupIndex]]/
+    * SimilarityOps.deleteFromTrainedIvfIndex and the unlearn calls
+    * (TextOps.unlearnFromBigramLm / unlearnFromDsirModel /
+    * ClassifyOps.unlearnFromNbModel) fire. */
   def takedownAudit(docs: DataFrame, em: DataFrame,
-      source: String): DataFrame = {
+      source: String, refLang: String = "en",
+      dsirBuckets: Int = 512): DataFrame = {
     val per = Tables.fanout(docs)
       .select((col("source") === lit(source)).as("hit"),
         Text.tokens(col("text")).as("ts"))
@@ -166,17 +174,41 @@ object TakedownOps {
         Seq("vec_id"), "left")
       .agg(count(lit(1)).as("em_t"),
         sum(when(col("_m").isNotNull, 1L).otherwise(0L)).as("em_r"))
+    // bigram-LM arm: the count table's (bigram) keys over the reference
+    // slice; removed = keys occurring ONLY in the taken-down source
+    // (their net count reaches zero under exact unlearning)
+    val lm = Tables.fanout(docs).filter(col("lang") === lit(refLang))
+      .select((col("source") === lit(source)).as("hit"),
+        explode(Text.ngramOccurrences(Text.tokens(col("text")), 2))
+          .as("bg"))
+      .groupBy(col("bg"))
+      .agg(max(when(!col("hit"), 1).otherwise(0)).as("keep"))
+      .agg(count(lit(1)).as("lm_t"),
+        sum(when(col("keep") === 0, 1L).otherwise(0L)).as("lm_r"))
+    // DSIR arm: observed feature buckets; removed = buckets fed only by
+    // the taken-down source
+    val ds = Tables.fanout(docs)
+      .select((col("source") === lit(source)).as("hit"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      .withColumn("b", TextOps.dsirBucket(col("tok"), dsirBuckets))
+      .groupBy(col("b"))
+      .agg(max(when(!col("hit"), 1).otherwise(0)).as("keep"))
+      .agg(count(lit(1)).as("ds_t"),
+        sum(when(col("keep") === 0, 1L).otherwise(0L)).as("ds_r"))
     def art(name: String, t: org.apache.spark.sql.Column,
         r: org.apache.spark.sql.Column) =
       struct(lit(name).as("artifact"), t.as("rows_total"),
         r.as("rows_removed"))
     a.crossJoin(broadcast(e))
+      .crossJoin(broadcast(lm)).crossJoin(broadcast(ds))
       .select(explode(array(
+        art("bigram_lm", col("lm_t"), col("lm_r")),
         art("bm25_doclen", col("docs_t"), col("docs_r")),
         art("bm25_postings", col("post_t"), col("post_r")),
         art("corpus", col("docs_t"), col("docs_r")),
         art("dedup_docn", col("docs_t"), col("docs_r")),
         art("dedup_postings", col("sh_t"), col("sh_r")),
+        art("dsir_counts", col("ds_t"), col("ds_r")),
         art("embeddings", col("em_t"), col("em_r")))).as("x"))
       .select(col("x.artifact").as("artifact"),
         col("x.rows_total").as("rows_total"),
@@ -204,17 +236,35 @@ object TakedownOps {
        |    sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS em_r
        |  FROM embeddings em LEFT JOIN (
        |    SELECT DISTINCT doc_id FROM documents
-       |    WHERE source = '$TakedownSource') d ON em.vec_id = d.doc_id)
+       |    WHERE source = '$TakedownSource') d ON em.vec_id = d.doc_id),
+       |lmocc AS (SELECT hit, unnest(${Text.ngramOccurrencesSql("toks", 2)})
+       |    AS bg
+       |  FROM (SELECT source = '$TakedownSource' AS hit, $toks AS toks
+       |    FROM documents WHERE lang = 'en')),
+       |lm AS (SELECT count(*) AS lm_t,
+       |    sum(CASE WHEN keep = 0 THEN 1 ELSE 0 END) AS lm_r FROM (
+       |  SELECT bg, max(CASE WHEN hit THEN 0 ELSE 1 END) AS keep
+       |  FROM lmocc GROUP BY bg)),
+       |dsb AS (SELECT hit,
+       |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 512 AS b
+       |  FROM (SELECT source = '$TakedownSource' AS hit,
+       |    unnest($toks) AS tok FROM documents)),
+       |ds AS (SELECT count(*) AS ds_t,
+       |    sum(CASE WHEN keep = 0 THEN 1 ELSE 0 END) AS ds_r FROM (
+       |  SELECT b, max(CASE WHEN hit THEN 0 ELSE 1 END) AS keep
+       |  FROM dsb GROUP BY b))
        |SELECT artifact, CAST(rows_total AS BIGINT) AS rows_total,
        |  CAST(rows_removed AS BIGINT) AS rows_removed,
        |  CAST(rows_total - rows_removed AS BIGINT) AS rows_live
        |FROM (
-       |  SELECT 'bm25_doclen' AS artifact, docs_t AS rows_total,
-       |    docs_r AS rows_removed FROM a
+       |  SELECT 'bigram_lm' AS artifact, lm_t AS rows_total,
+       |    lm_r AS rows_removed FROM lm
+       |  UNION ALL SELECT 'bm25_doclen', docs_t, docs_r FROM a
        |  UNION ALL SELECT 'bm25_postings', post_t, post_r FROM a
        |  UNION ALL SELECT 'corpus', docs_t, docs_r FROM a
        |  UNION ALL SELECT 'dedup_docn', docs_t, docs_r FROM a
        |  UNION ALL SELECT 'dedup_postings', sh_t, sh_r FROM a
+       |  UNION ALL SELECT 'dsir_counts', ds_t, ds_r FROM ds
        |  UNION ALL SELECT 'embeddings', em_t, em_r FROM e)
        |ORDER BY artifact""".stripMargin
   }

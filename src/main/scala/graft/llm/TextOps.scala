@@ -1345,7 +1345,16 @@ object TextOps {
   /** Persist a trained model as catalog tables (the [[writeBigramLm]]
     * pattern): `<table>_merges` (rank, left, right, merged) and
     * `<table>_vocab` (w, symbols) — small immutable state; re-training
-    * is a rebuild. */
+    * is a rebuild.
+    *
+    * NO exact-unlearning contract, deliberately: BPE's greedy merge
+    * loop is ORDER-DEPENDENT — each merge changes the pair statistics
+    * every later merge ranks on, so a document's contribution is not an
+    * additive delta that can be subtracted (contrast the NB / bigram-LM
+    * / DSIR count tables). Takedown against a BPE tokenizer = retrain
+    * from the retained corpus; [[takedownAudit]] therefore carries no
+    * bpe row — the compliance answer for this artifact is "rebuild",
+    * not "decrement". */
   def writeBpeModel(docs: DataFrame, table: String,
       nMerges: Int = BpeMerges): Unit = {
     val spark = docs.sparkSession
@@ -2018,24 +2027,89 @@ object TextOps {
     (cnt, voc)
   }
 
-  /** Persist the q102 reference LM: the bigram count table lands as
-    * `<table>_bigrams` and the vocabulary scalar as `<table>_meta` —
-    * training reads the reference slice exactly once, at write time,
-    * and every later scoring batch joins the STORED tables
-    * ([[scoreUnderLm]]). The same artifact contract as the ANN index
-    * family ([[graft.llm.SimilarityOps.writeTrainedIvfIndex]]): small
-    * immutable model state, re-training is a rebuild. Round12bOpsSpec
-    * pins stored-model scoring ≡ the direct path. */
+  /** The q102 model's ADDITIVE sufficient statistics — the NB
+    * delta-row contract ([[graft.llm.ClassifyOps.nbTrainFrames]])
+    * ported to the LM: hashed bigram counts (bgh, w1h, c12) plus
+    * per-TOKEN counts (th, c). The vocabulary persists as COUNTS, not
+    * the countDistinct scalar [[bigramLmModel]] folds to, because a
+    * distinct count is not reversible — exact unlearning must observe
+    * a token's net count reach zero so it leaves V. */
+  def bigramLmFrames(docs: DataFrame, refLang: String = "en")
+      : (DataFrame, DataFrame) = {
+    val ref = lmTokenized(docs).filter(col("lang") === refLang)
+    val cnt = lmOccs(ref).groupBy(col("bgh"), col("w1h"))
+      .agg(count(lit(1)).as("c12"))
+    val voc = ref.select(explode(col("ts")).as("t"))
+      .groupBy(xxhash64(col("t")).as("th"))
+      .agg(count(lit(1)).as("c"))
+    (cnt, voc)
+  }
+
+  /** Negated statistics: appending these subtracts the batch EXACTLY
+    * (integer counts) — train(A∪B) → unlearn(B) ≡ train(A), pinned in
+    * Round18bOpsSpec. The takedown story for LM state. */
+  def bigramLmNegatedFrames(batch: DataFrame, refLang: String = "en")
+      : (DataFrame, DataFrame) = {
+    val (cnt, voc) = bigramLmFrames(batch, refLang)
+    (cnt.withColumn("c12", -col("c12")), voc.withColumn("c", -col("c")))
+  }
+
+  /** Persist the q102 reference LM as additive DELTA tables: bigram
+    * count rows land as `<table>_bigrams` and per-token vocabulary
+    * counts as `<table>_vocab` — training reads the reference slice
+    * exactly once, at write time; serving re-aggregates by key
+    * ([[scoreUnderStoredLm]]), so [[appendToBigramLm]] (new batch) and
+    * [[unlearnFromBigramLm]] (negated batch) are plain row appends —
+    * the same delta-row contract as the NB model
+    * ([[graft.llm.ClassifyOps.writeNbModel]]). Round12bOpsSpec pins
+    * stored-model scoring ≡ the direct path; Round18bOpsSpec pins the
+    * unlearn algebra. */
   def writeBigramLm(docs: DataFrame, table: String,
       refLang: String = "en"): Unit = {
     val spark = docs.sparkSession
-    val (cnt, voc) = bigramLmModel(docs, refLang)
+    val (cnt, voc) = bigramLmFrames(docs, refLang)
     graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_bigrams")
     cnt.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_bigrams")
-    graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_meta")
+    graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_vocab")
     voc.write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${table}_meta")
+      .saveAsTable(s"${table}_vocab")
+  }
+
+  /** Extend a persisted LM with a reference batch — O(|batch|). */
+  def appendToBigramLm(batch: DataFrame, table: String,
+      refLang: String = "en"): Unit = {
+    val (cnt, voc) = bigramLmFrames(batch, refLang)
+    cnt.write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_bigrams")
+    voc.write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_vocab")
+  }
+
+  /** EXACT unlearning: subtract a previously-trained batch's counts. */
+  def unlearnFromBigramLm(batch: DataFrame, table: String,
+      refLang: String = "en"): Unit = {
+    val (cnt, voc) = bigramLmNegatedFrames(batch, refLang)
+    cnt.write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_bigrams")
+    voc.write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_vocab")
+  }
+
+  /** Score against the persisted delta tables: net counts re-aggregate
+    * by key (net-zero rows drop — a fully-unlearned bigram or token
+    * leaves the model), V = net in-vocabulary token count. */
+  def scoreUnderStoredLm(spark: SparkSession, table: String,
+      docs: DataFrame, addK: Double = 0.5,
+      flagNll: Double = 3.5): DataFrame = {
+    val cnt = spark.table(s"${table}_bigrams")
+      .groupBy(col("bgh"), col("w1h")).agg(sum(col("c12")).as("c12"))
+      .filter(col("c12") > 0)
+    val voc = spark.table(s"${table}_vocab")
+      .groupBy(col("th")).agg(sum(col("c")).as("c"))
+      .filter(col("c") > 0)
+      .agg(count(lit(1)).as("v"))
+    scoreUnderLm(docs, cnt, voc, addK, flagNll)
   }
 
   /** Score a document batch under a trained (possibly STORED) q102
@@ -2123,8 +2197,9 @@ object TextOps {
     * per doc (≤ min(doc_len, buckets) rows), far smaller than the raw
     * token stream, and a spill of it still beats a second full
     * scan+explode. No corpus-scale join or self-join anywhere. */
-  /** The hashed-token feature bucket shared by every DSIR surface. */
-  private def dsirBucket(tok: Column, buckets: Int): Column =
+  /** The hashed-token feature bucket shared by every DSIR surface
+    * (public so the takedown audit can count affected buckets). */
+  def dsirBucket(tok: Column, buckets: Int): Column =
     conv(substring(md5(to_binary(tok, lit("utf-8"))), 1, 15),
       16, 10).cast("long") % buckets
 
@@ -2149,15 +2224,36 @@ object TextOps {
     * write it to parquet and [[dsirScoreWithModel]] new batches against
     * it, the same stored-reference architecture as the drift family. */
   def dsirWeightTable(docs: DataFrame, targetSource: String = "src0",
-      buckets: Int = 512, alpha: Double = 0.5): DataFrame = {
-    val counts = dsirDocBucket(docs, buckets).groupBy(col("b")).agg(
+      buckets: Int = 512, alpha: Double = 0.5): DataFrame =
+    dsirWeightsFromCounts(dsirCounts(docs, targetSource, buckets),
+      buckets, alpha)
+
+  /** The DSIR model's ADDITIVE sufficient statistics: per-bucket
+    * target and background token counts (b, ct, cs). The published
+    * artifact ([[dsirWeightTable]]'s log-ratios) is NOT additive — the
+    * unlearnable store is this count table, with weights re-DERIVED at
+    * read time ([[dsirWeightsFromCounts]]); same split as the NB model
+    * (counts persist, probabilities compute). */
+  def dsirCounts(docs: DataFrame, targetSource: String = "src0",
+      buckets: Int = 512): DataFrame =
+    dsirDocBucket(docs, buckets).groupBy(col("b")).agg(
       sum(when(col("source") === targetSource, col("c")).otherwise(0L))
         .as("ct"),
       sum(when(col("source") =!= targetSource, col("c")).otherwise(0L))
         .as("cs"))
-    val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cs")).as("ts"))
+
+  /** Re-derive the weight table from (possibly delta-row) counts: net
+    * by bucket, drop net-unobserved buckets (they were never seen —
+    * exactly the train-without shape), then the smoothed log-ratio +
+    * unseen-bucket sentinel of [[dsirWeightTable]]. */
+  def dsirWeightsFromCounts(counts: DataFrame, buckets: Int = 512,
+      alpha: Double = 0.5): DataFrame = {
+    val net = counts.groupBy(col("b"))
+      .agg(sum(col("ct")).as("ct"), sum(col("cs")).as("cs"))
+      .filter(col("ct") + col("cs") > 0)
+    val tot = net.agg(sum(col("ct")).as("tt"), sum(col("cs")).as("ts"))
     // additive smoothing keeps unseen buckets finite on both sides
-    counts.crossJoin(broadcast(tot))
+    net.crossJoin(broadcast(tot))
       .select(col("b"),
         (log((col("ct") + alpha) / (col("tt") + alpha * buckets)) -
           log((col("cs") + alpha) / (col("ts") + alpha * buckets))).as("lw"))
@@ -2165,6 +2261,41 @@ object TextOps {
         (log(lit(alpha) / (col("tt") + alpha * buckets)) -
           log(lit(alpha) / (col("ts") + alpha * buckets))).as("lw")))
   }
+
+  /** Persist the DSIR model as its additive count table
+    * `<table>_counts` (≤ buckets rows of deltas per write) — the NB/LM
+    * delta-row contract: [[appendToDsirModel]] and
+    * [[unlearnFromDsirModel]] are plain row appends, serving re-nets
+    * ([[dsirServeWeights]]). Round18bOpsSpec pins
+    * train(A∪B) → unlearn(B) ≡ train(A) row for row. */
+  def writeDsirModel(docs: DataFrame, table: String,
+      targetSource: String = "src0", buckets: Int = 512): Unit = {
+    val spark = docs.sparkSession
+    graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_counts")
+    dsirCounts(docs, targetSource, buckets)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_counts")
+  }
+
+  /** Extend a persisted DSIR model with a batch — O(|batch|). */
+  def appendToDsirModel(batch: DataFrame, table: String,
+      targetSource: String = "src0", buckets: Int = 512): Unit =
+    dsirCounts(batch, targetSource, buckets)
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_counts")
+
+  /** EXACT unlearning: subtract a previously-trained batch's counts. */
+  def unlearnFromDsirModel(batch: DataFrame, table: String,
+      targetSource: String = "src0", buckets: Int = 512): Unit =
+    dsirCounts(batch, targetSource, buckets)
+      .withColumn("ct", -col("ct")).withColumn("cs", -col("cs"))
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_counts")
+
+  /** The live weight table of a persisted DSIR model. */
+  def dsirServeWeights(spark: SparkSession, table: String,
+      buckets: Int = 512, alpha: Double = 0.5): DataFrame =
+    dsirWeightsFromCounts(spark.table(s"${table}_counts"), buckets, alpha)
 
   /** Stateless per-doc scoring against a stored [[dsirWeightTable]] —
     * one row in, one row out (doc_id, source, logw), no shuffle and no
@@ -2639,6 +2770,22 @@ object TextOps {
   private def onDocs(f: DataFrame => DataFrame): QFn =
     (s, d) => f(Tables.documents(s, d))
 
+  /** [[graft.core.EagerByDesign]] shorthand — LazinessSpec discovers
+    * the marker; the reason documents why construction-time jobs are
+    * legitimate for the entry. */
+  private def eager(reason: String)(f: QFn): QFn =
+    graft.core.EagerByDesign(reason)(f)
+
+  private val CachedBaseEager =
+    "materializes its cached per-doc index base eagerly at construction: " +
+      "concurrent broadcast consumers would race the cold cache, each " +
+      "re-running the corpus tokenize"
+
+  private val BpeEager =
+    "collects the word-frequency vocabulary and runs the greedy BPE " +
+      "merge loop driver-side at construction (model-scale by the " +
+      "vocabulary-collapse argument, BpeMaxVocab-guarded)"
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q25_lang_dist", onDocs(langDist), Some(langDistSql)),
     ("q25_source_stats", onDocs(sourceStats), Some(sourceStatsSql)),
@@ -2657,18 +2804,30 @@ object TextOps {
     ("q58_char_entropy", onDocs(charEntropy), Some(charEntropySql)),
     ("q63_zipf_fit", onDocs(zipfFit(_)), Some(zipfFitSql)),
     ("q70_gopher_rules", onDocs(gopherRules(_)), Some(gopherRulesSql)),
-    ("q78_bm25", onDocs(bm25(_, bm25Terms)), Some(bm25Sql(bm25Terms))),
+    ("q78_bm25", eager(CachedBaseEager)(onDocs(bm25(_, bm25Terms))),
+      Some(bm25Sql(bm25Terms))),
     ("q89_bpe_pairs", onDocs(bpePairs(_)), Some(bpePairsSql())),
-    ("q154_bpe_merges", onDocs(trainBpeMerges(_)), Some(bpeMergesSql())),
-    ("q165_passage_bm25", onDocs(bm25Passages(_, PassageTerms)),
+    ("q154_bpe_merges", eager(BpeEager)(onDocs(trainBpeMerges(_))),
+      Some(bpeMergesSql())),
+    ("q165_passage_bm25",
+      eager(CachedBaseEager + " (doc \u21a6 chunk)")(
+        onDocs(bm25Passages(_, PassageTerms))),
       Some(bm25PassagesSql())),
-    ("q170_passage_serve", onDocs(passageServeInSession(_)),
+    ("q170_passage_serve",
+      eager(CachedBaseEager + " (chunk level)")(
+        onDocs(passageServeInSession(_))),
       Some(bm25PassagesSql(PassageServeTerms))),
-    ("q157_bm25_serve", onDocs(bm25ServeInSession(_)),
+    ("q157_bm25_serve",
+      eager(CachedBaseEager)(onDocs(bm25ServeInSession(_))),
       Some(bm25Sql(bm25ServeTerms))),
-    ("q155_bpe_fertility", onDocs(bpeFertility(_)), Some(bpeFertilitySql())),
+    ("q155_bpe_fertility", eager(BpeEager)(onDocs(bpeFertility(_))),
+      Some(bpeFertilitySql())),
     ("q91_pmi_pairs", onDocs(pmiPairs(_)), Some(pmiPairsSql())),
-    ("q94_textrank", onDocs(textrank(_)), Some(textrankSql())),
+    ("q94_textrank",
+      eager("iterative rank-propagation rounds materialize through " +
+        "eager localCheckpoints (bounded plan depth)")(
+        onDocs(textrank(_))),
+      Some(textrankSql())),
     ("q98_dup_spans", onDocs(dupSpans(_)), Some(dupSpansSql())),
     ("q158_exactsubstr_clean", onDocs(exactSubstrClean(_)),
       Some(exactSubstrCleanSql())),

@@ -175,4 +175,87 @@ class AnnIndexSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning(vec_id"),
       s"indexed IVF plan reruns the corpus assignment:\n$plan")
   }
+
+  // ------------------------------------------------------------- q171
+
+  test("PQ codes beside the trained IVF index: serve ≡ direct, and the " +
+      "serve plan neither retrains nor re-encodes") {
+    val em = Tables.embeddings(spark, sf0001)
+    SimilarityOps.writeTrainedIvfIndex(em, "ann_pq_idx", nBuckets = 8)
+    SimilarityOps.writePqCodes(spark, "ann_pq_idx", nBuckets = 8)
+    val served = SimilarityOps.knnPqServe(spark, "ann_pq_idx")
+    // knnPq trains on the same data / seeds / iters → the same model
+    val direct = SimilarityOps.knnPq(em)
+    assert(served.collect().toSeq == direct.collect().toSeq)
+
+    val plan = served.queryExecution.executedPlan.toString
+    // training's update shuffle (posexplode) and the encoder's argmin
+    // window (the ONLY window partitioned by (vec_id, s)) must not
+    // appear at serve time — codes and model are READ, never
+    // re-derived. (The query-side distance-table agg legitimately
+    // exchanges on its |queries|-scale keys, so a blanket no-exchange
+    // assertion would be wrong.)
+    assert(!plan.contains("posexplode"),
+      s"PQ serve plan retrains the model:\n$plan")
+    assert("windowspecdefinition\\(vec_id#\\d+L?, s#".r
+      .findFirstIn(plan).isEmpty,
+      s"PQ serve plan re-runs the encoder argmin:\n$plan")
+  }
+
+  test("PQ append: batch encodes under the STORED codebook+model and " +
+      "(base ∪ batch) serves identically to the same-model direct form") {
+    val em = Tables.embeddings(spark, sf0001)
+    import org.apache.spark.sql.functions.col
+    // residue 4 mod 10 keeps every seed id (3,33,…,231) in the base
+    val base = em.filter(col("vec_id") % 10 =!= 4)
+    val batch = em.filter(col("vec_id") % 10 === 4)
+    SimilarityOps.writeTrainedIvfIndex(base, "ann_pq_inc", nBuckets = 8)
+    SimilarityOps.writePqCodes(spark, "ann_pq_inc", nBuckets = 8)
+    SimilarityOps.appendToTrainedIvfIndex(batch, "ann_pq_inc", nBuckets = 8)
+    SimilarityOps.appendToPqCodes(batch, "ann_pq_inc", nBuckets = 8)
+    val served = SimilarityOps.knnPqServe(spark, "ann_pq_inc")
+    val direct = SimilarityOps.knnPqWith(em,
+      spark.table("ann_pq_inc_model"),
+      spark.table("ann_pq_inc_pqcodebook"))
+    assert(served.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("PQ tombstones: ONE logical delete leaves both the full-precision " +
+      "rows and the codes, before and after compaction") {
+    val em = Tables.embeddings(spark, sf0001)
+    import org.apache.spark.sql.functions.col
+    SimilarityOps.writeTrainedIvfIndex(em, "ann_pq_del", nBuckets = 8)
+    SimilarityOps.writePqCodes(spark, "ann_pq_del", nBuckets = 8)
+    val gone = Seq(1L, 2L)
+    SimilarityOps.deleteFromTrainedIvfIndex(spark, "ann_pq_del", gone)
+    val model = spark.table("ann_pq_del_model")
+    val cb = spark.table("ann_pq_del_pqcodebook")
+    val direct = SimilarityOps.knnPqWith(
+      em.filter(!col("vec_id").isin(gone: _*)), model, cb)
+    val served = SimilarityOps.knnPqServe(spark, "ann_pq_del")
+    assert(served.collect().toSeq == direct.collect().toSeq)
+    served.collect().foreach(r =>
+      assert(!gone.contains(r.getLong(2)), s"deleted id served: $r"))
+
+    // combined compaction rewrites the codes BEFORE the base drops the
+    // shared tombstone table; answers must not move
+    SimilarityOps.compactPqIvfIndex(spark, "ann_pq_del", nBuckets = 8)
+    assert(!spark.catalog.tableExists("ann_pq_del_deletes"))
+    assert(spark.table("ann_pq_del_pq").count() == em.count() - gone.size)
+    val afterCompact = SimilarityOps.knnPqServe(spark, "ann_pq_del")
+    assert(afterCompact.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("PQ re-rank tail covering the probed cells makes PQ lossless: " +
+      "rerank→∞ ≡ the full-precision trained-IVF path") {
+    val em = Tables.embeddings(spark, sf0001)
+    // tail ≥ every candidate in the probed cells → the exact re-rank
+    // sees the same pool as full-precision serving → identical top-k
+    // (the measured-recall story: PQ's loss is ENTIRELY the tail cut)
+    val pqAll = SimilarityOps.knnPq(em, rerank = 1000000)
+    val model = SimilarityOps.kmeansCentroids(em).localCheckpoint()
+    val full = SimilarityOps.knnIvfTrained(
+      SimilarityOps.assignUnderModel(em, model), model)
+    assert(pqAll.collect().toSeq == full.collect().toSeq)
+  }
 }

@@ -224,8 +224,7 @@ class Round12bOpsSpec extends SparkSpec {
       (3L, "c a b x", "fr", "s"), (4L, "x y z w", "de", "s"))
       .toDF("doc_id", "text", "lang", "source")
     TextOps.writeBigramLm(docs, "lm_ref")
-    val stored = TextOps.scoreUnderLm(docs,
-      spark.table("lm_ref_bigrams"), spark.table("lm_ref_meta"))
+    val stored = TextOps.scoreUnderStoredLm(spark, "lm_ref", docs)
     val direct = TextOps.crossEntropyTransfer(docs)
     assert(stored.collect().toSeq == direct.collect().toSeq)
     // the stored path reads the model from the catalog tables, not a
