@@ -168,7 +168,15 @@ object CorpusOps {
     * ride the projection), one model-scale join of the quality frame,
     * and the shared q23 pair stage + CC for the dup arm; all three
     * collapse to |sources| rows before the final joins. */
-  def sourceReportCard(docs: DataFrame): DataFrame = {
+  def sourceReportCard(docs: DataFrame): DataFrame =
+    sourceReportCardWith(docs, DedupOps.dedupKeeper(docs))
+
+  /** The q169 report-card ARM under a precomputed (possibly STORED)
+    * keeper table — the q164 pattern: the CC fixture persists once,
+    * the card itself is one stats scan plus |sources|-row joins
+    * (measurable alone via graft.app.ArmScale). */
+  def sourceReportCardWith(docs: DataFrame, keepers: DataFrame)
+      : DataFrame = {
     val base = Tables.fanout(docs)
       .select(col("source"), col("lang"),
         size(graft.llm.Text.tokens(col("text"))).cast("long").as("_nt"),
@@ -177,7 +185,7 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("sum_tokens"),
         round(avg(col("_q")), 4).as("avg_quality"),
         countDistinct(col("lang")).as("n_langs"))
-    val dup = DedupOps.dedupKeeper(docs)
+    val dup = keepers
       .filter(col("keeper") =!= col("doc_id"))
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source")).agg(count(lit(1)).as("dup_docs"))

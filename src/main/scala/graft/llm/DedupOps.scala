@@ -1357,9 +1357,18 @@ object DedupOps {
     * prunable (cap rows per component survive the map side). */
   def clusterCapSample(docs: DataFrame, cap: Int = 2,
       threshold: Double = JaccardThreshold, k: Int = K,
-      dfCap: Int = DefaultDfCap, maxIters: Int = 15): DataFrame = {
-    val cc = dedupKeeper(docs, threshold, k, dfCap, maxIters)
-      .select(col("doc_id"), col("keeper").as("component"))
+      dfCap: Int = DefaultDfCap, maxIters: Int = 15): DataFrame =
+    clusterCapSampleWith(docs,
+      dedupKeeper(docs, threshold, k, dfCap, maxIters), cap)
+
+  /** The q168 cap-window ARM under a precomputed (possibly STORED)
+    * keeper table — the q164 pattern: the expensive CC fixture builds
+    * once and persists; the arm itself is one quality scan plus two
+    * component-keyed windows, measurable (graft.app.ArmScale) and
+    * servable on its own. */
+  def clusterCapSampleWith(docs: DataFrame, keepers: DataFrame,
+      cap: Int = 2): DataFrame = {
+    val cc = keepers.select(col("doc_id"), col("keeper").as("component"))
     val full = docs.select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -700,7 +700,7 @@ object SimilarityOps {
   /** The blocked ε-neighbor pair stage shared by q86/q87/q138: candidate
     * pairs WITHIN a learned cluster, verified by exact cosine ≥
     * `threshold`. Unrounded `cos` — callers round at their output edge. */
-  private def semanticPairs(em: DataFrame, threshold: Double,
+  private[graft] def semanticPairs(em: DataFrame, threshold: Double,
       centroidIds: Seq[Long], iters: Int): DataFrame = {
     val asg = trainedIvfAssign(em, centroidIds, iters)
     val S = PairSubBlocks
