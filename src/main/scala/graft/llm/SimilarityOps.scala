@@ -413,6 +413,44 @@ object SimilarityOps {
 
   private val KmeansIters = 2
 
+  /** The documented 100 TB swap for the Lloyd trainer (the one
+    * remaining full-corpus-per-iteration loop under the trained-IVF /
+    * SemDeDup stack): a k-means model is statistics over the data
+    * DISTRIBUTION, and past a few hundred thousand vectors additional
+    * rows refine centroids far below the quantization error the model
+    * already carries — so the trainer caps its input at a
+    * DETERMINISTIC hash-sample of `cap` vectors (top-cap by
+    * xxhash64(vec_id), vec_id tie-break — no rand(), so replay, resume
+    * and cross-engine verification all hold; the fixed seed rows are
+    * always retained so c0 exists at any cap) while ASSIGNMENT stays
+    * full-corpus. cap ≥ N degenerates to exact full Lloyd
+    * (Round18OpsSpec pins bit-identical centroids — means round to
+    * 6dp, so set-equality of inputs suffices). Every default entry
+    * point stays exact for oracle compatibility; this is the swap a
+    * 100 TB run makes, with the measured quality delta and train walls
+    * in BASELINE §x (graft.app.KmeansScale). */
+  def kmeansCentroidsSampled(em: DataFrame, cap: Int = 100000,
+      centroidIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters): DataFrame = {
+    val seeds = em.filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id"), col("embedding"))
+    val sampled = em.filter(!col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(math.max(cap - centroidIds.size, 0))
+    // materialize the sample ONCE, re-parallelized: a lazy
+    // orderBy().limit() lands on a single partition AND re-runs its
+    // TakeOrdered inside every Lloyd iteration (measured: the sampled
+    // trainer was SLOWER than full Lloyd at 100× before this). The
+    // checkpoint is cap-bounded rows — trainer-internal state, not a
+    // registry-plan action (this function backs writeTrainedIvfIndex-
+    // class model fits, which are eager by contract anyway).
+    val trainSet = sampled.unionByName(seeds)
+      .repartition(em.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    kmeansCentroids(trainSet, centroidIds, iters)
+  }
+
   /** The trained-IVF assignment frame: the corpus labeled by its nearest
     * TRAINED k-means centroid (vs [[ivfAssign]]'s raw seed rows) —
     * train → index → serve, composed from [[kmeansCentroids]]. */

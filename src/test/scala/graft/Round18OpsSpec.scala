@@ -157,4 +157,38 @@ class Round18OpsSpec extends SparkSpec {
         tight.map(_.getLong(1)).toSeq.sorted}")
     assert(tight.nonEmpty, "fixture: the capped window must be exercised")
   }
+
+  // ------------------------------------------------------------- q56
+
+  test("kmeansCentroidsSampled: cap ≥ N degenerates to exact full " +
+      "Lloyd (bit-identical centroids), a binding cap still trains a " +
+      "full-k model whose full-corpus assignment quality is within a " +
+      "hair of exact, and the sample is deterministic across calls") {
+    val em = Tables.embeddings(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toVector))
+      .sortBy(_._1).toVector
+    val full = rows(SimilarityOps.kmeansCentroids(em))
+    assert(rows(SimilarityOps.kmeansCentroidsSampled(em,
+      cap = 1000000)) == full, "cap ≥ N must be exact full Lloyd")
+
+    val sampled = SimilarityOps.kmeansCentroidsSampled(em, cap = 100)
+    val sRows = rows(sampled)
+    assert(sRows.size == SimilarityOps.CentroidIds.size,
+      "a binding cap must still train every centroid")
+    assert(rows(SimilarityOps.kmeansCentroidsSampled(em, cap = 100))
+      == sRows, "hash-sample must be deterministic")
+    def quality(model: org.apache.spark.sql.DataFrame): Double =
+      SimilarityOps.assignUnderModel(em, model)
+        .join(model.select(col("cid"), col("ce")), "cid")
+        .agg(avg(expr("cosine_sim(ce, embedding)"))).first().getDouble(0)
+    val (qf, qs) = (quality(SimilarityOps.kmeansCentroids(em)
+      .localCheckpoint()), quality(sampled.localCheckpoint()))
+    // 100 of 500 training vectors ON THE ISOTROPIC FIXTURE — the
+    // worst case for any sampled estimator (no cluster structure to
+    // estimate; full-Lloyd mean cos is only ~0.255 here). Measured
+    // delta 0.032; the bound pins "no cliff", and KmeansScale measures
+    // the realistic (clustered, cap≫k) regime where the delta vanishes
+    assert(qs >= qf - 0.05, s"sampled quality $qs vs full $qf")
+  }
 }
