@@ -40,6 +40,7 @@ object AnnScale {
         val (tPq, _) = time {
           graft.llm.SimilarityOps.writePqCodes(spark, t)
         }
+        graft.llm.SimilarityOps.writeInt8Codes(spark, t)
         val model = spark.table(s"${t}_model")
         def neighborSets(rows: Array[org.apache.spark.sql.Row])
             : Map[Long, Set[Long]] =
@@ -58,6 +59,10 @@ object AnnScale {
           graft.llm.SimilarityOps.knnPqServe(spark, t).collect()
         pqServe()
         val (tPqServe, pqRows) = time(pqServe())
+        def int8Serve() =
+          graft.llm.SimilarityOps.knnInt8Serve(spark, t).collect()
+        int8Serve()
+        val (tInt8, int8Rows) = time(int8Serve())
         val truth = neighborSets(
           graft.llm.SimilarityOps.knnBrute(em).collect())
         def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
@@ -76,9 +81,12 @@ object AnnScale {
         println(f"[ann-scale] factor=$f vecs=${em.count()} " +
           f"idx_build=$tIdx%.2f s pq_build=$tPq%.2f s " +
           f"full_serve=$tFull%.2f s pq_serve=$tPqServe%.2f s " +
+          f"int8_serve=$tInt8%.2f s " +
           f"full_recall=${recall(fullRows)}%.3f " +
           f"pq_recall=${recall(pqRows)}%.3f " +
-          f"full_bytes=${tableBytes(t)} pq_bytes=${tableBytes(s"${t}_pq")}")
+          f"int8_recall=${recall(int8Rows)}%.3f " +
+          f"full_bytes=${tableBytes(t)} pq_bytes=${tableBytes(s"${t}_pq")} " +
+          f"int8_bytes=${tableBytes(s"${t}_int8")}")
       } finally {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       }

@@ -2451,6 +2451,230 @@ object SimilarityOps {
     pqRerankTail(tail, fetched, q, k)
   }
 
+  // ------------------------------------------------------------------
+  // q172 — int8-coded ANN serving (the near-lossless 4× tier)
+  // ------------------------------------------------------------------
+
+  /** q64's absmax quantization as an ENCODER (the serving counterpart
+    * of the q64 audit): per vector, code_i = floor(x_i/amax·127 + 0.5)
+    * stored as `array<tinyint>` — 4× fewer bytes than float32. amax is
+    * NOT stored: cosine is scale-invariant, so the per-vector factor
+    * cancels and the codes alone answer similarity queries
+    * ([[graft.functions.CosineSimInt8]]). This is the middle serving
+    * tier between full precision (1×, exact) and PQ (q171: ~32×,
+    * lossy-ranked): int8 keeps per-dimension resolution, so its
+    * ranking tracks the float path to quantization noise — no re-rank
+    * tail needed. All-zero vectors (amax = 0) code to division-by-zero
+    * NaN codes upstream exactly like the float path's 0/0 — the
+    * fixture has none, and a production encoder drops empty vectors
+    * before indexing. */
+  def int8Encode(vecs: DataFrame): DataFrame =
+    vecs.withColumn("_amax",
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .select(col("vec_id"),
+        expr("transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE)" +
+          " / _amax * 127.0 + 0.5) AS TINYINT))").as("cq"))
+
+  /** q172 — int8 serving recall audit (the q139 protocol with the
+    * int8-cosine path as the system under test): probes ride the same
+    * trained-IVF model; candidates score from their byte codes via the
+    * codegen `cosine_sim_int8`; top-k taken DIRECTLY from the
+    * quantized scores (the tier's claim is that no exact re-rank is
+    * needed). Output per query: quantized-path hits vs exhaustive
+    * truth, plus `n_agree` — how many of the int8 top-k match the
+    * same-probe FULL-PRECISION top-k (the quantization-noise isolate:
+    * recall < 1 with n_agree = k means the probe budget, not int8,
+    * lost the neighbor). */
+  def annInt8RecallAudit(em: DataFrame, k: Int = TopK,
+      nProbe: Int = NProbe, sampleMod: Long = 50L, sampleRes: Long = 7L,
+      minHits: Int = 3, centroidIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val q = em.filter(col("vec_id") % sampleMod === sampleRes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val truth = topk(em.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr("cosine_sim(qe, embedding)")), k)
+      .select(col("qid"), col("neighbor"))
+    val model = kmeansCentroids(em, centroidIds, iters).localCheckpoint()
+    val assigned = assignUnderModel(em, model)
+    val probes = nearestCentroid(q, model.select(col("cid"), col("ce")),
+        "qid", "qe", nProbe)
+      .select(col("qid"), col("qe"), col("cid"))
+    val qcodes = int8Encode(q.select(col("qid").as("vec_id"),
+        col("qe").as("embedding")))
+      .select(col("vec_id").as("qid"), col("cq").as("qq"))
+    val cand = assigned.join(int8Encode(em), "vec_id")
+      .join(broadcast(probes.join(qcodes, "qid")), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+    val int8Top = cand
+      .withColumn("cos", expr("cosine_sim_int8(qq, cq)"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor"))
+    val fullTop = cand
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor"))
+    def hitsOf(t: DataFrame, c: DataFrame, out: String): DataFrame =
+      t.join(c, Seq("qid", "neighbor"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as(out))
+    q.select(col("qid"))
+      .join(hitsOf(truth, int8Top, "n_hit"), Seq("qid"), "left")
+      .join(hitsOf(int8Top, fullTop, "n_agree"), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / k + lit(1e-9), 4))
+      .withColumn("ok", (col("n_hit") >= minHits).cast("int"))
+      .orderBy("qid")
+  }
+
+  def annInt8RecallSql(k: Int = TopK, nProbe: Int = NProbe,
+      sampleMod: Long = 50L, sampleRes: Long = 7L,
+      minHits: Int = 3): String = {
+    val iterCtes = (1 to KmeansIters).map { it =>
+      s"""${kmeansAssignCte(s"c${it - 1}", s"a$it")},
+         |${kmeansUpdateCte(s"a$it", s"c$it")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+       |$iterCtes,
+       |${kmeansAssignCte(s"c$KmeansIters", "asg")},
+       |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
+       |  FROM embeddings WHERE vec_id % $sampleMod = $sampleRes),
+       |t AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, e.vec_id) AS rnk
+       |  FROM q, embeddings e WHERE e.vec_id <> q.qid) x WHERE rnk <= $k),
+       |am AS (SELECT vec_id,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+       |      AS amax FROM embeddings),
+       |enc AS MATERIALIZED (SELECT e.vec_id,
+       |    list_transform(e.embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) / am.amax * 127.0 + 0.5) AS INT))
+       |      AS cq
+       |  FROM embeddings e JOIN am ON am.vec_id = e.vec_id),
+       |p AS (SELECT qid, qe, cid FROM (
+       |  SELECT q.qid, q.qe, c.cid,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("c.ce", "q.qe")} DESC, c.cid) AS crn
+       |  FROM q, c$KmeansIters c) x WHERE crn <= $nProbe),
+       |qenc AS (SELECT qid, cq AS qq FROM q JOIN enc ON enc.vec_id = q.qid),
+       |cand AS MATERIALIZED (SELECT p.qid, p.qe, a.vec_id, a.embedding,
+       |    enc.cq, qenc.qq
+       |  FROM p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |  JOIN enc ON enc.vec_id = a.vec_id
+       |  JOIN qenc ON qenc.qid = p.qid),
+       |i8 AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY ${cosSql("qq", "cq")} DESC, vec_id) AS rnk
+       |  FROM cand) x WHERE rnk <= $k),
+       |fp AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY ${cosSql("qe", "embedding")} DESC, vec_id) AS rnk
+       |  FROM cand) x WHERE rnk <= $k),
+       |h AS (SELECT t.qid, count(*) AS n_hit FROM t
+       |  JOIN i8 ON i8.qid = t.qid AND i8.vec_id = t.vec_id
+       |  GROUP BY t.qid),
+       |ag AS (SELECT i8.qid, count(*) AS n_agree FROM i8
+       |  JOIN fp ON fp.qid = i8.qid AND fp.vec_id = i8.vec_id
+       |  GROUP BY i8.qid)
+       |SELECT q.qid,
+       |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(coalesce(ag.n_agree, 0) AS BIGINT) AS n_agree,
+       |  round(coalesce(h.n_hit, 0) / CAST($k AS DOUBLE) + 1e-9, 4)
+       |    AS recall,
+       |  CAST(coalesce(h.n_hit, 0) >= $minHits AS INT) AS ok
+       |FROM q LEFT JOIN h ON h.qid = q.qid
+       |LEFT JOIN ag ON ag.qid = q.qid ORDER BY q.qid""".stripMargin
+  }
+
+  /** Persist int8 codes beside a trained-IVF index: `<table>_int8` =
+    * (vec_id, cid, cq), cid-bucketed, sharing the base `_model` and
+    * `_deletes` exactly like the PQ side ([[writePqCodes]]). */
+  def writeInt8Codes(spark: SparkSession, ivfTable: String,
+      nBuckets: Int = 8): Unit = {
+    GraftFunctions.register(spark)
+    val idx = spark.table(ivfTable)
+    graft.sources.FileIO.writeParquetBucketed(
+      int8Encode(idx).join(idx.select(col("vec_id"), col("cid")), "vec_id")
+        .select(col("vec_id"), col("cid"), col("cq")),
+      s"${ivfTable}_int8", nBuckets, "cid", Seq("cid"))
+  }
+
+  /** Extend the int8 side for an appended batch — O(|batch|). */
+  def appendToInt8Codes(newBatch: DataFrame, ivfTable: String,
+      nBuckets: Int = 8): Unit = {
+    val spark = newBatch.sparkSession
+    GraftFunctions.register(spark)
+    val model = spark.table(s"${ivfTable}_model").localCheckpoint()
+    graft.sources.FileIO.appendParquetBucketed(
+      int8Encode(newBatch)
+        .join(assignUnderModel(newBatch, model)
+          .select(col("vec_id"), col("cid")), "vec_id")
+        .select(col("vec_id"), col("cid"), col("cq")),
+      s"${ivfTable}_int8", nBuckets, "cid", Seq("cid"))
+  }
+
+  /** int8 rows under the base index's SHARED tombstones. */
+  def liveInt8Codes(spark: SparkSession, ivfTable: String): DataFrame = {
+    val i8 = spark.table(s"${ivfTable}_int8")
+    if (spark.catalog.tableExists(s"${ivfTable}_deletes"))
+      i8.join(broadcast(spark.table(s"${ivfTable}_deletes").distinct()),
+        Seq("vec_id"), "left_anti")
+    else i8
+  }
+
+  /** int8-served kNN from the persisted tables: candidates score from
+    * byte codes only; the query's code comes from the live base index
+    * row (one pointed lookup). No re-rank — the tier's contract. */
+  def knnInt8Serve(spark: SparkSession, ivfTable: String,
+      queryIds: Seq[Long] = QueryIds, k: Int = TopK,
+      nProbe: Int = NProbe): DataFrame = {
+    GraftFunctions.register(spark)
+    val live = liveTrainedIvfIndex(spark, ivfTable)
+    val q = live.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probes = nearestCentroid(q,
+        spark.table(s"${ivfTable}_model").select(col("cid"), col("ce")),
+        "qid", "qe", nProbe)
+      .select(col("qid"), col("cid"))
+    val qcodes = int8Encode(q.select(col("qid").as("vec_id"),
+        col("qe").as("embedding")))
+      .select(col("vec_id").as("qid"), col("cq").as("qq"))
+    topk(liveInt8Codes(spark, ivfTable)
+      .join(broadcast(probes.join(qcodes, "qid")), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr("cosine_sim_int8(qq, cq)")), k)
+  }
+
+  /** The in-session twin AnnIndexSpec compares [[knnInt8Serve]] to,
+    * under an explicit model (the knnPqWith pattern). */
+  def knnInt8With(em: DataFrame, model: DataFrame,
+      queryIds: Seq[Long] = QueryIds, k: Int = TopK,
+      nProbe: Int = NProbe): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val q = em.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probes = nearestCentroid(q, model.select(col("cid"), col("ce")),
+        "qid", "qe", nProbe)
+      .select(col("qid"), col("cid"))
+    val qcodes = int8Encode(q.select(col("qid").as("vec_id"),
+        col("qe").as("embedding")))
+      .select(col("vec_id").as("qid"), col("cq").as("qq"))
+    topk(assignUnderModel(em, model)
+      .join(int8Encode(em), "vec_id")
+      .join(broadcast(probes.join(qcodes, "qid")), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr("cosine_sim_int8(qq, cq)")), k)
+  }
+
   /** [[graft.core.EagerByDesign]] shorthand — LazinessSpec discovers
     * the marker; the reason documents why construction-time jobs are
     * legitimate for the entry. */
@@ -2466,6 +2690,11 @@ object SimilarityOps {
       "so training runs once for its multiple consumers"
 
   val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q172_int8_ann_recall",
+      eager(ModelEager + " (assignment, probes, truth arm)")(
+        (s: SparkSession, d: String) =>
+          annInt8RecallAudit(Tables.embeddings(s, d))),
+      Some(annInt8RecallSql())),
     ("q171_pq_ann_recall",
       eager(ModelEager + " (assignment, ADC probes, truth arm)")(
         (s: SparkSession, d: String) =>

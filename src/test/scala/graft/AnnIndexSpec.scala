@@ -246,6 +246,34 @@ class AnnIndexSpec extends SparkSpec {
     assert(afterCompact.collect().toSeq == direct.collect().toSeq)
   }
 
+  // ------------------------------------------------------------- q172
+
+  test("int8 codes beside the trained IVF index: serve ≡ direct under " +
+      "the stored model, batch append encodes under it, and ONE " +
+      "logical delete leaves the byte codes too") {
+    val em = Tables.embeddings(spark, sf0001)
+    import org.apache.spark.sql.functions.col
+    val base = em.filter(col("vec_id") % 10 =!= 4)
+    val batch = em.filter(col("vec_id") % 10 === 4)
+    SimilarityOps.writeTrainedIvfIndex(base, "ann_i8", nBuckets = 8)
+    SimilarityOps.writeInt8Codes(spark, "ann_i8", nBuckets = 8)
+    SimilarityOps.appendToTrainedIvfIndex(batch, "ann_i8", nBuckets = 8)
+    SimilarityOps.appendToInt8Codes(batch, "ann_i8", nBuckets = 8)
+    val model = spark.table("ann_i8_model")
+    val served = SimilarityOps.knnInt8Serve(spark, "ann_i8")
+    val direct = SimilarityOps.knnInt8With(em, model)
+    assert(served.collect().toSeq == direct.collect().toSeq)
+
+    val gone = Seq(1L, 2L)
+    SimilarityOps.deleteFromTrainedIvfIndex(spark, "ann_i8", gone)
+    val after = SimilarityOps.knnInt8Serve(spark, "ann_i8")
+    val ref = SimilarityOps.knnInt8With(
+      em.filter(!col("vec_id").isin(gone: _*)), model)
+    assert(after.collect().toSeq == ref.collect().toSeq)
+    after.collect().foreach(r =>
+      assert(!gone.contains(r.getLong(2)), s"deleted id served: $r"))
+  }
+
   test("PQ re-rank tail covering the probed cells makes PQ lossless: " +
       "rerank→∞ ≡ the full-precision trained-IVF path") {
     val em = Tables.embeddings(spark, sf0001)
