@@ -2452,6 +2452,251 @@ object SimilarityOps {
   }
 
   // ------------------------------------------------------------------
+  // q173 — trained PQ codebook (per-subspace Lloyd — real PQ)
+  // ------------------------------------------------------------------
+
+  /** Train the PQ codebook per subspace with Lloyd iterations in slice
+    * space (Jégou '11 §II trains k-means per subquantizer; q171's
+    * static seed-slice codebook is the untrained init). Init = the
+    * seed rows' slices (the q171/q120 convention, so iters = 0
+    * degenerates to the static codebook exactly); each iteration
+    * assigns every vector's slice to its nearest codebook slice (L2²,
+    * slot tie-break) and re-centers each (s, slot) cell on the mean
+    * slice. Means round to 6dp + the FIXTURES boundary nudge and cast
+    * to float — the [[kmeansCentroids]] determinism convention, so the
+    * DuckDB oracle replays the exact same codebook. A cell that loses
+    * every member RETAINS its previous center (standard k-means dead-
+    * cell handling — and load-bearing here: the ADC distance table is
+    * flat-indexed s·K+slot, so every subspace must keep a uniform K;
+    * a silently shrunk subspace would corrupt neighboring lookups).
+    * The q120 audit remains the tool that surfaces dead/fat cells.
+    *
+    * Scale shape: per iteration, one slim (id, s, slice) scan against
+    * a broadcast |S|·|K| codebook and one (s, slot, pos) mean — the
+    * same dimension-parallel reduction as Lloyd, S× narrower per row.
+    * Codebook training obeys the same cap lever as
+    * [[kmeansCentroidsSampled]] at 100 TB (train on a sample, encode
+    * the corpus). */
+  def pqTrainCodebook(em: DataFrame, subspaces: Int = PqSubspaces,
+      codebookIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    var cb = pqCodebookOf(em, subspaces, codebookIds)
+      .select(col("s"), col("slot"), col("cv"))
+    val sub = pqSliceRows(em.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", "sv", subspaces)
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("err2"), col("slot"))
+      val asg = sub.join(broadcast(cb), "s")
+        .withColumn("err2", expr(
+          """aggregate(zip_with(sv, cv,
+            |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+            |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+            |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("s"), col("slot"), col("sv"))
+      val updated = asg
+        .select(col("s"), col("slot"),
+          posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("s"), col("slot"), col("pos"))
+        .agg(round(avg(col("v").cast("double")) + lit(1e-9), 6).as("m"))
+        .groupBy(col("s"), col("slot"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m").cast("float")).as("nv"))
+      cb = cb.withColumnRenamed("cv", "pv")
+        .join(updated, Seq("s", "slot"), "left")
+        .select(col("s"), col("slot"),
+          coalesce(col("nv"), col("pv")).as("cv"))
+    }
+    cb.withColumn("cn2", expr(
+      """aggregate(cv, CAST(0 AS DOUBLE),
+        |  (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"""
+        .stripMargin))
+  }
+
+  /** q173 — the q171 recall audit under the TRAINED codebook: same
+    * protocol, same serving shape, the codebook is the only change —
+    * the measured answer to "was q171's isotropic ADC floor the static
+    * codebook's fault?" — only marginally: trained lifts sf0.1 recall
+    * 0.19 → 0.225 (+18% relative, ADC hits 0.47 → 0.50; BASELINE §x).
+    * Unclustered data stays a re-rank-or-full-precision regime — the
+    * quantization error is the DATA's isotropy, not the codebook fit —
+    * while on clustered corpora the trained book is the production
+    * default (Jégou '11 trains per-subquantizer k-means for exactly
+    * this reason). */
+  def annPqTrainedRecallAudit(em: DataFrame, k: Int = TopK,
+      nProbe: Int = NProbe, rerank: Int = PqRerank, sampleMod: Long = 50L,
+      sampleRes: Long = 7L, minHits: Int = 3,
+      subspaces: Int = PqSubspaces,
+      codebookIds: Seq[Long] = CentroidIds,
+      centroidIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val q = em.filter(col("vec_id") % sampleMod === sampleRes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val truth = topk(em.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr("cosine_sim(qe, embedding)")), k)
+      .select(col("qid"), col("neighbor"))
+    val model = kmeansCentroids(em, centroidIds, iters).localCheckpoint()
+    val cb = pqTrainCodebook(em, subspaces, codebookIds, iters)
+      .localCheckpoint()
+    val codes = pqEncode(em, cb, subspaces)
+      .join(assignUnderModel(em, model).select(col("vec_id"), col("cid")),
+        "vec_id")
+    val tail = pqAdcTail(codes, cb, model, q, k, nProbe, rerank, subspaces)
+    val fin = pqRerankTail(tail, em.select(col("vec_id"), col("embedding")),
+        q, k)
+      .select(col("qid"), col("neighbor"))
+    val adcTop = tail.filter(col("adcrnk") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor"))
+    def hitsOf(c: DataFrame, out: String): DataFrame =
+      truth.join(c, Seq("qid", "neighbor"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as(out))
+    q.select(col("qid"))
+      .join(hitsOf(adcTop, "n_hit_adc"), Seq("qid"), "left")
+      .join(hitsOf(fin, "n_hit"), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hit_adc"), lit(0L)).as("n_hit_adc"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / k + lit(1e-9), 4))
+      .withColumn("ok", (col("n_hit") >= minHits).cast("int"))
+      .orderBy("qid")
+  }
+
+  def annPqTrainedRecallSql(k: Int = TopK, nProbe: Int = NProbe,
+      rerank: Int = PqRerank, sampleMod: Long = 50L, sampleRes: Long = 7L,
+      minHits: Int = 3, subspaces: Int = PqSubspaces,
+      codebookIds: Seq[Long] = CentroidIds): String = {
+    val iterCtes = (1 to KmeansIters).map { it =>
+      s"""${kmeansAssignCte(s"c${it - 1}", s"a$it")},
+         |${kmeansUpdateCte(s"a$it", s"c$it")}""".stripMargin
+    }.mkString(",\n")
+    val err2Of = (cvRef: String) =>
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(generate_series(1, len(sv)),
+         |      i -> (CAST(sv[i] AS DOUBLE) - CAST($cvRef[i] AS DOUBLE))
+         |         * (CAST(sv[i] AS DOUBLE) - CAST($cvRef[i] AS DOUBLE)))),
+         |    (a, v) -> a + v)""".stripMargin
+    // per-subspace Lloyd: assign slices to the previous codebook, then
+    // re-center each (s, slot) cell — the same 6dp+nudge+float rounding
+    // as the Spark trainer, so both engines walk identical codebooks
+    val pqIterCtes = (1 to KmeansIters).map { it =>
+      s"""pqa$it AS (SELECT s, slot, sv FROM (
+         |  SELECT sub.s, pqc${it - 1}.slot, sub.sv,
+         |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+         |      ORDER BY ${err2Of(s"pqc${it - 1}.cv")}, pqc${it - 1}.slot)
+         |      AS rn
+         |  FROM sub JOIN pqc${it - 1} ON pqc${it - 1}.s = sub.s) x
+         |  WHERE rn = 1),
+         |pqu$it AS (SELECT s, slot,
+         |    list(CAST(m AS FLOAT) ORDER BY pos) AS nv FROM (
+         |  SELECT s, slot, g.i AS pos,
+         |    round(avg(CAST(sv[g.i] AS DOUBLE)) + 1e-9, 6) AS m
+         |  FROM pqa$it, UNNEST(generate_series(1, len(sv))) AS g(i)
+         |  GROUP BY s, slot, g.i) y GROUP BY s, slot),
+         |pqc$it AS (SELECT p.s, p.slot, coalesce(u.nv, p.cv) AS cv
+         |  FROM pqc${it - 1} p LEFT JOIN pqu$it u
+         |    ON u.s = p.s AND u.slot = p.slot)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+       |$iterCtes,
+       |${kmeansAssignCte(s"c$KmeansIters", "asg")},
+       |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
+       |  FROM embeddings WHERE vec_id % $sampleMod = $sampleRes),
+       |t AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, e.vec_id) AS rnk
+       |  FROM q, embeddings e WHERE e.vec_id <> q.qid) x WHERE rnk <= $k),
+       |cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS slot,
+       |    embedding AS cbv FROM embeddings
+       |  WHERE vec_id IN (${codebookIds.mkString(", ")})),
+       |pqc0 AS (SELECT slot, g.s,
+       |    list_slice(cbv, g.s * (len(cbv) // $subspaces) + 1,
+       |      (g.s + 1) * (len(cbv) // $subspaces)) AS cv
+       |  FROM cb0, generate_series(0, ${subspaces - 1}) g(s)),
+       |sub AS MATERIALIZED (SELECT vec_id, g.s,
+       |    list_slice(embedding, g.s * (len(embedding) // $subspaces) + 1,
+       |      (g.s + 1) * (len(embedding) // $subspaces)) AS sv
+       |  FROM embeddings, generate_series(0, ${subspaces - 1}) g(s)),
+       |$pqIterCtes,
+       |cbn2 AS MATERIALIZED (SELECT slot, s, cv,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (a, v) -> a + v) AS cn2 FROM pqc$KmeansIters),
+       |enc0 AS (SELECT vec_id, s, slot, cn2 FROM (
+       |  SELECT sub.vec_id, sub.s, cbn2.slot, cbn2.cn2,
+       |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |      ORDER BY ${err2Of("cbn2.cv")}, cbn2.slot) AS rn
+       |  FROM sub JOIN cbn2 ON cbn2.s = sub.s) x WHERE rn = 1),
+       |enc AS MATERIALIZED (SELECT vec_id,
+       |    list(slot ORDER BY s) AS codes,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(cn2 ORDER BY s)), (a, v) -> a + v)) AS rnorm
+       |  FROM enc0 GROUP BY vec_id),
+       |p AS (SELECT qid, cid FROM (
+       |  SELECT q.qid, c.cid,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("c.ce", "q.qe")} DESC, c.cid) AS crn
+       |  FROM q, c$KmeansIters c) x WHERE crn <= $nProbe),
+       |qsub AS (SELECT qid, g.s,
+       |    list_slice(qe, g.s * (len(qe) // $subspaces) + 1,
+       |      (g.s + 1) * (len(qe) // $subspaces)) AS qv
+       |  FROM q, generate_series(0, ${subspaces - 1}) g(s)),
+       |qd AS (SELECT qid, qsub.s AS s, slot,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(qv)),
+       |        i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))),
+       |      (a, v) -> a + v) AS dot
+       |  FROM qsub JOIN cbn2 ON cbn2.s = qsub.s),
+       |qdt AS (SELECT qid, list(dot ORDER BY s, slot) AS dt
+       |  FROM qd GROUP BY qid),
+       |qn AS (SELECT qid, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(qe, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))),
+       |    (a, v) -> a + v)) AS qnorm FROM q),
+       |adc AS (SELECT p.qid, a.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, $subspaces),
+       |        i -> dt[(i - 1) * (len(dt) // $subspaces)
+       |                + enc.codes[i] + 1])),
+       |      (a2, v) -> a2 + v) / (qn.qnorm * enc.rnorm) AS adc
+       |  FROM p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |  JOIN enc ON enc.vec_id = a.vec_id
+       |  JOIN qdt ON qdt.qid = p.qid
+       |  JOIN qn ON qn.qid = p.qid),
+       |tail AS MATERIALIZED (SELECT qid, vec_id, adcrnk FROM (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adc DESC, vec_id) AS adcrnk FROM adc) x
+       |  WHERE adcrnk <= ${k * rerank}),
+       |fin AS (SELECT qid, vec_id FROM (
+       |  SELECT tl.qid, tl.vec_id,
+       |    row_number() OVER (PARTITION BY tl.qid
+       |      ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, tl.vec_id)
+       |      AS rnk
+       |  FROM tail tl JOIN embeddings e ON e.vec_id = tl.vec_id
+       |  JOIN q ON q.qid = tl.qid) x WHERE rnk <= $k),
+       |ha AS (SELECT t.qid, count(*) AS n_hit_adc FROM t
+       |  JOIN tail tl ON tl.qid = t.qid AND tl.vec_id = t.vec_id
+       |  WHERE tl.adcrnk <= $k GROUP BY t.qid),
+       |hf AS (SELECT t.qid, count(*) AS n_hit FROM t
+       |  JOIN fin f ON f.qid = t.qid AND f.vec_id = t.vec_id
+       |  GROUP BY t.qid)
+       |SELECT q.qid,
+       |  CAST(coalesce(ha.n_hit_adc, 0) AS BIGINT) AS n_hit_adc,
+       |  CAST(coalesce(hf.n_hit, 0) AS BIGINT) AS n_hit,
+       |  round(coalesce(hf.n_hit, 0) / CAST($k AS DOUBLE) + 1e-9, 4)
+       |    AS recall,
+       |  CAST(coalesce(hf.n_hit, 0) >= $minHits AS INT) AS ok
+       |FROM q LEFT JOIN ha ON ha.qid = q.qid
+       |LEFT JOIN hf ON hf.qid = q.qid ORDER BY q.qid""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // q172 — int8-coded ANN serving (the near-lossless 4× tier)
   // ------------------------------------------------------------------
 
@@ -2690,6 +2935,12 @@ object SimilarityOps {
       "so training runs once for its multiple consumers"
 
   val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q173_pq_trained_recall",
+      eager(ModelEager +
+        " (and the per-subspace codebook Lloyd checkpoints likewise)")(
+        (s: SparkSession, d: String) =>
+          annPqTrainedRecallAudit(Tables.embeddings(s, d))),
+      Some(annPqTrainedRecallSql())),
     ("q172_int8_ann_recall",
       eager(ModelEager + " (assignment, probes, truth arm)")(
         (s: SparkSession, d: String) =>
