@@ -414,44 +414,9 @@ object IngestDedupApp {
     * stop to every pre-guard corpus. `rebind` is the explicit operator
     * override for "this IS the original checkpoint, re-mark it". */
   private def bindCheckpoint(spark: SparkSession, corpusDir: String,
-      checkpointDir: String, rebind: Boolean = false): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(corpusDir, "_checkpoint_binding")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // (scheme, authority, path) with null≡empty authority: Hadoop
-    // qualifies "/x" to file:///x (empty authority, copied from the
-    // default-FS URI) but leaves "file:/x" at null authority — same
-    // filesystem location, different URI strings.
-    def qualified(p: String): String = {
-      val path = new org.apache.hadoop.fs.Path(p)
-      val uri = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .makeQualified(path).toUri
-      s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}${uri.getPath}"
-    }
-    val canonical = qualified(checkpointDir)
-    if (fs.exists(marker)) {
-      val bound = {
-        val in = fs.open(marker)
-        try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-        finally in.close()
-      }
-      require(qualified(bound) == canonical,
-        s"corpus $corpusDir is bound to checkpoint $bound; refusing to " +
-          s"stream into it from $canonical — a fresh checkpoint restarts " +
-          "batch ids at 0 and would overwrite landed batches. Resume the " +
-          "original checkpoint, or target a new corpus directory.")
-    } else {
-      require(rebind || batchDirs(spark, corpusDir).isEmpty,
-        s"corpus $corpusDir has landed batch dirs but no checkpoint " +
-          "binding marker (created before the guard, or marker lost); " +
-          s"refusing to adopt $canonical — if it is NOT the stream's " +
-          "original checkpoint, batch ids restart at 0 and overwrite " +
-          "landed batches. Pass rebind=true to bind this checkpoint " +
-          "explicitly.")
-      val out = fs.create(marker, true)
-      try out.write(canonical.getBytes("UTF-8")) finally out.close()
-    }
-  }
+      checkpointDir: String, rebind: Boolean = false): Unit =
+    graft.streaming.CheckpointBinding.bind(spark, corpusDir,
+      checkpointDir, rebind, batchDirs(spark, corpusDir).nonEmpty)
 
   /** OPTIONAL keeper-table maintenance — [[graft.llm.DedupOps.mergeKeepers]]
     * wired into the ingest loop, closing the last full-recompute in it
