@@ -2072,9 +2072,28 @@ object SimilarityOps {
     * a rank cut, so they must be bit-identical across engines and
     * retries, and unordered float addition is not. */
   def pqEncode(vecs: DataFrame, cb: DataFrame,
-      subspaces: Int = PqSubspaces): DataFrame = {
-    val sub = pqSliceRows(vecs.select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding", "sv", subspaces)
+      subspaces: Int = PqSubspaces): DataFrame =
+    pqEncodeKeyed(vecs.select(col("vec_id"), col("embedding")), cb,
+      subspaces, Seq("vec_id"))
+
+  /** [[pqEncode]] over an ALREADY-ASSIGNED frame, carrying `cid`
+    * through the encode aggregation (cid is per-vector, so grouping by
+    * (vec_id, cid) is free) — the index builders use this instead of
+    * encode-then-join-assignment, which paid one extra corpus shuffle
+    * for a column the input already had. */
+  def pqEncodeAssigned(assigned: DataFrame, cb: DataFrame,
+      subspaces: Int = PqSubspaces): DataFrame =
+    pqEncodeKeyed(
+      assigned.select(col("vec_id"), col("cid"), col("embedding")), cb,
+      subspaces, Seq("vec_id", "cid"))
+
+  private def pqEncodeKeyed(vecs: DataFrame, cb: DataFrame,
+      subspaces: Int, keys: Seq[String]): DataFrame = {
+    val sub = vecs
+      .withColumn("s", explode(sequence(lit(0), lit(subspaces - 1))))
+      .withColumn("_w", expr(s"size(embedding) DIV $subspaces"))
+      .withColumn("sv", expr("slice(embedding, s * _w + 1, _w)"))
+      .select(keys.map(col) ++ Seq(col("s"), col("sv")): _*)
     val w = Window.partitionBy(col("vec_id"), col("s"))
       .orderBy(col("err2"), col("slot"))
     sub.join(broadcast(cb), "s")
@@ -2084,7 +2103,7 @@ object SimilarityOps {
           |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
           |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(col("vec_id"))
+      .groupBy(keys.map(col): _*)
       .agg(
         expr("transform(array_sort(collect_list(struct(s, slot)))," +
           " x -> x.slot)").as("codes"),
@@ -2170,9 +2189,8 @@ object SimilarityOps {
       queryIds: Seq[Long] = QueryIds, k: Int = TopK, nProbe: Int = NProbe,
       rerank: Int = PqRerank, subspaces: Int = PqSubspaces): DataFrame = {
     GraftFunctions.register(em.sparkSession)
-    val codes = pqEncode(em, cb, subspaces)
-      .join(assignUnderModel(em, model).select(col("vec_id"), col("cid")),
-        "vec_id")
+    val codes = pqEncodeAssigned(assignUnderModel(em, model), cb,
+      subspaces)
     val q = em.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     pqRerankTail(pqAdcTail(codes, cb, model, q, k, nProbe, rerank,
@@ -2217,9 +2235,8 @@ object SimilarityOps {
       .select(col("qid"), col("neighbor"))
     val model = kmeansCentroids(em, centroidIds, iters).localCheckpoint()
     val cb = pqCodebookOf(em, subspaces, codebookIds)
-    val codes = pqEncode(em, cb, subspaces)
-      .join(assignUnderModel(em, model).select(col("vec_id"), col("cid")),
-        "vec_id")
+    val codes = pqEncodeAssigned(assignUnderModel(em, model), cb,
+      subspaces)
     val tail = pqAdcTail(codes, cb, model, q, k, nProbe, rerank, subspaces)
     val fin = pqRerankTail(tail, em.select(col("vec_id"), col("embedding")),
         q, k)
@@ -2371,8 +2388,7 @@ object SimilarityOps {
     cb.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${ivfTable}_pqcodebook")
     graft.sources.FileIO.writeParquetBucketed(
-      pqEncode(idx, cb, subspaces)
-        .join(idx.select(col("vec_id"), col("cid")), "vec_id")
+      pqEncodeAssigned(idx, cb, subspaces)
         .select(col("vec_id"), col("cid"), col("codes"), col("rnorm")),
       s"${ivfTable}_pq", nBuckets, "cid", Seq("cid"))
   }
@@ -2387,9 +2403,7 @@ object SimilarityOps {
     val model = spark.table(s"${ivfTable}_model").localCheckpoint()
     val cb = spark.table(s"${ivfTable}_pqcodebook").localCheckpoint()
     graft.sources.FileIO.appendParquetBucketed(
-      pqEncode(newBatch, cb, subspaces)
-        .join(assignUnderModel(newBatch, model)
-          .select(col("vec_id"), col("cid")), "vec_id")
+      pqEncodeAssigned(assignUnderModel(newBatch, model), cb, subspaces)
         .select(col("vec_id"), col("cid"), col("codes"), col("rnorm")),
       s"${ivfTable}_pq", nBuckets, "cid", Seq("cid"))
   }
@@ -2543,9 +2557,8 @@ object SimilarityOps {
     val model = kmeansCentroids(em, centroidIds, iters).localCheckpoint()
     val cb = pqTrainCodebook(em, subspaces, codebookIds, iters)
       .localCheckpoint()
-    val codes = pqEncode(em, cb, subspaces)
-      .join(assignUnderModel(em, model).select(col("vec_id"), col("cid")),
-        "vec_id")
+    val codes = pqEncodeAssigned(assignUnderModel(em, model), cb,
+      subspaces)
     val tail = pqAdcTail(codes, cb, model, q, k, nProbe, rerank, subspaces)
     val fin = pqRerankTail(tail, em.select(col("vec_id"), col("embedding")),
         q, k)
@@ -2714,11 +2727,14 @@ object SimilarityOps {
     * fixture has none, and a production encoder drops empty vectors
     * before indexing. */
   def int8Encode(vecs: DataFrame): DataFrame =
+    // a pure PROJECTION: input columns ride through (callers encoding
+    // an already-assigned frame keep cid without a re-join shuffle)
     vecs.withColumn("_amax",
         expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
-      .select(col("vec_id"),
+      .withColumn("cq",
         expr("transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE)" +
-          " / _amax * 127.0 + 0.5) AS TINYINT))").as("cq"))
+          " / _amax * 127.0 + 0.5) AS TINYINT))"))
+      .drop("_amax")
 
   /** q172 — int8 serving recall audit (the q139 protocol with the
     * int8-cosine path as the system under test): probes ride the same
@@ -2749,7 +2765,7 @@ object SimilarityOps {
     val qcodes = int8Encode(q.select(col("qid").as("vec_id"),
         col("qe").as("embedding")))
       .select(col("vec_id").as("qid"), col("cq").as("qq"))
-    val cand = assigned.join(int8Encode(em), "vec_id")
+    val cand = int8Encode(assigned)
       .join(broadcast(probes.join(qcodes, "qid")), "cid")
       .filter(col("vec_id") =!= col("qid"))
     val int8Top = cand
@@ -2848,8 +2864,7 @@ object SimilarityOps {
     GraftFunctions.register(spark)
     val idx = spark.table(ivfTable)
     graft.sources.FileIO.writeParquetBucketed(
-      int8Encode(idx).join(idx.select(col("vec_id"), col("cid")), "vec_id")
-        .select(col("vec_id"), col("cid"), col("cq")),
+      int8Encode(idx).select(col("vec_id"), col("cid"), col("cq")),
       s"${ivfTable}_int8", nBuckets, "cid", Seq("cid"))
   }
 
@@ -2860,9 +2875,7 @@ object SimilarityOps {
     GraftFunctions.register(spark)
     val model = spark.table(s"${ivfTable}_model").localCheckpoint()
     graft.sources.FileIO.appendParquetBucketed(
-      int8Encode(newBatch)
-        .join(assignUnderModel(newBatch, model)
-          .select(col("vec_id"), col("cid")), "vec_id")
+      int8Encode(assignUnderModel(newBatch, model))
         .select(col("vec_id"), col("cid"), col("cq")),
       s"${ivfTable}_int8", nBuckets, "cid", Seq("cid"))
   }
@@ -2913,8 +2926,7 @@ object SimilarityOps {
     val qcodes = int8Encode(q.select(col("qid").as("vec_id"),
         col("qe").as("embedding")))
       .select(col("vec_id").as("qid"), col("cq").as("qq"))
-    topk(assignUnderModel(em, model)
-      .join(int8Encode(em), "vec_id")
+    topk(int8Encode(assignUnderModel(em, model))
       .join(broadcast(probes.join(qcodes, "qid")), "cid")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", expr("cosine_sim_int8(qq, cq)")), k)
