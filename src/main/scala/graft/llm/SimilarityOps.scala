@@ -2466,6 +2466,136 @@ object SimilarityOps {
   }
 
   // ------------------------------------------------------------------
+  // q174 — retrieval-quality metrics (P@k / MRR / nDCG)
+  // ------------------------------------------------------------------
+
+  /** q174 — the standard IR evaluation battery over the production
+    * serving path: the q139 family audits how well the INDEX
+    * approximates exhaustive cosine search; this audits whether what
+    * the index returns is RELEVANT — precision@k, MRR and binary-gain
+    * nDCG@k per query (Järvelin & Kekäläinen '02 for nDCG; the triple
+    * every retrieval eval files), with relevance = "shares the query's
+    * label" (the fixture's ground truth; swap the relevance join for a
+    * qrels table in production). The system under test is the
+    * trained-IVF serve shape (same model, same probes as q139).
+    *
+    * nDCG uses ln-ratio DCG (1/log₂(i+1) = ln2/ln(i+1), folded as
+    * ln(2)/ln(i+1) on both engines — identical IEEE sequences); IDCG
+    * caps at min(k, R) where R = the query's corpus-wide relevant
+    * count minus self — a query whose label has fewer than k members
+    * can still score 1.0, which is the point of the normalization.
+    *
+    * Scale shape: the serve arm is the standard broadcast-probe scan;
+    * per-label corpus counts are a |labels|-row broadcast; the metric
+    * arithmetic is a per-(query,rank) projection folded to |sample|
+    * rows.
+    *
+    * Fixture note: the synthetic labels are independent of the
+    * embedding geometry, so measured P@5 ≈ chance (0.095 at sf0.1,
+    * ~1/|labels|) — correct behavior, and exactly what this audit
+    * exists to catch in a real store: an embedding space whose nearest
+    * neighbors are NOT semantically relevant serves retrieval no
+    * better than random, whatever its ANN recall says. */
+  def retrievalMetrics(em: DataFrame, k: Int = TopK, nProbe: Int = NProbe,
+      sampleMod: Long = 50L, sampleRes: Long = 7L,
+      centroidIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val q = em.filter(col("vec_id") % sampleMod === sampleRes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val model = kmeansCentroids(em, centroidIds, iters).localCheckpoint()
+    val retrieved = ivfTrainedTopkFor(assignUnderModel(em, model), model,
+        q.select(col("qid"), col("qe")), k, nProbe)
+      .join(em.select(col("vec_id").as("neighbor"), col("label")),
+        "neighbor")
+      .join(q.select(col("qid"), col("qlabel")), "qid")
+      .withColumn("rel", (col("label") === col("qlabel")).cast("int"))
+    val perQ = retrieved.groupBy(col("qid"))
+      .agg(sum(col("rel")).as("n_rel_at_k"),
+        min(when(col("rel") === 1, col("rnk"))).as("first_rel"),
+        sum(col("rel").cast("double")
+          * (log(lit(2.0)) / log(col("rnk").cast("double") + 1.0)))
+          .as("dcg"))
+    // R per query: corpus-wide same-label count minus the query itself
+    val labelCounts = em.groupBy(col("label")).agg(count(lit(1)).as("lc"))
+    val ideal = q.join(broadcast(labelCounts),
+        col("qlabel") === col("label"))
+      .select(col("qid"), least(lit(k), col("lc") - 1).as("r"))
+      // IDCG(r) = Σ_{i=1..r} ln2/ln(i+1), folded in rank order
+      .withColumn("idcg", expr(
+        """aggregate(sequence(1, CAST(r AS INT)), CAST(0 AS DOUBLE),
+          |  (a, i) -> a + ln(2.0) / ln(CAST(i AS DOUBLE) + 1.0))"""
+          .stripMargin))
+    q.select(col("qid"))
+      .join(perQ, Seq("qid"), "left")
+      .join(ideal, Seq("qid"))
+      .select(col("qid"),
+        coalesce(col("n_rel_at_k"), lit(0L)).as("n_rel_at_k"),
+        round(coalesce(col("n_rel_at_k"), lit(0L)).cast("double") / k
+          + lit(1e-9), 4).as("p_at_k"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0))
+          + lit(1e-9), 4).as("mrr"),
+        round(when(col("idcg") > 0,
+            coalesce(col("dcg"), lit(0.0)) / col("idcg"))
+          .otherwise(lit(0.0)) + lit(1e-9), 4).as("ndcg"))
+      .orderBy("qid")
+  }
+
+  def retrievalMetricsSql(k: Int = TopK, nProbe: Int = NProbe,
+      sampleMod: Long = 50L, sampleRes: Long = 7L): String = {
+    val iterCtes = (1 to KmeansIters).map { it =>
+      s"""${kmeansAssignCte(s"c${it - 1}", s"a$it")},
+         |${kmeansUpdateCte(s"a$it", s"c$it")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+       |$iterCtes,
+       |${kmeansAssignCte(s"c$KmeansIters", "asg")},
+       |q AS MATERIALIZED (SELECT e.vec_id AS qid, e.embedding AS qe,
+       |    e.label AS qlabel
+       |  FROM embeddings e WHERE e.vec_id % $sampleMod = $sampleRes),
+       |p AS (SELECT qid, qe, cid FROM (
+       |  SELECT q.qid, q.qe, c.cid,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("c.ce", "q.qe")} DESC, c.cid) AS crn
+       |  FROM q, c$KmeansIters c) x WHERE crn <= $nProbe),
+       |ret AS (SELECT qid, vec_id, rnk FROM (
+       |  SELECT p.qid, a.vec_id,
+       |    row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY ${cosSql("p.qe", "a.embedding")} DESC, a.vec_id) AS rnk
+       |  FROM p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid) x
+       |  WHERE rnk <= $k),
+       |rel AS (SELECT r.qid, r.rnk,
+       |    CAST(e.label = q.qlabel AS INT) AS rel
+       |  FROM ret r JOIN embeddings e ON e.vec_id = r.vec_id
+       |  JOIN q ON q.qid = r.qid),
+       |perq AS (SELECT qid, sum(rel) AS n_rel_at_k,
+       |    min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+       |    sum(CAST(rel AS DOUBLE)
+       |      * (ln(2.0) / ln(CAST(rnk AS DOUBLE) + 1.0))) AS dcg
+       |  FROM rel GROUP BY qid),
+       |lc AS (SELECT label, count(*) AS lc FROM embeddings GROUP BY label),
+       |ideal AS (SELECT q.qid,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(
+       |        generate_series(1, least($k, CAST(lc.lc - 1 AS INT))),
+       |        i -> ln(2.0) / ln(CAST(i AS DOUBLE) + 1.0))),
+       |      (a, v) -> a + v) AS idcg
+       |  FROM q JOIN lc ON lc.label = q.qlabel)
+       |SELECT q.qid,
+       |  CAST(coalesce(perq.n_rel_at_k, 0) AS BIGINT) AS n_rel_at_k,
+       |  round(coalesce(perq.n_rel_at_k, 0) / CAST($k AS DOUBLE) + 1e-9, 4)
+       |    AS p_at_k,
+       |  round(coalesce(1.0 / perq.first_rel, 0.0) + 1e-9, 4) AS mrr,
+       |  round(CASE WHEN ideal.idcg > 0
+       |      THEN coalesce(perq.dcg, 0.0) / ideal.idcg ELSE 0.0 END
+       |    + 1e-9, 4) AS ndcg
+       |FROM q LEFT JOIN perq ON perq.qid = q.qid
+       |JOIN ideal ON ideal.qid = q.qid ORDER BY q.qid""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // q173 — trained PQ codebook (per-subspace Lloyd — real PQ)
   // ------------------------------------------------------------------
 
@@ -2947,6 +3077,11 @@ object SimilarityOps {
       "so training runs once for its multiple consumers"
 
   val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q174_retrieval_metrics",
+      eager(ModelEager + " (assignment + probe ranking)")(
+        (s: SparkSession, d: String) =>
+          retrievalMetrics(Tables.embeddings(s, d))),
+      Some(retrievalMetricsSql())),
     ("q173_pq_trained_recall",
       eager(ModelEager +
         " (and the per-subspace codebook Lloyd checkpoints likewise)")(
