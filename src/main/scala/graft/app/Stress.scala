@@ -143,7 +143,9 @@ object Stress {
       "q164_keeper_takedown", "q165_passage_bm25",
       "q166_semantic_contamination", "q167_training_shuffle",
       "q168_cluster_cap_sample", "q169_source_report_card",
-      "q170_passage_serve")
+      "q170_passage_serve", "q171_pq_ann_recall", "q172_int8_ann_recall",
+      "q173_pq_trained_recall", "q174_retrieval_metrics",
+      "q175_html_extract")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

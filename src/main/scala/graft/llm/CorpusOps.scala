@@ -234,7 +234,114 @@ object CorpusOps {
   private def eager(reason: String)(f: QFn): QFn =
     graft.core.EagerByDesign(reason)(f)
 
+  // ------------------------------------------------------------------
+  // q175 — HTML main-text extraction (the first stage of a web corpus)
+  // ------------------------------------------------------------------
+
+  /** Strip an HTML payload down to its text: script/style blocks drop
+    * WHOLE (content included), remaining tags become block-separating
+    * spaces, entities decode (`&amp;` LAST, so a double-escaped
+    * `&amp;lt;` correctly yields the literal text "&lt;" rather than
+    * "<" — the classic decode-order bug, pinned in Round18cOpsSpec),
+    * whitespace collapses. Pure per-row regexp projection — codegen'd,
+    * no shuffle, composes in front of [[graft.app.PipelineApp]]'s
+    * normalize stage; real-world HTML would add (?i) and a fuller
+    * entity table, the structure is what ships here. */
+  def htmlExtract(c: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(c, "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col0, (ent, ch)) =>
+        regexp_replace(col0, ent, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** The deterministic HTML wrapper the registry fixture synthesizes
+    * around each document (the q33 synthetic-PII precedent — the
+    * fixtures are plain text, so the markup is built in-query and both
+    * engines wrap identically): head with title/style/script noise, a
+    * nav bar, a heading, the body text, and an entity gauntlet
+    * including the double-escape case. */
+  def htmlWrap(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      length(col("text")).as("body_chars"),
+      concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>body { margin: 0; }</style>" +
+          "<script>var trackingId = "), col("doc_id"),
+        lit(";</script></head><body><nav><a href=\"/\">Home</a> | " +
+          "<a href=\"/about\">About</a></nav><h1>Doc "), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><p>A &amp; B, 1 &lt; 2, say &quot;hi&quot; " +
+          "&#39;s&nbsp;end, literal &amp;lt; stays.</p>" +
+          "</body></html>")).as("html"))
+
+  /** q175 — extraction audit over the wrapped corpus: per source, doc
+    * count, raw vs extracted char volume, the markup share removed,
+    * how many extractions still contain a live tag (must be 0), and
+    * how many preserved their body text verbatim (must be all — the
+    * wrapper puts the document in one <p>). */
+  def htmlExtractAudit(docs: DataFrame): DataFrame = {
+    val ex = Tables.fanout(htmlWrap(docs))
+      .withColumn("etext", htmlExtract(col("html")))
+    ex.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("html"))).as("sum_html_chars"),
+        sum(length(col("etext"))).as("sum_text_chars"),
+        round(lit(1.0) - sum(length(col("etext"))).cast("double")
+          / sum(length(col("html"))) + lit(1e-9), 4).as("markup_share"),
+        sum(when(col("etext").rlike("<[a-zA-Z][^>]*>"), 1L)
+          .otherwise(0L)).as("n_residual_tags"),
+        sum(when(instr(col("etext"), "Home | About") > 0 &&
+          instr(col("etext"), "literal &lt; stays") > 0, 1L)
+          .otherwise(0L)).as("n_decode_ok"))
+      .orderBy("source")
+  }
+
+  val htmlExtractSql: String =
+    s"""WITH wrapped AS (SELECT doc_id, source,
+       |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+       |    '</title><style>body { margin: 0; }</style>' ||
+       |    '<script>var trackingId = ' || CAST(doc_id AS VARCHAR) ||
+       |    ';</script></head><body><nav><a href="/">Home</a> | ' ||
+       |    '<a href="/about">About</a></nav><h1>Doc ' ||
+       |    CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+       |    '</p><p>A &amp; B, 1 &lt; 2, say &quot;hi&quot; ' ||
+       |    '&#39;s&nbsp;end, literal &amp;lt; stays.</p>' ||
+       |    '</body></html>' AS html
+       |  FROM documents),
+       |ex AS (SELECT doc_id, source, html,
+       |    trim(regexp_replace(
+       |      regexp_replace(regexp_replace(regexp_replace(
+       |      regexp_replace(regexp_replace(regexp_replace(
+       |      regexp_replace(regexp_replace(
+       |        regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ',
+       |          'g'),
+       |        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+       |      '<[^>]+>', ' ', 'g'),
+       |      '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+       |      '&quot;', '"', 'g'), '&#39;', chr(39), 'g'),
+       |      '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+       |      '\\s+', ' ', 'g')) AS etext
+       |  FROM wrapped)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(length(html)) AS BIGINT) AS sum_html_chars,
+       |  CAST(sum(length(etext)) AS BIGINT) AS sum_text_chars,
+       |  round(1.0 - sum(length(etext)) / CAST(sum(length(html)) AS DOUBLE)
+       |    + 1e-9, 4) AS markup_share,
+       |  CAST(sum(CASE WHEN regexp_matches(etext, '<[a-zA-Z][^>]*>')
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_residual_tags,
+       |  CAST(sum(CASE WHEN position('Home | About' IN etext) > 0
+       |    AND position('literal &lt; stays' IN etext) > 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_decode_ok
+       |FROM ex GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q175_html_extract", onDocs(htmlExtractAudit),
+      Some(htmlExtractSql)),
     ("q32_upsert_merge", onDocs(upsertAudit), Some(q32UpsertSql)),
     ("q33_pii_redact", onDocs(piiRedactAudit), Some(q33PiiSql)),
     ("q169_source_report_card",

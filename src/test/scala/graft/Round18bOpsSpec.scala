@@ -138,4 +138,27 @@ class Round18bOpsSpec extends SparkSpec {
       "corpus", "dedup_docn", "dedup_postings", "dsir_counts",
       "embeddings"))
   }
+
+  // ------------------------------------------------------------- q175
+
+  test("htmlExtract: script/style content drops whole, tags become " +
+      "separators, entities decode with &amp; LAST (double-escape " +
+      "yields literal text), whitespace collapses") {
+    import graft.llm.CorpusOps
+    val rows = Seq(
+      ("<p>a</p><script>var x = '<b>not text</b>';</script><p>b</p>",
+        "a b"),
+      ("<style>p { color: red; }</style>hello", "hello"),
+      ("<div>x<br/>y</div>", "x y"),
+      // decode order: &lt; first (literal <), &amp; last — the
+      // double-escaped &amp;lt; must come out as the TEXT "&lt;"
+      ("1 &lt; 2 &amp; 3 &amp;lt; 4", "1 < 2 & 3 &lt; 4"),
+      ("say &quot;hi&quot; it&#39;s a&nbsp;b", "say \"hi\" it's a b"),
+      ("  spaced\t\tout \n text  ", "spaced out text"))
+      .toDF("html", "want")
+    val got = rows.select(CorpusOps.htmlExtract(col("html")).as("got"),
+      col("want")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"got '${r.getString(0)}' want '${r.getString(1)}'"))
+  }
 }
