@@ -83,8 +83,11 @@ object AnnIngestApp {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        SimilarityOps.assignUnderModel(batch, m)
-          .select(col("vec_id"), col("embedding"), col("cid"))
+        // cq rides the same partition: int8 encode is a pure projection
+        // (SimilarityOps.int8Encode), so quantized serving gets the
+        // exactly-once discipline for free instead of a second landing
+        SimilarityOps.int8Encode(SimilarityOps.assignUnderModel(batch, m))
+          .select(col("vec_id"), col("embedding"), col("cid"), col("cq"))
           .write.mode("overwrite").parquet(s"$annDir/batch_id=$batchId")
       }
       .start()
@@ -99,14 +102,17 @@ object AnnIngestApp {
       .parquet(s"$annDir/takedown")
 
   /** The live index: union of landed batch partitions minus the
-    * takedown log. */
+    * takedown log. Rows carry (vec_id, embedding, cid, cq) — full
+    * precision and the int8 sidecar land together. */
   def index(spark: SparkSession, annDir: String): DataFrame = {
     val dirs = batchDirs(spark, annDir)
     val base =
       if (dirs.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(vecSchema.fields :+ StructField("cid", LongType)))
+          StructType(vecSchema.fields ++ Seq(StructField("cid", LongType),
+            StructField("cq", ArrayType(
+              org.apache.spark.sql.types.ByteType)))))
       else spark.read.parquet(dirs: _*)
     val tomb = new org.apache.hadoop.fs.Path(s"$annDir/takedown")
     if (tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -123,4 +129,18 @@ object AnnIngestApp {
       queryIds: Seq[Long] = SimilarityOps.QueryIds): DataFrame =
     SimilarityOps.knnIvfTrained(index(spark, annDir),
       model(spark, annDir), queryIds)
+
+  /** int8-tier serving from the SAME landed partitions: candidates
+    * score from the cq sidecar column that streamed in with them —
+    * the quantized tier inherits exactly-once and takedown for free
+    * (no re-encode, no second landing). */
+  def serveInt8(spark: SparkSession, annDir: String,
+      queryIds: Seq[Long] = SimilarityOps.QueryIds): DataFrame = {
+    val idx = index(spark, annDir)
+    val q = idx.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    SimilarityOps.knnInt8From(
+      idx.select(col("vec_id"), col("cid"), col("cq")), q,
+      model(spark, annDir))
+  }
 }

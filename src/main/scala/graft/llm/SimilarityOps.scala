@@ -542,10 +542,27 @@ object SimilarityOps {
 
   /** Fold tombstones into the layout: rewrite the cid-bucketed table
     * from the live view (assignments and model are untouched — rows only
-    * leave) and drop the tombstone table. */
+    * leave) and drop the tombstone table.
+    *
+    * The `_deletes` table is SHARED with any quantized sidecars
+    * (`_pq`, `_int8`), so they MUST fold their tombstones in the same
+    * compaction — dropping the shared table with a sidecar still dirty
+    * would resurrect every deleted row in quantized serving. This
+    * function therefore rewrites whichever sidecars exist before the
+    * drop; AnnIndexSpec pins post-compaction exclusion for each. */
   def compactTrainedIvfIndex(spark: SparkSession, table: String,
       nBuckets: Int = 8): Unit = {
     val live = liveTrainedIvfIndex(spark, table).localCheckpoint()
+    if (spark.catalog.tableExists(s"${table}_pq")) {
+      val livePq = livePqCodes(spark, table).localCheckpoint()
+      graft.sources.FileIO.writeParquetBucketed(
+        livePq, s"${table}_pq", nBuckets, "cid", Seq("cid"))
+    }
+    if (spark.catalog.tableExists(s"${table}_int8")) {
+      val liveI8 = liveInt8Codes(spark, table).localCheckpoint()
+      graft.sources.FileIO.writeParquetBucketed(
+        liveI8, s"${table}_int8", nBuckets, "cid", Seq("cid"))
+    }
     graft.sources.FileIO.writeParquetBucketed(
       live, table, nBuckets, "cid", Seq("cid"))
     graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_deletes")
@@ -2421,12 +2438,10 @@ object SimilarityOps {
     * run before [[compactTrainedIvfIndex]] drops the shared `_deletes`
     * table, so the combined form is the only safe entry point. */
   def compactPqIvfIndex(spark: SparkSession, ivfTable: String,
-      nBuckets: Int = 8): Unit = {
-    val live = livePqCodes(spark, ivfTable).localCheckpoint()
-    graft.sources.FileIO.writeParquetBucketed(
-      live, s"${ivfTable}_pq", nBuckets, "cid", Seq("cid"))
+      nBuckets: Int = 8): Unit =
+    // compactTrainedIvfIndex now folds EVERY quantized sidecar before
+    // dropping the shared tombstones; this alias survives for callers
     compactTrainedIvfIndex(spark, ivfTable, nBuckets)
-  }
 
   /** PQ-served kNN from the persisted tables: ADC over `<table>_pq`
     * (slim codes, tombstone-filtered), exact re-rank of the tail
@@ -3019,27 +3034,37 @@ object SimilarityOps {
     else i8
   }
 
+  /** The int8 probe/score core over PRE-ENCODED codes — shared by
+    * [[knnInt8Serve]] (catalog sidecar table) and
+    * [[graft.app.AnnIngestApp.serveInt8]] (codes landed per streamed
+    * batch). Queries quantize in-plan (a projection over their own
+    * rows); candidates are byte-code-only. */
+  def knnInt8From(codes: DataFrame, q: DataFrame, model: DataFrame,
+      k: Int = TopK, nProbe: Int = NProbe): DataFrame = {
+    GraftFunctions.register(codes.sparkSession)
+    val probes = nearestCentroid(q, model.select(col("cid"), col("ce")),
+        "qid", "qe", nProbe)
+      .select(col("qid"), col("cid"))
+    val qcodes = int8Encode(q.select(col("qid").as("vec_id"),
+        col("qe").as("embedding")))
+      .select(col("vec_id").as("qid"), col("cq").as("qq"))
+    topk(codes
+      .join(broadcast(probes.join(qcodes, "qid")), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr("cosine_sim_int8(qq, cq)")), k)
+  }
+
   /** int8-served kNN from the persisted tables: candidates score from
     * byte codes only; the query's code comes from the live base index
     * row (one pointed lookup). No re-rank — the tier's contract. */
   def knnInt8Serve(spark: SparkSession, ivfTable: String,
       queryIds: Seq[Long] = QueryIds, k: Int = TopK,
       nProbe: Int = NProbe): DataFrame = {
-    GraftFunctions.register(spark)
     val live = liveTrainedIvfIndex(spark, ivfTable)
     val q = live.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val probes = nearestCentroid(q,
-        spark.table(s"${ivfTable}_model").select(col("cid"), col("ce")),
-        "qid", "qe", nProbe)
-      .select(col("qid"), col("cid"))
-    val qcodes = int8Encode(q.select(col("qid").as("vec_id"),
-        col("qe").as("embedding")))
-      .select(col("vec_id").as("qid"), col("cq").as("qq"))
-    topk(liveInt8Codes(spark, ivfTable)
-      .join(broadcast(probes.join(qcodes, "qid")), "cid")
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", expr("cosine_sim_int8(qq, cq)")), k)
+    knnInt8From(liveInt8Codes(spark, ivfTable), q,
+      spark.table(s"${ivfTable}_model"), k, nProbe)
   }
 
   /** The in-session twin AnnIndexSpec compares [[knnInt8Serve]] to,

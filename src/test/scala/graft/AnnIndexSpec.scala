@@ -272,6 +272,15 @@ class AnnIndexSpec extends SparkSpec {
     assert(after.collect().toSeq == ref.collect().toSeq)
     after.collect().foreach(r =>
       assert(!gone.contains(r.getLong(2)), s"deleted id served: $r"))
+
+    // base compaction folds the SHARED tombstones into the int8
+    // sidecar too — a compaction that dropped _deletes with the
+    // sidecar dirty would resurrect the deleted rows in int8 serving
+    SimilarityOps.compactTrainedIvfIndex(spark, "ann_i8", nBuckets = 8)
+    assert(!spark.catalog.tableExists("ann_i8_deletes"))
+    assert(spark.table("ann_i8_int8").count() == em.count() - gone.size)
+    val afterCompact = SimilarityOps.knnInt8Serve(spark, "ann_i8")
+    assert(afterCompact.collect().toSeq == ref.collect().toSeq)
   }
 
   test("PQ re-rank tail covering the probed cells makes PQ lossless: " +

@@ -59,6 +59,13 @@ class AnnIngestSpec extends SparkSpec {
       SimilarityOps.assignUnderModel(em, model), model).collect().toSeq
     assert(served == direct)
 
+    // the int8 tier serves from the SAME landed partitions (cq rode
+    // in with each batch — no re-encode): ≡ the in-session int8 form
+    // under the stored model
+    val i8 = AnnIngestApp.serveInt8(spark, annDir).collect().toSeq
+    val i8Direct = SimilarityOps.knnInt8With(em, model).collect().toSeq
+    assert(i8 == i8Direct)
+
     // read-time takedown: landed partitions immutable, serve excludes
     AnnIngestApp.takedown(spark, annDir, Seq(1L, 2L).toDF("vec_id"))
     AnnIngestApp.takedown(spark, annDir, Seq(1L).toDF("vec_id")) // replay
@@ -68,6 +75,10 @@ class AnnIngestSpec extends SparkSpec {
         em.filter(!col("vec_id").isin(1L, 2L)), model), model)
       .collect().toSeq
     assert(after == ref)
+    val i8After = AnnIngestApp.serveInt8(spark, annDir).collect().toSeq
+    assert(i8After == SimilarityOps.knnInt8With(
+      em.filter(!col("vec_id").isin(1L, 2L)), model).collect().toSeq,
+      "int8 tier must serve through the takedown log too")
 
     // the shared binding guard holds for this app too
     val foreign = Files.createTempDirectory("annin_foreign").toString
