@@ -2664,10 +2664,15 @@ object SimilarityOps {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m").cast("float")).as("nv"))
+      // checkpoint per iteration (S·K rows — model-scale): a lazily
+      // unrolled chain would re-derive every PRIOR iteration inside
+      // each new assign pass — quadratic corpus re-scans in iters.
+      // The trainer is already construction-eager by contract.
       cb = cb.withColumnRenamed("cv", "pv")
         .join(updated, Seq("s", "slot"), "left")
         .select(col("s"), col("slot"),
           coalesce(col("nv"), col("pv")).as("cv"))
+        .localCheckpoint()
     }
     cb.withColumn("cn2", expr(
       """aggregate(cv, CAST(0 AS DOUBLE),
