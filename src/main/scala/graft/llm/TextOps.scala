@@ -2118,7 +2118,22 @@ object TextOps {
     * vocabulary scalar broadcasts in-plan, and the batch is the only
     * fact-scale input. */
   def scoreUnderLm(docs: DataFrame, cnt: DataFrame, voc: DataFrame,
-      addK: Double = 0.5, flagNll: Double = 3.5): DataFrame = {
+      addK: Double = 0.5, flagNll: Double = 3.5): DataFrame =
+    perDocNll(docs, cnt, voc, addK)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("nll")) + lit(1e-9), 4).as("avg_nll"),
+        sum(when(col("nll") > flagNll, 1L).otherwise(0L)).as("n_flagged"),
+        round(sum(when(col("nll") > flagNll, 1L).otherwise(0L))
+          / count(lit(1)) + lit(1e-9), 4).as("flagged_share"))
+      .orderBy("lang")
+
+  /** Per-document NLL under a (possibly STORED) q102 model — the frame
+    * [[scoreUnderLm]] rolls up and [[ccnetBuckets]] tiles. Prefix
+    * totals derive from the count table (never a reference rescan);
+    * the batch is the only fact-scale input. */
+  def perDocNll(docs: DataFrame, cnt: DataFrame, voc: DataFrame,
+      addK: Double = 0.5): DataFrame = {
     val pre = cnt.groupBy(col("w1h")).agg(sum(col("c12")).as("c1"))
     lmOccs(lmTokenized(docs))
       .join(cnt.select("bgh", "c12"), Seq("bgh"), "left")
@@ -2129,13 +2144,6 @@ object TextOps {
           / (coalesce(col("c1"), lit(0L)) + lit(addK) * col("v"))))
       .groupBy(col("doc_id"), col("lang"))
       .agg((-avg(col("lp"))).as("nll"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("nll")) + lit(1e-9), 4).as("avg_nll"),
-        sum(when(col("nll") > flagNll, 1L).otherwise(0L)).as("n_flagged"),
-        round(sum(when(col("nll") > flagNll, 1L).otherwise(0L))
-          / count(lit(1)) + lit(1e-9), 4).as("flagged_share"))
-      .orderBy("lang")
   }
 
   def crossEntropyTransfer(docs: DataFrame, refLang: String = "en",
@@ -2143,6 +2151,65 @@ object TextOps {
     val (cnt, voc) = bigramLmModel(docs, refLang)
     scoreUnderLm(docs, cnt, voc, addK, flagNll)
   }
+
+  /** q176 — CCNet perplexity buckets (Wenzek et al. '20 §4.3: per
+    * language, order by LM score and split into head/middle/tail —
+    * head trains as-is, tail drops, middle is a judgement call; the
+    * split that made CommonCrawl usable). Here: per-doc NLL under the
+    * en reference bigram LM, per-LANGUAGE ntile into `buckets` tiers
+    * (order = (6dp-gridded nll, doc_id) — deterministic across
+    * engines; the FIXTURES boundary-nudge convention), output per
+    * (lang, bucket): doc count and the NLL range — the manifest a
+    * curation run turns into per-bucket input globs.
+    *
+    * Scale shape: scoring is the q102 plan (count-table joins, no
+    * reference rescan); the per-language ntile rides the distributed
+    * GlobalWindows machinery GROUPED by lang — one range exchange +
+    * metadata-scale offset patch, never a single-reducer window even
+    * when one language is most of the corpus (the q142 lesson, with
+    * groups). */
+  def ccnetBuckets(docs: DataFrame, refLang: String = "en",
+      addK: Double = 0.5, buckets: Int = 3): DataFrame = {
+    val (cnt, voc) = bigramLmModel(docs, refLang)
+    val scored = perDocNll(docs, cnt, voc, addK)
+      .withColumn("nllg", round(col("nll") + lit(1e-9), 6))
+    graft.operators.GlobalWindows.withGlobalNtile(scored,
+        Seq("nllg" -> true, "doc_id" -> true), buckets, outCol = "bucket",
+        groups = Seq("lang"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("nllg")) + lit(1e-9), 4).as("min_nll"),
+        round(max(col("nllg")) + lit(1e-9), 4).as("max_nll"))
+      .orderBy("lang", "bucket")
+  }
+
+  def ccnetBucketsSql(refLang: String = "en", addK: Double = 0.5,
+      buckets: Int = 3): String =
+    s"""WITH tok AS (SELECT doc_id, lang, ${Text.tokensSql("text")} AS ts
+       |  FROM documents),
+       |rocc AS (SELECT unnest(${Text.ngramOccurrencesSql("ts", 2)}) AS bg
+       |  FROM tok WHERE lang = '$refLang'),
+       |cnt AS (SELECT bg, count(*) AS c12 FROM rocc GROUP BY bg),
+       |pre AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+       |  FROM cnt GROUP BY 1),
+       |v AS (SELECT count(DISTINCT t) AS v FROM (
+       |  SELECT unnest(ts) AS t FROM tok WHERE lang = '$refLang')),
+       |occ AS (SELECT doc_id, lang,
+       |    unnest(${Text.ngramOccurrencesSql("ts", 2)}) AS bg FROM tok),
+       |sc AS (SELECT o.doc_id, o.lang,
+       |    ln((coalesce(c.c12, 0) + $addK)
+       |      / (coalesce(p.c1, 0) + $addK * v.v)) AS lp
+       |  FROM occ o LEFT JOIN cnt c ON c.bg = o.bg
+       |  LEFT JOIN pre p ON p.w1 = split_part(o.bg, ' ', 1), v),
+       |d AS (SELECT doc_id, lang,
+       |    round(-avg(lp) + 1e-9, 6) AS nllg FROM sc GROUP BY 1, 2),
+       |bt AS (SELECT lang, nllg,
+       |    CAST(ntile($buckets) OVER (PARTITION BY lang
+       |      ORDER BY nllg, doc_id) AS BIGINT) AS bucket FROM d)
+       |SELECT lang, bucket, count(*) AS n_docs,
+       |  round(min(nllg) + 1e-9, 4) AS min_nll,
+       |  round(max(nllg) + 1e-9, 4) AS max_nll
+       |FROM bt GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
   def crossEntropyTransferSql(refLang: String = "en", addK: Double = 0.5,
       flagNll: Double = 3.5): String =
     s"""WITH tok AS (SELECT doc_id, lang, ${Text.tokensSql("text")} AS ts
@@ -2838,6 +2905,8 @@ object TextOps {
     ("q101_boilerplate_ngrams", onDocs(boilerplateNgrams(_)),
       Some(boilerplateNgramsSql())),
     ("q112_lang_confusion", onDocs(langConfusion), Some(langConfusionSql)),
+    ("q176_ccnet_buckets", onDocs(ccnetBuckets(_)),
+      Some(ccnetBucketsSql())),
     ("q102_crossentropy_transfer", onDocs(crossEntropyTransfer(_)),
       Some(crossEntropyTransferSql())),
     ("q141_dsir_importance", onDocs(dsirImportance(_)),
