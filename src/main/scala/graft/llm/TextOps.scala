@@ -2183,6 +2183,95 @@ object TextOps {
       .orderBy("lang", "bucket")
   }
 
+  /** q177 — the top-n-gram repetition battery (Rae et al. '21
+    * "Gopher" table A1's OTHER half: [[gopherFlags]] covers word
+    * count / mean word length / stopwords / duplicate-3-gram fraction;
+    * this covers "fraction of characters contained in the most
+    * frequent n-gram" for n = 2, 3, 4 — the rule that catches looped
+    * phrases a distinct-count rule can't). Per document, share_n =
+    * max over n-grams of count·len(gram) / len(token-joined text)
+    * (the max-over-values form — deterministic with no tie-break,
+    * unlike "the most frequent gram" when counts tie); per source:
+    * mean share and how many docs exceed the Gopher cut (0.20 / 0.18
+    * / 0.16 for n = 2 / 3 / 4).
+    *
+    * Scale shape: one tokenize pass fans out to three slim
+    * (doc, gram) count aggregates (map-side combined, vocabulary-
+    * bounded per doc), each folding to a per-doc max then a
+    * |sources|-row rollup; no joins between the n-arms until the
+    * per-doc maxes are |docs|-scale rows. */
+  def repetitionAudit(docs: DataFrame,
+      cuts: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16))
+      : DataFrame = {
+    val base = graft.core.CacheOnce.swap("q177_rep_base",
+      Tables.fanout(docs).select(col("doc_id"), col("source"),
+        Text.tokens(col("text")).as("ts"))
+        .withColumn("n_chars",
+          length(concat_ws(" ", col("ts"))).cast("double"))
+        .select(col("doc_id"), col("source"), col("ts"), col("n_chars")))
+    def shareN(n: Int): DataFrame =
+      base.select(col("doc_id"), col("n_chars"),
+          explode(Text.ngramOccurrences(col("ts"), n)).as("g"))
+        .groupBy(col("doc_id"), col("n_chars"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("cnt") * length(col("g")))
+          / first(col("n_chars"))).as(s"share$n"))
+    val perDoc = base.select(col("doc_id"), col("source"))
+      .join(shareN(2), Seq("doc_id"), "left")
+      .join(shareN(3), Seq("doc_id"), "left")
+      .join(shareN(4), Seq("doc_id"), "left")
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(coalesce(col("share2"), lit(0.0))) + lit(1e-9), 4)
+          .as("mean_share2"),
+        round(avg(coalesce(col("share3"), lit(0.0))) + lit(1e-9), 4)
+          .as("mean_share3"),
+        round(avg(coalesce(col("share4"), lit(0.0))) + lit(1e-9), 4)
+          .as("mean_share4"),
+        sum(when(coalesce(col("share2"), lit(0.0)) > cuts(2), 1L)
+          .otherwise(0L)).as("n_flag2"),
+        sum(when(coalesce(col("share3"), lit(0.0)) > cuts(3), 1L)
+          .otherwise(0L)).as("n_flag3"),
+        sum(when(coalesce(col("share4"), lit(0.0)) > cuts(4), 1L)
+          .otherwise(0L)).as("n_flag4"))
+      .orderBy("source")
+  }
+
+  def repetitionAuditSql(
+      cuts: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16))
+      : String = {
+    def armCte(n: Int) =
+      s"""g$n AS (SELECT doc_id,
+         |    max(cnt * length(g)) / any_value(n_chars) AS share$n FROM (
+         |  SELECT doc_id, n_chars, g, count(*) AS cnt FROM (
+         |    SELECT doc_id, n_chars,
+         |      unnest(${Text.ngramOccurrencesSql("ts", n)}) AS g
+         |    FROM base) x GROUP BY doc_id, n_chars, g) y
+         |  GROUP BY doc_id)""".stripMargin
+    s"""WITH base AS (SELECT doc_id, source,
+       |    ${Text.tokensSql("text")} AS ts,
+       |    CAST(length(array_to_string(${Text.tokensSql("text")}, ' '))
+       |      AS DOUBLE) AS n_chars
+       |  FROM documents),
+       |${armCte(2)},
+       |${armCte(3)},
+       |${armCte(4)}
+       |SELECT source, count(*) AS n_docs,
+       |  round(avg(coalesce(share2, 0.0)) + 1e-9, 4) AS mean_share2,
+       |  round(avg(coalesce(share3, 0.0)) + 1e-9, 4) AS mean_share3,
+       |  round(avg(coalesce(share4, 0.0)) + 1e-9, 4) AS mean_share4,
+       |  CAST(sum(CASE WHEN coalesce(share2, 0.0) > ${cuts(2)}
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flag2,
+       |  CAST(sum(CASE WHEN coalesce(share3, 0.0) > ${cuts(3)}
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flag3,
+       |  CAST(sum(CASE WHEN coalesce(share4, 0.0) > ${cuts(4)}
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flag4
+       |FROM base LEFT JOIN g2 USING (doc_id)
+       |LEFT JOIN g3 USING (doc_id) LEFT JOIN g4 USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def ccnetBucketsSql(refLang: String = "en", addK: Double = 0.5,
       buckets: Int = 3): String =
     s"""WITH tok AS (SELECT doc_id, lang, ${Text.tokensSql("text")} AS ts
@@ -2907,6 +2996,8 @@ object TextOps {
     ("q112_lang_confusion", onDocs(langConfusion), Some(langConfusionSql)),
     ("q176_ccnet_buckets", onDocs(ccnetBuckets(_)),
       Some(ccnetBucketsSql())),
+    ("q177_repetition_audit", onDocs(repetitionAudit(_)),
+      Some(repetitionAuditSql())),
     ("q102_crossentropy_transfer", onDocs(crossEntropyTransfer(_)),
       Some(crossEntropyTransferSql())),
     ("q141_dsir_importance", onDocs(dsirImportance(_)),
