@@ -339,9 +339,95 @@ object CorpusOps {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_decode_ok
        |FROM ex GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q178 — URL canonicalization + domain rollup
+  // ------------------------------------------------------------------
+
+  /** Canonicalize a URL for dedup/provenance keys: lowercase the
+    * scheme+authority (path stays case-sensitive per RFC 3986), drop
+    * the fragment, drop tracking params (utm_*, gclid, fbclid) with
+    * separator tidy-up, drop default ports (:80 http / :443 https) —
+    * the normalizations every crawl dedup applies before URL-keyed
+    * grouping, as a pure regexp projection. */
+  def canonicalizeUrl(c: Column): Column = {
+    val lowered = concat(
+      lower(regexp_extract(c, "^([a-zA-Z]+://[^/?#]+)", 1)),
+      regexp_replace(c, "^[a-zA-Z]+://[^/?#]+", ""))
+    val noFrag = regexp_replace(lowered, "#.*$", "")
+    val noTrack0 = regexp_replace(noFrag,
+      "(utm_[a-z]+|gclid|fbclid)=[^&#]*&?", "")
+    // tidy separators the param removal leaves behind: "?&" → "?",
+    // then a trailing "?" or "&" drops
+    val tidied = regexp_replace(
+      regexp_replace(noTrack0, "\\?&", "?"), "[?&]$", "")
+    regexp_replace(tidied, "^(https?://[^/:]+):(?:80|443)(/|$)", "$1$2")
+  }
+
+  /** The deterministic URL the registry fixture synthesizes per doc
+    * (the q175/q33 precedent): mixed-case authority, default port,
+    * tracking params interleaved with a real one, and a fragment —
+    * every normalization fires on every row. */
+  def urlWrap(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      concat(lit("HTTPS://WWW.Site"), col("doc_id") % 50,
+        lit(".Example.com:443/Path/"), col("doc_id"),
+        lit("?utm_source=feed&id="), col("doc_id"),
+        lit("&utm_campaign=x#section-2")).as("url"))
+
+  /** q178 — canonicalization audit over the wrapped corpus: per
+    * source, URL count, how many changed under canonicalization (must
+    * be all — the fixture makes every rule fire), distinct canonical
+    * domains, and how many canonical URLs still carry a tracking
+    * param or fragment (must be 0). */
+  def urlCanonicalAudit(docs: DataFrame): DataFrame = {
+    val u = Tables.fanout(urlWrap(docs))
+      .withColumn("curl", canonicalizeUrl(col("url")))
+      .withColumn("domain",
+        regexp_extract(col("curl"), "^https?://([^/:]+)", 1))
+    u.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(when(col("curl") =!= col("url"), 1L).otherwise(0L))
+          .as("n_changed"),
+        countDistinct(col("domain")).as("n_domains"),
+        sum(when(col("curl").rlike("utm_|gclid|fbclid|#"), 1L)
+          .otherwise(0L)).as("n_residual"))
+      .orderBy("source")
+  }
+
+  val urlCanonicalSql: String =
+    s"""WITH wrapped AS (SELECT doc_id, source,
+       |    'HTTPS://WWW.Site' || CAST(doc_id % 50 AS VARCHAR) ||
+       |    '.Example.com:443/Path/' || CAST(doc_id AS VARCHAR) ||
+       |    '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+       |    '&utm_campaign=x#section-2' AS url
+       |  FROM documents),
+       |canon AS (SELECT doc_id, source, url,
+       |    regexp_replace(
+       |      regexp_replace(regexp_replace(
+       |        regexp_replace(regexp_replace(
+       |          lower(regexp_extract(url, '^([a-zA-Z]+://[^/?#]+)', 1))
+       |            || regexp_replace(url, '^[a-zA-Z]+://[^/?#]+', ''),
+       |          '#.*$$', ''),
+       |        '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+       |      '\\?&', '?'), '[?&]$$', ''),
+       |    '^(https?://[^/:]+):(80|443)(/|$$)', '\\1\\3') AS curl
+       |  FROM wrapped),
+       |d AS (SELECT source, url, curl,
+       |    regexp_extract(curl, '^https?://([^/:]+)', 1) AS domain
+       |  FROM canon)
+       |SELECT source, count(*) AS n_urls,
+       |  CAST(sum(CASE WHEN curl <> url THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_changed,
+       |  CAST(count(DISTINCT domain) AS BIGINT) AS n_domains,
+       |  CAST(sum(CASE WHEN regexp_matches(curl, 'utm_|gclid|fbclid|#')
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_residual
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[(String, QFn, Option[String])] = Seq(
     ("q175_html_extract", onDocs(htmlExtractAudit),
       Some(htmlExtractSql)),
+    ("q178_url_canonical", onDocs(urlCanonicalAudit),
+      Some(urlCanonicalSql)),
     ("q32_upsert_merge", onDocs(upsertAudit), Some(q32UpsertSql)),
     ("q33_pii_redact", onDocs(piiRedactAudit), Some(q33PiiSql)),
     ("q169_source_report_card",
