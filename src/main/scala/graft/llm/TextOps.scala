@@ -2193,7 +2193,12 @@ object TextOps {
     * (the max-over-values form — deterministic with no tie-break,
     * unlike "the most frequent gram" when counts tie); per source:
     * mean share and how many docs exceed the Gopher cut (0.20 / 0.18
-    * / 0.16 for n = 2 / 3 / 4).
+    * / 0.16 for n = 2 / 3 / 4). Occurrence counting includes OVERLAPS,
+    * so a degenerate loop ("a b a b a b") can score > 1 — the metric
+    * is an upper bound on character coverage; at the ≤0.20 thresholds
+    * where decisions happen, overlaps are immaterial, and the cheap
+    * occurrence form needs no per-position dedup (Round18cOpsSpec pins
+    * the exact fractions including the > 1 case).
     *
     * Scale shape: one tokenize pass fans out to three slim
     * (doc, gram) count aggregates (map-side combined, vocabulary-
