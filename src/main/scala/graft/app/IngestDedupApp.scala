@@ -197,6 +197,12 @@ object IngestDedupApp {
   def lowValue(spark: SparkSession, corpusDir: String): DataFrame =
     readBatches(spark, batchDirs(spark, s"$corpusDir/lowvalue"))
 
+  /** Docs the LM perplexity guard rejected land here — ROW-level
+    * routing (fluency is a per-document property). Same per-batch
+    * overwrite idempotence. */
+  def lowQuality(spark: SparkSession, corpusDir: String): DataFrame =
+    readBatches(spark, batchDirs(spark, s"$corpusDir/lowquality"))
+
   /** The streaming twin of q135/PipelineApp's decontamination stage:
     * admitted docs sharing ≥ `minFrac` of their shingles with the fixed
     * `evalDocs` benchmark set are routed to `contaminated/` instead of
@@ -233,6 +239,22 @@ object IngestDedupApp {
     def apply(weights: DataFrame, minLogw: Double): ScoreGuard =
       ScoreGuard(graft.llm.TextOps.collectWeights(weights), minLogw)
   }
+
+  /** CCNet-style LM perplexity gate — the LIVE form of the q176 tail
+    * cut: each admitted doc scores its NLL under a STORED q102
+    * reference LM (the `<table>_bigrams`/`_vocab` delta tables, frozen
+    * before the stream starts) and rows above `maxNll` route to
+    * `lowquality/`. Scoring is a batch-side join against
+    * vocabulary-scale catalog tables (the admitBatchServed posture —
+    * the reference corpus is never rescanned), a pure function of
+    * batch content and fixed model state, so WAL replay reaches the
+    * same routing. Docs too short to form a bigram have no defined
+    * NLL and PASS (a length rule is the q70 gate's job, not the LM's).
+    * The model keeps its exact-unlearning contract while serving the
+    * gate: takedown against the reference corpus decrements the same
+    * tables this guard reads. */
+  final case class LmGuard(table: String, maxNll: Double,
+      addK: Double = 0.5)
 
   /** A per-batch drift gate: the batch's `value` distribution is scored
     * against the k-row `ref` profile
@@ -274,7 +296,9 @@ object IngestDedupApp {
     * against a fixed benchmark set (one leaked eval copy routes to
     * `contaminated/`, its clean batchmates still land). `scoreGuard` is
     * the fourth: per-ROW DSIR importance scoring against a stored
-    * weight model — off-target docs route to `lowvalue/`. All verdicts are
+    * weight model — off-target docs route to `lowvalue/`. `lmGuard` is
+    * the fifth: per-ROW NLL under a stored reference bigram LM (the
+    * CCNet cut, live) — disfluent docs route to `lowquality/`. All verdicts are
     * pure functions of the batch content, so a WAL replay reaches the
     * same verdict and overwrites the same directory — gating commutes
     * with exactly-once. The verdict collects are driver-side by design:
@@ -288,6 +312,7 @@ object IngestDedupApp {
       driftGate: Option[DriftGate] = None,
       evalGuard: Option[EvalGuard] = None,
       scoreGuard: Option[ScoreGuard] = None,
+      lmGuard: Option[LmGuard] = None,
       rebind: Boolean = false): StreamingQuery = {
     bindCheckpoint(spark, corpusDir, checkpointDir, rebind)
     docStream(spark, shardDir, maxRecordsPerBatch, extraOptions).writeStream
@@ -381,7 +406,29 @@ object IngestDedupApp {
               scored.filter(col("_logw") >= g.minLogw).drop("_logw")
             case None => admitted
           }
-          valued.select(col("doc_id"), col("text"))
+          val fluent = lmGuard match {
+            case Some(g) =>
+              // net model view over the delta tables (the
+              // scoreUnderStoredLm read path), scored per batch row
+              val cnt = spark.table(s"${g.table}_bigrams")
+                .groupBy(col("bgh"), col("w1h"))
+                .agg(sum(col("c12")).as("c12")).filter(col("c12") > 0)
+              val voc = spark.table(s"${g.table}_vocab")
+                .groupBy(col("th")).agg(sum(col("c")).as("c"))
+                .filter(col("c") > 0).agg(count(lit(1)).as("v"))
+              val nll = graft.llm.TextOps.perDocNll(
+                  valued.withColumn("lang", lit("und")), cnt, voc, g.addK)
+                .select(col("doc_id"), col("nll"))
+              val scored = valued.join(nll, Seq("doc_id"), "left")
+              scored.filter(col("nll") > g.maxNll)
+                .select(col("doc_id"), col("text"))
+                .write.mode("overwrite")
+                .parquet(s"$corpusDir/lowquality/batch_id=$batchId")
+              scored.filter(col("nll").isNull || col("nll") <= g.maxNll)
+                .drop("nll")
+            case None => valued
+          }
+          fluent.select(col("doc_id"), col("text"))
             .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
           writeBatchIndex(spark, corpusDir, batchId)
         }

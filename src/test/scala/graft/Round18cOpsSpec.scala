@@ -87,4 +87,49 @@ class Round18cOpsSpec extends SparkSpec {
     got.foreach(r => assert(r.getString(0) == r.getString(1),
       s"got '${r.getString(0)}' want '${r.getString(1)}'"))
   }
+
+  // ------------------------------------------- q102/q176 ingest guard
+
+  test("lmGuard: the ingest loop routes high-NLL docs to lowquality/ " +
+      "under a STORED reference LM; fluent and bigram-less docs land; " +
+      "replay reaches the same routing") {
+    import java.nio.file.Files
+    import graft.app.IngestDedupApp
+    import graft.sources.shardsim.ShardSimFixture
+    // reference LM: fluent text = repeated familiar bigrams
+    val ref = (1L to 20L)
+      .map(i => (i, "alpha beta gamma delta alpha beta gamma delta", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    TextOps.writeBigramLm(ref, "lm18c")
+    // stream: doc 101 fluent (reference bigrams), 102 disfluent
+    // (unseen words — every bigram smoothed-only), 103 one token
+    // (no bigram → no defined NLL → passes)
+    val rows = Seq(
+      (101L, "alpha beta gamma delta alpha beta"),
+      (102L, "zork quux blarg wibble zork quux blarg wibble"),
+      (103L, "alpha"))
+      .zipWithIndex.map { case ((id, txt), i) =>
+        (s"d$id", 1700000000000000L + i,
+          s"""{"doc_id":$id,"text":"$txt"}""")
+      }
+    val shardDir = Files.createTempDirectory("lmg_shard").toString
+    ShardSimFixture.writeShard(shardDir, 0, rows)
+    val corpus = Files.createTempDirectory("lmg_corpus").toString
+    val ckpt = Files.createTempDirectory("lmg_ckpt").toString
+    // the smoothed NLL floor for fully-unseen text is ln V (V = 4
+    // here → 1.386); fluent text scores ≈ 0.05 — the 0.5 line
+    // discriminates on this tiny-vocabulary fixture (a real corpus's
+    // V puts the floor near ln V ≈ 10, where the 3.5 convention lives)
+    def start() = IngestDedupApp.run(spark, shardDir, corpus, ckpt,
+      lmGuard = Some(IngestDedupApp.LmGuard("lm18c", maxNll = 0.5)))
+    start().awaitTermination()
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    assert(ids(IngestDedupApp.corpus(spark, corpus)) == Set(101L, 103L))
+    assert(ids(IngestDedupApp.lowQuality(spark, corpus)) == Set(102L))
+    // replay (same checkpoint, nothing new): routing unchanged
+    start().awaitTermination()
+    assert(ids(IngestDedupApp.corpus(spark, corpus)) == Set(101L, 103L))
+    assert(ids(IngestDedupApp.lowQuality(spark, corpus)) == Set(102L))
+  }
 }
