@@ -126,9 +126,11 @@ object AnnIngestApp {
   /** Serve kNN from the landed index with the standard trained-IVF
     * probe machinery. */
   def serve(spark: SparkSession, annDir: String,
-      queryIds: Seq[Long] = SimilarityOps.QueryIds): DataFrame =
-    SimilarityOps.knnIvfTrained(index(spark, annDir),
-      model(spark, annDir), queryIds)
+      queryIds: Seq[Long] = SimilarityOps.QueryIds): DataFrame = {
+    val idx = index(spark, annDir)
+    SimilarityOps.requireLiveQueries(idx, queryIds, annDir)
+    SimilarityOps.knnIvfTrained(idx, model(spark, annDir), queryIds)
+  }
 
   /** int8-tier serving from the SAME landed partitions: candidates
     * score from the cq sidecar column that streamed in with them —
@@ -137,6 +139,7 @@ object AnnIngestApp {
   def serveInt8(spark: SparkSession, annDir: String,
       queryIds: Seq[Long] = SimilarityOps.QueryIds): DataFrame = {
     val idx = index(spark, annDir)
+    SimilarityOps.requireLiveQueries(idx, queryIds, annDir)
     val q = idx.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     SimilarityOps.knnInt8From(

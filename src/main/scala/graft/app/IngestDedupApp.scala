@@ -315,6 +315,23 @@ object IngestDedupApp {
       lmGuard: Option[LmGuard] = None,
       rebind: Boolean = false): StreamingQuery = {
     bindCheckpoint(spark, corpusDir, checkpointDir, rebind)
+    // The lmGuard reference model is FROZEN for the stream's lifetime
+    // (the gate scores against a trained LM, it never learns from the
+    // stream) — snapshot the net view of the delta tables ONCE here
+    // instead of re-running two delta-table aggregates inside every
+    // micro-batch. localCheckpoint materializes eagerly; replay
+    // semantics are unchanged because the model is frozen either way.
+    val lmModel = lmGuard.map { g =>
+      val cnt = spark.table(s"${g.table}_bigrams")
+        .groupBy(col("bgh"), col("w1h"))
+        .agg(sum(col("c12")).as("c12")).filter(col("c12") > 0)
+        .localCheckpoint()
+      val voc = spark.table(s"${g.table}_vocab")
+        .groupBy(col("th")).agg(sum(col("c")).as("c"))
+        .filter(col("c") > 0).agg(count(lit(1)).as("v"))
+        .localCheckpoint()
+      (g, cnt, voc)
+    }
     docStream(spark, shardDir, maxRecordsPerBatch, extraOptions).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -406,16 +423,10 @@ object IngestDedupApp {
               scored.filter(col("_logw") >= g.minLogw).drop("_logw")
             case None => admitted
           }
-          val fluent = lmGuard match {
-            case Some(g) =>
-              // net model view over the delta tables (the
+          val fluent = lmModel match {
+            case Some((g, cnt, voc)) =>
+              // net model view snapshot taken once at run() entry (the
               // scoreUnderStoredLm read path), scored per batch row
-              val cnt = spark.table(s"${g.table}_bigrams")
-                .groupBy(col("bgh"), col("w1h"))
-                .agg(sum(col("c12")).as("c12")).filter(col("c12") > 0)
-              val voc = spark.table(s"${g.table}_vocab")
-                .groupBy(col("th")).agg(sum(col("c")).as("c"))
-                .filter(col("c") > 0).agg(count(lit(1)).as("v"))
               val nll = graft.llm.TextOps.perDocNll(
                   valued.withColumn("lang", lit("und")), cnt, voc, g.addK)
                 .select(col("doc_id"), col("nll"))

@@ -49,11 +49,20 @@ case class PqAdc(left: Expression, right: Expression)
 object PqAdc {
   def compute(codes: ArrayData, dt: ArrayData): Double = {
     val s = codes.numElements()
+    if (s == 0 || dt.numElements() % s != 0) {
+      throw new IllegalArgumentException(
+        s"pq_adc: |dt|=${dt.numElements()} must be a positive multiple of |codes|=$s")
+    }
     val k = dt.numElements() / s
     var acc = 0.0
     var i = 0
     while (i < s) {
-      acc += dt.getDouble(i * k + codes.getInt(i))
+      val code = codes.getInt(i)
+      if (code < 0 || code >= k) {
+        throw new IllegalArgumentException(
+          s"pq_adc: code $code at subspace $i outside codebook [0, $k)")
+      }
+      acc += dt.getDouble(i * k + code)
       i += 1
     }
     acc

@@ -36,6 +36,26 @@ object SimilarityOps {
   type QFn = (SparkSession, String) => DataFrame
 
   val QueryIds: Seq[Long] = Seq(0L, 100L, 250L)
+
+  /** Serve-call guard (the [[hybridRrfServe]] posture, applied to every
+    * ANN serve entry point): a query id that was taken down — or never
+    * indexed — must FAIL the serve, not silently vanish from the
+    * results. One pointed |queryIds|-row lookup; serve calls are
+    * eager by contract, never registry plans. */
+  private[graft] def requireLiveQueries(live: DataFrame,
+      queryIds: Seq[Long], what: String): Unit = {
+    val want = queryIds.distinct
+    val have = live.filter(col("vec_id").isin(want: _*))
+      .select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val missing = want.filterNot(have)
+    require(missing.isEmpty,
+      s"query vectors ${missing.mkString(", ")} are not in the live " +
+        s"index $what (taken down or never indexed); refusing to serve " +
+        "with silently-dropped queries — pick live query vectors or " +
+        "embed out-of-index queries and use the *With direct paths.")
+  }
+
   private val TopK = 5
   private val Dim = 64
   // 6 planes → 64 buckets: sized so the small test corpora keep ~8+
@@ -489,10 +509,33 @@ object SimilarityOps {
     graft.sources.FileIO.dropTableAndLocation(em.sparkSession, s"${table}_model")
     model.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_model")
+    // Seed provenance: the model's centroids DERIVE FROM these corpus
+    // vectors (at iters=0 they ARE verbatim copies) — recording them is
+    // what lets [[retainedSeedAudit]] surface, and
+    // [[scrubIndexModelOnTakedown]] repair, a takedown that hits a seed.
+    writeSeedRoles(em.sparkSession, table, "centroid",
+      em.filter(col("vec_id").isin(centroidIds: _*))
+        .select(col("vec_id")))
     graft.sources.FileIO.writeParquetBucketed(
       argmaxCentroid(em, model)
         .select(col("vec_id"), col("embedding"), col("cid")),
       table, nBuckets, "cid", Seq("cid"))
+  }
+
+  /** Rewrite the `<table>_seeds` provenance table for one `role`,
+    * keeping other roles' rows (the table is seed-scale). */
+  private def writeSeedRoles(spark: SparkSession, table: String,
+      role: String, ids: DataFrame): Unit = {
+    val fresh = ids.select(col("vec_id").cast("long").as("vec_id"))
+      .withColumn("role", lit(role))
+    val all =
+      if (spark.catalog.tableExists(s"${table}_seeds"))
+        spark.table(s"${table}_seeds").filter(col("role") =!= role)
+          .unionByName(fresh).localCheckpoint()
+      else fresh.localCheckpoint()
+    graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_seeds")
+    all.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_seeds")
   }
 
   /** Extend a trained IVF index: assign the new batch against the STORED
@@ -520,7 +563,13 @@ object SimilarityOps {
     * bulk, never via in-place bucket surgery. Deletes do NOT retrain
     * the model (same immutability contract as append — re-clustering is
     * a rebuild). AnnIndexSpec pins delete-then-query ≡ a same-model
-    * index built without the vectors, before AND after compaction. */
+    * index built without the vectors, before AND after compaction.
+    *
+    * CAVEAT — model artifacts: if a deleted id is a recorded SEED
+    * (`<table>_seeds`), its exact float values remain embedded in the
+    * `_model` / `_pqcodebook` artifacts until
+    * [[scrubIndexModelOnTakedown]] runs; [[retainedSeedAudit]] reports
+    * the exposure. */
   def deleteFromTrainedIvfIndex(spark: SparkSession, table: String,
       ids: Seq[Long]): Unit = {
     import spark.implicits._
@@ -566,6 +615,106 @@ object SimilarityOps {
     graft.sources.FileIO.writeParquetBucketed(
       live, table, nBuckets, "cid", Seq("cid"))
     graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_deletes")
+  }
+
+  /** Per-role seed retention under the index's tombstones: how many of
+    * the model/codebook SEED vectors — whose float values the
+    * `<table>_model` centroids (verbatim at iters=0) and
+    * `<table>_pqcodebook` slices embed — belong to taken-down ids.
+    * `seeds_retained > 0` means the takedown's data is still serving
+    * queries THROUGH the model artifacts even though its index rows
+    * are tombstoned; [[scrubIndexModelOnTakedown]] is the repair. The
+    * compliance dry-run companion to TakedownOps.takedownAudit's
+    * `ivf_model` / `pq_codebook` rows. */
+  def retainedSeedAudit(spark: SparkSession, table: String): DataFrame = {
+    val seeds = spark.table(s"${table}_seeds")
+    val gone =
+      if (spark.catalog.tableExists(s"${table}_deletes"))
+        spark.table(s"${table}_deletes").distinct()
+      else seeds.filter(lit(false)).select(col("vec_id"))
+    seeds.join(broadcast(gone.withColumn("_g", lit(1))),
+        Seq("vec_id"), "left")
+      .groupBy(col("role"))
+      .agg(count(lit(1)).as("seeds_total"),
+        sum(when(col("_g").isNotNull, 1L).otherwise(0L))
+          .as("seeds_retained"))
+      .orderBy(col("role"))
+  }
+
+  /** Takedown parity for the VERBATIM-EMBEDDING model artifacts — the
+    * one place [[deleteFromTrainedIvfIndex]]'s tombstone contract is
+    * not enough. Tombstones remove index ROWS, but three persisted
+    * artifacts embed exact copies/slices of their SEED vectors: the
+    * `_model` centroids (verbatim at iters=0; seed-derived always),
+    * the `_pqcodebook` entries (verbatim slices by construction, and a
+    * trained codebook's dead cells retain their prior — also verbatim
+    * — centers), and nothing in the delete path touches them. So a
+    * takedown that hits a seed id leaves that vector's exact floats
+    * serving every subsequent query.
+    *
+    * This call closes the gap: if any tombstoned id is in the recorded
+    * seed set (`<table>_seeds`), it RE-ELECTS replacement seeds
+    * deterministically (survivors keep their place; each lost seed is
+    * replaced by the smallest live vec_id not already a seed — no
+    * rand(), so replay and the spec's rebuild-equivalence hold) and
+    * REBUILDS the model artifacts from the live view: retrain +
+    * re-assign the base index, then re-derive whichever quantized
+    * sidecars exist (`_pq` re-encodes under the re-elected codebook,
+    * `_int8` re-encodes under the new assignment). Cost is explicit —
+    * O(corpus) like any rebuild (codes are corpus-scale to recompute;
+    * the contract trades that for exactness) — and the no-seed-hit
+    * case returns without touching anything, so routine takedowns stay
+    * O(|deletes|). AnnIndexSpec pins scrub ≡ an index rebuilt without
+    * the vectors, and that no artifact retains the gone floats. */
+  def scrubIndexModelOnTakedown(spark: SparkSession, table: String,
+      nBuckets: Int = 8, iters: Int = KmeansIters): Unit = {
+    if (!spark.catalog.tableExists(s"${table}_deletes")) return
+    val gone = spark.table(s"${table}_deletes").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val seeds = spark.table(s"${table}_seeds").collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+    val centSeeds = seeds.collect { case ("centroid", id) => id }.toSeq
+    val cbSeeds = seeds.collect { case ("codebook", id) => id }.toSeq
+    if (!(centSeeds ++ cbSeeds).exists(gone)) return
+    val live = liveTrainedIvfIndex(spark, table)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val hadPq = spark.catalog.tableExists(s"${table}_pq")
+    val hadI8 = spark.catalog.tableExists(s"${table}_int8")
+    val pqSub =
+      if (hadPq)
+        spark.table(s"${table}_pqcodebook")
+          .agg(max(col("s"))).collect().head.getInt(0) + 1
+      else PqSubspaces
+    // writeTrainedIvfIndex drops the tombstones (fresh generation) —
+    // correct here because `live` already excludes them, and the
+    // sidecar rewrites below re-derive from the new base table.
+    writeTrainedIvfIndex(live, table, nBuckets,
+      reElectSeeds(live, centSeeds, gone), iters)
+    if (hadPq)
+      writePqCodes(spark, table, pqSub,
+        reElectSeeds(live, cbSeeds, gone), nBuckets)
+    if (hadI8) writeInt8Codes(spark, table, nBuckets)
+  }
+
+  /** Deterministic seed re-election: survivors stay; each lost seed is
+    * replaced by the smallest live id outside the set (a TopK-pushdown
+    * sort-limit, never a full collect). */
+  private def reElectSeeds(live: DataFrame, current: Seq[Long],
+      gone: Set[Long]): Seq[Long] = {
+    val survivors = current.filterNot(gone)
+    val lost = current.size - survivors.size
+    if (lost == 0) current
+    else {
+      val excluded = survivors ++ gone
+      val replacements = live
+        .filter(!col("vec_id").isin(excluded.toSeq: _*))
+        .select(col("vec_id")).orderBy(col("vec_id"))
+        .limit(lost).collect().map(_.getLong(0)).toSeq
+      require(replacements.size == lost,
+        s"cannot re-elect $lost seed(s): only ${replacements.size} " +
+          "live non-seed vectors remain")
+      (survivors ++ replacements).sorted
+    }
   }
 
   /** [[knnIvfIndexed]] for a trained index: identical probe shape, but
@@ -2005,11 +2154,14 @@ object SimilarityOps {
     * argument assumes away. `evalCap` closes the gap — the eval side is
     * the first `evalCap` ids at/above the cut (a real benchmark set is
     * a fixed table and never hits it; the cap defends the synthetic
-    * split). 100k × 64 floats ≈ 26 MB — broadcast-safe; at test SFs
-    * (≤200 eval rows) the cap never binds, so the DuckDB oracle is
-    * unchanged. A lazy filter, not a count — registry laziness holds. */
+    * split). 100k × 64 floats ≈ 26 MB — broadcast-safe. The SAME cap
+    * predicate is threaded into [[semanticContaminationSql]], so
+    * Spark and the oracle stay engine-identical even in the regime
+    * where the cap binds — a compliance check must never silently
+    * diverge from its audit replay. A lazy filter, not a count —
+    * registry laziness holds. */
   def semanticContamination(em: DataFrame, tau: Double = 0.4,
-      evalCap: Long = 100000L): DataFrame = {
+      evalCap: Long = SemanticContaminationEvalCap): DataFrame = {
     GraftFunctions.register(em.sparkSession)
     val cut = em.agg(
       floor(max(col("vec_id")) * 9 / 10).cast("long").as("_cut"))
@@ -2031,12 +2183,17 @@ object SimilarityOps {
     * non-empty contamination sets at every SF (20 / 6 / 162 pairs). */
   val SemanticContaminationTau = 0.4
 
+  /** Broadcast bound on the synthetic eval split (Scaladoc at
+    * [[semanticContamination]]); shared with the oracle SQL below. */
+  val SemanticContaminationEvalCap = 100000L
+
   val semanticContaminationSql: String =
     s"""WITH cut AS (SELECT (max(vec_id) * 9) // 10 AS c FROM embeddings),
        |tr AS (SELECT vec_id AS train_id, embedding AS te
        |  FROM embeddings, cut WHERE vec_id < c),
        |ev AS (SELECT vec_id AS eval_id, embedding AS ee
-       |  FROM embeddings, cut WHERE vec_id >= c)
+       |  FROM embeddings, cut WHERE vec_id >= c
+       |    AND vec_id - c < $SemanticContaminationEvalCap)
        |SELECT train_id, eval_id,
        |  round(${cosSql("tr.te", "ev.ee")}, 4) AS cos
        |FROM tr, ev
@@ -2071,9 +2228,18 @@ object SimilarityOps {
       codebookIds: Seq[Long]): DataFrame = {
     val spark = em.sparkSession
     import spark.implicits._
-    val slots = codebookIds.sorted.zipWithIndex.toDF("vec_id", "slot")
-    val cb = em.join(broadcast(slots), "vec_id")
-      .select(col("slot"), col("embedding").as("cbv"))
+    val wanted = codebookIds.toDF("vec_id")
+    // Slot = dense rank over the ids actually PRESENT in em (matching
+    // the oracle's `row_number() OVER (ORDER BY vec_id) - 1` over the
+    // same filtered rows) — a requested id absent from the corpus must
+    // not leave a gap, or the flat s*K+slot distance-table indexing
+    // silently reads the wrong entries. K rows, broadcast-sized; the
+    // unpartitioned window is over the codebook, never the corpus.
+    val cb = em.join(broadcast(wanted), "vec_id")
+      .select(col("vec_id"), col("embedding").as("cbv"))
+      .withColumn("slot",
+        row_number().over(Window.orderBy("vec_id")) - 1)
+      .select(col("slot"), col("cbv"))
     pqSliceRows(cb, "slot", "cbv", "cv", subspaces)
       .withColumn("cn2", expr(
         """aggregate(cv, CAST(0 AS DOUBLE),
@@ -2404,6 +2570,12 @@ object SimilarityOps {
     graft.sources.FileIO.dropTableAndLocation(spark, s"${ivfTable}_pqcodebook")
     cb.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${ivfTable}_pqcodebook")
+    // codebook entries are VERBATIM slices of these corpus vectors —
+    // seed provenance feeds the takedown audit + scrub (Scaladoc at
+    // [[scrubIndexModelOnTakedown]])
+    writeSeedRoles(spark, ivfTable, "codebook",
+      idx.filter(col("vec_id").isin(codebookIds: _*))
+        .select(col("vec_id")).distinct())
     graft.sources.FileIO.writeParquetBucketed(
       pqEncodeAssigned(idx, cb, subspaces)
         .select(col("vec_id"), col("cid"), col("codes"), col("rnorm")),
@@ -2463,6 +2635,7 @@ object SimilarityOps {
     import spark.implicits._
     GraftFunctions.register(spark)
     val live = liveTrainedIvfIndex(spark, ivfTable)
+    requireLiveQueries(live, queryIds, ivfTable)
     val q = live.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val tailRows = pqAdcTail(livePqCodes(spark, ivfTable),
@@ -2872,9 +3045,12 @@ object SimilarityOps {
     * tier between full precision (1×, exact) and PQ (q171: ~32×,
     * lossy-ranked): int8 keeps per-dimension resolution, so its
     * ranking tracks the float path to quantization noise — no re-rank
-    * tail needed. All-zero vectors (amax = 0) code to division-by-zero
-    * NaN codes upstream exactly like the float path's 0/0 — the
-    * fixture has none, and a production encoder drops empty vectors
+    * tail needed. All-zero vectors (amax = 0) encode to a NULL `cq`
+    * (a 0/0 here would yield NaN codes, and NaN cosine scores sort
+    * ABOVE every real score in a descending rank window — one zero
+    * vector would top every query); null scores sort last under
+    * Spark's desc-nulls-last default, so zero vectors simply never
+    * serve, matching a production encoder that drops empty vectors
     * before indexing. */
   def int8Encode(vecs: DataFrame): DataFrame =
     // a pure PROJECTION: input columns ride through (callers encoding
@@ -2882,8 +3058,9 @@ object SimilarityOps {
     vecs.withColumn("_amax",
         expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
       .withColumn("cq",
-        expr("transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE)" +
-          " / _amax * 127.0 + 0.5) AS TINYINT))"))
+        expr("CASE WHEN _amax > 0 THEN transform(embedding," +
+          " e -> CAST(floor(CAST(e AS DOUBLE)" +
+          " / _amax * 127.0 + 0.5) AS TINYINT)) END"))
       .drop("_amax")
 
   /** q172 — int8 serving recall audit (the q139 protocol with the
@@ -3066,6 +3243,7 @@ object SimilarityOps {
       queryIds: Seq[Long] = QueryIds, k: Int = TopK,
       nProbe: Int = NProbe): DataFrame = {
     val live = liveTrainedIvfIndex(spark, ivfTable)
+    requireLiveQueries(live, queryIds, ivfTable)
     val q = live.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     knnInt8From(liveInt8Codes(spark, ivfTable), q,

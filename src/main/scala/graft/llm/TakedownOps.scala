@@ -149,7 +149,11 @@ object TakedownOps {
     * [[takedownBm25Index]]/[[takedownDedupIndex]]/
     * SimilarityOps.deleteFromTrainedIvfIndex and the unlearn calls
     * (TextOps.unlearnFromBigramLm / unlearnFromDsirModel /
-    * ClassifyOps.unlearnFromNbModel) fire. */
+    * ClassifyOps.unlearnFromNbModel) fire. The `ivf_model` /
+    * `pq_codebook` arms cover the VERBATIM-retention hole those row
+    * paths cannot see: model artifacts whose entries are copies/slices
+    * of seed vectors, cleared only by
+    * SimilarityOps.scrubIndexModelOnTakedown. */
   def takedownAudit(docs: DataFrame, em: DataFrame,
       source: String, refLang: String = "en",
       dsirBuckets: Int = 512): DataFrame = {
@@ -195,12 +199,31 @@ object TakedownOps {
       .agg(max(when(!col("hit"), 1).otherwise(0)).as("keep"))
       .agg(count(lit(1)).as("ds_t"),
         sum(when(col("keep") === 0, 1L).otherwise(0L)).as("ds_r"))
+    // ANN model-artifact arms: the trained-IVF `_model` centroids and
+    // the `_pqcodebook` entries DERIVE FROM (verbatim at iters=0 /
+    // always for codebook slices) the fixed SEED vectors — a takedown
+    // that hits a seed leaves its exact floats in the serving model
+    // until SimilarityOps.scrubIndexModelOnTakedown re-elects and
+    // rebuilds. rows_removed here = seeds this takedown hits, i.e.
+    // the retained-verbatim exposure the scrub must clear.
+    val sd = em.filter(
+        col("vec_id").isin(SimilarityOps.CentroidIds: _*))
+      .join(broadcast(docs.filter(col("source") === lit(source))
+          .select(col("doc_id").as("vec_id")).distinct()
+          .withColumn("_m", lit(1))),
+        Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("sd_t"),
+        // coalesce: a corpus with NO seed vectors at all must report
+        // (0, 0), not (0, null) — sum over zero rows is null
+        coalesce(sum(when(col("_m").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("sd_r"))
     def art(name: String, t: org.apache.spark.sql.Column,
         r: org.apache.spark.sql.Column) =
       struct(lit(name).as("artifact"), t.as("rows_total"),
         r.as("rows_removed"))
     a.crossJoin(broadcast(e))
       .crossJoin(broadcast(lm)).crossJoin(broadcast(ds))
+      .crossJoin(broadcast(sd))
       .select(explode(array(
         art("bigram_lm", col("lm_t"), col("lm_r")),
         art("bm25_doclen", col("docs_t"), col("docs_r")),
@@ -209,7 +232,9 @@ object TakedownOps {
         art("dedup_docn", col("docs_t"), col("docs_r")),
         art("dedup_postings", col("sh_t"), col("sh_r")),
         art("dsir_counts", col("ds_t"), col("ds_r")),
-        art("embeddings", col("em_t"), col("em_r")))).as("x"))
+        art("embeddings", col("em_t"), col("em_r")),
+        art("ivf_model", col("sd_t"), col("sd_r")),
+        art("pq_codebook", col("sd_t"), col("sd_r")))).as("x"))
       .select(col("x.artifact").as("artifact"),
         col("x.rows_total").as("rows_total"),
         col("x.rows_removed").as("rows_removed"),
@@ -252,7 +277,14 @@ object TakedownOps {
        |ds AS (SELECT count(*) AS ds_t,
        |    sum(CASE WHEN keep = 0 THEN 1 ELSE 0 END) AS ds_r FROM (
        |  SELECT b, max(CASE WHEN hit THEN 0 ELSE 1 END) AS keep
-       |  FROM dsb GROUP BY b))
+       |  FROM dsb GROUP BY b)),
+       |sd AS (SELECT count(*) AS sd_t,
+       |    coalesce(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END),
+       |      0) AS sd_r
+       |  FROM embeddings em LEFT JOIN (
+       |    SELECT DISTINCT doc_id FROM documents
+       |    WHERE source = '$TakedownSource') d ON em.vec_id = d.doc_id
+       |  WHERE em.vec_id IN (${SimilarityOps.CentroidIds.mkString(", ")}))
        |SELECT artifact, CAST(rows_total AS BIGINT) AS rows_total,
        |  CAST(rows_removed AS BIGINT) AS rows_removed,
        |  CAST(rows_total - rows_removed AS BIGINT) AS rows_live
@@ -265,7 +297,9 @@ object TakedownOps {
        |  UNION ALL SELECT 'dedup_docn', docs_t, docs_r FROM a
        |  UNION ALL SELECT 'dedup_postings', sh_t, sh_r FROM a
        |  UNION ALL SELECT 'dsir_counts', ds_t, ds_r FROM ds
-       |  UNION ALL SELECT 'embeddings', em_t, em_r FROM e)
+       |  UNION ALL SELECT 'embeddings', em_t, em_r FROM e
+       |  UNION ALL SELECT 'ivf_model', sd_t, sd_r FROM sd
+       |  UNION ALL SELECT 'pq_codebook', sd_t, sd_r FROM sd)
        |ORDER BY artifact""".stripMargin
   }
 

@@ -295,4 +295,80 @@ class AnnIndexSpec extends SparkSpec {
       SimilarityOps.assignUnderModel(em, model), model)
     assert(pqAll.collect().toSeq == full.collect().toSeq)
   }
+
+  test("takedown of a SEED vector: the audit reports the verbatim " +
+      "retention, scrub re-elects + rebuilds so serve ≡ an index " +
+      "rebuilt without the vectors, and no model artifact keeps the " +
+      "gone floats") {
+    val em = Tables.embeddings(spark, sf0001)
+    import org.apache.spark.sql.functions.col
+    SimilarityOps.writeTrainedIvfIndex(em, "ann_scrub", nBuckets = 8)
+    SimilarityOps.writePqCodes(spark, "ann_scrub", nBuckets = 8)
+    SimilarityOps.writeInt8Codes(spark, "ann_scrub", nBuckets = 8)
+
+    // 3 and 33 are centroid AND codebook seeds; 7 is neither
+    val gone = Seq(3L, 33L, 7L)
+    val goneVecs = em.filter(col("vec_id").isin(gone: _*))
+      .select(col("embedding")).collect().map(_.getSeq[Float](0)).toSet
+    SimilarityOps.deleteFromTrainedIvfIndex(spark, "ann_scrub", gone)
+
+    // before scrub: the audit surfaces the exposure (2 retained seeds
+    // per role), and the stored model still carries the gone floats
+    val before = SimilarityOps.retainedSeedAudit(spark, "ann_scrub")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(before.toSet ==
+      Set(("centroid", 8L, 2L), ("codebook", 8L, 2L)), before.toSeq)
+
+    SimilarityOps.scrubIndexModelOnTakedown(spark, "ann_scrub")
+
+    // the re-election rule is deterministic: survivors keep their
+    // seats; 3 and 33 are replaced by the smallest live non-seed ids
+    val expectedSeeds = (SimilarityOps.CentroidIds
+      .filterNot(Seq(3L, 33L).contains) ++ Seq(0L, 1L)).sorted
+    val seedRows = spark.table("ann_scrub_seeds").collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+    assert(seedRows.collect { case ("centroid", id) => id }
+      .toSeq.sorted == expectedSeeds)
+    assert(seedRows.collect { case ("codebook", id) => id }
+      .toSeq.sorted == expectedSeeds)
+
+    // scrub ≡ a from-scratch index over the live corpus with the same
+    // re-elected seeds — every tier answers identically
+    val live = em.filter(!col("vec_id").isin(gone: _*))
+    SimilarityOps.writeTrainedIvfIndex(live, "ann_scrub_ref",
+      nBuckets = 8, centroidIds = expectedSeeds)
+    SimilarityOps.writePqCodes(spark, "ann_scrub_ref",
+      codebookIds = expectedSeeds, nBuckets = 8)
+    SimilarityOps.writeInt8Codes(spark, "ann_scrub_ref", nBuckets = 8)
+    assert(SimilarityOps.knnPqServe(spark, "ann_scrub").collect().toSeq
+      == SimilarityOps.knnPqServe(spark, "ann_scrub_ref").collect().toSeq)
+    assert(SimilarityOps.knnInt8Serve(spark, "ann_scrub").collect().toSeq
+      == SimilarityOps.knnInt8Serve(spark, "ann_scrub_ref")
+        .collect().toSeq)
+
+    // no artifact retains the gone vectors' floats: not the index rows,
+    // not the model centroids, not the codebook slices (gone slices =
+    // every contiguous width-8 slice of a gone embedding)
+    assert(spark.table("ann_scrub").collect()
+      .forall(r => !goneVecs.contains(r.getSeq[Float](1))))
+    assert(spark.table("ann_scrub_model").collect()
+      .forall(r => !goneVecs.contains(r.getSeq[Float](1))))
+    val goneSlices = goneVecs.flatMap(v => v.grouped(8).toSeq)
+    assert(spark.table("ann_scrub_pqcodebook")
+      .select(col("cv")).collect()
+      .forall(r => !goneSlices.contains(r.getSeq[Float](0))))
+    // and the audit is clean (fresh generation dropped the tombstones)
+    val after = SimilarityOps.retainedSeedAudit(spark, "ann_scrub")
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(after.forall(_._2 == 0L), after.toSeq)
+
+    // a takedown that hits NO seed leaves the artifacts untouched:
+    // scrub is O(|deletes|) in the routine case
+    SimilarityOps.deleteFromTrainedIvfIndex(spark, "ann_scrub", Seq(9L))
+    val modelBefore = spark.table("ann_scrub_model").collect().toSet
+    SimilarityOps.scrubIndexModelOnTakedown(spark, "ann_scrub")
+    assert(spark.catalog.tableExists("ann_scrub_deletes"),
+      "no-seed-hit scrub must not trigger a rebuild")
+    assert(spark.table("ann_scrub_model").collect().toSet == modelBefore)
+  }
 }

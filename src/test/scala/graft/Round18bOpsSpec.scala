@@ -134,9 +134,13 @@ class Round18bOpsSpec extends SparkSpec {
     // collisions are possible in principle but not at 5 tokens / 512
     // buckets with these literals
     assert(out("dsir_counts") == (5L, 3L), out.toString)
+    // seed arms: this fixture's em has no CentroidIds rows at all, so
+    // both model artifacts report zero seeds (and zero exposure)
+    assert(out("ivf_model") == (0L, 0L), out.toString)
+    assert(out("pq_codebook") == (0L, 0L), out.toString)
     assert(out.keySet == Set("bigram_lm", "bm25_doclen", "bm25_postings",
       "corpus", "dedup_docn", "dedup_postings", "dsir_counts",
-      "embeddings"))
+      "embeddings", "ivf_model", "pq_codebook"))
   }
 
   // ------------------------------------------------------------- q175
