@@ -59,6 +59,34 @@ object AnnFixtureStudy {
           meanOf(SimilarityOps.annPqTrainedRecallAudit(em), "recall"))
         println(f"[fixture-study] n=$n fx=$name audit=q173_pq_trained " +
           f"recall=$tr%.3f wall=$tTr%.1f s")
+        Seq(("k8", SimilarityOps.CentroidIds),
+            ("k64", (1 to 64).map(_ * 7L))).foreach { case (cfg, cbIds) =>
+          val (tRe, re) = time(SimilarityOps.annPqResidualRecallAudit(em,
+              codebookIds = cbIds)
+            .agg(avg(col("recall")).as("r"),
+              avg(col("n_hit_adc").cast("double") / 5).as("adc"))
+            .first())
+          println(f"[fixture-study] n=$n fx=$name audit=q180_pq_residual " +
+            f"cfg=$cfg recall=${re.getDouble(0)}%.3f " +
+            f"adc_recall=${re.getDouble(1)}%.3f wall=$tRe%.1f s")
+        }
+        // the graph tier at its registry defaults AND at a scaled
+        // serve budget — the (recall, n_scored) pair is the story:
+        // graph cost is a CONSTANT the caller picks, IVF cost is a
+        // corpus fraction
+        Seq(("default", graft.llm.GraphAnnOps.GraphRounds,
+             graft.llm.GraphAnnOps.GraphBeam,
+             graft.llm.GraphAnnOps.GraphHops),
+            ("scaled", 4, 64, 7)).foreach { case (cfg, r, b, h) =>
+          val (tGr, gr) = time(
+            graft.llm.GraphAnnOps.annGraphRecallAudit(em,
+              rounds = r, beam = b, hops = h)
+            .agg(avg(col("recall")), avg(col("n_scored"))).first())
+          println(f"[fixture-study] n=$n fx=$name audit=q179_graph " +
+            f"cfg=$cfg recall=${gr.getDouble(0)}%.3f " +
+            f"scored=${gr.getDouble(1)}%.0f " +
+            f"scored_frac=${gr.getDouble(1) / n}%.3f wall=$tGr%.1f s")
+        }
       }
     spark.stop()
   }

@@ -524,7 +524,7 @@ object SimilarityOps {
 
   /** Rewrite the `<table>_seeds` provenance table for one `role`,
     * keeping other roles' rows (the table is seed-scale). */
-  private def writeSeedRoles(spark: SparkSession, table: String,
+  private[llm] def writeSeedRoles(spark: SparkSession, table: String,
       role: String, ids: DataFrame): Unit = {
     val fresh = ids.select(col("vec_id").cast("long").as("vec_id"))
       .withColumn("role", lit(role))
@@ -2654,6 +2654,281 @@ object SimilarityOps {
   }
 
   // ------------------------------------------------------------------
+  // q180 — RESIDUAL-coded PQ (IVFADC proper, Jégou '11 §III)
+  // ------------------------------------------------------------------
+
+  /** Assigned vectors with their residual rv = v − c(v), the vector the
+    * residual quantizer codes. Double-precision throughout — the
+    * float-float subtraction is exact in double on both engines. */
+  private def residualFrame(assigned: DataFrame, model: DataFrame)
+      : DataFrame =
+    assigned.join(broadcast(model.select(col("cid"), col("ce"))), "cid")
+      .withColumn("rv", expr(
+        """zip_with(embedding, ce,
+          |  (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"""
+          .stripMargin))
+
+  /** Residual codebook: per subspace the residual slices of the seed
+    * vectors (dense slot over present ids — the q171 convention). The
+    * difference from [[pqCodebookOf]] is WHAT gets sliced: the seeds'
+    * residuals, so codebook entries live in the space the codes
+    * discriminate — around each cell's centroid, not in the raw
+    * ambient space. */
+  def pqResidualCodebookOf(em: DataFrame, model: DataFrame,
+      subspaces: Int = PqSubspaces,
+      codebookIds: Seq[Long] = CentroidIds): DataFrame = {
+    val seeds = residualFrame(
+      assignUnderModel(em.filter(col("vec_id").isin(codebookIds: _*)),
+        model), model)
+      .withColumn("slot",
+        row_number().over(Window.orderBy("vec_id")) - 1)
+    pqSliceRows(seeds.select(col("slot"), col("rv")), "slot", "rv",
+      "cv", subspaces)
+  }
+
+  /** Residual encode: per subspace the nearest residual-codebook slice
+    * (L2², slot-ascending tie) — codes index the RESIDUAL codebook;
+    * `rnorm` = ‖c(v) + r̂(v)‖, the reconstructed norm ADC divides by
+    * (per-s partial ‖ce_s + cv_s‖² folded in fixed s-order, the
+    * bit-identical-fold rule every rank cut rides on). This is what
+    * fixes the clustered collapse BASELINE §y measures for raw-vector
+    * PQ: cluster-mates share a cell, so their raw slices quantize to
+    * the same slot and ADC is cluster-constant — their RESIDUALS are
+    * the within-cluster jitter, exactly what this codebook spans. */
+  def pqResidualEncode(assigned: DataFrame, model: DataFrame,
+      cb: DataFrame, subspaces: Int = PqSubspaces): DataFrame = {
+    val sub = residualFrame(assigned, model)
+      .withColumn("s", explode(sequence(lit(0), lit(subspaces - 1))))
+      .withColumn("_w", expr(s"size(rv) DIV $subspaces"))
+      .withColumn("sv", expr("slice(rv, s * _w + 1, _w)"))
+      .withColumn("cev", expr("slice(ce, s * _w + 1, _w)"))
+      .select(col("vec_id"), col("cid"), col("s"), col("sv"), col("cev"))
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("err2"), col("slot"))
+    sub.join(broadcast(cb), "s")
+      .withColumn("err2", expr(
+        """aggregate(zip_with(sv, cv,
+          |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+          |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+          |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("n2", expr(
+        """aggregate(zip_with(cev, cv,
+          |  (c, r) -> (CAST(c AS DOUBLE) + CAST(r AS DOUBLE))
+          |          * (CAST(c AS DOUBLE) + CAST(r AS DOUBLE))),
+          |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(s, slot)))," +
+          " x -> x.slot)").as("codes"),
+        sqrt(expr(
+          "aggregate(transform(array_sort(collect_list(struct(s, n2)))," +
+            " x -> x.n2), CAST(0 AS DOUBLE), (a, v) -> a + v)"))
+          .as("rnorm"))
+  }
+
+  /** q180 — the q171 recall audit with RESIDUAL coding as the system
+    * under test: approx_cos(q, v) = (dot(q, c(v)) + Σ_s dt[s·K+code_s])
+    * / (‖q‖·‖c(v)+r̂(v)‖) — the per-(query, cell) centroid dot `qc` is
+    * nProbe rows per query (broadcast-scale), the residual distance
+    * table `dt` is the same flat per-query layout [[pqAdcTail]] builds,
+    * and the inner loop is the SAME native `pq_adc` expression (the
+    * numerator just gains a per-cell constant). Same tail + exact
+    * re-rank contract as q171. */
+  def annPqResidualRecallAudit(em: DataFrame, k: Int = TopK,
+      nProbe: Int = NProbe, rerank: Int = PqRerank, sampleMod: Long = 50L,
+      sampleRes: Long = 7L, minHits: Int = 3,
+      subspaces: Int = PqSubspaces,
+      codebookIds: Seq[Long] = CentroidIds,
+      centroidIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val q = em.filter(col("vec_id") % sampleMod === sampleRes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val truth = topk(em.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr("cosine_sim(qe, embedding)")), k)
+      .select(col("qid"), col("neighbor"))
+    val model = kmeansCentroids(em, centroidIds, iters).localCheckpoint()
+    val cb = pqResidualCodebookOf(em, model, subspaces, codebookIds)
+      .localCheckpoint()
+    val codes = pqResidualEncode(assignUnderModel(em, model), model, cb,
+      subspaces)
+    val probes = nearestCentroid(q, model.select(col("cid"), col("ce")),
+        "qid", "qe", nProbe)
+      .withColumn("qc", expr(
+        """aggregate(zip_with(qe, ce,
+          |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
+      .select(col("qid"), col("cid"), col("qc"))
+    val qdt = pqSliceRows(q.select(col("qid").as("vec_id"), col("qe")),
+        "vec_id", "qe", "qv", subspaces)
+      .join(broadcast(cb), "s")
+      .withColumn("dot", expr(
+        """aggregate(zip_with(qv, cv,
+          |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
+      .groupBy(col("vec_id").as("qid"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, slot, dot)))," +
+        " x -> x.dot)").as("dt"))
+    val qn = q.select(col("qid"), sqrt(expr(
+      """aggregate(qe, CAST(0 AS DOUBLE),
+        |  (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"""
+        .stripMargin)).as("qnorm"))
+    val qside = probes.join(qdt, "qid").join(qn, "qid")
+    val tail = codes.join(broadcast(qside), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc",
+        (col("qc") + expr("pq_adc(codes, dt)"))
+          / (col("qnorm") * col("rnorm")))
+      .withColumn("adcrnk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("adcrnk") <= k * rerank)
+      .select(col("qid"), col("vec_id"), col("adcrnk"))
+    val fin = pqRerankTail(tail,
+        em.select(col("vec_id"), col("embedding")), q, k)
+      .select(col("qid"), col("neighbor"))
+    val adcTop = tail.filter(col("adcrnk") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor"))
+    def hitsOf(c: DataFrame, out: String): DataFrame =
+      truth.join(c, Seq("qid", "neighbor"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as(out))
+    q.select(col("qid"))
+      .join(hitsOf(adcTop, "n_hit_adc"), Seq("qid"), "left")
+      .join(hitsOf(fin, "n_hit"), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hit_adc"), lit(0L)).as("n_hit_adc"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / k + lit(1e-9), 4))
+      .withColumn("ok", (col("n_hit") >= minHits).cast("int"))
+      .orderBy("qid")
+  }
+
+  def annPqResidualRecallSql(k: Int = TopK, nProbe: Int = NProbe,
+      rerank: Int = PqRerank, sampleMod: Long = 50L, sampleRes: Long = 7L,
+      minHits: Int = 3, subspaces: Int = PqSubspaces,
+      codebookIds: Seq[Long] = CentroidIds): String = {
+    val iterCtes = (1 to KmeansIters).map { it =>
+      s"""${kmeansAssignCte(s"c${it - 1}", s"a$it")},
+         |${kmeansUpdateCte(s"a$it", s"c$it")}""".stripMargin
+    }.mkString(",\n")
+    val err2 =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(generate_series(1, len(sv)),
+        |      i -> (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+        |         * (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))),
+        |    (a, v) -> a + v)""".stripMargin
+    val dot =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(generate_series(1, len(qv)),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))),
+        |    (a, v) -> a + v)""".stripMargin
+    def sumsq(v: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))),
+         |    (a, v) -> a + v)""".stripMargin
+    s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+       |$iterCtes,
+       |${kmeansAssignCte(s"c$KmeansIters", "asg")},
+       |res AS MATERIALIZED (SELECT a.vec_id, a.cid,
+       |    list_transform(generate_series(1, len(a.embedding)),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+       |      AS rv,
+       |    c.ce AS ce
+       |  FROM asg a JOIN c$KmeansIters c ON c.cid = a.cid),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
+       |  FROM embeddings WHERE vec_id % $sampleMod = $sampleRes),
+       |t AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, e.vec_id) AS rnk
+       |  FROM q, embeddings e WHERE e.vec_id <> q.qid) x WHERE rnk <= $k),
+       |cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS slot,
+       |    rv AS cbv FROM res
+       |  WHERE vec_id IN (${codebookIds.mkString(", ")})),
+       |cbn AS MATERIALIZED (SELECT slot, g.s,
+       |    list_slice(cbv, g.s * (len(cbv) // $subspaces) + 1,
+       |      (g.s + 1) * (len(cbv) // $subspaces)) AS cv
+       |  FROM cb0, generate_series(0, ${subspaces - 1}) g(s)),
+       |sub AS (SELECT vec_id, cid, g.s,
+       |    list_slice(rv, g.s * (len(rv) // $subspaces) + 1,
+       |      (g.s + 1) * (len(rv) // $subspaces)) AS sv,
+       |    list_slice(ce, g.s * (len(ce) // $subspaces) + 1,
+       |      (g.s + 1) * (len(ce) // $subspaces)) AS cev
+       |  FROM res, generate_series(0, ${subspaces - 1}) g(s)),
+       |enc0 AS (SELECT vec_id, cid, s, slot, n2 FROM (
+       |  SELECT sub.vec_id, sub.cid, sub.s, cbn.slot,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(sub.cev)),
+       |        i -> (CAST(sub.cev[i] AS DOUBLE) + CAST(cbn.cv[i] AS DOUBLE))
+       |           * (CAST(sub.cev[i] AS DOUBLE)
+       |              + CAST(cbn.cv[i] AS DOUBLE)))),
+       |      (a, v) -> a + v) AS n2,
+       |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |      ORDER BY $err2, cbn.slot) AS rn
+       |  FROM sub JOIN cbn ON cbn.s = sub.s) x WHERE rn = 1),
+       |enc AS MATERIALIZED (SELECT vec_id, cid,
+       |    list(slot ORDER BY s) AS codes,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(n2 ORDER BY s)), (a, v) -> a + v)) AS rnorm
+       |  FROM enc0 GROUP BY vec_id, cid),
+       |p AS (SELECT qid, cid, qc FROM (
+       |  SELECT q.qid, c.cid,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(q.qe)),
+       |        i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))),
+       |      (a, v) -> a + v) AS qc,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("c.ce", "q.qe")} DESC, c.cid) AS crn
+       |  FROM q, c$KmeansIters c) x WHERE crn <= $nProbe),
+       |qsub AS (SELECT qid, g.s,
+       |    list_slice(qe, g.s * (len(qe) // $subspaces) + 1,
+       |      (g.s + 1) * (len(qe) // $subspaces)) AS qv
+       |  FROM q, generate_series(0, ${subspaces - 1}) g(s)),
+       |qd AS (SELECT qid, qsub.s AS s, slot, $dot AS dot
+       |  FROM qsub JOIN cbn ON cbn.s = qsub.s),
+       |qdt AS (SELECT qid, list(dot ORDER BY s, slot) AS dt
+       |  FROM qd GROUP BY qid),
+       |qn AS (SELECT qid, sqrt(${sumsq("qe")}) AS qnorm FROM q),
+       |adc AS (SELECT p.qid, enc.vec_id,
+       |    (p.qc + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, $subspaces),
+       |        i -> dt[(i - 1) * (len(dt) // $subspaces)
+       |                + enc.codes[i] + 1])),
+       |      (a2, v) -> a2 + v)) / (qn.qnorm * enc.rnorm) AS adc
+       |  FROM p JOIN enc ON enc.cid = p.cid AND enc.vec_id <> p.qid
+       |  JOIN qdt ON qdt.qid = p.qid
+       |  JOIN qn ON qn.qid = p.qid),
+       |tail AS MATERIALIZED (SELECT qid, vec_id, adcrnk FROM (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adc DESC, vec_id) AS adcrnk FROM adc) x
+       |  WHERE adcrnk <= ${k * rerank}),
+       |fin AS (SELECT qid, vec_id FROM (
+       |  SELECT tl.qid, tl.vec_id,
+       |    row_number() OVER (PARTITION BY tl.qid
+       |      ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, tl.vec_id)
+       |      AS rnk
+       |  FROM tail tl JOIN embeddings e ON e.vec_id = tl.vec_id
+       |  JOIN q ON q.qid = tl.qid) x WHERE rnk <= $k),
+       |ha AS (SELECT t.qid, count(*) AS n_hit_adc FROM t
+       |  JOIN tail tl ON tl.qid = t.qid AND tl.vec_id = t.vec_id
+       |    AND tl.adcrnk <= $k GROUP BY t.qid),
+       |h AS (SELECT t.qid, count(*) AS n_hit FROM t
+       |  JOIN fin f ON f.qid = t.qid AND f.vec_id = t.vec_id
+       |  GROUP BY t.qid)
+       |SELECT q.qid,
+       |  CAST(coalesce(ha.n_hit_adc, 0) AS BIGINT) AS n_hit_adc,
+       |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  round(coalesce(h.n_hit, 0) / CAST($k AS DOUBLE) + 1e-9, 4)
+       |    AS recall,
+       |  CAST(coalesce(h.n_hit, 0) >= $minHits AS INT) AS ok
+       |FROM q LEFT JOIN ha ON ha.qid = q.qid
+       |LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // q174 — retrieval-quality metrics (P@k / MRR / nDCG)
   // ------------------------------------------------------------------
 
@@ -3285,6 +3560,12 @@ object SimilarityOps {
       "so training runs once for its multiple consumers"
 
   val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q180_pq_residual_recall",
+      eager(ModelEager + " (assignment, residual encode, ADC probes, " +
+        "truth arm)")(
+        (s: SparkSession, d: String) =>
+          annPqResidualRecallAudit(Tables.embeddings(s, d))),
+      Some(annPqResidualRecallSql())),
     ("q174_retrieval_metrics",
       eager(ModelEager + " (assignment + probe ranking)")(
         (s: SparkSession, d: String) =>

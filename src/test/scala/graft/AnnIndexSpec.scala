@@ -371,4 +371,70 @@ class AnnIndexSpec extends SparkSpec {
       "no-seed-hit scrub must not trigger a rebuild")
     assert(spark.table("ann_scrub_model").collect().toSet == modelBefore)
   }
+
+  // ------------------------------------------------------------- q179
+
+  test("graph ANN index: stored serve ≡ direct, appended vectors are " +
+      "wired in both directions, takedown kills edges at EITHER " +
+      "endpoint, and compaction restores the degree invariant without " +
+      "moving answers") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.{EmbeddingFixtures, GraphAnnOps}
+    val em = EmbeddingFixtures.clustered(spark, 600L).localCheckpoint()
+
+    GraphAnnOps.writeGraphIndex(em, "ann_graph")
+    val stored = GraphAnnOps.knnGraphServe(spark, "ann_graph")
+      .collect().toSeq
+    val direct = GraphAnnOps.knnGraphFrom(
+      GraphAnnOps.nnDescentEdges(em), em,
+      em.filter(col("vec_id").isin(SimilarityOps.QueryIds: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+      .collect().toSeq
+    assert(stored == direct)
+
+    // incremental insert: every appended vector gets edges BOTH ways
+    // (searchable from, and reachable into), and serving an appended
+    // id finds its near cluster-mates through the stored graph
+    val base = em.filter(col("vec_id") % 10 =!= 4)
+    val batch = em.filter(col("vec_id") % 10 === 4)
+    GraphAnnOps.writeGraphIndex(base, "ann_graph_inc")
+    GraphAnnOps.appendToGraphIndex(batch, "ann_graph_inc")
+    val batchIds = batch.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    val srcs = spark.table("ann_graph_inc_gedges")
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(batchIds.forall(b => srcs.exists(_._1 == b)),
+      "appended ids must have outgoing edges")
+    assert(batchIds.forall(b => srcs.exists(_._2 == b)),
+      "appended ids must be reachable (incoming edges)")
+    val servedNew = GraphAnnOps.knnGraphServe(spark, "ann_graph_inc",
+      queryIds = Seq(24L)).collect() // 24 ≡ 4 (mod 10): appended; cluster 0
+    assert(servedNew.nonEmpty && servedNew.head.getDouble(3) > 0.9,
+      s"appended vector should find near cluster-mates: ${servedNew.toSeq}")
+
+    // takedown: gone ids vanish from results AND their edges die at
+    // both endpoints
+    val gone = Seq(9L, 17L)
+    GraphAnnOps.deleteFromGraphIndex(spark, "ann_graph", gone)
+    val after = GraphAnnOps.knnGraphServe(spark, "ann_graph")
+      .collect().toSeq
+    after.foreach(r => assert(!gone.contains(r.getLong(2))))
+    val liveE = GraphAnnOps.liveGraphEdges(spark, "ann_graph")
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(liveE.forall(e => !gone.contains(e._1) && !gone.contains(e._2)))
+
+    // compaction: tombstones fold, per-src degree invariant restored,
+    // answers identical
+    GraphAnnOps.compactGraphIndex(spark, "ann_graph")
+    assert(!spark.catalog.tableExists("ann_graph_deletes"))
+    val deg = spark.table("ann_graph_gedges")
+      .groupBy(col("src")).count().agg(org.apache.spark.sql.functions
+        .max(col("count"))).first().getLong(0)
+    assert(deg <= GraphAnnOps.GraphDegree, s"max degree $deg")
+    val afterCompact = GraphAnnOps.knnGraphServe(spark, "ann_graph")
+      .collect().toSeq
+    assert(afterCompact == after)
+  }
 }
