@@ -145,7 +145,9 @@ object Stress {
       "q168_cluster_cap_sample", "q169_source_report_card",
       "q170_passage_serve", "q171_pq_ann_recall", "q172_int8_ann_recall",
       "q173_pq_trained_recall", "q174_retrieval_metrics",
-      "q175_html_extract", "q176_ccnet_buckets", "q177_repetition_audit", "q178_url_canonical")
+      "q175_html_extract", "q176_ccnet_buckets", "q177_repetition_audit",
+      "q178_url_canonical", "q179_graph_ann_recall",
+      "q180_pq_residual_recall")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

@@ -86,4 +86,24 @@ class Round19OpsSpec extends SparkSpec {
       s"(codes are cluster-constant); got $pq — if this rose, the " +
       "codebook geometry changed and BASELINE §y needs re-measuring")
   }
+
+  test("residual (IVFADC) coding fixes what raw PQ loses: on clustered " +
+      "data the residual codebook spans the within-cluster jitter, so " +
+      "q180 recall lands a multiple of q171's at the same probe budget " +
+      "and tail") {
+    val clu = EmbeddingFixtures.clustered(spark, N).localCheckpoint()
+    val raw = SimilarityOps.annPqRecallAudit(clu)
+      .agg(avg(col("recall"))).first().getDouble(0)
+    val res = SimilarityOps.annPqResidualRecallAudit(clu)
+      .agg(avg(col("recall"))).first().getDouble(0)
+    assert(res >= raw * 2 && res >= 0.4,
+      s"residual $res should be a multiple of raw $raw on clustered data")
+    // and it never hurts the isotropic case
+    val iso = EmbeddingFixtures.isotropic(spark, N).localCheckpoint()
+    val rawI = SimilarityOps.annPqRecallAudit(iso)
+      .agg(avg(col("recall"))).first().getDouble(0)
+    val resI = SimilarityOps.annPqResidualRecallAudit(iso)
+      .agg(avg(col("recall"))).first().getDouble(0)
+    assert(resI >= rawI, s"residual $resI vs raw $rawI on isotropic")
+  }
 }
