@@ -60,7 +60,8 @@ object AnnFixtureStudy {
         println(f"[fixture-study] n=$n fx=$name audit=q173_pq_trained " +
           f"recall=$tr%.3f wall=$tTr%.1f s")
         Seq(("k8", SimilarityOps.CentroidIds),
-            ("k64", (1 to 64).map(_ * 7L))).foreach { case (cfg, cbIds) =>
+            ("k64", (1 to 64).map(_ * 7L)),
+            ("k256", (1 to 256).map(_ * 7L))).foreach { case (cfg, cbIds) =>
           val (tRe, re) = time(SimilarityOps.annPqResidualRecallAudit(em,
               codebookIds = cbIds)
             .agg(avg(col("recall")).as("r"),
