@@ -46,6 +46,8 @@ object GraftExtensions {
       exprs => SimHash64(exprs(0))),
     ("pq_adc", classOf[PqAdc].getName,
       exprs => PqAdc(exprs(0), exprs(1))),
+    ("sq_dist", classOf[SqDist].getName,
+      exprs => SqDist(exprs(0), exprs(1))),
     ("cosine_sim_int8", classOf[CosineSimInt8].getName,
       exprs => CosineSimInt8(exprs(0), exprs(1))),
     ("double_sort_bits", classOf[DoubleSortBits].getName,
