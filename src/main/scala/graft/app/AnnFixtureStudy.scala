@@ -71,6 +71,14 @@ object AnnFixtureStudy {
             f"cfg=$cfg recall=${re.getDouble(0)}%.3f " +
             f"adc_recall=${re.getDouble(1)}%.3f wall=$tRe%.1f s")
         }
+        val (tRt, rt) = time(
+          SimilarityOps.annPqResidualTrainedRecallAudit(em)
+            .agg(avg(col("recall")).as("r"),
+              avg(col("n_hit_adc").cast("double") / 5).as("adc"))
+            .first())
+        println(f"[fixture-study] n=$n fx=$name " +
+          f"audit=q181_pq_residual_trained recall=${rt.getDouble(0)}%.3f " +
+          f"adc_recall=${rt.getDouble(1)}%.3f wall=$tRt%.1f s")
         // the graph tier at its registry defaults AND at a scaled
         // serve budget — the (recall, n_scored) pair is the story:
         // graph cost is a CONSTANT the caller picks, IVF cost is a

@@ -2751,15 +2751,24 @@ object SimilarityOps {
       centroidIds: Seq[Long] = CentroidIds,
       iters: Int = KmeansIters): DataFrame = {
     GraftFunctions.register(em.sparkSession)
+    val model = kmeansCentroids(em, centroidIds, iters).localCheckpoint()
+    residualAuditUnder(em, model,
+      pqResidualCodebookOf(em, model, subspaces, codebookIds)
+        .localCheckpoint(),
+      k, nProbe, rerank, sampleMod, sampleRes, minHits, subspaces)
+  }
+
+  /** The residual-ADC serve + audit under EXPLICIT model and codebook —
+    * shared by the static (q180) and trained (q181) arms. */
+  private def residualAuditUnder(em: DataFrame, model: DataFrame,
+      cb: DataFrame, k: Int, nProbe: Int, rerank: Int, sampleMod: Long,
+      sampleRes: Long, minHits: Int, subspaces: Int): DataFrame = {
     val q = em.filter(col("vec_id") % sampleMod === sampleRes)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val truth = topk(em.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("cos", expr("cosine_sim(qe, embedding)")), k)
       .select(col("qid"), col("neighbor"))
-    val model = kmeansCentroids(em, centroidIds, iters).localCheckpoint()
-    val cb = pqResidualCodebookOf(em, model, subspaces, codebookIds)
-      .localCheckpoint()
     val codes = pqResidualEncode(assignUnderModel(em, model), model, cb,
       subspaces)
     val probes = nearestCentroid(q, model.select(col("cid"), col("ce")),
@@ -2813,20 +2822,47 @@ object SimilarityOps {
       .orderBy("qid")
   }
 
+  /** `trainIters` > 0 inserts the per-subspace residual Lloyd CTEs
+    * (the q173 pattern over residual slices, DOUBLE means — the q181
+    * oracle); 0 is the static q180 book. */
   def annPqResidualRecallSql(k: Int = TopK, nProbe: Int = NProbe,
       rerank: Int = PqRerank, sampleMod: Long = 50L, sampleRes: Long = 7L,
       minHits: Int = 3, subspaces: Int = PqSubspaces,
-      codebookIds: Seq[Long] = PqResidualCodebookIds): String = {
+      codebookIds: Seq[Long] = PqResidualCodebookIds,
+      trainIters: Int = 0): String = {
+    val cbRef = if (trainIters == 0) "cbn" else s"rqc$trainIters"
+    val err2Of = (cvRef: String) =>
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(generate_series(1, len(sub.sv)),
+         |      i -> (CAST(sub.sv[i] AS DOUBLE) - CAST($cvRef[i] AS DOUBLE))
+         |         * (CAST(sub.sv[i] AS DOUBLE)
+         |            - CAST($cvRef[i] AS DOUBLE)))),
+         |    (a, v) -> a + v)""".stripMargin
+    val trainCtes = if (trainIters == 0) "" else {
+      val its = (1 to trainIters).map { it =>
+        s"""rqa$it AS (SELECT s, slot, sv FROM (
+           |  SELECT sub.s, rqc${it - 1}.slot, sub.sv,
+           |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+           |      ORDER BY ${err2Of(s"rqc${it - 1}.cv")}, rqc${it - 1}.slot)
+           |      AS rn
+           |  FROM sub JOIN rqc${it - 1} ON rqc${it - 1}.s = sub.s) x
+           |  WHERE rn = 1),
+           |rqu$it AS (SELECT s, slot, list(m ORDER BY pos) AS nv FROM (
+           |  SELECT s, slot, g.i AS pos,
+           |    round(avg(CAST(sv[g.i] AS DOUBLE)) + 1e-9, 6) AS m
+           |  FROM rqa$it, UNNEST(generate_series(1, len(sv))) AS g(i)
+           |  GROUP BY s, slot, g.i) y GROUP BY s, slot),
+           |rqc$it AS MATERIALIZED (SELECT p.s, p.slot,
+           |    coalesce(u.nv, p.cv) AS cv
+           |  FROM rqc${it - 1} p LEFT JOIN rqu$it u
+           |    ON u.s = p.s AND u.slot = p.slot)""".stripMargin
+      }.mkString(",\n")
+      s",\nrqc0 AS (SELECT slot, s, cv FROM cbn),\n$its"
+    }
     val iterCtes = (1 to KmeansIters).map { it =>
       s"""${kmeansAssignCte(s"c${it - 1}", s"a$it")},
          |${kmeansUpdateCte(s"a$it", s"c$it")}""".stripMargin
     }.mkString(",\n")
-    val err2 =
-      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |    list_transform(generate_series(1, len(sv)),
-        |      i -> (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
-        |         * (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))),
-        |    (a, v) -> a + v)""".stripMargin
     val dot =
       """list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |    list_transform(generate_series(1, len(qv)),
@@ -2860,23 +2896,24 @@ object SimilarityOps {
        |    list_slice(cbv, g.s * (len(cbv) // $subspaces) + 1,
        |      (g.s + 1) * (len(cbv) // $subspaces)) AS cv
        |  FROM cb0, generate_series(0, ${subspaces - 1}) g(s)),
-       |sub AS (SELECT vec_id, cid, g.s,
+       |sub AS MATERIALIZED (SELECT vec_id, cid, g.s,
        |    list_slice(rv, g.s * (len(rv) // $subspaces) + 1,
        |      (g.s + 1) * (len(rv) // $subspaces)) AS sv,
        |    list_slice(ce, g.s * (len(ce) // $subspaces) + 1,
        |      (g.s + 1) * (len(ce) // $subspaces)) AS cev
-       |  FROM res, generate_series(0, ${subspaces - 1}) g(s)),
+       |  FROM res, generate_series(0, ${subspaces - 1}) g(s))$trainCtes,
        |enc0 AS (SELECT vec_id, cid, s, slot, n2 FROM (
-       |  SELECT sub.vec_id, sub.cid, sub.s, cbn.slot,
+       |  SELECT sub.vec_id, sub.cid, sub.s, $cbRef.slot,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform(generate_series(1, len(sub.cev)),
-       |        i -> (CAST(sub.cev[i] AS DOUBLE) + CAST(cbn.cv[i] AS DOUBLE))
+       |        i -> (CAST(sub.cev[i] AS DOUBLE)
+       |              + CAST($cbRef.cv[i] AS DOUBLE))
        |           * (CAST(sub.cev[i] AS DOUBLE)
-       |              + CAST(cbn.cv[i] AS DOUBLE)))),
+       |              + CAST($cbRef.cv[i] AS DOUBLE)))),
        |      (a, v) -> a + v) AS n2,
        |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
-       |      ORDER BY $err2, cbn.slot) AS rn
-       |  FROM sub JOIN cbn ON cbn.s = sub.s) x WHERE rn = 1),
+       |      ORDER BY ${err2Of(s"$cbRef.cv")}, $cbRef.slot) AS rn
+       |  FROM sub JOIN $cbRef ON $cbRef.s = sub.s) x WHERE rn = 1),
        |enc AS MATERIALIZED (SELECT vec_id, cid,
        |    list(slot ORDER BY s) AS codes,
        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -2896,7 +2933,7 @@ object SimilarityOps {
        |      (g.s + 1) * (len(qe) // $subspaces)) AS qv
        |  FROM q, generate_series(0, ${subspaces - 1}) g(s)),
        |qd AS (SELECT qid, qsub.s AS s, slot, $dot AS dot
-       |  FROM qsub JOIN cbn ON cbn.s = qsub.s),
+       |  FROM qsub JOIN $cbRef ON $cbRef.s = qsub.s),
        |qdt AS (SELECT qid, list(dot ORDER BY s, slot) AS dt
        |  FROM qd GROUP BY qid),
        |qn AS (SELECT qid, sqrt(${sumsq("qe")}) AS qnorm FROM q),
@@ -2934,6 +2971,75 @@ object SimilarityOps {
        |  CAST(coalesce(h.n_hit, 0) >= $minHits AS INT) AS ok
        |FROM q LEFT JOIN ha ON ha.qid = q.qid
        |LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q181 — TRAINED residual codebook (per-subspace Lloyd over residuals)
+  // ------------------------------------------------------------------
+
+  /** Per-subspace Lloyd over the RESIDUAL slices (the q173 trainer
+    * applied in residual space): init = the static residual codebook
+    * (iters=0 degenerates to q180's book), each round re-centers every
+    * (s, slot) cell on the residual slices it attracts, dead cells
+    * retain their prior centers (uniform dt indexing, the q173 rule).
+    * Means stay DOUBLE (residual space is double end-to-end; the q173
+    * float narrowing was the raw codebook's storage canonicalization)
+    * but keep the same 6dp+nudge rounding so both engines walk
+    * identical codebooks. localCheckpoint per iteration — model-scale
+    * rows, bounded plan depth (the q173 note). */
+  def pqTrainResidualCodebook(em: DataFrame, model: DataFrame,
+      subspaces: Int = PqSubspaces,
+      codebookIds: Seq[Long] = PqResidualCodebookIds,
+      iters: Int = KmeansIters): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    var cb = pqResidualCodebookOf(em, model, subspaces, codebookIds)
+      .select(col("s"), col("slot"), col("cv"))
+    val sub = residualFrame(assignUnderModel(em, model), model)
+      .withColumn("s", explode(sequence(lit(0), lit(subspaces - 1))))
+      .withColumn("_w", expr(s"size(rv) DIV $subspaces"))
+      .withColumn("sv", expr("slice(rv, s * _w + 1, _w)"))
+      .select(col("vec_id"), col("s"), col("sv"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("err2"), col("slot"))
+      val asg = sub.join(broadcast(cb), "s")
+        .withColumn("err2", expr("sq_dist(sv, cv)"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("s"), col("slot"), col("sv"))
+      val updated = asg
+        .select(col("s"), col("slot"),
+          posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("s"), col("slot"), col("pos"))
+        .agg(round(avg(col("v")) + lit(1e-9), 6).as("m"))
+        .groupBy(col("s"), col("slot"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("nv"))
+      cb = cb.withColumnRenamed("cv", "pv")
+        .join(updated, Seq("s", "slot"), "left")
+        .select(col("s"), col("slot"),
+          coalesce(col("nv"), col("pv")).as("cv"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** q181 — the q180 audit under the TRAINED residual codebook: the
+    * codebook is the only change, so the recall delta IS the training
+    * dividend in residual space. */
+  def annPqResidualTrainedRecallAudit(em: DataFrame, k: Int = TopK,
+      nProbe: Int = NProbe, rerank: Int = PqRerank, sampleMod: Long = 50L,
+      sampleRes: Long = 7L, minHits: Int = 3,
+      subspaces: Int = PqSubspaces,
+      codebookIds: Seq[Long] = PqResidualCodebookIds,
+      centroidIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val model = kmeansCentroids(em, centroidIds, iters).localCheckpoint()
+    residualAuditUnder(em, model,
+      pqTrainResidualCodebook(em, model, subspaces, codebookIds, iters)
+        .localCheckpoint(),
+      k, nProbe, rerank, sampleMod, sampleRes, minHits, subspaces)
   }
 
   // ------------------------------------------------------------------
@@ -3565,6 +3671,12 @@ object SimilarityOps {
       "so training runs once for its multiple consumers"
 
   val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q181_pq_residual_trained_recall",
+      eager(ModelEager + " (and the per-subspace residual-Lloyd " +
+        "checkpoints likewise)")(
+        (s: SparkSession, d: String) =>
+          annPqResidualTrainedRecallAudit(Tables.embeddings(s, d))),
+      Some(annPqResidualRecallSql(trainIters = KmeansIters))),
     ("q180_pq_residual_recall",
       eager(ModelEager + " (assignment, residual encode, ADC probes, " +
         "truth arm)")(
