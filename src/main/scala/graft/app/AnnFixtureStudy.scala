@@ -83,9 +83,13 @@ object AnnFixtureStudy {
         // serve budget — the (recall, n_scored) pair is the story:
         // graph cost is a CONSTANT the caller picks, IVF cost is a
         // corpus fraction
-        Seq(("default", graft.llm.GraphAnnOps.GraphRounds,
+        Seq(("const", graft.llm.GraphAnnOps.GraphRounds,
              graft.llm.GraphAnnOps.GraphBeam,
              graft.llm.GraphAnnOps.GraphHops),
+            // the r20 serve DEFAULT: log2(N)-scaled budget, same build
+            ("logn", graft.llm.GraphAnnOps.GraphRounds,
+             graft.llm.GraphAnnOps.scaledBeam(n),
+             graft.llm.GraphAnnOps.scaledHops(n)),
             ("scaled", 4, 64, 7)).foreach { case (cfg, r, b, h) =>
           val (tGr, gr) = time(
             graft.llm.GraphAnnOps.annGraphRecallAudit(em,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
 
-import graft.llm.SimilarityOps
+import graft.llm.{GraphAnnOps, SimilarityOps}
 
 /** Exactly-once STREAMING ingest for the ANN index family — the q160
   * posture applied to embeddings. [[SimilarityOps.appendToTrainedIvfIndex]]
@@ -145,5 +145,148 @@ object AnnIngestApp {
     SimilarityOps.knnInt8From(
       idx.select(col("vec_id"), col("cid"), col("cq")), q,
       model(spark, annDir))
+  }
+
+  // ------------------------------------------------------------------
+  // Graph-tier streaming ingest (the r19 parity gap: appendToGraphIndex
+  // existed only as a batch call — a WAL replay of its flat appends
+  // would double-wire every edge)
+  // ------------------------------------------------------------------
+
+  private def batchIdOf(dir: String): Long =
+    dir.split("batch_id=").last.toLong
+
+  /** Bootstrap the graph tier BEFORE streaming (the [[trainModel]]
+    * analog): NN-descent over the initial corpus lands under
+    * `annDir/graph/{vectors,edges,entries}` — immutable state the
+    * stream walks against and extends, never rebuilds. */
+  def bootstrapGraph(spark: SparkSession, annDir: String, em: DataFrame,
+      degree: Int = GraphAnnOps.GraphDegree,
+      rounds: Int = GraphAnnOps.GraphRounds,
+      salts: Int = GraphAnnOps.GraphSalts,
+      entryIds: Seq[Long] = SimilarityOps.CentroidIds): Unit = {
+    val v = em.select(col("vec_id"), col("embedding"))
+    GraphAnnOps.nnDescentEdges(v, degree, rounds, salts)
+      .write.mode("overwrite").parquet(s"$annDir/graph/edges")
+    v.write.mode("overwrite").parquet(s"$annDir/graph/vectors")
+    em.filter(col("vec_id").isin(entryIds: _*)).select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$annDir/graph/entries")
+  }
+
+  /** Graph state BEFORE micro-batch `batchId`: bootstrap plus every
+    * landed partition with a SMALLER batch id. This is what makes the
+    * per-batch landing idempotent under WAL replay — prior partitions
+    * are immutable and later ones cannot exist when batch N replays
+    * (the WAL admits N+1 only after N commits), so recomputing batch
+    * N's edges reads exactly the state the original attempt read. */
+  private def graphStateBefore(spark: SparkSession, annDir: String,
+      sub: String, batchId: Long): DataFrame = {
+    val prior = batchDirs(spark, s"$annDir/$sub")
+      .filter(d => batchIdOf(d) < batchId)
+    val base = spark.read.parquet(s"$annDir/graph/" +
+      (if (sub == "gbatch") "vectors" else "edges"))
+    if (prior.isEmpty) base
+    else base.unionByName(spark.read.parquet(prior: _*))
+  }
+
+  private def storedEntryIds(spark: SparkSession,
+      annDir: String): Seq[Long] =
+    spark.read.parquet(s"$annDir/graph/entries")
+      .collect().map(_.getLong(0)).toSeq.sorted
+
+  /** Start the graph-tier ingest stream: per micro-batch, each new
+    * vector beam-walks the PRIOR graph state for its `degree` nearest
+    * neighbors (O(|batch|·beam·degree·hops), the appendToGraphIndex
+    * cost shape) and lands `annDir/gbatch/batch_id=N` (vectors) +
+    * `annDir/gedges/batch_id=N` (both edge directions, FULL-precision
+    * cosines) idempotently — a WAL replay overwrites the same
+    * directories with the same recomputed content.
+    *
+    * Entry points are the UNFILTERED bootstrap entries by design: the
+    * takedown log applies at read time ([[serveGraph]]), and an
+    * ingest that consulted it would make a replayed batch walk from
+    * different entries than its original attempt — breaking the
+    * idempotence this landing exists for. */
+  def runGraph(spark: SparkSession, shardDir: String, annDir: String,
+      checkpointDir: String, degree: Int = GraphAnnOps.GraphDegree,
+      beam: Int = GraphAnnOps.GraphBeam,
+      hops: Int = GraphAnnOps.GraphHops,
+      maxRecordsPerBatch: Option[Long] = None,
+      extraOptions: Map[String, String] = Map.empty,
+      rebind: Boolean = false): StreamingQuery = {
+    graft.streaming.CheckpointBinding.bind(spark, s"$annDir/gbatch",
+      checkpointDir, rebind,
+      batchDirs(spark, s"$annDir/gbatch").nonEmpty)
+    val entries = storedEntryIds(spark, annDir)
+    vecStream(spark, shardDir, maxRecordsPerBatch, extraOptions)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val priorV = graphStateBefore(spark, annDir, "gbatch", batchId)
+          .localCheckpoint()
+        val priorE = graphStateBefore(spark, annDir, "gedges", batchId)
+          .localCheckpoint()
+        val nb = batch.select(col("vec_id"), col("embedding"))
+          .localCheckpoint()
+        val found = GraphAnnOps.knnGraphFromRaw(priorE, priorV,
+            nb.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+            k = degree, beam = beam, hops = hops, entryIds = entries)
+          .select(col("qid").as("src"), col("neighbor").as("dst"),
+            col("cos"))
+        val newEdges = found.unionByName(found.select(
+            col("dst").as("src"), col("src").as("dst"), col("cos")))
+          .localCheckpoint()
+        nb.write.mode("overwrite")
+          .parquet(s"$annDir/gbatch/batch_id=$batchId")
+        newEdges.write.mode("overwrite")
+          .parquet(s"$annDir/gedges/batch_id=$batchId")
+      }
+      .start()
+  }
+
+  private def takedownIds(spark: SparkSession,
+      annDir: String): Option[DataFrame] = {
+    val tomb = new org.apache.hadoop.fs.Path(s"$annDir/takedown")
+    if (tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(tomb))
+      Some(spark.read.parquet(s"$annDir/takedown").distinct())
+    else None
+  }
+
+  /** Serve graph-ANN kNN from the landed state: bootstrap ∪ batch
+    * partitions, through the SHARED read-time takedown log (vectors by
+    * id; edges die at EITHER endpoint; entry points re-filtered —
+    * serving never reads a taken-down float). Default budget is the
+    * log₂(N)-scaled one (GraphAnnOps.scaledBeam/scaledHops); explicit
+    * beam/hops override. */
+  def serveGraph(spark: SparkSession, annDir: String,
+      queryIds: Seq[Long] = SimilarityOps.QueryIds, k: Int = 5,
+      beam: Int = 0, hops: Int = 0): DataFrame = {
+    val allV = graphStateBefore(spark, annDir, "gbatch", Long.MaxValue)
+    val allE = graphStateBefore(spark, annDir, "gedges", Long.MaxValue)
+    val (liveV, liveE, liveEntries) = takedownIds(spark, annDir) match {
+      case Some(tomb) =>
+        val t = broadcast(tomb)
+        (allV.join(t, Seq("vec_id"), "left_anti"),
+          allE.join(t.withColumnRenamed("vec_id", "src"), Seq("src"),
+              "left_anti")
+            .join(t.withColumnRenamed("vec_id", "dst"), Seq("dst"),
+              "left_anti"),
+          spark.read.parquet(s"$annDir/graph/entries")
+            .join(t, Seq("vec_id"), "left_anti")
+            .collect().map(_.getLong(0)).toSeq.sorted)
+      case None => (allV, allE, storedEntryIds(spark, annDir))
+    }
+    require(liveEntries.nonEmpty,
+      s"every graph entry point of $annDir is tombstoned; re-bootstrap " +
+        "entries before serving")
+    SimilarityOps.requireLiveQueries(liveV, queryIds, annDir)
+    lazy val n = liveV.count()
+    val b = if (beam > 0) beam else GraphAnnOps.scaledBeam(n)
+    val h = if (hops > 0) hops else GraphAnnOps.scaledHops(n)
+    val q = liveV.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    GraphAnnOps.knnGraphFrom(liveE, liveV, q, k, b, h, liveEntries)
   }
 }

@@ -24,6 +24,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class SqDist(left: Expression, right: Expression)
     extends BinaryExpression {
   private def elemOk(dt: DataType): Boolean = dt match {
+    // containsNull element TYPES stay accepted (zip_with/transform
+    // outputs are nullable by schema even when no element ever is);
+    // an actual null ELEMENT throws in compute() — see below
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
     case _ => false
   }
@@ -58,10 +61,24 @@ case class SqDist(left: Expression, right: Expression)
 object SqDist {
   def compute(x: ArrayData, y: ArrayData,
       xFloat: Boolean, yFloat: Boolean): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) {
+      // fail loudly (the pq_adc posture): a prefix-only distance would
+      // silently pick different argmin winners than the NULL-propagating
+      // HOF form on malformed input
+      throw new IllegalArgumentException(
+        s"sq_dist: mismatched vector lengths ($n vs ${y.numElements()})")
+    }
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) {
+        // fail loudly too: the replaced HOF propagated NULL, which the
+        // null-first ASC encode window would rank FIRST — a silent
+        // wrong winner; malformed vectors must not encode at all
+        throw new IllegalArgumentException(
+          s"sq_dist: null element at position $i")
+      }
       val a = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val b = if (yFloat) y.getFloat(i).toDouble else y.getDouble(i)
       val d = a - b

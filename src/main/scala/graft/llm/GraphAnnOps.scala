@@ -75,6 +75,25 @@ object GraphAnnOps {
   val GraphHops = 5
   private val TopK = 5
 
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  /** N-scaled serve budget (r19 What's-wrong #3): recall at a CONSTANT
+    * budget decays as the corpus grows — the 50k study measured 0.082
+    * isotropic at beam=24 vs ~3× recall at ~3× budget — so the serve
+    * DEFAULTS track log₂(N), anchored to reproduce the measured grid's
+    * (2k → beam 24, hops 5) and reach the 3×-budget point near 50k.
+    * Per-query serve cost stays ≈ entries + beam·2·degree·hops — the
+    * tier's defining property (no corpus fraction) now grows
+    * logarithmically instead of silently under-serving. Explicit
+    * beam/hops overrides bypass this entirely. */
+  def scaledBeam(n: Long): Int =
+    math.max(GraphBeam,
+      math.round(10.0 * (log2(math.max(n, 2L).toDouble) - 8.6)).toInt)
+
+  def scaledHops(n: Long): Int =
+    math.max(GraphHops,
+      math.round(log2(math.max(n, 2L).toDouble) / 2.0 - 0.5).toInt)
+
   /** Cross-engine bucket id: the dsirBucket md5 convention over
     * "vec_id#salt". */
   private def saltBucket(id: Column, salt: Int, b: Long): Column =
@@ -178,29 +197,60 @@ object GraphAnnOps {
   def knnGraphFrom(edges: DataFrame, em: DataFrame, q: DataFrame,
       k: Int = TopK, beam: Int = GraphBeam, hops: Int = GraphHops,
       entryIds: Seq[Long] = SimilarityOps.CentroidIds): DataFrame =
+    knnGraphFromRaw(edges, em, q, k, beam, hops, entryIds)
+      .withColumn("cos", round(col("cos"), 4))
+      .orderBy("qid", "rnk")
+
+  /** [[knnGraphFrom]] without the presentation-layer 4dp rounding —
+    * the form index MAINTENANCE must use: [[appendToGraphIndex]]
+    * persists these cosines next to the build's full-precision edge
+    * scores, and [[compactGraphIndex]]'s degree prune ranks the mixed
+    * set, so a rounded append could keep/drop different edges near
+    * ties (and `.distinct()` could not dedup a pair present at both
+    * precisions). */
+  private[graft] def knnGraphFromRaw(edges: DataFrame, em: DataFrame,
+      q: DataFrame, k: Int = TopK, beam: Int = GraphBeam,
+      hops: Int = GraphHops,
+      entryIds: Seq[Long] = SimilarityOps.CentroidIds): DataFrame =
     graphWalkScored(edges, em, q, beam, hops, entryIds)
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
-        round(col("cos"), 4).as("cos"))
-      .orderBy("qid", "rnk")
+        col("cos"))
 
   /** q179 — measured graph-ANN recall@k: the q139 protocol with the
     * NN-descent graph + beam walk as the system under test. Output per
     * sampled query: (qid, n_hit, n_scored, recall, ok) — n_scored is
     * the walk's serve cost, constant in N (vs q159's scanned_total,
     * which is a corpus fraction); the pair is the tier's whole
-    * recall/cost story. */
+    * recall/cost story.
+    *
+    * `truthCap` bounds the AUDIT's exact-truth arm, which is the one
+    * quadratic piece of the protocol (|sample|·N cosines — 228 s at
+    * 100× with the uncapped mod-50 sample): when N/sampleMod would
+    * exceed `truthCap` queries, the effective modulus grows to
+    * ⌈N/truthCap⌉ so truth cost stays ≤ N·truthCap. The cap binding is
+    * LOUD (stderr log; and the output row count IS the effective
+    * sample) — the "no silent caps" rule. The oracle replays the same
+    * integer-arithmetic modulus, so hit counts still hash-match. At
+    * the registry SFs (N ≤ 2000) the cap never binds. */
   def annGraphRecallAudit(em: DataFrame, k: Int = TopK,
       degree: Int = GraphDegree, rounds: Int = GraphRounds,
       salts: Int = GraphSalts, beam: Int = GraphBeam,
       hops: Int = GraphHops, sampleMod: Long = 50L, sampleRes: Long = 7L,
       minHits: Int = 3,
-      entryIds: Seq[Long] = SimilarityOps.CentroidIds): DataFrame = {
+      entryIds: Seq[Long] = SimilarityOps.CentroidIds,
+      truthCap: Long = 1000L): DataFrame = {
     GraftFunctions.register(em.sparkSession)
-    val q = em.filter(col("vec_id") % sampleMod === sampleRes)
+    val n = em.count()
+    val effMod = math.max(sampleMod, (n + truthCap - 1) / truthCap)
+    if (effMod != sampleMod)
+      System.err.println(s"[q179] truthCap=$truthCap binds at n=$n: " +
+        s"sample modulus $sampleMod -> $effMod " +
+        s"(~${n / effMod} truth queries)")
+    val q = em.filter(col("vec_id") % effMod === sampleRes)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val truth = em.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
@@ -255,7 +305,12 @@ object GraphAnnOps {
       rounds: Int = GraphRounds, salts: Int = GraphSalts,
       beam: Int = GraphBeam, hops: Int = GraphHops,
       sampleMod: Long = 50L, sampleRes: Long = 7L, minHits: Int = 3,
-      entryIds: Seq[Long] = SimilarityOps.CentroidIds): String = {
+      entryIds: Seq[Long] = SimilarityOps.CentroidIds,
+      truthCap: Long = 1000L): String = {
+    // the capped sample modulus, same integer arithmetic as the Spark
+    // side: max(sampleMod, ceil(N / truthCap))
+    val effMod = s"greatest($sampleMod, " +
+      s"((SELECT count(*) FROM v) + $truthCap - 1) // $truthCap)"
     val bkCols = (0 until salts).map { s =>
       s"""CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR) || '#$s'),
          |    1, 15)) AS BIGINT)
@@ -319,7 +374,7 @@ object GraphAnnOps {
        |    ORDER BY cos DESC, dst) AS rn FROM s0) x WHERE rn <= $degree),
        |$roundCtes,
        |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe FROM v
-       |  WHERE vec_id % $sampleMod = $sampleRes),
+       |  WHERE vec_id % ($effMod) = $sampleRes),
        |t AS (SELECT qid, vec_id FROM (
        |  SELECT q.qid, e.vec_id,
        |    row_number() OVER (PARTITION BY q.qid
@@ -389,7 +444,9 @@ object GraphAnnOps {
     val entry = liveEntryIds(spark, table)
     val nb = newBatch.select(col("vec_id"), col("embedding"))
       .localCheckpoint()
-    val found = knnGraphFrom(liveE, liveV,
+    // Raw (unrounded) cosines: stored edge scores must be uniform
+    // precision or compaction's degree prune ranks a mixed set
+    val found = knnGraphFromRaw(liveE, liveV,
         nb.select(col("vec_id").as("qid"), col("embedding").as("qe")),
         k = degree, beam = beam, hops = hops, entryIds = entry)
       .select(col("qid").as("src"), col("neighbor").as("dst"),
@@ -463,15 +520,22 @@ object GraphAnnOps {
   }
 
   /** Serve from the persisted tables (the knnPqServe posture: live
-    * views, query-liveness guard, entry points from `_seeds`). */
+    * views, query-liveness guard, entry points from `_seeds`).
+    * `beam`/`hops` = 0 (the default) derives the budget from the live
+    * corpus size via [[scaledBeam]]/[[scaledHops]] — one count job on
+    * the bucketed table, paid only on the default path; explicit
+    * values bypass it (the override contract). */
   def knnGraphServe(spark: SparkSession, table: String,
       queryIds: Seq[Long] = SimilarityOps.QueryIds, k: Int = TopK,
-      beam: Int = GraphBeam, hops: Int = GraphHops): DataFrame = {
+      beam: Int = 0, hops: Int = 0): DataFrame = {
     val liveV = liveGraphVectors(spark, table)
     SimilarityOps.requireLiveQueries(liveV, queryIds, table)
+    lazy val n = liveV.count()
+    val b = if (beam > 0) beam else scaledBeam(n)
+    val h = if (hops > 0) hops else scaledHops(n)
     val q = liveV.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    knnGraphFrom(liveGraphEdges(spark, table), liveV, q, k, beam, hops,
+    knnGraphFrom(liveGraphEdges(spark, table), liveV, q, k, b, h,
       liveEntryIds(spark, table))
   }
 

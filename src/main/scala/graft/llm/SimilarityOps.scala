@@ -516,11 +516,40 @@ object SimilarityOps {
     writeSeedRoles(em.sparkSession, table, "centroid",
       em.filter(col("vec_id").isin(centroidIds: _*))
         .select(col("vec_id")))
+    writeMeta(em.sparkSession, table,
+      Map("nbuckets" -> nBuckets.toLong, "iters" -> iters.toLong))
     graft.sources.FileIO.writeParquetBucketed(
       argmaxCentroid(em, model)
         .select(col("vec_id"), col("embedding"), col("cid")),
       table, nBuckets, "cid", Seq("cid"))
   }
+
+  /** Persist/merge build parameters for `table` as `<table>_meta`
+    * (key, val) rows — the scrub's source of truth for rebuild
+    * parameters: rebuilding with caller-supplied defaults would
+    * silently re-bucket or re-train an index built with non-default
+    * values. Metadata-scale (a handful of rows). */
+  private[llm] def writeMeta(spark: SparkSession, table: String,
+      entries: Map[String, Long]): Unit = {
+    import spark.implicits._
+    val fresh = entries.toSeq.toDF("key", "val")
+    val all =
+      if (spark.catalog.tableExists(s"${table}_meta"))
+        spark.table(s"${table}_meta")
+          .filter(!col("key").isin(entries.keys.toSeq: _*))
+          .unionByName(fresh).localCheckpoint()
+      else fresh.localCheckpoint()
+    graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_meta")
+    all.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  private[llm] def readMeta(spark: SparkSession,
+      table: String): Map[String, Long] =
+    if (spark.catalog.tableExists(s"${table}_meta"))
+      spark.table(s"${table}_meta").collect()
+        .map(r => r.getAs[String]("key") -> r.getAs[Long]("val")).toMap
+    else Map.empty
 
   /** Rewrite the `<table>_seeds` provenance table for one `role`,
     * keeping other roles' rows (the table is seed-scale). */
@@ -607,6 +636,11 @@ object SimilarityOps {
       graft.sources.FileIO.writeParquetBucketed(
         livePq, s"${table}_pq", nBuckets, "cid", Seq("cid"))
     }
+    if (spark.catalog.tableExists(s"${table}_rpq")) {
+      val liveR = liveResidualPqCodes(spark, table).localCheckpoint()
+      graft.sources.FileIO.writeParquetBucketed(
+        liveR, s"${table}_rpq", nBuckets, "cid", Seq("cid"))
+    }
     if (spark.catalog.tableExists(s"${table}_int8")) {
       val liveI8 = liveInt8Codes(spark, table).localCheckpoint()
       graft.sources.FileIO.writeParquetBucketed(
@@ -669,31 +703,71 @@ object SimilarityOps {
   def scrubIndexModelOnTakedown(spark: SparkSession, table: String,
       nBuckets: Int = 8, iters: Int = KmeansIters): Unit = {
     if (!spark.catalog.tableExists(s"${table}_deletes")) return
+    // pre-provenance index: no recorded seeds means nothing verbatim
+    // to scrub — the tombstone contract alone covers it
+    if (!spark.catalog.tableExists(s"${table}_seeds")) return
     val gone = spark.table(s"${table}_deletes").distinct()
       .collect().map(_.getLong(0)).toSet
     val seeds = spark.table(s"${table}_seeds").collect()
-      .map(r => (r.getString(1), r.getLong(0)))
+      .map(r => (r.getAs[String]("role"), r.getAs[Long]("vec_id")))
     val centSeeds = seeds.collect { case ("centroid", id) => id }.toSeq
     val cbSeeds = seeds.collect { case ("codebook", id) => id }.toSeq
-    if (!(centSeeds ++ cbSeeds).exists(gone)) return
+    val rcbSeeds = seeds.collect { case ("rcodebook", id) => id }.toSeq
+    if (!(centSeeds ++ cbSeeds ++ rcbSeeds).exists(gone)) return
+    // Rebuild parameters come from the RECORDED build metadata when
+    // present (an index built with non-default nBuckets/iters must not
+    // silently re-bucket or re-train differently); the arguments are
+    // the pre-metadata fallback.
+    val meta = readMeta(spark, table)
+    val nb = meta.getOrElse("nbuckets", nBuckets.toLong).toInt
+    val it = meta.getOrElse("iters", iters.toLong).toInt
     val live = liveTrainedIvfIndex(spark, table)
       .select(col("vec_id"), col("embedding")).localCheckpoint()
     val hadPq = spark.catalog.tableExists(s"${table}_pq")
+    val hadRpq = spark.catalog.tableExists(s"${table}_rpq")
     val hadI8 = spark.catalog.tableExists(s"${table}_int8")
-    val pqSub =
+    val pqSub = meta.get("pq_subspaces").map(_.toInt).getOrElse(
       if (hadPq)
         spark.table(s"${table}_pqcodebook")
           .agg(max(col("s"))).collect().head.getInt(0) + 1
-      else PqSubspaces
+      else PqSubspaces)
+    val rpqSub = meta.get("rpq_subspaces").map(_.toInt).getOrElse(
+      if (hadRpq)
+        spark.table(s"${table}_rpqcodebook")
+          .agg(max(col("s"))).collect().head.getInt(0) + 1
+      else PqSubspaces)
+    val rpqIters =
+      meta.getOrElse("rpq_train_iters", KmeansIters.toLong).toInt
+    // FAIL-CLOSED ordering: drop the stale sidecars BEFORE the base
+    // rebuild drops the shared `_deletes`. A failure between the base
+    // rebuild and the sidecar re-derivation must leave the sidecars
+    // ABSENT (serve calls error pointedly), never present-but-stale —
+    // stale codes include tombstoned vectors and slices under the old
+    // codebook, with no tombstones left to filter them.
+    if (hadPq) {
+      graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_pq")
+      graft.sources.FileIO.dropTableAndLocation(spark,
+        s"${table}_pqcodebook")
+    }
+    if (hadRpq) {
+      graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_rpq")
+      graft.sources.FileIO.dropTableAndLocation(spark,
+        s"${table}_rpqcodebook")
+    }
+    if (hadI8)
+      graft.sources.FileIO.dropTableAndLocation(spark, s"${table}_int8")
     // writeTrainedIvfIndex drops the tombstones (fresh generation) —
     // correct here because `live` already excludes them, and the
     // sidecar rewrites below re-derive from the new base table.
-    writeTrainedIvfIndex(live, table, nBuckets,
-      reElectSeeds(live, centSeeds, gone), iters)
+    writeTrainedIvfIndex(live, table, nb,
+      reElectSeeds(live, centSeeds, gone), it)
     if (hadPq)
       writePqCodes(spark, table, pqSub,
-        reElectSeeds(live, cbSeeds, gone), nBuckets)
-    if (hadI8) writeInt8Codes(spark, table, nBuckets)
+        reElectSeeds(live, cbSeeds, gone), nb)
+    if (hadRpq)
+      writeResidualPqCodes(spark, table, rpqSub,
+        reElectSeeds(live, rcbSeeds, gone), nb, rpqIters)
+    if (hadI8) writeInt8Codes(spark, table, nb)
   }
 
   /** Deterministic seed re-election: survivors stay; each lost seed is
@@ -2574,6 +2648,7 @@ object SimilarityOps {
     writeSeedRoles(spark, ivfTable, "codebook",
       idx.filter(col("vec_id").isin(codebookIds: _*))
         .select(col("vec_id")).distinct())
+    writeMeta(spark, ivfTable, Map("pq_subspaces" -> subspaces.toLong))
     graft.sources.FileIO.writeParquetBucketed(
       pqEncodeAssigned(idx, cb, subspaces)
         .select(col("vec_id"), col("cid"), col("codes"), col("rnorm")),
@@ -2758,19 +2833,14 @@ object SimilarityOps {
       k, nProbe, rerank, sampleMod, sampleRes, minHits, subspaces)
   }
 
-  /** The residual-ADC serve + audit under EXPLICIT model and codebook —
-    * shared by the static (q180) and trained (q181) arms. */
-  private def residualAuditUnder(em: DataFrame, model: DataFrame,
-      cb: DataFrame, k: Int, nProbe: Int, rerank: Int, sampleMod: Long,
-      sampleRes: Long, minHits: Int, subspaces: Int): DataFrame = {
-    val q = em.filter(col("vec_id") % sampleMod === sampleRes)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val truth = topk(em.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos", expr("cosine_sim(qe, embedding)")), k)
-      .select(col("qid"), col("neighbor"))
-    val codes = pqResidualEncode(assignUnderModel(em, model), model, cb,
-      subspaces)
+  /** The residual-ADC QUERY SIDE (broadcast-scale, shared by the
+    * audits and the persisted serve path): per query the `nProbe`
+    * probed cells with their per-(query, cell) centroid dot `qc` — the
+    * per-cell constant residual ADC adds that raw-slice ADC lacks —
+    * the flat residual distance table `dt` (dot(q_s, cv_{s,slot})
+    * sorted by (s, slot)) and the exact query norm. */
+  private def residualQSide(q: DataFrame, model: DataFrame, cb: DataFrame,
+      nProbe: Int, subspaces: Int): DataFrame = {
     val probes = nearestCentroid(q, model.select(col("cid"), col("ce")),
         "qid", "qe", nProbe)
       .withColumn("qc", expr(
@@ -2792,8 +2862,16 @@ object SimilarityOps {
       """aggregate(qe, CAST(0 AS DOUBLE),
         |  (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"""
         .stripMargin)).as("qnorm"))
-    val qside = probes.join(qdt, "qid").join(qn, "qid")
-    val tail = codes.join(broadcast(qside), "cid")
+    probes.join(qdt, "qid").join(qn, "qid")
+  }
+
+  /** The residual-ADC tail cut: approx_cos = (qc + pq_adc(codes, dt))
+    * / (‖q‖·rnorm) over the probed cells' codes, top rerank·k per
+    * query by (adc DESC, vec_id) — same native `pq_adc` fold as the
+    * raw tier, the numerator just gains the per-cell constant. */
+  private def residualAdcTail(codes: DataFrame, qside: DataFrame,
+      k: Int, rerank: Int): DataFrame =
+    codes.join(broadcast(qside), "cid")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("adc",
         (col("qc") + expr("pq_adc(codes, dt)"))
@@ -2801,7 +2879,23 @@ object SimilarityOps {
       .withColumn("adcrnk", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("adc").desc, col("vec_id"))))
       .filter(col("adcrnk") <= k * rerank)
-      .select(col("qid"), col("vec_id"), col("adcrnk"))
+      .select(col("qid"), col("vec_id"), col("cid"), col("adcrnk"))
+
+  /** The residual-ADC serve + audit under EXPLICIT model and codebook —
+    * shared by the static (q180) and trained (q181) arms. */
+  private def residualAuditUnder(em: DataFrame, model: DataFrame,
+      cb: DataFrame, k: Int, nProbe: Int, rerank: Int, sampleMod: Long,
+      sampleRes: Long, minHits: Int, subspaces: Int): DataFrame = {
+    val q = em.filter(col("vec_id") % sampleMod === sampleRes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val truth = topk(em.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr("cosine_sim(qe, embedding)")), k)
+      .select(col("qid"), col("neighbor"))
+    val codes = pqResidualEncode(assignUnderModel(em, model), model, cb,
+      subspaces)
+    val tail = residualAdcTail(codes,
+      residualQSide(q, model, cb, nProbe, subspaces), k, rerank)
     val fin = pqRerankTail(tail,
         em.select(col("vec_id"), col("embedding")), q, k)
       .select(col("qid"), col("neighbor"))
@@ -2822,14 +2916,15 @@ object SimilarityOps {
       .orderBy("qid")
   }
 
-  /** `trainIters` > 0 inserts the per-subspace residual Lloyd CTEs
-    * (the q173 pattern over residual slices, DOUBLE means — the q181
-    * oracle); 0 is the static q180 book. */
-  def annPqResidualRecallSql(k: Int = TopK, nProbe: Int = NProbe,
-      rerank: Int = PqRerank, sampleMod: Long = 50L, sampleRes: Long = 7L,
-      minHits: Int = 3, subspaces: Int = PqSubspaces,
-      codebookIds: Seq[Long] = PqResidualCodebookIds,
-      trainIters: Int = 0): String = {
+  /** The residual-PQ pipeline CTEs shared by the q180/q181 audit
+    * oracles and the q182 serve oracle: k-means model, residuals,
+    * residual codebook (static or `trainIters` Lloyd rounds), encode,
+    * query side with the qc term, ADC, and the rerank·k `tail` — ends
+    * ready for a caller-appended final stage. `qWhere` picks the query
+    * set (modulus sample for the audits, fixed ids for serve). */
+  private def residualPipelineCtes(qWhere: String, k: Int, nProbe: Int,
+      rerank: Int, subspaces: Int, codebookIds: Seq[Long],
+      trainIters: Int): String = {
     val cbRef = if (trainIters == 0) "cbn" else s"rqc$trainIters"
     val err2Of = (cvRef: String) =>
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -2883,12 +2978,7 @@ object SimilarityOps {
        |    c.ce AS ce
        |  FROM asg a JOIN c$KmeansIters c ON c.cid = a.cid),
        |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
-       |  FROM embeddings WHERE vec_id % $sampleMod = $sampleRes),
-       |t AS (SELECT qid, vec_id FROM (
-       |  SELECT q.qid, e.vec_id,
-       |    row_number() OVER (PARTITION BY q.qid
-       |      ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, e.vec_id) AS rnk
-       |  FROM q, embeddings e WHERE e.vec_id <> q.qid) x WHERE rnk <= $k),
+       |  FROM embeddings WHERE $qWhere),
        |cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS slot,
        |    rv AS cbv FROM res
        |  WHERE vec_id IN (${codebookIds.mkString(", ")})),
@@ -2949,7 +3039,27 @@ object SimilarityOps {
        |tail AS MATERIALIZED (SELECT qid, vec_id, adcrnk FROM (
        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
        |    ORDER BY adc DESC, vec_id) AS adcrnk FROM adc) x
-       |  WHERE adcrnk <= ${k * rerank}),
+       |  WHERE adcrnk <= ${k * rerank})""".stripMargin
+  }
+
+  /** `trainIters` > 0 inserts the per-subspace residual Lloyd CTEs
+    * (the q173 pattern over residual slices, DOUBLE means — the q181
+    * oracle); 0 is the static q180 book. */
+  def annPqResidualRecallSql(k: Int = TopK, nProbe: Int = NProbe,
+      rerank: Int = PqRerank, sampleMod: Long = 50L, sampleRes: Long = 7L,
+      minHits: Int = 3, subspaces: Int = PqSubspaces,
+      codebookIds: Seq[Long] = PqResidualCodebookIds,
+      trainIters: Int = 0): String = {
+    val core = residualPipelineCtes(
+      s"vec_id % $sampleMod = $sampleRes", k, nProbe, rerank, subspaces,
+      codebookIds, trainIters)
+    s"""$core,
+       |t AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, e.vec_id)
+       |      AS rnk
+       |  FROM q, embeddings e WHERE e.vec_id <> q.qid) x WHERE rnk <= $k),
        |fin AS (SELECT qid, vec_id FROM (
        |  SELECT tl.qid, tl.vec_id,
        |    row_number() OVER (PARTITION BY tl.qid
@@ -2971,6 +3081,30 @@ object SimilarityOps {
        |  CAST(coalesce(h.n_hit, 0) >= $minHits AS INT) AS ok
        |FROM q LEFT JOIN ha ON ha.qid = q.qid
        |LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin
+  }
+
+  /** q182's oracle: the same residual pipeline, final stage = the
+    * serve answer itself — exact re-rank of the rerank·k tail, top-k
+    * rows (qid, rnk, neighbor, cos) with [[topk]]'s 4dp rounding. */
+  def knnResidualPqSql(queryIds: Seq[Long] = QueryIds, k: Int = TopK,
+      nProbe: Int = NProbe, rerank: Int = PqRerank,
+      subspaces: Int = PqSubspaces,
+      codebookIds: Seq[Long] = PqResidualCodebookIds,
+      trainIters: Int = KmeansIters): String = {
+    val core = residualPipelineCtes(
+      s"vec_id IN (${queryIds.mkString(", ")})", k, nProbe, rerank,
+      subspaces, codebookIds, trainIters)
+    s"""$core
+       |SELECT qid, rnk, vec_id AS neighbor,
+       |  round(cos, 4) AS cos FROM (
+       |  SELECT tl.qid, tl.vec_id,
+       |    ${cosSql("q.qe", "e.embedding")} AS cos,
+       |    row_number() OVER (PARTITION BY tl.qid
+       |      ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, tl.vec_id)
+       |      AS rnk
+       |  FROM tail tl JOIN embeddings e ON e.vec_id = tl.vec_id
+       |  JOIN q ON q.qid = tl.qid) x WHERE rnk <= $k
+       |ORDER BY qid, rnk""".stripMargin
   }
 
   // ------------------------------------------------------------------
@@ -3040,6 +3174,146 @@ object SimilarityOps {
       pqTrainResidualCodebook(em, model, subspaces, codebookIds, iters)
         .localCheckpoint(),
       k, nProbe, rerank, sampleMod, sampleRes, minHits, subspaces)
+  }
+
+  // ------------------------------------------------------------------
+  // q182 — the PERSISTED residual-PQ serving tier (IVFADC shipped):
+  // the `_pq` sidecar contract grown to the coding scheme the §y audit
+  // measures as the deploy-regime fix (raw-slice PQ is cluster-
+  // constant — 0.005 recall@5 clustered at 50k; residual coding with
+  // the trained book reaches 0.26–0.33). Same table conventions:
+  // `<table>_rpq` (vec_id, cid, codes, rnorm) cid-bucketed,
+  // `<table>_rpqcodebook` (s, slot, cv), seeds role `rcodebook`,
+  // SHARED `_deletes`, folded by the combined compaction.
+  // ------------------------------------------------------------------
+
+  /** Persist residual-PQ codes beside a trained-IVF index. The stored
+    * codebook is the TRAINED residual book by default (`trainIters` =
+    * KmeansIters — q181's measured production point; 0 stores q180's
+    * static book). Codes quantize v − c(v); `rnorm` = ‖c(v) + r̂(v)‖. */
+  def writeResidualPqCodes(spark: SparkSession, ivfTable: String,
+      subspaces: Int = PqSubspaces,
+      codebookIds: Seq[Long] = PqResidualCodebookIds,
+      nBuckets: Int = 8, trainIters: Int = KmeansIters): Unit = {
+    GraftFunctions.register(spark)
+    val idx = spark.table(ivfTable)
+    val em = idx.select(col("vec_id"), col("embedding"))
+    val model = spark.table(s"${ivfTable}_model").localCheckpoint()
+    val cb = pqTrainResidualCodebook(em, model, subspaces, codebookIds,
+      trainIters).localCheckpoint()
+    graft.sources.FileIO.dropTableAndLocation(spark,
+      s"${ivfTable}_rpqcodebook")
+    cb.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${ivfTable}_rpqcodebook")
+    // the residual book derives from these corpus vectors' residuals
+    // (and a trained book's dead cells retain the verbatim-residual
+    // priors) — provenance feeds retainedSeedAudit + the scrub
+    writeSeedRoles(spark, ivfTable, "rcodebook",
+      idx.filter(col("vec_id").isin(codebookIds: _*))
+        .select(col("vec_id")).distinct())
+    writeMeta(spark, ivfTable, Map(
+      "rpq_subspaces" -> subspaces.toLong,
+      "rpq_train_iters" -> trainIters.toLong))
+    graft.sources.FileIO.writeParquetBucketed(
+      pqResidualEncode(idx, model, cb, subspaces)
+        .select(col("vec_id"), col("cid"), col("codes"), col("rnorm")),
+      s"${ivfTable}_rpq", nBuckets, "cid", Seq("cid"))
+  }
+
+  /** Extend the residual-PQ side for an appended batch: assign under
+    * the STORED model, encode under the STORED residual book —
+    * O(|batch|·K), the book never retrains (re-fitting is a rebuild). */
+  def appendToResidualPqCodes(newBatch: DataFrame, ivfTable: String,
+      nBuckets: Int = 8): Unit = {
+    val spark = newBatch.sparkSession
+    GraftFunctions.register(spark)
+    val model = spark.table(s"${ivfTable}_model").localCheckpoint()
+    val cb = spark.table(s"${ivfTable}_rpqcodebook").localCheckpoint()
+    val subspaces = readMeta(spark, ivfTable)
+      .get("rpq_subspaces").map(_.toInt)
+      .getOrElse(cb.agg(max(col("s"))).collect().head.getInt(0) + 1)
+    graft.sources.FileIO.appendParquetBucketed(
+      pqResidualEncode(assignUnderModel(newBatch, model), model, cb,
+          subspaces)
+        .select(col("vec_id"), col("cid"), col("codes"), col("rnorm")),
+      s"${ivfTable}_rpq", nBuckets, "cid", Seq("cid"))
+  }
+
+  /** Residual-PQ rows under the base index's SHARED tombstones. */
+  def liveResidualPqCodes(spark: SparkSession,
+      ivfTable: String): DataFrame = {
+    val rpq = spark.table(s"${ivfTable}_rpq")
+    if (spark.catalog.tableExists(s"${ivfTable}_deletes"))
+      rpq.join(broadcast(spark.table(s"${ivfTable}_deletes").distinct()),
+        Seq("vec_id"), "left_anti")
+    else rpq
+  }
+
+  /** Residual-PQ-served kNN from the persisted tables — the
+    * [[knnPqServe]] contract (slim-code ADC scan, pointed exact
+    * re-rank) with the residual scheme's qc term in the fold. */
+  def knnResidualPqServe(spark: SparkSession, ivfTable: String,
+      queryIds: Seq[Long] = QueryIds, k: Int = TopK, nProbe: Int = NProbe,
+      rerank: Int = PqRerank): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val live = liveTrainedIvfIndex(spark, ivfTable)
+    requireLiveQueries(live, queryIds, ivfTable)
+    val q = live.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cb = spark.table(s"${ivfTable}_rpqcodebook")
+    val subspaces = readMeta(spark, ivfTable)
+      .get("rpq_subspaces").map(_.toInt)
+      .getOrElse(cb.agg(max(col("s"))).collect().head.getInt(0) + 1)
+    val tailRows = residualAdcTail(liveResidualPqCodes(spark, ivfTable),
+      residualQSide(q, spark.table(s"${ivfTable}_model"), cb, nProbe,
+        subspaces), k, rerank)
+      .collect()
+    val tail = tailRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("qid", "vec_id")
+    val tailIds = tailRows.map(_.getLong(1)).distinct.toSeq
+    val tailCids = tailRows.map(_.getLong(2)).distinct.toSeq
+    val fetched = live
+      .filter(col("cid").isin(tailCids: _*) &&
+        col("vec_id").isin(tailIds: _*))
+      .select(col("vec_id"), col("embedding"))
+    pqRerankTail(tail, fetched, q, k)
+  }
+
+  /** In-session residual-PQ serve under EXPLICIT model + residual book
+    * — the model-pinned direct arm AnnIndexSpec compares the persisted
+    * path against, and q182's registry form. */
+  def knnResidualPqWith(em: DataFrame, model: DataFrame, cb: DataFrame,
+      queryIds: Seq[Long] = QueryIds, k: Int = TopK, nProbe: Int = NProbe,
+      rerank: Int = PqRerank, subspaces: Int = PqSubspaces): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val codes = pqResidualEncode(assignUnderModel(em, model), model, cb,
+      subspaces)
+    val q = em.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    pqRerankTail(
+      residualAdcTail(codes,
+        residualQSide(q, model, cb, nProbe, subspaces), k, rerank),
+      em.select(col("vec_id"), col("embedding")), q, k)
+  }
+
+  /** q182 — the residual-PQ serve composition (train → trained residual
+    * book → encode → residual ADC → exact re-rank) for the fixed query
+    * set: the SHIPPED serving path's answers, hash-checked. The
+    * persisted-table twin ([[writeResidualPqCodes]] → [[knnResidualPqServe]])
+    * is pinned ≡ this by AnnIndexSpec (the q160/q157 convention). */
+  def knnResidualPq(em: DataFrame, queryIds: Seq[Long] = QueryIds,
+      k: Int = TopK, nProbe: Int = NProbe, rerank: Int = PqRerank,
+      subspaces: Int = PqSubspaces,
+      codebookIds: Seq[Long] = PqResidualCodebookIds,
+      centroidIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val model = kmeansCentroids(em, centroidIds, iters).localCheckpoint()
+    knnResidualPqWith(em, model,
+      pqTrainResidualCodebook(em, model, subspaces, codebookIds, iters)
+        .localCheckpoint(),
+      queryIds, k, nProbe, rerank, subspaces)
   }
 
   // ------------------------------------------------------------------
@@ -3671,6 +3945,13 @@ object SimilarityOps {
       "so training runs once for its multiple consumers"
 
   val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q182_pq_residual_serve",
+      eager(ModelEager + " (and the trained residual book likewise — " +
+        "the serve composition shares them across encode, probes and " +
+        "the re-rank)")(
+        (s: SparkSession, d: String) =>
+          knnResidualPq(Tables.embeddings(s, d))),
+      Some(knnResidualPqSql())),
     ("q181_pq_residual_trained_recall",
       eager(ModelEager + " (and the per-subspace residual-Lloyd " +
         "checkpoints likewise)")(

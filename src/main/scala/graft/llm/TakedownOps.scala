@@ -154,9 +154,19 @@ object TakedownOps {
     * paths cannot see: model artifacts whose entries are copies/slices
     * of seed vectors, cleared only by
     * SimilarityOps.scrubIndexModelOnTakedown. */
+  /** SCOPE of the `ivf_model` / `pq_codebook` arms: they audit the
+    * DEFAULT-seeded pipeline — `centroidIds`/`codebookIds` default to
+    * SimilarityOps.CentroidIds, matching writeTrainedIvfIndex's and
+    * writePqCodes' defaults. An index whose codebook was built with
+    * non-default ids (e.g. the 64-entry residual book) must pass its
+    * id lists here, or — the per-index source of truth — read
+    * SimilarityOps.retainedSeedAudit, which derives exposure from the
+    * recorded `<table>_seeds` provenance the scrub itself uses. */
   def takedownAudit(docs: DataFrame, em: DataFrame,
       source: String, refLang: String = "en",
-      dsirBuckets: Int = 512): DataFrame = {
+      dsirBuckets: Int = 512,
+      centroidIds: Seq[Long] = SimilarityOps.CentroidIds,
+      codebookIds: Seq[Long] = SimilarityOps.CentroidIds): DataFrame = {
     val per = Tables.fanout(docs)
       .select((col("source") === lit(source)).as("hit"),
         Text.tokens(col("text")).as("ts"))
@@ -206,24 +216,28 @@ object TakedownOps {
     // until SimilarityOps.scrubIndexModelOnTakedown re-elects and
     // rebuilds. rows_removed here = seeds this takedown hits, i.e.
     // the retained-verbatim exposure the scrub must clear.
-    val sd = em.filter(
-        col("vec_id").isin(SimilarityOps.CentroidIds: _*))
+    def seedArm(ids: Seq[Long], t: String, r: String) = em.filter(
+        col("vec_id").isin(ids: _*))
       .join(broadcast(docs.filter(col("source") === lit(source))
           .select(col("doc_id").as("vec_id")).distinct()
           .withColumn("_m", lit(1))),
         Seq("vec_id"), "left")
-      .agg(count(lit(1)).as("sd_t"),
+      .agg(count(lit(1)).as(t),
         // coalesce: a corpus with NO seed vectors at all must report
         // (0, 0), not (0, null) — sum over zero rows is null
         coalesce(sum(when(col("_m").isNotNull, 1L).otherwise(0L)),
-          lit(0L)).as("sd_r"))
+          lit(0L)).as(r))
+    // the two arms audit their OWN id lists — identical only in the
+    // default-seeded pipeline (see the scope note above)
+    val sd = seedArm(centroidIds, "sd_t", "sd_r")
+    val cd = seedArm(codebookIds, "cd_t", "cd_r")
     def art(name: String, t: org.apache.spark.sql.Column,
         r: org.apache.spark.sql.Column) =
       struct(lit(name).as("artifact"), t.as("rows_total"),
         r.as("rows_removed"))
     a.crossJoin(broadcast(e))
       .crossJoin(broadcast(lm)).crossJoin(broadcast(ds))
-      .crossJoin(broadcast(sd))
+      .crossJoin(broadcast(sd)).crossJoin(broadcast(cd))
       .select(explode(array(
         art("bigram_lm", col("lm_t"), col("lm_r")),
         art("bm25_doclen", col("docs_t"), col("docs_r")),
@@ -234,7 +248,7 @@ object TakedownOps {
         art("dsir_counts", col("ds_t"), col("ds_r")),
         art("embeddings", col("em_t"), col("em_r")),
         art("ivf_model", col("sd_t"), col("sd_r")),
-        art("pq_codebook", col("sd_t"), col("sd_r")))).as("x"))
+        art("pq_codebook", col("cd_t"), col("cd_r")))).as("x"))
       .select(col("x.artifact").as("artifact"),
         col("x.rows_total").as("rows_total"),
         col("x.rows_removed").as("rows_removed"),

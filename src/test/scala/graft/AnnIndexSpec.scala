@@ -304,9 +304,11 @@ class AnnIndexSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     SimilarityOps.writeTrainedIvfIndex(em, "ann_scrub", nBuckets = 8)
     SimilarityOps.writePqCodes(spark, "ann_scrub", nBuckets = 8)
+    SimilarityOps.writeResidualPqCodes(spark, "ann_scrub", nBuckets = 8)
     SimilarityOps.writeInt8Codes(spark, "ann_scrub", nBuckets = 8)
 
-    // 3 and 33 are centroid AND codebook seeds; 7 is neither
+    // 3 and 33 are centroid AND codebook seeds; 7 is an rcodebook seed
+    // (7·1) but neither centroid nor codebook
     val gone = Seq(3L, 33L, 7L)
     val goneVecs = em.filter(col("vec_id").isin(gone: _*))
       .select(col("embedding")).collect().map(_.getSeq[Float](0)).toSet
@@ -317,7 +319,8 @@ class AnnIndexSpec extends SparkSpec {
     val before = SimilarityOps.retainedSeedAudit(spark, "ann_scrub")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(before.toSet ==
-      Set(("centroid", 8L, 2L), ("codebook", 8L, 2L)), before.toSeq)
+      Set(("centroid", 8L, 2L), ("codebook", 8L, 2L),
+        ("rcodebook", 64L, 1L)), before.toSeq)
 
     SimilarityOps.scrubIndexModelOnTakedown(spark, "ann_scrub")
 
@@ -331,6 +334,12 @@ class AnnIndexSpec extends SparkSpec {
       .toSeq.sorted == expectedSeeds)
     assert(seedRows.collect { case ("codebook", id) => id }
       .toSeq.sorted == expectedSeeds)
+    // rcodebook lost only id 7 → replaced by the smallest live id
+    // outside ITS seed set ∪ gone (roles re-elect independently): 0
+    val expectedRcb = (SimilarityOps.PqResidualCodebookIds
+      .filterNot(_ == 7L) ++ Seq(0L)).sorted
+    assert(seedRows.collect { case ("rcodebook", id) => id }
+      .toSeq.sorted == expectedRcb)
 
     // scrub ≡ a from-scratch index over the live corpus with the same
     // re-elected seeds — every tier answers identically
@@ -339,9 +348,15 @@ class AnnIndexSpec extends SparkSpec {
       nBuckets = 8, centroidIds = expectedSeeds)
     SimilarityOps.writePqCodes(spark, "ann_scrub_ref",
       codebookIds = expectedSeeds, nBuckets = 8)
+    SimilarityOps.writeResidualPqCodes(spark, "ann_scrub_ref",
+      codebookIds = expectedRcb, nBuckets = 8)
     SimilarityOps.writeInt8Codes(spark, "ann_scrub_ref", nBuckets = 8)
     assert(SimilarityOps.knnPqServe(spark, "ann_scrub").collect().toSeq
       == SimilarityOps.knnPqServe(spark, "ann_scrub_ref").collect().toSeq)
+    assert(SimilarityOps.knnResidualPqServe(spark, "ann_scrub")
+      .collect().toSeq
+      == SimilarityOps.knnResidualPqServe(spark, "ann_scrub_ref")
+        .collect().toSeq)
     assert(SimilarityOps.knnInt8Serve(spark, "ann_scrub").collect().toSeq
       == SimilarityOps.knnInt8Serve(spark, "ann_scrub_ref")
         .collect().toSeq)
@@ -370,6 +385,57 @@ class AnnIndexSpec extends SparkSpec {
     assert(spark.catalog.tableExists("ann_scrub_deletes"),
       "no-seed-hit scrub must not trigger a rebuild")
     assert(spark.table("ann_scrub_model").collect().toSet == modelBefore)
+  }
+
+  // ------------------------------------------------------------- q182
+
+  test("residual-PQ codes beside the trained IVF index: stored serve ≡ " +
+      "direct under the shared model + trained residual book, append " +
+      "encodes under the STORED book, ONE logical delete leaves the " +
+      "residual codes too, and compaction folds them before dropping " +
+      "the shared tombstones") {
+    val em = Tables.embeddings(spark, sf0001)
+    import org.apache.spark.sql.functions.col
+    // residue 4 mod 10 keeps every k-means seed id in the base
+    val base = em.filter(col("vec_id") % 10 =!= 4)
+    val batch = em.filter(col("vec_id") % 10 === 4)
+    SimilarityOps.writeTrainedIvfIndex(base, "ann_rpq", nBuckets = 8)
+    SimilarityOps.writeResidualPqCodes(spark, "ann_rpq", nBuckets = 8)
+    val model = spark.table("ann_rpq_model")
+    val cb = spark.table("ann_rpq_rpqcodebook")
+    val served0 = SimilarityOps.knnResidualPqServe(spark, "ann_rpq")
+    val direct0 = SimilarityOps.knnResidualPqWith(base, model, cb)
+    assert(served0.collect().toSeq == direct0.collect().toSeq)
+    // the serve plan reads codes and book — it must not re-run the
+    // encoder argmin (the only window partitioned by (vec_id, s)) nor
+    // the model training's posexplode update shuffle
+    val plan = served0.queryExecution.executedPlan.toString
+    assert(!plan.contains("posexplode"),
+      s"residual-PQ serve plan retrains the model:\n$plan")
+    assert("windowspecdefinition\\(vec_id#\\d+L?, s#".r
+      .findFirstIn(plan).isEmpty,
+      s"residual-PQ serve plan re-runs the encoder argmin:\n$plan")
+
+    SimilarityOps.appendToTrainedIvfIndex(batch, "ann_rpq", nBuckets = 8)
+    SimilarityOps.appendToResidualPqCodes(batch, "ann_rpq", nBuckets = 8)
+    val served = SimilarityOps.knnResidualPqServe(spark, "ann_rpq")
+    val direct = SimilarityOps.knnResidualPqWith(em, model, cb)
+    assert(served.collect().toSeq == direct.collect().toSeq)
+
+    val gone = Seq(1L, 2L)
+    SimilarityOps.deleteFromTrainedIvfIndex(spark, "ann_rpq", gone)
+    val ref = SimilarityOps.knnResidualPqWith(
+      em.filter(!col("vec_id").isin(gone: _*)), model, cb)
+    val after = SimilarityOps.knnResidualPqServe(spark, "ann_rpq")
+    assert(after.collect().toSeq == ref.collect().toSeq)
+    after.collect().foreach(r =>
+      assert(!gone.contains(r.getLong(2)), s"deleted id served: $r"))
+
+    SimilarityOps.compactTrainedIvfIndex(spark, "ann_rpq", nBuckets = 8)
+    assert(!spark.catalog.tableExists("ann_rpq_deletes"))
+    assert(spark.table("ann_rpq_rpq").count() == em.count() - gone.size)
+    val afterCompact = SimilarityOps.knnResidualPqServe(spark, "ann_rpq")
+    assert(afterCompact.collect().toSeq == ref.collect().toSeq)
   }
 
   // ------------------------------------------------------------- q179

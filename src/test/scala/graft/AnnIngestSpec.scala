@@ -87,4 +87,82 @@ class AnnIngestSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("bound to checkpoint"), err.getMessage)
   }
+
+  test("streamed GRAPH index: exactly-once under mid-batch crash+replay " +
+      "(faulted final state ≡ a clean run's, edge for edge), appended " +
+      "vectors wired both ways and served, shared read-time takedown, " +
+      "foreign checkpoint refused") {
+    import graft.llm.{EmbeddingFixtures, GraphAnnOps}
+    val em = EmbeddingFixtures.clustered(spark, 500L).localCheckpoint()
+    val base = em.filter(col("vec_id") % 5 =!= 0)
+    val stream = em.filter(col("vec_id") % 5 === 0)
+    val rows = stream.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect().map(vecJson)
+    val shardDir = Files.createTempDirectory("gann_shard").toString
+    ShardSimFixture.writeShard(shardDir, 0, rows.take(60))
+    ShardSimFixture.writeShard(shardDir, 1, rows.drop(60))
+    val annDir = Files.createTempDirectory("gann_idx").toString
+    val ckpt = Files.createTempDirectory("gann_ckpt").toString
+    AnnIngestApp.bootstrapGraph(spark, annDir, base)
+
+    val marker = Files.createTempDirectory("gann_marker")
+      .resolve("fired").toString
+    def start(dir: String, cp: String,
+        extra: Map[String, String] = Map.empty) =
+      AnnIngestApp.runGraph(spark, shardDir, dir, cp,
+        maxRecordsPerBatch = Some(40L), extraOptions = extra)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      start(annDir, ckpt, Map("faultInjectMarker" -> marker,
+        "faultInjectAfter" -> "15")).awaitTermination()
+    }
+    start(annDir, ckpt).awaitTermination()
+
+    // exactly-once: one landed row per streamed vector, no duplicates
+    val landedV = spark.read.parquet(s"$annDir/gbatch/batch_id=*")
+    assert(landedV.count() == 100L)
+    assert(landedV.select("vec_id").distinct().count() == 100L)
+
+    // crash/replay convergence: a clean twin run (same bootstrap, same
+    // batch size, no fault) lands the IDENTICAL graph — vector for
+    // vector, edge for edge at full precision
+    val annDir2 = Files.createTempDirectory("gann_idx2").toString
+    val ckpt2 = Files.createTempDirectory("gann_ckpt2").toString
+    AnnIngestApp.bootstrapGraph(spark, annDir2, base)
+    start(annDir2, ckpt2).awaitTermination()
+    def edgeSet(dir: String) =
+      spark.read.parquet(s"$dir/gedges/batch_id=*")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    assert(edgeSet(annDir) == edgeSet(annDir2),
+      "faulted+replayed run must converge to the clean run's graph")
+
+    // appended vectors are wired BOTH directions and find cluster-mates
+    val streamedIds = stream.select("vec_id").as[Long].collect().toSet
+    val e = spark.read.parquet(s"$annDir/gedges/batch_id=*")
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamedIds.forall(b => e.exists(_._1 == b)),
+      "streamed ids must have outgoing edges")
+    assert(streamedIds.forall(b => e.exists(_._2 == b)),
+      "streamed ids must be reachable (incoming edges)")
+    val served = AnnIngestApp.serveGraph(spark, annDir,
+      queryIds = Seq(10L)).collect() // 10 ≡ 0 (mod 5): streamed-in
+    assert(served.nonEmpty && served.head.getDouble(3) > 0.9,
+      s"streamed vector should find near cluster-mates: ${served.toSeq}")
+
+    // read-time takedown is SHARED with the IVF arm's log: vectors
+    // vanish from results, their edges die at either endpoint
+    AnnIngestApp.takedown(spark, annDir,
+      Seq(served.head.getLong(2)).toDF("vec_id"))
+    val gone = served.head.getLong(2)
+    val after = AnnIngestApp.serveGraph(spark, annDir,
+      queryIds = Seq(10L)).collect()
+    after.foreach(r => assert(r.getLong(2) != gone))
+
+    // the binding guard holds for the graph arm too
+    val foreign = Files.createTempDirectory("gann_foreign").toString
+    val err = intercept[IllegalArgumentException] {
+      AnnIngestApp.runGraph(spark, shardDir, annDir, foreign)
+    }
+    assert(err.getMessage.contains("bound to checkpoint"), err.getMessage)
+  }
 }
