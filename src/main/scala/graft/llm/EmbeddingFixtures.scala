@@ -60,6 +60,24 @@ object EmbeddingFixtures {
     * jitter, within-cluster cosine ≫ cross-cluster cosine, so cell
     * probes find true neighbors in the first list — the regime IVF/PQ
     * are deployed for. */
+  /** Mixed-regime corpus for the tier router (q-router study,
+    * BASELINE §z.7): the first half is the clustered fixture, the
+    * second half (ids offset by n/2) the isotropic one — one corpus
+    * whose queries genuinely need different tiers. Even/odd of the
+    * ORIGINAL id is preserved within each half, so modulus query
+    * sampling draws from both regimes. */
+  def mixed(spark: SparkSession, n: Long, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val half = n / 2
+    clustered(spark, half, dim, seed = seed)
+      .unionByName(
+        isotropic(spark, n - half, dim, seed)
+          .withColumn("vec_id", col("vec_id") + lit(half))
+          // labels 8..15: the isotropic half never collides with the
+          // clustered half's 0..7 cluster labels
+          .withColumn("label", (col("label") + lit(8)).cast("int")))
+  }
+
   def clustered(spark: SparkSession, n: Long, dim: Int = 64,
       nClusters: Int = 8, jitter: Double = 0.15,
       seed: Long = 42L): DataFrame = {

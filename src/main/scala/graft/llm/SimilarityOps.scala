@@ -284,7 +284,7 @@ object SimilarityOps {
     * all of it. Fully deterministic ⇒ exact DuckDB oracle, unlike the LSH
     * variant. */
   val CentroidIds: Seq[Long] = Seq(3L, 33L, 66L, 99L, 132L, 165L, 198L, 231L)
-  private val NProbe = 3
+  private[llm] val NProbe = 3
 
   private def nearestCentroid(src: DataFrame, cents: DataFrame, idCol: String,
       eCol: String, keep: Int): DataFrame = {
@@ -431,7 +431,7 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
-  private val KmeansIters = 2
+  private[llm] val KmeansIters = 2
 
   /** The documented 100 TB swap for the Lloyd trainer (the one
     * remaining full-corpus-per-iteration loop under the trained-IVF /
@@ -805,7 +805,7 @@ object SimilarityOps {
   /** The trained-IVF probe/score core for an arbitrary `(qid, qe)` query
     * frame — shared by [[knnIvfTrained]] (id-filtered queries) and the
     * q139 recall audit (a modulus-sampled query set). */
-  private def ivfTrainedTopkFor(assigned: DataFrame, model: DataFrame,
+  private[llm] def ivfTrainedTopkFor(assigned: DataFrame, model: DataFrame,
       q: DataFrame, k: Int, nProbe: Int): DataFrame = {
     GraftFunctions.register(assigned.sparkSession)
     val probes = nearestCentroid(q, model.select(col("cid"), col("ce")),
@@ -2740,6 +2740,29 @@ object SimilarityOps {
     * the explicit trade. */
   val PqResidualCodebookIds: Seq[Long] = (1 to 64).map(_ * 7L)
 
+  /** ADAPTIVE residual-codebook seeds (r19 item 6): the measured
+    * K-curve (0.082 → 0.256 → 0.443 clustered recall at K=8/64/256,
+    * monotone and unsaturated at 50k — BASELINE §y) says codebook size
+    * is the residual tier's dominant recall lever and K=256 is the
+    * production point; the fixed 64-id list existed only because the
+    * smallest test SF has 500 ids. This derives K from the corpus —
+    * K = min(256, max(64, N/8)) — and takes the first K multiples of
+    * 7 PRESENT (ascending; the cross-engine-replayable generalization
+    * of the static list, which it equals whenever K=64). Encode cost
+    * stays K-linear per (vector, subspace) — the explicit trade.
+    * Driver-side cost: one count + a K-row collect (model-scale). */
+  def adaptiveResidualCodebookIds(em: DataFrame): Seq[Long] = {
+    val n = em.count()
+    val k = math.min(256L, math.max(64L, n / 8)).toInt
+    val ids = em.filter(col("vec_id") % 7 === 0 && col("vec_id") >= 7)
+      .select(col("vec_id")).orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    require(ids.size >= 8,
+      s"corpus has only ${ids.size} multiples of 7 — too few for a " +
+        "residual codebook (need >= 8)")
+    ids
+  }
+
   /** Assigned vectors with their residual rv = v − c(v), the vector the
     * residual quantizer codes. Double-precision throughout — the
     * float-float subtraction is exact in double on both engines. */
@@ -2759,10 +2782,18 @@ object SimilarityOps {
     * ambient space. */
   def pqResidualCodebookOf(em: DataFrame, model: DataFrame,
       subspaces: Int = PqSubspaces,
-      codebookIds: Seq[Long] = PqResidualCodebookIds): DataFrame = {
-    val seeds = residualFrame(
-      assignUnderModel(em.filter(col("vec_id").isin(codebookIds: _*)),
-        model), model)
+      codebookIds: Seq[Long] = PqResidualCodebookIds): DataFrame =
+    residualCodebookFrom(
+      residualFrame(
+        assignUnderModel(em.filter(col("vec_id").isin(codebookIds: _*)),
+          model), model),
+      subspaces, codebookIds)
+
+  /** [[pqResidualCodebookOf]] over a PRE-BUILT residual frame
+    * (vec_id, …, rv) — the seam the OPQ arm rotates through. */
+  private def residualCodebookFrom(rf: DataFrame, subspaces: Int,
+      codebookIds: Seq[Long]): DataFrame = {
+    val seeds = rf.filter(col("vec_id").isin(codebookIds: _*))
       .withColumn("slot",
         row_number().over(Window.orderBy("vec_id")) - 1)
     pqSliceRows(seeds.select(col("slot"), col("rv")), "slot", "rv",
@@ -2779,8 +2810,14 @@ object SimilarityOps {
     * the same slot and ADC is cluster-constant — their RESIDUALS are
     * the within-cluster jitter, exactly what this codebook spans. */
   def pqResidualEncode(assigned: DataFrame, model: DataFrame,
-      cb: DataFrame, subspaces: Int = PqSubspaces): DataFrame = {
-    val sub = residualFrame(assigned, model)
+      cb: DataFrame, subspaces: Int = PqSubspaces): DataFrame =
+    pqResidualEncodeFrom(residualFrame(assigned, model), cb, subspaces)
+
+  /** [[pqResidualEncode]] over a PRE-BUILT residual frame
+    * (vec_id, cid, rv, ce) — the OPQ seam. */
+  private def pqResidualEncodeFrom(rf: DataFrame, cb: DataFrame,
+      subspaces: Int): DataFrame = {
+    val sub = rf
       .withColumn("s", explode(sequence(lit(0), lit(subspaces - 1))))
       .withColumn("_w", expr(s"size(rv) DIV $subspaces"))
       .withColumn("sv", expr("slice(rv, s * _w + 1, _w)"))
@@ -2840,7 +2877,7 @@ object SimilarityOps {
     * the flat residual distance table `dt` (dot(q_s, cv_{s,slot})
     * sorted by (s, slot)) and the exact query norm. */
   private def residualQSide(q: DataFrame, model: DataFrame, cb: DataFrame,
-      nProbe: Int, subspaces: Int): DataFrame = {
+      nProbe: Int, subspaces: Int, qForDt: DataFrame = null): DataFrame = {
     val probes = nearestCentroid(q, model.select(col("cid"), col("ce")),
         "qid", "qe", nProbe)
       .withColumn("qc", expr(
@@ -2848,7 +2885,10 @@ object SimilarityOps {
           |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
           |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
       .select(col("qid"), col("cid"), col("qc"))
-    val qdt = pqSliceRows(q.select(col("qid").as("vec_id"), col("qe")),
+    // the dt slices come from `qForDt` when given (the OPQ arm's
+    // ROTATED queries — probes/qc/qnorm always use the original space)
+    val qdt = pqSliceRows(Option(qForDt).getOrElse(q)
+        .select(col("qid").as("vec_id"), col("qe")),
         "vec_id", "qe", "qv", subspaces)
       .join(broadcast(cb), "s")
       .withColumn("dot", expr(
@@ -2885,17 +2925,28 @@ object SimilarityOps {
     * shared by the static (q180) and trained (q181) arms. */
   private def residualAuditUnder(em: DataFrame, model: DataFrame,
       cb: DataFrame, k: Int, nProbe: Int, rerank: Int, sampleMod: Long,
-      sampleRes: Long, minHits: Int, subspaces: Int): DataFrame = {
+      sampleRes: Long, minHits: Int, subspaces: Int,
+      rot: Option[Array[Array[Double]]] = None): DataFrame = {
     val q = em.filter(col("vec_id") % sampleMod === sampleRes)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val truth = topk(em.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("cos", expr("cosine_sim(qe, embedding)")), k)
       .select(col("qid"), col("neighbor"))
-    val codes = pqResidualEncode(assignUnderModel(em, model), model, cb,
-      subspaces)
+    // the OPQ arm rotates the residual frame (rv AND ce — the algebra
+    // note at [[annPqResidualOpqRecallAudit]]) and the dt-side queries;
+    // probes/qc/qnorm/truth/re-rank stay in the original space
+    val rf0 = residualFrame(assignUnderModel(em, model), model)
+    val rf = rot.map(r => rf0
+        .withColumn("rv", matvecCol(r, col("rv")))
+        .withColumn("ce", matvecCol(r, col("ce"))))
+      .getOrElse(rf0)
+    val codes = pqResidualEncodeFrom(rf, cb, subspaces)
+    val qRot = rot.map(r =>
+      q.select(col("qid"), matvecCol(r, col("qe")).as("qe"))).orNull
     val tail = residualAdcTail(codes,
-      residualQSide(q, model, cb, nProbe, subspaces), k, rerank)
+      residualQSide(q, model, cb, nProbe, subspaces, qForDt = qRot),
+      k, rerank)
     val fin = pqRerankTail(tail,
         em.select(col("vec_id"), col("embedding")), q, k)
       .select(col("qid"), col("neighbor"))
@@ -2924,7 +2975,25 @@ object SimilarityOps {
     * set (modulus sample for the audits, fixed ids for serve). */
   private def residualPipelineCtes(qWhere: String, k: Int, nProbe: Int,
       rerank: Int, subspaces: Int, codebookIds: Seq[Long],
-      trainIters: Int): String = {
+      trainIters: Int, adaptiveK: Boolean = false,
+      opqPowerIters: Int = 0, d: Int = 64): String = {
+    // the OPQ arm reroutes the codebook/encode residuals through the
+    // ROTATED frame and the dt slices through the rotated queries
+    val resRef = if (opqPowerIters > 0) "resr" else "res"
+    val qdtRef = if (opqPowerIters > 0) "qrot" else "q"
+    // the adaptive seed set replays [[adaptiveResidualCodebookIds]]:
+    // first min(256, max(64, N/8)) multiples of 7 present, ascending
+    val cbPick =
+      if (adaptiveK)
+        s"""(SELECT vec_id, rv FROM $resRef
+           |  WHERE vec_id % 7 = 0 AND vec_id >= 7
+           |  ORDER BY vec_id
+           |  LIMIT (SELECT least(256, greatest(64, count(*) // 8))
+           |         FROM embeddings))""".stripMargin
+      else
+        s"""(SELECT vec_id, rv FROM $resRef
+           |  WHERE vec_id IN (${codebookIds.mkString(", ")}))"""
+          .stripMargin
     val cbRef = if (trainIters == 0) "cbn" else s"rqc$trainIters"
     val err2Of = (cvRef: String) =>
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -2967,6 +3036,100 @@ object SimilarityOps {
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |    list_transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))),
          |    (a, v) -> a + v)""".stripMargin
+    // matvec under the rounded rotation — FIXED j-order fold + the 6dp
+    // canonical rounding (the twin of the Spark side's matvecCol)
+    def rotVec(vRef: String) =
+      s"""list_transform(generate_series(1, $d), i ->
+         |      round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(generate_series(1, $d), jj ->
+         |          rmat.rows[i][jj] * CAST($vRef[jj] AS DOUBLE))),
+         |        (a, v2) -> a + v2) + 1e-9, 6))""".stripMargin
+    // the OPQ eigen + Householder + rotation CTE block (q183): replays
+    // opqRotationFrom step for step — residual second moment, per-
+    // direction power chains with deflation (u rounded 6dp BEFORE
+    // deflating), the z chain, R built by applying each H to the
+    // identity, rounded 6dp, then the rotated residual/query frames
+    val opqCtes = if (opqPowerIters == 0) "" else {
+      val nS = subspaces
+      val wW = d / nS
+      val chains = (1 to nS).map { m =>
+        val steps = (1 to opqPowerIters).map { t =>
+          s"""pw${m}_$t AS MATERIALIZED (SELECT c.i, sum(c.v * p.x) AS x
+             |  FROM cov$m c JOIN pv${m}_${t - 1} p ON p.i = c.j
+             |  GROUP BY c.i),
+             |pv${m}_$t AS MATERIALIZED (SELECT i,
+             |    x / sqrt((SELECT sum(x * x) FROM pw${m}_$t)) AS x
+             |  FROM pw${m}_$t)""".stripMargin
+        }.mkString(",\n")
+        s"""pv${m}_0 AS (SELECT ii.i AS i, 1.0 / sqrt($d) AS x
+           |  FROM generate_series(1, $d) ii(i)),
+           |$steps,
+           |u$m AS MATERIALIZED (SELECT i,
+           |    round((CASE WHEN (SELECT sum(x) FROM pv${m}_$opqPowerIters)
+           |        + 1e-9 < 0 THEN -x ELSE x END) + 1e-9, 6) AS x
+           |  FROM pv${m}_$opqPowerIters),
+           |lam$m AS (SELECT sum(u1.x * c.v * u2.x) AS l FROM cov$m c
+           |  JOIN u$m u1 ON u1.i = c.i JOIN u$m u2 ON u2.i = c.j),
+           |cov${m + 1} AS MATERIALIZED (SELECT c.i, c.j,
+           |    c.v - (SELECT l FROM lam$m) * u1.x * u2.x AS v
+           |  FROM cov$m c JOIN u$m u1 ON u1.i = c.i
+           |  JOIN u$m u2 ON u2.i = c.j)""".stripMargin
+      }.mkString(",\n")
+      val zChains = (1 to nS).map { m =>
+        val t = (m - 1) * wW + 1
+        val apps = (1 until m).map { j =>
+          val vin = if (j == 1) s"u$m" else s"ws${m}_${j - 1}"
+          s"""ws${m}_$j AS MATERIALIZED (SELECT v.i,
+             |    v.x - ((SELECT sum(z.x * v2.x) FROM z$j z
+             |            JOIN $vin v2 ON v2.i = z.i) * 2
+             |           / (SELECT sum(x * x) FROM z$j)) * z2.x AS x
+             |  FROM $vin v JOIN z$j z2 ON z2.i = v.i)""".stripMargin
+        }.mkString(",\n")
+        val src = if (m == 1) s"u$m" else s"ws${m}_${m - 1}"
+        val head = if (apps.isEmpty) "" else s"$apps,\n"
+        s"""${head}z$m AS MATERIALIZED (SELECT i,
+           |    round(x + (CASE WHEN i = $t THEN
+           |      (CASE WHEN (SELECT x FROM $src WHERE i = $t) >= -1e-9
+           |        THEN 1.0 ELSE -1.0 END) ELSE 0.0 END) + 1e-9, 6)
+           |      AS x
+           |  FROM $src)""".stripMargin
+      }.mkString(",\n")
+      val rSteps = (1 to nS).map { m =>
+        val prev = if (m == 1) "rid" else s"rr${m - 1}"
+        s"""zr$m AS MATERIALIZED (SELECT r.j, sum(z.x * r.v) AS sv
+           |  FROM z$m z JOIN $prev r ON r.i = z.i GROUP BY r.j),
+           |rr$m AS MATERIALIZED (SELECT r.i, r.j,
+           |    r.v - (zr.sv * 2 / (SELECT sum(x * x) FROM z$m)) * z2.x
+           |      AS v
+           |  FROM $prev r JOIN zr$m zr ON zr.j = r.j
+           |  JOIN z$m z2 ON z2.i = r.i)""".stripMargin
+      }.mkString(",\n")
+      s""",
+         |mom AS MATERIALIZED (SELECT ii.i AS i, jj.j AS j,
+         |    sum(rv[ii.i] * rv[jj.j]) / (SELECT count(*) FROM res) AS v
+         |  FROM res, generate_series(1, $d) ii(i),
+         |    generate_series(1, $d) jj(j)
+         |  GROUP BY 1, 2),
+         |cov1 AS MATERIALIZED (SELECT i, j, v FROM mom),
+         |$chains,
+         |$zChains,
+         |rid AS (SELECT ii.i AS i, jj.j AS j,
+         |    CASE WHEN ii.i = jj.j THEN 1.0 ELSE 0.0 END AS v
+         |  FROM generate_series(1, $d) ii(i),
+         |    generate_series(1, $d) jj(j)),
+         |$rSteps,
+         |rrot AS MATERIALIZED (SELECT i, j, round(v + 1e-9, 6) AS v
+         |  FROM rr$nS),
+         |rmat AS MATERIALIZED (SELECT list(rw ORDER BY i) AS rows FROM (
+         |  SELECT i, list(v ORDER BY j) AS rw FROM rrot GROUP BY i)),
+         |resr AS MATERIALIZED (SELECT vec_id, cid,
+         |    ${rotVec("rv")} AS rv,
+         |    ${rotVec("ce")} AS ce
+         |  FROM res, rmat),
+         |qrot AS MATERIALIZED (SELECT qid,
+         |    ${rotVec("qe")} AS qe
+         |  FROM q, rmat)""".stripMargin
+    }
     s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
        |  WHERE vec_id IN (${CentroidIds.mkString(", ")})),
        |$iterCtes,
@@ -2978,10 +3141,9 @@ object SimilarityOps {
        |    c.ce AS ce
        |  FROM asg a JOIN c$KmeansIters c ON c.cid = a.cid),
        |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
-       |  FROM embeddings WHERE $qWhere),
+       |  FROM embeddings WHERE $qWhere)$opqCtes,
        |cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS slot,
-       |    rv AS cbv FROM res
-       |  WHERE vec_id IN (${codebookIds.mkString(", ")})),
+       |    rv AS cbv FROM $cbPick),
        |cbn AS MATERIALIZED (SELECT slot, g.s,
        |    list_slice(cbv, g.s * (len(cbv) // $subspaces) + 1,
        |      (g.s + 1) * (len(cbv) // $subspaces)) AS cv
@@ -2991,7 +3153,7 @@ object SimilarityOps {
        |      (g.s + 1) * (len(rv) // $subspaces)) AS sv,
        |    list_slice(ce, g.s * (len(ce) // $subspaces) + 1,
        |      (g.s + 1) * (len(ce) // $subspaces)) AS cev
-       |  FROM res, generate_series(0, ${subspaces - 1}) g(s))$trainCtes,
+       |  FROM $resRef, generate_series(0, ${subspaces - 1}) g(s))$trainCtes,
        |enc0 AS (SELECT vec_id, cid, s, slot, n2 FROM (
        |  SELECT sub.vec_id, sub.cid, sub.s, $cbRef.slot,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -3021,7 +3183,7 @@ object SimilarityOps {
        |qsub AS (SELECT qid, g.s,
        |    list_slice(qe, g.s * (len(qe) // $subspaces) + 1,
        |      (g.s + 1) * (len(qe) // $subspaces)) AS qv
-       |  FROM q, generate_series(0, ${subspaces - 1}) g(s)),
+       |  FROM $qdtRef, generate_series(0, ${subspaces - 1}) g(s)),
        |qd AS (SELECT qid, qsub.s AS s, slot, $dot AS dot
        |  FROM qsub JOIN $cbRef ON $cbRef.s = qsub.s),
        |qdt AS (SELECT qid, list(dot ORDER BY s, slot) AS dt
@@ -3049,12 +3211,32 @@ object SimilarityOps {
       rerank: Int = PqRerank, sampleMod: Long = 50L, sampleRes: Long = 7L,
       minHits: Int = 3, subspaces: Int = PqSubspaces,
       codebookIds: Seq[Long] = PqResidualCodebookIds,
-      trainIters: Int = 0): String = {
+      trainIters: Int = 0, adaptiveK: Boolean = false): String = {
     val core = residualPipelineCtes(
       s"vec_id % $sampleMod = $sampleRes", k, nProbe, rerank, subspaces,
-      codebookIds, trainIters)
-    s"""$core,
-       |t AS (SELECT qid, vec_id FROM (
+      codebookIds, trainIters, adaptiveK)
+    s"$core,\n${residualAuditTailSql(k, minHits)}"
+  }
+
+  /** q183's oracle: the q181 pipeline with the OPQ rotation CTEs
+    * injected (`powerIters` > 0 replays the driver's eigen chain,
+    * Householder construction and rotated frames CTE-for-CTE). */
+  def annPqResidualOpqRecallSql(k: Int = TopK, nProbe: Int = NProbe,
+      rerank: Int = PqRerank, sampleMod: Long = 50L, sampleRes: Long = 7L,
+      minHits: Int = 3, subspaces: Int = PqSubspaces,
+      codebookIds: Seq[Long] = PqResidualCodebookIds,
+      trainIters: Int = KmeansIters, adaptiveK: Boolean = false,
+      powerIters: Int = OpqPowerIters): String = {
+    val core = residualPipelineCtes(
+      s"vec_id % $sampleMod = $sampleRes", k, nProbe, rerank, subspaces,
+      codebookIds, trainIters, adaptiveK, opqPowerIters = powerIters)
+    s"$core,\n${residualAuditTailSql(k, minHits)}"
+  }
+
+  /** The shared audit tail: exact truth, re-ranked tail, ADC-only and
+    * final hit counts, per-query recall + pass flag. */
+  private def residualAuditTailSql(k: Int, minHits: Int): String =
+    s"""t AS (SELECT qid, vec_id FROM (
        |  SELECT q.qid, e.vec_id,
        |    row_number() OVER (PARTITION BY q.qid
        |      ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, e.vec_id)
@@ -3081,7 +3263,6 @@ object SimilarityOps {
        |  CAST(coalesce(h.n_hit, 0) >= $minHits AS INT) AS ok
        |FROM q LEFT JOIN ha ON ha.qid = q.qid
        |LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin
-  }
 
   /** q182's oracle: the same residual pipeline, final stage = the
     * serve answer itself — exact re-rank of the rerank·k tail, top-k
@@ -3090,10 +3271,10 @@ object SimilarityOps {
       nProbe: Int = NProbe, rerank: Int = PqRerank,
       subspaces: Int = PqSubspaces,
       codebookIds: Seq[Long] = PqResidualCodebookIds,
-      trainIters: Int = KmeansIters): String = {
+      trainIters: Int = KmeansIters, adaptiveK: Boolean = false): String = {
     val core = residualPipelineCtes(
       s"vec_id IN (${queryIds.mkString(", ")})", k, nProbe, rerank,
-      subspaces, codebookIds, trainIters)
+      subspaces, codebookIds, trainIters, adaptiveK)
     s"""$core
        |SELECT qid, rnk, vec_id AS neighbor,
        |  round(cos, 4) AS cos FROM (
@@ -3126,9 +3307,18 @@ object SimilarityOps {
       codebookIds: Seq[Long] = PqResidualCodebookIds,
       iters: Int = KmeansIters): DataFrame = {
     GraftFunctions.register(em.sparkSession)
-    var cb = pqResidualCodebookOf(em, model, subspaces, codebookIds)
+    trainResidualCodebookFrom(
+      residualFrame(assignUnderModel(em, model), model),
+      subspaces, codebookIds, iters)
+  }
+
+  /** [[pqTrainResidualCodebook]] over a PRE-BUILT residual frame —
+    * the OPQ seam (train the book on ROTATED residuals). */
+  private def trainResidualCodebookFrom(rf: DataFrame, subspaces: Int,
+      codebookIds: Seq[Long], iters: Int): DataFrame = {
+    var cb = residualCodebookFrom(rf, subspaces, codebookIds)
       .select(col("s"), col("slot"), col("cv"))
-    val sub = residualFrame(assignUnderModel(em, model), model)
+    val sub = rf
       .withColumn("s", explode(sequence(lit(0), lit(subspaces - 1))))
       .withColumn("_w", expr(s"size(rv) DIV $subspaces"))
       .withColumn("sv", expr("slice(rv, s * _w + 1, _w)"))
@@ -3174,6 +3364,158 @@ object SimilarityOps {
       pqTrainResidualCodebook(em, model, subspaces, codebookIds, iters)
         .localCheckpoint(),
       k, nProbe, rerank, sampleMod, sampleRes, minHits, subspaces)
+  }
+
+  // ------------------------------------------------------------------
+  // q183 — OPQ-style rotation for residual PQ (Ge et al. '13
+  // "Optimized Product Quantization", the eigenvalue-allocation
+  // initialization OPQ-P): rotate residual space so the top energy
+  // directions land ONE PER SUBSPACE before slicing — balanced
+  // per-subspace variance is what the independent subquantizers
+  // assume, and contiguous slicing of anisotropic residuals violates
+  // it. The rotation is a chain of `subspaces` Householder
+  // reflections built from power-iteration+deflation eigenvectors of
+  // the residual second-moment matrix (the q147 driver-side eigen
+  // precedent): H_m maps energy direction m onto subspace m's first
+  // coordinate, and because eigenvectors are orthogonal each H fixes
+  // the targets already placed (the QR-via-Householder argument).
+  //
+  // Cross-engine exactness: every trained artifact (u_m, z_m, and the
+  // final R) is canonicalized at 6dp (+1e-9 nudge, HALF_UP — the
+  // codebook-rounding convention), and every ROTATED vector is
+  // rounded the same way, so both engines quantize bit-identical
+  // inputs; the iterative float linear algebra only has to agree to
+  // ~1e-7, which 20 fixed iterations of the same recurrence on
+  // second moments that differ at ~1e-12 comfortably does.
+  // ------------------------------------------------------------------
+
+  /** Power-iteration count for the OPQ eigen chain — fixed, replayed
+    * verbatim by the oracle (convergence quality tunes recall, not
+    * correctness: both engines walk the same 20 steps). */
+  val OpqPowerIters = 20
+
+  /** 6dp HALF_UP with the +1e-9 nudge — the driver-side twin of the
+    * Spark/DuckDB `round(x + 1e-9, 6)` canonicalization. */
+  private def round6(x: Double): Double =
+    BigDecimal(x + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Train the OPQ rotation from a residual frame: exact d×d residual
+    * second moment (the q147 upper-triangle fan-out — the d²-bounded
+    * MODEL is all that crosses the wire), `subspaces` rounds of
+    * driver-side power iteration + deflation, then the Householder
+    * chain. Returns R (rounded 6dp), R·v = H_s(…H_1(v)). */
+  private[graft] def opqRotationFrom(rf: DataFrame,
+      subspaces: Int = PqSubspaces,
+      powerIters: Int = OpqPowerIters): Array[Array[Double]] = {
+    val res = rf.select(col("rv"))
+    val d = res.select(size(col("rv"))).limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "opqRotationFrom: empty residual frame")).getInt(0)
+    require(d % subspaces == 0,
+      s"opqRotationFrom: d=$d not divisible by subspaces=$subspaces")
+    val pairArr = flatten(transform(sequence(lit(0), lit(d - 1)), i =>
+      transform(sequence(i, lit(d - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("rv"), i + 1) *
+            element_at(col("rv"), j + 1)).as("v")))))
+    val cells = res.select(explode(pairArr).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(sum(col("p.v")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val n = cells.head.getLong(3)
+    val mm = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val v = r.getDouble(2) / n
+      mm(r.getInt(0))(r.getInt(1)) = v
+      mm(r.getInt(1))(r.getInt(0)) = v
+    }
+    val us = (0 until subspaces).map { _ =>
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      for (_ <- 1 to powerIters) {
+        val w = Array.tabulate(d)(i =>
+          (0 until d).map(j => mm(i)(j) * v(j)).sum)
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        v = if (norm > 0) w.map(_ / norm) else w
+      }
+      // sign + 6dp canonicalization BEFORE deflation: both engines
+      // deflate with the identical (rounded) direction
+      val flip = if (v.sum + 1e-9 < 0) -1.0 else 1.0
+      val u = v.map(x => round6(flip * x))
+      val lam = (0 until d).map(i =>
+        (0 until d).map(j => u(i) * mm(i)(j) * u(j)).sum).sum
+      for (i <- 0 until d; j <- 0 until d) mm(i)(j) -= lam * u(i) * u(j)
+      u
+    }
+    def applyH(v: Array[Double], z: Array[Double]): Array[Double] = {
+      val zz = z.foldLeft(0.0)((a, x) => a + x * x)
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += z(i) * v(i); i += 1 }
+      val coef = dot * 2.0 / zz
+      Array.tabulate(v.length)(i => v(i) - coef * z(i))
+    }
+    val w = d / subspaces
+    val zs = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    us.zipWithIndex.foreach { case (u, mi) =>
+      val ws = zs.foldLeft(u)((v, z) => applyH(v, z))
+      val t = mi * w
+      // the stability sign choice (z = x + sign(x_t)·e_t), nudged so
+      // a near-zero pivot cannot flip between engines
+      val sign = if (ws(t) >= -1e-9) 1.0 else -1.0
+      val z = ws.clone()
+      z(t) += sign
+      zs += z.map(round6)
+    }
+    val cols = Array.tabulate(d) { j =>
+      val e = Array.fill(d)(0.0)
+      e(j) = 1.0
+      zs.foldLeft(e)((v, z) => applyH(v, z))
+    }
+    Array.tabulate(d, d)((i, j) => round6(cols(j)(i)))
+  }
+
+  /** Apply a driver-trained rotation to an array column: per output
+    * coordinate one FIXED-ORDER fold over the matching R row, then the
+    * 6dp canonical rounding — both engines quantize identical inputs,
+    * so the encode argmin cannot move. */
+  private def matvecCol(r: Array[Array[Double]], v: Column): Column = {
+    val rl = array(r.map(row => array(row.map(lit): _*)): _*)
+    transform(sequence(lit(1), lit(r.length)), i =>
+      round(aggregate(zip_with(element_at(rl, i), v,
+          (a, b) => a * b.cast("double")),
+        lit(0.0), (acc, x) => acc + x) + lit(1e-9), 6))
+  }
+
+  /** q183 — the q181 audit under the OPQ rotation: rotate the residual
+    * frame (rv AND ce) and the queries' dt slices, train the residual
+    * book in ROTATED space, and run the same ADC + exact-re-rank
+    * protocol. Algebra: v ≈ c + Rᵀr̂ with r̂ coded in rotated space, so
+    * dot(q, v) ≈ qᵀc + (Rq)ᵀr̂ (qc unchanged, dt from rotated q) and
+    * ‖c + Rᵀr̂‖ = ‖Rc + r̂‖ (rnorm's per-subspace fold over ROTATED
+    * ce) — the standard pipeline runs verbatim on the rotated frame.
+    * The recall delta over q181 is the allocation dividend. */
+  def annPqResidualOpqRecallAudit(em: DataFrame, k: Int = TopK,
+      nProbe: Int = NProbe, rerank: Int = PqRerank, sampleMod: Long = 50L,
+      sampleRes: Long = 7L, minHits: Int = 3,
+      subspaces: Int = PqSubspaces,
+      codebookIds: Seq[Long] = PqResidualCodebookIds,
+      centroidIds: Seq[Long] = CentroidIds,
+      iters: Int = KmeansIters,
+      powerIters: Int = OpqPowerIters): DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val model = kmeansCentroids(em, centroidIds, iters).localCheckpoint()
+    val rf = residualFrame(assignUnderModel(em, model), model)
+      .localCheckpoint()
+    val r = opqRotationFrom(rf, subspaces, powerIters)
+    val rfRot = rf
+      .withColumn("rv", matvecCol(r, col("rv")))
+      .withColumn("ce", matvecCol(r, col("ce")))
+      .localCheckpoint()
+    val cb = trainResidualCodebookFrom(rfRot, subspaces, codebookIds,
+      iters).localCheckpoint()
+    residualAuditUnder(em, model, cb, k, nProbe, rerank, sampleMod,
+      sampleRes, minHits, subspaces, rot = Some(r))
   }
 
   // ------------------------------------------------------------------
@@ -3945,25 +4287,45 @@ object SimilarityOps {
       "so training runs once for its multiple consumers"
 
   val all: Seq[(String, QFn, Option[String])] = Seq(
+    ("q183_pq_residual_opq_recall",
+      eager(ModelEager + " (plus the driver-side OPQ eigen chain — " +
+        "the q147 power-iteration posture — and the rotated-frame " +
+        "checkpoints)")(
+        (s: SparkSession, d: String) => {
+          val em = Tables.embeddings(s, d)
+          annPqResidualOpqRecallAudit(em,
+            codebookIds = adaptiveResidualCodebookIds(em))
+        }),
+      Some(annPqResidualOpqRecallSql(adaptiveK = true))),
     ("q182_pq_residual_serve",
       eager(ModelEager + " (and the trained residual book likewise — " +
         "the serve composition shares them across encode, probes and " +
         "the re-rank)")(
-        (s: SparkSession, d: String) =>
-          knnResidualPq(Tables.embeddings(s, d))),
-      Some(knnResidualPqSql())),
+        (s: SparkSession, d: String) => {
+          val em = Tables.embeddings(s, d)
+          knnResidualPq(em,
+            codebookIds = adaptiveResidualCodebookIds(em))
+        }),
+      Some(knnResidualPqSql(adaptiveK = true))),
     ("q181_pq_residual_trained_recall",
       eager(ModelEager + " (and the per-subspace residual-Lloyd " +
         "checkpoints likewise)")(
-        (s: SparkSession, d: String) =>
-          annPqResidualTrainedRecallAudit(Tables.embeddings(s, d))),
-      Some(annPqResidualRecallSql(trainIters = KmeansIters))),
+        (s: SparkSession, d: String) => {
+          val em = Tables.embeddings(s, d)
+          annPqResidualTrainedRecallAudit(em,
+            codebookIds = adaptiveResidualCodebookIds(em))
+        }),
+      Some(annPqResidualRecallSql(trainIters = KmeansIters,
+        adaptiveK = true))),
     ("q180_pq_residual_recall",
       eager(ModelEager + " (assignment, residual encode, ADC probes, " +
         "truth arm)")(
-        (s: SparkSession, d: String) =>
-          annPqResidualRecallAudit(Tables.embeddings(s, d))),
-      Some(annPqResidualRecallSql())),
+        (s: SparkSession, d: String) => {
+          val em = Tables.embeddings(s, d)
+          annPqResidualRecallAudit(em,
+            codebookIds = adaptiveResidualCodebookIds(em))
+        }),
+      Some(annPqResidualRecallSql(adaptiveK = true))),
     ("q174_retrieval_metrics",
       eager(ModelEager + " (assignment + probe ranking)")(
         (s: SparkSession, d: String) =>

@@ -173,6 +173,70 @@ class Round20OpsSpec extends SparkSpec {
       "the effective sample must shrink to ~truthCap queries")
   }
 
+  test("tier router: the cluster-margin signal sends clustered-half " +
+      "queries to IVF and isotropic-half queries to the graph walk, " +
+      "and routed recall tracks the best single tier") {
+    graft.functions.GraftFunctions.register(spark)
+    val n = 2000L
+    val half = n / 2
+    val em = graft.llm.EmbeddingFixtures.mixed(spark, n).localCheckpoint()
+    val seeds = SimilarityOps.CentroidIds ++
+      SimilarityOps.CentroidIds.map(_ + half)
+    val rows = graft.llm.AnnRouterOps.routedRecallAudit(em,
+      centroidIds = seeds).collect()
+    val (clu, iso) = rows.partition(_.getLong(0) < half)
+    assert(clu.nonEmpty && iso.nonEmpty)
+    // the routing signal: clustered queries have a dominant cell,
+    // isotropic queries don't
+    val cluToIvf = clu.count(_.getString(2) == "ivf").toDouble / clu.length
+    val isoToGraph = iso.count(_.getString(2) == "graph").toDouble / iso.length
+    assert(cluToIvf >= 0.8, s"clustered-half routed to ivf: $cluToIvf")
+    assert(isoToGraph >= 0.7, s"isotropic-half routed to graph: $isoToGraph")
+    // routed tracks the best single tier (ties it; never the worst)
+    def mean(rs: Array[org.apache.spark.sql.Row], i: Int) =
+      rs.map(_.getLong(i)).sum.toDouble / rs.length
+    val (ivfAll, graphAll, routed) =
+      (mean(rows, 3), mean(rows, 4), mean(rows, 5))
+    assert(routed >= math.max(ivfAll, graphAll) * 0.95,
+      s"routed=$routed ivf=$ivfAll graph=$graphAll")
+    assert(mean(clu, 5) >= mean(clu, 4),
+      "on the clustered half the router must not lose to all-graph")
+  }
+
+  test("q183 OPQ rotation: R is orthogonal (Householder products " +
+      "survive the 6dp canonicalization), rotation preserves norms, " +
+      "and the rotated audit runs the full protocol") {
+    graft.functions.GraftFunctions.register(spark)
+    val em = graft.llm.EmbeddingFixtures.clustered(spark, 2000L)
+      .localCheckpoint()
+    val audit = SimilarityOps.annPqResidualOpqRecallAudit(em)
+    val rows = audit.collect()
+    assert(rows.length == 40) // 2000 / 50
+    assert(rows.map(_.getDouble(3)).sum / rows.length > 0.2,
+      "OPQ-rotated residual PQ should retain usable recall on the " +
+        s"clustered fixture: ${rows.map(_.getDouble(3)).sum / 40}")
+    // the rotation itself: R·Rᵀ = I to rounding tolerance (each H is
+    // an exact reflection for ANY z, so orthogonality survives the z
+    // rounding; only the final 6dp entry rounding perturbs it)
+    val model = SimilarityOps.kmeansCentroids(em).localCheckpoint()
+    val rf = SimilarityOps.assignUnderModel(em, model)
+    val rfFrame = {
+      // residualFrame is private — rebuild rv the same way
+      import org.apache.spark.sql.functions.{broadcast => bc}
+      rf.join(bc(model.select(col("cid"), col("ce"))), "cid")
+        .withColumn("rv", expr(
+          "zip_with(embedding, ce, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"))
+    }
+    val r = SimilarityOps.opqRotationFrom(rfFrame)
+    val d = r.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(t => r(i)(t) * r(j)(t)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-3,
+        s"R row $i · row $j = $dot (want $expect)")
+    }
+  }
+
   test("q182 residual-PQ serve: the composition returns the exact " +
       "re-ranked top-k and beats raw-slice PQ's ADC on clustered " +
       "data at equal budget") {
