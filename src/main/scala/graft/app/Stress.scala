@@ -147,7 +147,8 @@ object Stress {
       "q173_pq_trained_recall", "q174_retrieval_metrics",
       "q175_html_extract", "q176_ccnet_buckets", "q177_repetition_audit",
       "q178_url_canonical", "q179_graph_ann_recall",
-      "q180_pq_residual_recall", "q181_pq_residual_trained_recall")
+      "q180_pq_residual_recall", "q181_pq_residual_trained_recall",
+      "q182_pq_residual_serve", "q183_pq_residual_opq_recall")
       .filter(n => only.forall(_.contains(n)))
       .foreach { name =>
         val t0 = System.nanoTime()

@@ -3318,6 +3318,10 @@ object SimilarityOps {
       codebookIds: Seq[Long], iters: Int): DataFrame = {
     var cb = residualCodebookFrom(rf, subspaces, codebookIds)
       .select(col("s"), col("slot"), col("cv"))
+    // NOT checkpointed: a localCheckpoint here (tried at 100×-scale)
+    // measured inside the run-to-run noise band — the per-iteration
+    // re-derivation is a broadcast join + projection, cheaper than
+    // storing and re-reading the N·subspaces slice frame
     val sub = rf
       .withColumn("s", explode(sequence(lit(0), lit(subspaces - 1))))
       .withColumn("_w", expr(s"size(rv) DIV $subspaces"))
