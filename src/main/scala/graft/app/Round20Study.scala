@@ -136,6 +136,25 @@ object Round20Study {
         }
       }
     }
+
+    // build-side degree knob (the §z.4 "next lever"): one measured
+    // point per fixture at a scaled degree, logn serve budget
+    if (which == "degree") {
+      val deg = args.lift(2).map(_.toInt).getOrElse(16)
+      Seq("isotropic", "clustered").foreach { name =>
+        val em0 =
+          if (name == "isotropic") EmbeddingFixtures.isotropic(spark, n)
+          else EmbeddingFixtures.clustered(spark, n)
+        val em = em0.localCheckpoint()
+        val (t, r) = time(GraphAnnOps.annGraphRecallAudit(em,
+            degree = deg, beam = GraphAnnOps.scaledBeam(n),
+            hops = GraphAnnOps.scaledHops(n))
+          .agg(avg(col("recall")), avg(col("n_scored"))).first())
+        println(f"[r20-study] n=$n fx=$name arm=graph_degree deg=$deg " +
+          f"recall=${r.getDouble(0)}%.3f scored=${r.getDouble(1)}%.0f " +
+          f"wall=$t%.1f s")
+      }
+    }
     spark.stop()
   }
 }
