@@ -48,6 +48,20 @@ object GraftExtensions {
       exprs => PqAdc(exprs(0), exprs(1))),
     ("sq_dist", classOf[SqDist].getName,
       exprs => SqDist(exprs(0), exprs(1))),
+    ("pq_encode", classOf[PqEncode].getName,
+      // subspaces must be resolvable at analysis time (the
+      // shingle_hashes convention)
+      exprs => exprs(3) match {
+        case e if e.foldable && e.dataType == IntegerType && e.eval() != null =>
+          PqEncode(exprs(0), exprs(1), exprs(2), e.eval().asInstanceOf[Int])
+        case _ => throw new AnalysisException("NON_FOLDABLE_ARGUMENT",
+          Map("funcName" -> "`pq_encode`", "paramName" -> "`subspaces`",
+            "paramType" -> "\"INT\""))
+      }),
+    ("mat_vec6", classOf[MatVec6].getName,
+      exprs => MatVec6(exprs(0), exprs(1))),
+    ("upper_products", classOf[UpperProducts].getName,
+      exprs => UpperProducts(exprs(0))),
     ("cosine_sim_int8", classOf[CosineSimInt8].getName,
       exprs => CosineSimInt8(exprs(0), exprs(1))),
     ("double_sort_bits", classOf[DoubleSortBits].getName,

@@ -2344,28 +2344,35 @@ object SimilarityOps {
       assigned.select(col("vec_id"), col("cid"), col("embedding")), cb,
       subspaces, Seq("vec_id", "cid"))
 
+  /** Pack a (s, slot, cv) codebook into ONE broadcastable row holding
+    * the flattened (s-major, slot-minor, double-widened — exact for
+    * float slices) array [[graft.functions.PqEncode]] indexes: K·S
+    * model-scale rows in, one row out. The deterministic (s, slot)
+    * struct sort fixes the layout; the float→double cast is exact, so
+    * the per-slice folds see the identical operands the broadcast-join
+    * form saw. */
+  private def packedCodebook(cb: DataFrame): DataFrame =
+    cb.groupBy().agg(expr(
+      "flatten(transform(array_sort(collect_list(struct(s, slot," +
+        " transform(cv, e -> CAST(e AS DOUBLE)) AS cv)))," +
+        " x -> x.cv))").as("cbflat"))
+
   private def pqEncodeKeyed(vecs: DataFrame, cb: DataFrame,
       subspaces: Int, keys: Seq[String]): DataFrame = {
-    val sub = vecs
-      .withColumn("s", explode(sequence(lit(0), lit(subspaces - 1))))
-      .withColumn("_w", expr(s"size(embedding) DIV $subspaces"))
-      .withColumn("sv", expr("slice(embedding, s * _w + 1, _w)"))
-      .select(keys.map(col) ++ Seq(col("s"), col("sv")): _*)
-    val w = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("err2"), col("slot"))
-    sub.join(broadcast(cb), "s")
-      // native codegen fold (functions/SqDist.scala) — same IEEE
-      // sequence as the HOF it replaced; see pqResidualEncode
-      .withColumn("err2", expr("sq_dist(sv, cv)"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(keys.map(col): _*)
-      .agg(
-        expr("transform(array_sort(collect_list(struct(s, slot)))," +
-          " x -> x.slot)").as("codes"),
-        sqrt(expr(
-          "aggregate(transform(array_sort(collect_list(struct(s, cn2)))," +
-            " x -> x.cn2), CAST(0 AS DOUBLE), (a, v) -> a + v)"))
-          .as("rnorm"))
+    GraftFunctions.register(vecs.sparkSession)
+    // pq_encode (functions/PqEncode.scala): the whole argmin as one
+    // codegen expression against the packed broadcast codebook — the
+    // explode→join→window→groupBy form materialized N·subspaces·K rows
+    // through two exchanges for a per-row computation (guide §2.4);
+    // bit-identical folds, so the codes and rnorm cannot move. Raw PQ's
+    // rnorm term ‖c_s‖² is the residual fold with a zero base vector
+    // ((0.0 + x)·(0.0 + x) ≡ x·x bit-for-bit).
+    vecs.crossJoin(broadcast(packedCodebook(cb)))
+      .withColumn("_enc", expr(
+        s"pq_encode(embedding, array_repeat(CAST(0.0 AS DOUBLE)," +
+          s" size(embedding)), cbflat, $subspaces)"))
+      .select(keys.map(col) ++ Seq(col("_enc.codes").as("codes"),
+        col("_enc.rnorm").as("rnorm")): _*)
   }
 
   /** The ADC stage (Jégou '11 §IV "asymmetric distance computation"):
@@ -2817,34 +2824,17 @@ object SimilarityOps {
     * (vec_id, cid, rv, ce) — the OPQ seam. */
   private def pqResidualEncodeFrom(rf: DataFrame, cb: DataFrame,
       subspaces: Int): DataFrame = {
-    val sub = rf
-      .withColumn("s", explode(sequence(lit(0), lit(subspaces - 1))))
-      .withColumn("_w", expr(s"size(rv) DIV $subspaces"))
-      .withColumn("sv", expr("slice(rv, s * _w + 1, _w)"))
-      .withColumn("cev", expr("slice(ce, s * _w + 1, _w)"))
-      .select(col("vec_id"), col("cid"), col("s"), col("sv"), col("cev"))
-    val w = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("err2"), col("slot"))
-    // sq_dist: the native codegen fold (functions/SqDist.scala) — the
-    // encode pays |corpus|·subspaces·K of these, and the interpreted
-    // HOF form measured 2.5× the DuckDB twin at K=64; bit-identical
-    // left-to-right double fold, so the argmin cannot move
-    sub.join(broadcast(cb), "s")
-      .withColumn("err2", expr("sq_dist(sv, cv)"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .withColumn("n2", expr(
-        """aggregate(zip_with(cev, cv,
-          |  (c, r) -> (CAST(c AS DOUBLE) + CAST(r AS DOUBLE))
-          |          * (CAST(c AS DOUBLE) + CAST(r AS DOUBLE))),
-          |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
-      .groupBy(col("vec_id"), col("cid"))
-      .agg(
-        expr("transform(array_sort(collect_list(struct(s, slot)))," +
-          " x -> x.slot)").as("codes"),
-        sqrt(expr(
-          "aggregate(transform(array_sort(collect_list(struct(s, n2)))," +
-            " x -> x.n2), CAST(0 AS DOUBLE), (a, v) -> a + v)"))
-          .as("rnorm"))
+    GraftFunctions.register(rf.sparkSession)
+    // pq_encode (functions/PqEncode.scala): argmin + the ‖ce_s + c_s‖²
+    // rnorm fold as one codegen expression against the packed broadcast
+    // codebook — replaces the explode→join→window→groupBy pipeline that
+    // shuffled N·subspaces·K rows twice (guide §2.4). Bit-identical
+    // left-to-right folds (the sq_dist contract), so neither the codes
+    // nor any downstream ADC rank cut can move.
+    rf.crossJoin(broadcast(packedCodebook(cb)))
+      .withColumn("_enc", expr(s"pq_encode(rv, ce, cbflat, $subspaces)"))
+      .select(col("vec_id"), col("cid"),
+        col("_enc.codes").as("codes"), col("_enc.rnorm").as("rnorm"))
   }
 
   /** q180 — the q171 recall audit with RESIDUAL coding as the system
@@ -3322,18 +3312,20 @@ object SimilarityOps {
     // measured inside the run-to-run noise band — the per-iteration
     // re-derivation is a broadcast join + projection, cheaper than
     // storing and re-reading the N·subspaces slice frame
-    val sub = rf
-      .withColumn("s", explode(sequence(lit(0), lit(subspaces - 1))))
-      .withColumn("_w", expr(s"size(rv) DIV $subspaces"))
-      .withColumn("sv", expr("slice(rv, s * _w + 1, _w)"))
-      .select(col("vec_id"), col("s"), col("sv"))
+    val rvs = rf.select(col("vec_id"), col("rv"))
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("vec_id"), col("s"))
-        .orderBy(col("err2"), col("slot"))
-      val asg = sub.join(broadcast(cb), "s")
-        .withColumn("err2", expr("sq_dist(sv, cv)"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("s"), col("slot"), col("sv"))
+      // assign via the native pq_encode argmin (zero-base: only codes
+      // are consumed) — same winners as the sq_dist window it replaces,
+      // with no N·subspaces·K join/window exchange (guide §2.4); the
+      // winning slices re-derive from codes by position
+      val asg = rvs.crossJoin(broadcast(packedCodebook(cb)))
+        .withColumn("codes", expr(
+          s"pq_encode(rv, array_repeat(CAST(0.0 AS DOUBLE), size(rv))," +
+            s" cbflat, $subspaces).codes"))
+        .withColumn("s", explode(sequence(lit(0), lit(subspaces - 1))))
+        .withColumn("_w", expr(s"size(rv) DIV $subspaces"))
+        .select(col("s"), expr("codes[s]").as("slot"),
+          expr("slice(rv, s * _w + 1, _w)").as("sv"))
       val updated = asg
         .select(col("s"), col("slot"),
           posexplode(col("sv")).as(Seq("pos", "v")))
@@ -3418,21 +3410,32 @@ object SimilarityOps {
         "opqRotationFrom: empty residual frame")).getInt(0)
     require(d % subspaces == 0,
       s"opqRotationFrom: d=$d not divisible by subspaces=$subspaces")
-    val pairArr = flatten(transform(sequence(lit(0), lit(d - 1)), i =>
-      transform(sequence(i, lit(d - 1)), j =>
-        struct(i.as("i"), j.as("j"),
-          (element_at(col("rv"), i + 1) *
-            element_at(col("rv"), j + 1)).as("v")))))
-    val cells = res.select(explode(pairArr).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(sum(col("p.v")).as("s"), count(lit(1)).as("n"))
+    // upper_products (functions/UpperProducts.scala): the d²/2 per-row
+    // products as one codegen expression instead of an interpreted
+    // nested-transform struct fan-out; position p ↔ (i, j) with i ≤ j
+    // in (i asc, j asc) order. The groupBy(pos) sum partial-aggregates
+    // map-side exactly as the (i, j) groupBy did — sum order was
+    // already partition-nondeterministic, absorbed by the 20-iteration
+    // power chain + 6dp canonicalization downstream (the documented
+    // ~1e-12 tolerance).
+    GraftFunctions.register(rf.sparkSession)
+    val cells = res
+      .select(posexplode(expr("upper_products(rv)")).as(Seq("p", "v")))
+      .groupBy(col("p"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
       .collect()
-    val n = cells.head.getLong(3)
+    val n = cells.head.getLong(2)
     val mm = Array.ofDim[Double](d, d)
+    // invert the flattened upper-triangle position back to (i, j)
+    val rowStart = Array.tabulate(d)(i => i * d - i * (i - 1) / 2 - i)
     cells.foreach { r =>
-      val v = r.getDouble(2) / n
-      mm(r.getInt(0))(r.getInt(1)) = v
-      mm(r.getInt(1))(r.getInt(0)) = v
+      val p = r.getInt(0)
+      var i = 0
+      while (i + 1 < d && rowStart(i + 1) + i + 1 <= p) i += 1
+      val j = p - rowStart(i)
+      val v = r.getDouble(1) / n
+      mm(i)(j) = v
+      mm(j)(i) = v
     }
     val us = (0 until subspaces).map { _ =>
       var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
@@ -3483,13 +3486,13 @@ object SimilarityOps {
     * coordinate one FIXED-ORDER fold over the matching R row, then the
     * 6dp canonical rounding — both engines quantize identical inputs,
     * so the encode argmin cannot move. */
-  private def matvecCol(r: Array[Array[Double]], v: Column): Column = {
-    val rl = array(r.map(row => array(row.map(lit): _*)): _*)
-    transform(sequence(lit(1), lit(r.length)), i =>
-      round(aggregate(zip_with(element_at(rl, i), v,
-          (a, b) => a * b.cast("double")),
-        lit(0.0), (acc, x) => acc + x) + lit(1e-9), 6))
-  }
+  private def matvecCol(r: Array[Array[Double]], v: Column): Column =
+    // mat_vec6 (functions/MatVec6.scala): the d² multiply-add fold +
+    // 6dp rounding as one codegen expression — the HOF form ran an
+    // interpreted lambda per element (N·d² evals over the corpus, the
+    // round-20 sweep's flagged interpreted hot path). Identical
+    // j-order fold and round(x + 1e-9, 6), pinned by MatVecSpec.
+    call_function("mat_vec6", lit(r.flatten), v)
 
   /** q183 — the q181 audit under the OPQ rotation: rotate the residual
     * frame (rv AND ce) and the queries' dt slices, train the residual
@@ -3824,16 +3827,19 @@ object SimilarityOps {
     GraftFunctions.register(em.sparkSession)
     var cb = pqCodebookOf(em, subspaces, codebookIds)
       .select(col("s"), col("slot"), col("cv"))
-    val sub = pqSliceRows(em.select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding", "sv", subspaces)
+    val vecs = em.select(col("vec_id"), col("embedding"))
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("vec_id"), col("s"))
-        .orderBy(col("err2"), col("slot"))
-      val asg = sub.join(broadcast(cb), "s")
-        // native codegen fold — same IEEE sequence, see pqResidualEncode
-        .withColumn("err2", expr("sq_dist(sv, cv)"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("s"), col("slot"), col("sv"))
+      // assign via the native pq_encode argmin (zero-base: only codes
+      // are consumed) — same winners as the sq_dist window it replaces,
+      // with no N·subspaces·K join/window exchange (guide §2.4)
+      val asg = vecs.crossJoin(broadcast(packedCodebook(cb)))
+        .withColumn("codes", expr(
+          s"pq_encode(embedding, array_repeat(CAST(0.0 AS DOUBLE)," +
+            s" size(embedding)), cbflat, $subspaces).codes"))
+        .withColumn("s", explode(sequence(lit(0), lit(subspaces - 1))))
+        .withColumn("_w", expr(s"size(embedding) DIV $subspaces"))
+        .select(col("s"), expr("codes[s]").as("slot"),
+          expr("slice(embedding, s * _w + 1, _w)").as("sv"))
       val updated = asg
         .select(col("s"), col("slot"),
           posexplode(col("sv")).as(Seq("pos", "v")))
