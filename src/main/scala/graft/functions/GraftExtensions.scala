@@ -60,6 +60,8 @@ object GraftExtensions {
       }),
     ("mat_vec6", classOf[MatVec6].getName,
       exprs => MatVec6(exprs(0), exprs(1))),
+    ("graft_tokens", classOf[Tokens].getName,
+      exprs => Tokens(exprs(0))),
     ("upper_products", classOf[UpperProducts].getName,
       exprs => UpperProducts(exprs(0))),
     ("cosine_sim_int8", classOf[CosineSimInt8].getName,

@@ -104,15 +104,29 @@ object ClassifyOps {
     * label-noise audits on labeled data). */
   def nbPredict(tokCounts: DataFrame, classStats: DataFrame,
       docs: DataFrame): DataFrame = {
-    val tc = tokCounts.groupBy(col("lang"), col("t"))
-      .agg(sum(col("cnt")).as("cnt")).filter(col("cnt") > 0)
-    val cls = classStats.groupBy(col("lang"))
-      .agg(sum(col("n_docs")).as("nd"), sum(col("tot")).as("tot"))
-      .filter(col("nd") > 0)
+    // Lazy persist (CacheOnce) on the aggregated model frames: tc is
+    // referenced three times below (obs join, vocabulary semi-join,
+    // vocabN) and cls twice — without the cache each reference
+    // re-evaluates the whole upstream sufficient-statistics subtree,
+    // which in the q161 registry form is a full tokenize+groupBy pass
+    // over the TRAINING split per reference (~7 redundant corpus
+    // passes; guide §1.2 "don't compute things you throw away").
+    // Vocabulary-scale state; persist() is lazy, so construction stays
+    // job-free (the LazinessSpec contract) and the bench's
+    // clearCache() keeps every timed run recomputing it in-window.
+    val tc = graft.core.CacheOnce.swap("nb-tc",
+      tokCounts.groupBy(col("lang"), col("t"))
+        .agg(sum(col("cnt")).as("cnt")).filter(col("cnt") > 0))
+    val cls = graft.core.CacheOnce.swap("nb-cls",
+      classStats.groupBy(col("lang"))
+        .agg(sum(col("n_docs")).as("nd"), sum(col("tot")).as("tot"))
+        .filter(col("nd") > 0))
     val vocabN = tc.agg(countDistinct(col("t")).as("v"))
     val nTrain = cls.agg(sum(col("nd")).as("n"))
-    val etok = Tables.fanout(docs)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+    // scored twice below (iv + obs): one tokenize pass, cached
+    val etok = graft.core.CacheOnce.swap("nb-etok",
+      Tables.fanout(docs)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t")))
     val iv = etok.join(tc.select(col("t")).distinct(), Seq("t"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_iv"))
     val obs = etok.join(tc, Seq("t"))

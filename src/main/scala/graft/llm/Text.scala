@@ -10,9 +10,15 @@ import org.apache.spark.sql.functions._
   * k-token windows joined with a single space, deduplicated per document.
   */
 object Text {
-  /** lowercase + split on non-alphanumerics + drop empties. */
-  def tokens(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+  /** lowercase + split on non-alphanumerics + drop empties — the
+    * native codegen expression (functions/Tokens.scala, registered by
+    * GraftExtensions in every engine session): bit-identical output to
+    * the `filter(split(lower(c), "[^a-z0-9]+"), t -> t <> '')` HOF
+    * form it replaces (Round21OpsSpec pins exact equality over the
+    * documents fixture), without the interpreted per-field lambda and
+    * the dropped empty-string allocations — this is the first pass of
+    * every text-family operator (~55 call sites). */
+  def tokens(c: Column): Column = call_function("graft_tokens", c)
 
   /** DuckDB twin of [[tokens]] for embedding into oracle SQL. */
   def tokensSql(c: String): String =

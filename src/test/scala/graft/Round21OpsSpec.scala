@@ -192,6 +192,34 @@ class Round21OpsSpec extends SparkSpec {
     assert(got == refMap)
   }
 
+  test("graft_tokens ≡ filter(split(lower(text), '[^a-z0-9]+'), <> '')" +
+      " — exact over the documents fixture + unicode edges") {
+    registered()
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+      .unionByName(Seq(
+        (9001L, ""), (9002L, "   \t\n"), (9003L, "ABC def-GHI_jkl 42"),
+        (9004L, "ünïcode Ärger œuf 日本語 mixed42tail"),
+        (9005L, "Kelvin SIGN"), // U+212A lowercases to ASCII 'k'
+        (9006L, "emoji 🎉 split"), (9007L, "123"),
+        (9008L, "ends-with-sep."), (9009L, ".starts")).toDF("id", "text"))
+    val ref = docs.select(col("id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")
+          .as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val got = docs.select(col("id"),
+        graft.llm.Text.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got == ref)
+    // schema stays the split/filter element type (no parquet shifts)
+    val dt = docs.select(graft.llm.Text.tokens(col("text")).as("t"))
+      .schema("t").dataType
+    val refDt = docs.select(
+      filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("t"))
+      .schema("t").dataType
+    assert(dt == refDt)
+  }
+
   test("pq_encode plan carries no exchange: the encode is shuffle-free") {
     registered()
     val S = 4
