@@ -60,8 +60,26 @@ object GraftExtensions {
       }),
     ("mat_vec6", classOf[MatVec6].getName,
       exprs => MatVec6(exprs(0), exprs(1))),
+    ("vec_dot", classOf[VecDot].getName,
+      exprs => VecDot(exprs(0), exprs(1))),
     ("graft_tokens", classOf[Tokens].getName,
       exprs => Tokens(exprs(0))),
+    ("ngram_occurrences", classOf[NgramJoin].getName,
+      exprs => exprs(1) match {
+        case e if e.foldable && e.dataType == IntegerType && e.eval() != null =>
+          NgramJoin(exprs(0), e.eval().asInstanceOf[Int], distinct = false)
+        case _ => throw new AnalysisException("NON_FOLDABLE_ARGUMENT",
+          Map("funcName" -> "`ngram_occurrences`", "paramName" -> "`k`",
+            "paramType" -> "\"INT\""))
+      }),
+    ("shingle_strings", classOf[NgramJoin].getName,
+      exprs => exprs(1) match {
+        case e if e.foldable && e.dataType == IntegerType && e.eval() != null =>
+          NgramJoin(exprs(0), e.eval().asInstanceOf[Int], distinct = true)
+        case _ => throw new AnalysisException("NON_FOLDABLE_ARGUMENT",
+          Map("funcName" -> "`shingle_strings`", "paramName" -> "`k`",
+            "paramType" -> "\"INT\""))
+      }),
     ("upper_products", classOf[UpperProducts].getName,
       exprs => UpperProducts(exprs(0))),
     ("cosine_sim_int8", classOf[CosineSimInt8].getName,

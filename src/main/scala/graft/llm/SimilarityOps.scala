@@ -112,12 +112,14 @@ object SimilarityOps {
     topk(scored, k)
   }
 
-  /** LSH bucket id = sign bits of the vector against the seeded planes. */
+  /** LSH bucket id = sign bits of the vector against the seeded planes.
+    * Each plane projection is the native vec_dot fold (identical IEEE
+    * sequence as the replaced aggregate(zip_with(cast·mul)) HOF — the
+    * sign cut cannot move), so bucketing a corpus runs |planes| codegen
+    * folds per row instead of |planes| interpreted lambda chains. */
   private def bucketExpr(e: Column): Column = {
     val bits = planes.zipWithIndex.map { case (p, j) =>
-      val dot = aggregate(
-        zip_with(e, typedlit(p.toSeq), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = call_function("vec_dot", e, typedlit(p.toSeq))
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
@@ -1835,12 +1837,13 @@ object SimilarityOps {
     val sub = slices(em.select(col("vec_id"), col("embedding")),
       "embedding", "sv")
     val cbs = slices(cb, "cbv", "cv")
+    // sq_dist (functions/SqDist.scala): identical left-to-right
+    // (x−y)² double fold as the replaced aggregate(zip_with(...)) HOF —
+    // q120 keeps the window formulation (it reports the WINNER's err2,
+    // which pq_encode does not return), but the per-row distance itself
+    // needs no interpreted lambda
     val scored = sub.join(broadcast(cbs), "s")
-      .withColumn("err2", expr(
-        """aggregate(zip_with(sv, cv,
-          |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-          |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-          |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
+      .withColumn("err2", expr("sq_dist(sv, cv)"))
       .select(col("vec_id"), col("s"), col("code"), col("err2"))
     val w = Window.partitionBy(col("vec_id"), col("s"))
       .orderBy(col("err2"), col("code"))
@@ -2391,20 +2394,18 @@ object SimilarityOps {
     val probes = nearestCentroid(q, model.select(col("cid"), col("ce")),
         "qid", "qe", nProbe)
       .select(col("qid"), col("cid"))
+    // vec_dot (functions/VecDot.scala): identical left-to-right fold
+    // as the aggregate(zip_with(...)) HOFs it replaces — see the
+    // expression's numeric contract
     val qdots = pqSliceRows(q.select(col("qid").as("vec_id"), col("qe")),
         "vec_id", "qe", "qv", subspaces)
       .join(broadcast(cb), "s")
-      .withColumn("dot", expr(
-        """aggregate(zip_with(qv, cv,
-          |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-          |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
+      .withColumn("dot", expr("vec_dot(qv, cv)"))
     val qdt = qdots.groupBy(col("vec_id").as("qid"))
       .agg(expr("transform(array_sort(collect_list(struct(s, slot, dot)))," +
         " x -> x.dot)").as("dt"))
-    val qn = q.select(col("qid"), sqrt(expr(
-      """aggregate(qe, CAST(0 AS DOUBLE),
-        |  (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"""
-        .stripMargin)).as("qnorm"))
+    val qn = q.select(col("qid"),
+      sqrt(expr("vec_dot(qe, qe)")).as("qnorm"))
     val qside = probes.join(qdt, "qid").join(qn, "qid")
     // pq_adc = the native-codegen form of the s-ordered
     // aggregate(zip_with(...)) fold — bit-identical result, ~2× on the
@@ -2868,12 +2869,11 @@ object SimilarityOps {
     * sorted by (s, slot)) and the exact query norm. */
   private def residualQSide(q: DataFrame, model: DataFrame, cb: DataFrame,
       nProbe: Int, subspaces: Int, qForDt: DataFrame = null): DataFrame = {
+    // vec_dot: the native fold twin of the replaced
+    // aggregate(zip_with(...)) HOFs — identical IEEE sequence
     val probes = nearestCentroid(q, model.select(col("cid"), col("ce")),
         "qid", "qe", nProbe)
-      .withColumn("qc", expr(
-        """aggregate(zip_with(qe, ce,
-          |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-          |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
+      .withColumn("qc", expr("vec_dot(qe, ce)"))
       .select(col("qid"), col("cid"), col("qc"))
     // the dt slices come from `qForDt` when given (the OPQ arm's
     // ROTATED queries — probes/qc/qnorm always use the original space)
@@ -2881,17 +2881,12 @@ object SimilarityOps {
         .select(col("qid").as("vec_id"), col("qe")),
         "vec_id", "qe", "qv", subspaces)
       .join(broadcast(cb), "s")
-      .withColumn("dot", expr(
-        """aggregate(zip_with(qv, cv,
-          |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-          |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
+      .withColumn("dot", expr("vec_dot(qv, cv)"))
       .groupBy(col("vec_id").as("qid"))
       .agg(expr("transform(array_sort(collect_list(struct(s, slot, dot)))," +
         " x -> x.dot)").as("dt"))
-    val qn = q.select(col("qid"), sqrt(expr(
-      """aggregate(qe, CAST(0 AS DOUBLE),
-        |  (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"""
-        .stripMargin)).as("qnorm"))
+    val qn = q.select(col("qid"),
+      sqrt(expr("vec_dot(qe, qe)")).as("qnorm"))
     probes.join(qdt, "qid").join(qn, "qid")
   }
 

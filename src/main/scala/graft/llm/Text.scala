@@ -24,11 +24,13 @@ object Text {
   def tokensSql(c: String): String =
     s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), t -> t <> '')"
 
-  /** Distinct k-token shingles; empty array when the doc has < k tokens. */
+  /** Distinct k-token shingles; empty array when the doc has < k
+    * tokens. The window join runs in the native NgramJoin expression
+    * (bit-identical to the replaced array_distinct(transform(...))
+    * HOF — Round21OpsSpec); the < k / null guard stays out here so the
+    * replaced expression's null semantics are preserved verbatim. */
   def shingles(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      array_distinct(transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k))))))
+    when(size(toks) >= k, call_function("shingle_strings", toks, lit(k)))
       .otherwise(array().cast("array<string>"))
 
   /** DuckDB twin of [[shingles]]. `toks` must reference a list column. */
@@ -42,9 +44,7 @@ object Text {
     * window kept with multiplicity, as language-model counting requires
     * (shingle sets are for resemblance; LM statistics are multisets). */
   def ngramOccurrences(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
+    when(size(toks) >= k, call_function("ngram_occurrences", toks, lit(k)))
       .otherwise(array().cast("array<string>"))
 
   /** DuckDB twin of [[ngramOccurrences]]. */

@@ -220,6 +220,83 @@ class Round21OpsSpec extends SparkSpec {
     assert(dt == refDt)
   }
 
+  test("ngram_occurrences / shingle_strings ≡ the replaced transform" +
+      "(concat_ws(slice)) HOFs — exact values, order and schema") {
+    registered()
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+      .unionByName(Seq(
+        (9001L, ""), (9002L, "one two"), (9003L, "a b a b a b"),
+        (9004L, "x y z x y z dup dup dup")).toDF("id", "text"))
+      .withColumn("ts", graft.llm.Text.tokens(col("text")))
+    for (k <- Seq(2, 5)) {
+      val refNg = when(size(col("ts")) >= k,
+        transform(sequence(lit(1), size(col("ts")) - (k - 1)),
+          i => concat_ws(" ", slice(col("ts"), i, lit(k)))))
+        .otherwise(array().cast("array<string>"))
+      val refSh = when(size(col("ts")) >= k,
+        array_distinct(transform(sequence(lit(1), size(col("ts")) - (k - 1)),
+          i => concat_ws(" ", slice(col("ts"), i, lit(k))))))
+        .otherwise(array().cast("array<string>"))
+      def m(c: org.apache.spark.sql.Column) = docs.select(col("id"), c.as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(m(graft.llm.Text.ngramOccurrences(col("ts"), k)) == m(refNg),
+        s"ngram k=$k values moved")
+      assert(m(graft.llm.Text.shingles(col("ts"), k)) == m(refSh),
+        s"shingles k=$k values moved")
+      val dtGot = docs.select(
+        graft.llm.Text.ngramOccurrences(col("ts"), k).as("g")).schema("g").dataType
+      val dtRef = docs.select(refNg.as("g")).schema("g").dataType
+      assert(dtGot == dtRef, s"ngram k=$k schema moved")
+    }
+  }
+
+  test("vec_dot ≡ aggregate(zip_with(a, b, CAST·CAST), 0.0, +) — exact," +
+      " float and double sides") {
+    registered()
+    val rows = (0 until 300).map { i =>
+      (i.toLong,
+        (0 until 16).map(j => det(i * 16 + j)),
+        (0 until 16).map(j => det(500000 + i * 16 + j).toDouble * 7.3))
+    }.toDF("id", "f", "d")
+      .withColumn("f", col("f").cast("array<float>"))
+    val ref = rows.select(col("id"), expr(
+        """aggregate(zip_with(f, d,
+          |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |  CAST(0 AS DOUBLE), (a, v) -> a + v)""".stripMargin).as("dp"),
+        expr("""aggregate(f, CAST(0 AS DOUBLE),
+          |  (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"""
+          .stripMargin).as("n2"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val got = rows.select(col("id"), expr("vec_dot(f, d)").as("dp"),
+        expr("vec_dot(f, f)").as("n2"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == ref)
+  }
+
+  test("lshBuckets ≡ the replaced per-plane aggregate(zip_with) HOF" +
+      " bucketing — exact bucket ids") {
+    registered()
+    val em = (0L until 400L).map(i =>
+        (i, (0 until 64).map(j => det((i * 64 + j).toInt))))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    // the replaced formulation, verbatim
+    val refBits = SimilarityOps.planes.zipWithIndex.map { case (p, j) =>
+      val dot = aggregate(
+        zip_with(col("embedding"), typedlit(p.toSeq),
+          (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val ref = em.select(col("vec_id"), refBits.as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SimilarityOps.lshBuckets(em)
+      .select(col("vec_id"), col("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+  }
+
   test("pq_encode plan carries no exchange: the encode is shuffle-free") {
     registered()
     val S = 4
